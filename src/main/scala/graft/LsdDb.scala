@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Thin database registry over a directory of Parquet tables.
+  *
+  * Spark-native analog of the reference's `DB` object (a directory of
+  * tables + join definitions; see SURVEY.md §1.1, ref `lsd/join_ops.py`
+  * class DB, UNVERIFIED). Tables are plain Parquet datasets; the
+  * SparkSession catalog supplies schema-on-read, column pruning and
+  * partition pruning, so no bespoke tablet/cgroup machinery is needed.
+  *
+  * At 100 TB scale the same API holds: `root` becomes an object-store
+  * prefix and each table a partitioned Parquet dataset; nothing here is
+  * single-node-specific.
+  */
+final case class LsdDb(spark: SparkSession, root: String) {
+
+  /** Load one table. The driver's testdata stores each table as
+    * `<root>/<name>.parquet`; a partitioned dataset directory with the
+    * same name works identically.
+    *
+    * Nanosecond parquet timestamps (the `events.ts` column) are not a
+    * legal Spark type — we read them as raw Long nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and normalize to a
+    * microsecond TimestampType, which matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncation, so oracle comparisons stay
+    * exact at µs precision.
+    */
+  def table(name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$root/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        // integer DIV, not `/`: ns epochs (~1.7e18) exceed double's
+        // exact-integer range, so float division would corrupt low bits
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case None => df
+    }
+  }
+
+  /** Register every known table as a temp view so `spark.sql` works. */
+  def registerAll(names: Seq[String] = LsdDb.standardTables): Unit =
+    names.foreach(n => table(n).createOrReplaceTempView(n))
+}
+
+object LsdDb {
+  val standardTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, root: String, name: String): DataFrame =
+    LsdDb(spark, root).table(name)
+}

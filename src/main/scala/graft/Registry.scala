@@ -1,0 +1,18 @@
+package graft
+
+import graft.operators._
+
+/** Central inventory: one QuerySpec per operator declared in
+  * SURVEY.md §2 ("THE CONTRACT"). Append-only across rounds.
+  */
+object Registry {
+  def specs: Seq[QuerySpec] =
+    Aggregates.specs
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] =
+    specs.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    specs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

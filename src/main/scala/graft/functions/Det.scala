@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Determinism helpers for DuckDB-oracle hash-matching (SURVEY.md §2
+  * determinism rules).
+  *
+  * Floating-point aggregation is order-dependent, and Spark's shuffle
+  * order differs from DuckDB's scan order — so a naive `sum(double)`
+  * will not hash-match. The fix: route money-like doubles through an
+  * exact decimal(18,4) sum (associative, order-independent, identical
+  * in both engines) and only then cast back to double. Derived stats
+  * (avg/var/stddev/corr) are computed from those exact sums with a
+  * fixed double expression tree, which both engines evaluate
+  * identically under IEEE-754.
+  *
+  * This is also the right call at 100 TB: decimal sums are codegen'd,
+  * partial-aggregated map-side, and immune to re-ordering under AQE
+  * re-partitioning — determinism and scale point the same way.
+  */
+object Det {
+  // Scale 8, not 4: money products carry up to 6 true decimal digits
+  // (price × discount × tax), which sit EXACTLY on the 1e-8 grid in
+  // both engines — so the double→decimal cast never hits a rounding
+  // midpoint and half-up (Spark) vs half-even (DuckDB) cannot diverge.
+  private val M = DecimalType(28, 8)
+
+  /** Exact order-independent sum of a money-like double → double. */
+  def dsum(c: Column): Column = sum(c.cast(M)).cast(DoubleType)
+
+  /** Exact sum of products (x*y is IEEE-deterministic; the decimal cast
+    * makes the subsequent summation order-independent). */
+  def dsumProd(x: Column, y: Column): Column = dsum(x * y)
+
+  /** Average via exact sum / count — identical double division on both
+    * sides. Null-safe: counts only non-null x. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1), all
+    * final arithmetic in double with a fixed parenthesization. */
+  def dvarSamp(c: Column): Column = {
+    val n = count(c).cast(DoubleType)
+    val sx = dsum(c)
+    val sxx = sum((c * c).cast(DecimalType(38, 8))).cast(DoubleType)
+    (sxx - (sx * sx) / n) / (n - lit(1.0))
+  }
+
+  def dstddevSamp(c: Column): Column = sqrt(dvarSamp(c))
+
+  /** Pearson correlation from exact sums. */
+  def dcorr(x: Column, y: Column): Column = {
+    val n = count(x).cast(DoubleType)
+    val sx = dsum(x); val sy = dsum(y)
+    val sxy = sum((x * y).cast(DecimalType(38, 8))).cast(DoubleType)
+    val sxx = sum((x * x).cast(DecimalType(38, 8))).cast(DoubleType)
+    val syy = sum((y * y).cast(DecimalType(38, 8))).cast(DoubleType)
+    (sxy - (sx * sy) / n) /
+      sqrt((sxx - (sx * sx) / n) * (syy - (sy * sy) / n))
+  }
+
+  /** Oracle-side (DuckDB SQL) twins of the helpers above. Keep these
+    * textually in sync with the Column builders. */
+  object sql {
+    def dsum(e: String): String =
+      s"CAST(sum(CAST(($e) AS DECIMAL(28,8))) AS DOUBLE)"
+    def davg(e: String): String = s"${dsum(e)} / count($e)"
+    def sq(e: String): String =
+      s"CAST(sum(CAST((($e) * ($e)) AS DECIMAL(38,8))) AS DOUBLE)"
+    def sprod(x: String, y: String): String =
+      s"CAST(sum(CAST((($x) * ($y)) AS DECIMAL(38,8))) AS DOUBLE)"
+    def dvarSamp(e: String): String = {
+      val n = s"CAST(count($e) AS DOUBLE)"
+      s"(${sq(e)} - (${dsum(e)} * ${dsum(e)}) / $n) / ($n - 1.0)"
+    }
+    def dstddevSamp(e: String): String = s"sqrt(${dvarSamp(e)})"
+    def dcorr(x: String, y: String): String = {
+      val n = s"CAST(count($x) AS DOUBLE)"
+      s"(${sprod(x, y)} - (${dsum(x)} * ${dsum(y)}) / $n) / " +
+        s"sqrt((${sq(x)} - (${dsum(x)} * ${dsum(x)}) / $n) * " +
+        s"(${sq(y)} - (${dsum(y)} * ${dsum(y)}) / $n))"
+    }
+  }
+}
