@@ -7,7 +7,8 @@ import graft.operators._
   */
 object Registry {
   def specs: Seq[QuerySpec] =
-    Aggregates.specs
+    Core.specs ++ Aggregates.specs ++ SetOps.specs ++ Joins.specs ++
+      Windows.specs ++ TimeWindows.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -30,6 +30,15 @@ object Det {
   /** Exact order-independent sum of a money-like double → double. */
   def dsum(c: Column): Column = sum(c.cast(M)).cast(DoubleType)
 
+  /** Stabilize a transcendental (log/exp/pow/trig) result for oracle
+    * compare: snap to the 1e-6 decimal grid via a decimal cast. Unlike
+    * `round()`, whose double pathway differs between engines, a
+    * double→decimal(18,6)→double trip is identical on both sides
+    * except at exact decimal midpoints, which transcendental values
+    * never hit. */
+  def d6(c: Column): Column =
+    c.cast(DecimalType(18, 6)).cast(DoubleType)
+
   /** Exact sum of products (x*y is IEEE-deterministic; the decimal cast
     * makes the subsequent summation order-independent). */
   def dsumProd(x: Column, y: Column): Column = dsum(x * y)
@@ -65,6 +74,8 @@ object Det {
   object sql {
     def dsum(e: String): String =
       s"CAST(sum(CAST(($e) AS DECIMAL(28,8))) AS DOUBLE)"
+    def d6(e: String): String =
+      s"CAST(CAST(($e) AS DECIMAL(18,6)) AS DOUBLE)"
     def davg(e: String): String = s"${dsum(e)} / count($e)"
     def sq(e: String): String =
       s"CAST(sum(CAST((($e) * ($e)) AS DECIMAL(38,8))) AS DOUBLE)"

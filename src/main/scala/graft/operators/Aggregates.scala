@@ -4,6 +4,7 @@ import graft.{LsdDb, QuerySpec}
 import graft.functions.Det
 import graft.functions.Det.{sql => D}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** §2D — keyed/global aggregation. The reference had no GROUP BY in its
   * query language; all aggregation ran through map/reduce kernel chains
@@ -73,5 +74,116 @@ object Aggregates {
         max(col("l_shipdate")).as("max_ship"))
   }
 
-  def specs: Seq[QuerySpec] = Seq(qAggBasic, qAggGlobal)
+  /** A3 — count distinct (expands to a two-phase distinct aggregate;
+    * exact, unlike HLL, so it stays oracle-checkable). */
+  val qAggDistinct: QuerySpec = QuerySpec(
+    "q_agg_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS distinct_parts,
+      |  count(DISTINCT l_suppkey) AS distinct_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A5 — histogram / binning, the canonical reference kernel use-case
+    * (CMD and sky-density maps were built exactly this way). 2-D
+    * binning: price bucket × order year. */
+  val qHistogram: QuerySpec = QuerySpec(
+    "q_histogram",
+    s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+       |  year(o_orderdate) AS y,
+       |  count(*) AS cnt,
+       |  ${D.dsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY price_bucket, y""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "orders")
+      .groupBy(
+        floor(col("o_totalprice") / 50000).as("price_bucket"),
+        year(col("o_orderdate")).cast(LongType).as("y"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("price_bucket", "y")
+  }
+
+  /** A6 — rollup with grouping id (subtotal rows have NULL keys →
+    * NULLS FIRST ordering spelled out on both sides). */
+  val qRollup: QuerySpec = QuerySpec(
+    "q_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast(LongType).as("gid"), count(lit(1)).as("cnt"))
+      .select("l_returnflag", "l_linestatus", "gid", "cnt")
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** A7 — stddev/variance/correlation. Computed from exact decimal
+    * sums (Det.dvarSamp/dcorr) rather than the engines' streaming
+    * moment kernels, whose merge order differs between Spark and
+    * DuckDB — same math, order-independent, and still a single
+    * partial+final aggregation pass. */
+  val qAggStats: QuerySpec = QuerySpec(
+    "q_agg_stats",
+    s"""SELECT l_returnflag,
+       |  ${D.d6(D.dvarSamp("l_quantity"))} AS var_qty,
+       |  ${D.d6(D.dstddevSamp("l_quantity"))} AS std_qty,
+       |  ${D.d6(D.dcorr("l_quantity", "l_extendedprice"))} AS corr_qty_price,
+       |  count(*) AS n_rows
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Det.d6(Det.dvarSamp(col("l_quantity"))).as("var_qty"),
+        Det.d6(Det.dstddevSamp(col("l_quantity"))).as("std_qty"),
+        Det.d6(Det.dcorr(col("l_quantity"), col("l_extendedprice")))
+          .as("corr_qty_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A8 — collect_list (reference analog: per-object detection lists
+    * from kernel regrouping). array_sort makes the list canonical so
+    * the oracle can hash it. */
+  val qAggCollect: QuerySpec = QuerySpec(
+    "q_agg_collect",
+    """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  /** A9 — exact median (both engines interpolate the two middle values
+    * with the same (a+b)/2 double arithmetic). */
+  val qAggMedian: QuerySpec = QuerySpec(
+    "q_agg_median",
+    """SELECT l_returnflag,
+      |  median(l_quantity) AS med_qty,
+      |  median(l_extendedprice) AS med_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(median(col("l_quantity")).as("med_qty"),
+        median(col("l_extendedprice")).as("med_price"))
+      .orderBy("l_returnflag")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qAggBasic, qAggGlobal, qAggDistinct,
+    qHistogram, qRollup, qAggStats, qAggCollect, qAggMedian)
 }

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import graft.functions.Det
+import graft.functions.Det.{sql => D}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** §2A scans/sources + §2B projection/filter/scalar expressions.
+  *
+  * Reference surface: the LSD query language's SELECT/WHERE clauses,
+  * whose expressions were arbitrary vectorized NumPy code evaluated
+  * per-cell (SURVEY.md §2B, ref `lsd/query_parser.py` +
+  * `lsd/join_ops.py`, UNVERIFIED). Spark-native: every expression is
+  * a Catalyst `Column`, so it whole-stage-codegens and pushes
+  * filters/projections into the Parquet scan — the same "only load
+  * the cgroups you touch" effect LSD got from lazy tablet loading,
+  * but for free.
+  */
+object Core {
+
+  /** SC1 — full table scan, partition-parallel. */
+  val qScan: QuerySpec = QuerySpec(
+    "q_scan",
+    "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber") { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** SC2 — pruned scan: a time-footprint filter that reaches the
+    * Parquet reader as a pushed predicate (row-group min/max pruning;
+    * with a `t_bucket` partition column it would be partition pruning
+    * — the analog of LSD's bounds∩quadtree cell enumeration). */
+  val qPrunedScan: QuerySpec = QuerySpec(
+    "q_pruned_scan",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 00:00:00'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "events")
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** SC3 — bulk import: CSV round-trip of the lossless column subset
+    * (ints + strings survive text serialization exactly). Models the
+    * reference's `lsd-import` text path. */
+  val qImportCsv: QuerySpec = QuerySpec(
+    "q_import_csv",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      math.abs(dir.hashCode).toString
+    LsdDb.table(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag",
+        "l_linestatus")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true")
+      .schema("l_orderkey LONG, l_linenumber INT, l_partkey LONG, " +
+        "l_returnflag STRING, l_linestatus STRING")
+      .csv(tmp)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P1 — projection with computed expressions (all IEEE-deterministic
+    * double arithmetic; no aggregation → no ordering hazard). */
+  val qProject: QuerySpec = QuerySpec(
+    "q_project",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS revenue,
+      |  l_quantity * 100.0 AS qty_pct,
+      |  l_extendedprice / l_quantity AS unit_price
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        (col("l_quantity") * lit(100.0)).as("qty_pct"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P2 — filter (vectorized boolean mask → pushed parquet predicate). */
+  val qFilter: QuerySpec = QuerySpec(
+    "q_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+      |  AND l_discount > 0.02
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_returnflag") === "R" && col("l_discount") > 0.02)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P3 — arithmetic + math functions. Exact ops (sqrt/abs/floor/ceil/
+    * mod) pass through raw; libm-dependent ones (ln/exp/pow) are
+    * snapped to the 1e-6 grid via Det.d6 because Java Math and DuckDB
+    * libm can differ in the last ulp. */
+  val qMath: QuerySpec = QuerySpec(
+    "q_math",
+    s"""SELECT l_orderkey, l_linenumber,
+       |  sqrt(l_quantity) AS sqrt_qty,
+       |  abs(l_quantity - 25.0) AS abs_dev,
+       |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       |  l_orderkey % 7 AS key_mod,
+       |  ${D.d6("ln(l_extendedprice)")} AS log_price,
+       |  ${D.d6("exp(l_discount)")} AS exp_disc,
+       |  ${D.d6("pow(l_quantity, 1.5)")} AS qty_pow
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        abs(col("l_quantity") - lit(25.0)).as("abs_dev"),
+        floor(col("l_extendedprice") / 1000).as("price_k_floor"),
+        ceil(col("l_extendedprice") / 1000).as("price_k_ceil"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        Det.d6(log(col("l_extendedprice"))).as("log_price"),
+        Det.d6(exp(col("l_discount"))).as("exp_disc"),
+        Det.d6(pow(col("l_quantity"), lit(1.5))).as("qty_pow"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P4 — conditional expression (numpy where → CASE WHEN). */
+  val qCase: QuerySpec = QuerySpec(
+    "q_case",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 150000 THEN 'mid'
+      |       ELSE 'low' END AS price_band,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low").as("price_band"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("is_final"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P5 — string functions. */
+  val qString: QuerySpec = QuerySpec(
+    "q_string",
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  lower(p_brand) AS brand_lower,
+      |  CAST(length(p_type) AS BIGINT) AS type_len,
+      |  substring(p_type, 1, 5) AS type_pfx,
+      |  concat(p_brand, '#', p_type) AS brand_type,
+      |  (p_name LIKE '%a%') AS has_a,
+      |  regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
+      |  replace(p_brand, 'Brand', 'B') AS brand_short
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        length(col("p_type")).cast(LongType).as("type_len"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        col("p_name").like("%a%").as("has_a"),
+        regexp_extract(col("p_name"), "([0-9]+)", 1).as("first_num"),
+        regexp_replace(col("p_brand"), "Brand", "B").as("brand_short"))
+      .orderBy("p_partkey")
+  }
+
+  /** P6 — date/time functions (reference analog: MJD epoch arithmetic
+    * in query expressions). Extracts cast to BIGINT to match DuckDB's
+    * native return type. */
+  val qDatetime: QuerySpec = QuerySpec(
+    "q_datetime",
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+      |  o_orderdate + INTERVAL 30 DAY AS due_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+        quarter(col("o_orderdate")).cast(LongType).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast(LongType).as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P7 — array-column ops via higher-order functions (reference
+    * analog: per-band magnitude arrays `mags[2]`). Folds are
+    * sequential left-folds in both engines → deterministic floats. */
+  val qArray: QuerySpec = QuerySpec(
+    "q_array",
+    """SELECT vec_id, label,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+      |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |              (a, b) -> a + b) AS emb_sum,
+      |  sqrt(list_reduce(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |        (a, b) -> a + b)) AS emb_norm,
+      |  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val asD = transform(col("embedding"), x => x.cast(DoubleType))
+    LsdDb.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("first_elem"),
+        aggregate(asD, lit(0.0), (a, x) => a + x).as("emb_sum"),
+        sqrt(aggregate(transform(col("embedding"),
+          x => x.cast(DoubleType) * x.cast(DoubleType)),
+          lit(0.0), (a, x) => a + x)).as("emb_norm"),
+        transform(slice(col("embedding"), 1, 3),
+          x => x.cast(DoubleType)).as("head3"))
+      .orderBy("vec_id")
+  }
+
+  /** P9 — JSON field access (events.props carries a JSON payload). */
+  val qJson: QuerySpec = QuerySpec(
+    "q_json",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qImportCsv, qProject,
+    qFilter, qMath, qCase, qString, qDatetime, qArray, qJson)
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import graft.functions.Det
+import graft.functions.Det.{sql => D}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2C — joins.
+  *
+  * Reference surface: the LSD query language joined tables through
+  * pre-computed xmatch pair tables and neighbor-margin caches so every
+  * join stayed cell-local (SURVEY.md §2C/§3, ref `lsd/join_ops.py`
+  * JoinRelation, UNVERIFIED). Spark-native: declare the join and let
+  * Catalyst/AQE pick broadcast vs sort-merge; smallness of the dim
+  * tables (region/nation/customer/supplier) makes the TPC-H-ish chains
+  * broadcast joins with zero shuffle of the fact table. The two
+  * operators Spark lacks natively — bounded range join and as-of
+  * nearest — are built as banded equi-joins and ordered windows, the
+  * patterns that survive 100 TB (no nested-loop cross products, no
+  * driver-side state).
+  */
+object Joins {
+
+  /** J1 — equi inner join (dim side auto-broadcasts under AQE). */
+  val qJoinInner: QuerySpec = QuerySpec(
+    "q_join_inner",
+    """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "orders")
+      .join(LsdDb.table(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+        "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** J2 — left outer join (reference: `FROM a, b(outer)`). */
+  val qJoinLeft: QuerySpec = QuerySpec(
+    "q_join_left",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN orders
+      |  ON o_custkey = c_custkey AND o_totalprice > 400000
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "customer")
+      .join(LsdDb.table(s, dir, "orders"),
+        col("o_custkey") === col("c_custkey") && col("o_totalprice") > 400000,
+        "left_outer")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** J3 — multi-way join along the dim chain; fact table shuffles at
+    * most once (dims broadcast), then a partial+final hash agg. */
+  val qJoinMulti: QuerySpec = QuerySpec(
+    "q_join_multi",
+    s"""SELECT r_name, n_name,
+       |  ${D.dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  count(*) AS n_items
+       |FROM region
+       |JOIN nation ON n_regionkey = r_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    val db = LsdDb(s, dir)
+    db.table("region")
+      .join(db.table("nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(db.table("customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(db.table("orders"), col("o_custkey") === col("c_custkey"))
+      .join(db.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J4a — left semi join (existence filter; no row duplication). */
+  val qJoinSemi: QuerySpec = QuerySpec(
+    "q_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "customer")
+      .join(LsdDb.table(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J4b — left anti join. */
+  val qJoinAnti: QuerySpec = QuerySpec(
+    "q_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "customer")
+      .join(LsdDb.table(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J5 — range (theta) join, banded. A naive `a.join(b, between)` is
+    * a nested-loop cross product — O(|A|·|B|), dead at scale. Instead
+    * both sides are bucketed on the range dimension (width 50k) and
+    * joined on bucket equality + the precise predicate: each customer
+    * expands to the ≤5 buckets its [lo,hi] interval covers, turning
+    * the theta join into an equi shuffle join. Same trick LSD's
+    * neighbor-margin cache plays for spatial joins: coarse-cell
+    * equality first, exact predicate second.
+    */
+  val qJoinRange: QuerySpec = QuerySpec(
+    "q_join_range",
+    s"""SELECT c_custkey,
+       |  count(*) AS n_orders,
+       |  ${D.dsum("o_totalprice")} AS sum_price
+       |FROM customer JOIN orders
+       |  ON o_totalprice BETWEEN c_acctbal * 20 AND c_acctbal * 40
+       |GROUP BY c_custkey
+       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val bw = 50000
+    val c = LsdDb.table(s, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_acctbal") * 20).as("lo"), (col("c_acctbal") * 40).as("hi"))
+      .filter(col("lo") <= col("hi"))
+      .withColumn("bucket",
+        explode(sequence(floor(col("lo") / bw), floor(col("hi") / bw))))
+    val o = LsdDb.table(s, dir, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / bw))
+    c.join(o, c("bucket") === o("bucket") &&
+        col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_custkey")
+  }
+
+  /** J6 — as-of nearest join (1-D analog of the reference's signature
+    * spatial nearest-neighbor xmatch; `lsd-xmatch` + neighbor cache,
+    * UNVERIFIED). For each event: the latest 'purchase' event of the
+    * same user at-or-before it. One shuffle by user_id, then an
+    * ordered window scan — the time-series equivalent of LSD's
+    * cell-local probe; no per-row subquery, no cross product.
+    */
+  val qAsofNearest: QuerySpec = QuerySpec(
+    "q_asof_nearest",
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |  last_value(CASE WHEN event_type = 'purchase'
+      |                  THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS prev_purchase_ts,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+      |             IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS prev_purchase_id
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    LsdDb.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        last(when(col("event_type") === "purchase", col("ts")), true)
+          .over(w).as("prev_purchase_ts"),
+        last(when(col("event_type") === "purchase", col("event_id")), true)
+          .over(w).as("prev_purchase_id"))
+      .orderBy("event_id")
+  }
+
+  /** J7 — self join (reference analog: detection↔detection grouping in
+    * `lsd-make-object-catalog`): co-occurring suppliers per part.
+    * Both sides shuffle on the same key → co-partitioned sort-merge. */
+  val qJoinSelf: QuerySpec = QuerySpec(
+    "q_join_self",
+    """SELECT a.l_partkey AS partkey, count(*) AS n_pairs
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      |GROUP BY a.l_partkey
+      |ORDER BY partkey""".stripMargin) { (s, dir) =>
+    val li = LsdDb.table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
+        col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("partkey")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
+    qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf)
+}

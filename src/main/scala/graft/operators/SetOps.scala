@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2E — sort / limit / top-k / set ops / dedup.
+  *
+  * Reference surface: client-side numpy sorts after fetch, and id-set
+  * operations written as kernels (SURVEY.md §2E, UNVERIFIED). In Spark
+  * these are native operators: `orderBy` is a range-partitioned
+  * distributed sort, `limit` after `orderBy` plans as
+  * TakeOrderedAndProject (no full sort materialization), and set ops
+  * are hash aggregations. Dedup-keep-first is a window row_number —
+  * the scalable pattern (shuffle by key once) rather than a
+  * driver-side collect.
+  */
+object SetOps {
+
+  /** O1 — distributed sort (range partitioner samples bounds; no
+    * single-reducer bottleneck at scale). */
+  val qSort: QuerySpec = QuerySpec(
+    "q_sort",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
+  /** O2 — top-k: orderBy+limit ⇒ TakeOrderedAndProject (per-partition
+    * heaps + driver merge of k rows — O(k) network, scale-safe). */
+  val qTopk: QuerySpec = QuerySpec(
+    "q_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** O3 — top-k per group via ranking window (single shuffle by key). */
+  val qTopkGroup: QuerySpec = QuerySpec(
+    "q_topk_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    LsdDb.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** O4 — union (by name, no shuffle — just partition concatenation). */
+  val qUnion: QuerySpec = QuerySpec(
+    "q_union",
+    """SELECT c_custkey AS id, 'customer' AS kind, c_acctbal AS bal FROM customer
+      |UNION ALL
+      |SELECT s_suppkey AS id, 'supplier' AS kind, s_acctbal AS bal FROM supplier
+      |ORDER BY kind, id""".stripMargin) { (s, dir) =>
+    val c = LsdDb.table(s, dir, "customer")
+      .select(col("c_custkey").as("id"), lit("customer").as("kind"),
+        col("c_acctbal").as("bal"))
+    val su = LsdDb.table(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), lit("supplier").as("kind"),
+        col("s_acctbal").as("bal"))
+    c.unionByName(su).orderBy("kind", "id")
+  }
+
+  /** O5a — intersect (distinct set semantics in both engines). */
+  val qIntersect: QuerySpec = QuerySpec(
+    "q_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(
+        LsdDb.table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  /** O5b — except. */
+  val qExcept: QuerySpec = QuerySpec(
+    "q_except",
+    """SELECT n_nationkey AS nationkey FROM nation
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
+      .except(
+        LsdDb.table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  /** O6 — distinct rows (hash aggregation, map-side partial). */
+  val qDistinct: QuerySpec = QuerySpec(
+    "q_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** O7 — exact dedup keeping a deterministic representative (earliest
+    * ts, then lowest event_id) — `dropDuplicates` keeps an arbitrary
+    * row, which can't be oracle-checked; row_number dedup is the
+    * deterministic, distributed equivalent. */
+  val qDedup: QuerySpec = QuerySpec(
+    "q_dedup",
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM (
+      |  SELECT user_id, event_type, event_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    LsdDb.table(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        col("value"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("user_id", "event_type")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qSort, qTopk, qTopkGroup, qUnion,
+    qIntersect, qExcept, qDistinct, qDedup)
+}

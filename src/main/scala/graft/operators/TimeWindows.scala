@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import graft.functions.Det
+import graft.functions.Det.{sql => D}
+import org.apache.spark.sql.functions._
+
+/** §2G — time-window aggregation, verified in batch mode.
+  *
+  * The reference is batch-only (multi-epoch detections are its closest
+  * analog to a stream; SURVEY.md §2G). These three queries use the
+  * exact grouping primitives Structured Streaming uses — `window`,
+  * sliding `window`, `session_window` — on a batch DataFrame, so the
+  * identical plan fragments run under `readStream` with a watermark
+  * (see graft.streaming.StreamOps for the streaming wiring + tests).
+  */
+object TimeWindows {
+
+  /** S1 — tumbling 1-hour window. Spark's window origin is the epoch;
+    * 1-hour tumbling ≡ date_trunc('hour') in the oracle. */
+  val qWindowTumbling: QuerySpec = QuerySpec(
+    "q_window_tumbling",
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
+       |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS wend,
+       |  count(*) AS cnt,
+       |  ${D.dsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY wstart""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("cnt"), col("sum_value"))
+      .orderBy("wstart")
+  }
+
+  /** S2 — sliding window (1 hour every 15 min): each event lands in 4
+    * windows. Oracle reconstructs the window set with a 4-offset
+    * expansion off the 15-minute grid (time_bucket's origin is
+    * 15-min-aligned with Spark's epoch origin). */
+  val qWindowSliding: QuerySpec = QuerySpec(
+    "q_window_sliding",
+    s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
+       |x AS (
+       |  SELECT time_bucket(INTERVAL '15 minutes', tsu)
+       |           - k * (INTERVAL '15 minutes') AS wstart,
+       |         tsu, value
+       |  FROM e, generate_series(0, 3) t(k)
+       |  WHERE tsu >= time_bucket(INTERVAL '15 minutes', tsu)
+       |                 - k * (INTERVAL '15 minutes')
+       |    AND tsu <  time_bucket(INTERVAL '15 minutes', tsu)
+       |                 - k * (INTERVAL '15 minutes') + INTERVAL 1 HOUR)
+       |SELECT wstart, wstart + INTERVAL 1 HOUR AS wend,
+       |  count(*) AS cnt, ${D.dsum("value")} AS sum_value
+       |FROM x GROUP BY wstart ORDER BY wstart""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("cnt"), col("sum_value"))
+      .orderBy("wstart")
+  }
+
+  /** S3 — session window (30-min inactivity gap) per user. Oracle is
+    * the classic gaps-and-islands rewrite; the boundary matches
+    * Spark's semantics (a gap of exactly 30:00.000000 starts a new
+    * session, because session windows are end-exclusive). */
+  val qWindowSession: QuerySpec = QuerySpec(
+    "q_window_session",
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+       |                   OR tsu - lag(tsu) OVER w >= INTERVAL 30 MINUTE
+       |            THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+       |sessions AS (
+       |  SELECT *, sum(new_session)
+       |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       |SELECT user_id, min(tsu) AS session_start,
+       |  max(tsu) + INTERVAL 30 MINUTE AS session_end,
+       |  count(*) AS cnt, ${D.dsum("value")} AS sum_value
+       |FROM sessions GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("cnt"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qWindowTumbling, qWindowSliding,
+    qWindowSession)
+}

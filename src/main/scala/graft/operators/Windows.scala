@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** §2F — window functions.
+  *
+  * Absent from the reference's query language; its moral equivalent
+  * was per-object ordered processing inside map/reduce kernels
+  * (light-curve analysis over detections sorted by epoch; SURVEY.md
+  * §2F, UNVERIFIED). Spark-native: `Window.partitionBy(key).orderBy
+  * (time)` — one shuffle by key, then a sorted in-partition scan,
+  * which is exactly the regroup-then-iterate dataflow the kernels
+  * hand-rolled.
+  *
+  * Determinism: window ORDER BY always ends in a unique tie-break
+  * column, and windowed float sums go through decimal(28,8) because
+  * DuckDB evaluates frame aggregates with a segment tree (different
+  * addition order than Spark's running accumulator).
+  */
+object Windows {
+
+  /** W1 — ranking functions. */
+  val qWindowRank: QuerySpec = QuerySpec(
+    "q_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER w AS rn,
+      |  rank() OVER w2 AS rnk,
+      |  dense_rank() OVER w2 AS drnk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+      |       w2 AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val w2 = Window.partitionBy("o_custkey").orderBy(year(col("o_orderdate")))
+    LsdDb.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w2).as("rnk"),
+        dense_rank().over(w2).as("drnk"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** W2 — lag/lead (reference analog: detection-to-detection deltas
+    * along a light curve). */
+  val qWindowLag: QuerySpec = QuerySpec(
+    "q_window_lag",
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |  lag(value) OVER w AS prev_value,
+      |  lead(value) OVER w AS next_value,
+      |  value - lag(value) OVER w AS delta,
+      |  CAST(datediff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+      |                CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_sec
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    LsdDb.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  /** W3 — frame aggregates: running total + moving average. */
+  val qWindowFrame: QuerySpec = QuerySpec(
+    "q_window_frame",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS DOUBLE) AS running_total,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |    AS moving_avg3
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = ord.rowsBetween(-2, Window.currentRow)
+    val dec = col("o_totalprice").cast(DecimalType(28, 8))
+    LsdDb.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum(dec).over(wRun).cast(DoubleType).as("running_total"),
+        (sum(dec).over(wMov).cast(DoubleType) / count(lit(1)).over(wMov))
+          .as("moving_avg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qWindowRank, qWindowLag, qWindowFrame)
+}

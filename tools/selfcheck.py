@@ -21,11 +21,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    import numpy as np
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(norm(x) for x in v)
     return v
 
@@ -47,10 +52,12 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns {gc} != {wc}")
                 n_fail += 1
                 continue
-            g = sorted(tuple(norm(v) for v in row)
-                       for row in got[gc].itertuples(index=False, name=None))
-            w = sorted(tuple(norm(v) for v in row)
-                       for row in want[wc].itertuples(index=False, name=None))
+            g = sorted((tuple(norm(v) for v in row)
+                        for row in got[gc].itertuples(index=False, name=None)),
+                       key=repr)
+            w = sorted((tuple(norm(v) for v in row)
+                        for row in want[wc].itertuples(index=False, name=None)),
+                       key=repr)
             if len(g) != len(w):
                 print(f"FAIL {name}: rows {len(g)} != {len(w)}")
                 n_fail += 1
