@@ -8,7 +8,7 @@ import graft.operators._
 object Registry {
   def specs: Seq[QuerySpec] =
     Core.specs ++ Aggregates.specs ++ SetOps.specs ++ Joins.specs ++
-      Windows.specs ++ TimeWindows.specs
+      Windows.specs ++ TimeWindows.specs ++ TextOps.specs ++ VectorOps.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

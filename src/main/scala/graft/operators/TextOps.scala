@@ -1,0 +1,332 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** §2H / north-star extension — text analysis + deduplication for
+  * LLM-training-data pipelines (BASELINE.json; not in the reference,
+  * which processed numeric catalogs). All operators are pure Catalyst
+  * expression trees (no UDFs): tokenization via split/higher-order
+  * functions, hashing via md5 (bit-identical across engines), so every
+  * query stays whole-stage-codegen'd AND DuckDB-oracle-checkable.
+  *
+  * Scale notes: every dedup here is a groupBy/self-join on a bounded
+  * key (hash, band signature, source partition) — no all-pairs cross
+  * product anywhere; at 100 TB each stage is one shuffle on a
+  * well-distributed key.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (matches the oracle's
+    * list_filter(regexp_split_to_array(...))). */
+  private def words(c: Column): Column =
+    filter(split(c, "\\s+"), w => w =!= "")
+  private val wordsSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+
+  private def wordSet(c: Column): Column = array_distinct(words(c))
+  private val wordSetSql = s"list_distinct($wordsSql)"
+
+  /** X2a — per-document text statistics / quality signals. */
+  val qTextStats: QuerySpec = QuerySpec(
+    "q_text_stats",
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+       |  CAST(len($wordsSql) AS BIGINT) AS n_words,
+       |  CAST(len($wordSetSql) AS BIGINT) AS n_uniq,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform($wordsSql, w -> CAST(length(w) AS BIGINT))),
+       |         (a, x) -> a + x) AS DOUBLE)
+       |    / len($wordsSql) AS avg_word_len,
+       |  CAST(len(list_filter($wordsSql,
+       |         w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+       |    / len($wordsSql) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_actual"),
+        size(w).cast(LongType).as("n_words"),
+        size(wordSet(col("text"))).cast(LongType).as("n_uniq"),
+        (aggregate(transform(w, x => length(x).cast(LongType)), lit(0L),
+          (a, x) => a + x).cast(DoubleType) / size(w)).as("avg_word_len"),
+        (size(filter(w, x => x.isin("the", "a", "of", "and", "in")))
+          .cast(DoubleType) / size(w)).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** X2b — corpus term frequencies (explode → hash agg → top-k). */
+  val qTermFreq: QuerySpec = QuerySpec(
+    "q_term_freq",
+    s"""SELECT w AS word, count(*) AS cnt
+       |FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |GROUP BY w ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(20)
+  }
+
+  private val langProfiles = Seq(
+    "en" -> Seq("the", "a", "and", "of", "data"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "ein"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  /** Ext — language ID via stopword-profile scoring (n-gram heuristic
+    * family). Deterministic argmax with a fixed priority tie-break. */
+  val qLangid: QuerySpec = QuerySpec(
+    "q_langid", {
+      val scores = langProfiles.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter($wordsSql, w -> w IN ($set))) AS BIGINT) AS s_$l"
+      }.mkString(",\n       |  ")
+      s"""SELECT doc_id, $scores,
+         |  CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+         |       WHEN s_de > greatest(s_en, s_fr) THEN 'de'
+         |       WHEN s_fr > s_en THEN 'fr'
+         |       ELSE 'en' END AS predicted,
+         |  lang
+         |FROM (SELECT doc_id, text, lang FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val w = words(col("text"))
+    val scored = LsdDb.table(s, dir, "documents")
+      .select(Seq(col("doc_id"), col("lang")) ++ langProfiles.map {
+        case (l, ws) =>
+          size(filter(w, x => x.isin(ws: _*))).cast(LongType).as(s"s_$l")
+      }: _*)
+    scored
+      .withColumn("predicted",
+        when(col("s_es") > greatest(col("s_en"), col("s_de"), col("s_fr")), "es")
+          .when(col("s_de") > greatest(col("s_en"), col("s_fr")), "de")
+          .when(col("s_fr") > col("s_en"), "fr")
+          .otherwise("en"))
+      .select("doc_id", "s_en", "s_es", "s_de", "s_fr", "predicted", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Ext — composite quality score (length/diversity/stopword mix)
+    * with a quality band. Fixed double expression tree both sides. */
+  val qQualityScore: QuerySpec = QuerySpec(
+    "q_quality_score",
+    s"""SELECT doc_id,
+       |  (0.4 * least(CAST(len($wordsSql) AS DOUBLE) / 50.0, 1.0))
+       |  + (0.3 * (CAST(len($wordSetSql) AS DOUBLE) / len($wordsSql)))
+       |  + (0.3 * (CAST(len(list_filter($wordsSql,
+       |        w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+       |      / len($wordsSql))) AS quality,
+       |  CASE WHEN (0.4 * least(CAST(len($wordsSql) AS DOUBLE) / 50.0, 1.0))
+       |            + (0.3 * (CAST(len($wordSetSql) AS DOUBLE) / len($wordsSql)))
+       |            + (0.3 * (CAST(len(list_filter($wordsSql,
+       |                  w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+       |                / len($wordsSql))) >= 0.6 THEN 'keep'
+       |       ELSE 'drop' END AS verdict
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    val stop = size(filter(w, x => x.isin("the", "a", "of", "and", "in")))
+    val quality =
+      (lit(0.4) * least(size(w).cast(DoubleType) / 50.0, lit(1.0))) +
+        (lit(0.3) * (size(wordSet(col("text"))).cast(DoubleType) / size(w))) +
+        (lit(0.3) * (stop.cast(DoubleType) / size(w)))
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), quality.as("quality"),
+        when(quality >= 0.6, "keep").otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Ext — token counting: whitespace tokens + a BPE-ish regex token
+    * estimate (alpha runs / digit runs). */
+  val qTokenCount: QuerySpec = QuerySpec(
+    "q_token_count",
+    s"""SELECT doc_id,
+       |  CAST(len($wordsSql) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_tokens,
+       |  CAST(length(text) AS DOUBLE)
+       |    / len(regexp_extract_all(text, '[a-z]+')) AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast(LongType)
+          .as("alpha_tokens"),
+        regexp_count(col("text"), lit("[0-9]+")).cast(LongType)
+          .as("digit_tokens"),
+        (length(col("text")).cast(DoubleType) /
+          regexp_count(col("text"), lit("[a-z]+"))).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Ext — document fingerprint: order-sensitive polynomial rolling
+    * hash over the token stream (mod 1e9+7), as a sequential left
+    * fold — identical fold order in both engines. */
+  val qFingerprint: QuerySpec = QuerySpec(
+    "q_fingerprint",
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($wordsSql,
+       |      w -> CAST(length(w) * 31 + ascii(substr(w, 1, 1)) AS BIGINT))),
+       |    (a, x) -> (a * 131 + x) % 1000000007) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val contrib = transform(words(col("text")),
+      w => (length(w) * 31 + ascii(substring(w, 1, 1))).cast(LongType))
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"),
+        aggregate(contrib, lit(0L),
+          (a, x) => (a * 131 + x) % 1000000007L).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Ext — exact dedup by content hash: hash-groupBy, one shuffle on
+    * md5(text), canonical row = min doc_id. */
+  val qDedupExact: QuerySpec = QuerySpec(
+    "q_dedup_exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+  }
+
+  private val nHashes = 8
+  private val nBands = 4
+
+  /** Ext — MinHash + LSH banding near-dup candidates. Signature hash
+    * h_i(w) = md5("i:" ++ w) with min taken in hex-string space (md5
+    * is uniform, so string-min ≡ numeric-min — and bit-identical
+    * across engines, unlike engine-native hash functions). 8 hashes ×
+    * 4 bands of 2; candidate pairs = docs sharing any band bucket.
+    * Scale path: the band join keys are 64-hex strings — only true
+    * near-dups collide, so the self-join explodes nothing. */
+  val qDedupMinhash: QuerySpec = QuerySpec(
+    "q_dedup_minhash", {
+      val sigCols = (0 until nHashes)
+        .map(i => s"min(md5('$i:' || w)) AS s$i").mkString(", ")
+      val bandCase = (0 until nBands).map { j =>
+        val expr = s"s${2 * j} || s${2 * j + 1}"
+        if (j < nBands - 1) s"WHEN $j THEN $expr" else s"ELSE $expr"
+      }.mkString(" ")
+      s"""WITH wrds AS (
+         |  SELECT doc_id, unnest($wordSetSql) AS w FROM documents),
+         |sigs AS (SELECT doc_id, $sigCols FROM wrds GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, k, CASE k $bandCase END AS bv
+         |  FROM sigs, generate_series(0, ${nBands - 1}) t(k))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+    val wrds = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
+    val sigAggs = (0 until nHashes)
+      .map(i => min(md5(concat(lit(s"$i:"), col("w")).cast("binary"))).as(s"s$i"))
+    val sigs = wrds.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until nBands).map(j =>
+      struct(lit(j).as("k"),
+        concat(col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("bv")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.k").as("k"), col("band.bv").as("bv"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Ext — 16-bit SimHash over the token multiset: bit j is the sign
+    * of Σ(±1) where the vote is the high bit of md5 nibble j. Docs
+    * with equal simhash are near-dup candidates (n_similar reports
+    * bucket sizes). One explode + one hash agg + one window. */
+  val qDedupSimhash: QuerySpec = QuerySpec(
+    "q_dedup_simhash", {
+      val sums = (0 until 16).map(j =>
+        s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) IN " +
+          s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n       |    ")
+      val assemble = (0 until 16)
+        .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH wrds AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |sums AS (
+         |  SELECT doc_id, $sums
+         |  FROM wrds GROUP BY doc_id),
+         |hashed AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sums)
+         |SELECT doc_id, simhash,
+         |  count(*) OVER (PARTITION BY simhash) AS n_similar
+         |FROM hashed ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val wrds = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sumAggs = (0 until 16).map(j =>
+      sum(when(substring(md5(col("w").cast("binary")), j + 1, 1)
+        .isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$j"))
+    val sums = wrds.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
+    val assemble = (0 until 16)
+      .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hashed = sums.select(col("doc_id"),
+      assemble.cast(LongType).as("simhash"))
+    hashed
+      .select(col("doc_id"), col("simhash"),
+        count(lit(1)).over(Window.partitionBy("simhash")).as("n_similar"))
+      .orderBy("doc_id")
+  }
+
+  /** Ext — n-gram (unigram-set) Jaccard near-dup pairs, blocked by
+    * `source` so the candidate space is per-block, never all-pairs —
+    * the standard blocking trick for pairwise similarity at scale. */
+  val qDedupNgram: QuerySpec = QuerySpec(
+    "q_dedup_ngram",
+    s"""WITH ws AS (
+       |  SELECT doc_id, source, unnest($wordSetSql) AS w FROM documents),
+       |sz AS (SELECT doc_id, CAST(len($wordSetSql) AS BIGINT) AS sz
+       |       FROM documents),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ws a JOIN ws b
+       |    ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val ws = docs.select(col("doc_id"), col("source"),
+      explode(wordSet(col("text"))).as("w"))
+    val sz = docs.select(col("doc_id"),
+      size(wordSet(col("text"))).cast(LongType).as("sz"))
+    val inter = ws.as("a")
+      .join(ws.as("b"), col("a.source") === col("b.source") &&
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast(DoubleType) /
+      (col("sa.sz") + col("sb.sz") - col("n_inter"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
+    qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
+    qDedupSimhash, qDedupNgram)
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import graft.functions.{Det, Haversine}
+import graft.functions.Det.{sql => D}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** §2H — vector similarity over the `embeddings` table (north-star
+  * extension; the reference's closest analog is its spatial
+  * nearest-neighbor xmatch, which is the same probe-vs-corpus shape
+  * in 2-D).
+  *
+  * The cosine kernel is a higher-order-function fold in double —
+  * identical sequential fold order in Spark and DuckDB, so scores are
+  * bit-identical and oracle-checkable with raw equality.
+  *
+  * Scale path: the probe side is small and broadcast, so the score
+  * pass is a map-only scan of the corpus (no shuffle); top-k is a
+  * window over probe_id. For corpus×corpus at 100 TB you'd block
+  * first (LSH buckets — see TextOps minhash — or IVF coarse cells),
+  * which turns the cross product into an equi-join, same as the
+  * banded range join in Joins.
+  */
+object VectorOps {
+
+  /** vectors as double + precomputed squared norm (one pass). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm",
+        aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+
+  private def cosine(pv: Column, cv: Column, pn: Column, cn: Column): Column =
+    aggregate(zip_with(pv, cv, (x, y) => x * y), lit(0.0), (a, x) => a + x) /
+      (sqrt(pn) * sqrt(cn))
+
+  private val normSql =
+    "list_reduce(list_transform(vv, x -> x * x), (a, b) -> a + b)"
+  private def cosineSql(p: String, c: String): String =
+    s"list_reduce(list_transform(list_zip($p.vv, $c.vv), " +
+      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)" +
+      s" / (sqrt($p.nrm) * sqrt($c.nrm))"
+
+  private val vvCte =
+    """WITH v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, vv, """.stripMargin + normSql + " AS nrm FROM v)"
+
+  /** X1 — brute-force cosine top-k: 10 probes against the corpus. */
+  val qCosineTopk: QuerySpec = QuerySpec(
+    "q_cosine_topk",
+    s"""$vvCte,
+       |pairs AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+       |    ${cosineSql("p", "c")} AS cos
+       |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 10)
+       |SELECT probe_id, vec_id, cos, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY cos DESC, vec_id) AS INT) AS rn
+       |  FROM pairs)
+       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val probes = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc,
+      col("vec_id").asc)
+    probes.join(emb, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Ext — embedding near-dup: dedup an incoming batch (vec_id<200)
+    * against the corpus by cosine threshold; broadcast batch → the
+    * corpus pass is shuffle-free. */
+  val qDedupEmbcos: QuerySpec = QuerySpec(
+    "q_dedup_embcos",
+    s"""$vvCte
+       |SELECT p.vec_id AS batch_id, c.vec_id AS corpus_id,
+       |  ${cosineSql("p", "c")} AS cos
+       |FROM n p JOIN n c ON c.vec_id >= 200
+       |WHERE p.vec_id < 200
+       |  AND ${cosineSql("p", "c")} >= 0.4
+       |ORDER BY batch_id, corpus_id""".stripMargin) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val batch = broadcast(emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("batch_id"), col("v").as("pv"),
+        col("nrm").as("pn")))
+    val corpus = emb.filter(col("vec_id") >= 200)
+      .select(col("vec_id").as("corpus_id"), col("v"), col("nrm"))
+    batch.crossJoin(corpus)
+      .select(col("batch_id"), col("corpus_id"),
+        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  /** X4 — Scala UDF surface: haversine distance from event-derived
+    * coordinates to a fixed point. Trig differs from DuckDB's libm in
+    * the last ulp → snapped to the 1e-6 grid (Det.d6). */
+  val qUdfHaversine: QuerySpec = QuerySpec(
+    "q_udf_haversine",
+    s"""SELECT event_id,
+       |  ${D.d6(
+        "2 * 6371.0 * asin(sqrt(" +
+          "sin(radians(10.0 - (value / 4 - 40)) / 2)" +
+          " * sin(radians(10.0 - (value / 4 - 40)) / 2)" +
+          " + cos(radians(value / 4 - 40)) * cos(radians(10.0))" +
+          " * sin(radians(20.0 - (CAST(user_id AS DOUBLE) * 12 - 90)) / 2)" +
+          " * sin(radians(20.0 - (CAST(user_id AS DOUBLE) * 12 - 90)) / 2)))")}
+       |    AS dist_km
+       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val lat1 = col("value") / 4 - 40
+    val lon1 = col("user_id").cast(DoubleType) * 12 - 90
+    LsdDb.table(s, dir, "events")
+      .select(col("event_id"),
+        Det.d6(Haversine.udfKm(lat1, lon1, lit(10.0), lit(20.0)))
+          .as("dist_km"))
+      .orderBy("event_id")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine)
+}
