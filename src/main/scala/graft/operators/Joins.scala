@@ -66,11 +66,18 @@ object Joins {
        |GROUP BY r_name, n_name
        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
     val db = LsdDb(s, dir)
-    db.table("region")
+    // dims chain is broadcast end-to-end so the fact table (lineitem)
+    // never shuffles for the join — only the 25-group partial agg moves
+    val dims = broadcast(db.table("region")
       .join(db.table("nation"), col("n_regionkey") === col("r_regionkey"))
       .join(db.table("customer"), col("c_nationkey") === col("n_nationkey"))
-      .join(db.table("orders"), col("o_custkey") === col("c_custkey"))
-      .join(db.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select("r_name", "n_name", "c_custkey"))
+    val ordDims = broadcast(db.table("orders").select("o_orderkey", "o_custkey")
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "r_name", "n_name"))
+    db.table("lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ordDims, col("l_orderkey") === col("o_orderkey"))
       .groupBy("r_name", "n_name")
       .agg(
         Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -122,20 +129,22 @@ object Joins {
        |  count(*) AS n_orders,
        |  ${D.dsum("o_totalprice")} AS sum_price
        |FROM customer JOIN orders
-       |  ON o_totalprice BETWEEN c_acctbal * 20 AND c_acctbal * 40
+       |  ON o_totalprice >= c_acctbal * 30
+       | AND o_totalprice <  c_acctbal * 30 + 1000
        |GROUP BY c_custkey
        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-    val bw = 50000
+    // bucket width == window width ⇒ each interval covers ≤2 buckets
+    // and candidate count stays ~2× the true match count at any scale
+    val bw = 1000
     val c = LsdDb.table(s, dir, "customer")
-      .select(col("c_custkey"),
-        (col("c_acctbal") * 20).as("lo"), (col("c_acctbal") * 40).as("hi"))
-      .filter(col("lo") <= col("hi"))
+      .select(col("c_custkey"), (col("c_acctbal") * 30).as("lo"))
+      .withColumn("hi", col("lo") + bw)
       .withColumn("bucket",
         explode(sequence(floor(col("lo") / bw), floor(col("hi") / bw))))
     val o = LsdDb.table(s, dir, "orders")
       .withColumn("bucket", floor(col("o_totalprice") / bw))
     c.join(o, c("bucket") === o("bucket") &&
-        col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
       .groupBy("c_custkey")
       .agg(count(lit(1)).as("n_orders"),
         Det.dsum(col("o_totalprice")).as("sum_price"))

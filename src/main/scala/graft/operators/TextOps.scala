@@ -198,6 +198,7 @@ object TextOps {
 
   private val nHashes = 8
   private val nBands = 4
+  private val maxBucket = 50
 
   /** Ext — MinHash + LSH banding near-dup candidates. Signature hash
     * h_i(w) = md5("i:" ++ w) with min taken in hex-string space (md5
@@ -219,10 +220,13 @@ object TextOps {
          |sigs AS (SELECT doc_id, $sigCols FROM wrds GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, k, CASE k $bandCase END AS bv
-         |  FROM sigs, generate_series(0, ${nBands - 1}) t(k))
+         |  FROM sigs, generate_series(0, ${nBands - 1}) t(k)),
+         |sized AS (
+         |  SELECT *, count(*) OVER (PARTITION BY k, bv) AS bsz FROM bands)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+         |FROM sized a JOIN sized b ON a.k = b.k AND a.bv = b.bv
          |  AND a.doc_id < b.doc_id
+         |WHERE a.bsz <= $maxBucket
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
     val wrds = LsdDb.table(s, dir, "documents")
@@ -233,9 +237,15 @@ object TextOps {
     val bandStructs = (0 until nBands).map(j =>
       struct(lit(j).as("k"),
         concat(col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("bv")))
+    // hot-bucket pruning (standard LSH practice): a bucket holding more
+    // than maxBucket docs signals boilerplate, and joining it would emit
+    // O(bucket²) pairs — cap keeps the self-join linear in true near-dups
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.k").as("k"), col("band.bv").as("bv"))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("k", "bv")))
+      .filter(col("bsz") <= maxBucket)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&

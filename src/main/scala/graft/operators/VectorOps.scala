@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{LsdDb, QuerySpec}
-import graft.functions.{Det, Haversine}
+import graft.functions.{Det, Haversine, VectorKernels}
 import graft.functions.Det.{sql => D}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -26,16 +26,13 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorOps {
 
-  /** vectors as double + precomputed squared norm (one pass). */
+  /** raw float vectors + precomputed squared norm (codegen'd fold). */
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm",
-        aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+    df.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", VectorKernels.norm2(col("v")))
 
   private def cosine(pv: Column, cv: Column, pn: Column, cn: Column): Column =
-    aggregate(zip_with(pv, cv, (x, y) => x * y), lit(0.0), (a, x) => a + x) /
-      (sqrt(pn) * sqrt(cn))
+    VectorKernels.cosine(VectorKernels.dot(pv, cv), pn, cn)
 
   private val normSql =
     "list_reduce(list_transform(vv, x -> x * x), (a, b) -> a + b)"
