@@ -1,0 +1,108 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spatial nearest-neighbor cross-match — the reference's signature
+  * operator (`lsd-xmatch` + neighbor-margin cache; SURVEY.md §2C J6,
+  * UNVERIFIED).
+  *
+  * For every row of A, find the B rows within `radiusDeg` great-circle
+  * distance, keep the `nmax` nearest (ties broken by lowest B id).
+  *
+  * Spark-native two-phase plan (no custom physical operator needed):
+  *
+  *   1. blocking — B is exploded to its cell's ≤9-cell neighborhood at
+  *      a radius-derived SkyPix level (the query-time equivalent of
+  *      LSD's write-time margin replication: the *probe* set is
+  *      duplicated into adjacent cells instead of the stored rows),
+  *      then equi-joined to A on cell id. One shuffle, each side
+  *      hashed by a well-distributed equal-area key.
+  *   2. refine — exact haversine distance filter + per-A-row
+  *      `row_number` window for the nmax-nearest ranking.
+  *
+  * Polar caps: the cylindrical grid loses lon-adjacency closure above
+  * |lat| ≈ 85°, so pairs with either side in the cap region are
+  * matched through a separate broadcast join of the (by equal-area
+  * construction, tiny) polar slices. Candidates from both channels are
+  * deduplicated before ranking.
+  *
+  * At 100 TB: phase 1 is a plain shuffle join on a balanced key;
+  * nothing is driver-side, the window in phase 2 shuffles by A id
+  * only for rows that had candidates, and the cap channel stays a
+  * broadcast as long as the catalog isn't polar-concentrated.
+  */
+object CrossMatch {
+  val CapLat = 85.0
+
+  /** Great-circle distance in degrees (haversine, built-ins only). */
+  def distDeg(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = sin(dLat / 2) * sin(dLat / 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon / 2) * sin(dLon / 2)
+    degrees(lit(2) * asin(sqrt(a)))
+  }
+
+  /** Finest level keeping ≥2·radius cell width at the cap latitude, so
+    * the 9-cell neighborhood is closure-complete below CapLat. */
+  def levelFor(radiusDeg: Double): Int = {
+    val cosCap = math.cos(math.toRadians(CapLat))
+    var lvl = 0
+    while (lvl < 12 &&
+      360.0 / (1L << (lvl + 1)) * cosCap >= 2 * radiusDeg) lvl += 1
+    lvl
+  }
+
+  /** @param a        left catalog (each row gets its nmax matches)
+    * @param b        right catalog (probed)
+    * @param aId,aLon,aLat / bId,bLon,bLat  column names
+    * @param radiusDeg match radius (≤ 1°)
+    * @param nmax     keep this many nearest matches per A row
+    * @return columns: a_id, b_id, dist_deg, match_rank (1 = nearest)
+    */
+  def apply(a: DataFrame, b: DataFrame,
+            aId: String, aLon: String, aLat: String,
+            bId: String, bLon: String, bLat: String,
+            radiusDeg: Double, nmax: Int): DataFrame = {
+    require(radiusDeg > 0 && radiusDeg <= 1.0,
+      s"radiusDeg must be in (0, 1], got $radiusDeg")
+    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
+    val level = levelFor(radiusDeg)
+
+    val aSel = a.select(col(aId).as("a_id"), col(aLon).as("a_lon"),
+      col(aLat).as("a_lat"))
+    val bSel = b.select(col(bId).as("b_id"), col(bLon).as("b_lon"),
+      col(bLat).as("b_lat"))
+
+    // channel 1: cell-local candidates below the cap
+    val aCells = aSel.filter(abs(col("a_lat")) <= CapLat)
+      .withColumn("cell", SkyPix.cell(col("a_lon"), col("a_lat"), level))
+    val bCells = bSel.filter(abs(col("b_lat")) <= CapLat)
+      .withColumn("cell",
+        explode(SkyPix.neighborCells(col("b_lon"), col("b_lat"), level)))
+    val cellPairs = aCells.join(bCells, "cell").drop("cell")
+
+    // channel 2: anything near either cap, matched via broadcast
+    val capEdge = CapLat - radiusDeg
+    val aCap = aSel.filter(abs(col("a_lat")) > capEdge)
+    val bCap = bSel.filter(abs(col("b_lat")) > capEdge)
+    val capPairs = aCap.crossJoin(broadcast(bCap))
+      // only pair within the same hemisphere's cap neighborhood
+      .filter(signum(col("a_lat")) === signum(col("b_lat")))
+
+    val candidates = cellPairs.unionByName(capPairs)
+      .dropDuplicates("a_id", "b_id")
+
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    candidates
+      .withColumn("dist_deg",
+        distDeg(col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat")))
+      .filter(col("dist_deg") <= radiusDeg)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= nmax)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+  }
+}

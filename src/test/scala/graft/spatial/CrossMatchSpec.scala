@@ -1,0 +1,83 @@
+package graft.spatial
+
+import graft.SpecBase
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** CrossMatch vs brute force on a fixed-seed synthetic catalog pair
+  * (FIXTURES.md §B objects/detections analog). */
+class CrossMatchSpec extends SpecBase {
+  import spark.implicits._
+
+  // clustered sky: objects, plus detections scattered around them
+  private val rnd = new Random(42)
+  private val objects: Seq[(Long, Double, Double)] = (0L until 300L).map { i =>
+    (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1)))
+  } ++ Seq((900L, 10.0, 89.5), (901L, 200.0, -89.2)) // polar cases
+  private val detections: Seq[(Long, Double, Double)] =
+    objects.flatMap { case (oid, lon, lat) =>
+      (0 until 3).map { j =>
+        val d = 0.03 * rnd.nextDouble()
+        val ang = rnd.nextDouble() * 2 * math.Pi
+        (oid * 10 + j,
+          lon + d * math.cos(ang) / math.max(0.05, math.cos(math.toRadians(lat))),
+          math.min(89.9, math.max(-89.9, lat + d * math.sin(ang))))
+      }
+    }
+
+  private def haversineDeg(lon1: Double, lat1: Double,
+                           lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon / 2) * math.sin(dLon / 2)
+    math.toDegrees(2 * math.asin(math.sqrt(a)))
+  }
+
+  private def brute(radius: Double, nmax: Int): Set[(Long, Long, Int)] =
+    detections.flatMap { case (did, dlon, dlat) =>
+      objects.map { case (oid, olon, olat) =>
+        (oid, haversineDeg(dlon, dlat, olon, olat)) }
+        .filter(_._2 <= radius)
+        .sortBy { case (oid, d) => (d, oid) }
+        .take(nmax)
+        .zipWithIndex
+        .map { case ((oid, _), i) => (did, oid, i + 1) }
+    }.toSet
+
+  private lazy val detDf = detections.toDF("det_id", "lon", "lat")
+  private lazy val objDf = objects.toDF("obj_id", "lon", "lat")
+
+  test("matches brute force exactly (pairs + ranks), incl. polar caps") {
+    for ((radius, nmax) <- Seq((0.05, 1), (0.05, 3), (0.2, 2))) {
+      val got = CrossMatch(detDf, objDf, "det_id", "lon", "lat",
+        "obj_id", "lon", "lat", radius, nmax)
+        .select("a_id", "b_id", "match_rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(radius, nmax), s"radius=$radius nmax=$nmax")
+    }
+  }
+
+  test("distance bound holds and result is non-empty (radius 0.05)") {
+    val got = CrossMatch(detDf, objDf, "det_id", "lon", "lat",
+      "obj_id", "lon", "lat", 0.05, 1)
+    assert(got.count() > 0)
+    assert(got.filter(col("dist_deg") > 0.05).count() == 0)
+  }
+
+  test("empty probe side yields empty result") {
+    val empty = Seq.empty[(Long, Double, Double)].toDF("det_id", "lon", "lat")
+    assert(CrossMatch(empty, objDf, "det_id", "lon", "lat",
+      "obj_id", "lon", "lat", 0.1, 1).count() == 0)
+  }
+
+  test("radius validation") {
+    intercept[IllegalArgumentException] {
+      CrossMatch(detDf, objDf, "det_id", "lon", "lat",
+        "obj_id", "lon", "lat", 2.0, 1)
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.spatial
+
+import graft.SpecBase
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class SkyPixSpec extends SpecBase {
+  import spark.implicits._
+
+  private def samples(n: Int, seed: Int): Seq[(Double, Double)] = {
+    val rnd = new Random(seed)
+    (1 to n).map(_ => (rnd.nextDouble() * 1440 - 720,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))))
+  }
+
+  test("Column expression and Scala twin agree") {
+    val pts = Seq((0.0, 0.0), (359.9999, 89.9), (180.0, -89.9), (12.3, 45.6),
+      (-10.0, 0.0), (360.0, 90.0), (720.5, -90.0)) ++ samples(200, 1)
+    val df = pts.toDF("lon", "lat")
+    for (level <- Seq(0, 1, 6, 12)) {
+      val got = df.select(SkyPix.cell(col("lon"), col("lat"), level))
+        .collect().map(_.getLong(0))
+      val want = pts.map { case (lo, la) => SkyPix.cellId(lo, la, level) }
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("cell id is lon-periodic and level-tagged") {
+    for ((lon, lat) <- samples(500, 2)) {
+      val c = SkyPix.cellId(lon, lat, 6)
+      assert(c == SkyPix.cellId(lon + 360, lat, 6))
+      assert((c >> 58) == 6L)
+      assert(SkyPix.cellId(lon, lat, 8) >> 58 == 8L)
+    }
+  }
+
+  test("level k+1 cells nest inside level k (quadtree hierarchy)") {
+    for ((lon, lat) <- samples(500, 3)) {
+      val coarse = SkyPix.cellId(lon, lat, 5) & ~(31L << 58)
+      val fine = SkyPix.cellId(lon, lat, 6) & ~(31L << 58)
+      assert(fine >> 2 == coarse, s"($lon,$lat)")
+    }
+  }
+
+  test("neighborCells contains the home cell, ≤9 entries, lon wraps") {
+    val df = Seq((0.1, 0.1), (359.9, 0.1), (10.0, 89.0)).toDF("lon", "lat")
+    val rows = df.select(col("lon"), col("lat"),
+      SkyPix.cell(col("lon"), col("lat"), 6).as("home"),
+      SkyPix.neighborCells(col("lon"), col("lat"), 6).as("nbrs")).collect()
+    for (r <- rows) {
+      val home = r.getLong(2)
+      val nbrs = r.getSeq[Long](3)
+      assert(nbrs.contains(home))
+      assert(nbrs.size <= 9 && nbrs.size >= 6)
+    }
+    // wraparound: a point at lon=359.9 must neighbor the lon=0 column
+    val wrapNbrs = rows(1).getSeq[Long](3)
+    val zeroCol = SkyPix.cellId(0.05, 0.1, 6)
+    assert(wrapNbrs.contains(zeroCol))
+  }
+
+  test("closure: nearby points appear in each other's neighborhoods") {
+    val level = 6 // 5.625° of lon per cell
+    val pts = samples(300, 4).filter { case (_, la) => math.abs(la) < 80 }
+    val shifted = pts.flatMap { case (lo, la) =>
+      Seq((lo, la, lo + 0.5, la), (lo, la, lo, la + 0.5),
+        (lo, la, lo - 0.5, la - 0.5))
+    }
+    val df = shifted.toDF("lon1", "lat1", "lon2", "lat2")
+    val bad = df.select(
+      SkyPix.cell(col("lon1"), col("lat1"), level).as("c1"),
+      SkyPix.neighborCells(col("lon2"), col("lat2"), level).as("nbrs"))
+      .filter(!array_contains(col("nbrs"), col("c1")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("equal-area: level-3 occupancy of a uniform sphere sample is even") {
+    val n = 200000
+    val df = spark.range(n).select(
+      (rand(seed = 7) * 360).as("lon"),
+      degrees(asin(rand(seed = 11) * 2 - 1)).as("lat"))
+    val counts = df.select(SkyPix.cell(col("lon"), col("lat"), 3).as("c"))
+      .groupBy("c").count().select("count").as[Long].collect()
+    assert(counts.length == 64) // all 4^3 cells hit
+    val expected = n.toDouble / 64
+    assert(counts.forall(c => c > expected * 0.8 && c < expected * 1.2))
+  }
+}
