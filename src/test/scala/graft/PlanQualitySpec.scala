@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Guardrails on physical-plan shape — the properties that decide
+  * whether a query survives a 100× scale-up (SURVEY.md §4): filters
+  * and projections must reach the Parquet scan, dims must broadcast,
+  * aggregates must partial-aggregate map-side, and shuffle counts must
+  * not exceed what the operator semantically needs.
+  */
+class PlanQualitySpec extends SpecBase {
+
+  private def planOf(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+  private def initialPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+  private def countShuffles(df: DataFrame): Int =
+    initialPlan(df).collect { case _: ShuffleExchangeExec => 1 }.sum
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val plan = planOf(Core.qFilter.fn(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("l_returnflag"), "filter column must be pushed")
+  }
+
+  test("q_project prunes the scan to referenced columns only") {
+    val df = Core.qProject.fn(spark, sfDir)
+    val scanSchema = planOf(df)
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 11-column lineitem pruned to the 5 referenced columns
+    assert(scanSchema.contains("l_orderkey"))
+    assert(!scanSchema.contains("l_shipdate"),
+      s"unreferenced column not pruned: $scanSchema")
+  }
+
+  test("q_agg_basic plans two-phase hash aggregation (map-side partial)") {
+    val df = Aggregates.qAggBasic.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum"), "expected map-side partial agg")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial+final HashAggregate")
+    // codegen stage markers (*(n)) appear once AQE finalizes the plan;
+    // count() would build a different query, so execute df itself
+    df.collect()
+    assert(planOf(df).contains("*("), "agg must stay codegen'd")
+  }
+
+  test("q_join_multi broadcasts dims — the fact side never shuffles") {
+    val df = Joins.qJoinMulti.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"))
+    // shuffles: only the final 25-group aggregate exchange + sort (≤3),
+    // never a fact-table join shuffle (which would add exchanges on
+    // l_orderkey)
+    assert(countShuffles(df) <= 3, s"too many shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "fact join must be broadcast, not sort-merge")
+  }
+
+  test("q_join_inner joins without shuffling the large side (broadcast)") {
+    val plan = planOf(Joins.qJoinInner.fn(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_scan/q_agg_global read lineitem with exactly zero pre-agg shuffles") {
+    assert(countShuffles(Aggregates.qAggGlobal.fn(spark, sfDir)) <= 1)
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(SetOps.qTopk.fn(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("q_cosine_topk: probe side broadcast, corpus scan shuffle-free before window") {
+    val df = VectorOps.qCosineTopk.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("dot_fold"), "codegen'd kernel must appear in plan")
+  }
+
+  test("q_pruned_scan pushes the time-range predicate to parquet") {
+    val plan = planOf(Core.qPrunedScan.fn(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts)") ||
+      plan.contains("GreaterThanOrEqual(ts"),
+      s"ts range must be pushed:\n${plan.linesIterator.filter(_.contains("Pushed")).mkString("\n")}")
+  }
+}
