@@ -25,7 +25,12 @@ object Det {
   // (price × discount × tax), which sit EXACTLY on the 1e-8 grid in
   // both engines — so the double→decimal cast never hits a rounding
   // midpoint and half-up (Spark) vs half-even (DuckDB) cannot diverge.
-  private val M = DecimalType(28, 8)
+  // Precision 18, not 28: ≤18 keeps Spark's Decimal in its compact
+  // unscaled-Long representation through the cast and the partial-sum
+  // hot loop (the sum buffer widens to decimal(28,8) but its values
+  // stay under 2^63 unscaled, which also stays compact). Data values
+  // are ≤ ~1e6 with 8 scale digits → 14 of 18 digits used.
+  private val M = DecimalType(18, 8)
 
   /** Exact order-independent sum of a money-like double → double. */
   def dsum(c: Column): Column = sum(c.cast(M)).cast(DoubleType)
@@ -73,7 +78,7 @@ object Det {
     * textually in sync with the Column builders. */
   object sql {
     def dsum(e: String): String =
-      s"CAST(sum(CAST(($e) AS DECIMAL(28,8))) AS DOUBLE)"
+      s"CAST(sum(CAST(($e) AS DECIMAL(18,8))) AS DOUBLE)"
     def d6(e: String): String =
       s"CAST(CAST(($e) AS DECIMAL(18,6)) AS DOUBLE)"
     def davg(e: String): String = s"${dsum(e)} / count($e)"

@@ -333,21 +333,22 @@ object TextOps {
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val base = LsdDb.table(s, dir, "documents")
+    // sz rides along with each exploded shingle row, so the pair
+    // aggregation needs no join-back (sz is functionally dependent on
+    // doc_id) and the shingle set is computed exactly once per doc
+    val ws = LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), col("source"), shingleSet(col("text")).as("sh"))
-    val ws = base.select(col("doc_id"), col("source"),
-      explode(col("sh")).as("w"))
-    val sz = base.select(col("doc_id"), size(col("sh")).cast(LongType).as("sz"))
+      .select(col("doc_id"), col("source"),
+        size(col("sh")).cast(LongType).as("sz"), explode(col("sh")).as("w"))
     val inter = ws.as("a")
       .join(ws.as("b"), col("a.source") === col("b.source") &&
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast(DoubleType) /
-      (col("sa.sz") + col("sb.sz") - col("n_inter"))
+      (col("sza") + col("szb") - col("n_inter"))
     inter
-      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")

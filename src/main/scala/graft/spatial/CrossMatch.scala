@@ -66,9 +66,23 @@ object CrossMatch {
             aId: String, aLon: String, aLat: String,
             bId: String, bLon: String, bLat: String,
             radiusDeg: Double, nmax: Int): DataFrame = {
+    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    allPairs(a, b, aId, aLon, aLat, bId, bLon, bLat, radiusDeg)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= nmax)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+  }
+
+  /** All pairs within `radiusDeg` (no nmax ranking — the raw match
+    * relation; columns a_id, b_id, dist_deg). */
+  def allPairs(a: DataFrame, b: DataFrame,
+               aId: String, aLon: String, aLat: String,
+               bId: String, bLon: String, bLat: String,
+               radiusDeg: Double): DataFrame = {
     require(radiusDeg > 0 && radiusDeg <= 1.0,
       s"radiusDeg must be in (0, 1], got $radiusDeg")
-    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
     val level = levelFor(radiusDeg)
 
     val aSel = a.select(col(aId).as("a_id"), col(aLon).as("a_lon"),
@@ -92,17 +106,11 @@ object CrossMatch {
       // only pair within the same hemisphere's cap neighborhood
       .filter(signum(col("a_lat")) === signum(col("b_lat")))
 
-    val candidates = cellPairs.unionByName(capPairs)
+    cellPairs.unionByName(capPairs)
       .dropDuplicates("a_id", "b_id")
-
-    val w = Window.partitionBy("a_id")
-      .orderBy(col("dist_deg").asc, col("b_id").asc)
-    candidates
       .withColumn("dist_deg",
         distDeg(col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat")))
       .filter(col("dist_deg") <= radiusDeg)
-      .withColumn("match_rank", row_number().over(w))
-      .filter(col("match_rank") <= nmax)
-      .select("a_id", "b_id", "dist_deg", "match_rank")
+      .select("a_id", "b_id", "dist_deg")
   }
 }
