@@ -184,6 +184,60 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** A6b — cube (all grouping-set combinations). */
+  val qCube: QuerySpec = QuerySpec(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast(LongType).as("gid"), count(lit(1)).as("cnt"))
+      .select("l_returnflag", "l_linestatus", "gid", "cnt")
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Pivot — keyed aggregation spread across columns (kernel-
+    * expressible in the reference; Spark `groupBy().pivot()`, oracle
+    * via conditional aggregation). Pivot values are pinned explicitly
+    * so the plan needs no discovery pass and stays scale-stable. */
+  val qPivot: QuerySpec = QuerySpec(
+    "q_pivot",
+    s"""SELECT l_returnflag,
+       |  ${D.dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+       |  ${D.dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O,
+       |  ${D.dsum("CASE WHEN l_linestatus = 'P' THEN l_quantity END")} AS P
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(Det.dsum(col("l_quantity")))
+      .orderBy("l_returnflag")
+  }
+
+  /** Unpivot / melt — wide→long reshaping (Dataset.unpivot; oracle via
+    * UNION ALL). */
+  val qUnpivot: QuerySpec = QuerySpec(
+    "q_unpivot",
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+      |FROM part
+      |ORDER BY p_partkey, metric""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "value")
+      .orderBy("p_partkey", "metric")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qAggBasic, qAggGlobal, qAggDistinct,
-    qHistogram, qRollup, qAggStats, qAggCollect, qAggMedian)
+    qHistogram, qRollup, qAggStats, qAggCollect, qAggMedian, qCube,
+    qPivot, qUnpivot)
 }

@@ -98,5 +98,30 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qWindowRank, qWindowLag, qWindowFrame)
+  /** W1b — distribution window functions (ntile / percent_rank /
+    * cume_dist): exact integer-ratio doubles, oracle-stable. */
+  val qWindowNtile: QuerySpec = QuerySpec(
+    "q_window_ntile",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY year(o_orderdate)
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    // partitioned by year: a global (unpartitioned) window funnels the
+    // whole table through one task — the anti-pattern at scale
+    val w = Window.partitionBy(year(col("o_orderdate")))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    LsdDb.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qWindowRank, qWindowLag, qWindowFrame,
+    qWindowNtile)
 }
