@@ -195,9 +195,12 @@ object Joins {
       |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
       |GROUP BY a.l_partkey
       |ORDER BY partkey""".stripMargin) { (s, dir) =>
+    // shuffle-hash beats sort-merge here: high key duplication makes
+    // the SMJ inner loop buffer+re-sort heavy, while a hash relation
+    // per partition streams the probe side straight through
     val li = LsdDb.table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
     val a = li.as("a")
-    val b = li.as("b")
+    val b = li.hint("shuffle_hash").as("b")
     a.join(b, col("a.l_partkey") === col("b.l_partkey") &&
         col("a.l_suppkey") < col("b.l_suppkey"))
       .groupBy(col("a.l_partkey").as("partkey"))
