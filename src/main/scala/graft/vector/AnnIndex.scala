@@ -1,0 +1,134 @@
+package graft.vector
+
+import graft.functions.VectorKernels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate-nearest-neighbor index — the scale path for
+  * embedding similarity search (north-star extension; the brute-force
+  * baseline is q_cosine_topk). Same blocking idea as the spatial
+  * cell join and the MinHash bands: a coarse quantizer turns the
+  * corpus×probe cross product into an equi-join on cell id.
+  *
+  *  - build: Lloyd's k-means with DETERMINISTIC init (first k vectors
+  *    by id) and a fixed iteration count — reproducible across runs,
+  *    no RNG. Assignment is a broadcast map-only pass; centroid
+  *    update is one groupBy per iteration.
+  *  - search: probes go to their `nprobe` nearest centroids (driver
+  *    computes the tiny probe→cell relation), candidates come from an
+  *    equi-join on cell, exact cosine (codegen'd DotFold) ranks them.
+  *
+  * At 100 TB: the index table is written partitioned by cell
+  * (SpatialWriter-style), so a search touches nprobe/k of the data —
+  * the same partition-pruning story as the sky footprint queries.
+  * Recall/cost is tuned with (k, nprobe), verified in AnnIndexSpec
+  * against brute force.
+  */
+object AnnIndex {
+
+  /** @return (centroids, assigned): centroids (cell, centroid vector);
+    *   assigned = vectors + their cell id. */
+  def build(vectors: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int = 4): (Array[(Int, Array[Float])], DataFrame) = {
+    val spark = vectors.sparkSession
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+
+    var centroids: Array[Array[Float]] = v.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(spark, v, centroids)
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), transform(col("ms"),
+          s => s.getField("m").cast("float")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+      // empty cells keep their previous centroid
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+    (cents, assign(spark, v, centroids)
+      .withColumn("nrm", VectorKernels.norm2(col("v"))))
+  }
+
+  /** Map-only nearest-centroid assignment via a broadcast closure. */
+  private def assign(spark: SparkSession, v: DataFrame,
+                     centroids: Array[Array[Float]]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val nearest = udf { (vec: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0
+      var bestSim = Double.MinValue
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = math.min(vec.length, c.length)
+        while (i < n) {
+          dot += vec(i).toDouble * c(i).toDouble
+          na += vec(i).toDouble * vec(i).toDouble
+          nb += c(i).toDouble * c(i).toDouble
+          i += 1
+        }
+        val sim = if (na == 0 || nb == 0) -2.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (sim > bestSim) { bestSim = sim; best = ci }
+        ci += 1
+      }
+      best
+    }
+    v.withColumn("cell", nearest(col("v")))
+  }
+
+  /** Top-k cosine search restricted to each probe's nprobe nearest
+    * cells. Probes: (probe_id, vector). Returns probe_id, vec_id, cos,
+    * rn. */
+  def search(centroids: Array[(Int, Array[Float])], assigned: DataFrame,
+             probes: DataFrame, probeIdCol: String, probeVecCol: String,
+             topK: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      col(probeVecCol).as("pv"))
+    val probeRows = p.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // tiny probe→cell relation, computed driver-side and broadcast
+    val probeCells = probeRows.flatMap { case (pid, pv) =>
+      centroids.map { case (cell, c) => (pid, cell, cos(pv, c)) }
+        .sortBy { case (_, cell, s) => (-s, cell) }
+        .take(nprobe)
+        .map { case (_, cell, _) => (pid, cell) }
+    }.toSeq.toDF("probe_id", "cell")
+    val probeSide = broadcast(p.join(broadcast(probeCells), "probe_id")
+      .withColumn("pn", VectorKernels.norm2(col("pv"))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probeSide.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorKernels.cosine(VectorKernels.dot(col("pv"), col("v")),
+          col("pn"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+  }
+}
