@@ -208,6 +208,24 @@ object Joins {
       .orderBy("partkey")
   }
 
+  /** Scalar subquery — rows above the global mean (kernel-expressible
+    * in the reference: fetch-aggregate-refilter). DataFrame form: the
+    * 1-row aggregate broadcast-cross-joins the fact scan, so the
+    * "subquery" costs one extra pass, no shuffle. */
+  val qScalarSubq: QuerySpec = QuerySpec(
+    "q_scalar_subq",
+    s"""SELECT l_orderkey, l_linenumber, l_quantity
+       |FROM lineitem
+       |WHERE l_quantity > (SELECT ${D.davg("l_quantity")} FROM lineitem) + 20
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val li = LsdDb.table(s, dir, "lineitem")
+    val avgQty = li.agg(Det.davg(col("l_quantity")).as("avg_qty"))
+    li.crossJoin(broadcast(avgQty))
+      .filter(col("l_quantity") > col("avg_qty") + 20)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
-    qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf)
+    qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq)
 }
