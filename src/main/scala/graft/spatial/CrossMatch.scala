@@ -98,16 +98,23 @@ object CrossMatch {
         explode(SkyPix.neighborCells(col("b_lon"), col("b_lat"), level)))
     val cellPairs = aCells.join(bCells, "cell").drop("cell")
 
-    // channel 2: anything near either cap, matched via broadcast
+    // channel 2: pairs with at least one side ABOVE the cap, matched
+    // via broadcast. The strict >CapLat requirement makes the two
+    // channels disjoint (channel 1 requires both sides ≤ CapLat), so
+    // no dedup pass is needed — a dropDuplicates over the candidate
+    // set was the dominant shuffle at the multi-million-row scale.
     val capEdge = CapLat - radiusDeg
     val aCap = aSel.filter(abs(col("a_lat")) > capEdge)
     val bCap = bSel.filter(abs(col("b_lat")) > capEdge)
     val capPairs = aCap.crossJoin(broadcast(bCap))
+      .filter(abs(col("a_lat")) > CapLat || abs(col("b_lat")) > CapLat)
       // only pair within the same hemisphere's cap neighborhood
       .filter(signum(col("a_lat")) === signum(col("b_lat")))
 
     cellPairs.unionByName(capPairs)
-      .dropDuplicates("a_id", "b_id")
+      // lossless prefilter: great-circle distance ≥ |Δlat|, so this
+      // culls most candidates before the trig-heavy haversine
+      .filter(abs(col("a_lat") - col("b_lat")) <= radiusDeg)
       .withColumn("dist_deg",
         distDeg(col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat")))
       .filter(col("dist_deg") <= radiusDeg)

@@ -1,0 +1,57 @@
+package graft
+
+import graft.spatial.{CrossMatch, ObjectCatalog}
+import graft.vector.AnnIndex
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the library surface (SURVEY.md §5:
+  * empty input, tiny input, parameter edges). */
+class EdgeCaseSpec extends SpecBase {
+  import spark.implicits._
+
+  test("ObjectCatalog on empty detections") {
+    val empty = Seq.empty[(Long, Double, Double)].toDF("det_id", "lon", "lat")
+    val (assign, objects) = ObjectCatalog.build(
+      empty, "det_id", "lon", "lat", 0.1)
+    assert(assign.count() == 0 && objects.count() == 0)
+  }
+
+  test("ObjectCatalog: single detection becomes its own object") {
+    val one = Seq((7L, 10.0, 20.0)).toDF("det_id", "lon", "lat")
+    val (assign, objects) = ObjectCatalog.build(one, "det_id", "lon", "lat", 0.1)
+    assert(assign.head.getLong(1) == 7L)
+    val o = objects.head
+    assert(o.getLong(0) == 7L && o.getLong(3) == 1L)
+    assert(math.abs(o.getDouble(1) - 10.0) < 1e-9)
+    assert(math.abs(o.getDouble(2) - 20.0) < 1e-9)
+  }
+
+  test("AnnIndex with k larger than the corpus degrades gracefully") {
+    val tiny = (0L until 5L).map(i =>
+      (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val (cents, assigned) = AnnIndex.build(tiny, "vec_id", "embedding", k = 8)
+    assert(cents.length <= 8 && assigned.count() == 5)
+    val res = AnnIndex.search(cents, assigned,
+      tiny.limit(1).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", topK = 3, nprobe = 100)
+    assert(res.count() == 3)
+  }
+
+  test("CrossMatch with coincident points ranks by id tie-break") {
+    val a = Seq((1L, 5.0, 5.0)).toDF("id", "lon", "lat")
+    val b = Seq((10L, 5.0, 5.0), (11L, 5.0, 5.0), (12L, 5.0, 5.0))
+      .toDF("id", "lon", "lat")
+    val got = CrossMatch(a, b, "id", "lon", "lat", "id", "lon", "lat",
+      0.1, 2).orderBy("match_rank")
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((10L, 1), (11L, 2)))
+  }
+
+  test("lat exactly at the pole and lon exactly 360 are binned in range") {
+    val pts = Seq((0.0, 90.0), (360.0, -90.0), (0.0, -90.0))
+      .toDF("lon", "lat")
+    val cells = pts.select(
+      graft.spatial.SkyPix.cell(col("lon"), col("lat"), 6)).collect()
+    assert(cells.forall(!_.isNullAt(0)))
+  }
+}
