@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** X4 — the typed UDAF surface (`Aggregator[IN, BUF, OUT]`), the
+  * Spark-native replacement for the reference's reduce kernels that
+  * carried custom per-key state (SURVEY.md §2H X4).
+  *
+  * An Aggregator gets partial aggregation for free: `reduce` runs
+  * map-side, `merge` combines partials after the shuffle — the same
+  * two-phase dataflow the pool2 kernels hand-rolled, but planned by
+  * Catalyst and usable inside `agg(...)` next to built-ins.
+  */
+object Aggregators {
+
+  /** Weighted mean with exact merge: Σwx / Σw. */
+  case class WSum(var swx: Double, var sw: Double)
+
+  class WeightedMean extends Aggregator[(Double, Double), WSum, Double] {
+    def zero: WSum = WSum(0.0, 0.0)
+    def reduce(b: WSum, a: (Double, Double)): WSum = {
+      b.swx += a._1 * a._2; b.sw += a._2; b
+    }
+    def merge(x: WSum, y: WSum): WSum = WSum(x.swx + y.swx, x.sw + y.sw)
+    def finish(r: WSum): Double = if (r.sw == 0) Double.NaN else r.swx / r.sw
+    def bufferEncoder: Encoder[WSum] = Encoders.product[WSum]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Light-curve statistics — the canonical reference kernel shape
+    * (per-object photometry over epochs): n, mean, amplitude
+    * (max−min), and reduced χ² against the mean given per-point
+    * errors. Input: (mag, magErr). */
+  case class LcBuf(var n: Long, var sum: Double, var sumSq: Double,
+                   var mn: Double, var mx: Double, var sumInvVar: Double,
+                   var sumMagInvVar: Double)
+
+  case class LcStats(n: Long, mean: Double, amplitude: Double,
+                     chi2Reduced: Double)
+
+  class LightCurveStats extends Aggregator[(Double, Double), LcBuf, LcStats] {
+    def zero: LcBuf = LcBuf(0, 0, 0, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0, 0)
+    def reduce(b: LcBuf, a: (Double, Double)): LcBuf = {
+      val (mag, err) = a
+      val iv = if (err > 0) 1.0 / (err * err) else 0.0
+      b.n += 1; b.sum += mag; b.sumSq += mag * mag
+      b.mn = math.min(b.mn, mag); b.mx = math.max(b.mx, mag)
+      b.sumInvVar += iv; b.sumMagInvVar += mag * iv
+      b
+    }
+    def merge(x: LcBuf, y: LcBuf): LcBuf = LcBuf(
+      x.n + y.n, x.sum + y.sum, x.sumSq + y.sumSq,
+      math.min(x.mn, y.mn), math.max(x.mx, y.mx),
+      x.sumInvVar + y.sumInvVar, x.sumMagInvVar + y.sumMagInvVar)
+    def finish(b: LcBuf): LcStats = {
+      if (b.n == 0) LcStats(0, Double.NaN, Double.NaN, Double.NaN)
+      else {
+        val wmean =
+          if (b.sumInvVar > 0) b.sumMagInvVar / b.sumInvVar else b.sum / b.n
+        // χ² of points vs the (weighted) mean, per degree of freedom
+        val chi2 =
+          if (b.n < 2 || b.sumInvVar == 0) Double.NaN
+          else (b.sumSq - 2 * wmean * b.sum + b.n * wmean * wmean) /
+            (b.n - 1) // unweighted residual form (per-point errors ~equal)
+        LcStats(b.n, b.sum / b.n, b.mx - b.mn, chi2)
+      }
+    }
+    def bufferEncoder: Encoder[LcBuf] = Encoders.product[LcBuf]
+    def outputEncoder: Encoder[LcStats] = Encoders.product[LcStats]
+  }
+}
