@@ -43,7 +43,7 @@ object SetOps {
   /** O3 — top-k per group via ranking window (single shuffle by key). */
   val qTopkGroup: QuerySpec = QuerySpec(
     "q_topk_group",
-    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -26,9 +26,9 @@ object Windows {
   val qWindowRank: QuerySpec = QuerySpec(
     "q_window_rank",
     """SELECT o_custkey, o_orderkey, o_totalprice,
-      |  row_number() OVER w AS rn,
-      |  rank() OVER w2 AS rnk,
-      |  dense_rank() OVER w2 AS drnk
+      |  CAST(row_number() OVER w AS INT) AS rn,
+      |  CAST(rank() OVER w2 AS INT) AS rnk,
+      |  CAST(dense_rank() OVER w2 AS INT) AS drnk
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
       |       w2 AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))

@@ -52,6 +52,12 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns {gc} != {wc}")
                 n_fail += 1
                 continue
+            dt = [(c, str(got[c].dtype), str(want[c].dtype)) for c in gc
+                  if str(got[c].dtype) != str(want[c].dtype)]
+            if dt:
+                print(f"FAIL {name}: dtype mismatch {dt}")
+                n_fail += 1
+                continue
             g = sorted((tuple(norm(v) for v in row)
                         for row in got[gc].itertuples(index=False, name=None)),
                        key=repr)
