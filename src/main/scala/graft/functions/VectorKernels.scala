@@ -79,6 +79,15 @@ object VectorKernels {
     GraftShims.column(
       DotFold(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** Expose dot_fold to spark.sql on a live session:
+    * `SELECT dot_fold(a, b) ...`. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftShims.registerFunction(spark, "dot_fold",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "dot_fold(a, b) takes two arguments")
+        DotFold(args(0), args(1))
+      })
+
   /** Squared L2 norm. */
   def norm2(a: Column): Column = dot(a, a)
 

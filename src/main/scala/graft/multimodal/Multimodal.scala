@@ -82,6 +82,42 @@ object Multimodal {
     }
   }
 
+  /** STUB ??? — image resize. A real implementation decodes, scales
+    * and re-encodes; the stub deterministically truncates/pads the
+    * payload to the "resized" byte budget so tests can pin the
+    * plumbing (schema, per-row transform, size accounting). */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val budget = math.max(1, targetW * targetH / 8)
+    if (bytes.length >= budget) bytes.take(budget)
+    else bytes ++ Array.fill(budget - bytes.length)(0.toByte)
+  }
+
+  /** Resize pass over media rows (same bounded batching as
+    * extractFeatures; swap [[resizeStub]] for a codec call). */
+  def resize(ds: Dataset[MediaRow], targetW: Int, targetH: Int,
+             maxBatchRows: Int = 64): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ds.mapPartitions(_.grouped(maxBatchRows).flatMap(_.map(r =>
+      r.copy(media = resizeStub(r.media, targetW, targetH)))))
+  }
+
+  /** STUB ??? — video frame sampling: every `stride`-th fixed-size
+    * chunk stands in for every n-th decoded frame. Emits one row per
+    * sampled frame with its index — the explode shape a real
+    * ffmpeg-backed sampler produces. */
+  case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  def frameSample(ds: Dataset[MediaRow], frameBytes: Int,
+                  stride: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0 && stride > 0)
+    implicit val enc = Encoders.product[FrameRow]
+    ds.flatMap { r =>
+      r.media.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (chunk, i) => FrameRow(r.media_id, i, chunk) }
+    }
+  }
+
   /** Metadata projection over a raw multimodal DataFrame (id, format,
     * media binary): byte sizes + a cheap content fingerprint — the
     * kind of pushdown-friendly scan you run before committing to a

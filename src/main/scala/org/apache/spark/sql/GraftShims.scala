@@ -9,4 +9,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a custom Expression as a SQL function on an EXISTING
+    * session (SparkSessionExtensions only applies at session build —
+    * this reaches the live FunctionRegistry instead, so `spark.sql`
+    * can call codegen'd expressions like dot_fold). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
