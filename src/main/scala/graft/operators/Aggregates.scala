@@ -237,7 +237,64 @@ object Aggregates {
       .orderBy("p_partkey", "metric")
   }
 
+  /** Deterministic content-addressed sampling: md5-prefix threshold
+    * instead of RNG — reproducible across engines, partitionings and
+    * reruns (rand()-based TABLESAMPLE is none of those), and exactly
+    * the pattern for sampling a 100 TB corpus without coordination
+    * (~10%: first two hex digits < '1a' ⇔ 26/256). */
+  val qSample: QuerySpec = QuerySpec(
+    "q_sample",
+    s"""SELECT count(*) AS n_sampled,
+       |  ${D.dsum("l_extendedprice")} AS sum_price,
+       |  count(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem
+       |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+       |             CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .filter(substring(md5(concat(
+        col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).cast("binary")), 1, 2) < "1a")
+      .agg(count(lit(1)).as("n_sampled"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** A9b — exact quartiles (linear interpolation; both engines use the
+    * (1−g)·low + g·high definition, snapped to the d6 grid for the
+    * final-arithmetic ulp). */
+  val qPercentiles: QuerySpec = QuerySpec(
+    "q_percentiles",
+    s"""SELECT l_returnflag,
+       |  ${D.d6("quantile_cont(l_extendedprice, 0.25)")} AS p25,
+       |  ${D.d6("quantile_cont(l_extendedprice, 0.50)")} AS p50,
+       |  ${D.d6("quantile_cont(l_extendedprice, 0.75)")} AS p75
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Det.d6(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
+        Det.d6(percentile(col("l_extendedprice"), lit(0.50))).as("p50"),
+        Det.d6(percentile(col("l_extendedprice"), lit(0.75))).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A8b — string aggregation (sorted for canonical form). */
+  val qStringAgg: QuerySpec = QuerySpec(
+    "q_string_agg",
+    """SELECT n_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names,
+      |  count(*) AS n_cust
+      |FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "nation")
+      .join(LsdDb.table(s, dir, "customer"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_nationkey")
+      .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("n_nationkey")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qAggBasic, qAggGlobal, qAggDistinct,
     qHistogram, qRollup, qAggStats, qAggCollect, qAggMedian, qCube,
-    qPivot, qUnpivot)
+    qPivot, qUnpivot, qSample, qPercentiles, qStringAgg)
 }
