@@ -235,6 +235,33 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** P7b — array set/search ops. DuckDB's list_distinct/list_intersect
+    * are unordered → both sides canonicalize with a sort; flatten and
+    * sequence/range preserve order on both engines. */
+  val qArrayOps: QuerySpec = QuerySpec(
+    "q_array_ops",
+    """SELECT l_orderkey, l_linenumber,
+      |  list_sort(list_distinct(list_concat(
+      |    range(1, CAST(l_linenumber AS BIGINT) + 1), [2, 4]))) AS union_sorted,
+      |  list_sort(list_intersect(
+      |    range(1, CAST(l_linenumber AS BIGINT) + 1), [2, 4])) AS inter_sorted,
+      |  COALESCE(CAST(list_position(
+      |    range(1, CAST(l_linenumber AS BIGINT) + 1), 3) AS BIGINT), 0) AS pos3,
+      |  list_contains(range(1, CAST(l_linenumber AS BIGINT) + 1), 2) AS has2,
+      |  flatten([range(1, CAST(l_linenumber AS BIGINT) + 1), [9, 10]]) AS flat
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val seq1n = sequence(lit(1L), col("l_linenumber").cast(LongType))
+    val lit24 = array(lit(2L), lit(4L))
+    LsdDb.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        array_sort(array_union(seq1n, lit24)).as("union_sorted"),
+        array_sort(array_intersect(seq1n, lit24)).as("inter_sorted"),
+        array_position(seq1n, 3L).as("pos3"),
+        array_contains(seq1n, 2L).as("has2"),
+        flatten(array(seq1n, array(lit(9L), lit(10L)))).as("flat"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qImportCsv, qProject,
-    qFilter, qMath, qCase, qString, qDatetime, qArray, qJson)
+    qFilter, qMath, qCase, qString, qDatetime, qArray, qArrayOps, qJson)
 }

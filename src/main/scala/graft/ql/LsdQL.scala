@@ -64,13 +64,26 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     df
   }
 
+  /** Positions inside single-quoted SQL string literals ('' escapes). */
+  private def quotedSpans(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var open = false
+    for (i <- s.indices) {
+      if (s.charAt(i) == '\'') { open = !open; in(i) = true }
+      else in(i) = open
+    }
+    in
+  }
+
   /** Split clauses on top-level keywords; expressions stay opaque
-    * strings for Catalyst to parse. */
+    * strings for Catalyst to parse. Keywords and commas inside string
+    * literals (e.g. WHERE name LIKE 'from,where') are ignored. */
   private def parse(q: String)
       : (Seq[String], Seq[FromItem], Option[String], Option[String]) = {
     val text = q.trim.stripSuffix(";")
+    val quoted = quotedSpans(text)
     val kw = "(?i)\\b(SELECT|FROM|WHERE|INTO)\\b".r
-    val marks = kw.findAllMatchIn(text).toList
+    val marks = kw.findAllMatchIn(text).toList.filterNot(m => quoted(m.start))
     require(marks.nonEmpty && marks.head.matched.equalsIgnoreCase("SELECT"),
       "query must start with SELECT")
     val sections = marks.zipWithIndex.map { case (m, i) =>
@@ -90,12 +103,14 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     (selectList, fromItems, sections.get("WHERE"), sections.get("INTO"))
   }
 
-  /** Split on commas not nested inside parens. */
+  /** Split on commas not nested inside parens or string literals. */
   private def splitTopLevel(s: String): Seq[String] = {
+    val quoted = quotedSpans(s)
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0
     for (i <- s.indices) s.charAt(i) match {
+      case _ if quoted(i) =>
       case '(' => depth += 1
       case ')' => depth -= 1
       case ',' if depth == 0 => out += s.substring(start, i); start = i + 1

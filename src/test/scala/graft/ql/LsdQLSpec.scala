@@ -47,6 +47,16 @@ class LsdQLSpec extends SpecBase {
       db.table("orders").filter("o_totalprice > 450000").count())
   }
 
+  test("keywords and commas inside string literals don't break parsing") {
+    val df = ql.query(
+      """SELECT concat(o_orderpriority, ' from, where ') AS tagged, o_orderkey
+        |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin)
+    assert(df.count() == db.table("orders")
+      .filter("o_orderpriority = '5-LOW'").count())
+    assert(df.columns.toSeq == Seq("tagged", "o_orderkey"))
+    assert(df.head.getString(0).endsWith(" from, where "))
+  }
+
   test("unknown join relation raises a clear error") {
     val ex = intercept[IllegalArgumentException] {
       ql.query("SELECT 1 FROM orders, events")
