@@ -4,7 +4,7 @@ import graft.{LsdDb, QuerySpec}
 import graft.functions.Det
 import graft.functions.Det.{sql => D}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** §2D — keyed/global aggregation. The reference had no GROUP BY in its
   * query language; all aggregation ran through map/reduce kernel chains
@@ -155,16 +155,19 @@ object Aggregates {
   }
 
   /** A8 — collect_list (reference analog: per-object detection lists
-    * from kernel regrouping). array_sort makes the list canonical so
-    * the oracle can hash it. */
+    * from kernel regrouping). array_sort makes the list canonical, and
+    * the list is serialized to a comma-joined string because the
+    * driver's comparator cannot hash array cells. */
   val qAggCollect: QuerySpec = QuerySpec(
     "q_agg_collect",
-    """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+    """SELECT o_custkey,
+      |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
     LsdDb.table(s, dir, "orders")
       .groupBy("o_custkey")
-      .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"),
+      .agg(array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+          _.cast(StringType)), ",").as("orderkeys"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
   }

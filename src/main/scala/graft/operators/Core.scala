@@ -3,8 +3,9 @@ package graft.operators
 import graft.{LsdDb, QuerySpec}
 import graft.functions.Det
 import graft.functions.Det.{sql => D}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** §2A scans/sources + §2B projection/filter/scalar expressions.
   *
@@ -196,7 +197,9 @@ object Core {
 
   /** P7 — array-column ops via higher-order functions (reference
     * analog: per-band magnitude arrays `mags[2]`). Folds are
-    * sequential left-folds in both engines → deterministic floats. */
+    * sequential left-folds in both engines → deterministic floats.
+    * All outputs are scalars: the driver's comparator sorts result
+    * columns with pandas, which cannot hash array cells. */
   val qArray: QuerySpec = QuerySpec(
     "q_array",
     """SELECT vec_id, label,
@@ -207,7 +210,8 @@ object Core {
       |  sqrt(list_reduce(list_transform(embedding,
       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
       |        (a, b) -> a + b)) AS emb_norm,
-      |  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
+      |  list_reduce(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)),
+      |              (a, b) -> a + b) AS head3_sum
       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val asD = transform(col("embedding"), x => x.cast(DoubleType))
     LsdDb.table(s, dir, "embeddings")
@@ -218,8 +222,9 @@ object Core {
         sqrt(aggregate(transform(col("embedding"),
           x => x.cast(DoubleType) * x.cast(DoubleType)),
           lit(0.0), (a, x) => a + x)).as("emb_norm"),
-        transform(slice(col("embedding"), 1, 3),
-          x => x.cast(DoubleType)).as("head3"))
+        aggregate(transform(slice(col("embedding"), 1, 3),
+          x => x.cast(DoubleType)), lit(0.0), (a, x) => a + x)
+          .as("head3_sum"))
       .orderBy("vec_id")
   }
 
@@ -237,28 +242,34 @@ object Core {
 
   /** P7b — array set/search ops. DuckDB's list_distinct/list_intersect
     * are unordered → both sides canonicalize with a sort; flatten and
-    * sequence/range preserve order on both engines. */
+    * sequence/range preserve order on both engines. Array results are
+    * serialized to comma-joined strings (bigint→digits renders
+    * identically in both engines) because the driver's comparator
+    * cannot hash array cells. */
   val qArrayOps: QuerySpec = QuerySpec(
     "q_array_ops",
     """SELECT l_orderkey, l_linenumber,
-      |  list_sort(list_distinct(list_concat(
-      |    range(1, CAST(l_linenumber AS BIGINT) + 1), [2, 4]))) AS union_sorted,
-      |  list_sort(list_intersect(
-      |    range(1, CAST(l_linenumber AS BIGINT) + 1), [2, 4])) AS inter_sorted,
+      |  array_to_string(list_sort(list_distinct(list_concat(
+      |    range(1, CAST(l_linenumber AS BIGINT) + 1), [2, 4]))), ',') AS union_sorted,
+      |  COALESCE(array_to_string(list_sort(list_intersect(
+      |    range(1, CAST(l_linenumber AS BIGINT) + 1), [2, 4])), ','), '') AS inter_sorted,
       |  COALESCE(CAST(list_position(
       |    range(1, CAST(l_linenumber AS BIGINT) + 1), 3) AS BIGINT), 0) AS pos3,
       |  list_contains(range(1, CAST(l_linenumber AS BIGINT) + 1), 2) AS has2,
-      |  flatten([range(1, CAST(l_linenumber AS BIGINT) + 1), [9, 10]]) AS flat
+      |  array_to_string(flatten([range(1, CAST(l_linenumber AS BIGINT) + 1),
+      |                           [9, 10]]), ',') AS flat
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
     val seq1n = sequence(lit(1L), col("l_linenumber").cast(LongType))
     val lit24 = array(lit(2L), lit(4L))
+    def joined(c: Column): Column =
+      array_join(transform(c, _.cast(StringType)), ",")
     LsdDb.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        array_sort(array_union(seq1n, lit24)).as("union_sorted"),
-        array_sort(array_intersect(seq1n, lit24)).as("inter_sorted"),
+        joined(array_sort(array_union(seq1n, lit24))).as("union_sorted"),
+        joined(array_sort(array_intersect(seq1n, lit24))).as("inter_sorted"),
         array_position(seq1n, 3L).as("pos3"),
         array_contains(seq1n, 2L).as("has2"),
-        flatten(array(seq1n, array(lit(9L), lit(10L)))).as("flat"))
+        joined(flatten(array(seq1n, array(lit(9L), lit(10L))))).as("flat"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 

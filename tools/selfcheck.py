@@ -58,6 +58,17 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: dtype mismatch {dt}")
                 n_fail += 1
                 continue
+            # The driver's comparator sorts with pandas, which cannot
+            # hash array cells (TypeError: unhashable numpy.ndarray) —
+            # so array-typed output columns are a hard failure here too.
+            import numpy as np
+            arr_cols = [c for c in gc if len(got) and isinstance(
+                got[c].iloc[0], (list, np.ndarray))]
+            if arr_cols:
+                print(f"FAIL {name}: array-typed output columns {arr_cols} "
+                      "(driver comparator cannot sort them)")
+                n_fail += 1
+                continue
             g = sorted((tuple(norm(v) for v in row)
                         for row in got[gc].itertuples(index=False, name=None)),
                        key=repr)
