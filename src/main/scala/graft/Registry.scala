@@ -8,7 +8,8 @@ import graft.operators._
 object Registry {
   def specs: Seq[QuerySpec] =
     Core.specs ++ Aggregates.specs ++ SetOps.specs ++ Joins.specs ++
-      Windows.specs ++ TimeWindows.specs ++ TextOps.specs ++ VectorOps.specs
+      Windows.specs ++ TimeWindows.specs ++ TextOps.specs ++
+      VectorOps.specs ++ MiscOps.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

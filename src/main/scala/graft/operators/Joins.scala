@@ -5,6 +5,7 @@ import graft.functions.Det
 import graft.functions.Det.{sql => D}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** §2C — joins.
   *
@@ -226,6 +227,69 @@ object Joins {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** J6 — spatial nearest-neighbor cross-match, the reference's
+    * signature operator (`lsd-xmatch`; SURVEY.md §2C J6, ref
+    * `lsd/join_ops.py` + neighbor cache, UNVERIFIED), oracle-checked.
+    *
+    * Both catalogs get deterministic sky positions derived from their
+    * integer keys with exact modular arithmetic (identical in both
+    * engines), so the DuckDB oracle can brute-force the same match
+    * relation with a cross join. The Spark side runs the real
+    * [[graft.spatial.CrossMatch]] cell-blocked plan: SkyPix blocking
+    * join + haversine refine — the shape that survives 100 TB, where
+    * the oracle's O(|A|·|B|) cross join cannot.
+    *
+    * Determinism: great-circle trig differs from DuckDB's libm in the
+    * last ulp, so distances are snapped to the 1e-6 grid (Det.d6)
+    * BEFORE the radius cut and the nearest-rank ordering; rank ties
+    * break by b_id. The blocking phase uses radius 1.0 (a superset)
+    * and the snapped cut is 0.95, keeping the raw prefilter lossless.
+    */
+  val qXmatch: QuerySpec = QuerySpec(
+    "q_xmatch",
+    s"""WITH a AS (SELECT o_orderkey AS a_id,
+       |    CAST(o_orderkey * 13 % 3600 AS DOUBLE) / 10.0 AS a_lon,
+       |    CAST(o_orderkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS a_lat
+       |  FROM orders),
+       |b AS (SELECT s_suppkey AS b_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS b_lon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS b_lat
+       |  FROM supplier),
+       |p AS (SELECT a_id, b_id,
+       |    ${D.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b_lat - a_lat) / 2) * sin(radians(b_lat - a_lat) / 2)" +
+            " + cos(radians(a_lat)) * cos(radians(b_lat))" +
+            " * sin(radians(b_lon - a_lon) / 2)" +
+            " * sin(radians(b_lon - a_lon) / 2))))")} AS dist_deg
+       |  FROM a CROSS JOIN b)
+       |SELECT a_id, b_id, dist_deg, CAST(rn AS INT) AS match_rank FROM (
+       |  SELECT a_id, b_id, dist_deg,
+       |    row_number() OVER (PARTITION BY a_id
+       |                       ORDER BY dist_deg, b_id) AS rn
+       |  FROM p WHERE dist_deg <= 0.95)
+       |WHERE rn <= 2 ORDER BY a_id, match_rank""".stripMargin) { (s, dir) =>
+    def sky(df: org.apache.spark.sql.DataFrame, key: String, id: String,
+            lon: String, lat: String) =
+      df.select(col(key).as(id),
+        ((col(key) * 13) % 3600).cast(DoubleType)./(10.0).as(lon),
+        (((col(key) * 7) % 600).cast(DoubleType) / 10.0 - 30.0).as(lat))
+    val a = sky(LsdDb.table(s, dir, "orders"), "o_orderkey",
+      "a_id", "a_lon", "a_lat")
+    val b = sky(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+      "b_id", "b_lon", "b_lat")
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    graft.spatial.CrossMatch
+      .allPairs(a, b, "a_id", "a_lon", "a_lat", "b_id", "b_lon", "b_lat", 1.0)
+      .withColumn("dist_deg", Det.d6(col("dist_deg")))
+      .filter(col("dist_deg") <= 0.95)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= 2)
+      .orderBy("a_id", "match_rank")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
-    qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq)
+    qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq,
+    qXmatch)
 }
