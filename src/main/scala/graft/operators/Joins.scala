@@ -281,7 +281,8 @@ object Joins {
     val w = Window.partitionBy("a_id")
       .orderBy(col("dist_deg").asc, col("b_id").asc)
     graft.spatial.CrossMatch
-      .allPairs(a, b, "a_id", "a_lon", "a_lat", "b_id", "b_lon", "b_lat", 1.0)
+      .allPairs(a, b, "a_id", "a_lon", "a_lat", "b_id", "b_lon", "b_lat", 1.0,
+        capLat = 31.0) // data lies in |lat| ≤ 30 → level-6 blocking
       .withColumn("dist_deg", Det.d6(col("dist_deg")))
       .filter(col("dist_deg") <= 0.95)
       .withColumn("match_rank", row_number().over(w))

@@ -45,14 +45,26 @@ object CrossMatch {
     degrees(lit(2) * asin(sqrt(a)))
   }
 
-  /** Finest level keeping ≥2·radius cell width at the cap latitude, so
-    * the 9-cell neighborhood is closure-complete below CapLat. */
-  def levelFor(radiusDeg: Double): Int = {
-    val cosCap = math.cos(math.toRadians(CapLat))
-    var lvl = 0
-    while (lvl < 12 &&
-      360.0 / (1L << (lvl + 1)) * cosCap >= 2 * radiusDeg) lvl += 1
-    lvl
+  /** Finest level whose 3×3 neighborhood is closure-complete for
+    * radius-r matching below `capLat`, from the exact grid geometry
+    * (10% safety margin on the small-angle approximations):
+    *
+    *   y: a radius-r disc spans Δ(sin lat)/2 ≤ r·π/360 in fy, which
+    *      must fit within one cell (1/2^l) → 2^l ≤ 360/(π·r).
+    *   x: at latitude `capLat` the disc spans Δlon ≈ r/cos(capLat),
+    *      i.e. Δfx ≤ r/(360·cos capLat) → 2^l ≤ 360·cos(capLat)/r.
+    *
+    * `capLat` is a perf knob, not a correctness one: rows above it are
+    * routed through the broadcast cap channel regardless. Catalogs
+    * confined to low latitudes should pass their actual extent — e.g.
+    * an equatorial band at r=0.95° blocks at level 6 (≈2k live cells)
+    * instead of the polar-safe level 4. */
+  def levelFor(radiusDeg: Double, capLat: Double = CapLat): Int = {
+    val r = radiusDeg * 1.1
+    val ly = math.floor(math.log(360.0 / (math.Pi * r)) / math.log(2)).toInt
+    val lx = math.floor(
+      math.log(360.0 * math.cos(math.toRadians(capLat)) / r) / math.log(2)).toInt
+    math.max(0, math.min(12, math.min(ly, lx)))
   }
 
   /** @param a        left catalog (each row gets its nmax matches)
@@ -65,11 +77,12 @@ object CrossMatch {
   def apply(a: DataFrame, b: DataFrame,
             aId: String, aLon: String, aLat: String,
             bId: String, bLon: String, bLat: String,
-            radiusDeg: Double, nmax: Int): DataFrame = {
+            radiusDeg: Double, nmax: Int,
+            capLat: Double = CapLat): DataFrame = {
     require(nmax >= 1, s"nmax must be >= 1, got $nmax")
     val w = Window.partitionBy("a_id")
       .orderBy(col("dist_deg").asc, col("b_id").asc)
-    allPairs(a, b, aId, aLon, aLat, bId, bLon, bLat, radiusDeg)
+    allPairs(a, b, aId, aLon, aLat, bId, bLon, bLat, radiusDeg, capLat)
       .withColumn("match_rank", row_number().over(w))
       .filter(col("match_rank") <= nmax)
       .select("a_id", "b_id", "dist_deg", "match_rank")
@@ -80,10 +93,12 @@ object CrossMatch {
   def allPairs(a: DataFrame, b: DataFrame,
                aId: String, aLon: String, aLat: String,
                bId: String, bLon: String, bLat: String,
-               radiusDeg: Double): DataFrame = {
+               radiusDeg: Double, capLat: Double = CapLat): DataFrame = {
     require(radiusDeg > 0 && radiusDeg <= 1.0,
       s"radiusDeg must be in (0, 1], got $radiusDeg")
-    val level = levelFor(radiusDeg)
+    require(capLat > 0 && capLat <= CapLat,
+      s"capLat must be in (0, $CapLat], got $capLat")
+    val level = levelFor(radiusDeg, capLat)
 
     val aSel = a.select(col(aId).as("a_id"), col(aLon).as("a_lon"),
       col(aLat).as("a_lat"))
@@ -91,23 +106,23 @@ object CrossMatch {
       col(bLat).as("b_lat"))
 
     // channel 1: cell-local candidates below the cap
-    val aCells = aSel.filter(abs(col("a_lat")) <= CapLat)
+    val aCells = aSel.filter(abs(col("a_lat")) <= capLat)
       .withColumn("cell", SkyPix.cell(col("a_lon"), col("a_lat"), level))
-    val bCells = bSel.filter(abs(col("b_lat")) <= CapLat)
+    val bCells = bSel.filter(abs(col("b_lat")) <= capLat)
       .withColumn("cell",
         explode(SkyPix.neighborCells(col("b_lon"), col("b_lat"), level)))
     val cellPairs = aCells.join(bCells, "cell").drop("cell")
 
     // channel 2: pairs with at least one side ABOVE the cap, matched
-    // via broadcast. The strict >CapLat requirement makes the two
-    // channels disjoint (channel 1 requires both sides ≤ CapLat), so
+    // via broadcast. The strict >capLat requirement makes the two
+    // channels disjoint (channel 1 requires both sides ≤ capLat), so
     // no dedup pass is needed — a dropDuplicates over the candidate
     // set was the dominant shuffle at the multi-million-row scale.
-    val capEdge = CapLat - radiusDeg
+    val capEdge = capLat - radiusDeg
     val aCap = aSel.filter(abs(col("a_lat")) > capEdge)
     val bCap = bSel.filter(abs(col("b_lat")) > capEdge)
     val capPairs = aCap.crossJoin(broadcast(bCap))
-      .filter(abs(col("a_lat")) > CapLat || abs(col("b_lat")) > CapLat)
+      .filter(abs(col("a_lat")) > capLat || abs(col("b_lat")) > capLat)
       // only pair within the same hemisphere's cap neighborhood
       .filter(signum(col("a_lat")) === signum(col("b_lat")))
 
