@@ -124,5 +124,78 @@ object VectorOps {
       .orderBy("event_id")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine)
+  /** X1b — IVF-bucketed approximate nearest neighbor: the scale path
+    * for similarity search (vector/AnnIndex.scala is the library
+    * form; this is the oracle-checkable fixed-centroid variant).
+    *
+    * Vectors 0..7 are the coarse centroids (deterministic "training"),
+    * 8..17 the probe batch, the rest the corpus. Every corpus vector
+    * is assigned to its nearest centroid (map-only: centroids
+    * broadcast); each probe searches only its nprobe=2 nearest
+    * buckets, so the probe-corpus pairing is an equi-join on cent_id
+    * instead of a cross product — the same blocking idea as the
+    * spatial xmatch, in embedding space. At 100 TB the centroid count
+    * grows to √N and the assignment becomes the partition key. */
+  val qAnnIvf: QuerySpec = QuerySpec(
+    "q_ann_ivf",
+    s"""$vvCte,
+       |cent AS (SELECT vec_id AS cent_id, vv, nrm FROM n WHERE vec_id < 8),
+       |corp AS (SELECT vec_id, vv, nrm FROM n WHERE vec_id >= 18),
+       |probe AS (SELECT vec_id, vv, nrm FROM n
+       |          WHERE vec_id >= 8 AND vec_id < 18),
+       |assign AS (SELECT vec_id, vv, nrm, cent_id FROM (
+       |  SELECT c.vec_id, c.vv, c.nrm, k.cent_id,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosineSql("k", "c")} DESC, k.cent_id) AS arn
+       |  FROM corp c CROSS JOIN cent k) WHERE arn = 1),
+       |pbuckets AS (SELECT probe_id, pvv, pnrm, cent_id FROM (
+       |  SELECT p.vec_id AS probe_id, p.vv AS pvv, p.nrm AS pnrm, k.cent_id,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${cosineSql("k", "p")} DESC, k.cent_id) AS prn
+       |  FROM probe p CROSS JOIN cent k) WHERE prn <= 2),
+       |scored AS (
+       |  SELECT pb.probe_id, a.vec_id,
+       |    list_reduce(list_transform(list_zip(pb.pvv, a.vv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+       |      (q, b) -> q + b) / (sqrt(pb.pnrm) * sqrt(a.nrm)) AS cos
+       |  FROM pbuckets pb JOIN assign a ON a.cent_id = pb.cent_id)
+       |SELECT probe_id, vec_id, cos, rn FROM (
+       |  SELECT probe_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val cent = broadcast(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn")))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("acos").desc, col("cent_id").asc)
+    val assign = emb.filter(col("vec_id") >= 18).crossJoin(cent)
+      .withColumn("acos", cosine(col("cv"), col("v"), col("cn"), col("nrm")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select("vec_id", "v", "nrm", "cent_id")
+    val pw = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    val pbuckets = emb.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+      .crossJoin(cent)
+      .withColumn("pcos", cosine(col("cv"), col("pv"), col("cn"), col("pn")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= 2)
+      .select("probe_id", "pv", "pn", "cent_id")
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(pbuckets).join(assign, "cent_id")
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= 3)
+      .orderBy("probe_id", "rn")
+  }
+
+  def specs: Seq[QuerySpec] =
+    Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf)
 }
