@@ -32,6 +32,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Headline first on its own SHORT line: the driver's output capture
+    // truncates long lines (r2's one-line JSON lost its tail and failed
+    // to parse), so the round's total must be parseable on a line that
+    // cannot be clipped. The full per-query map follows on line 2.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -11,32 +16,79 @@ import org.apache.spark.sql.types.LongType
   * Representation: media as opaque `binary` columns + typed metadata
   * (format/width/height/duration), processed per-partition in bounded
   * batches — the Scala equivalent of `mapInPandas` batch processing.
-  * The Spark-side plumbing (schema, partition sizing, batch shape,
-  * feature vector schema) is real; the actual codec call is STUBBED
-  * (no image/audio libraries in this environment) behind
-  * [[MediaCodec.decodeStub]], a deterministic fake with the same
-  * signature a libjpeg/ffmpeg binding would have.
+  *
+  * Image decode and resize are REAL: `javax.imageio` (PNG/JPEG/BMP/GIF
+  * readers ship in the JDK) + `Graphics2D` bilinear scaling — no
+  * external libraries, fully offline. Payloads no reader understands
+  * fall back to byte-content features (width/height = -1) so the
+  * pipeline is total over dirty corpora — at 100 TB a corrupt sample
+  * must degrade, not kill the stage. Video frame sampling remains a
+  * deterministic STUB (no ffmpeg in the JDK); its explode shape and
+  * batching are real.
   *
   * At 100 TB: binary payloads dominate row size, so `targetBatchBytes`
   * bounds working memory per task regardless of row width, and
-  * repartitioning upstream by a content key keeps tasks even.
+  * repartitioning upstream by a content key keeps tasks even. Feature
+  * extraction samples a bounded pixel grid so per-row CPU is O(1) in
+  * image dimensions.
   */
 object Multimodal {
 
   /** Typed media row (media: raw bytes; meta: sidecar). */
   case class MediaRow(media_id: Long, format: String, media: Array[Byte])
+
+  /** width/height are -1 when no JDK image reader accepted the bytes
+    * (feature is then the byte-content fallback). */
   case class MediaFeatures(media_id: Long, n_bytes: Long,
-                           feature: Array[Float])
+                           width: Int, height: Int, feature: Array[Float])
 
   object MediaCodec {
     val FeatureDim = 16
 
-    /** STUB ??? — stands in for a real decoder (libjpeg/ffmpeg/PIL
-      * equivalent). Deterministic fake: derives a feature vector from
-      * byte content so tests can assert exact plumbing behavior.
-      * Swap this single function for a JNI/FFI codec binding to make
-      * the pipeline real; nothing else changes. */
-    def decodeStub(format: String, bytes: Array[Byte]): Array[Float] = {
+    // in-memory decode only — the default ImageIO disk cache would do
+    // a tmp-file write per image, pure overhead in an executor
+    ImageIO.setUseCache(false)
+
+    /** Real in-JDK image decode (PNG/JPEG/BMP/GIF/WBMP). None when no
+      * registered reader accepts the payload. */
+    def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** 16-bin normalized luminance histogram over a ≤64×64 sampled
+      * pixel grid — per-image cost is bounded no matter the
+      * dimensions, and the sampling stride is deterministic. */
+    def imageFeatures(img: BufferedImage): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sx = math.max(1, w / 64)
+      val sy = math.max(1, h / 64)
+      val hist = new Array[Float](FeatureDim)
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          // ITU-R BT.601 integer luma
+          val luma = (299 * r + 587 * g + 114 * b) / 1000
+          hist(math.min(FeatureDim - 1, luma * FeatureDim / 256)) += 1f
+          n += 1
+          x += sx
+        }
+        y += sy
+      }
+      if (n > 0) { var i = 0; while (i < FeatureDim) { hist(i) /= n; i += 1 } }
+      hist
+    }
+
+    /** Fallback features for payloads no image reader understands:
+      * byte-content folding (deterministic, content-sensitive). Keeps
+      * the pipeline total over dirty corpora. */
+    def byteFeatures(bytes: Array[Byte]): Array[Float] = {
       val acc = new Array[Float](FeatureDim)
       var i = 0
       while (i < bytes.length) {
@@ -44,6 +96,34 @@ object Multimodal {
         i += 1
       }
       acc
+    }
+
+    /** Decode + featurize one payload: (width, height, feature);
+      * (-1, -1, byteFeatures) when undecodable. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) =
+      decodeImage(bytes) match {
+        case Some(img) => (img.getWidth, img.getHeight, imageFeatures(img))
+        case None => (-1, -1, byteFeatures(bytes))
+      }
+
+    /** Real resize: `Graphics2D` bilinear scale to target dimensions. */
+    def resizeImage(img: BufferedImage, targetW: Int,
+                    targetH: Int): BufferedImage = {
+      val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      out
+    }
+
+    /** Re-encode as PNG (lossless, always-available JDK writer). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
   }
 
@@ -72,39 +152,38 @@ object Multimodal {
           buf.result()
         }
       }.flatMap { batch =>
-        // the whole batch is in memory here — exactly where a real
-        // codec would process a vectorized chunk
+        // the whole batch is in memory here — the vectorized-chunk
+        // boundary a columnar codec (or GPU decoder) would consume
         batch.map { r =>
-          MediaFeatures(r.media_id, r.media.length.toLong,
-            MediaCodec.decodeStub(r.format, r.media))
+          val (w, h, feat) = MediaCodec.decode(r.media)
+          MediaFeatures(r.media_id, r.media.length.toLong, w, h, feat)
         }
       }
     }
   }
 
-  /** STUB ??? — image resize. A real implementation decodes, scales
-    * and re-encodes; the stub deterministically truncates/pads the
-    * payload to the "resized" byte budget so tests can pin the
-    * plumbing (schema, per-row transform, size accounting). */
-  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    val budget = math.max(1, targetW * targetH / 8)
-    if (bytes.length >= budget) bytes.take(budget)
-    else bytes ++ Array.fill(budget - bytes.length)(0.toByte)
-  }
-
-  /** Resize pass over media rows (same bounded batching as
-    * extractFeatures; swap [[resizeStub]] for a codec call). */
+  /** Resize pass over media rows: real decode → bilinear scale → PNG
+    * re-encode, in the same bounded batching as extractFeatures.
+    * Undecodable payloads pass through unchanged (total pipeline). */
   def resize(ds: Dataset[MediaRow], targetW: Int, targetH: Int,
              maxBatchRows: Int = 64): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0)
     implicit val enc = Encoders.product[MediaRow]
-    ds.mapPartitions(_.grouped(maxBatchRows).flatMap(_.map(r =>
-      r.copy(media = resizeStub(r.media, targetW, targetH)))))
+    ds.mapPartitions(_.grouped(maxBatchRows).flatMap(_.map { r =>
+      MediaCodec.decodeImage(r.media) match {
+        case Some(img) =>
+          r.copy(media =
+            MediaCodec.encodePng(MediaCodec.resizeImage(img, targetW, targetH)))
+        case None => r
+      }
+    }))
   }
 
   /** STUB ??? — video frame sampling: every `stride`-th fixed-size
-    * chunk stands in for every n-th decoded frame. Emits one row per
-    * sampled frame with its index — the explode shape a real
-    * ffmpeg-backed sampler produces. */
+    * chunk stands in for every n-th decoded frame (the JDK has no
+    * video codec; swap this flatMap body for an ffmpeg binding). Emits
+    * one row per sampled frame with its index — the explode shape a
+    * real ffmpeg-backed sampler produces. */
   case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   def frameSample(ds: Dataset[MediaRow], frameBytes: Int,

@@ -80,12 +80,15 @@ object MiscOps {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
       |                        (l_returnflag, l_linestatus))
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
-    LsdDb.table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    // query-scoped view name: registering plain "lineitem" on the shared
+    // session would leak and shadow any other spec's spark.sql usage
+    LsdDb.table(s, dir, "lineitem")
+      .createOrReplaceTempView("q_grouping_sets_lineitem")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  count(*) AS cnt
-        |FROM lineitem
+        |FROM q_grouping_sets_lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
         |                        (l_returnflag, l_linestatus))
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
@@ -97,7 +100,14 @@ object MiscOps {
     * max_by has no struct-key overload), so the (balance, custkey)
     * pair is packed into one exact BIGINT: balance-cents ×1e7 +
     * custkey. round() before the cast avoids the 123.45*100 =
-    * 12344.999… truncation trap — identical in both engines. */
+    * 12344.999… truncation trap — identical in both engines.
+    *
+    * Packing-injectivity bound: valid while c_custkey < 1e7 AND
+    * |cents| < ~9.2e11 (Long.MaxValue / 1e7); beyond that custkey
+    * overflows into the cents digits and the arg-min/max silently
+    * changes. TPC-H custkeys stay < 1e7 up to SF ≈ 66 — widen the
+    * multiplier (and re-check the overflow headroom) before running
+    * this query at larger scale factors. */
   val qAggMinmaxBy: QuerySpec = QuerySpec(
     "q_agg_minmax_by",
     """SELECT c_nationkey,

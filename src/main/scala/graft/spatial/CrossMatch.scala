@@ -54,10 +54,13 @@ object CrossMatch {
     *   x: at latitude `capLat` the disc spans Δlon ≈ r/cos(capLat),
     *      i.e. Δfx ≤ r/(360·cos capLat) → 2^l ≤ 360·cos(capLat)/r.
     *
-    * `capLat` is a perf knob, not a correctness one: rows above it are
-    * routed through the broadcast cap channel regardless. Catalogs
-    * confined to low latitudes should pass their actual extent — e.g.
-    * an equatorial band at r=0.95° blocks at level 6 (≈2k live cells)
+    * `capLat` is a perf knob WITHIN its legal range [radiusDeg, 85°]
+    * (enforced in allPairs): rows above it are routed through the
+    * broadcast cap channel regardless, but below radiusDeg the
+    * channel decomposition stops being complete (cross-equator pairs
+    * with one side above the cap would be dropped). Catalogs confined
+    * to low latitudes should pass their actual extent — e.g. an
+    * equatorial band at r=0.95° blocks at level 6 (≈2k live cells)
     * instead of the polar-safe level 4. */
   def levelFor(radiusDeg: Double, capLat: Double = CapLat): Int = {
     val r = radiusDeg * 1.1
@@ -96,8 +99,14 @@ object CrossMatch {
                radiusDeg: Double, capLat: Double = CapLat): DataFrame = {
     require(radiusDeg > 0 && radiusDeg <= 1.0,
       s"radiusDeg must be in (0, 1], got $radiusDeg")
-    require(capLat > 0 && capLat <= CapLat,
-      s"capLat must be in (0, $CapLat], got $capLat")
+    // capLat >= radiusDeg is a CORRECTNESS bound, not a perf knob: the
+    // two channels are only jointly complete when any cross-hemisphere
+    // pair (signum filter in the cap channel) is provably farther than
+    // radiusDeg apart, i.e. when the caps are >= radiusDeg from the
+    // equator. Below that, a sub-cap row could match an above-cap row
+    // of the opposite sign and both channels would drop the pair.
+    require(capLat >= radiusDeg && capLat <= CapLat,
+      s"capLat must be in [$radiusDeg (radiusDeg), $CapLat], got $capLat")
     val level = levelFor(radiusDeg, capLat)
 
     val aSel = a.select(col(aId).as("a_id"), col(aLon).as("a_lon"),

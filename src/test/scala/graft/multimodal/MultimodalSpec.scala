@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+
 import graft.SpecBase
 import graft.multimodal.Multimodal.{MediaCodec, MediaRow}
 
@@ -7,9 +9,32 @@ class MultimodalSpec extends SpecBase {
   import spark.implicits._
 
   private def row(id: Long, size: Int): MediaRow =
-    MediaRow(id, "img/fake", Array.tabulate(size)(i => ((id + i) % 251).toByte))
+    MediaRow(id, "bin/opaque", Array.tabulate(size)(i => ((id + i) % 251).toByte))
 
-  test("feature extraction preserves every row with correct sizes") {
+  /** Real PNG payload: w×h filled with a solid RGB color. */
+  private def pngRow(id: Long, w: Int, h: Int, rgb: Int): MediaRow = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    MediaRow(id, "image/png", MediaCodec.encodePng(img))
+  }
+
+  test("real PNG decode recovers true dimensions and luminance mass") {
+    val rows = Seq(
+      pngRow(1L, 17, 9, 0xffffff),  // white → top luma bin
+      pngRow(2L, 33, 41, 0x000000), // black → bottom luma bin
+      pngRow(3L, 8, 8, 0x808080))   // mid gray → middle bin
+    val out = Multimodal.extractFeatures(rows.toDS().repartition(2))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width == 17 && out(1L).height == 9)
+    assert(out(2L).width == 33 && out(2L).height == 41)
+    assert(out(3L).width == 8 && out(3L).height == 8)
+    // solid-color image puts all histogram mass in one bin
+    assert(math.abs(out(1L).feature(MediaCodec.FeatureDim - 1) - 1f) < 1e-6)
+    assert(math.abs(out(2L).feature(0) - 1f) < 1e-6)
+    assert(math.abs(out(3L).feature(0x80 * 16 / 256) - 1f) < 1e-6)
+  }
+
+  test("undecodable payloads degrade to byte features, not failures") {
     val rows = (0L until 100L).map(i => row(i, 100 + (i % 7).toInt * 50))
     val ds = rows.toDS().repartition(5)
     val out = Multimodal.extractFeatures(ds).collect()
@@ -17,12 +42,29 @@ class MultimodalSpec extends SpecBase {
     val bySize = out.map(f => f.media_id -> f.n_bytes).toMap
     assert(rows.forall(r => bySize(r.media_id) == r.media.length))
     assert(out.forall(_.feature.length == MediaCodec.FeatureDim))
+    assert(out.forall(f => f.width == -1 && f.height == -1))
   }
 
-  test("decode stub is deterministic (same bytes → same features)") {
-    val a = MediaCodec.decodeStub("img/fake", Array[Byte](1, 2, 3, 4))
-    val b = MediaCodec.decodeStub("img/fake", Array[Byte](1, 2, 3, 4))
-    assert(a.toSeq == b.toSeq)
+  test("decode is deterministic (same bytes → same features)") {
+    val png = pngRow(9L, 5, 4, 0x123456).media
+    val a = MediaCodec.decode(png)
+    val b = MediaCodec.decode(png)
+    assert(a._1 == b._1 && a._2 == b._2 && a._3.toSeq == b._3.toSeq)
+    val x = MediaCodec.byteFeatures(Array[Byte](1, 2, 3, 4))
+    val y = MediaCodec.byteFeatures(Array[Byte](1, 2, 3, 4))
+    assert(x.toSeq == y.toSeq)
+  }
+
+  test("resize produces a real PNG with the target dimensions") {
+    val rows = Seq(pngRow(1L, 40, 20, 0x336699), row(2L, 64))
+    val out = Multimodal.resize(rows.toDS(), 10, 5)
+      .collect().map(r => r.media_id -> r).toMap
+    val resized = MediaCodec.decodeImage(out(1L).media)
+    assert(resized.exists(i => i.getWidth == 10 && i.getHeight == 5))
+    // solid color survives bilinear downscale exactly
+    assert((resized.get.getRGB(3, 2) & 0xffffff) == 0x336699)
+    // undecodable rows pass through byte-identical
+    assert(out(2L).media.toSeq == rows(1).media.toSeq)
   }
 
   test("byte-bounded batching never overshoots by more than one row") {

@@ -15,13 +15,13 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(v):
-    import numpy as np
     if isinstance(v, (np.floating,)):
         v = float(v)
     if isinstance(v, (np.integer,)):
@@ -61,9 +61,10 @@ def main(sf_dir, out_dir):
             # The driver's comparator sorts with pandas, which cannot
             # hash array cells (TypeError: unhashable numpy.ndarray) —
             # so array-typed output columns are a hard failure here too.
-            import numpy as np
-            arr_cols = [c for c in gc if len(got) and isinstance(
-                got[c].iloc[0], (list, np.ndarray))]
+            # check every row, not just the first: a leading NULL would
+            # otherwise let an array column slip past this guard
+            arr_cols = [c for c in gc if len(got) and got[c].map(
+                lambda v: isinstance(v, (list, np.ndarray))).any()]
             if arr_cols:
                 print(f"FAIL {name}: array-typed output columns {arr_cols} "
                       "(driver comparator cannot sort them)")
