@@ -4,7 +4,7 @@ import graft.{LsdDb, QuerySpec}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** §2H / north-star extension — text analysis + deduplication for
   * LLM-training-data pipelines (BASELINE.json; not in the reference,
@@ -295,6 +295,93 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Hex chars whose nibble has bit `b` (3 = MSB … 0 = LSB) set —
+    * lets both engines read bit j of an md5 as a plain IN-list test,
+    * with no engine-specific hex→int conversion. */
+  private def hexWithBit(b: Int): Seq[String] =
+    (0 until 16).filter(v => ((v >> b) & 1) == 1).map(_.toHexString)
+
+  /** Bit j (0-based over the first 16 hex chars, MSB-first within each
+    * nibble) of md5: (hex position, IN-list of chars with the bit). */
+  private def md5Bit(j: Int): (Int, Seq[String]) =
+    (j / 4 + 1, hexWithBit(3 - j % 4))
+
+  private val simBands = 4  // 64 bits = 4 bands × 16 bits: band
+  private val simBandBits = 16 // equality ⇔ Hamming distance ≤ 48,
+                               // guaranteed hit when distance ≤ 3
+
+  /** Ext — 64-bit SimHash + Hamming-band LSH near-dup candidates (the
+    * scale-correct successor of q_dedup_simhash's 16-bit bucket count:
+    * 2^64 signature space keeps buckets sparse at any corpus size, and
+    * band-equality matching finds pairs within small Hamming distance
+    * instead of requiring exact signature equality).
+    *
+    * Bit j of a doc's signature is the majority vote over its tokens
+    * of bit j of md5(token). The 64 bits split into 4 bands of 16;
+    * candidate pairs share at least one band (standard LSH banding —
+    * any pair within Hamming distance 3 must agree on some band).
+    * Same plan shape as minhash: explode → 64-way hash agg →
+    * band-equality self-join with a hot-bucket cap. */
+  val qDedupSimhash64: QuerySpec = QuerySpec(
+    "q_dedup_simhash64", {
+      val sums = (0 until 64).map { j =>
+        val (p, chars) = md5Bit(j)
+        val set = chars.map(c => s"'$c'").mkString(",")
+        s"sum(CASE WHEN substr(md5(w), $p, 1) IN ($set) THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(",\n       |    ")
+      val bandExprs = (0 until simBands).map { k =>
+        (0 until simBandBits)
+          .map(i => s"CASE WHEN v${k * simBandBits + i} >= 0 THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ")
+      }
+      val bandCase = bandExprs.zipWithIndex.map { case (e, k) =>
+        if (k < simBands - 1) s"WHEN $k THEN $e" else s"ELSE $e"
+      }.mkString(" ")
+      s"""WITH wrds AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |sums AS (
+         |  SELECT doc_id, $sums
+         |  FROM wrds GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, k, CAST(CASE k $bandCase END AS INTEGER) AS bv
+         |  FROM sums, generate_series(0, ${simBands - 1}) t(k)),
+         |sized AS (
+         |  SELECT *, count(*) OVER (PARTITION BY k, bv) AS bsz FROM bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sized a JOIN sized b ON a.k = b.k AND a.bv = b.bv
+         |  AND a.doc_id < b.doc_id
+         |WHERE a.bsz <= $maxBucket
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+    val wrds = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val sumAggs = (0 until 64).map { j =>
+      val (p, chars) = md5Bit(j)
+      sum(when(substring(md5(col("w").cast("binary")), p, 1)
+        .isin(chars: _*), 1).otherwise(-1)).as(s"v$j")
+    }
+    val sums = wrds.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
+    val bandStructs = (0 until simBands).map { k =>
+      val bv = (0 until simBandBits)
+        .map(i => when(col(s"v${k * simBandBits + i}") >= 0, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+      struct(lit(k).as("k"), bv.cast(IntegerType).as("bv"))
+    }
+    // hot-bucket cap, same rationale as minhash: a band bucket larger
+    // than maxBucket is boilerplate and would emit O(bucket²) pairs
+    val bands = sums
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.k").as("k"), col("band.bv").as("bv"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("k", "bv")))
+      .filter(col("bsz") <= maxBucket)
+    bands.as("a")
+      .join(bands.as("b"), col("a.k") === col("b.k") &&
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Word-bigram shingle set (order-sensitive n-grams — the thing
     * "n-gram Jaccard" actually measures; unigram sets degenerate on a
     * small vocabulary where every doc overlaps every other). */
@@ -310,21 +397,34 @@ object TextOps {
       s"($wordsSql)[1:len($wordsSql)-1], ($wordsSql)[2:len($wordsSql)])," +
       s" x -> x[1] || ' ' || x[2]))"
 
+  /** Per-shingle document-frequency cap: a shingle shared by more than
+    * this many docs within a block is boilerplate — joining it emits
+    * O(df²) pairs, the same blowup minhash's maxBucket guards against.
+    * Dropped shingles still count in the Jaccard DENOMINATOR (set
+    * sizes are taken pre-cap), so capping can only lower a pair's
+    * score, never fabricate a near-dup. */
+  private val maxShingleDf = 50
+
   /** Ext — n-gram (bigram-shingle) Jaccard near-dup pairs, blocked by
     * `source` so the candidate space is per-block, never all-pairs —
     * the standard blocking trick for pairwise similarity at scale.
     * Bigrams keep the shared-shingle join sparse (true near-dups sit
-    * ≈0.97 vs ≈0.12 background on this corpus). */
+    * ≈0.97 vs ≈0.12 background on this corpus), and the shingle-df cap
+    * bounds the per-shingle join fan-out even when the corpus carries
+    * boilerplate (headers, license text) shared by thousands of docs. */
   val qDedupNgram: QuerySpec = QuerySpec(
     "q_dedup_ngram",
     s"""WITH base AS (
        |  SELECT doc_id, source, $shingleSetSql AS sh FROM documents),
-       |ws AS (SELECT doc_id, source, unnest(sh) AS w FROM base),
+       |ws AS (
+       |  SELECT *, count(*) OVER (PARTITION BY source, w) AS df
+       |  FROM (SELECT doc_id, source, unnest(sh) AS w FROM base)),
        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM base),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
        |  FROM ws a JOIN ws b
        |    ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+       |  WHERE a.df <= $maxShingleDf
        |  GROUP BY a.doc_id, b.doc_id)
        |SELECT doc_a, doc_b,
        |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
@@ -339,14 +439,21 @@ object TextOps {
     // size == row count per doc by construction): computing it as a
     // sibling `size(sh)` projection lets CollapseProject push the
     // whole shingle pipeline past the Generate, re-evaluating it per
-    // exploded row — measured 32s instead of <1s at sf0.1
+    // exploded row — measured 32s instead of <1s at sf0.1.
+    // sz must be computed BEFORE the df cap (true set size); the cap
+    // only thins the rows entering the self-join. df is identical on
+    // both sides of an (source, w) match, so one-sided filtering caps
+    // both.
     val ws = LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(shingleSet(col("text"))).as("w"))
       .withColumn("sz",
         count(lit(1)).over(Window.partitionBy("doc_id")))
-    val inter = ws.as("a")
-      .join(ws.as("b"), col("a.source") === col("b.source") &&
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("source", "w")))
+    val capped = ws.filter(col("df") <= maxShingleDf)
+    val inter = capped.as("a")
+      .join(capped.as("b"), col("a.source") === col("b.source") &&
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sza"), col("b.sz").as("szb"))
@@ -361,5 +468,5 @@ object TextOps {
 
   def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
     qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
-    qDedupSimhash, qDedupNgram)
+    qDedupSimhash, qDedupSimhash64, qDedupNgram)
 }

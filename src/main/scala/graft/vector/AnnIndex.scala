@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *    by id) and a fixed iteration count — reproducible across runs,
   *    no RNG. Assignment is a broadcast map-only pass; centroid
   *    update is one groupBy per iteration.
-  *  - search: probes go to their `nprobe` nearest centroids (driver
-  *    computes the tiny probe→cell relation), candidates come from an
-  *    equi-join on cell, exact cosine (codegen'd DotFold) ranks them.
+  *  - search: probes go to their `nprobe` nearest centroids via the
+  *    SAME distributed broadcast-centroid pass used for the corpus
+  *    (nothing is collected to the driver, so probe sets scale like
+  *    any other DataFrame), candidates come from an equi-join on
+  *    cell, exact cosine (codegen'd DotFold) ranks them.
   *
   * At 100 TB: the index table is written partitioned by cell
   * (SpatialWriter-style), so a search touches nprobe/k of the data —
@@ -38,7 +40,7 @@ object AnnIndex {
       .collect().map(_.getSeq[Float](1).toArray)
 
     for (_ <- 1 to iters) {
-      val assigned = assign(spark, v, centroids)
+      val assigned = assign(spark, v, "v", centroids)
       val updated = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -55,18 +57,23 @@ object AnnIndex {
         .map(i => updated.getOrElse(i, centroids(i))).toArray
     }
     val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }
-    (cents, assign(spark, v, centroids)
+    (cents, assign(spark, v, "v", centroids)
       .withColumn("nrm", VectorKernels.norm2(col("v"))))
   }
 
-  /** Map-only nearest-centroid assignment via a broadcast closure. */
-  private def assign(spark: SparkSession, v: DataFrame,
-                     centroids: Array[Array[Float]]): DataFrame = {
+  /** Map-only nearest-centroid assignment via a broadcast closure.
+    * Emits the single best cell per vector (`nbest` = 1, corpus
+    * build) or the `nbest` nearest cells exploded to one row each
+    * (probe routing) — one distributed pass serves both sides, no
+    * driver round-trip. Ties break toward the lower cell id. */
+  private def assign(spark: SparkSession, v: DataFrame, vecCol: String,
+                     centroids: Array[Array[Float]],
+                     nbest: Int = 1): DataFrame = {
+    require(nbest >= 1)
     val bc = spark.sparkContext.broadcast(centroids)
     val nearest = udf { (vec: Seq[Float]) =>
       val cs = bc.value
-      var best = 0
-      var bestSim = Double.MinValue
+      val sims = new Array[Double](cs.length)
       var ci = 0
       while (ci < cs.length) {
         val c = cs(ci)
@@ -79,14 +86,16 @@ object AnnIndex {
           nb += c(i).toDouble * c(i).toDouble
           i += 1
         }
-        val sim = if (na == 0 || nb == 0) -2.0
+        sims(ci) = if (na == 0 || nb == 0) -2.0
           else dot / (math.sqrt(na) * math.sqrt(nb))
-        if (sim > bestSim) { bestSim = sim; best = ci }
         ci += 1
       }
-      best
+      cs.indices.sortBy(c => (-sims(c), c)).take(nbest)
     }
-    v.withColumn("cell", nearest(col("v")))
+    if (nbest == 1)
+      v.withColumn("cell", element_at(nearest(col(vecCol)), 1))
+    else
+      v.withColumn("cell", explode(nearest(col(vecCol))))
   }
 
   /** Top-k cosine search restricted to each probe's nprobe nearest
@@ -96,31 +105,18 @@ object AnnIndex {
              probes: DataFrame, probeIdCol: String, probeVecCol: String,
              topK: Int, nprobe: Int): DataFrame = {
     val spark = assigned.sparkSession
-    import spark.implicits._
     val p = probes.select(col(probeIdCol).as("probe_id"),
       col(probeVecCol).as("pv"))
-    val probeRows = p.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    // tiny probe→cell relation, computed driver-side and broadcast
-    val probeCells = probeRows.flatMap { case (pid, pv) =>
-      centroids.map { case (cell, c) => (pid, cell, cos(pv, c)) }
-        .sortBy { case (_, cell, s) => (-s, cell) }
-        .take(nprobe)
-        .map { case (_, cell, _) => (pid, cell) }
-    }.toSeq.toDF("probe_id", "cell")
-    val probeSide = broadcast(p.join(broadcast(probeCells), "probe_id")
-      .withColumn("pn", VectorKernels.norm2(col("pv"))))
+    // distributed probe→cell routing: same broadcast-centroid pass as
+    // the corpus assignment (centroids arrive ordered by cell id, so
+    // index == cell). The broadcast hint below fits interactive probe
+    // batches; for probe sets too large to broadcast, Catalyst/AQE
+    // falls back to a shuffle join on `cell` if the hint is removed —
+    // nothing here is driver-side either way.
+    val centroidVecs = centroids.sortBy(_._1).map(_._2)
+    val probeSide = broadcast(
+      assign(spark, p, "pv", centroidVecs, nbest = nprobe)
+        .withColumn("pn", VectorKernels.norm2(col("pv"))))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     probeSide.join(assigned, "cell")
