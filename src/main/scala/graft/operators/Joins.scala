@@ -290,7 +290,64 @@ object Joins {
       .orderBy("a_id", "match_rank")
   }
 
+  /** Deterministic sky projection shared by q_xmatch and
+    * q_xmatch_margin (exact integer modular arithmetic → identical in
+    * both engines). */
+  private def skyFrom(df: org.apache.spark.sql.DataFrame, key: String,
+                      id: String, lon: String, lat: String) =
+    df.select(col(key).as(id),
+      ((col(key) * 13) % 3600).cast(DoubleType)./(10.0).as(lon),
+      (((col(key) * 7) % 600).cast(DoubleType) / 10.0 - 30.0).as(lat))
+
+  private val xmatchCapLat = 31.0 // data lies in |lat| ≤ 30
+
+  /** Write-once margin cache of the supplier sky catalog (the
+    * `SpatialWriter.write(margin=…)` product q_xmatch_margin consumes).
+    * Keyed by sf dir; contents are deterministic, so reuse across
+    * Verify/Bench runs in one JVM — and across queries — is exactly
+    * the write-once/query-many economics the cache exists for. */
+  def ensureXmatchMarginCache(s: org.apache.spark.sql.SparkSession,
+                              dir: String): (String, Int) = synchronized {
+    val level = graft.spatial.CrossMatch.levelFor(1.0, xmatchCapLat)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_margin_cache_" +
+      s"${math.abs(dir.hashCode)}_l$level"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val b = skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+        "b_id", "b_lon", "b_lat")
+      graft.sources.SpatialWriter.write(b, "b_lon", "b_lat", level, path,
+        margin = Some(1.0))
+    }
+    (path, level)
+  }
+
+  /** J6b — the same cross-match as q_xmatch, but consuming the
+    * WRITE-TIME neighbor-margin cache (LSD's signature storage trick;
+    * SURVEY.md §1.1 "Neighbor/margin cache", UNVERIFIED): B's 9-cell
+    * replication happened once in `SpatialWriter.write(margin=…)`, so
+    * the query joins A's home cell straight against the stored
+    * replicas — no query-time explode, no 9× shuffle amplification of
+    * the probe side. Same oracle relation as q_xmatch (the cache is a
+    * physical layout choice, not a semantic one). */
+  val qXmatchMargin: QuerySpec = QuerySpec(
+    "q_xmatch_margin",
+    qXmatch.oracle.get) { (s, dir) =>
+    val (path, level) = ensureXmatchMarginCache(s, dir)
+    val a = skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+      "a_id", "a_lon", "a_lat")
+    val bM = graft.sources.SpatialWriter.readWithMargins(s, path)
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    graft.spatial.CrossMatch
+      .allPairsPreMargined(a, bM, "a_id", "a_lon", "a_lat",
+        "b_id", "b_lon", "b_lat", 1.0, level, capLat = xmatchCapLat)
+      .withColumn("dist_deg", Det.d6(col("dist_deg")))
+      .filter(col("dist_deg") <= 0.95)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= 2)
+      .orderBy("a_id", "match_rank")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
     qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq,
-    qXmatch)
+    qXmatch, qXmatchMargin)
 }

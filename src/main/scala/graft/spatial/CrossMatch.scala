@@ -122,20 +122,96 @@ object CrossMatch {
         explode(SkyPix.neighborCells(col("b_lon"), col("b_lat"), level)))
     val cellPairs = aCells.join(bCells, "cell").drop("cell")
 
-    // channel 2: pairs with at least one side ABOVE the cap, matched
-    // via broadcast. The strict >capLat requirement makes the two
-    // channels disjoint (channel 1 requires both sides ≤ capLat), so
-    // no dedup pass is needed — a dropDuplicates over the candidate
-    // set was the dominant shuffle at the multi-million-row scale.
+    cellPairs.unionByName(capChannel(aSel, bSel, radiusDeg, capLat))
+      .transform(refine(radiusDeg))
+  }
+
+  /** Cross-match consuming a write-time margin cache — LSD's signature
+    * storage trick. B must come from `SpatialWriter.write(margin =
+    * Some(r), level)` read back WITH margins: each B row was already
+    * replicated into its 9-cell neighborhood at write time (columns
+    * `cell`, `is_margin`), so the query is a plain equi-join of A's
+    * home cell against B's stored cell — NO query-time explode, which
+    * at 100 TB removes a 9× row amplification (and its shuffle write)
+    * from every query against the catalog.
+    *
+    * @param bMargined margin-cache dataset with bId/bLon/bLat plus
+    *   `cell` (write-time partition column) and `is_margin`
+    * @param level the SkyPix level the cache was WRITTEN at; must be
+    *   ≤ levelFor(radiusDeg, capLat) or neighbor closure fails
+    * @return columns: a_id, b_id, dist_deg, match_rank (1 = nearest)
+    */
+  def applyPreMargined(a: DataFrame, bMargined: DataFrame,
+                       aId: String, aLon: String, aLat: String,
+                       bId: String, bLon: String, bLat: String,
+                       radiusDeg: Double, nmax: Int, level: Int,
+                       capLat: Double = CapLat): DataFrame = {
+    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    allPairsPreMargined(a, bMargined, aId, aLon, aLat, bId, bLon, bLat,
+      radiusDeg, level, capLat)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= nmax)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+  }
+
+  /** All-pairs form of [[applyPreMargined]] (columns a_id, b_id,
+    * dist_deg). */
+  def allPairsPreMargined(a: DataFrame, bMargined: DataFrame,
+                          aId: String, aLon: String, aLat: String,
+                          bId: String, bLon: String, bLat: String,
+                          radiusDeg: Double, level: Int,
+                          capLat: Double = CapLat): DataFrame = {
+    require(radiusDeg > 0 && radiusDeg <= 1.0,
+      s"radiusDeg must be in (0, 1], got $radiusDeg")
+    require(capLat >= radiusDeg && capLat <= CapLat,
+      s"capLat must be in [$radiusDeg (radiusDeg), $CapLat], got $capLat")
+    require(level <= levelFor(radiusDeg, capLat),
+      s"margin cache written at level $level is too fine for radius " +
+        s"$radiusDeg below lat $capLat (max ${levelFor(radiusDeg, capLat)})")
+
+    val aSel = a.select(col(aId).as("a_id"), col(aLon).as("a_lon"),
+      col(aLat).as("a_lat"))
+    // channel 1: A's home cell against the stored replicas (primaries
+    // + margins). The B-side explode already happened at write time.
+    val aCells = aSel.filter(abs(col("a_lat")) <= capLat)
+      .withColumn("cell", SkyPix.cell(col("a_lon"), col("a_lat"), level))
+    val bCells = bMargined
+      .select(col(bId).as("b_id"), col(bLon).as("b_lon"),
+        col(bLat).as("b_lat"), col("cell"))
+      .filter(abs(col("b_lat")) <= capLat)
+    val cellPairs = aCells.join(bCells, "cell").drop("cell")
+
+    // channel 2 probes PRIMARY rows only (margin replicas would
+    // duplicate cap pairs)
+    val bPrim = bMargined.filter(!col("is_margin"))
+      .select(col(bId).as("b_id"), col(bLon).as("b_lon"),
+        col(bLat).as("b_lat"))
+    cellPairs.unionByName(capChannel(aSel, bPrim, radiusDeg, capLat))
+      .transform(refine(radiusDeg))
+  }
+
+  /** Polar-cap channel: pairs with at least one side ABOVE the cap,
+    * matched via broadcast. The strict >capLat requirement makes the
+    * two channels disjoint (the cell channel requires both sides ≤
+    * capLat), so no dedup pass is needed — a dropDuplicates over the
+    * candidate set was the dominant shuffle at the multi-million-row
+    * scale. */
+  private def capChannel(aSel: DataFrame, bSel: DataFrame,
+                         radiusDeg: Double, capLat: Double): DataFrame = {
     val capEdge = capLat - radiusDeg
     val aCap = aSel.filter(abs(col("a_lat")) > capEdge)
     val bCap = bSel.filter(abs(col("b_lat")) > capEdge)
-    val capPairs = aCap.crossJoin(broadcast(bCap))
+    aCap.crossJoin(broadcast(bCap))
       .filter(abs(col("a_lat")) > capLat || abs(col("b_lat")) > capLat)
       // only pair within the same hemisphere's cap neighborhood
       .filter(signum(col("a_lat")) === signum(col("b_lat")))
+  }
 
-    cellPairs.unionByName(capPairs)
+  /** Exact-distance refinement over a candidate relation. */
+  private def refine(radiusDeg: Double)(cand: DataFrame): DataFrame =
+    cand
       // lossless prefilter: great-circle distance ≥ |Δlat|, so this
       // culls most candidates before the trig-heavy haversine
       .filter(abs(col("a_lat") - col("b_lat")) <= radiusDeg)
@@ -143,5 +219,4 @@ object CrossMatch {
         distDeg(col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat")))
       .filter(col("dist_deg") <= radiusDeg)
       .select("a_id", "b_id", "dist_deg")
-  }
 }

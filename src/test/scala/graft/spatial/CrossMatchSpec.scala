@@ -74,6 +74,25 @@ class CrossMatchSpec extends SpecBase {
       "obj_id", "lon", "lat", 0.1, 1).count() == 0)
   }
 
+  test("pre-margined cache path matches brute force (incl. polar caps)") {
+    val radius = 0.05
+    val level = CrossMatch.levelFor(radius)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_margin_$level"
+    graft.sources.SpatialWriter.write(objDf, "lon", "lat", level, path,
+      margin = Some(radius))
+    val bM = graft.sources.SpatialWriter.readWithMargins(spark, path)
+    val got = CrossMatch.applyPreMargined(detDf, bM, "det_id", "lon", "lat",
+      "obj_id", "lon", "lat", radius, 3, level)
+      .select("a_id", "b_id", "match_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute(radius, 3))
+    // a coarser-than-written level must be rejected (closure violated)
+    intercept[IllegalArgumentException] {
+      CrossMatch.applyPreMargined(detDf, bM, "det_id", "lon", "lat",
+        "obj_id", "lon", "lat", 0.9, 1, level)
+    }
+  }
+
   test("radius validation") {
     intercept[IllegalArgumentException] {
       CrossMatch(detDf, objDf, "det_id", "lon", "lat",
