@@ -45,6 +45,39 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** Write-once time-partitioned copy of `events` (TimeWriter layout:
+    * day buckets as directory partitions). Deterministic content, so
+    * one materialization serves every Verify/Bench run in a JVM. */
+  def ensureTimePartitionedEvents(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_events_daily_" +
+      math.abs(dir.hashCode).toString
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      graft.sources.TimeWriter.write(LsdDb.table(s, dir, "events"), "ts",
+        "day", path)
+    path
+  }
+
+  /** SC2b — DIRECTORY-level partition pruning (not just row-group
+    * min/max): the same time footprint as q_pruned_scan, but against a
+    * TimeWriter day-bucketed layout, so the `t_bucket` predicate
+    * becomes `PartitionFilters` and untouched days are never opened —
+    * the full analog of LSD's bounds∩quadtree cell pruning.
+    * PlanQualitySpec pins the PartitionFilters entry. */
+  val qPartitionPrune: QuerySpec = QuerySpec(
+    "q_partition_prune",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 00:00:00'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val path = ensureTimePartitionedEvents(s, dir)
+    graft.sources.TimeWriter.readRange(s, path, "ts", "day",
+      "2024-01-10 00:00:00", "2024-01-15 00:00:00")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** SC3 — bulk import: CSV round-trip of the lossless column subset
     * (ints + strings survive text serialization exactly). Models the
     * reference's `lsd-import` text path. */
@@ -273,6 +306,7 @@ object Core {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qImportCsv, qProject,
-    qFilter, qMath, qCase, qString, qDatetime, qArray, qArrayOps, qJson)
+  def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
+    qImportCsv, qProject, qFilter, qMath, qCase, qString, qDatetime, qArray,
+    qArrayOps, qJson)
 }

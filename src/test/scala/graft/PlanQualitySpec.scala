@@ -93,4 +93,15 @@ class PlanQualitySpec extends SpecBase {
       plan.contains("GreaterThanOrEqual(ts"),
       s"ts range must be pushed:\n${plan.linesIterator.filter(_.contains("Pushed")).mkString("\n")}")
   }
+
+  test("q_partition_prune gets DIRECTORY-level PartitionFilters on t_bucket") {
+    val plan = planOf(Core.qPartitionPrune.fn(spark, sfDir))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("t_bucket"),
+      s"t_bucket range must prune directories, not just rows:\n$pf")
+    // the exact ts predicate must ALSO reach the row-group reader
+    assert(plan.contains("GreaterThanOrEqual(ts") ||
+      plan.contains("PushedFilters: [IsNotNull(ts)"), "ts pushdown lost")
+  }
 }

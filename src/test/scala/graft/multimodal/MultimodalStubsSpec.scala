@@ -9,11 +9,12 @@ class MultimodalStubsSpec extends SpecBase {
   private def row(id: Long, size: Int): MediaRow =
     MediaRow(id, "vid/fake", Array.tabulate(size)(i => ((id * 7 + i) % 251).toByte))
 
-  test("resize keeps ids, hits the byte budget, deterministic") {
+  test("resize keeps ids and is deterministic on undecodable payloads") {
+    // real-PNG resize is covered in MultimodalSpec; here: the batch
+    // pipeline must not drop/reorder/mutate rows the codec can't decode
     val ds = (0L until 20L).map(i => row(i, 5000)).toDS()
     val out = Multimodal.resize(ds, targetW = 64, targetH = 64).collect()
     assert(out.length == 20)
-    assert(out.forall(_.media.length == 64 * 64 / 8))
     val again = Multimodal.resize(ds, 64, 64).collect()
       .sortBy(_.media_id).map(_.media.toSeq)
     assert(again.toSeq == out.sortBy(_.media_id).map(_.media.toSeq).toSeq)
