@@ -347,7 +347,69 @@ object Joins {
       .orderBy("a_id", "match_rank")
   }
 
+  /** Non-convex L-shaped spherical polygon for q_footprint_polygon.
+    * Off-grid vertex decimals keep every great-circle edge far
+    * (>> 1e-6 deg) from the 0.1-deg synthetic sky grid, so the
+    * engines' few-ulp libm differences can never flip a row across
+    * the boundary. */
+  private val polyVerts = Seq(
+    (100.0037, -25.0041), (140.0093, -25.0077), (140.0041, 0.0067),
+    (120.0031, 0.0013), (120.0089, 20.0091), (100.0011, 20.0047))
+
+  /** DuckDB twin of Footprint.polygon: the same gnomonic frame
+    * constants (shortest-round-trip double literals parse back to the
+    * identical IEEE value) and the same even-odd parity chain, term
+    * for term, in the same evaluation order. */
+  private def polygonOracleSql(vertices: Seq[(Double, Double)]): String = {
+    val f = graft.spatial.Footprint.frameConstants(vertices)
+    def lit(d: Double): String = {
+      val s = java.lang.Double.toString(d)
+      if (d < 0) s"($s)" else s
+    }
+    val dExpr = s"x*${lit(f.cx)} + y*${lit(f.cy)} + z*${lit(f.cz)}"
+    val parity = f.vx.indices.foldLeft("FALSE") { (acc, i) =>
+      val j = (i + 1) % f.vx.length
+      val (xi, yi, xj, yj) = (f.vx(i), f.vy(i), f.vx(j), f.vy(j))
+      if (yi == yj) acc
+      else {
+        val slope = (xj - xi) / (yj - yi)
+        s"($acc <> (((${lit(yi)} > gy) <> (${lit(yj)} > gy)) AND " +
+          s"(gx < ${lit(xi)} + ${lit(slope)} * (gy - ${lit(yi)}))))"
+      }
+    }
+    s"""WITH c AS (SELECT c_custkey AS id,
+       |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+       |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+       |  FROM customer),
+       |g AS (SELECT id, lon, lat,
+       |    cos(radians(lat)) * cos(radians(lon)) AS x,
+       |    cos(radians(lat)) * sin(radians(lon)) AS y,
+       |    sin(radians(lat)) AS z FROM c),
+       |p AS (SELECT id, lon, lat, $dExpr AS d,
+       |    (x*${lit(f.ex)} + y*${lit(f.ey)}) / ($dExpr) AS gx,
+       |    (x*${lit(f.nx)} + y*${lit(f.ny)} + z*${lit(f.nz)}) / ($dExpr) AS gy
+       |  FROM g)
+       |SELECT id, lon, lat FROM p WHERE d > 0 AND $parity
+       |ORDER BY id""".stripMargin
+  }
+
+  /** SC2c/P10b — spatial footprint as a first-class query: exact
+    * spherical point-in-polygon (great-circle edges, non-convex OK)
+    * over the deterministic sky projection. The predicate is a pure
+    * constant-folded expression tree (Footprint.polygon), so it
+    * whole-stage-codegens and would push straight onto a
+    * SpatialWriter layout's scan + polygonCells directory pruning at
+    * scale. */
+  val qFootprintPolygon: QuerySpec = QuerySpec(
+    "q_footprint_polygon",
+    polygonOracleSql(polyVerts)) { (s, dir) =>
+    skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey", "id", "lon", "lat")
+      .filter(graft.spatial.Footprint.polygon(col("lon"), col("lat"),
+        polyVerts))
+      .orderBy("id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
     qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq,
-    qXmatch, qXmatchMargin)
+    qXmatch, qXmatchMargin, qFootprintPolygon)
 }

@@ -75,6 +75,192 @@ object Footprint {
     cells.result().distinct
   }
 
+  // ---- Spherical polygon bounds (great-circle edges) ----
+
+  /** Precomputed gnomonic frame: unit centroid `c`, local east/north
+    * basis, and the projected vertex coordinates. Gnomonic projection
+    * about `c` maps every great circle to a straight line, so planar
+    * even-odd ray crossing in this plane IS spherical point-in-polygon
+    * (with great-circle edges) for polygons inside the open hemisphere
+    * around `c` — no small-angle approximation involved. */
+  private[graft] final case class PolyFrame(
+      cx: Double, cy: Double, cz: Double,
+      ex: Double, ey: Double, // east (z component is 0 by construction)
+      nx: Double, ny: Double, nz: Double,
+      vx: Array[Double], vy: Array[Double],
+      lonCDeg: Double)
+
+  private def unitVec(lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val lon = math.toRadians(lonDeg)
+    val lat = math.toRadians(latDeg)
+    (math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon),
+      math.sin(lat))
+  }
+
+  /** Frame constants for oracle-SQL generation (the DuckDB twin of
+    * [[polygon]] must be built from the SAME projected constants). */
+  private[graft] def frameConstants(vertices: Seq[(Double, Double)]): PolyFrame =
+    frameOf(vertices)
+
+  private def frameOf(vertices: Seq[(Double, Double)]): PolyFrame = {
+    require(vertices.size >= 3,
+      s"polygon needs >= 3 vertices, got ${vertices.size}")
+    val vs = vertices.map { case (lon, lat) => unitVec(lon, lat) }
+    val (sx, sy, sz) = vs.foldLeft((0.0, 0.0, 0.0)) {
+      case ((ax, ay, az), (x, y, z)) => (ax + x, ay + y, az + z)
+    }
+    val norm = math.sqrt(sx * sx + sy * sy + sz * sz)
+    require(norm > 1e-9, "degenerate polygon: vertices cancel out")
+    val (cx, cy, cz) = (sx / norm, sy / norm, sz / norm)
+    val lonC = math.atan2(cy, cx)
+    val latC = math.asin(math.max(-1, math.min(1, cz)))
+    val (ex, ey) = (-math.sin(lonC), math.cos(lonC))
+    val (nx, ny, nz) = (-math.sin(latC) * math.cos(lonC),
+      -math.sin(latC) * math.sin(lonC), math.cos(latC))
+    val px = new Array[Double](vs.size)
+    val py = new Array[Double](vs.size)
+    vs.zipWithIndex.foreach { case ((x, y, z), i) =>
+      val d = x * cx + y * cy + z * cz
+      require(d > 1e-6,
+        "polygon must fit in the open hemisphere around its centroid " +
+          s"(vertex $i is >= 90 deg away)")
+      px(i) = (x * ex + y * ey) / d
+      py(i) = (x * nx + y * ny + z * nz) / d
+    }
+    PolyFrame(cx, cy, cz, ex, ey, nx, ny, nz, px, py, math.toDegrees(lonC))
+  }
+
+  private def containsInFrame(f: PolyFrame, lonDeg: Double,
+                              latDeg: Double): Boolean = {
+    val (x, y, z) = unitVec(lonDeg, latDeg)
+    val d = x * f.cx + y * f.cy + z * f.cz
+    if (d <= 0) return false // beyond the hemisphere: outside
+    val gx = (x * f.ex + y * f.ey) / d
+    val gy = (x * f.nx + y * f.ny + z * f.nz) / d
+    var inside = false
+    val k = f.vx.length
+    var i = 0
+    while (i < k) {
+      val j = (i + 1) % k
+      val (xi, yi, xj, yj) = (f.vx(i), f.vy(i), f.vx(j), f.vy(j))
+      if ((yi > gy) != (yj > gy) &&
+        gx < xi + (xj - xi) * (gy - yi) / (yj - yi)) inside = !inside
+      i += 1
+    }
+    inside
+  }
+
+  /** Exact spherical point-in-polygon predicate. `vertices` are
+    * (lonDeg, latDeg) in boundary order (either winding,
+    * non-self-intersecting, edges = great-circle arcs, polygon
+    * contained in the open hemisphere around its vertex centroid —
+    * validated). Compiles to a constant-folded arithmetic expression
+    * tree (one term per non-horizontal edge), so it stays inside
+    * whole-stage codegen and pushes to the scan like cone/rect. */
+  def polygon(lonCol: Column, latCol: Column,
+              vertices: Seq[(Double, Double)]): Column = {
+    val f = frameOf(vertices)
+    val lat = radians(latCol)
+    val lon = radians(lonCol)
+    val x = cos(lat) * cos(lon)
+    val y = cos(lat) * sin(lon)
+    val z = sin(lat)
+    val d = x * f.cx + y * f.cy + z * f.cz
+    val gx = (x * f.ex + y * f.ey) / d
+    val gy = (x * f.nx + y * f.ny + z * f.nz) / d
+    val k = f.vx.length
+    val parity = (0 until k).foldLeft(lit(false)) { (acc, i) =>
+      val j = (i + 1) % k
+      val (xi, yi, xj, yj) = (f.vx(i), f.vy(i), f.vx(j), f.vy(j))
+      if (yi == yj) acc // horizontal edge: never crossed by the +x ray test
+      else {
+        val slope = (xj - xi) / (yj - yi)
+        val crosses = (lit(yi) > gy) =!= (lit(yj) > gy)
+        val leftOf = gx < lit(xi) + lit(slope) * (gy - lit(yi))
+        acc =!= (crosses && leftOf)
+      }
+    }
+    d > 0.0 && parity
+  }
+
+  /** Driver-side twin of [[polygon]] (same frame, same arithmetic). */
+  def polygonContains(vertices: Seq[(Double, Double)])(
+      lonDeg: Double, latDeg: Double): Boolean =
+    containsInFrame(frameOf(vertices), lonDeg, latDeg)
+
+  /** Cells at `level` intersecting the polygon: a conservative
+    * superset via densely-sampled boundary extents (the interior's
+    * lon/lat range is contained in the boundary's — every meridian
+    * through an interior point crosses the boundary), with explicit
+    * pole-containment handling. Pair with [[polygon]] the same way
+    * `coneCells` pairs with `cone`. */
+  def polygonCells(vertices: Seq[(Double, Double)], level: Int,
+                   samplesPerEdge: Int = 64): Seq[Long] = {
+    require(samplesPerEdge >= 2, "samplesPerEdge must be >= 2")
+    val f = frameOf(vertices)
+    val vs = vertices.map { case (lon, lat) => unitVec(lon, lat) }
+    val k = vs.size
+    // boundary samples: slerp along each great-circle edge
+    val samples = Seq.newBuilder[(Double, Double)]
+    var maxStepDeg = 0.0
+    for (i <- 0 until k) {
+      val (x1, y1, z1) = vs(i)
+      val (x2, y2, z2) = vs((i + 1) % k)
+      val dot = math.max(-1, math.min(1, x1 * x2 + y1 * y2 + z1 * z2))
+      val omega = math.acos(dot)
+      maxStepDeg = math.max(maxStepDeg,
+        math.toDegrees(omega) / samplesPerEdge)
+      for (s <- 0 until samplesPerEdge) {
+        val t = s.toDouble / samplesPerEdge
+        val (w1, w2) =
+          if (omega < 1e-9) (1 - t, t)
+          else (math.sin((1 - t) * omega) / math.sin(omega),
+            math.sin(t * omega) / math.sin(omega))
+        val (x, y, z) = (w1 * x1 + w2 * x2, w1 * y1 + w2 * y2,
+          w1 * z1 + w2 * z2)
+        val r = math.sqrt(x * x + y * y + z * z)
+        samples += ((math.toDegrees(math.atan2(y, x)),
+          math.toDegrees(math.asin(math.max(-1, math.min(1, z / r))))))
+      }
+    }
+    val pts = samples.result()
+    val pad = maxStepDeg // sagitta between samples is < one step
+    val northIn = containsInFrame(f, 0.0, 90.0)
+    val southIn = containsInFrame(f, 0.0, -90.0)
+    val latLo = if (southIn) -90.0 else pts.map(_._2).min - pad
+    val latHi = if (northIn) 90.0 else pts.map(_._2).max + pad
+    // lon extent as offsets from the centroid meridian, wrap-safe
+    def off(lon: Double): Double = {
+      val d = (lon - f.lonCDeg) % 360
+      if (d > 180) d - 360 else if (d <= -180) d + 360 else d
+    }
+    val offs = pts.map(p => off(p._1))
+    val (offLo, offHi) = (offs.min, offs.max)
+    val allLons = northIn || southIn || (offHi - offLo) >= 360 - 1e-9
+    val n = 1L << level
+    def iyOf(lat: Double): Long = {
+      val fy = (math.sin(math.toRadians(math.max(-90, math.min(90, lat)))) + 1) / 2
+      math.min((fy * n).toLong, n - 1).max(0)
+    }
+    val cells = Seq.newBuilder[Long]
+    for (iy <- iyOf(latLo) to iyOf(latHi)) {
+      val rowLatMax = math.max(math.abs(latOfRowEdge(iy, n)),
+        math.abs(latOfRowEdge(iy + 1, n)))
+      val cosMin = math.cos(math.toRadians(math.min(89.999, rowLatMax)))
+      val centerLon = f.lonCDeg + (offLo + offHi) / 2
+      val halfSpanDeg = (offHi - offLo) / 2 + pad / cosMin
+      val halfWidthCells = halfSpanDeg / (360.0 / n) + 1
+      if (allLons || rowLatMax >= 89.9 || 2 * halfWidthCells + 1 >= n) {
+        for (ix <- 0L until n) cells += pack(ix, iy, level)
+      } else {
+        val ix0 = math.floor((((centerLon % 360) + 360) % 360) / 360.0 * n).toLong
+        for (d <- -halfWidthCells.toLong to halfWidthCells.toLong)
+          cells += pack(((ix0 + d) % n + n) % n, iy, level)
+      }
+    }
+    cells.result().distinct
+  }
+
   private def latOfRowEdge(iy: Long, n: Long): Double = {
     val sinLat = 2.0 * iy / n - 1.0
     math.toDegrees(math.asin(math.max(-1, math.min(1, sinLat))))

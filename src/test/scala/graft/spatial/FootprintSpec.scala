@@ -48,6 +48,117 @@ class FootprintSpec extends SpecBase {
     }
   }
 
+  // Non-convex L-shape near (10, 0), ~2 deg across. Small enough that
+  // great-circle edges deviate from planar lon/lat edges by < 1e-3 deg,
+  // so a planar even-odd test on lon/lat is a valid oracle for points
+  // kept > 0.05 deg away from every edge.
+  private val lShape = Seq(
+    (9.0, -1.0), (11.0, -1.0), (11.0, 0.0), (10.0, 0.0),
+    (10.0, 1.0), (9.0, 1.0))
+
+  private def planarInside(vs: Seq[(Double, Double)], lon: Double,
+                           lat: Double): Boolean = {
+    var in = false
+    for (i <- vs.indices) {
+      val (xi, yi) = vs(i)
+      val (xj, yj) = vs((i + 1) % vs.size)
+      if ((yi > lat) != (yj > lat) &&
+        lon < xi + (xj - xi) * (lat - yi) / (yj - yi)) in = !in
+    }
+    in
+  }
+
+  private def edgeDist(vs: Seq[(Double, Double)], lon: Double,
+                       lat: Double): Double =
+    vs.indices.map { i =>
+      val (xi, yi) = vs(i)
+      val (xj, yj) = vs((i + 1) % vs.size)
+      val (dx, dy) = (xj - xi, yj - yi)
+      val t = math.max(0, math.min(1,
+        ((lon - xi) * dx + (lat - yi) * dy) / (dx * dx + dy * dy)))
+      math.hypot(lon - (xi + t * dx), lat - (yi + t * dy))
+    }.min
+
+  test("polygon predicate matches a planar oracle on a non-convex L-shape") {
+    val pts = (0 until 4000).map { _ =>
+      (8.5 + rnd.nextDouble() * 3, -1.5 + rnd.nextDouble() * 3)
+    }.filter { case (lo, la) => edgeDist(lShape, lo, la) > 0.05 }
+    assert(pts.size > 3000)
+    val got = pts.toDF("lon", "lat")
+      .filter(Footprint.polygon(col("lon"), col("lat"), lShape))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val want = pts.filter { case (lo, la) => planarInside(lShape, lo, la) }.toSet
+    assert(want.nonEmpty && want.size < pts.size)
+    assert(got == want)
+    // driver-side twin agrees everywhere
+    assert(pts.forall { case (lo, la) =>
+      Footprint.polygonContains(lShape)(lo, la) == want((lo, la)) })
+  }
+
+  test("inscribed 64-gon converges to the cone predicate") {
+    val (lon0, lat0, r) = (200.0, -35.0, 6.0)
+    // vertices on the circle of radius r around (lon0, lat0)
+    val verts = (0 until 64).map { i =>
+      val th = 2 * math.Pi * i / 64
+      val lat = math.toDegrees(math.asin(
+        math.sin(math.toRadians(lat0)) * math.cos(math.toRadians(r)) +
+          math.cos(math.toRadians(lat0)) * math.sin(math.toRadians(r)) *
+            math.cos(th)))
+      val dlon = math.atan2(
+        math.sin(th) * math.sin(math.toRadians(r)) *
+          math.cos(math.toRadians(lat0)),
+        math.cos(math.toRadians(r)) -
+          math.sin(math.toRadians(lat0)) * math.sin(math.toRadians(lat)))
+      (lon0 + math.toDegrees(dlon), lat)
+    }
+    val withD = cat.withColumn("d",
+      CrossMatch.distDeg(col("lon"), col("lat"), lit(lon0), lit(lat0)))
+    val in = withD.filter(col("d") < r * 0.99)
+    val out = withD.filter(col("d") > r * 1.01)
+    val poly = Footprint.polygon(col("lon"), col("lat"), verts)
+    assert(in.count() > 0)
+    assert(in.filter(!poly).count() == 0, "inside the shrunk cone ⇒ inside")
+    assert(out.filter(poly).count() == 0, "outside the grown cone ⇒ outside")
+  }
+
+  test("polygonCells is a superset of the cells of contained points") {
+    for ((verts, level) <- Seq((lShape, 6),
+      (Seq((350.0, -5.0), (15.0, -8.0), (12.0, 10.0), (355.0, 6.0)), 5))) {
+      val cells = Footprint.polygonCells(verts, level).toSet
+      val pointCells = cat
+        .filter(Footprint.polygon(col("lon"), col("lat"), verts))
+        .select(SkyPix.cell(col("lon"), col("lat"), level))
+        .collect().map(_.getLong(0)).toSet
+      assert(pointCells.subsetOf(cells),
+        s"polygon@$level: missing ${pointCells -- cells}")
+      assert(cells.size < (1 << (2 * level)), "enumeration must prune")
+    }
+  }
+
+  test("pole-containing polygon: predicate and cells handle all lons") {
+    val capSquare = Seq((0.0, 80.0), (90.0, 80.0), (180.0, 80.0), (270.0, 80.0))
+    assert(Footprint.polygonContains(capSquare)(123.4, 87.0))
+    assert(!Footprint.polygonContains(capSquare)(50.0, 70.0))
+    val level = 4
+    val cells = Footprint.polygonCells(capSquare, level).toSet
+    val pointCells = cat
+      .filter(Footprint.polygon(col("lon"), col("lat"), capSquare))
+      .select(SkyPix.cell(col("lon"), col("lat"), level))
+      .collect().map(_.getLong(0)).toSet
+    assert(pointCells.nonEmpty && pointCells.subsetOf(cells))
+  }
+
+  test("polygon rejects hemisphere-spanning and degenerate input") {
+    intercept[IllegalArgumentException] {
+      Footprint.polygon(col("lon"), col("lat"), Seq((0.0, 0.0), (10.0, 0.0)))
+    }
+    intercept[IllegalArgumentException] {
+      // vertex 100 deg from the centroid of this sliver
+      Footprint.polygon(col("lon"), col("lat"),
+        Seq((0.0, 80.0), (180.0, 80.0), (0.0, -80.0)))
+    }
+  }
+
   test("cell pruning + exact predicate ≡ exact predicate alone") {
     val path = Files.createTempDirectory("graft_fp").toString + "/cat"
     SpatialWriter.write(cat, "lon", "lat", level = 4, path = path)
