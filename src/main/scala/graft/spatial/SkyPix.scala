@@ -73,6 +73,39 @@ object SkyPix {
     array_distinct(filter(array(cells: _*), c => c.isNotNull))
   }
 
+  /** Packed row id — the engine's `_ID` pseudo-column (the
+    * reference's packed object id: cell bits ‖ row-within-cell;
+    * SURVEY.md §2B P8, ref `lsd/table.py` id assignment, UNVERIFIED).
+    * Layout: (level << 58) | (morton << rowBits) | row, so ids sort
+    * by cell (spatial locality) and `idCell` recovers the exact
+    * SkyPix cell id without a lookup. Overflow of either the morton
+    * bits (2·level + rowBits > 58) or the row counter raises at
+    * runtime rather than corrupting ids. */
+  def packId(cellCol: Column, rowCol: Column, rowBits: Int = 24): Column = {
+    require(rowBits >= 1 && rowBits <= 40, s"rowBits $rowBits out of range")
+    val mask58 = (1L << 58) - 1
+    val level = shiftright(cellCol, 58)
+    val morton = cellCol.bitwiseAND(lit(mask58))
+    val packed = shiftleft(level, 58)
+      .bitwiseOR(shiftleft(morton, rowBits))
+      .bitwiseOR(rowCol)
+    when(rowCol >= 0 && rowCol < (1L << rowBits) &&
+      morton < (1L << (58 - rowBits)), packed)
+      .otherwise(raise_error(concat(lit("packId overflow: row="), rowCol,
+        lit(s" rowBits=$rowBits cell="), cellCol)))
+  }
+
+  /** Recover the SkyPix cell id from a packed `_ID`. */
+  def idCell(idCol: Column, rowBits: Int = 24): Column = {
+    val mask58 = (1L << 58) - 1
+    shiftleft(shiftright(idCol, 58), 58)
+      .bitwiseOR(shiftright(idCol.bitwiseAND(lit(mask58)), rowBits))
+  }
+
+  /** Recover the row-within-cell counter from a packed `_ID`. */
+  def idRow(idCol: Column, rowBits: Int = 24): Column =
+    idCol.bitwiseAND(lit((1L << rowBits) - 1))
+
   /** Scala-side twin for tests / driver-side checks. */
   def cellId(lonDeg: Double, latDeg: Double, level: Int): Long = {
     val nCells = 1L << level
