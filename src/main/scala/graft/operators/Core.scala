@@ -50,9 +50,9 @@ object Core {
     * one materialization serves every Verify/Bench run in a JVM. */
   def ensureTimePartitionedEvents(s: org.apache.spark.sql.SparkSession,
                                   dir: String): String = synchronized {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_events_daily_" +
-      math.abs(dir.hashCode).toString
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    val path = graft.sources.CacheKeys.path(
+      "graft_events_daily", s"$dir/events.parquet")
+    if (!graft.sources.CacheKeys.isComplete(path))
       graft.sources.TimeWriter.write(LsdDb.table(s, dir, "events"), "ts",
         "day", path)
     path

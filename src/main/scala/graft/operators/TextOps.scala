@@ -289,9 +289,15 @@ object TextOps {
       .reduce(_ + _)
     val hashed = sums.select(col("doc_id"),
       assemble.cast(LongType).as("simhash"))
-    hashed
-      .select(col("doc_id"), col("simhash"),
-        count(lit(1)).over(Window.partitionBy("simhash")).as("n_similar"))
+    // bucket sizes via groupBy + join, NOT `count() OVER (PARTITION BY
+    // simhash)`: a 16-bit signature space has at most 65,536 buckets,
+    // so at corpus scale a global window materializes million-row
+    // partitions per bucket; the partial-aggregated groupBy moves one
+    // row per bucket and the join broadcasts. Same output either way.
+    val bucketSizes = hashed.groupBy("simhash")
+      .agg(count(lit(1)).as("n_similar"))
+    hashed.join(bucketSizes, "simhash")
+      .select("doc_id", "simhash", "n_similar")
       .orderBy("doc_id")
   }
 

@@ -17,40 +17,69 @@ import org.apache.spark.sql.functions._
   */
 object SpatialWriter {
 
-  /** Write `df` partitioned by SkyPix cell of (lonCol, latCol).
+  /** `df` + `cell` (home SkyPix cell) + `is_margin`; with `margin`,
+    * each row is additionally replicated into every neighbor cell
+    * whose boundary lies within marginDeg of the row — the
+    * boundary-STRIP replication (SkyPix.neighborCellsWithin), not a
+    * flat 9-cell copy: storage amplification is 1 + strip fraction
+    * (~1.1–1.5× for margin ≪ cell) instead of 9×. */
+  private def withCellColumns(df: DataFrame, lonCol: String, latCol: String,
+                              level: Int, margin: Option[Double]): DataFrame =
+    margin match {
+      case None =>
+        df.withColumn("cell", SkyPix.cell(col(lonCol), col(latCol), level))
+          .withColumn("is_margin", lit(false))
+      case Some(m) =>
+        df.withColumn("home_cell", SkyPix.cell(col(lonCol), col(latCol), level))
+          .withColumn("cell", explode(
+            SkyPix.neighborCellsWithin(col(lonCol), col(latCol), level, m)))
+          .withColumn("is_margin", col("cell") =!= col("home_cell"))
+          .drop("home_cell")
+    }
+
+  /** Write `df` DIRECTORY-partitioned by SkyPix cell of (lonCol,
+    * latCol) — one directory per cell, for footprint queries that
+    * prune cells at the file-index level (`PartitionFilters`). Use a
+    * COARSE level (≤ ~4–6 depending on data volume): each directory
+    * must hold file-sized data, or listing overhead dominates (the
+    * tiny-files failure mode). For join-only layouts where `cell` is
+    * just an equi-join key, use [[writeClustered]] instead.
     *
     * @param margin if defined: additionally replicate each row into
-    *   its neighbor cells — LSD's neighbor-cache materialization.
-    *   Replicas carry is_margin=true and must be excluded from plain
-    *   scans (`WHERE NOT is_margin`) but included when probing spatial
-    *   joins, making radius-bounded joins cell-local with NO
-    *   query-time explode. (Current implementation replicates the full
-    *   9-cell neighborhood — correct for any radius ≤ cell size;
-    *   pruning replicas to the marginDeg boundary strip is a storage
-    *   optimization, not a correctness requirement.)
+    *   the neighbor cells whose boundary is within marginDeg — LSD's
+    *   neighbor-cache materialization. Replicas carry is_margin=true
+    *   and must be excluded from plain scans (`WHERE NOT is_margin`)
+    *   but included when probing spatial joins, making radius-bounded
+    *   joins cell-local with NO query-time explode.
     */
   def write(df: DataFrame, lonCol: String, latCol: String, level: Int,
             path: String, margin: Option[Double] = None,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val base = margin match {
-      case None =>
-        df.withColumn("cell", SkyPix.cell(col(lonCol), col(latCol), level))
-          .withColumn("is_margin", lit(false))
-      case Some(_) =>
-        // home cell, plus every distinct neighbor cell as a margin copy
-        val withCells = df
-          .withColumn("home_cell", SkyPix.cell(col(lonCol), col(latCol), level))
-          .withColumn("cell",
-            explode(SkyPix.neighborCells(col(lonCol), col(latCol), level)))
-        withCells
-          .withColumn("is_margin", col("cell") =!= col("home_cell"))
-          .drop("home_cell")
-    }
-    base
+    withCellColumns(df, lonCol, latCol, level, margin)
       .repartition(col("cell"))
       .sortWithinPartitions(latCol, lonCol)
       .write.mode(mode)
       .partitionBy("cell")
+      .parquet(path)
+  }
+
+  /** Write `df` as PLAIN parquet clustered by cell (`cell` stays a
+    * data column): `numFiles` range partitions sorted by cell, so each
+    * cell's rows are contiguous in one file and row-group min/max
+    * stats still skip by cell — without the directory-per-cell layout
+    * whose listing/open overhead at fine levels (thousands of ~KB
+    * files) costs more than it saves. This is the right layout when
+    * `cell` is consumed as an equi-JOIN key (margin-cache cross-match,
+    * IVF buckets): the join hashes on the column and never needs
+    * directories. */
+  def writeClustered(df: DataFrame, lonCol: String, latCol: String,
+                     level: Int, path: String,
+                     margin: Option[Double] = None, numFiles: Int = 32,
+                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    withCellColumns(df, lonCol, latCol, level, margin)
+      .repartitionByRange(numFiles, col("cell"))
+      .sortWithinPartitions(col("cell"), col(latCol), col(lonCol))
+      .write.mode(mode)
       .parquet(path)
   }
 

@@ -41,9 +41,13 @@ object TimeWriter {
       s"granularity must be one of $granularities")
     val from = to_timestamp(lit(fromIncl))
     val to = to_timestamp(lit(toExcl))
+    // upper directory bound is INCLUSIVE of toExcl's own bucket: a
+    // non-midnight-aligned toExcl (e.g. '…-15 12:00') still has rows
+    // in bucket '…-15'; the exact `ts < to` row filter below makes the
+    // wider directory bound safe.
     spark.read.parquet(path)
       .filter(col("t_bucket") >= date_trunc(granularity, from).cast("date") &&
-        col("t_bucket") < to.cast("date"))
+        col("t_bucket") <= date_trunc(granularity, to).cast("date"))
       .filter(col(tsCol) >= from && col(tsCol) < to)
   }
 }

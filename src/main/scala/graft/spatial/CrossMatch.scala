@@ -114,12 +114,17 @@ object CrossMatch {
     val bSel = b.select(col(bId).as("b_id"), col(bLon).as("b_lon"),
       col(bLat).as("b_lat"))
 
-    // channel 1: cell-local candidates below the cap
+    // channel 1: cell-local candidates below the cap. The B-side probe
+    // explode is strip-pruned: a B row only visits neighbor cells whose
+    // boundary is within radiusDeg (exact lower-bound tests — see
+    // SkyPix.neighborCellsWithin), so the explode factor is
+    // 1 + strip fraction, not a flat 9×.
     val aCells = aSel.filter(abs(col("a_lat")) <= capLat)
       .withColumn("cell", SkyPix.cell(col("a_lon"), col("a_lat"), level))
     val bCells = bSel.filter(abs(col("b_lat")) <= capLat)
-      .withColumn("cell",
-        explode(SkyPix.neighborCells(col("b_lon"), col("b_lat"), level)))
+      .withColumn("cell", explode(
+        SkyPix.neighborCellsWithin(col("b_lon"), col("b_lat"), level,
+          radiusDeg)))
     val cellPairs = aCells.join(bCells, "cell").drop("cell")
 
     cellPairs.unionByName(capChannel(aSel, bSel, radiusDeg, capLat))

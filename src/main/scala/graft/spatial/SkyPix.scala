@@ -73,6 +73,70 @@ object SkyPix {
     array_distinct(filter(array(cells: _*), c => c.isNotNull))
   }
 
+  /** The home cell plus only those neighbor cells whose shared
+    * boundary lies within `marginDeg` of the point — the margin-strip
+    * form of [[neighborCells]], cutting write-time replication (and
+    * query-time probe explode) from a flat 9× to ~(1 + strip
+    * fraction)×.
+    *
+    * The per-edge distance tests are exact LOWER bounds on the
+    * great-circle distance to the neighbor cell, so pruning on them is
+    * conservative (never drops a replica a radius-`marginDeg` match
+    * could need):
+    *   - meridian (east/west edge): any geodesic into the neighbor
+    *     crosses the edge meridian, and the point-to-meridian distance
+    *     d satisfies sin d = sin(Δlon)·cos(lat) (cross-track formula,
+    *     exact);
+    *   - parallel (north/south edge): point-to-parallel distance is
+    *     exactly |Δlat|;
+    *   - diagonal neighbors must cross BOTH boundaries, so both tests
+    *     apply (dist ≥ max of the two lower bounds).
+    */
+  def neighborCellsWithin(lon: Column, lat: Column, level: Int,
+                          marginDeg: Double): Column = {
+    require(level >= 0 && level <= MaxLevel, s"level $level out of range")
+    require(marginDeg >= 0, s"marginDeg must be >= 0, got $marginDeg")
+    val n = 1L << level
+    val w = 360.0 / n
+    val (ix, iy) = ixy(lon, lat, level)
+    val lonNorm = pmod(lon, lit(360.0))
+    val cosLat = cos(radians(lat))
+    val sinMargin = math.sin(math.toRadians(math.min(90.0, marginDeg)))
+    // Δlon (deg) to the east/west cell edges; sin(Δlon)·cos(lat) vs
+    // sin(margin) is the exact meridian-distance comparison (both
+    // sides of the inequality are in [0°, 90°] for cells ≤ 90° wide;
+    // coarser cells make sin non-monotone which only over-replicates)
+    val dLonE = (ix + 1).cast("double") * w - lonNorm
+    val dLonW = lonNorm - ix.cast("double") * w
+    val eastNear = sin(radians(dLonE)) * cosLat <= sinMargin
+    val westNear = sin(radians(dLonW)) * cosLat <= sinMargin
+    // lat of the north/south cell edges (exact grid geometry)
+    val latEdgeN = degrees(asin((iy + 1).cast("double") * (2.0 / n) - 1.0))
+    val latEdgeS = degrees(asin(iy.cast("double") * (2.0 / n) - 1.0))
+    val northNear = latEdgeN - lat <= marginDeg
+    val southNear = lat - latEdgeS <= marginDeg
+    val cells = for (dx <- -1 to 1; dy <- -1 to 1) yield {
+      val nx = pmod(ix + dx, lit(n)) // lon wraps
+      val ny = iy + dy               // lat clamps (drop out-of-range)
+      val inRange = ny >= 0 && ny < n
+      val strip = (dx, dy) match {
+        case (0, 0)   => lit(true)
+        case (-1, 0)  => westNear
+        case (1, 0)   => eastNear
+        case (0, -1)  => southNear
+        case (0, 1)   => northNear
+        case (-1, -1) => westNear && southNear
+        case (-1, 1)  => westNear && northNear
+        case (1, -1)  => eastNear && southNear
+        case (1, 1)   => eastNear && northNear
+        case _        => lit(true) // unreachable
+      }
+      when(inRange && strip,
+        morton(nx, ny, level).bitwiseOR(lit(level.toLong << 58)))
+    }
+    array_distinct(filter(array(cells: _*), c => c.isNotNull))
+  }
+
   /** Packed row id — the engine's `_ID` pseudo-column (the
     * reference's packed object id: cell bits ‖ row-within-cell;
     * SURVEY.md §2B P8, ref `lsd/table.py` id assignment, UNVERIFIED).

@@ -94,6 +94,22 @@ class PlanQualitySpec extends SpecBase {
       s"ts range must be pushed:\n${plan.linesIterator.filter(_.contains("Pushed")).mkString("\n")}")
   }
 
+  test("q_footprint_cells gets DIRECTORY-level PartitionFilters on cell") {
+    val plan = planOf(Joins.qFootprintCells.fn(spark, sfDir))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cell"),
+      s"polygonCells must prune sky directories:\n$pf")
+  }
+
+  test("q_xmatch_margin scans the cache as flat files (no cell= dirs)") {
+    val (path, _) = Joins.ensureXmatchMarginCache(spark, sfDir)
+    val entries = new java.io.File(path).listFiles()
+    assert(entries != null && !entries.exists(f =>
+      f.isDirectory && f.getName.startsWith("cell=")),
+      "margin cache must be clustered plain parquet, not directory-per-cell")
+  }
+
   test("q_partition_prune gets DIRECTORY-level PartitionFilters on t_bucket") {
     val plan = planOf(Core.qPartitionPrune.fn(spark, sfDir))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))

@@ -48,4 +48,48 @@ class SpatialWriterSpec extends SpecBase {
         SkyPix.neighborCells(col("lon"), col("lat"), 3), col("cell"))).count()
     assert(badReplica == 0)
   }
+
+  test("margin replicas are pruned to the boundary strip, not 8x") {
+    val path = Files.createTempDirectory("graft_sws").toString + "/cat"
+    SpatialWriter.write(cat, "lon", "lat", level = 3, path = path,
+      margin = Some(0.5))
+    val all = SpatialWriter.readWithMargins(spark, path)
+    val replicas = all.filter(col("is_margin")).count()
+    // flat 9-cell replication would emit ~8 replicas/row (minus polar
+    // clamps); a 0.5-deg strip of a level-3 (45-deg-wide) cell covers a
+    // few percent of its area — assert well under 30% replica fraction
+    assert(replicas > 0, "strip must still produce some replicas")
+    assert(replicas < 2000 * 0.30,
+      s"strip pruning ineffective: $replicas replicas for 2000 rows")
+    // strip soundness: every replica really is within margin of the
+    // replica cell it was copied into (great-circle distance from the
+    // row to SOME point of that cell <= margin is implied by the
+    // boundary tests; here we check the inverse guard — no replica may
+    // sit farther than margin from its cell in BOTH axes' lower bounds)
+    val m = 0.5
+    val inStrip = all.filter(col("is_margin"))
+      .filter(array_contains(
+        SkyPix.neighborCellsWithin(col("lon"), col("lat"), 3, m), col("cell")))
+      .count()
+    assert(inStrip == replicas)
+  }
+
+  test("clustered write: plain parquet, no cell dirs, bounded file count") {
+    val path = Files.createTempDirectory("graft_swc").toString + "/cat"
+    SpatialWriter.writeClustered(cat, "lon", "lat", level = 6, path = path,
+      margin = Some(0.2), numFiles = 8)
+    // no directory-per-cell: the layout is flat files
+    val entries = new java.io.File(path).listFiles()
+    assert(!entries.exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+      "clustered layout must not produce cell= directories")
+    val parts = entries.count(_.getName.endsWith(".parquet"))
+    assert(parts <= 8, s"expected <= 8 data files, got $parts")
+    // cell survives as a data column, primaries round-trip completely
+    val back = SpatialWriter.readPrimary(spark, path)
+    assert(back.columns.contains("cell"))
+    assert(back.count() == 2000)
+    val misplaced = back.filter(
+      SkyPix.cell(col("lon"), col("lat"), 6) =!= col("cell")).count()
+    assert(misplaced == 0)
+  }
 }

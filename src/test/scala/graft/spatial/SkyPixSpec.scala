@@ -76,6 +76,50 @@ class SkyPixSpec extends SpecBase {
     assert(bad == 0)
   }
 
+  test("strip closure: points within margin share a strip-pruned cell") {
+    // if dist(p1, p2) <= margin then p1's home cell must appear in
+    // p2's strip-pruned neighborhood — the completeness property the
+    // margin cache and the query-time explode both rely on
+    val level = 6
+    val margin = 0.4
+    val rnd = new Random(9)
+    val pairs = samples(400, 5).filter { case (_, la) => math.abs(la) < 80 }
+      .map { case (lo, la) =>
+        val d = margin * rnd.nextDouble()
+        val ang = rnd.nextDouble() * 2 * math.Pi
+        (lo, la,
+          lo + d * math.cos(ang) / math.max(0.1, math.cos(math.toRadians(la))),
+          math.max(-89.9, math.min(89.9, la + d * math.sin(ang))))
+      }
+    // keep only pairs truly within margin (the lon shift above is an
+    // approximation that can overshoot near high |lat|)
+    def hav(lo1: Double, la1: Double, lo2: Double, la2: Double): Double = {
+      val dLat = math.toRadians(la2 - la1); val dLon = math.toRadians(lo2 - lo1)
+      val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+        math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+          math.sin(dLon / 2) * math.sin(dLon / 2)
+      math.toDegrees(2 * math.asin(math.sqrt(a)))
+    }
+    val within = pairs.filter { case (a, b, c, d) => hav(a, b, c, d) <= margin }
+    assert(within.size > 100, "fixture must keep most pairs")
+    val df = within.toDF("lon1", "lat1", "lon2", "lat2")
+    val bad = df.select(
+      SkyPix.cell(col("lon1"), col("lat1"), level).as("c1"),
+      SkyPix.neighborCellsWithin(col("lon2"), col("lat2"), level, margin)
+        .as("nbrs"))
+      .filter(!array_contains(col("nbrs"), col("c1")))
+      .count()
+    assert(bad == 0)
+    // and the strip list is a subset of the full 9-neighborhood
+    val sup = df.select(
+      SkyPix.neighborCells(col("lon2"), col("lat2"), level).as("all9"),
+      SkyPix.neighborCellsWithin(col("lon2"), col("lat2"), level, margin)
+        .as("strip"))
+      .filter(size(array_except(col("strip"), col("all9"))) > 0)
+      .count()
+    assert(sup == 0)
+  }
+
   test("equal-area: level-3 occupancy of a uniform sphere sample is even") {
     val n = 200000
     val df = spark.range(n).select(
