@@ -360,7 +360,7 @@ object Joins {
     * (>> 1e-6 deg) from the 0.1-deg synthetic sky grid, so the
     * engines' few-ulp libm differences can never flip a row across
     * the boundary. */
-  private val polyVerts = Seq(
+  private[graft] val polyVerts = Seq(
     (100.0037, -25.0041), (140.0093, -25.0077), (140.0041, 0.0067),
     (120.0031, 0.0013), (120.0089, 20.0091), (100.0011, 20.0047))
 

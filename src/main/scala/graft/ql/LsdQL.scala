@@ -1,7 +1,10 @@
 package graft.ql
 
 import graft.LsdDb
+import graft.spatial.SkyPix
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** The reference's SQL-ish query language, re-hosted on Catalyst:
   *
@@ -29,8 +32,26 @@ import org.apache.spark.sql.DataFrame
 final case class JoinDef(left: String, leftKey: String,
                          right: String, rightKey: String)
 
+/** How to derive the `_ID` pseudo-column for a table (the reference's
+  * packed object id: cell bits ‖ row-within-cell; SURVEY.md §2B P8,
+  * ref `lsd/table.py` id assignment, UNVERIFIED).
+  *
+  * Spatial form: `_ID = SkyPix.packId(cell(lonCol, latCol, level),
+  * row_number within cell ordered by keyCol)` — ids sort by sky cell
+  * (spatial locality) and `SkyPix.idCell` recovers the cell without a
+  * lookup. `keyCol` must be a unique column: row_number over a
+  * non-unique order would be non-deterministic across runs (the reason
+  * `monotonically_increasing_id` is NOT used — it depends on task
+  * scheduling). The per-cell window shuffles once on cell, the same
+  * key the table would be stored under — scale-safe.
+  */
+final case class IdSpec(lonCol: String, latCol: String, keyCol: String,
+                        level: Int = 8)
+
 final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
-                       intoRoot: Option[String] = None) {
+                       intoRoot: Option[String] = None,
+                       idSpecs: Map[String, IdSpec] = Map.empty,
+                       idKeys: Map[String, String] = LsdQL.standardIdKeys) {
 
   private case class FromItem(table: String, outer: Boolean)
 
@@ -39,6 +60,29 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     val (selectList, fromItems, whereOpt, intoOpt) = parse(q)
     var df = db.table(fromItems.head.table)
     var joined = Set(fromItems.head.table)
+    // `_ID` pseudo-column (resolved for the DRIVING table, like the
+    // reference's per-table ids): packed SkyPix id for tables with a
+    // registered IdSpec; for non-spatial tables the declared unique
+    // key IS the id (sort-derived and deterministic — a dense global
+    // rank would need a single-partition sort, which doesn't scale,
+    // and the reference only packed spatial tables' ids).
+    if (referencesId(q)) {
+      val base = fromItems.head.table
+      df = idSpecs.get(base) match {
+        case Some(spec) =>
+          val w = Window.partitionBy("__graft_cell").orderBy(col(spec.keyCol))
+          df.withColumn("__graft_cell",
+              SkyPix.cell(col(spec.lonCol), col(spec.latCol), spec.level))
+            .withColumn("_ID", SkyPix.packId(col("__graft_cell"),
+              (row_number().over(w) - 1).cast("long")))
+            .drop("__graft_cell")
+        case None =>
+          val key = idKeys.getOrElse(base, throw new IllegalArgumentException(
+            s"_ID referenced but table '$base' has neither an IdSpec " +
+              "(spatial packed id) nor a declared unique key"))
+          df.withColumn("_ID", col(key).cast("long"))
+      }
+    }
     for (item <- fromItems.tail) {
       val jd = joins.find(j =>
         (joined.contains(j.left) && j.right == item.table) ||
@@ -62,6 +106,15 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       df.write.mode("overwrite").parquet(s"$root/$name.parquet")
     }
     df
+  }
+
+  /** True when the query text references the `_ID` pseudo-column
+    * outside string literals (word-boundary match: `col_ID` does not
+    * trigger — `_` is a word character, so `\b` requires a non-word
+    * char before the underscore). */
+  private def referencesId(q: String): Boolean = {
+    val quoted = quotedSpans(q)
+    "(?i)\\b_ID\\b".r.findAllMatchIn(q).exists(m => !quoted(m.start))
   }
 
   /** Positions inside single-quoted SQL string literals ('' escapes). */
@@ -131,6 +184,15 @@ object LsdQL {
     JoinDef("orders", "o_custkey", "customer", "c_custkey"),
     JoinDef("lineitem", "l_orderkey", "orders", "o_orderkey"),
     JoinDef("lineitem", "l_partkey", "part", "p_partkey"))
+
+  /** Unique-key registration for the standard test schema's
+    * non-spatial `_ID` fallback. */
+  val standardIdKeys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
 
   def forDb(db: LsdDb): LsdQL = LsdQL(db, standardJoins)
 }

@@ -98,6 +98,72 @@ object AnnIndex {
       v.withColumn("cell", explode(nearest(col(vecCol))))
   }
 
+  /** Materialize a built index: `<path>/centroids` (cell → centroid
+    * vector) and `<path>/vectors` — the assigned corpus DIRECTORY-
+    * partitioned by cell. Unlike the margin cache (whose fine-level
+    * cells made partitionBy a tiny-files trap), the IVF cell count IS
+    * the centroid count k — small by construction (√N classically) —
+    * so one directory per cell holds corpus/k rows and gives
+    * [[searchIndex]] directory-level partition pruning: a search
+    * physically touches ~nprobe/k of the data on disk, which is the
+    * claim the in-memory join graph alone couldn't make true. */
+  def writeIndex(path: String, centroids: Array[(Int, Array[Float])],
+                 assigned: DataFrame): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assigned
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Read back a materialized index: (centroids, assigned-vectors
+    * dataframe). The vectors frame is the lazily-pruned scan — filter
+    * it on `cell` before any action to touch only those directories. */
+  def readIndex(spark: SparkSession,
+                path: String): (Array[(Int, Array[Float])], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    (cents, spark.read.parquet(s"$path/vectors"))
+  }
+
+  /** [[search]] against a materialized index, touching only the
+    * probed cells ON DISK: probe routing runs the same distributed
+    * broadcast-centroid pass, then the union of probed cell ids (at
+    * most k values — the centroid array already lives on the driver,
+    * so this collect is O(k), not O(data)) prunes the vectors scan to
+    * its `cell=` directories before the equi-join. */
+  def searchIndex(spark: SparkSession, path: String, probes: DataFrame,
+                  probeIdCol: String, probeVecCol: String,
+                  topK: Int, nprobe: Int): DataFrame = {
+    val (centroids, vectors) = readIndex(spark, path)
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      col(probeVecCol).as("pv"))
+    val centroidVecs = centroids.map(_._2)
+    val probeSide = broadcast(
+      assign(spark, p, "pv", centroidVecs, nbest = nprobe)
+        .withColumn("pn", VectorKernels.norm2(col("pv"))))
+    val probedCells = probeSide.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ k values
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probeSide
+      .join(vectors.filter(col("cell").isin(probedCells: _*)), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorKernels.cosine(VectorKernels.dot(col("pv"), col("v")),
+          col("pn"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+  }
+
   /** Top-k cosine search restricted to each probe's nprobe nearest
     * cells. Probes: (probe_id, vector). Returns probe_id, vec_id, cos,
     * rn. */

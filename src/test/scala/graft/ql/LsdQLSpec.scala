@@ -63,4 +63,47 @@ class LsdQLSpec extends SpecBase {
     }
     assert(ex.getMessage.contains("no join relation"))
   }
+
+  test("_ID pseudo-column: packed SkyPix id for spatial tables") {
+    import spark.implicits._
+    import graft.spatial.SkyPix
+    import org.apache.spark.sql.functions.col
+    // a small spatial catalog registered as its own db
+    val tmp = Files.createTempDirectory("graft_ql_id").toString
+    val rnd = new scala.util.Random(7)
+    val cat = (0L until 500L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))))
+      .toDF("obj_id", "lon", "lat")
+    cat.write.parquet(s"$tmp/cat.parquet")
+    val sdb = LsdDb(spark, tmp)
+    val q = LsdQL(sdb, Seq.empty,
+      idSpecs = Map("cat" -> IdSpec("lon", "lat", "obj_id", level = 6)))
+    val df = q.query("SELECT _ID, obj_id, lon, lat FROM cat")
+    assert(df.columns.head == "_ID")
+    val rows = df.collect()
+    assert(rows.length == 500)
+    // ids are unique ...
+    assert(rows.map(_.getLong(0)).distinct.length == 500)
+    // ... deterministic across runs ...
+    val again = q.query("SELECT _ID, obj_id FROM cat")
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(rows.forall(r => again(r.getLong(1)) == r.getLong(0)))
+    // ... and idCell recovers the exact SkyPix cell of (lon, lat)
+    val mismatch = q.query("SELECT _ID, lon, lat FROM cat")
+      .filter(SkyPix.idCell(col("_ID")) =!=
+        SkyPix.cell(col("lon"), col("lat"), 6)).count()
+    assert(mismatch == 0)
+  }
+
+  test("_ID usable in WHERE; key-fallback for non-spatial tables") {
+    // non-spatial fallback: _ID == declared unique key
+    val df = ql.query("SELECT _ID, o_orderkey FROM orders WHERE _ID % 2 = 0")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1) &&
+      r.getLong(0) % 2 == 0))
+    // quoted '_ID' must NOT trigger resolution
+    val lit = ql.query("SELECT '_ID x' AS tag, o_orderkey FROM orders")
+    assert(!lit.columns.contains("_ID"))
+  }
 }

@@ -170,4 +170,43 @@ class FootprintSpec extends SpecBase {
     val full = t.filter(Footprint.cone(col("lon"), col("lat"), lon0, lat0, r))
     assert(pruned.count() == full.count())
   }
+
+  test("oracle polygon: every synthetic-sky grid point decides stably") {
+    // q_footprint_polygon / q_footprint_cells compare Spark and DuckDB
+    // bit-for-bit, which is only safe if NO possible grid point of the
+    // deterministic sky projection sits within libm-ulp distance of a
+    // decision boundary (an edge line or the hemisphere d=0 surface).
+    // The synthetic sky's FULL residue grid is lon = i/10 (i<3600),
+    // lat = j/10 - 30 (j<600) — every sf draws from these 2.16M points,
+    // so a pass here covers any scale factor, not just the tested sf.
+    // Guard: the inside/outside verdict is invariant under ±1e-9 deg
+    // perturbations of lon and lat — orders of magnitude larger than
+    // the engines' few-ulp trig differences (~1e-16 relative).
+    val verts = graft.operators.Joins.polyVerts // the declared queries' polygon
+    val contains = Footprint.polygonContains(verts) _
+    val eps = 1e-9
+    var i = 0
+    var unstable = 0
+    var firstBad: String = null
+    while (i < 3600) {
+      val lon = i / 10.0
+      var j = 0
+      while (j < 600) {
+        val lat = j / 10.0 - 30.0
+        val base = contains(lon, lat)
+        if (contains(lon + eps, lat) != base ||
+          contains(lon - eps, lat) != base ||
+          contains(lon, lat + eps) != base ||
+          contains(lon, lat - eps) != base) {
+          unstable += 1
+          if (firstBad == null) firstBad = s"($lon, $lat)"
+        }
+        j += 1
+      }
+      i += 1
+    }
+    assert(unstable == 0,
+      s"$unstable grid points decide unstably near the boundary, " +
+        s"first at $firstBad — vertex tweak or sf bump could flip a row")
+  }
 }

@@ -58,4 +58,39 @@ class AnnIndexSpec extends SpecBase {
     val (c2, _) = AnnIndex.build(emb, "vec_id", "embedding", k = 8, iters = 2)
     assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq)
   }
+
+  test("materialized index: disk search == in-memory search, pruned scan") {
+    val (cents, assigned) = AnnIndex.build(emb, "vec_id", "embedding", k = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString +
+      "/idx"
+    AnnIndex.writeIndex(path, cents, assigned)
+    // layout: one directory per cell — the centroid count bounds them
+    val dirs = new java.io.File(s"$path/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(dirs.nonEmpty && dirs.length <= 16)
+
+    val probes = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 20)
+    val mem = AnnIndex.search(cents, assigned, probes,
+      "vec_id", "embedding", topK = 10, nprobe = 4)
+      .select("probe_id", "vec_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val disk = AnnIndex.searchIndex(spark, path, probes,
+      "vec_id", "embedding", topK = 10, nprobe = 4)
+    val got = disk.select("probe_id", "vec_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == mem, "disk-backed search must match in-memory exactly")
+
+    // the scan is directory-pruned: PartitionFilters on cell appears
+    // in the executed plan (the nprobe/k-of-data-on-disk claim)
+    val plan = disk.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cell"), s"vectors scan must prune cells:\n$pf")
+
+    // round-trip: centroids survive exactly
+    val (backCents, _) = AnnIndex.readIndex(spark, path)
+    assert(backCents.map(_._1).toSeq == cents.map(_._1).toSeq)
+    assert(backCents.map(_._2.toSeq).toSeq == cents.map(_._2.toSeq).toSeq)
+  }
 }
