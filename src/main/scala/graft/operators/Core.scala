@@ -98,6 +98,29 @@ object Core {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** SC3b — bulk import via FITS binary tables (graft.sources.Fits, a
+    * pure-JVM BINTABLE writer/reader from the public FITS standard —
+    * the reference's native catalog exchange format). Unlike the CSV
+    * round-trip, FITS carries big-endian IEEE doubles, so the DOUBLE
+    * columns round-trip bit-exactly and join the oracle check. */
+  val qImportFits: QuerySpec = QuerySpec(
+    "q_import_fits",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val tmp = graft.sources.CacheKeys.path(
+      "graft_fits_roundtrip", s"$dir/lineitem.parquet")
+    if (!new java.io.File(tmp).exists()) {
+      graft.sources.Fits.write(
+        LsdDb.table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_linestatus"),
+        tmp)
+    }
+    graft.sources.Fits.read(s, tmp)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** P1 — projection with computed expressions (all IEEE-deterministic
     * double arithmetic; no aggregation → no ordering hazard). */
   val qProject: QuerySpec = QuerySpec(
@@ -307,6 +330,6 @@ object Core {
   }
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
-    qImportCsv, qProject, qFilter, qMath, qCase, qString, qDatetime, qArray,
-    qArrayOps, qJson)
+    qImportCsv, qImportFits, qProject, qFilter, qMath, qCase, qString,
+    qDatetime, qArray, qArrayOps, qJson)
 }

@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** FITS binary-table import/export — the reference's bulk-import
+  * surface (`lsd-import fits`; SURVEY.md §2A SC3, ref `lsd/importers`,
+  * UNVERIFIED). Implemented from the public FITS standard (Pence et
+  * al. 2010, A&A 524, A42: 2880-byte header/data blocks, 80-char
+  * header cards, big-endian BINTABLE payload) — no external library.
+  *
+  * Layout: a DIRECTORY of `part-*.fits` files, one per input
+  * partition — exactly how survey pipelines ship catalogs (one FITS
+  * per sky chunk), and what makes both directions distributed:
+  *   - write: each partition serializes itself and streams to its own
+  *     file through the Hadoop FileSystem API (works on local disk,
+  *     HDFS, or object stores — nothing driver-side);
+  *   - read: `binaryFiles` gives one task per file; header parse +
+  *     row decode happen executor-side.
+  *
+  * Supported TFORM codes (the lossless-by-construction set):
+  * K = int64, J = int32, D = float64, E = float32, nA = fixed-width
+  * ASCII. Integers and IEEE floats round-trip bit-exactly (big-endian
+  * IEEE 754 is the FITS payload format), so FITS import is
+  * oracle-checkable including double columns — unlike CSV, where only
+  * the int/string subset survives text serialization.
+  *
+  * Nulls are rejected at write time (FITS null encoding via TNULLn /
+  * NaN is survey-specific; the import contract here is dense
+  * catalogs, the reference's case too).
+  */
+object Fits {
+  private val Block = 2880
+  private val CardLen = 80
+
+  /** Java-serializable Hadoop Configuration carrier (Configuration
+    * itself is Writable but not Serializable; Spark's own wrapper is
+    * private[spark]). Ships the session's filesystem config — object
+    * store credentials included — to the writer tasks. */
+  private class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  private def card(key: String, value: String): String = {
+    val k = key.padTo(8, ' ').take(8)
+    (k + "= " + value.reverse.padTo(20, ' ').reverse).padTo(CardLen, ' ')
+  }
+  private def strCard(key: String, s: String): String = {
+    val quoted = "'" + s.padTo(8, ' ') + "'"
+    (key.padTo(8, ' ').take(8) + "= " + quoted).padTo(CardLen, ' ')
+  }
+
+  private def pad(n: Int): Int = (Block - n % Block) % Block
+
+  /** (TFORM code, row bytes) for a Spark field; strings use the given
+    * fixed width. */
+  private def tform(f: StructField, strWidth: Int): (String, Int) =
+    f.dataType match {
+      case LongType    => ("K", 8)
+      case IntegerType => ("J", 4)
+      case DoubleType  => ("D", 8)
+      case FloatType   => ("E", 4)
+      case StringType  => (s"${strWidth}A", strWidth)
+      case t => throw new IllegalArgumentException(
+        s"FITS export: unsupported type $t for column ${f.name} " +
+          "(supported: long, int, double, float, string)")
+    }
+
+  /** Export `df` as a directory of FITS BINTABLE files, one per
+    * partition. `strWidth` is the fixed ASCII width for string
+    * columns (longer values are rejected, not truncated). */
+  def write(df: DataFrame, path: String, strWidth: Int = 24): Unit = {
+    val schema = df.schema
+    val forms = schema.fields.map(tform(_, strWidth))
+    val rowBytes = forms.map(_._2).sum
+    val hadoopConf = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val fields = schema.fields.map(f => (f.name, f.dataType.typeName))
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val buf = rows.toArray
+      val fs = FileSystem.get(
+        new java.net.URI(path), hadoopConf.value)
+      val out = fs.create(new Path(path, f"part-$pid%05d.fits"), true)
+      try {
+        // primary HDU: header only (NAXIS=0, no data block)
+        val primary = new StringBuilder
+        primary ++= card("SIMPLE", "T")
+        primary ++= card("BITPIX", "8")
+        primary ++= card("NAXIS", "0")
+        primary ++= card("EXTEND", "T")
+        primary ++= "END".padTo(CardLen, ' ')
+        writePadded(out, primary.toString)
+        // BINTABLE extension header
+        val h = new StringBuilder
+        h ++= strCard("XTENSION", "BINTABLE")
+        h ++= card("BITPIX", "8")
+        h ++= card("NAXIS", "2")
+        h ++= card("NAXIS1", rowBytes.toString)
+        h ++= card("NAXIS2", buf.length.toString)
+        h ++= card("PCOUNT", "0")
+        h ++= card("GCOUNT", "1")
+        h ++= card("TFIELDS", fields.length.toString)
+        fields.zip(forms).zipWithIndex.foreach {
+          case (((name, _), (code, _)), i) =>
+            h ++= strCard(s"TTYPE${i + 1}", name)
+            h ++= strCard(s"TFORM${i + 1}", code)
+        }
+        h ++= "END".padTo(CardLen, ' ')
+        writePadded(out, h.toString)
+        // big-endian payload
+        val bb = ByteBuffer.allocate(rowBytes) // big-endian by default
+        buf.foreach { row =>
+          bb.clear()
+          var i = 0
+          while (i < fields.length) {
+            if (row.isNullAt(i)) throw new IllegalArgumentException(
+              s"FITS export: null in column ${fields(i)._1} (dense only)")
+            fields(i)._2 match {
+              case "long"    => bb.putLong(row.getLong(i))
+              case "integer" => bb.putInt(row.getInt(i))
+              case "double"  => bb.putDouble(row.getDouble(i))
+              case "float"   => bb.putFloat(row.getFloat(i))
+              case "string" =>
+                val s = row.getString(i)
+                val b = s.getBytes(StandardCharsets.US_ASCII)
+                require(b.length <= strWidth && b.length == s.length,
+                  s"FITS export: string '$s' exceeds width $strWidth " +
+                    "or is non-ASCII")
+                bb.put(b)
+                var p = b.length
+                while (p < strWidth) { bb.put(' '.toByte); p += 1 }
+            }
+            i += 1
+          }
+          out.write(bb.array(), 0, rowBytes)
+        }
+        out.write(new Array[Byte](pad(buf.length * rowBytes)))
+      } finally out.close()
+      Iterator.single(pid)
+    }.count() // materialize the write
+    ()
+  }
+
+  private def writePadded(out: java.io.OutputStream, header: String): Unit = {
+    val b = header.getBytes(StandardCharsets.US_ASCII)
+    out.write(b)
+    val padBytes = new Array[Byte](pad(b.length))
+    java.util.Arrays.fill(padBytes, ' '.toByte)
+    out.write(padBytes)
+  }
+
+  /** One parsed header: keyword → raw value string. */
+  private def readHeader(bb: ByteBuffer): Map[String, String] = {
+    val cards = Map.newBuilder[String, String]
+    var done = false
+    while (!done) {
+      val block = new Array[Byte](Block)
+      bb.get(block)
+      val text = new String(block, StandardCharsets.US_ASCII)
+      for (i <- 0 until Block / CardLen if !done) {
+        val c = text.substring(i * CardLen, (i + 1) * CardLen)
+        val key = c.take(8).trim
+        if (key == "END") done = true
+        else if (c.length > 10 && c.charAt(8) == '=') {
+          val raw = c.substring(10)
+          val v = (if (raw.trim.startsWith("'"))
+            raw.trim.drop(1).takeWhile(_ != '\'')
+          else raw.split('/')(0)).trim
+          cards += key -> v
+        }
+      }
+    }
+    cards.result()
+  }
+
+  /** Import a directory of FITS BINTABLE files written by [[write]]
+    * (or any standard single-BINTABLE FITS with supported TFORMs).
+    * One task per file; schema comes from the first file's header. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.sparkContext.binaryFiles(s"$path/part-*.fits")
+    val parsed = files.flatMap { case (_, stream) =>
+      val bb = ByteBuffer.wrap(stream.toArray())
+      readHeader(bb) // primary (NAXIS=0: no data to skip)
+      val h = readHeader(bb)
+      val rowBytes = h("NAXIS1").toInt
+      val nRows = h("NAXIS2").toInt
+      val nFields = h("TFIELDS").toInt
+      val cols = (1 to nFields).map { i =>
+        (h(s"TTYPE$i").trim, h(s"TFORM$i").trim)
+      }
+      (0 until nRows).iterator.map { _ =>
+        val vals = new Array[Any](nFields)
+        val start = bb.position()
+        var i = 0
+        while (i < nFields) {
+          vals(i) = cols(i)._2 match {
+            case "K" => bb.getLong()
+            case "J" => bb.getInt()
+            case "D" => bb.getDouble()
+            case "E" => bb.getFloat()
+            case a if a.endsWith("A") =>
+              val w = a.dropRight(1).toInt
+              val b = new Array[Byte](w)
+              bb.get(b)
+              // trailing spaces are padding per the standard
+              new String(b, StandardCharsets.US_ASCII)
+                .replaceAll(" +$", "")
+            case t => throw new IllegalArgumentException(
+              s"FITS import: unsupported TFORM $t")
+          }
+          i += 1
+        }
+        bb.position(start + rowBytes)
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    // schema from the first file's header (all parts share it)
+    val one = spark.sparkContext.binaryFiles(s"$path/part-*.fits")
+      .first()._2
+    val bb = ByteBuffer.wrap(one.toArray())
+    readHeader(bb)
+    val h = readHeader(bb)
+    val schema = StructType((1 to h("TFIELDS").toInt).map { i =>
+      val t = h(s"TFORM$i").trim match {
+        case "K" => LongType
+        case "J" => IntegerType
+        case "D" => DoubleType
+        case "E" => FloatType
+        case a if a.endsWith("A") => StringType
+        case t => throw new IllegalArgumentException(s"TFORM $t")
+      }
+      StructField(h(s"TTYPE$i").trim, t, nullable = false)
+    })
+    spark.createDataFrame(parsed, schema)
+  }
+}
