@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label
+  * propagation — the shared engine behind friends-of-friends object
+  * grouping (spatial/ObjectCatalog) and near-duplicate cluster
+  * assignment (TextOps q_dedup_clusters).
+  *
+  * `label := min(label, min over neighbors' labels)` to fixpoint:
+  * each round is one shuffle join + one aggregation, the round count
+  * is the component diameter (small for both use cases: detections of
+  * one source sit within ~radius; near-dup clusters are
+  * boilerplate-capped), and the fixpoint is unique — iteration order
+  * cannot change the answer, so results stay oracle-deterministic.
+  * The per-round `count()` is a convergence check on a persisted
+  * frame (bounded work), not a driver-side data path.
+  */
+object Components {
+
+  /** @param nodes one row per node
+    * @param idCol  node id column in `nodes` (numeric/orderable)
+    * @param edges  undirected edge list, ONE row per edge (symmetry is
+    *               added internally)
+    * @return (idCol, "component") — component = min node id reachable
+    */
+  def minLabel(nodes: DataFrame, idCol: String, edges: DataFrame,
+               srcCol: String, dstCol: String,
+               maxIter: Int = 30): DataFrame = {
+    val n = nodes.select(col(idCol).as("__cc_id"))
+    val e1 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e1.unionByName(
+      e1.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .persist()
+
+    // localCheckpoint (eager), not a bare persist: each round's plan
+    // references the previous round's twice (join + convergence
+    // check), so without lineage TRUNCATION the logical plan doubles
+    // per iteration and analysis itself OOMs after ~10 rounds. On a
+    // cluster with lossy executors, swap for reliable checkpoint().
+    var labels = n.select(col("__cc_id"), col("__cc_id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("src") === labels("__cc_id"))
+        .groupBy(col("dst").as("__cc_id2"))
+        .agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, col("__cc_id") === col("__cc_id2"), "left_outer")
+        .select(col("__cc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("label", "old"),
+        "__cc_id").filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"component propagation did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter — raise it)")
+    labels.select(col("__cc_id").as(idCol), col("label").as("component"))
+  }
+}

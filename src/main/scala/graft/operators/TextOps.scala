@@ -200,35 +200,36 @@ object TextOps {
   private val nBands = 4
   private val maxBucket = 50
 
-  /** Ext — MinHash + LSH banding near-dup candidates. Signature hash
-    * h_i(w) = md5("i:" ++ w) with min taken in hex-string space (md5
-    * is uniform, so string-min ≡ numeric-min — and bit-identical
-    * across engines, unlike engine-native hash functions). 8 hashes ×
-    * 4 bands of 2; candidate pairs = docs sharing any band bucket.
-    * Scale path: the band join keys are 64-hex strings — only true
-    * near-dups collide, so the self-join explodes nothing. */
-  val qDedupMinhash: QuerySpec = QuerySpec(
-    "q_dedup_minhash", {
-      val sigCols = (0 until nHashes)
-        .map(i => s"min(md5('$i:' || w)) AS s$i").mkString(", ")
-      val bandCase = (0 until nBands).map { j =>
-        val expr = s"s${2 * j} || s${2 * j + 1}"
-        if (j < nBands - 1) s"WHEN $j THEN $expr" else s"ELSE $expr"
-      }.mkString(" ")
-      s"""WITH wrds AS (
-         |  SELECT doc_id, unnest($wordSetSql) AS w FROM documents),
-         |sigs AS (SELECT doc_id, $sigCols FROM wrds GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, k, CASE k $bandCase END AS bv
-         |  FROM sigs, generate_series(0, ${nBands - 1}) t(k)),
-         |sized AS (
-         |  SELECT *, count(*) OVER (PARTITION BY k, bv) AS bsz FROM bands)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM sized a JOIN sized b ON a.k = b.k AND a.bv = b.bv
-         |  AND a.doc_id < b.doc_id
-         |WHERE a.bsz <= $maxBucket
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }) { (s, dir) =>
+  /** Shared DuckDB CTE chain producing the capped MinHash candidate
+    * pairs as `cand(doc_a, doc_b)` — the oracle twin of
+    * [[minhashCandPairs]], reused by q_dedup_minhash and
+    * q_dedup_clusters. */
+  private def minhashCandCtes: String = {
+    val sigCols = (0 until nHashes)
+      .map(i => s"min(md5('$i:' || w)) AS s$i").mkString(", ")
+    val bandCase = (0 until nBands).map { j =>
+      val expr = s"s${2 * j} || s${2 * j + 1}"
+      if (j < nBands - 1) s"WHEN $j THEN $expr" else s"ELSE $expr"
+    }.mkString(" ")
+    s"""wrds AS (
+       |  SELECT doc_id, unnest($wordSetSql) AS w FROM documents),
+       |sigs AS (SELECT doc_id, $sigCols FROM wrds GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, k, CASE k $bandCase END AS bv
+       |  FROM sigs, generate_series(0, ${nBands - 1}) t(k)),
+       |sized AS (
+       |  SELECT *, count(*) OVER (PARTITION BY k, bv) AS bsz FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sized a JOIN sized b ON a.k = b.k AND a.bv = b.bv
+       |    AND a.doc_id < b.doc_id
+       |  WHERE a.bsz <= $maxBucket)""".stripMargin
+  }
+
+  /** Capped MinHash+LSH candidate pairs (doc_a < doc_b) — the Spark
+    * plan both q_dedup_minhash and q_dedup_clusters consume. */
+  private def minhashCandPairs(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
     val wrds = LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
     val sigAggs = (0 until nHashes)
@@ -252,7 +253,58 @@ object TextOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Ext — MinHash + LSH banding near-dup candidates. Signature hash
+    * h_i(w) = md5("i:" ++ w) with min taken in hex-string space (md5
+    * is uniform, so string-min ≡ numeric-min — and bit-identical
+    * across engines, unlike engine-native hash functions). 8 hashes ×
+    * 4 bands of 2; candidate pairs = docs sharing any band bucket.
+    * Scale path: the band join keys are 64-hex strings — only true
+    * near-dups collide, so the self-join explodes nothing. */
+  val qDedupMinhash: QuerySpec = QuerySpec(
+    "q_dedup_minhash",
+    s"""WITH $minhashCandCtes
+       |SELECT doc_a, doc_b FROM cand
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    minhashCandPairs(s, dir).orderBy("doc_a", "doc_b")
+  }
+
+  /** Ext — near-duplicate CLUSTER assignment: connected components
+    * over the MinHash candidate pairs, each component labeled by its
+    * smallest doc_id (the canonical representative a dedup pipeline
+    * keeps). The Spark side is the shared min-label propagation engine
+    * (graft.operators.Components — one shuffle join per round, rounds
+    * = component diameter, capped small by the hot-bucket pruning);
+    * the oracle is an exact recursive-CTE transitive closure, so the
+    * component semantics themselves are hash-checked, not just the
+    * pair relation. */
+  val qDedupClusters: QuerySpec = QuerySpec(
+    "q_dedup_clusters",
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |comp(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, c.lbl FROM comp c JOIN edges e ON e.a = c.doc_id),
+       |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM comp
+       |        GROUP BY doc_id),
+       |sz AS (SELECT cluster_id, count(*) AS n_members FROM lab
+       |       GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, s.n_members,
+       |  l.doc_id = l.cluster_id AS is_canonical
+       |FROM lab l JOIN sz s ON s.cluster_id = l.cluster_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents").select("doc_id")
+    val lab = Components
+      .minLabel(docs, "doc_id", minhashCandPairs(s, dir), "doc_a", "doc_b")
+      .select(col("doc_id"), col("component").as("cluster_id"))
+    val sz = lab.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    lab.join(sz, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
   }
 
   /** Ext — 16-bit SimHash over the token multiset: bit j is the sign
@@ -474,5 +526,5 @@ object TextOps {
 
   def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
     qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
-    qDedupSimhash, qDedupSimhash64, qDedupNgram)
+    qDedupSimhash, qDedupSimhash64, qDedupNgram, qDedupClusters)
 }

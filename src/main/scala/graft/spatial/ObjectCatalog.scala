@@ -36,39 +36,15 @@ object ObjectCatalog {
     val d = dets.select(col(idCol).as("det_id"), col(lonCol).as("lon"),
       col(latCol).as("lat"))
 
-    // undirected edge list (both directions) between distinct dets
+    // candidate edges (cell-blocked, shuffle-bounded), then the shared
+    // min-label component engine (graft.operators.Components)
     val pairs = CrossMatch.allPairs(d, d, "det_id", "lon", "lat",
       "det_id", "lon", "lat", radiusDeg)
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .persist()
-
-    var labels = d.select(col("det_id"), col("det_id").as("label")).persist()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("src") === labels("det_id"))
-        .groupBy(col("dst").as("det_id2"))
-        .agg(min(col("label")).as("nbr_min"))
-      val updated = labels
-        .join(neighborMin, col("det_id") === col("det_id2"), "left_outer")
-        .select(col("det_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-        .persist()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"),
-        "det_id").filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      it += 1
-    }
-    edges.unpersist()
-
-    val assignments = labels.select(col("det_id"), col("label").as("obj_id"))
+    val assignments = graft.operators.Components
+      .minLabel(d, "det_id", pairs, "src", "dst", maxIter)
+      .select(col("det_id"), col("component").as("obj_id"))
     // spherical mean via unit-vector average
     val withXyz = d.join(assignments, "det_id")
       .select(col("obj_id"),
