@@ -34,12 +34,20 @@ object Components {
       e1.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .persist()
 
+    // only nodes with at least one edge iterate; every other node is
+    // trivially its own component and unions back in at the end. In a
+    // deduped corpus the edge-touched set is a small fraction of the
+    // table, so the loop's joins run over candidates, not the corpus.
+    val active = n.join(
+      sym.select(col("src").as("__cc_id")).distinct(),
+      Seq("__cc_id"), "left_semi")
+
     // localCheckpoint (eager), not a bare persist: each round's plan
-    // references the previous round's twice (join + convergence
-    // check), so without lineage TRUNCATION the logical plan doubles
-    // per iteration and analysis itself OOMs after ~10 rounds. On a
-    // cluster with lossy executors, swap for reliable checkpoint().
-    var labels = n.select(col("__cc_id"), col("__cc_id").as("label"))
+    // references the previous round's, so without lineage TRUNCATION
+    // the logical plan compounds per iteration and analysis itself
+    // OOMs after ~10 rounds. On a cluster with lossy executors, swap
+    // for reliable checkpoint().
+    var labels = active.select(col("__cc_id"), col("__cc_id").as("label"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -48,14 +56,18 @@ object Components {
         .join(labels, sym("src") === labels("__cc_id"))
         .groupBy(col("dst").as("__cc_id2"))
         .agg(min(col("label")).as("nbr_min"))
-      val updated = labels
+      // one join per round: the checkpointed frame carries both the
+      // old label and the neighbor minimum, so the convergence count
+      // and the next labels both read it without a second join
+      val joined = labels
         .join(neighborMin, col("__cc_id") === col("__cc_id2"), "left_outer")
-        .select(col("__cc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
+        .select(col("__cc_id"), col("label"),
+          coalesce(col("nbr_min"), col("label")).as("nbr_min"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("label", "old"),
-        "__cc_id").filter(col("label") =!= col("old")).count()
+      val changed = joined.filter(col("nbr_min") < col("label")).count()
+      val updated = joined
+        .select(col("__cc_id"),
+          least(col("label"), col("nbr_min")).as("label"))
       labels.unpersist()
       labels = updated
       converged = changed == 0
@@ -65,6 +77,9 @@ object Components {
     require(converged,
       s"component propagation did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter — raise it)")
-    labels.select(col("__cc_id").as(idCol), col("label").as("component"))
+    val singletons = n.join(labels, Seq("__cc_id"), "left_anti")
+      .select(col("__cc_id"), col("__cc_id").as("label"))
+    labels.unionByName(singletons)
+      .select(col("__cc_id").as(idCol), col("label").as("component"))
   }
 }

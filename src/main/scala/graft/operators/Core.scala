@@ -103,21 +103,31 @@ object Core {
     * the reference's native catalog exchange format). Unlike the CSV
     * round-trip, FITS carries big-endian IEEE doubles, so the DOUBLE
     * columns round-trip bit-exactly and join the oracle check. */
-  val qImportFits: QuerySpec = QuerySpec(
-    "q_import_fits",
-    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-      |  l_returnflag, l_linestatus
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+  /** Write-once FITS export of the lineitem subset (completion marker
+    * written AFTER the export so a killed partial write is redone, the
+    * same discipline as Spark's _SUCCESS). */
+  def ensureFitsExport(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String = synchronized {
     val tmp = graft.sources.CacheKeys.path(
       "graft_fits_roundtrip", s"$dir/lineitem.parquet")
-    if (!new java.io.File(tmp).exists()) {
+    val marker = new java.io.File(s"$tmp/_FITS_OK")
+    if (!marker.exists()) {
       graft.sources.Fits.write(
         LsdDb.table(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity",
             "l_extendedprice", "l_returnflag", "l_linestatus"),
         tmp)
+      marker.createNewFile()
     }
-    graft.sources.Fits.read(s, tmp)
+    tmp
+  }
+
+  val qImportFits: QuerySpec = QuerySpec(
+    "q_import_fits",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    graft.sources.Fits.read(s, ensureFitsExport(s, dir))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
