@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Codegen'd float-vector dot product: Σ (double)a[i] * (double)b[i],
+/** Codegen'd vector dot product (array<float> or array<double>
+  * inputs): Σ (double)a[i] * (double)b[i],
   * accumulated left-to-right — the exact fold order of the DuckDB
   * oracle's `list_reduce(list_transform(list_zip(a,b), ...), +)`, so
   * scores stay bit-identical while running ~100× faster than the
@@ -27,27 +28,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotFold(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"dot_fold requires array<float> inputs, got " +
-        s"${left.dataType.sql} / ${right.dataType.sql}")
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined &&
+      elemType(right.dataType).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_fold requires array<float> or array<double> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_fold"
+
+  private def isFloat(t: DataType): Boolean =
+    elemType(t).contains(FloatType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left.dataType), isFloat(right.dataType))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -58,11 +67,14 @@ case class DotFold(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, t: DataType) =
+        if (isFloat(t)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += ${get(a, left.dataType)} * ${get(b, right.dataType)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -196,6 +196,69 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  /** X1c — int8 scalar-quantized similarity search: per-vector scale
+    * = max|x|/127, code = floor(x/scale + 0.5) ∈ [-127, 127], search
+    * runs on the dequantized (code·scale) vectors — 4× memory
+    * compression vs float32, the standard trick for RAM-resident
+    * corpora at billion-vector scale (quantize once at ingest; only
+    * codes + one scale per vector ship to the executors).
+    *
+    * Determinism: floor(x/s + 0.5) is spelled out instead of round()
+    * because the engines' round() tie-breaking differs (HALF_UP
+    * BigDecimal vs away-from-zero double); floor, division and the
+    * sequential cosine folds are exact IEEE ops, so scores are
+    * bit-identical and the oracle needs no snapping. */
+  val qQuantizeEmbed: QuerySpec = QuerySpec(
+    "q_quantize_embed", {
+      val absMax = "list_reduce(list_prepend(0.0, " +
+        "list_transform(vv, x -> abs(x))), (a, b) -> greatest(a, b))"
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, vv, $absMax / 127.0 AS scale FROM v),
+         |dq AS (SELECT vec_id, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(vv, x -> 0.0)
+         |         ELSE list_transform(vv, x -> floor(x / scale + 0.5) * scale)
+         |    END AS vv FROM s),
+         |n AS (SELECT vec_id, scale, vv, $normSql AS nrm FROM dq),
+         |pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |    ${cosineSql("p", "c")} AS cos
+         |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 5)
+         |SELECT probe_id, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos DESC, vec_id) AS INT) AS rn
+         |  FROM pairs)
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+    }) { (s, dir) =>
+    val asD = transform(col("embedding"), x => x.cast(DoubleType))
+    val deq = when(col("scale") === 0.0,
+      transform(col("vv"), _ => lit(0.0)))
+      .otherwise(transform(col("vv"),
+        x => floor(x / col("scale") + 0.5) * col("scale")))
+    val emb = LsdDb.table(s, dir, "embeddings")
+      .select(col("vec_id"), asD.as("vv"))
+      .withColumn("scale", scale0(col("vv")))
+      .select(col("vec_id"), col("scale"), deq.as("v"))
+      .withColumn("nrm", VectorKernels.norm2(col("v")))
+    val probes = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc,
+      col("vec_id").asc)
+    probes.join(emb, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Per-vector int8 scale on an already-double array column. */
+  private def scale0(vv: Column): Column =
+    aggregate(vv, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+
   def specs: Seq[QuerySpec] =
-    Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf)
+    Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed)
 }

@@ -50,8 +50,19 @@ class VectorKernelsSpec extends SpecBase {
     assert(df2.select(VectorKernels.dot(col("a"), col("b"))).head.getDouble(0) == 6.0)
   }
 
+  test("double arrays fold exactly; mixed float/double works") {
+    val df = Seq((Array(0.1, 0.2, 0.3), Array(2.0, 3.0, 4.0)))
+      .toDF("a", "b")
+    val got = df.select(VectorKernels.dot(col("a"), col("b")))
+      .head.getDouble(0)
+    assert(got == 0.1 * 2.0 + 0.2 * 3.0 + 0.3 * 4.0) // same fold order
+    val mixed = Seq((Array(1.5f, 2.5f), Array(2.0, 4.0))).toDF("a", "b")
+    assert(mixed.select(VectorKernels.dot(col("a"), col("b")))
+      .head.getDouble(0) == 1.5 * 2.0 + 2.5 * 4.0)
+  }
+
   test("wrong input type is rejected at analysis") {
-    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val df = Seq((Array(1, 2), Array(1, 2))).toDF("a", "b")
     intercept[Exception] {
       df.select(VectorKernels.dot(col("a"), col("b"))).head
     }
