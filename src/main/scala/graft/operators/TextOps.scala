@@ -524,7 +524,67 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Ext — deterministic train/val/test split assignment (90/5/5):
+    * bucket = LCG(doc_id) mod 100, a pure integer expression that is
+    * identical in any engine and stable across runs/repartitions —
+    * the property a split column must have (assign once, joinable
+    * everywhere). A content-keyed variant would use md5(text) exactly
+    * as q_dedup_exact does; the id-keyed form keeps dup groups
+    * (same text, different ids) split-independent. */
+  val qSplitAssign: QuerySpec = QuerySpec(
+    "q_split_assign",
+    """SELECT doc_id,
+      |  (doc_id * 1103515245 + 12345) % 100 AS bucket,
+      |  CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 90 THEN 'train'
+      |       WHEN (doc_id * 1103515245 + 12345) % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bucket = (col("doc_id") * 1103515245L + 12345L) % 100
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val packSeqLen = 2048 // tokens per packed training sequence
+
+  /** Ext — sequence packing for pretraining: concatenate documents in
+    * a deterministic order within each source shard, then chunk the
+    * token stream into fixed windows — every doc gets (seq_id, offset)
+    * of where its tokens start. One window cumsum per shard: at scale
+    * the unit of packing is the input shard (bounded size by
+    * construction), so the sort never exceeds a shard — the same
+    * blocking discipline as q_dedup_ngram's per-source candidate
+    * space. All-integer arithmetic → exact oracle. */
+  val qPackSequences: QuerySpec = QuerySpec(
+    "q_pack_sequences",
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS start_tok
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor(start_tok / $packSeqLen) AS BIGINT) AS seq_id,
+       |  CAST(start_tok % $packSeqLen AS BIGINT) AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_tok") / packSeqLen).as("seq_id"),
+        (col("start_tok") % packSeqLen).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
     qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
-    qDedupSimhash, qDedupSimhash64, qDedupNgram, qDedupClusters)
+    qDedupSimhash, qDedupSimhash64, qDedupNgram, qDedupClusters,
+    qSplitAssign, qPackSequences)
 }
