@@ -110,6 +110,26 @@ class PlanQualitySpec extends SpecBase {
       "margin cache must be clustered plain parquet, not directory-per-cell")
   }
 
+  test("q_quantize_embed keeps the codegen'd dot kernel on double arrays") {
+    val plan = planOf(VectorOps.qQuantizeEmbed.fn(spark, sfDir))
+    assert(plan.contains("dot_fold"),
+      "quantized search must use the codegen kernel, not a boxed fold")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), "probe side must broadcast")
+  }
+
+  test("q_pack_sequences: one window shuffle + output sort, nothing more") {
+    val df = TextOps.qPackSequences.fn(spark, sfDir)
+    assert(countShuffles(df) <= 2, s"packing must be one cumsum shuffle:\n" +
+      planOf(df))
+  }
+
+  test("q_dedup_clusters plans no cartesian products") {
+    val plan = planOf(TextOps.qDedupClusters.fn(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      "cluster assignment must stay equi-join shaped")
+  }
+
   test("q_partition_prune gets DIRECTORY-level PartitionFilters on t_bucket") {
     val plan = planOf(Core.qPartitionPrune.fn(spark, sfDir))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
