@@ -462,7 +462,66 @@ object Joins {
       .orderBy("id")
   }
 
+  /** Off-grid cone center/radius (same discipline as polyVerts'
+    * decimals); the d6 snap before the radius cut makes the boundary
+    * decision identical in both engines regardless (q_xmatch's trick). */
+  private val (coneLon, coneLat, coneR) = (123.4567, -12.3456, 9.0123)
+
+  /** SC2d — cone footprint over the sky-partitioned layout:
+    * `Footprint.coneCells` prunes directories, the exact great-circle
+    * predicate (d6-snapped) refines — the cone form of LSD's
+    * bounds∩quadtree, completing the footprint family next to
+    * q_footprint_cells (polygon) and q_footprint_rect. */
+  val qFootprintCone: QuerySpec = QuerySpec(
+    "q_footprint_cone",
+    s"""WITH c AS (SELECT c_custkey AS id,
+       |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+       |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+       |  FROM customer),
+       |d AS (SELECT id, lon, lat,
+       |    ${D.d6(
+          s"degrees(2 * asin(sqrt(" +
+            s"sin(radians(lat - ($coneLat)) / 2) * sin(radians(lat - ($coneLat)) / 2)" +
+            s" + cos(radians($coneLat)) * cos(radians(lat))" +
+            s" * sin(radians(lon - $coneLon) / 2)" +
+            s" * sin(radians(lon - $coneLon) / 2))))")} AS dist_deg
+       |  FROM c)
+       |SELECT id, lon, lat, dist_deg FROM d
+       |WHERE dist_deg <= $coneR ORDER BY id""".stripMargin) { (s, dir) =>
+    val (path, level) = ensureSkyPartitionedCustomer(s, dir)
+    val cells = graft.spatial.Footprint.coneCells(coneLon, coneLat, coneR,
+      level)
+    graft.sources.SpatialWriter.readPrimary(s, path)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("dist_deg", Det.d6(graft.spatial.CrossMatch.distDeg(
+        col("lon"), col("lat"), lit(coneLon), lit(coneLat))))
+      .filter(col("dist_deg") <= coneR)
+      .select("id", "lon", "lat", "dist_deg")
+      .orderBy("id")
+  }
+
+  /** SC2e — rectangle footprint WRAPPING through lon=0 (the case that
+    * breaks naive BETWEEN filters): pure comparisons on exact doubles,
+    * wraparound handled by Footprint.rect's disjunction; bounds use
+    * off-grid decimals so no synthetic-sky point sits on an edge. */
+  val qFootprintRect: QuerySpec = QuerySpec(
+    "q_footprint_rect",
+    """WITH c AS (SELECT c_custkey AS id,
+      |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+      |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+      |  FROM customer)
+      |SELECT id, lon, lat FROM c
+      |WHERE (lon >= 350.0037 OR lon <= 10.0093)
+      |  AND lat >= -20.0041 AND lat <= 5.0067
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey", "id", "lon", "lat")
+      .filter(graft.spatial.Footprint.rect(col("lon"), col("lat"),
+        350.0037, 10.0093, -20.0041, 5.0067))
+      .orderBy("id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
     qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq,
-    qXmatch, qXmatchMargin, qFootprintPolygon, qFootprintCells)
+    qXmatch, qXmatchMargin, qFootprintPolygon, qFootprintCells,
+    qFootprintCone, qFootprintRect)
 }
