@@ -38,21 +38,54 @@ object QueryCli {
   }
 }
 
-/** lsd-import analog: bulk-load a CSV file into a cell-partitioned
-  * Parquet table (with optional neighbor-margin replication).
+/** lsd-import analog: bulk-load a CSV file or a FITS binary-table
+  * directory into a cell-partitioned Parquet table (with optional
+  * neighbor-margin replication). The format is picked by extension:
+  * `.fits` dirs/files go through graft.sources.Fits, anything else
+  * through the CSV reader.
   *
-  * Usage: ImportCli <csv> <out> <lonCol> <latCol> <level> [marginDeg]
+  * Usage: ImportCli <csv|fitsDir> <out> <lonCol> <latCol> <level> [marginDeg]
   */
 object ImportCli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 5,
-      "usage: ImportCli <csv> <out> <lonCol> <latCol> <level> [marginDeg]")
+      "usage: ImportCli <csv|fitsDir> <out> <lonCol> <latCol> <level> [marginDeg]")
     val spark = Cli.session()
-    val df = spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(args(0))
+    val df =
+      if (args(0).endsWith(".fits") ||
+        new java.io.File(args(0)).isDirectory &&
+          Option(new java.io.File(args(0)).list())
+            .exists(_.exists(_.endsWith(".fits"))))
+        graft.sources.Fits.read(spark, args(0))
+      else spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(args(0))
     SpatialWriter.write(df, args(2), args(3), args(4).toInt, args(1),
       margin = args.lift(5).map(_.toDouble))
     println(s"imported ${args(0)} -> ${args(1)}")
+  }
+}
+
+/** lsd-make-object-catalog analog: friends-of-friends group a
+  * detection table into objects; writes `<outName>` (object summaries)
+  * and `<outName>_assign` (det_id → obj_id) under dbRoot.
+  *
+  * Usage: MakeObjectCatalogCli <dbRoot> <detTable> <idCol,lonCol,latCol>
+  *                             <radiusDeg> <outName>
+  */
+object MakeObjectCatalogCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 5, "usage: MakeObjectCatalogCli <dbRoot> " +
+      "<detTable> <idCol,lonCol,latCol> <radiusDeg> <outName>")
+    val spark = Cli.session()
+    val db = LsdDb(spark, args(0))
+    val Array(id, lon, lat) = args(2).split(",").map(_.trim)
+    val (assign, objects) = graft.spatial.ObjectCatalog.build(
+      db.table(args(1)), id, lon, lat, args(3).toDouble)
+    objects.write.mode("overwrite").parquet(s"${args(0)}/${args(4)}.parquet")
+    assign.write.mode("overwrite")
+      .parquet(s"${args(0)}/${args(4)}_assign.parquet")
+    println(s"object catalog ${args(1)} -> ${args(4)} " +
+      s"(${objects.count()} objects)")
   }
 }
 
