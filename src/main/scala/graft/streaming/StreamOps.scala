@@ -50,4 +50,46 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** S6 — streaming spatial enrichment (alert cross-match): join a
+    * DETECTION STREAM against a static object catalog, emitting every
+    * catalog object within `radiusDeg` of each detection. The modern
+    * form of the reference's detection→object matching, applied to a
+    * live alert feed.
+    *
+    * Shape: stream-static equi-join on the SkyPix blocking cell — the
+    * static side is exploded (strip-pruned) into its neighbor cells at
+    * plan time, the stream side computes one home cell per row, the
+    * exact great-circle refine follows. Completely STATELESS (no
+    * watermark, no state store, append mode): each micro-batch is a
+    * map-side join against the broadcast/cached catalog, so the
+    * stream never shuffles and latency is one batch.
+    *
+    * Columns in: stream (idCol, lonCol, latCol, …); catalog (objIdCol,
+    * objLonCol, objLatCol). Out: stream row + obj_id + dist_deg.
+    *
+    * Limitation: cell-channel only — complete below |lat| ≈ 85°
+    * (CrossMatch.CapLat). Polar alerts would need the batch path's
+    * broadcast cap channel; a stream-side union of the two channels is
+    * the extension point.
+    */
+  def xmatchStream(dets: DataFrame, catalog: DataFrame,
+                   lonCol: String, latCol: String,
+                   objIdCol: String, objLonCol: String, objLatCol: String,
+                   radiusDeg: Double): DataFrame = {
+    import graft.spatial.{CrossMatch, SkyPix}
+    val level = CrossMatch.levelFor(radiusDeg)
+    val cat = catalog.select(
+      col(objIdCol).as("obj_id"), col(objLonCol).as("obj_lon"),
+      col(objLatCol).as("obj_lat"))
+      .withColumn("cell", explode(SkyPix.neighborCellsWithin(
+        col("obj_lon"), col("obj_lat"), level, radiusDeg)))
+    dets
+      .withColumn("cell", SkyPix.cell(col(lonCol), col(latCol), level))
+      .join(cat, "cell")
+      .withColumn("dist_deg", CrossMatch.distDeg(
+        col(lonCol), col(latCol), col("obj_lon"), col("obj_lat")))
+      .filter(col("dist_deg") <= radiusDeg)
+      .drop("cell", "obj_lon", "obj_lat")
+  }
 }

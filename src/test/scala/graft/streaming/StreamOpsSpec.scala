@@ -42,6 +42,40 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  case class Det(det_id: Long, lon: Double, lat: Double)
+
+  test("streaming xmatch matches the batch cross-match, batch by batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = Seq((100L, 10.0, 20.0), (101L, 10.02, 20.02),
+      (102L, 180.0, -40.0), (103L, 359.99, 0.0))
+      .toDF("obj_id", "lon", "lat")
+    val input = MemoryStream[Det]
+    val enriched = StreamOps.xmatchStream(input.toDF(), catalog,
+      "lon", "lat", "obj_id", "lon", "lat", radiusDeg = 0.1)
+    val q = enriched.writeStream.format("memory").queryName("xmatch_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: near obj 100/101; batch 2: lon-wraparound + a miss
+      input.addData(Det(1, 10.01, 20.01))
+      q.processAllAvailable()
+      input.addData(Det(2, 0.005, 0.0), Det(3, 90.0, 50.0))
+      q.processAllAvailable()
+      val got = spark.table("xmatch_stream").select("det_id", "obj_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch ground truth from the same engine primitives
+      val dets = Seq((1L, 10.01, 20.01), (2L, 0.005, 0.0), (3L, 90.0, 50.0))
+        .toDF("det_id", "lon", "lat")
+      val want = graft.spatial.CrossMatch.allPairs(dets, catalog,
+        "det_id", "lon", "lat", "obj_id", "lon", "lat", 0.1)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      assert(got.contains((1L, 100L)) && got.contains((1L, 101L)))
+      assert(got.contains((2L, 103L)), "lon wraparound must match")
+      assert(!got.exists(_._1 == 3L), "far detection must not match")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
