@@ -58,12 +58,14 @@ object Components {
         .agg(min(col("label")).as("nbr_min"))
       // one join per round: the checkpointed frame carries both the
       // old label and the neighbor minimum, so the convergence count
-      // and the next labels both read it without a second join
+      // and the next labels both read it without a second join. The
+      // checkpoint is LAZY — the convergence count below is the action
+      // that materializes it, so each round runs exactly one job.
       val joined = labels
         .join(neighborMin, col("__cc_id") === col("__cc_id2"), "left_outer")
         .select(col("__cc_id"), col("label"),
           coalesce(col("nbr_min"), col("label")).as("nbr_min"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = joined.filter(col("nbr_min") < col("label")).count()
       val updated = joined
         .select(col("__cc_id"),
