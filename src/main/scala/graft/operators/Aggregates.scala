@@ -297,7 +297,38 @@ object Aggregates {
       .orderBy("n_nationkey")
   }
 
+  /** A1b — SALTED two-phase aggregation (Skew.saltedAggregate) under
+    * the oracle gate: lineitem grouped by l_returnflag — 3 keys over
+    * 60k+ rows, a genuinely hot-key aggregation — with a 16-way
+    * deterministic salt spreading phase 1. The phase-1 partials stay
+    * DECIMAL (exact, associative), so the phase-2 merge is provably
+    * salt-independent and hash-matches the oracle's plain GROUP BY —
+    * demonstrating that the skew-mitigation path changes the shuffle
+    * layout, never the answer. */
+  val qAggSalted: QuerySpec = QuerySpec(
+    "q_agg_salted",
+    s"""SELECT l_returnflag,
+       |  ${D.dsum("l_extendedprice")} AS sum_price,
+       |  count(*) AS n
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    Skew.saltedAggregate(
+      LsdDb.table(s, dir, "lineitem"),
+      keys = Seq("l_returnflag"), buckets = 16,
+      saltFrom = Seq("l_orderkey"),
+      partial = Seq(
+        // decimal(18,8) per Det's scale rules; partials NOT cast back
+        // to double — exactness through the merge is the point
+        sum(col("l_extendedprice").cast(DecimalType(18, 8))).as("ps"),
+        count(lit(1)).as("pc")),
+      merge = Seq(
+        sum(col("ps")).cast(DoubleType).as("sum_price"),
+        sum(col("pc")).as("n")))
+      .orderBy("l_returnflag")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qAggBasic, qAggGlobal, qAggDistinct,
     qHistogram, qRollup, qAggStats, qAggCollect, qAggMedian, qCube,
-    qPivot, qUnpivot, qSample, qPercentiles, qStringAgg)
+    qPivot, qUnpivot, qSample, qPercentiles, qStringAgg, qAggSalted)
 }
