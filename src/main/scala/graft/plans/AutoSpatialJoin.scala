@@ -1,0 +1,279 @@
+package graft.plans
+
+import graft.spatial.CrossMatch
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** `sky_dist(lon1, lat1, lon2, lat2)` — great-circle distance in
+  * degrees (haversine), as a first-class expression. Works anywhere a
+  * Column works (codegen'd, same java.lang.Math calls as the
+  * functions-API tree, so numerically identical to
+  * [[CrossMatch.distDeg]]); additionally serves as the MARKER the
+  * [[AutoSpatialJoin]] optimizer rule pattern-matches to turn a naive
+  * cross join + radius filter into the cell-blocked plan.
+  */
+case class SkyDist(lon1: Expression, lat1: Expression,
+                   lon2: Expression, lat2: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = lon1
+  override def second: Expression = lat1
+  override def third: Expression = lon2
+  override def fourth: Expression = lat2
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("sky_dist requires four DOUBLE arguments")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "sky_dist"
+
+  @inline private def hav(l1: Double, b1: Double,
+                          l2: Double, b2: Double): Double = {
+    val dLat = math.toRadians(b2 - b1)
+    val dLon = math.toRadians(l2 - l1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(math.toRadians(b1)) * math.cos(math.toRadians(b2)) *
+        math.sin(dLon / 2) * math.sin(dLon / 2)
+    math.toDegrees(2 * math.asin(math.sqrt(a)))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    hav(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l1, b1, l2, b2) => {
+      val dLat = ctx.freshName("dLat")
+      val dLon = ctx.freshName("dLon")
+      val h = ctx.freshName("h")
+      s"""
+         |double $dLat = java.lang.Math.toRadians($b2 - $b1);
+         |double $dLon = java.lang.Math.toRadians($l2 - $l1);
+         |double $h = java.lang.Math.sin($dLat / 2) * java.lang.Math.sin($dLat / 2)
+         |  + java.lang.Math.cos(java.lang.Math.toRadians($b1))
+         |    * java.lang.Math.cos(java.lang.Math.toRadians($b2))
+         |    * java.lang.Math.sin($dLon / 2) * java.lang.Math.sin($dLon / 2);
+         |${ev.value} = java.lang.Math.toDegrees(
+         |  2 * java.lang.Math.asin(java.lang.Math.sqrt($h)));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(lon1 = newFirst, lat1 = newSecond, lon2 = newThird,
+      lat2 = newFourth)
+}
+
+/** Optimizer rule: rewrite `Filter(sky_dist(al, aa, bl, bb) <= r,
+  * Join(A, B, inner/cross, no condition))` — the plan a user gets from
+  * the NAIVE `a.crossJoin(b).where(skyDist(...) <= r)` — into the
+  * cell-blocked two-channel join [[CrossMatch.allPairs]] builds by
+  * hand:
+  *
+  *   - cell channel: both sides filtered below the polar cap, A keyed
+  *     by its home SkyPix cell, B exploded (strip-pruned) into the
+  *     neighbor cells within r, equi-join on cell;
+  *   - cap channel: rows with either side above `capLat`, joined with
+  *     the disjoint-hemisphere predicates (tiny by equal-area
+  *     construction — Catalyst broadcasts it on its own).
+  *
+  * The original filter (including the exact sky_dist refine and any
+  * other conjuncts) is re-applied above the union, so the rewrite is
+  * semantics-preserving BY CONSTRUCTION — it changes O(|A|·|B|) into
+  * one shuffle join, which is the difference between a query that
+  * runs at 100 TB and one that never finishes. Enable with
+  * `spark.experimental.extraOptimizations ++= Seq(AutoSpatialJoin)`.
+  *
+  * Scope: fires only for radius ≤ 1°, distance arguments split one
+  * side each, join without an existing condition. Anything else is
+  * left untouched (sky_dist still evaluates directly — the marker is
+  * a real expression, not a placeholder).
+  */
+object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val CapLat = CrossMatch.CapLat
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // post-pushdown shape: extraOptimizations run AFTER the main
+    // batches, so PushPredicateThroughJoin has already folded the
+    // user's Filter into the join condition
+    case j @ Join(left, right, jt, Some(cond), _)
+        if jt == Inner || jt == Cross =>
+      rewrite(left, right, cond).getOrElse(j)
+    // pre-pushdown shape (rule applied manually on an analyzed plan)
+    case f @ Filter(cond, Join(left, right, jt, None, _))
+        if jt == Inner || jt == Cross =>
+      rewrite(left, right, cond).getOrElse(f)
+  }
+
+  /** If `cond` carries a `sky_dist(...) <= r` conjunct with sides
+    * split across the join, return the blocked rewrite (full `cond`
+    * re-applied above the union — semantics-preserving superset +
+    * exact refine). */
+  private def rewrite(left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression): Option[LogicalPlan] =
+    splitConjunctivePredicates(cond).collectFirst {
+      case LessThanOrEqual(sd: SkyDist, Literal(r: Double, DoubleType))
+          if r > 0 && r <= 1.0 && sidesSplit(left, right, sd) =>
+        Filter(cond, blocked(left, right, sd, r))
+    }
+
+  /** lon1/lat1 must come entirely from one side and lon2/lat2 from
+    * the other (either orientation). */
+  private def sidesSplit(left: LogicalPlan, right: LogicalPlan,
+                         sd: SkyDist): Boolean = {
+    val aRefs = sd.lon1.references ++ sd.lat1.references
+    val bRefs = sd.lon2.references ++ sd.lat2.references
+    (aRefs.subsetOf(left.outputSet) && bRefs.subsetOf(right.outputSet)) ||
+      (aRefs.subsetOf(right.outputSet) && bRefs.subsetOf(left.outputSet))
+  }
+
+  // ---- raw catalyst expression builders ----------------------------
+  //
+  // Rule-injected expressions never pass through the analyzer, and in
+  // Spark 4 the `functions._` Column API builds ColumnNodes whose
+  // conversion to resolved Expressions IS an analyzer step — so the
+  // grid math here is spelled out with concrete catalyst classes
+  // (numerically identical trees to SkyPix's Column builders; the
+  // AutoSpatialJoinSpec brute-force equivalence pins the semantics).
+
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+  private def L(v: Long): Literal = Literal(v)
+  private def D(v: Double): Literal = Literal(v)
+
+  /** (ix, iy) grid coordinates — raw form of SkyPix.ixy. */
+  private def ixy(lon: Expression, lat: Expression,
+                  level: Int): (Expression, Expression) = {
+    val n = 1L << level
+    val fx = Divide(Pmod(lon, D(360.0)), D(360.0))
+    val fy = Divide(Add(Sin(ToRadians(lat)), D(1.0)), D(2.0))
+    def clamp(f: Expression) = Greatest(Seq(
+      Least(Seq(Cast(Floor(Multiply(f, D(n.toDouble))), LongType),
+        L(n - 1))), L(0L)))
+    (clamp(fx), clamp(fy))
+  }
+
+  /** Morton interleave — raw form of SkyPix.morton. */
+  private def morton(ix: Expression, iy: Expression,
+                     level: Int): Expression =
+    (0 until level).map { b =>
+      val bx = ShiftLeft(BitwiseAnd(ShiftRight(ix, Literal(b)), L(1L)),
+        Literal(2 * b))
+      val by = ShiftLeft(BitwiseAnd(ShiftRight(iy, Literal(b)), L(1L)),
+        Literal(2 * b + 1))
+      BitwiseOr(bx, by)
+    }.foldLeft(L(0L): Expression)(BitwiseOr(_, _))
+
+  /** Packed cell id — raw form of SkyPix.cell. */
+  private def cellExpr(lon: Expression, lat: Expression,
+                       level: Int): Expression = {
+    val (ix, iy) = ixy(lon, lat, level)
+    BitwiseOr(morton(ix, iy, level), L(level.toLong << 58))
+  }
+
+  /** 9-slot strip-pruned neighbor array — raw form of
+    * SkyPix.neighborCellsWithinRaw (null slots dropped by the
+    * null-rejecting equi-join). */
+  private def neighborArrayExpr(lon: Expression, lat: Expression,
+                                level: Int, marginDeg: Double): Expression = {
+    val n = 1L << level
+    val w = 360.0 / n
+    val (ix, iy) = ixy(lon, lat, level)
+    val lonNorm = Pmod(lon, D(360.0))
+    val cosLat = Cos(ToRadians(lat))
+    val sinMargin = D(math.sin(math.toRadians(math.min(90.0, marginDeg))))
+    val dLonE = Subtract(Multiply(dbl(Add(ix, L(1L))), D(w)), lonNorm)
+    val dLonW = Subtract(lonNorm, Multiply(dbl(ix), D(w)))
+    val eastNear = LessThanOrEqual(
+      Multiply(Sin(ToRadians(dLonE)), cosLat), sinMargin)
+    val westNear = LessThanOrEqual(
+      Multiply(Sin(ToRadians(dLonW)), cosLat), sinMargin)
+    val latEdgeN = ToDegrees(Asin(Subtract(
+      Multiply(dbl(Add(iy, L(1L))), D(2.0 / n)), D(1.0))))
+    val latEdgeS = ToDegrees(Asin(Subtract(
+      Multiply(dbl(iy), D(2.0 / n)), D(1.0))))
+    val northNear = LessThanOrEqual(Subtract(latEdgeN, lat), D(marginDeg))
+    val southNear = LessThanOrEqual(Subtract(lat, latEdgeS), D(marginDeg))
+    val cells = for (dx <- -1 to 1; dy <- -1 to 1) yield {
+      val nx = Pmod(Add(ix, L(dx.toLong)), L(n))
+      val ny = Add(iy, L(dy.toLong))
+      val inRange = And(GreaterThanOrEqual(ny, L(0L)), LessThan(ny, L(n)))
+      val strip: Expression = (dx, dy) match {
+        case (0, 0)   => Literal.TrueLiteral
+        case (-1, 0)  => westNear
+        case (1, 0)   => eastNear
+        case (0, -1)  => southNear
+        case (0, 1)   => northNear
+        case (-1, -1) => And(westNear, southNear)
+        case (-1, 1)  => And(westNear, northNear)
+        case (1, -1)  => And(eastNear, southNear)
+        case (1, 1)   => And(eastNear, northNear)
+        case _        => Literal.TrueLiteral
+      }
+      val cell = BitwiseOr(morton(nx, ny, level), L(level.toLong << 58))
+      CaseWhen(Seq((And(inRange, strip), cell)), None)
+    }
+    CreateArray(cells)
+  }
+
+  private def blocked(left: LogicalPlan, right: LogicalPlan,
+                      sd: SkyDist, radius: Double): LogicalPlan = {
+    // orient: (aLon, aLat) on the left plan, (bLon, bLat) on the right
+    val leftFirst =
+      (sd.lon1.references ++ sd.lat1.references).subsetOf(left.outputSet)
+    val (aLon, aLat) = if (leftFirst) (sd.lon1, sd.lat1) else (sd.lon2, sd.lat2)
+    val (bLon, bLat) = if (leftFirst) (sd.lon2, sd.lat2) else (sd.lon1, sd.lat1)
+
+    val level = CrossMatch.levelFor(radius, CapLat)
+
+    // --- cell channel (both sides below the cap) ---
+    val aBelow = Filter(LessThanOrEqual(Abs(aLat), D(CapLat)), left)
+    val cellA = Alias(cellExpr(aLon, aLat, level), "_graft_ca")()
+    val aKeyed = Project(left.output :+ cellA, aBelow)
+
+    val bBelow = Filter(LessThanOrEqual(Abs(bLat), D(CapLat)), right)
+    val explode = Explode(neighborArrayExpr(bLon, bLat, level, radius))
+    val elemField = explode.elementSchema.fields.head
+    val cellB = AttributeReference("_graft_cb", elemField.dataType,
+      elemField.nullable)()
+    val bKeyed = Generate(explode, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(cellB), child = bBelow)
+
+    val cellJoin = Join(aKeyed, bKeyed, Inner,
+      Some(EqualTo(cellA.toAttribute, cellB)), JoinHint.NONE)
+    val cellChannel = Project(left.output ++ right.output, cellJoin)
+
+    // --- polar cap channel (disjoint from the cell channel: requires
+    // at least one side strictly above the cap) ---
+    val capEdge = D(CapLat - radius)
+    val aCap = Filter(GreaterThan(Abs(aLat), capEdge), left)
+    val bCap = Filter(GreaterThan(Abs(bLat), capEdge), right)
+    val capCond = And(
+      Or(GreaterThan(Abs(aLat), D(CapLat)), GreaterThan(Abs(bLat), D(CapLat))),
+      EqualTo(Signum(aLat), Signum(bLat)))
+    val capJoin = Join(aCap, bCap, Inner, Some(capCond), JoinHint.NONE)
+    val capChannel = Project(left.output ++ right.output, capJoin)
+
+    Union(Seq(cellChannel, capChannel))
+  }
+}
+
+/** User-facing Column constructor for [[SkyDist]]. */
+object sky {
+  import org.apache.spark.sql.Column
+  def skyDist(lon1: Column, lat1: Column,
+              lon2: Column, lat2: Column): Column =
+    GraftShims.column(SkyDist(GraftShims.expression(lon1),
+      GraftShims.expression(lat1), GraftShims.expression(lon2),
+      GraftShims.expression(lat2)))
+}

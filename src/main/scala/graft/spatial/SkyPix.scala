@@ -93,7 +93,22 @@ object SkyPix {
     *     apply (dist ≥ max of the two lower bounds).
     */
   def neighborCellsWithin(lon: Column, lat: Column, level: Int,
-                          marginDeg: Double): Column = {
+                          marginDeg: Double): Column =
+    array_distinct(filter(
+      neighborCellsWithinRaw(lon, lat, level, marginDeg), c => c.isNotNull))
+
+  /** Raw 9-slot form of [[neighborCellsWithin]]: strip-pruned or
+    * out-of-range neighbors are NULL entries instead of being filtered
+    * out, and no de-duplication is applied. This variant contains NO
+    * higher-order functions, so it can be injected into plans by
+    * optimizer rules (lambda variables need the analyzer, which
+    * rule-injected expressions never see — [[graft.plans
+    * .AutoSpatialJoin]]). Consumers explode it and equi-join on the
+    * cell: null slots never match, and slots are pairwise-distinct
+    * for level >= 2 (the 9 (ix±1, iy±1) grid positions are distinct
+    * once the grid is wider than 2 cells). */
+  def neighborCellsWithinRaw(lon: Column, lat: Column, level: Int,
+                             marginDeg: Double): Column = {
     require(level >= 0 && level <= MaxLevel, s"level $level out of range")
     require(marginDeg >= 0, s"marginDeg must be >= 0, got $marginDeg")
     val n = 1L << level
@@ -134,7 +149,7 @@ object SkyPix {
       when(inRange && strip,
         morton(nx, ny, level).bitwiseOR(lit(level.toLong << 58)))
     }
-    array_distinct(filter(array(cells: _*), c => c.isNotNull))
+    array(cells: _*)
   }
 
   /** Packed row id — the engine's `_ID` pseudo-column (the

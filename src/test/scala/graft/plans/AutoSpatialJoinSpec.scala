@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.SpecBase
+import graft.plans.sky.skyDist
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** The optimizer rule must turn the naive cross join + sky_dist filter
+  * into the blocked two-channel plan WITHOUT changing a single result
+  * row — verified against a driver-side brute force on a fixture with
+  * polar points (the cap-channel case). */
+class AutoSpatialJoinSpec extends SpecBase {
+  import spark.implicits._
+
+  private val rnd = new Random(11)
+  private val as: Seq[(Long, Double, Double)] = ((0L until 250L).map { i =>
+    (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1)))
+  }) ++ Seq((900L, 10.0, 89.6), (901L, 200.0, -89.3))
+  private val bs: Seq[(Long, Double, Double)] = as.map { case (i, lon, lat) =>
+    (i + 1000, lon + 0.02 * rnd.nextDouble(),
+      math.max(-89.9, math.min(89.9, lat + 0.02 * rnd.nextDouble())))
+  } ++ Seq((2000L, 180.0, 0.0))
+
+  private def hav(l1: Double, b1: Double, l2: Double, b2: Double): Double = {
+    val dLat = math.toRadians(b2 - b1); val dLon = math.toRadians(l2 - l1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(math.toRadians(b1)) * math.cos(math.toRadians(b2)) *
+        math.sin(dLon / 2) * math.sin(dLon / 2)
+    math.toDegrees(2 * math.asin(math.sqrt(a)))
+  }
+
+  private def brute(r: Double): Set[(Long, Long)] =
+    (for {
+      (ai, alon, alat) <- as
+      (bi, blon, blat) <- bs
+      if hav(alon, alat, blon, blat) <= r
+    } yield (ai, bi)).toSet
+
+  private lazy val aDf = as.toDF("a_id", "a_lon", "a_lat")
+  private lazy val bDf = bs.toDF("b_id", "b_lon", "b_lat")
+
+  private def naive(r: Double) =
+    aDf.crossJoin(bDf).where(skyDist(col("a_lon"), col("a_lat"),
+      col("b_lon"), col("b_lat")) <= r)
+
+  test("sky_dist evaluates standalone (no rule): matches brute force") {
+    val got = naive(0.05).select("a_id", "b_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got == brute(0.05))
+  }
+
+  test("rule rewrites the cross join away and preserves every row") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AutoSpatialJoin
+    try {
+      for (r <- Seq(0.05, 0.5)) {
+        val df = naive(r)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"r=$r: cartesian must be rewritten away:\n${plan.take(2000)}")
+        assert(plan.contains("Generate explode") || plan.contains("Explode"),
+          "blocked plan must carry the neighbor-cell explode")
+        val got = df.select("a_id", "b_id").collect()
+          .map(row => (row.getLong(0), row.getLong(1))).toSet
+        assert(got == brute(r), s"r=$r result mismatch")
+      }
+      // extra conjuncts survive the rewrite
+      val extra = aDf.crossJoin(bDf)
+        .where(skyDist(col("a_lon"), col("a_lat"),
+          col("b_lon"), col("b_lat")) <= 0.5 && col("a_id") % 2 === 0)
+      val got = extra.select("a_id", "b_id").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      assert(got == brute(0.5).filter(_._1 % 2 == 0))
+      // out-of-scope shapes are left alone (radius > 1 degree)
+      val big = naive(5.0)
+      assert(big.queryExecution.optimizedPlan.toString.contains("Join Cross") ||
+        big.queryExecution.executedPlan.toString.contains("CartesianProduct") ||
+        big.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(big.select("a_id", "b_id").collect().length == brute(5.0).size)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == AutoSpatialJoin)
+    }
+  }
+}
