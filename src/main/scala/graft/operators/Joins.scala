@@ -520,8 +520,54 @@ object Joins {
       .orderBy("id")
   }
 
+  private val havSql =
+    "degrees(2 * asin(sqrt(" +
+      "sin(radians(b_lat - a_lat) / 2) * sin(radians(b_lat - a_lat) / 2)" +
+      " + cos(radians(a_lat)) * cos(radians(b_lat))" +
+      " * sin(radians(b_lon - a_lon) / 2)" +
+      " * sin(radians(b_lon - a_lon) / 2))))"
+
+  /** J6c — the DECLARATIVE cross-match: the query is written as the
+    * naive `crossJoin + skyDist <= r` a user would type, and the
+    * [[graft.plans.AutoSpatialJoin]] optimizer rule (enabled on the
+    * session) rewrites it into the cell-blocked plan — LSD's "write
+    * WHERE dist < r, get a survey-scale join" UX, oracle-checked.
+    * Boundary determinism: the marker filter blocks at radius 1.0 (a
+    * superset) and the d6-snapped cut at 0.95 decides membership, so
+    * engine libm ulps can't flip a row (same discipline as q_xmatch).
+    */
+  val qXmatchAuto: QuerySpec = QuerySpec(
+    "q_xmatch_auto",
+    s"""WITH a AS (SELECT o_orderkey AS a_id,
+       |    CAST(o_orderkey * 13 % 3600 AS DOUBLE) / 10.0 AS a_lon,
+       |    CAST(o_orderkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS a_lat
+       |  FROM orders),
+       |b AS (SELECT s_suppkey AS b_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS b_lon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS b_lat
+       |  FROM supplier)
+       |SELECT a_id, b_id, ${D.d6(havSql)} AS dist_deg
+       |FROM a CROSS JOIN b
+       |WHERE $havSql <= 1.0 AND ${D.d6(havSql)} <= 0.95
+       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    if (!s.experimental.extraOptimizations.contains(
+      graft.plans.AutoSpatialJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.AutoSpatialJoin
+    val a = skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+      "a_id", "a_lon", "a_lat")
+    val b = skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+      "b_id", "b_lon", "b_lat")
+    val d = graft.plans.sky.skyDist(col("a_lon"), col("a_lat"),
+      col("b_lon"), col("b_lat"))
+    a.crossJoin(b)
+      .where(d <= 1.0 && Det.d6(d) <= 0.95)
+      .select(col("a_id"), col("b_id"), Det.d6(d).as("dist_deg"))
+      .orderBy("a_id", "b_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
     qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq,
-    qXmatch, qXmatchMargin, qFootprintPolygon, qFootprintCells,
+    qXmatch, qXmatchMargin, qXmatchAuto, qFootprintPolygon, qFootprintCells,
     qFootprintCone, qFootprintRect)
 }

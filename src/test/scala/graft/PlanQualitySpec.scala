@@ -110,6 +110,14 @@ class PlanQualitySpec extends SpecBase {
       "margin cache must be clustered plain parquet, not directory-per-cell")
   }
 
+  test("q_xmatch_auto: the optimizer rule removes the cartesian") {
+    val df = Joins.qXmatchAuto.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"AutoSpatialJoin must have rewritten the cross join:\n" +
+        plan.linesIterator.take(15).mkString("\n"))
+  }
+
   test("q_quantize_embed keeps the codegen'd dot kernel on double arrays") {
     val plan = planOf(VectorOps.qQuantizeEmbed.fn(spark, sfDir))
     assert(plan.contains("dot_fold"),
