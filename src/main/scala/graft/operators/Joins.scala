@@ -566,8 +566,76 @@ object Joins {
       .orderBy("a_id", "b_id")
   }
 
+  /** J6d — TEMPORAL cross-match: pairs within BOTH a sky radius and a
+    * time window — the query shape LSD's per-epoch temporal sub-cells
+    * existed for (SURVEY §1.1: each spatial cell splits into MJD
+    * ranges). Blocking is the (sky × time) product grid: A keyed by
+    * (home cell, own day-bucket); B exploded to (strip-pruned
+    * neighbor cells) × (bucket−1, bucket, bucket+1). Each qualifying
+    * pair meets on EXACTLY one (cell, bucket) key — A has one key and
+    * the B replicas are pairwise distinct — so no dedup pass exists,
+    * the same disjointness discipline as the cap channel. Refines are
+    * exact: d6-snapped great-circle ≤ 0.95° and an integer
+    * microsecond |Δt| ≤ 7 days (bucket width == window width, so ±1
+    * bucket replication is closure-complete). Probe side restricted to event_id < 500 so the
+    * DuckDB oracle's cross join stays feasible; the Spark plan never
+    * builds that product. */
+  val qXmatchTemporal: QuerySpec = QuerySpec(
+    "q_xmatch_temporal",
+    s"""WITH e AS (SELECT event_id AS id,
+       |    CAST(event_id * 13 % 720 AS DOUBLE) / 2.0 AS lon,
+       |    CAST(event_id * 7 % 120 AS DOUBLE) / 2.0 - 30.0 AS lat,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+       |  FROM events),
+       |a AS (SELECT * FROM e WHERE id < 500),
+       |p AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    ${D.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)" +
+            " + cos(radians(a.lat)) * cos(radians(b.lat))" +
+            " * sin(radians(b.lon - a.lon) / 2)" +
+            " * sin(radians(b.lon - a.lon) / 2))))")} AS dist_deg,
+       |    b.tus - a.tus AS dt_us
+       |  FROM a CROSS JOIN e b WHERE a.id <> b.id)
+       |SELECT a_id, b_id, dist_deg, dt_us FROM p
+       |WHERE dist_deg <= 0.95 AND abs(dt_us) <= 604800000000
+       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val winUs = 604800000000L // 7 days: bucket width == window width
+    val e = LsdDb.table(s, dir, "events")
+      .select(col("event_id").as("id"),
+        ((col("event_id") * 13) % 720).cast(DoubleType)./(2.0).as("lon"),
+        (((col("event_id") * 7) % 120).cast(DoubleType) / 2.0 - 30.0)
+          .as("lat"),
+        unix_micros(col("ts")).as("tus"))
+    val level = graft.spatial.CrossMatch.levelFor(0.95, 31.0)
+    val a = e.filter(col("id") < 500)
+      .select(col("id").as("a_id"), col("lon").as("a_lon"),
+        col("lat").as("a_lat"), col("tus").as("a_tus"))
+      .withColumn("cell",
+        graft.spatial.SkyPix.cell(col("a_lon"), col("a_lat"), level))
+      .withColumn("bucket", floor(col("a_tus") / winUs))
+    val b = e
+      .select(col("id").as("b_id"), col("lon").as("b_lon"),
+        col("lat").as("b_lat"), col("tus").as("b_tus"))
+      .withColumn("cell", explode(graft.spatial.SkyPix
+        .neighborCellsWithin(col("b_lon"), col("b_lat"), level, 0.95)))
+      .withColumn("b0", floor(col("b_tus") / winUs))
+      .withColumn("bucket",
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    a.join(b, Seq("cell", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("dist_deg", Det.d6(graft.spatial.CrossMatch.distDeg(
+        col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))))
+      .filter(col("dist_deg") <= 0.95 &&
+        abs(col("b_tus") - col("a_tus")) <= winUs)
+      .select(col("a_id"), col("b_id"), col("dist_deg"),
+        (col("b_tus") - col("a_tus")).as("dt_us"))
+      .orderBy("a_id", "b_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
     qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq,
-    qXmatch, qXmatchMargin, qXmatchAuto, qFootprintPolygon, qFootprintCells,
-    qFootprintCone, qFootprintRect)
+    qXmatch, qXmatchMargin, qXmatchAuto, qXmatchTemporal, qFootprintPolygon,
+    qFootprintCells, qFootprintCone, qFootprintRect)
 }
