@@ -623,7 +623,9 @@ object Joins {
       .withColumn("bucket",
         explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
       .drop("b0")
-    a.join(b, Seq("cell", "bucket"))
+    // the probe batch is bounded (id < 500) → broadcast it and the
+    // corpus side never shuffles: the whole match is one map-side pass
+    broadcast(a).join(b, Seq("cell", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("dist_deg", Det.d6(graft.spatial.CrossMatch.distDeg(
         col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))))

@@ -122,6 +122,32 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** W3b — RANGE frame (value peers, not row counts): per customer,
+    * count and exact-sum the orders whose key lies within 5 of the
+    * current order's key — the frame is defined by the ORDER BY
+    * VALUE, so ties and gaps behave differently from a ROWS frame
+    * (peers enter together; missing values shrink the frame). Integer
+    * range bounds on a BIGINT ordering — exact in both engines. */
+  val qWindowRange: QuerySpec = QuerySpec(
+    "q_window_range",
+    """SELECT o_custkey, o_orderkey,
+      |  count(*) OVER w AS n_near,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) OVER w AS DOUBLE)
+      |    AS sum_near
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").asc)
+      .rangeBetween(-5, 5)
+    LsdDb.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_near"),
+        sum(col("o_totalprice").cast(DecimalType(28, 8))).over(w)
+          .cast(DoubleType).as("sum_near"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowRank, qWindowLag, qWindowFrame,
-    qWindowNtile)
+    qWindowNtile, qWindowRange)
 }
