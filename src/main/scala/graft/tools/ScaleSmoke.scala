@@ -61,6 +61,43 @@ object ScaleSmoke {
           col("price") >= col("lo") && col("price") < col("hi"))
         .groupBy("ck").agg(count(lit(1))).count() + " customers"
     }
+
+    // connected components: 10M nodes, 3M edges forming ~1M small
+    // clusters (the dedup-cluster shape: most nodes are singletons,
+    // components are shallow) — the active-node restriction means the
+    // iteration never touches the 7M edge-free nodes
+    val nodes = spark.range(10000000).select(col("id"))
+    val edges = spark.range(3000000).select(
+      ((col("id") % 1000000) * 10).as("a"),
+      ((col("id") % 1000000) * 10 + (col("id") % 9) + 1).as("b"))
+    t("connected components 10M nodes, 3M edges") {
+      graft.operators.Components.minLabel(nodes, "id", edges, "a", "b")
+        .select(countDistinct(col("component"))).head.getLong(0) +
+        " components"
+    }
+
+    // int8-quantized cosine search: 1M x 64-d corpus, 8 probes — the
+    // map-only broadcast pass with the codegen'd double-array DotFold
+    val corpus = spark.range(1000000).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => rand(seed = 8) + i * 0.001).as("v"))
+      .withColumn("nrm", graft.functions.VectorKernels.norm2(col("v")))
+      .persist()
+    corpus.count() // materialize: measure the kernel, not the synth
+    t("quantized-style cosine top-5, 1M x 64-d, 8 probes") {
+      val probes = broadcast(corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+      probes.join(corpus, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          graft.functions.VectorKernels.cosine(
+            graft.functions.VectorKernels.dot(col("pv"), col("v")),
+            col("pn"), col("nrm")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).count() + " results"
+    }
     spark.stop()
   }
 }
