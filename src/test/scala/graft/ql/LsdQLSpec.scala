@@ -95,6 +95,39 @@ class LsdQLSpec extends SpecBase {
     assert(mismatch == 0)
   }
 
+  test("xmatch pair table as a join relation (reference .join parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two spatial catalogs + a CrossMatch-materialized pair table,
+    // registered as JoinDefs — the reference's precomputed-xmatch join
+    // path: FROM dets, pairs, objs resolves det→pair→obj by key chain
+    val tmp = Files.createTempDirectory("graft_ql_xm").toString
+    val rnd = new scala.util.Random(3)
+    val objs = (0L until 200L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))))
+      .toDF("obj_id", "obj_lon", "obj_lat")
+    val dets = objs.select(col("obj_id") * 100 + 1, col("obj_lon") + 0.001,
+      col("obj_lat") + 0.001)
+      .toDF("det_id", "det_lon", "det_lat")
+    objs.write.parquet(s"$tmp/objs.parquet")
+    dets.write.parquet(s"$tmp/dets.parquet")
+    val pairs = graft.spatial.CrossMatch(dets, objs,
+      "det_id", "det_lon", "det_lat", "obj_id", "obj_lon", "obj_lat",
+      radiusDeg = 0.05, nmax = 1)
+    pairs.write.parquet(s"$tmp/xm.parquet")
+
+    val db = LsdDb(spark, tmp)
+    val q = LsdQL(db, Seq(
+      JoinDef("dets", "det_id", "xm", "a_id"),
+      JoinDef("xm", "b_id", "objs", "obj_id")))
+    val joined = q.query(
+      """SELECT det_id, obj_id, dist_deg, det_lon, obj_lon
+        |FROM dets, xm, objs WHERE match_rank = 1""".stripMargin)
+    assert(joined.count() == 200) // every det matched its object
+    assert(joined.filter(col("det_id") =!= col("obj_id") * 100 + 1)
+      .count() == 0)
+  }
+
   test("_ID usable in WHERE; key-fallback for non-spatial tables") {
     // non-spatial fallback: _ID == declared unique key
     val df = ql.query("SELECT _ID, o_orderkey FROM orders WHERE _ID % 2 = 0")
