@@ -91,6 +91,9 @@ object Fits {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val fields = schema.fields.map(f => (f.name, f.dataType.typeName))
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      // the header needs NAXIS2 (row count) before the payload, so the
+      // partition is buffered — bounded by the partition size, which
+      // spark.sql.files.maxPartitionBytes keeps task-memory-sized
       val buf = rows.toArray
       val fs = FileSystem.get(
         new java.net.URI(path), hadoopConf.value)

@@ -185,6 +185,59 @@ object SkyPix {
   def idRow(idCol: Column, rowBits: Int = 24): Column =
     idCol.bitwiseAND(lit((1L << rowBits) - 1))
 
+  /** Scala-side twin of [[neighborCellsWithin]] for tests /
+    * driver-side checks (same arithmetic, same conservative per-edge
+    * lower-bound tests; SkyPixSpec anchors twin ≡ expression). */
+  def stripNeighborIds(lonDeg: Double, latDeg: Double, level: Int,
+                       marginDeg: Double): Seq[Long] = {
+    val n = 1L << level
+    val w = 360.0 / n
+    val lonNorm = ((lonDeg % 360) + 360) % 360
+    val fy = (math.sin(math.toRadians(latDeg)) + 1.0) / 2.0
+    val ix = math.min((lonNorm / 360.0 * n).toLong, n - 1).max(0)
+    val iy = math.min((fy * n).toLong, n - 1).max(0)
+    val cosLat = math.cos(math.toRadians(latDeg))
+    val sinMargin = math.sin(math.toRadians(math.min(90.0, marginDeg)))
+    val dLonE = (ix + 1).toDouble * w - lonNorm
+    val dLonW = lonNorm - ix.toDouble * w
+    val eastNear = math.sin(math.toRadians(dLonE)) * cosLat <= sinMargin
+    val westNear = math.sin(math.toRadians(dLonW)) * cosLat <= sinMargin
+    val latEdgeN = math.toDegrees(math.asin(
+      math.max(-1, math.min(1, (iy + 1).toDouble * (2.0 / n) - 1.0))))
+    val latEdgeS = math.toDegrees(math.asin(
+      math.max(-1, math.min(1, iy.toDouble * (2.0 / n) - 1.0))))
+    val northNear = latEdgeN - latDeg <= marginDeg
+    val southNear = latDeg - latEdgeS <= marginDeg
+    val out = Seq.newBuilder[Long]
+    for (dx <- -1 to 1; dy <- -1 to 1) {
+      val ny = iy + dy
+      val strip = (dx, dy) match {
+        case (0, 0)   => true
+        case (-1, 0)  => westNear
+        case (1, 0)   => eastNear
+        case (0, -1)  => southNear
+        case (0, 1)   => northNear
+        case (-1, -1) => westNear && southNear
+        case (-1, 1)  => westNear && northNear
+        case (1, -1)  => eastNear && southNear
+        case (1, 1)   => eastNear && northNear
+        case _        => true
+      }
+      if (ny >= 0 && ny < n && strip) {
+        val nx = ((ix + dx) % n + n) % n
+        var m = 0L
+        var b = 0
+        while (b < level) {
+          m |= ((nx >> b) & 1L) << (2 * b)
+          m |= ((ny >> b) & 1L) << (2 * b + 1)
+          b += 1
+        }
+        out += (m | (level.toLong << 58))
+      }
+    }
+    out.result().distinct
+  }
+
   /** Scala-side twin for tests / driver-side checks. */
   def cellId(lonDeg: Double, latDeg: Double, level: Int): Long = {
     val nCells = 1L << level

@@ -110,6 +110,16 @@ class PlanQualitySpec extends SpecBase {
       "margin cache must be clustered plain parquet, not directory-per-cell")
   }
 
+  test("q_xmatch_temporal: broadcast probe, no cartesian, no dedup pass") {
+    val df = Joins.qXmatchTemporal.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bounded probe batch must broadcast")
+    assert(!plan.contains("HashAggregate(keys=[a_id"),
+      "product-grid blocking must not need a dedup aggregation")
+  }
+
   test("q_xmatch_auto: the optimizer rule removes the cartesian") {
     val df = Joins.qXmatchAuto.fn(spark, sfDir)
     val plan = planOf(df)

@@ -46,6 +46,39 @@ object PropertySuite extends Properties("graft") {
       math.Pi * Haversine.EarthRadiusKm + 1e-6
   }
 
+  private def havDeg(lo1: Double, la1: Double,
+                     lo2: Double, la2: Double): Double = {
+    val dLat = math.toRadians(la2 - la1); val dLon = math.toRadians(lo2 - lo1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+        math.sin(dLon / 2) * math.sin(dLon / 2)
+    math.toDegrees(2 * math.asin(math.sqrt(a)))
+  }
+
+  property("skypix.stripClosure") = Prop.forAll(lon,
+    Gen.choose(-84.0, 84.0), Gen.choose(2, 9),
+    Gen.choose(0.01, 1.0), Gen.choose(0.0, 2 * math.Pi),
+    Gen.choose(0.0, 1.0)) { (lo, la, lv0, margin0, ang, frac) =>
+    // any point within marginDeg must find its partner's home cell in
+    // the strip-pruned neighborhood — the completeness property the
+    // margin cache, the probe explode, and AutoSpatialJoin rely on
+    val lv = math.max(2, math.min(9, lv0))
+    // keep margin within the closure-valid range for the level
+    // (mirrors CrossMatch.levelFor's bound) and below the cap zone
+    val margin = math.min(math.max(0.01, margin0),
+      360.0 / (1L << lv) / (math.Pi * 1.1))
+    val d = margin * math.min(1.0, math.max(0.0, frac))
+    val lat2 = math.max(-89.9, math.min(89.9, la + d * math.sin(ang)))
+    val lon2 = lo + d * math.cos(ang) /
+      math.max(0.05, math.cos(math.toRadians(la)))
+    val applicable = math.abs(la) <= 84 &&
+      havDeg(lo, la, lon2, lat2) <= margin && math.abs(lat2) <= 85
+    Prop(!applicable || {
+      val home = SkyPix.cellId(lo, la, lv)
+      SkyPix.stripNeighborIds(lon2, lat2, lv, margin).contains(home)
+    })
+  }
+
   property("haversine.triangleOnEquator") = Prop.forAll(
     Gen.choose(0.0, 90.0), Gen.choose(0.0, 90.0)) { (a0, b0) =>
     // clamp: ScalaCheck shrinking can step outside the Gen bounds, and

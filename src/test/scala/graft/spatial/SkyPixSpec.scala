@@ -120,6 +120,22 @@ class SkyPixSpec extends SpecBase {
     assert(sup == 0)
   }
 
+  test("strip Column expression and Scala twin agree") {
+    // anchors stripNeighborIds ≡ neighborCellsWithin, so the pure-JVM
+    // ScalaCheck closure property (PropertySuite.skypix.stripClosure)
+    // covers the expression too
+    val pts = samples(300, 6).filter { case (_, la) => math.abs(la) < 89 }
+    val df = pts.toDF("lon", "lat")
+    for ((level, margin) <- Seq((3, 2.0), (6, 0.4), (9, 0.05))) {
+      val got = df.select(
+        SkyPix.neighborCellsWithin(col("lon"), col("lat"), level, margin))
+        .collect().map(_.getSeq[Long](0).sorted.toSeq)
+      val want = pts.map { case (lo, la) =>
+        SkyPix.stripNeighborIds(lo, la, level, margin).sorted.toSeq }
+      assert(got.toSeq == want)
+    }
+  }
+
   test("equal-area: level-3 occupancy of a uniform sphere sample is even") {
     val n = 200000
     val df = spark.range(n).select(
