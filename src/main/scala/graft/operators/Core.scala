@@ -131,6 +131,25 @@ object Core {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** SC3c — bulk import via ORC (Spark's second bundled columnar
+    * format): write-once export of the lineitem subset, read back.
+    * Like FITS (and unlike CSV text), ORC stores IEEE doubles
+    * losslessly, so the double columns join the oracle check. */
+  val qImportOrc: QuerySpec = QuerySpec(
+    "q_import_orc",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val tmp = graft.sources.CacheKeys.path(
+      "graft_orc_roundtrip", s"$dir/lineitem.parquet")
+    if (!graft.sources.CacheKeys.isComplete(tmp))
+      LsdDb.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** P1 — projection with computed expressions (all IEEE-deterministic
     * double arithmetic; no aggregation → no ordering hazard). */
   val qProject: QuerySpec = QuerySpec(
@@ -340,6 +359,6 @@ object Core {
   }
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
-    qImportCsv, qImportFits, qProject, qFilter, qMath, qCase, qString,
-    qDatetime, qArray, qArrayOps, qJson)
+    qImportCsv, qImportFits, qImportOrc, qProject, qFilter, qMath, qCase,
+    qString, qDatetime, qArray, qArrayOps, qJson)
 }
