@@ -135,11 +135,9 @@ object Core {
     * format): write-once export of the lineitem subset, read back.
     * Like FITS (and unlike CSV text), ORC stores IEEE doubles
     * losslessly, so the double columns join the oracle check. */
-  val qImportOrc: QuerySpec = QuerySpec(
-    "q_import_orc",
-    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-      |  l_returnflag, l_linestatus
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+  /** Write-once ORC export of the lineitem subset. */
+  def ensureOrcExport(s: org.apache.spark.sql.SparkSession,
+                      dir: String): String = synchronized {
     val tmp = graft.sources.CacheKeys.path(
       "graft_orc_roundtrip", s"$dir/lineitem.parquet")
     if (!graft.sources.CacheKeys.isComplete(tmp))
@@ -147,7 +145,15 @@ object Core {
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag", "l_linestatus")
         .write.mode("overwrite").orc(tmp)
-    s.read.orc(tmp).orderBy("l_orderkey", "l_linenumber")
+    tmp
+  }
+
+  val qImportOrc: QuerySpec = QuerySpec(
+    "q_import_orc",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    s.read.orc(ensureOrcExport(s, dir)).orderBy("l_orderkey", "l_linenumber")
   }
 
   /** P1 — projection with computed expressions (all IEEE-deterministic
