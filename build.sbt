@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver keeps the TAIL of `sbt runMain` stdout and json-parses the
+// last line. Two sbt behaviors break that: forked-process output gets an
+// "[info] " prefix (→ unparseable), and sbt appends "[success] Total
+// time: …" AFTER the program's last line. Pipe forked output straight
+// through and suppress the success banner so the benchmark headline is
+// the literal final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +34,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 128 GiB box, local[32]: 8g starved the 92-query bench run (GC
+  // churn from accumulated broadcasts/caches showed up as a 5-40s
+  // slow band mid-run); 24g keeps old-gen headroom for the whole run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

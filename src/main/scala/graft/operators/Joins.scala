@@ -319,7 +319,10 @@ object Joins {
     val level = graft.spatial.CrossMatch.levelFor(1.0, xmatchCapLat)
     val path = graft.sources.CacheKeys.path(
       s"graft_margin_cache_l$level", s"$dir/supplier.parquet")
-    if (!graft.sources.CacheKeys.isComplete(path)) {
+    // rebuild if absent OR written before the _MARGIN sidecar existed
+    // (requireMargin below rejects un-annotated layouts)
+    if (!graft.sources.CacheKeys.isComplete(path) ||
+        graft.sources.SpatialWriter.marginMeta(s, path).isEmpty) {
       val b = skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
         "b_id", "b_lon", "b_lat")
       graft.sources.SpatialWriter.writeClustered(b, "b_lon", "b_lat", level,
@@ -340,6 +343,9 @@ object Joins {
     "q_xmatch_margin",
     qXmatch.oracle.get) { (s, dir) =>
     val (path, level) = ensureXmatchMarginCache(s, dir)
+    // contract check: the written margin must cover this query radius
+    // (a larger radius would silently lose cross-cell pairs)
+    graft.sources.SpatialWriter.requireMargin(s, path, 1.0)
     val a = skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
       "a_id", "a_lon", "a_lat")
     val bM = graft.sources.SpatialWriter.readWithMargins(s, path)

@@ -525,21 +525,26 @@ object TextOps {
   }
 
   /** Ext — deterministic train/val/test split assignment (90/5/5):
-    * bucket = LCG(doc_id) mod 100, a pure integer expression that is
-    * identical in any engine and stable across runs/repartitions —
-    * the property a split column must have (assign once, joinable
-    * everywhere). A content-keyed variant would use md5(text) exactly
-    * as q_dedup_exact does; the id-keyed form keeps dup groups
-    * (same text, different ids) split-independent. */
+    * bucket = LCG(doc_id mod 2^31-1) mod 100, a pure integer
+    * expression that is identical in any engine and stable across
+    * runs/repartitions — the property a split column must have
+    * (assign once, joinable everywhere). The pre-reduction mod
+    * 2147483647 bounds the product at ~2.4e18 < int64 max, so the
+    * expression never overflows for ANY doc_id — engines disagree on
+    * overflow (Spark wraps silently, DuckDB raises), so "identical in
+    * any engine" requires staying in range, not just on test data.
+    * A content-keyed variant would use md5(text) exactly as
+    * q_dedup_exact does; the id-keyed form keeps dup groups (same
+    * text, different ids) split-independent. */
   val qSplitAssign: QuerySpec = QuerySpec(
     "q_split_assign",
     """SELECT doc_id,
-      |  (doc_id * 1103515245 + 12345) % 100 AS bucket,
-      |  CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 90 THEN 'train'
-      |       WHEN (doc_id * 1103515245 + 12345) % 100 < 95 THEN 'val'
+      |  ((doc_id % 2147483647) * 1103515245 + 12345) % 100 AS bucket,
+      |  CASE WHEN ((doc_id % 2147483647) * 1103515245 + 12345) % 100 < 90 THEN 'train'
+      |       WHEN ((doc_id % 2147483647) * 1103515245 + 12345) % 100 < 95 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val bucket = (col("doc_id") * 1103515245L + 12345L) % 100
+    val bucket = ((col("doc_id") % 2147483647L) * 1103515245L + 12345L) % 100
     LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), bucket.as("bucket"),
         when(bucket < 90, "train").when(bucket < 95, "val")

@@ -235,6 +235,18 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
     val (bLon, bLat) = if (leftFirst) (sd.lon2, sd.lat2) else (sd.lon1, sd.lat1)
 
     val level = CrossMatch.levelFor(radius, CapLat)
+    // neighborArrayExpr emits the raw 9-slot (dx,dy) array with NO
+    // array_distinct: slot distinctness relies on the grid having
+    // >= 4 columns and >= 4 rows (at level l the grid is 2^l × 2^l),
+    // i.e. level >= 2 — at level <= 1, wraparound aliases east/west
+    // (or north/south) slots onto the same cell and the join would
+    // emit duplicate pairs. levelFor(r <= 1 deg) >= 4 today; this
+    // guard makes a future radius-scope widening fail loudly instead
+    // of silently corrupting results.
+    require(level >= 2,
+      s"AutoSpatialJoin: blocking level $level < 2 would alias " +
+        "neighbor slots (duplicate pairs); widen levelFor or dedup " +
+        "the neighbor array before lowering the level")
 
     // --- cell channel (both sides below the cap) ---
     val aBelow = Filter(LessThanOrEqual(Abs(aLat), D(CapLat)), left)

@@ -90,6 +90,21 @@ object Fits {
     val hadoopConf = new SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val fields = schema.fields.map(f => (f.name, f.dataType.typeName))
+    // Commit protocol: a previous (possibly killed) run may have left
+    // part files behind, and a rerun with fewer partitions would leave
+    // stale parts that read()'s glob would ingest as duplicate rows.
+    // Clear all prior output (parts, temps, manifest) before writing.
+    val driverFs = FileSystem.get(
+      new java.net.URI(path), hadoopConf.value)
+    val dirPath = new Path(path)
+    if (driverFs.exists(dirPath)) {
+      driverFs.globStatus(new Path(path, "part-*.fits"))
+        .foreach(st => driverFs.delete(st.getPath, false))
+      driverFs.globStatus(new Path(path, "_tmp-part-*"))
+        .foreach(st => driverFs.delete(st.getPath, false))
+      driverFs.delete(new Path(path, ManifestFile), false)
+    }
+    val nParts = df.rdd.getNumPartitions
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       // the header needs NAXIS2 (row count) before the payload, so the
       // partition is buffered — bounded by the partition size, which
@@ -97,7 +112,17 @@ object Fits {
       val buf = rows.toArray
       val fs = FileSystem.get(
         new java.net.URI(path), hadoopConf.value)
-      val out = fs.create(new Path(path, f"part-$pid%05d.fits"), true)
+      // task-attempt isolation: write to a temp name (not matched by
+      // read()'s part-*.fits glob), rename into place on success —
+      // a speculative/retried attempt can never interleave bytes into
+      // a final file, and a failed attempt leaves only ignorable temps
+      val attemptId = org.apache.spark.TaskContext.get() match {
+        case null => 0L
+        case tc => tc.taskAttemptId()
+      }
+      val tmpFile = new Path(path, f"_tmp-part-$pid%05d-$attemptId")
+      val finalFile = new Path(path, f"part-$pid%05d.fits")
+      val out = fs.create(tmpFile, true)
       try {
         // primary HDU: header only (NAXIS=0, no data block)
         val primary = new StringBuilder
@@ -153,10 +178,20 @@ object Fits {
         }
         out.write(new Array[Byte](pad(buf.length * rowBytes)))
       } finally out.close()
+      // commit: first attempt to finish wins; losers' temps are
+      // cleaned up here (best-effort) and ignored by read()'s glob
+      if (!fs.rename(tmpFile, finalFile)) fs.delete(tmpFile, false)
       Iterator.single(pid)
     }.count() // materialize the write
+    // part-count manifest: read() validates the directory holds
+    // exactly this many parts, so a torn/stale directory fails loudly
+    val mOut = driverFs.create(new Path(path, ManifestFile), true)
+    try mOut.write(nParts.toString.getBytes(StandardCharsets.US_ASCII))
+    finally mOut.close()
     ()
   }
+
+  private val ManifestFile = "_FITS_PARTS"
 
   private def writePadded(out: java.io.OutputStream, header: String): Unit = {
     val b = header.getBytes(StandardCharsets.US_ASCII)
@@ -194,6 +229,23 @@ object Fits {
     * (or any standard single-BINTABLE FITS with supported TFORMs).
     * One task per file; schema comes from the first file's header. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    // validate against the write manifest (if present): a killed
+    // partial run or a rerun with fewer partitions must fail loudly,
+    // not silently surface stale parts as duplicate rows
+    val fs = FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val nFound = fs.globStatus(new Path(path, "part-*.fits")).length
+    val manifest = new Path(path, ManifestFile)
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val expected = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt
+      finally in.close()
+      require(nFound == expected,
+        s"FITS import: $path holds $nFound part files but the write " +
+          s"manifest says $expected — torn or stale export; re-run " +
+          "Fits.write")
+    }
     val files = spark.sparkContext.binaryFiles(s"$path/part-*.fits")
     val parsed = files.flatMap { case (_, stream) =>
       val bb = ByteBuffer.wrap(stream.toArray())

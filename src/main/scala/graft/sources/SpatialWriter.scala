@@ -17,6 +17,63 @@ import org.apache.spark.sql.functions._
   */
 object SpatialWriter {
 
+  /** Sidecar metadata file name: records the marginDeg a layout was
+    * written with. Boundary-strip replication makes the cache
+    * closure-complete only for query radius <= written margin, so
+    * consumers must be able to verify the contract at read time
+    * instead of silently dropping pairs on a mismatched radius. */
+  private val MarginMetaFile = "_MARGIN"
+
+  private def writeMarginMeta(spark: org.apache.spark.sql.SparkSession,
+                              path: String, marginDeg: Double,
+                              level: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, MarginMetaFile), true)
+    try out.write(s"""{"marginDeg":$marginDeg,"level":$level}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (marginDeg, level) the layout at `path` was written with, if it
+    * carries margin replicas. */
+  def marginMeta(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Option[(Double, Int)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path, MarginMetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val m = """"marginDeg":([-0-9.eE]+)""".r.findFirstMatchIn(text)
+      val l = """"level":([0-9]+)""".r.findFirstMatchIn(text)
+      for (mm <- m; ll <- l) yield (mm.group(1).toDouble, ll.group(1).toInt)
+    }
+  }
+
+  /** Assert the margin layout at `path` is closure-complete for a
+    * radius-`radiusDeg` join: strip replication only copies rows whose
+    * home-cell boundary is within the WRITTEN margin, so querying a
+    * larger radius against it would silently miss cross-cell pairs.
+    * Layouts written before the metadata sidecar existed (no _MARGIN
+    * file) fail loudly too — rebuild them. */
+  def requireMargin(spark: org.apache.spark.sql.SparkSession,
+                    path: String, radiusDeg: Double): Unit =
+    marginMeta(spark, path) match {
+      case Some((written, _)) => require(radiusDeg <= written,
+        s"margin cache at $path was written with marginDeg=$written; " +
+          s"a radius-$radiusDeg join against it would drop cross-cell " +
+          "pairs beyond the replicated strip — rewrite the cache with " +
+          s"margin >= $radiusDeg")
+      case None => throw new IllegalStateException(
+        s"margin cache at $path has no $MarginMetaFile sidecar — " +
+          "cannot verify the written margin covers this query radius; " +
+          "rebuild the layout with SpatialWriter (which records it)")
+    }
+
   /** `df` + `cell` (home SkyPix cell) + `is_margin`; with `margin`,
     * each row is additionally replicated into every neighbor cell
     * whose boundary lies within marginDeg of the row — the
@@ -61,6 +118,7 @@ object SpatialWriter {
       .write.mode(mode)
       .partitionBy("cell")
       .parquet(path)
+    margin.foreach(m => writeMarginMeta(df.sparkSession, path, m, level))
   }
 
   /** Write `df` as PLAIN parquet clustered by cell (`cell` stays a
@@ -81,6 +139,7 @@ object SpatialWriter {
       .sortWithinPartitions(col("cell"), col(latCol), col(lonCol))
       .write.mode(mode)
       .parquet(path)
+    margin.foreach(m => writeMarginMeta(df.sparkSession, path, m, level))
   }
 
   /** Read back a cell-partitioned catalog, excluding margin replicas
