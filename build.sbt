@@ -19,6 +19,7 @@ run / fork := true
 // the literal final stdout line.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

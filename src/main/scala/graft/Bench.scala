@@ -43,13 +43,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms per-query precision keeps the full map line ~2.4 KB for
+    // 92 queries — small enough that the driver's stdout-tail window
+    // (~3 KB, observed) holds BOTH complete lines below.
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // The driver keeps the TAIL of stdout, so the short headline line
-    // must be printed LAST (after the long per-query map, which may be
-    // clipped mid-line from the front) — the round's total is then
-    // always the final, complete line.
+    // The driver keeps the TAIL of stdout and parses its last line, so
+    // the short always-parseable headline is printed LAST; the full
+    // per-query map line directly above it is compact enough to
+    // survive the tail window intact as well.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()

@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import graft.functions.Det
+import graft.functions.{Det => D}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** North-star extension, round 5 — the remaining operations a
+  * large-scale LLM-training-data pipeline runs between raw crawl and
+  * training shards: benchmark decontamination, Gopher-style quality
+  * gating, stratified sampling, inverted-index construction, TF-IDF
+  * keyword extraction — plus the astronomical time-series aggregation
+  * (light-curve statistics) that was the reference engine's own
+  * flagship workload shape (per-object photometry over epochs;
+  * SURVEY.md §1 "time-series of detections", UNVERIFIED — reference
+  * checkout empty).
+  *
+  * Determinism discipline as everywhere: pure Catalyst expression
+  * trees (no UDFs), md5/integer hashing, Det decimal-exact sums, d6
+  * snapping for transcendentals — every query both whole-stage
+  * codegen'd and DuckDB-hash-matched.
+  */
+object PipelineOps {
+
+  /** Whitespace tokens, empties dropped — same contract as
+    * TextOps.words (kept private there; the SQL twin must stay
+    * textually in sync with wordsSql below). */
+  private def words(c: Column): Column =
+    filter(split(c, "\\s+"), w => w =!= "")
+  private val wordsSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+
+  /** Word 3-gram shingles joined with '' — the
+    * decontamination unit (a 3-token overlap window; production
+    * pipelines use 8-13 tokens, the corpus here has short docs).
+    * Distinct per doc. */
+  private def shingles3(c: Column): Column = {
+    val w = words(c)
+    val n = size(w)
+    array_distinct(filter(
+      transform(w, (x, i) =>
+        when(i <= n - 3, concat_ws("\u0001", x,
+          element_at(w, i + 2), element_at(w, i + 3)))),
+      x => x.isNotNull))
+  }
+  private val shingles3Sql = {
+    val w = wordsSql
+    s"""list_distinct(list_filter(
+       |  list_transform(range(1, len($w) - 1),
+       |    i -> concat_ws(chr(1), $w[i], $w[i+1], $w[i+2])), x -> x IS NOT NULL))""".stripMargin
+  }
+
+  /** Ext — benchmark decontamination: flag training documents that
+    * share any word-3-gram with the held-out eval set (docs with
+    * doc_id % 97 == 0 stand in for the benchmark). The eval shingle
+    * set is tiny relative to the corpus (~1% of docs), so the plan is
+    * the 100-TB shape: DISTINCT eval shingles → broadcast hash join
+    * against the exploded corpus — the corpus is never shuffled, and
+    * per-doc hit counts aggregate map-side first.
+    */
+  val qDecontaminate: QuerySpec = QuerySpec(
+    "q_decontaminate",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shingles3Sql) AS s
+       |  FROM documents),
+       |eval AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT t.doc_id, count(*) AS n_contaminated
+       |FROM train t JOIN eval e ON t.s = e.s
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val sh = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val eval = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(eval), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Ext — Gopher-style quality gate (Rae et al. 2021, arXiv
+    * 2112.11446 §A1.1, public): per-doc repetition and shape signals
+    * with a keep/drop verdict. All signals are single-pass expression
+    * trees over the tokenized text — map-only, no shuffle at any
+    * scale (the ORDER BY is presentation-only; a pipeline consumes
+    * the boolean).
+    */
+  val qQualityGopher: QuerySpec = QuerySpec(
+    "q_quality_gopher",
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |sig AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+       |      / len(w) AS dup_word_frac,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS DOUBLE) / len(w) AS alpha_word_frac,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(w, x -> CAST(length(x) AS BIGINT))),
+       |      (a, x) -> a + x) AS DOUBLE) / len(w) AS mean_word_len
+       |  FROM t)
+       |SELECT doc_id, n_words, ${D.sql.d6("dup_word_frac")} AS dup_word_frac,
+       |  ${D.sql.d6("alpha_word_frac")} AS alpha_word_frac,
+       |  ${D.sql.d6("mean_word_len")} AS mean_word_len,
+       |  (n_words >= 5 AND dup_word_frac <= 0.3
+       |    AND alpha_word_frac >= 0.8
+       |    AND mean_word_len BETWEEN 2 AND 12) AS keep
+       |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    val nWords = size(w).cast(LongType)
+    val dupFrac = (size(w) - size(array_distinct(w))).cast(DoubleType) /
+      size(w)
+    val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]")))
+      .cast(DoubleType) / size(w)
+    val meanLen = aggregate(transform(w, x => length(x).cast(LongType)),
+      lit(0L), (a, x) => a + x).cast(DoubleType) / size(w)
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), nWords.as("n_words"),
+        Det.d6(dupFrac).as("dup_word_frac"),
+        Det.d6(alphaFrac).as("alpha_word_frac"),
+        Det.d6(meanLen).as("mean_word_len"),
+        (nWords >= 5 && dupFrac <= 0.3 && alphaFrac >= 0.8 &&
+          meanLen.between(2, 12)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Ext — stratified sampling: a deterministic 10% sample WITHIN each
+    * stratum (source), so the sampled corpus preserves the source mix
+    * exactly — the resampling step every data-mixture recipe needs.
+    * Order within a stratum comes from the same overflow-free LCG as
+    * q_split_assign (engine-independent pseudo-randomness), rank from
+    * one window over the stratum key: a single shuffle on `source`,
+    * and at 100 TB the stratum is the natural partition unit. */
+  val qStratifiedSample: QuerySpec = QuerySpec(
+    "q_stratified_sample",
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 1000000,
+      |        doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source FROM r
+      |WHERE rk <= CAST(ceil(0.10 * n) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val lcg = ((col("doc_id") % 2147483647L) * 1103515245L + 12345L) %
+      1000000L
+    val byLcg = Window.partitionBy("source").orderBy(lcg, col("doc_id"))
+    val all = Window.partitionBy("source")
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        row_number().over(byLcg).as("rk"),
+        count(lit(1)).over(all).as("n"))
+      .filter(col("rk") <= ceil(lit(0.10) * col("n")).cast(LongType))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Ext — inverted index (term → postings list): the retrieval-side
+    * product of a corpus. One explode + one groupBy(term) shuffle;
+    * postings arrive sorted via array_sort after collect_set (the
+    * comparator needs a canonical string — see q_agg_collect). The
+    * df >= 2 floor drops the hapax tail, which at corpus scale is
+    * both the bulk of terms and retrieval-useless. */
+  val qInvertedIndex: QuerySpec = QuerySpec(
+    "q_inverted_index",
+    s"""WITH wd AS (
+       |  SELECT DISTINCT w, doc_id
+       |  FROM (SELECT unnest($wordsSql) AS w, doc_id FROM documents)),
+       |p AS (SELECT w AS term, count(*) AS df,
+       |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+       |  FROM wd GROUP BY w)
+       |SELECT term, df, postings FROM p
+       |WHERE df >= 2 ORDER BY term""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "documents")
+      .select(explode(words(col("text"))).as("term"), col("doc_id"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(array_sort(collect_set(col("doc_id"))), ",")
+          .as("postings"))
+      .filter(col("df") >= 2)
+      .orderBy("term")
+  }
+
+  /** Ext — TF-IDF keyword extraction: top-3 terms per document.
+    * Ranking is INTEGER-only (tf desc, df asc, term asc) so row
+    * selection can never flip on a float ulp; the tf·idf score itself
+    * is emitted d6-snapped for the hash compare. Two shuffles (term
+    * df, then per-doc window) — at scale the df side is a tiny
+    * broadcastable dimension after the df floor. */
+  val qTfidf: QuerySpec = QuerySpec(
+    "q_tfidf",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tok GROUP BY w),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rk,
+       |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+       |      AS score
+       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, ${D.sql.d6("score")} AS tfidf
+       |FROM scored WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("w")
+      .agg(countDistinct(col("doc_id")).cast(LongType).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val rk = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+    tf.join(df, "w").crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        Det.d6(col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df"))).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Ext — light-curve statistics: per-object time-series aggregation
+    * over the event stream (epoch count, time span, exact-decimal
+    * flux stats, amplitude). This is the reference engine's flagship
+    * workload shape — photometric detections grouped per object —
+    * expressed as one hash aggregate on the object key: map-side
+    * partials, one shuffle, no window. Det discipline makes every
+    * double hash-stable. */
+  val qLightcurve: QuerySpec = QuerySpec(
+    "q_lightcurve",
+    s"""SELECT user_id AS object_id,
+       |  count(*) AS n_obs,
+       |  CAST(date_diff('second', min(CAST(ts AS TIMESTAMP)),
+       |    max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS span_s,
+       |  ${D.sql.davg("value")} AS mean_flux,
+       |  min(value) AS min_flux,
+       |  max(value) AS max_flux,
+       |  max(value) - min(value) AS amplitude,
+       |  ${D.sql.d6(D.sql.dstddevSamp("value"))} AS std_flux
+       |FROM events
+       |GROUP BY user_id HAVING count(*) >= 3
+       |ORDER BY object_id""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "events")
+      .groupBy(col("user_id").as("object_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .cast(LongType).as("span_s"),
+        Det.davg(col("value")).as("mean_flux"),
+        min(col("value")).as("min_flux"),
+        max(col("value")).as("max_flux"),
+        (max(col("value")) - min(col("value"))).as("amplitude"),
+        Det.d6(Det.dstddevSamp(col("value"))).as("std_flux"))
+      .filter(col("n_obs") >= 3)
+      .orderBy("object_id")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+    qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
+    qTfidf, qLightcurve)
+}

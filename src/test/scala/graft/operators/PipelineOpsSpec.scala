@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SpecBase
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SpecBase {
+  import spark.implicits._
+
+  private def docs = graft.LsdDb.table(spark, sfDir, "documents")
+
+  test("decontaminate flags exactly the docs sharing a 3-gram with the eval set") {
+    val out = PipelineOps.qDecontaminate.fn(spark, sfDir)
+      .select("doc_id", "n_contaminated").as[(Long, Long)].collect().toMap
+    // brute force: word trigram sets per doc via slide()
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+      .map { case (id, text) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        id -> w.sliding(3).filter(_.length == 3)
+          .map(_.mkString("\u0001")).toSet
+      }
+    val evalShingles = grams.filter(_._1 % 97 == 0).flatMap(_._2).toSet
+    val expected = grams.filter(_._1 % 97 != 0)
+      .map { case (id, g) => id -> g.count(evalShingles.contains).toLong }
+      .filter(_._2 > 0).toMap
+    assert(out == expected)
+  }
+
+  test("quality gate signals are in range and the verdict is threshold-consistent") {
+    val rows = PipelineOps.qQualityGopher.fn(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, dup, alpha, mean, keep) =>
+      assert(n > 0 && dup >= 0 && dup <= 1 && alpha >= 0 && alpha <= 1)
+      // recompute the verdict from the (d6-snapped) outputs; skip rows
+      // whose signal sits within snap distance of a threshold
+      val clear = math.abs(dup - 0.3) > 1e-5 &&
+        math.abs(alpha - 0.8) > 1e-5 &&
+        math.abs(mean - 2) > 1e-5 && math.abs(mean - 12) > 1e-5
+      if (clear)
+        assert(keep == (n >= 5 && dup <= 0.3 && alpha >= 0.8 &&
+          mean >= 2 && mean <= 12))
+    }
+  }
+
+  test("stratified sample takes ceil(10%) of every stratum, a subset of it") {
+    val sample = PipelineOps.qStratifiedSample.fn(spark, sfDir)
+    val perSource = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val got = sample.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == perSource.keySet)
+    got.foreach { case (src, n) =>
+      assert(n == math.ceil(0.10 * perSource(src)).toLong,
+        s"stratum $src: got $n of ${perSource(src)}")
+    }
+    // subset: every sampled (doc_id, source) exists in the table
+    assert(sample.join(docs, Seq("doc_id", "source"), "left_anti")
+      .isEmpty)
+  }
+
+  test("inverted index postings match brute force for every term") {
+    val out = PipelineOps.qInvertedIndex.fn(spark, sfDir)
+      .as[(String, Long, String)].collect()
+    assert(out.nonEmpty)
+    val byDoc = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+    val postings = byDoc
+      .flatMap { case (id, t) =>
+        t.split("\\s+").filter(_.nonEmpty).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).sorted }
+    out.foreach { case (term, df, p) =>
+      val exp = postings(term)
+      assert(df >= 2 && df == exp.length)
+      assert(p == exp.mkString(","))
+    }
+    // completeness: every df>=2 term is present
+    assert(out.length == postings.count(_._2.length >= 2))
+  }
+
+  test("tfidf emits <= 3 terms per doc, ranked by (tf desc, df asc, term)") {
+    val out = PipelineOps.qTfidf.fn(spark, sfDir)
+      .as[(Long, String, Long, Long, Double)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 3))
+    // independent recompute for one doc
+    val someDoc = byDoc.keys.min
+    val toks = docs.filter(col("doc_id") === someDoc).as[(Long, String, String, String, Long)]
+      .collect().head._2.split("\\s+").filter(_.nonEmpty)
+    val tf = toks.groupBy(identity).map { case (w, a) => w -> a.length }
+    val dfMap = byDoc(someDoc).map(r => r._2 -> r._4).toMap
+    val expTop = byDoc(someDoc)
+      .sortBy(r => (-r._3, r._4, r._2)).map(_._2)
+    expTop.foreach(t => assert(tf(t.toString) == byDoc(someDoc)
+      .find(_._2 == t).get._3))
+    assert(dfMap.values.forall(_ >= 1))
+  }
+
+  test("lightcurve stats are internally consistent") {
+    val out = PipelineOps.qLightcurve.fn(spark, sfDir)
+      .selectExpr("object_id", "n_obs", "span_s", "mean_flux",
+        "min_flux", "max_flux", "amplitude")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, span, mean, mn, mx, amp) =>
+      assert(n >= 3 && span >= 0)
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9)
+      assert(math.abs(amp - (mx - mn)) < 1e-12)
+    }
+  }
+}
