@@ -148,6 +148,35 @@ class PlanQualitySpec extends SpecBase {
       "cluster assignment must stay equi-join shaped")
   }
 
+  test("q_decontaminate broadcasts the eval shingles — corpus side never shuffles pre-agg") {
+    val df = PipelineOps.qDecontaminate.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval shingle set must broadcast (corpus side stays in place)")
+    assert(plan.contains("partial_count"),
+      "hit counts must partial-aggregate map-side")
+    // shuffles: eval-distinct (tiny), final per-doc agg, output sort —
+    // the exploded CORPUS must never shuffle before its aggregate
+    assert(countShuffles(df) <= 3, s"unexpected shuffles:\n$plan")
+  }
+
+  test("q_lightcurve is one two-phase hash aggregate on the object key") {
+    val df = PipelineOps.qLightcurve.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count") && plan.contains("partial_min"),
+      "flux stats must partial-aggregate map-side")
+    assert(countShuffles(df) <= 2, // agg exchange + output sort
+      s"light curves need exactly one agg shuffle:\n$plan")
+  }
+
+  test("q_tfidf broadcasts the term-df dimension") {
+    val plan = planOf(PipelineOps.qTfidf.fn(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "df-per-term must broadcast against the tf side")
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row n_docs factor must broadcast, not cartesian")
+  }
+
   test("q_partition_prune gets DIRECTORY-level PartitionFilters on t_bucket") {
     val plan = planOf(Core.qPartitionPrune.fn(spark, sfDir))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
