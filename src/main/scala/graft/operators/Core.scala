@@ -131,6 +131,43 @@ object Core {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Write-once snapshot table: the events stream landed in THREE
+    * committed appends (event_id mod 3 = 0, then 1, then 2) through
+    * the Snapshots MVCC-lite layout — so snapshot 2 is a genuine
+    * historical version containing exactly the first two batches. */
+  def ensureSnapshotEvents(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String = synchronized {
+    val path = graft.sources.CacheKeys.path(
+      "graft_snapshots", s"$dir/events.parquet")
+    if (graft.sources.Snapshots.committed(s, path).size < 3) {
+      // wipe torn prior state (no commit log → readers never saw it)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ev = LsdDb.table(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      for (r <- 0L to 2L)
+        graft.sources.Snapshots.append(
+          ev.filter(col("event_id") % 3 === r), path)
+    }
+    path
+  }
+
+  /** SC4b / §1.1 snapshots — TIME TRAVEL read: the table as of
+    * snapshot 2 of 3. The oracle is the semantic content of the first
+    * two commits (event_id mod 3 <= 1); the engine-side read resolves
+    * the commit log and scans ONLY the snap=1 and snap=2 directories —
+    * version selection is directory selection, so a historical query
+    * reads the bytes that existed then, nothing newer. */
+  val qTimeTravel: QuerySpec = QuerySpec(
+    "q_time_travel",
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_id % 3 <= 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    graft.sources.Snapshots
+      .read(s, ensureSnapshotEvents(s, dir), asOf = Some(2L))
+      .orderBy("event_id")
+  }
+
   /** SC3c — bulk import via ORC (Spark's second bundled columnar
     * format): write-once export of the lineitem subset, read back.
     * Like FITS (and unlike CSV text), ORC stores IEEE doubles
@@ -365,6 +402,6 @@ object Core {
   }
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
-    qImportCsv, qImportFits, qImportOrc, qProject, qFilter, qMath, qCase,
-    qString, qDatetime, qArray, qArrayOps, qJson)
+    qImportCsv, qImportFits, qImportOrc, qTimeTravel, qProject, qFilter,
+    qMath, qCase, qString, qDatetime, qArray, qArrayOps, qJson)
 }

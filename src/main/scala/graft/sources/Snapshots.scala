@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot / MVCC-lite table layout — the reference's transaction
+  * model (SURVEY.md §1.1 "Snapshots / transactions", ref
+  * `lsd/table.py` + `lsd/locking.py`, UNVERIFIED): every append
+  * writes a NEW time-ordered snapshot directory; readers see the last
+  * committed snapshot; single-writer, multi-reader.
+  *
+  * Spark-native commit protocol (no external metastore):
+  *
+  *   path/
+  *     snap=1/…parquet     immutable once committed
+  *     snap=2/…parquet
+  *     _COMMITS            append-only id log; LAST line = head
+  *
+  * - A writer stages `snap=N` fully, then commits by REWRITING
+  *   `_COMMITS` via temp-file + atomic rename. A torn write leaves a
+  *   `snap=` directory that no reader ever lists (readers trust only
+  *   the log), so a killed job can never surface partial data — the
+  *   same reader-trusts-log discipline as Delta/Iceberg, reduced to
+  *   the reference's single-writer contract.
+  * - Readers resolve the log ONCE per query (a single tiny file read
+  *   on the driver), then scan exactly the committed directories:
+  *   time travel (`asOf`) is directory selection, not data filtering,
+  *   so a historical read touches only the bytes that existed then.
+  * - Single-writer is enforced with an atomic `_LOCK` create (local
+  *   FS / HDFS atomic-create semantics; object stores need an
+  *   external lock service — documented limitation, same as the
+  *   reference's flock-based locking).
+  *
+  * Scale: snapshots are the unit of append, not of parallelism — each
+  * `snap=N` holds an arbitrary number of part files written by a full
+  * distributed job, and a read of k snapshots is a k-way file-source
+  * union that Spark list-parallelizes. Nothing here is driver-bound
+  * except the one log read/write.
+  */
+object Snapshots {
+  private val CommitLog = "_COMMITS"
+  private val Lock = "_LOCK"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Committed snapshot ids, oldest first (empty if table absent). */
+  def committed(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val log = new Path(path, CommitLog)
+    if (!f.exists(log)) Seq.empty
+    else {
+      val in = f.open(log)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSeq
+    }
+  }
+
+  /** Head snapshot id (last committed), if any. */
+  def head(spark: SparkSession, path: String): Option[Long] =
+    committed(spark, path).lastOption
+
+  /** Append `df` as a new snapshot; returns its id. Stages the data
+    * directory completely before the commit-log swap, so readers can
+    * never observe a partial snapshot. */
+  def append(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    val lock = new Path(path, Lock)
+    // single-writer: atomic create fails if another writer holds it
+    val out = try f.create(lock, false) catch {
+      case _: java.io.IOException => throw new IllegalStateException(
+        s"snapshot table $path is locked by another writer ($Lock " +
+          "exists); the reference is single-writer multi-reader, " +
+          "and so is this layout")
+    }
+    out.close()
+    try {
+      val prior = committed(spark, path)
+      val id = prior.lastOption.getOrElse(0L) + 1
+      df.write.mode("overwrite").parquet(s"$path/snap=$id")
+      // commit: rewrite the log via temp + atomic rename
+      val tmp = new Path(path, s"$CommitLog.tmp")
+      val o = f.create(tmp, true)
+      try o.write((prior :+ id).mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally o.close()
+      if (f.exists(new Path(path, CommitLog)))
+        f.delete(new Path(path, CommitLog), false)
+      require(f.rename(tmp, new Path(path, CommitLog)),
+        s"commit rename failed for snapshot $id")
+      id
+    } finally f.delete(lock, false)
+  }
+
+  /** Read the table as of snapshot `asOf` (inclusive); default head.
+    * The result is the UNION of every committed snapshot <= asOf —
+    * the reference's append-accumulate semantics. Uncommitted/torn
+    * snapshot directories are invisible by construction. */
+  def read(spark: SparkSession, path: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val ids = committed(spark, path)
+    require(ids.nonEmpty, s"no committed snapshots at $path")
+    val visible = asOf match {
+      case Some(s) =>
+        require(ids.contains(s), s"snapshot $s was never committed " +
+          s"(committed: ${ids.mkString(",")})")
+        ids.filter(_ <= s)
+      case None => ids
+    }
+    spark.read.parquet(visible.map(i => s"$path/snap=$i"): _*)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SpecBase
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class SnapshotsSpec extends SpecBase {
+  import spark.implicits._
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft_snap").resolve("t").toString
+
+  test("append assigns sequential ids and read unions committed snapshots") {
+    val path = freshPath()
+    assert(Snapshots.append(Seq(1, 2).toDF("x"), path) == 1L)
+    assert(Snapshots.append(Seq(3).toDF("x"), path) == 2L)
+    assert(Snapshots.append(Seq(4, 5).toDF("x"), path) == 3L)
+    assert(Snapshots.committed(spark, path) == Seq(1L, 2L, 3L))
+    assert(Snapshots.head(spark, path).contains(3L))
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted
+      .sameElements(Array(1, 2, 3, 4, 5)))
+  }
+
+  test("asOf time travel sees exactly the state at that commit") {
+    val path = freshPath()
+    Snapshots.append(Seq(10).toDF("x"), path)
+    Snapshots.append(Seq(20).toDF("x"), path)
+    Snapshots.append(Seq(30).toDF("x"), path)
+    assert(Snapshots.read(spark, path, Some(1L)).as[Int].collect()
+      .sameElements(Array(10)))
+    assert(Snapshots.read(spark, path, Some(2L)).as[Int].collect().sorted
+      .sameElements(Array(10, 20)))
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, path, Some(9L))
+    }
+  }
+
+  test("a staged-but-uncommitted snapshot directory is invisible to readers") {
+    val path = freshPath()
+    Snapshots.append(Seq(1).toDF("x"), path)
+    // simulate a torn write: data directory present, no commit
+    Seq(99).toDF("x").write.parquet(s"$path/snap=2")
+    assert(Snapshots.committed(spark, path) == Seq(1L))
+    assert(Snapshots.read(spark, path).as[Int].collect()
+      .sameElements(Array(1)))
+    // the next committed append must NOT reuse or surface the orphan:
+    // it allocates id 2 and overwrites the torn directory
+    assert(Snapshots.append(Seq(2).toDF("x"), path) == 2L)
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted
+      .sameElements(Array(1, 2)))
+  }
+
+  test("the writer lock rejects a concurrent appender and is released after") {
+    val path = freshPath()
+    Snapshots.append(Seq(1).toDF("x"), path)
+    // hold the lock by hand, as a concurrent writer would
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path, "_LOCK"), false).close()
+    intercept[IllegalStateException] {
+      Snapshots.append(Seq(2).toDF("x"), path)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_LOCK"), false)
+    // and a failed append must not have burned an id or dirtied state
+    assert(Snapshots.append(Seq(2).toDF("x"), path) == 2L)
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted
+      .sameElements(Array(1, 2)))
+  }
+
+  test("historical reads scan only the directories that existed then") {
+    val path = freshPath()
+    Snapshots.append(spark.range(100).select(col("id").as("x")), path)
+    Snapshots.append(spark.range(100, 200).select(col("id").as("x")), path)
+    val historic = Snapshots.read(spark, path, Some(1L))
+    val scanned = historic.queryExecution.executedPlan.toString
+    assert(scanned.contains("snap=1") && !scanned.contains("snap=2"),
+      s"time travel must prune at the directory level:\n$scanned")
+  }
+}
