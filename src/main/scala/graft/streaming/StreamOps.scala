@@ -73,6 +73,49 @@ object StreamOps {
     * broadcast cap channel; a stream-side union of the two channels is
     * the extension point.
     */
+  /** S7 — STREAM-STREAM coincidence join: two live detection streams
+    * (e.g. two instruments), emitting pairs within `radiusDeg` on the
+    * sky AND `maxDtSeconds` in time — transient confirmation, the
+    * streaming form of the batch (sky × time) product-grid
+    * cross-match (q_xmatch_temporal).
+    *
+    * Shape: both sides watermarked, equi-join on the SkyPix blocking
+    * cell (side B exploded into strip-pruned neighbor cells) PLUS a
+    * two-sided event-time range predicate. The time bound is what
+    * makes stream-stream state FINITE: each side buffers only rows
+    * newer than watermark − maxDt, and the state store is keyed by
+    * the cell — it shards exactly like the batch shuffle does, so the
+    * pattern holds at full alert-stream rate.
+    *
+    * Expected input columns on both streams: (`ts`, idCol, `lon`,
+    * `lat`). Output: id_a, id_b, ts_a, ts_b, dt_s, dist_deg.
+    */
+  def coincidenceStream(a: DataFrame, b: DataFrame,
+                        idA: String, idB: String,
+                        radiusDeg: Double, maxDtSeconds: Long,
+                        watermark: String): DataFrame = {
+    import graft.spatial.{CrossMatch, SkyPix}
+    val level = CrossMatch.levelFor(radiusDeg)
+    val aw = a.select(col(idA).as("id_a"), col("ts").as("ts_a"),
+        col("lon").as("lon_a"), col("lat").as("lat_a"))
+      .withWatermark("ts_a", watermark)
+      .withColumn("cell", SkyPix.cell(col("lon_a"), col("lat_a"), level))
+    val bw = b.select(col(idB).as("id_b"), col("ts").as("ts_b"),
+        col("lon").as("lon_b"), col("lat").as("lat_b"))
+      .withWatermark("ts_b", watermark)
+      .withColumn("cell", explode(SkyPix.neighborCellsWithin(
+        col("lon_b"), col("lat_b"), level, radiusDeg)))
+    aw.join(bw, aw("cell") === bw("cell") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $maxDtSeconds SECONDS") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $maxDtSeconds SECONDS"))
+      .withColumn("dist_deg", CrossMatch.distDeg(
+        col("lon_a"), col("lat_a"), col("lon_b"), col("lat_b")))
+      .filter(col("dist_deg") <= radiusDeg)
+      .withColumn("dt_s",
+        abs(unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))))
+      .select("id_a", "id_b", "ts_a", "ts_b", "dt_s", "dist_deg")
+  }
+
   def xmatchStream(dets: DataFrame, catalog: DataFrame,
                    lonCol: String, latCol: String,
                    objIdCol: String, objLonCol: String, objLatCol: String,

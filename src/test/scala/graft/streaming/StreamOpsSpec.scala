@@ -76,6 +76,39 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  case class TsDet(ts: Timestamp, det_id: Long, lon: Double, lat: Double)
+
+  test("stream-stream coincidence join pairs detections close in sky AND time") {
+    implicit val sqlCtx = spark.sqlContext
+    val ia = MemoryStream[TsDet]
+    val ib = MemoryStream[TsDet]
+    val joined = StreamOps.coincidenceStream(ia.toDF(), ib.toDF(),
+      "det_id", "det_id", radiusDeg = 0.1, maxDtSeconds = 600,
+      watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("coincidence")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // a1×b1: coincident (same spot, 5 min apart) → pair
+      // a1×b2: same spot but 2 h apart → time-rejected
+      // a2×b3: simultaneous but 90° away → sky-rejected
+      // b4 near a1's position but hours later → rejected
+      ia.addData(TsDet(ts("2024-01-01 00:00:00"), 1, 10.0, 20.0),
+        TsDet(ts("2024-01-01 00:00:00"), 2, 180.0, -40.0))
+      ib.addData(TsDet(ts("2024-01-01 00:05:00"), 51, 10.01, 20.01),
+        TsDet(ts("2024-01-01 02:00:00"), 52, 10.0, 20.0),
+        TsDet(ts("2024-01-01 00:00:00"), 53, 90.0, -40.0))
+      q.processAllAvailable()
+      ib.addData(TsDet(ts("2024-01-01 03:00:00"), 54, 10.0, 20.0))
+      q.processAllAvailable()
+      val got = spark.table("coincidence")
+        .select("id_a", "id_b", "dt_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == Set((1L, 51L, 300L)),
+        s"exactly the sky+time coincident pair must survive: $got")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
