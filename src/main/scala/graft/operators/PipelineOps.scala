@@ -260,7 +260,78 @@ object PipelineOps {
       .orderBy("object_id")
   }
 
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Terms = Seq("data", "model", "the")
+
+  /** Ext — BM25 retrieval scoring (Robertson–Spärck Jones; public
+    * formula, Okapi BM25): rank documents against a fixed query term
+    * set. The doc side needs tf per (doc, query term) and doc length;
+    * the term side (df, idf) is a HANDFUL of rows — broadcast — and
+    * avgdl is one exact integer-sum scalar. Scores are d6-snapped
+    * with doc_id tie-break, so the top-20 cut is deterministic in
+    * both engines. At scale this is one corpus pass + a per-doc agg:
+    * the same shape that serves "score 100 TB against a query" —
+    * nothing joins corpus-to-corpus. */
+  val qBm25: QuerySpec = QuerySpec(
+    "q_bm25",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(CAST(len($wordsSql) AS BIGINT)) AS DOUBLE)
+       |      / count(*) AS avgdl
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM tok WHERE w IN ('data', 'model', 'the')
+       |  GROUP BY doc_id, w),
+       |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |  FROM tok WHERE w IN ('data', 'model', 'the') GROUP BY w),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(CAST((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * ($bm25K1 + 1.0))
+       |      / (tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl)))
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |  FROM tf JOIN df ON tf.w = df.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, bm25
+       |FROM scored ORDER BY bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(bm25Terms: _*))
+    val tf = tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val df = tok.groupBy("w")
+      .agg(countDistinct(col("doc_id")).cast(DoubleType).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(words(col("text"))).cast(LongType)).cast(DoubleType) /
+        count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * (col("tf") * (bm25K1 + 1.0)) /
+      (col("tf") + lit(bm25K1) *
+        (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      // per-term scores snapped to the 1e-6 decimal grid BEFORE the
+      // sum: decimal addition is order-independent, so the doc score
+      // cannot drift with partition/merge order in either engine
+      .agg(sum(termScore.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast(DoubleType).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
-    qTfidf, qLightcurve)
+    qTfidf, qLightcurve, qBm25)
 }

@@ -45,8 +45,14 @@ object Snapshots {
     FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
 
-  /** Committed snapshot ids, oldest first (empty if table absent). */
-  def committed(spark: SparkSession, path: String): Seq[Long] = {
+  /** One committed entry: snapshot id + whether it is a BASE snapshot
+    * (a compaction product that already contains everything before
+    * it, so reads never need to look further back). Log line format:
+    * `<id>` for an append, `<id> B` for a base. */
+  final case class Entry(id: Long, isBase: Boolean)
+
+  /** Committed entries, oldest first (empty if table absent). */
+  def entries(spark: SparkSession, path: String): Seq[Entry] = {
     val f = fs(spark, path)
     val log = new Path(path, CommitLog)
     if (!f.exists(log)) Seq.empty
@@ -54,20 +60,22 @@ object Snapshots {
       val in = f.open(log)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map(_.toLong).toSeq
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val parts = l.split("\\s+")
+        Entry(parts(0).toLong, parts.length > 1 && parts(1) == "B")
+      }.toSeq
     }
   }
+
+  /** Committed snapshot ids, oldest first (empty if table absent). */
+  def committed(spark: SparkSession, path: String): Seq[Long] =
+    entries(spark, path).map(_.id)
 
   /** Head snapshot id (last committed), if any. */
   def head(spark: SparkSession, path: String): Option[Long] =
     committed(spark, path).lastOption
 
-  /** Append `df` as a new snapshot; returns its id. Stages the data
-    * directory completely before the commit-log swap, so readers can
-    * never observe a partial snapshot. */
-  def append(df: DataFrame, path: String): Long = {
-    val spark = df.sparkSession
+  private def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val f = fs(spark, path)
     f.mkdirs(new Path(path))
     val lock = new Path(path, Lock)
@@ -79,38 +87,75 @@ object Snapshots {
           "and so is this layout")
     }
     out.close()
-    try {
-      val prior = committed(spark, path)
-      val id = prior.lastOption.getOrElse(0L) + 1
+    try body finally f.delete(lock, false)
+  }
+
+  private def commit(spark: SparkSession, path: String,
+                     all: Seq[Entry]): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(path, s"$CommitLog.tmp")
+    val o = f.create(tmp, true)
+    try o.write(all.map(e => if (e.isBase) s"${e.id} B" else s"${e.id}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally o.close()
+    if (f.exists(new Path(path, CommitLog)))
+      f.delete(new Path(path, CommitLog), false)
+    require(f.rename(tmp, new Path(path, CommitLog)),
+      "commit-log rename failed")
+  }
+
+  /** Append `df` as a new snapshot; returns its id. Stages the data
+    * directory completely before the commit-log swap, so readers can
+    * never observe a partial snapshot. */
+  def append(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    withLock(spark, path) {
+      val prior = entries(spark, path)
+      val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       df.write.mode("overwrite").parquet(s"$path/snap=$id")
-      // commit: rewrite the log via temp + atomic rename
-      val tmp = new Path(path, s"$CommitLog.tmp")
-      val o = f.create(tmp, true)
-      try o.write((prior :+ id).mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally o.close()
-      if (f.exists(new Path(path, CommitLog)))
-        f.delete(new Path(path, CommitLog), false)
-      require(f.rename(tmp, new Path(path, CommitLog)),
-        s"commit rename failed for snapshot $id")
+      commit(spark, path, prior :+ Entry(id, isBase = false))
       id
-    } finally f.delete(lock, false)
+    }
+  }
+
+  /** Compact: materialize the current head state as a single new BASE
+    * snapshot. Head reads afterwards scan ONE directory instead of
+    * every append since the last base — the small-file/lifecycle half
+    * of MVCC (at scale, appends are frequent and tiny relative to the
+    * table; an uncompacted read is a k-way union that grows without
+    * bound). History stays intact: `asOf` an id below the base still
+    * resolves through the old directories, so compaction is purely a
+    * physical operation — same rows, fewer directories. */
+  def compact(spark: SparkSession, path: String): Long = {
+    val current = read(spark, path) // resolve OUTSIDE the lock we take
+    withLock(spark, path) {
+      val prior = entries(spark, path)
+      val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
+      current.write.mode("overwrite").parquet(s"$path/snap=$id")
+      commit(spark, path, prior :+ Entry(id, isBase = true))
+      id
+    }
   }
 
   /** Read the table as of snapshot `asOf` (inclusive); default head.
-    * The result is the UNION of every committed snapshot <= asOf —
-    * the reference's append-accumulate semantics. Uncommitted/torn
+    * The result is the union of the LAST BASE snapshot <= asOf (a
+    * compaction product, which already folds in everything before it)
+    * plus every append after it — the reference's append-accumulate
+    * semantics with bounded directory fan-in. Uncommitted/torn
     * snapshot directories are invisible by construction. */
   def read(spark: SparkSession, path: String,
            asOf: Option[Long] = None): DataFrame = {
-    val ids = committed(spark, path)
-    require(ids.nonEmpty, s"no committed snapshots at $path")
-    val visible = asOf match {
+    val all = entries(spark, path)
+    require(all.nonEmpty, s"no committed snapshots at $path")
+    val upTo = asOf match {
       case Some(s) =>
-        require(ids.contains(s), s"snapshot $s was never committed " +
-          s"(committed: ${ids.mkString(",")})")
-        ids.filter(_ <= s)
-      case None => ids
+        require(all.exists(_.id == s), s"snapshot $s was never " +
+          s"committed (committed: ${all.map(_.id).mkString(",")})")
+        all.filter(_.id <= s)
+      case None => all
     }
-    spark.read.parquet(visible.map(i => s"$path/snap=$i"): _*)
+    val lastBase = upTo.lastIndexWhere(_.isBase)
+    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    spark.read.parquet(visible.map(e => s"$path/snap=${e.id}"): _*)
   }
 }

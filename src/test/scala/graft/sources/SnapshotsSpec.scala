@@ -68,13 +68,33 @@ class SnapshotsSpec extends SpecBase {
       .sameElements(Array(1, 2)))
   }
 
+  test("compact folds history into one base dir; asOf below it still works") {
+    val path = freshPath()
+    Snapshots.append(Seq(1, 2).toDF("x"), path)
+    Snapshots.append(Seq(3).toDF("x"), path)
+    val baseId = Snapshots.compact(spark, path)
+    assert(baseId == 3L)
+    Snapshots.append(Seq(4).toDF("x"), path)
+    // head = base + post-base appends, same rows as before compaction
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted
+      .sameElements(Array(1, 2, 3, 4)))
+    // head read scans ONLY snap=3 (base) and snap=4
+    val files = Snapshots.read(spark, path).inputFiles
+    assert(files.exists(_.contains("snap=3")) &&
+      files.exists(_.contains("snap=4")))
+    assert(!files.exists(f => f.contains("snap=1") || f.contains("snap=2")),
+      s"head read must not touch pre-base directories:\n${files.mkString("\n")}")
+    // time travel below the base ignores it and unions the originals
+    assert(Snapshots.read(spark, path, Some(2L)).as[Int].collect().sorted
+      .sameElements(Array(1, 2, 3)))
+  }
+
   test("historical reads scan only the directories that existed then") {
     val path = freshPath()
     Snapshots.append(spark.range(100).select(col("id").as("x")), path)
     Snapshots.append(spark.range(100, 200).select(col("id").as("x")), path)
-    val historic = Snapshots.read(spark, path, Some(1L))
-    val scanned = historic.queryExecution.executedPlan.toString
-    assert(scanned.contains("snap=1") && !scanned.contains("snap=2"),
-      s"time travel must prune at the directory level:\n$scanned")
+    val scanned = Snapshots.read(spark, path, Some(1L)).inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.contains("snap=1")),
+      s"time travel must prune at the directory level:\n${scanned.mkString("\n")}")
   }
 }
