@@ -49,6 +49,11 @@ object Components {
     // for reliable checkpoint().
     var labels = active.select(col("__cc_id"), col("__cc_id").as("label"))
       .localCheckpoint(true)
+    // the round's checkpointed frame whose blocks the NEXT round may
+    // still read; freed explicitly once the round after it has
+    // materialized (relying on GC to reap checkpoint blocks lets k
+    // rounds of labels pile up in the block manager at scale)
+    var prevCkpt = labels
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -67,11 +72,13 @@ object Components {
           coalesce(col("nbr_min"), col("label")).as("nbr_min"))
         .localCheckpoint(false)
       val changed = joined.filter(col("nbr_min") < col("label")).count()
-      val updated = joined
+      // `joined` is materialized now — the previous round's blocks
+      // can no longer be referenced by anything downstream
+      prevCkpt.unpersist()
+      prevCkpt = joined
+      labels = joined
         .select(col("__cc_id"),
           least(col("label"), col("nbr_min")).as("label"))
-      labels.unpersist()
-      labels = updated
       converged = changed == 0
       it += 1
     }

@@ -36,15 +36,23 @@ object PipelineOps {
   /** Word 3-gram shingles joined with '' — the
     * decontamination unit (a 3-token overlap window; production
     * pipelines use 8-13 tokens, the corpus here has short docs).
-    * Distinct per doc. */
+    * Distinct per doc.
+    *
+    * Built as zip_with over aligned slices, NOT transform +
+    * element_at(w, i): a lambda body referencing the outer token
+    * array re-evaluates the whole tokenize subtree PER ELEMENT
+    * (subexpression elimination does not reach inside higher-order-
+    * function lambdas), turning one regex split per doc into n_words
+    * of them — measured 9.7 s vs ~1.3 s warm at sf0.1. Slices are plain
+    * project-level subexpressions, eliminated once per row. */
   private def shingles3(c: Column): Column = {
     val w = words(c)
-    val n = size(w)
-    array_distinct(filter(
-      transform(w, (x, i) =>
-        when(i <= n - 3, concat_ws("\u0001", x,
-          element_at(w, i + 2), element_at(w, i + 3)))),
-      x => x.isNotNull))
+    val m = greatest(size(w) - 2, lit(0))
+    array_distinct(zip_with(
+      zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
+        (a, b) => concat_ws("\u0001", a, b)),
+      slice(w, lit(3), m),
+      (ab, cc) => concat_ws("\u0001", ab, cc)))
   }
   private val shingles3Sql = {
     val w = wordsSql

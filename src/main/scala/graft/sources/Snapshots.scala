@@ -137,6 +137,29 @@ object Snapshots {
     }
   }
 
+  /** Vacuum: physically delete snapshots OLDER than the last base and
+    * drop them from the log — the retention step after [[compact]]
+    * (until vacuumed, history is retained and time-travelable; after,
+    * an `asOf` below the base fails loudly as never-committed). A
+    * table with no base snapshot is untouched: every directory is
+    * still needed to reconstruct the head. Returns deleted ids. */
+  def vacuum(spark: SparkSession, path: String): Seq[Long] =
+    withLock(spark, path) {
+      val all = entries(spark, path)
+      val lastBase = all.lastIndexWhere(_.isBase)
+      if (lastBase <= 0) Seq.empty
+      else {
+        val (expired, kept) = all.splitAt(lastBase)
+        // commit the shrunken log FIRST: if a deletion dies midway,
+        // readers already ignore the expired dirs (log is the truth)
+        commit(spark, path, kept)
+        val f = fs(spark, path)
+        expired.foreach(e =>
+          f.delete(new Path(path, s"snap=${e.id}"), true))
+        expired.map(_.id)
+      }
+    }
+
   /** Read the table as of snapshot `asOf` (inclusive); default head.
     * The result is the union of the LAST BASE snapshot <= asOf (a
     * compaction product, which already folds in everything before it)

@@ -89,6 +89,28 @@ class SnapshotsSpec extends SpecBase {
       .sameElements(Array(1, 2, 3)))
   }
 
+  test("vacuum expires pre-base history; un-based tables are untouched") {
+    val path = freshPath()
+    Snapshots.append(Seq(1).toDF("x"), path)
+    Snapshots.append(Seq(2).toDF("x"), path)
+    // no base yet → nothing is safe to delete
+    assert(Snapshots.vacuum(spark, path).isEmpty)
+    Snapshots.compact(spark, path) // id 3, base
+    Snapshots.append(Seq(4).toDF("x"), path)
+    assert(Snapshots.vacuum(spark, path) == Seq(1L, 2L))
+    // head unaffected; log + directories for 1,2 are gone
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted
+      .sameElements(Array(1, 2, 4)))
+    assert(Snapshots.committed(spark, path) == Seq(3L, 4L))
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(path, "snap=1")))
+    // expired history now fails loudly instead of returning stale rows
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, path, Some(2L))
+    }
+  }
+
   test("historical reads scan only the directories that existed then") {
     val path = freshPath()
     Snapshots.append(spark.range(100).select(col("id").as("x")), path)
