@@ -98,6 +98,64 @@ object ScaleSmoke {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5).count() + " results"
     }
+    // text-pipeline shapes at 10M docs: synthesize a zipf-ish corpus
+    // (~20 tokens/doc from a 50k vocabulary, seeded), then run the two
+    // corpus-pass operators whose claim is "the corpus never
+    // shuffles": decontamination (broadcast eval shingles) and BM25
+    // (broadcast df + avgdl). Both should scale linearly in corpus
+    // bytes — the joins are map-side, the aggregates partial.
+    val vocabSize = 50000
+    val docLen = 20
+    // every 50th doc is one of 200 boilerplate templates (token stream
+    // keyed by the template id, not the doc id) — so the corpus has
+    // genuine cross-doc trigram overlap for the eval set to catch
+    val seedExpr = when(col("id") % 50 === 0, col("id") % 200)
+      .otherwise(col("id"))
+    val corpus10m = spark.range(10000000).select(
+      col("id").as("doc_id"),
+      transform(sequence(lit(1), lit(docLen)), i =>
+        concat(lit("w"), pmod(
+          hash(seedExpr * lit(31) + i * 7919L).cast("long"),
+          lit(vocabSize)))).as("w"))
+      .persist()
+    corpus10m.count() // materialize: measure the operator, not synth
+    t("decontaminate 10M docs (3-gram, ~1% eval, broadcast)") {
+      // at this scale the shingle is a 64-bit HASH, not a string:
+      // the join key drops from ~15-byte strings to longs (composed
+      // hash-of-hash per trigram — no concat string materialized)
+      val m = greatest(size(col("w")) - 2, lit(0))
+      val sh3 = array_distinct(zip_with(
+        zip_with(slice(col("w"), lit(1), m), slice(col("w"), lit(2), m),
+          (a, b) => xxhash64(a, b)),
+        slice(col("w"), lit(3), m),
+        (ab, cc) => xxhash64(ab, cc)))
+      val sh = corpus10m.select(col("doc_id"), explode(sh3).as("s"))
+      val eval = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(eval), "s")
+        .groupBy("doc_id").agg(count(lit(1)))
+        .count() + " contaminated docs"
+    }
+    t("bm25 10M docs (3 query terms, broadcast df)") {
+      val tok = corpus10m.select(col("doc_id"), explode(col("w")).as("t"))
+        .filter(col("t").isin("w1", "w17", "w4242"))
+      val tf = tok.groupBy("doc_id", "t")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tok.groupBy("t")
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      val stats = corpus10m.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("w"))).as("avgdl"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      val score = idf * (col("tf") * 2.2) / (col("tf") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * lit(docLen.toDouble) /
+          col("avgdl")))
+      tf.join(broadcast(df), "t").crossJoin(broadcast(stats))
+        .groupBy("doc_id").agg(sum(score).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(20)
+        .count() + " top docs"
+    }
+    corpus10m.unpersist()
     spark.stop()
   }
 }
