@@ -339,7 +339,65 @@ object PipelineOps {
       .limit(20)
   }
 
+  // PII patterns shared by the Spark query and its DuckDB twin. Both
+  // engines see the SAME pattern text: these stay inside the common
+  // subset of Java regex and RE2 (character classes, \d, +, {n}) where
+  // leftmost-match semantics agree; no backrefs, no lookaround.
+  private val piiEmail = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val piiIp = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+  private val piiPhone = "555-\\d{4}"
+
+  /** Ext — PII redaction: count and strip emails / IPv4 addresses /
+    * phone numbers before a corpus reaches training. The synthetic
+    * corpus contains no PII, so the query first APPENDS deterministic
+    * PII derived from doc_id (so both engines dirty the text
+    * identically), then counts matches on the dirty text and redacts
+    * with a fixed replace chain (email → ip → phone; order matters and
+    * is part of the contract). Map-only expression tree — one corpus
+    * pass, no shuffle except the final presentation sort; at 100 TB
+    * this runs as a scan-transform-write with nothing on the wire. */
+  val qRedactPii: QuerySpec = QuerySpec(
+    "q_redact_pii",
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+       |      '@mail', CAST(doc_id % 7 AS VARCHAR), '.com via 10.',
+       |      CAST(doc_id % 200 AS VARCHAR), '.0.',
+       |      CAST(doc_id % 250 AS VARCHAR), ' call 555-',
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS d
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(d, '$piiEmail')) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all(d, '$piiIp')) AS INT) AS n_ip,
+       |  CAST(len(regexp_extract_all(d, '$piiPhone')) AS INT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(d,
+       |    '$piiEmail', '[EMAIL]', 'g'),
+       |    '$piiIp', '[IP]', 'g'),
+       |    '$piiPhone', '[PHONE]', 'g') AS redacted
+       |FROM dirty ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val dirty = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 7).cast("string"),
+      lit(".com via 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0."), (col("doc_id") % 250).cast("string"),
+      lit(" call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), dirty.as("d"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("d"), lit(piiEmail), lit(0)))
+          .as("n_email"),
+        size(regexp_extract_all(col("d"), lit(piiIp), lit(0))).as("n_ip"),
+        size(regexp_extract_all(col("d"), lit(piiPhone), lit(0)))
+          .as("n_phone"),
+        regexp_replace(regexp_replace(regexp_replace(col("d"),
+          piiEmail, "[EMAIL]"),
+          piiIp, "[IP]"),
+          piiPhone, "[PHONE]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
-    qTfidf, qLightcurve, qBm25)
+    qTfidf, qLightcurve, qBm25, qRedactPii)
 }

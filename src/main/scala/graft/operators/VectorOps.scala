@@ -259,6 +259,98 @@ object VectorOps {
   private def scale0(vv: Column): Column =
     aggregate(vv, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
 
+  // ---- hyperplane (sign-random-projection) LSH -----------------------
+  // 32 pseudo-random hyperplanes over the 64-dim embedding space; the
+  // h-th plane's d-th weight derives from the overflow-free integer LCG
+  //   ((h*64 + d) * 1103515245 + 12345) mod 2147483647
+  // mapped to [-0.5, 0.5). Pure int64 + one double divide — identical
+  // in any engine (same trick as q_split_assign), so the SAME
+  // hyperplanes exist on the DuckDB side without shipping constants.
+  private val lshBits = 32
+  private val lshDim = 64
+  private val lshBandBits = 8
+  private val lshBands = lshBits / lshBandBits
+
+  /** Plane weights precomputed driver-side with the SAME int64 + IEEE
+    * ops the DuckDB twin evaluates symbolically (long exact < 2^53,
+    * one round-to-nearest divide, one subtract) — bit-identical by
+    * construction, and as literal arrays the per-row cost is just the
+    * codegen'd dot, not 64 interpreted lambda evals per plane. */
+  private val lshPlanes: Array[Array[Double]] =
+    Array.tabulate(lshBits, lshDim) { (h, d) =>
+      val m = ((h.toLong * lshDim + d) * 1103515245L + 12345L) % 2147483647L
+      m.toDouble / 2147483647.0 - 0.5
+    }
+
+  /** 32-bit signature: bit h = sign(vv . plane_h). Each dot is the
+    * codegen'd sequential fold, so the sign — and therefore the whole
+    * signature — is bit-for-bit reproducible. */
+  private def lshSig(vv: Column): Column =
+    (0 until lshBits).map { h =>
+      when(VectorKernels.dot(vv, typedLit(lshPlanes(h).toSeq)) >= 0.0,
+        lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def lshSigSql: String = (0 until lshBits).map { h =>
+    val dot = s"list_reduce(list_transform(range(0, $lshDim), d -> " +
+      s"vv[d+1] * (CAST((($h * $lshDim + d) * 1103515245 + 12345) " +
+      s"% 2147483647 AS DOUBLE) / 2147483647.0 - 0.5)), (a, b) -> a + b)"
+    s"(CASE WHEN $dot >= 0.0 THEN ${1L << h} ELSE 0 END)"
+  }.mkString("(", " + ", ")")
+
+  /** Ext — embedding near-dup via hyperplane LSH: corpus×corpus cosine
+    * dedup WITHOUT the cross product. Signature → 4 bands × 8 bits →
+    * band equi-join proposes candidate pairs (a pair collides iff some
+    * band agrees — the cosine analog of TextOps' minhash banding);
+    * candidates then verify against the true cosine threshold. The
+    * corpus shuffles once on (band_id, band_val) — never all-pairs —
+    * and the verify join touches only proposed pairs. At 100 TB you'd
+    * persist the signature table once (it's 8 bytes/row) and raise
+    * lshBits; the plan shape is unchanged. Recall is the standard
+    * 1-(1-p^r)^b curve — approximate by design; the oracle mirrors the
+    * same signatures, so the OUTPUT is exact. */
+  val qDedupLshCos: QuerySpec = QuerySpec(
+    "q_dedup_lshcos",
+    s"""$vvCte,
+       |sig AS (SELECT vec_id, $lshSigSql AS sig FROM v),
+       |bands AS (
+       |  SELECT vec_id, band_id, (sig >> (band_id * $lshBandBits))
+       |      & ${(1 << lshBandBits) - 1} AS band_val
+       |  FROM sig, (SELECT unnest(range(0, $lshBands)) AS band_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT id_a, id_b, ${cosineSql("p", "c")} AS cos
+       |  FROM cand JOIN n p ON p.vec_id = id_a
+       |            JOIN n c ON c.vec_id = id_b)
+       |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val sigs = emb.select(col("vec_id"), lshSig(col("v")).as("sig"))
+    val bands = sigs.select(col("vec_id"), posexplode(
+      array((0 until lshBands).map(b =>
+        shiftright(col("sig"), b * lshBandBits)
+          .bitwiseAND((1 << lshBandBits) - 1)): _*)))
+      .toDF("vec_id", "band_id", "band_val")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val p = emb.select(col("vec_id").as("id_a"), col("v").as("pv"),
+      col("nrm").as("pn"))
+    val c = emb.select(col("vec_id").as("id_b"), col("v"), col("nrm"))
+    cand.join(p, "id_a").join(c, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   def specs: Seq[QuerySpec] =
-    Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed)
+    Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
+      qDedupLshCos)
 }

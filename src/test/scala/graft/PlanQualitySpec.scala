@@ -187,4 +187,27 @@ class PlanQualitySpec extends SpecBase {
     assert(plan.contains("GreaterThanOrEqual(ts") ||
       plan.contains("PushedFilters: [IsNotNull(ts)"), "ts pushdown lost")
   }
+
+  test("q_redact_pii is map-only: no shuffle except the output sort") {
+    val df = PipelineOps.qRedactPii.fn(spark, sfDir)
+    // the redaction pass itself must add no exchange: the only
+    // shuffle in the whole plan is the presentation orderBy's range
+    // exchange — at 100 TB you drop the sort and it's scan→write
+    assert(countShuffles(df) <= 1,
+      s"redaction must not shuffle:\n${planOf(df)}")
+    assert(!planOf(df).contains("CartesianProduct"))
+  }
+
+  test("q_dedup_lshcos: banded equi-join, never a cartesian") {
+    val df = VectorOps.qDedupLshCos.fn(spark, sfDir)
+    val plan = planOf(df)
+    // the whole point of the LSH bands: corpus×corpus cosine dedup
+    // with NO all-pairs operator anywhere in the plan
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH dedup must not plan a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH dedup must not plan a nested-loop join:\n$plan")
+    // the codegen'd dot kernel carries both signature and verify math
+    assert(plan.contains("dot_fold"), "expected DotFold kernel in plan")
+  }
 }
