@@ -397,7 +397,119 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — the repetition half of the Gopher quality signals
+    * (q_quality_gopher carries the composition half): top-word
+    * fraction, top-bigram fraction, and duplicate-trigram fraction
+    * per document, plus a keep verdict. The n-gram mode comes from
+    * the scale-canonical explode → (doc_id, gram) count → per-doc max
+    * shape — two shuffles, both keyed by doc_id+gram so partial
+    * aggregation absorbs the fan-out map-side; the duplicate-trigram
+    * fraction is row-local (distinct/total over the shingle array,
+    * no shuffle at all). At 100 TB nothing joins corpus-to-corpus —
+    * cost is linear in token count. */
+  val qQualityRepetition: QuerySpec = QuerySpec(
+    "q_quality_repetition",
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |base AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+       |tok AS (SELECT doc_id, unnest(w) AS tk FROM base),
+       |wc AS (SELECT doc_id, tk, count(*) AS c FROM tok
+       |  GROUP BY doc_id, tk),
+       |wa AS (SELECT doc_id, max(c) AS topw, sum(c) AS nw FROM wc
+       |  GROUP BY doc_id),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    i -> concat_ws(chr(1), w[i], w[i+1]))) AS b FROM base),
+       |bc AS (SELECT doc_id, b, count(*) AS c FROM bg
+       |  GROUP BY doc_id, b),
+       |ba AS (SELECT doc_id, max(c) AS topb, sum(c) AS nb FROM bc
+       |  GROUP BY doc_id),
+       |tri AS (SELECT doc_id, len(w) - 2 AS n3,
+       |    len(list_distinct(list_transform(range(1, len(w) - 1),
+       |      i -> concat_ws(chr(1), w[i], w[i+1], w[i+2])))) AS d3
+       |  FROM base),
+       |sig AS (SELECT wa.doc_id,
+       |    ${D.sql.d6("CAST(topw AS DOUBLE) / nw")} AS top_word_frac,
+       |    ${D.sql.d6("CAST(topb AS DOUBLE) / nb")} AS top_bigram_frac,
+       |    ${D.sql.d6("CAST(n3 - d3 AS DOUBLE) / n3")} AS dup_trigram_frac
+       |  FROM wa JOIN ba ON wa.doc_id = ba.doc_id
+       |  JOIN tri ON wa.doc_id = tri.doc_id)
+       |SELECT doc_id, top_word_frac, top_bigram_frac, dup_trigram_frac,
+       |  (top_word_frac <= 0.15 AND top_bigram_frac <= 0.1
+       |    AND dup_trigram_frac <= 0.05) AS keep
+       |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val wa = base.select(col("doc_id"), explode(col("w")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("topw"), sum("c").as("nw"))
+    val m1 = greatest(size(col("w")) - 1, lit(0))
+    val bigrams = zip_with(slice(col("w"), lit(1), m1),
+      slice(col("w"), lit(2), m1), (a, b) => concat_ws("\u0001", a, b))
+    val ba = base.select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("topb"), sum("c").as("nb"))
+    val m3 = greatest(size(col("w")) - 2, lit(0))
+    val tri3 = array_distinct(zip_with(
+      zip_with(slice(col("w"), lit(1), m3), slice(col("w"), lit(2), m3),
+        (a, b) => concat_ws("\u0001", a, b)),
+      slice(col("w"), lit(3), m3),
+      (ab, cc) => concat_ws("\u0001", ab, cc)))
+    val tri = base.select(col("doc_id"),
+      (size(col("w")) - 2).cast(LongType).as("n3"),
+      size(tri3).cast(LongType).as("d3"))
+    wa.join(ba, "doc_id").join(tri, "doc_id")
+      .select(col("doc_id"),
+        Det.d6(col("topw").cast(DoubleType) / col("nw"))
+          .as("top_word_frac"),
+        Det.d6(col("topb").cast(DoubleType) / col("nb"))
+          .as("top_bigram_frac"),
+        Det.d6((col("n3") - col("d3")).cast(DoubleType) / col("n3"))
+          .as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= 0.15 && col("top_bigram_frac") <= 0.1 &&
+          col("dup_trigram_frac") <= 0.05)
+      .orderBy("doc_id")
+  }
+
+  /** Ext — data-mixture planning: temperature-scaled source weights
+    * (alpha = 0.5, the sqrt-scaling that upsamples small high-value
+    * sources without letting the largest source dominate) and the
+    * epochs-per-source implied by a 1M-token training budget —
+    * the step that turns corpus stats into a sampling recipe. One
+    * partial-agged groupBy(source) over the corpus, then a broadcast
+    * 1-row normalizer: per-source sqrt weights sum through the
+    * decimal(18,8) route so the normalizer is partition-order-free.
+    * Nothing here scales with corpus size except the first scan. */
+  val qMixtureWeights: QuerySpec = QuerySpec(
+    "q_mixture_weights",
+    s"""WITH s AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CAST(len($wordsSql) AS BIGINT)) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT ${D.sql.dsum("sqrt(CAST(n_tokens AS DOUBLE))")}
+       |    AS z FROM s)
+       |SELECT source, n_docs, n_tokens,
+       |  ${D.sql.d6("sqrt(CAST(n_tokens AS DOUBLE)) / z")} AS weight,
+       |  ${D.sql.d6(
+         "1000000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / z) / n_tokens")}
+       |    AS epochs
+       |FROM s CROSS JOIN tot ORDER BY source""".stripMargin) { (s, dir) =>
+    val agg = LsdDb.table(s, dir, "documents")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast(LongType)).as("n_tokens"))
+    val sq = sqrt(col("n_tokens").cast(DoubleType))
+    val tot = agg.agg(Det.dsum(sq).as("z"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Det.d6(sq / col("z")).as("weight"),
+        Det.d6(lit(1000000.0) * (sq / col("z")) / col("n_tokens"))
+          .as("epochs"))
+      .orderBy("source")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
-    qTfidf, qLightcurve, qBm25, qRedactPii)
+    qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
+    qMixtureWeights)
 }

@@ -270,6 +270,11 @@ object VectorOps {
   private val lshDim = 64
   private val lshBandBits = 8
   private val lshBands = lshBits / lshBandBits
+  // hot-bucket cap, same guard as TextOps minhash banding: a
+  // degenerate bucket (e.g. uncentered or near-constant embeddings
+  // collapsing many rows onto one signature) can contribute at most
+  // cap² pairs instead of taking the candidate join quadratic
+  private val lshMaxBucket = 256
 
   /** Plane weights precomputed driver-side with the SAME int64 + IEEE
     * ops the DuckDB twin evaluates symbolically (long exact < 2^53,
@@ -284,7 +289,10 @@ object VectorOps {
 
   /** 32-bit signature: bit h = sign(vv . plane_h). Each dot is the
     * codegen'd sequential fold, so the sign — and therefore the whole
-    * signature — is bit-for-bit reproducible. */
+    * signature — is bit-for-bit reproducible. Public: ScaleSmoke runs
+    * the same signature pass at 1M vectors with wider bands. */
+  def lshSignature(vv: Column): Column = lshSig(vv)
+
   private def lshSig(vv: Column): Column =
     (0 until lshBits).map { h =>
       when(VectorKernels.dot(vv, typedLit(lshPlanes(h).toSeq)) >= 0.0,
@@ -304,9 +312,13 @@ object VectorOps {
     * band agrees — the cosine analog of TextOps' minhash banding);
     * candidates then verify against the true cosine threshold. The
     * corpus shuffles once on (band_id, band_val) — never all-pairs —
-    * and the verify join touches only proposed pairs. At 100 TB you'd
-    * persist the signature table once (it's 8 bytes/row) and raise
-    * lshBits; the plan shape is unchanged. Recall is the standard
+    * hot buckets are capped (lshMaxBucket, mirrored in the oracle) so
+    * degenerate signature mass can't turn the join quadratic, and the
+    * verify join touches only proposed pairs. At 100 TB you'd persist
+    * the signature table once (it's 8 bytes/row) and raise lshBits;
+    * the plan shape is unchanged. Note sign-projection assumes
+    * roughly centered vectors — ScaleSmoke shows the centering step
+    * for an all-positive corpus. Recall is the standard
     * 1-(1-p^r)^b curve — approximate by design; the oracle mirrors the
     * same signatures, so the OUTPUT is exact. */
   val qDedupLshCos: QuerySpec = QuerySpec(
@@ -317,9 +329,13 @@ object VectorOps {
        |  SELECT vec_id, band_id, (sig >> (band_id * $lshBandBits))
        |      & ${(1 << lshBandBits) - 1} AS band_val
        |  FROM sig, (SELECT unnest(range(0, $lshBands)) AS band_id)),
+       |ok AS (SELECT band_id, band_val FROM bands
+       |  GROUP BY band_id, band_val HAVING count(*) <= $lshMaxBucket),
+       |cb AS (SELECT bands.* FROM bands
+       |  JOIN ok USING (band_id, band_val)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM cb a JOIN cb b
        |    ON a.band_id = b.band_id AND a.band_val = b.band_val
        |   AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos FROM (
@@ -334,7 +350,11 @@ object VectorOps {
         shiftright(col("sig"), b * lshBandBits)
           .bitwiseAND((1 << lshBandBits) - 1)): _*)))
       .toDF("vec_id", "band_id", "band_val")
-    val cand = bands.as("a").join(bands.as("b"),
+    val okBuckets = bands.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= lshMaxBucket)
+      .drop("bn")
+    val capped = bands.join(okBuckets, Seq("band_id", "band_val"))
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.vec_id") < col("b.vec_id"))

@@ -98,6 +98,38 @@ object ScaleSmoke {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5).count() + " results"
     }
+    // hyperplane-LSH cosine dedup at 1M vectors. Two scale rules on
+    // display: (1) this corpus is all-positive (rand + i*0.001), and
+    // sign-random-projection on UNCENTERED data collapses signatures
+    // into a few giant buckets — so the vectors are mean-centered
+    // first, the standard SRP-LSH precondition; (2) at 1M rows the
+    // 8-bit bands of q_dedup_lshcos would average ~4k rows/bucket, so
+    // the 32-bit signature splits into 2 x 16-bit bands (~15
+    // rows/bucket) — "lshBits rises with corpus size". The hot-bucket
+    // cap (same guard as TextOps minhash) bounds any residual skew:
+    // no bucket can contribute more than cap^2 pairs.
+    t("hyperplane-LSH dedup 1M x 64-d (centered, 2x16-bit bands, cap)") {
+      val centered = corpus.select(col("vec_id"),
+        zip_with(col("v"), sequence(lit(1), lit(64)),
+          (x, i) => x - 0.5 - i * 0.001).as("vc"))
+      val sigs = centered.select(col("vec_id"),
+        graft.operators.VectorOps.lshSignature(col("vc")).as("sig"))
+      val bands = sigs.select(col("vec_id"), posexplode(
+        array((0 until 2).map(b => shiftright(col("sig"), b * 16)
+          .bitwiseAND(65535)): _*)))
+        .toDF("vec_id", "band_id", "band_val")
+      val ok = bands.groupBy("band_id", "band_val")
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 1000)
+        .drop("bn")
+      val capped = bands.join(ok, Seq("band_id", "band_val"))
+      capped.as("a").join(capped.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id")).distinct()
+        .count() + " candidate pairs"
+    }
+
     // text-pipeline shapes at 10M docs: synthesize a zipf-ish corpus
     // (~20 tokens/doc from a 50k vocabulary, seeded), then run the two
     // corpus-pass operators whose claim is "the corpus never
