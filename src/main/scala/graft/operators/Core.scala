@@ -168,6 +168,26 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** SC4c / §1.1 snapshots — INCREMENTAL read: aggregate ONLY the
+    * rows that landed in the newest commit (delta (2, 3] of the
+    * 3-append table; semantically event_id % 3 == 2). The scan
+    * touches the snap=3 directory and nothing else — the cost of an
+    * incremental pipeline step is the size of the increment, not the
+    * table (plan-pinned via inputFiles). Decimal-exact sum so the
+    * per-type totals hash-match regardless of partition order. */
+  val qSnapshotDelta: QuerySpec = QuerySpec(
+    "q_snapshot_delta",
+    s"""SELECT event_type, count(*) AS n,
+       |  ${D.dsum("value")} AS total
+       |FROM events WHERE event_id % 3 = 2
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    graft.sources.Snapshots
+      .readDelta(s, ensureSnapshotEvents(s, dir), after = 2L, asOf = 3L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
   /** SC3c — bulk import via ORC (Spark's second bundled columnar
     * format): write-once export of the lineitem subset, read back.
     * Like FITS (and unlike CSV text), ORC stores IEEE doubles
@@ -402,6 +422,7 @@ object Core {
   }
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
-    qImportCsv, qImportFits, qImportOrc, qTimeTravel, qProject, qFilter,
-    qMath, qCase, qString, qDatetime, qArray, qArrayOps, qJson)
+    qImportCsv, qImportFits, qImportOrc, qTimeTravel, qSnapshotDelta,
+    qProject, qFilter, qMath, qCase, qString, qDatetime, qArray,
+    qArrayOps, qJson)
 }

@@ -181,4 +181,33 @@ object Snapshots {
     val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
     spark.read.parquet(visible.map(e => s"$path/snap=${e.id}"): _*)
   }
+
+  /** Incremental (delta) read: ONLY the rows that landed in snapshots
+    * `(after, asOf]` — the "process just the new data" primitive an
+    * incremental pipeline runs between two checkpoints. Version
+    * selection is directory selection, so the scan cost is the size
+    * of the DELTA, not the table: at 100 TB a nightly increment reads
+    * last night's bytes and nothing else.
+    *
+    * A compaction base inside the range is refused loudly: a base
+    * REWRITES prior history into one directory, so the rows appended
+    * since `after` are no longer identifiable as whole directories —
+    * the caller must either delta-read below the base or do a full
+    * `read` and diff. `after = 0` means "since table creation". */
+  def readDelta(spark: SparkSession, path: String,
+                after: Long, asOf: Long): DataFrame = {
+    require(after >= 0 && asOf > after,
+      s"need 0 <= after < asOf, got ($after, $asOf]")
+    val all = entries(spark, path)
+    require(all.exists(_.id == asOf), s"snapshot $asOf was never " +
+      s"committed (committed: ${all.map(_.id).mkString(",")})")
+    require(after == 0 || all.exists(_.id == after),
+      s"snapshot $after was never committed")
+    val range = all.filter(e => e.id > after && e.id <= asOf)
+    require(!range.exists(_.isBase),
+      s"delta ($after, $asOf] crosses compaction base " +
+        s"${range.filter(_.isBase).map(_.id).mkString(",")}: history " +
+        "was rewritten; delta-read below the base or diff full reads")
+    spark.read.parquet(range.map(e => s"$path/snap=${e.id}"): _*)
+  }
 }

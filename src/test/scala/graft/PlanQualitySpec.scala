@@ -188,6 +188,13 @@ class PlanQualitySpec extends SpecBase {
       plan.contains("PushedFilters: [IsNotNull(ts)"), "ts pushdown lost")
   }
 
+  test("q_snapshot_delta scans only the increment's snap directory") {
+    val df = Core.qSnapshotDelta.fn(spark, sfDir)
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("snap=3")),
+      s"incremental read must touch only the delta:\n${files.mkString("\n")}")
+  }
+
   test("q_redact_pii is map-only: no shuffle except the output sort") {
     val df = PipelineOps.qRedactPii.fn(spark, sfDir)
     // the redaction pass itself must add no exchange: the only

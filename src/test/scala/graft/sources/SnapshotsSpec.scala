@@ -119,4 +119,37 @@ class SnapshotsSpec extends SpecBase {
     assert(scanned.nonEmpty && scanned.forall(_.contains("snap=1")),
       s"time travel must prune at the directory level:\n${scanned.mkString("\n")}")
   }
+
+  test("readDelta sees exactly the appends in range, scans only them") {
+    val path = freshPath()
+    Snapshots.append(Seq(1).toDF("x"), path)
+    Snapshots.append(Seq(2, 3).toDF("x"), path)
+    Snapshots.append(Seq(4).toDF("x"), path)
+    assert(Snapshots.readDelta(spark, path, 1L, 3L).as[Int].collect()
+      .sorted.sameElements(Array(2, 3, 4)))
+    val scanned = Snapshots.readDelta(spark, path, 2L, 3L).inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.contains("snap=3")),
+      s"delta read must scan only the increment:\n${scanned.mkString("\n")}")
+    // since-creation form
+    assert(Snapshots.readDelta(spark, path, 0L, 1L).as[Int].collect()
+      .sameElements(Array(1)))
+    intercept[IllegalArgumentException] { // never-committed bound
+      Snapshots.readDelta(spark, path, 1L, 9L)
+    }
+  }
+
+  test("readDelta refuses a range that crosses a compaction base") {
+    val path = freshPath()
+    Snapshots.append(Seq(1).toDF("x"), path)
+    Snapshots.append(Seq(2).toDF("x"), path)
+    val base = Snapshots.compact(spark, path) // id 3, rewrites history
+    Snapshots.append(Seq(4).toDF("x"), path)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readDelta(spark, path, 1L, 4L)
+    }
+    assert(e.getMessage.contains(s"base $base"))
+    // strictly after the base is fine — that's genuine appended delta
+    assert(Snapshots.readDelta(spark, path, base, 4L).as[Int].collect()
+      .sameElements(Array(4)))
+  }
 }
