@@ -47,9 +47,13 @@ object Snapshots {
 
   /** One committed entry: snapshot id + whether it is a BASE snapshot
     * (a compaction product that already contains everything before
-    * it, so reads never need to look further back). Log line format:
-    * `<id>` for an append, `<id> B` for a base. */
-  final case class Entry(id: Long, isBase: Boolean)
+    * it, so reads never need to look further back) + an optional
+    * idempotency tag (see [[appendTagged]]). Log line format:
+    * `<id>` for an append, `<id> B` for a base, with ` T:<tag>`
+    * appended when tagged — unknown trailing fields are ignored by
+    * old readers. */
+  final case class Entry(id: Long, isBase: Boolean,
+                         tag: Option[String] = None)
 
   /** Committed entries, oldest first (empty if table absent). */
   def entries(spark: SparkSession, path: String): Seq[Entry] = {
@@ -62,7 +66,8 @@ object Snapshots {
       finally in.close()
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
         val parts = l.split("\\s+")
-        Entry(parts(0).toLong, parts.length > 1 && parts(1) == "B")
+        Entry(parts(0).toLong, parts.exists(_ == "B"),
+          parts.collectFirst { case t if t.startsWith("T:") => t.drop(2) })
       }.toSeq
     }
   }
@@ -95,8 +100,10 @@ object Snapshots {
     val f = fs(spark, path)
     val tmp = new Path(path, s"$CommitLog.tmp")
     val o = f.create(tmp, true)
-    try o.write(all.map(e => if (e.isBase) s"${e.id} B" else s"${e.id}")
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    try o.write(all.map { e =>
+      s"${e.id}" + (if (e.isBase) " B" else "") +
+        e.tag.map(t => s" T:$t").getOrElse("")
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally o.close()
     if (f.exists(new Path(path, CommitLog)))
       f.delete(new Path(path, CommitLog), false)
@@ -115,6 +122,30 @@ object Snapshots {
       df.write.mode("overwrite").parquet(s"$path/snap=$id")
       commit(spark, path, prior :+ Entry(id, isBase = false))
       id
+    }
+  }
+
+  /** Idempotent append: `tag` names the LOGICAL batch (e.g. a
+    * Structured Streaming batchId). If a commit carrying this tag
+    * already exists, nothing is written and its snapshot id is
+    * returned — so an at-least-once producer (a retried micro-batch
+    * after a crash) lands exactly once. The tag check and the commit
+    * happen under the same writer lock as the append itself. */
+  def appendTagged(df: DataFrame, path: String, tag: String): Long = {
+    require(tag.nonEmpty && !tag.exists(_.isWhitespace),
+      s"tag must be non-empty and whitespace-free: '$tag'")
+    val spark = df.sparkSession
+    withLock(spark, path) {
+      val prior = entries(spark, path)
+      prior.find(_.tag.contains(tag)) match {
+        case Some(e) => e.id // replayed batch: already committed
+        case None =>
+          val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
+          df.write.mode("overwrite").parquet(s"$path/snap=$id")
+          commit(spark, path, prior :+
+            Entry(id, isBase = false, tag = Some(tag)))
+          id
+      }
     }
   }
 

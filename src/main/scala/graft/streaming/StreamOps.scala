@@ -135,4 +135,25 @@ object StreamOps {
       .filter(col("dist_deg") <= radiusDeg)
       .drop("cell", "obj_lon", "obj_lat")
   }
+
+  /** S8 — streaming ingestion into a snapshot table: every micro-batch
+    * lands as one committed snapshot, tagged with its batchId so a
+    * REPLAYED batch (Structured Streaming re-runs the last batch after
+    * a crash — at-least-once) commits exactly once. This is the bridge
+    * from live streams to the whole batch surface: the landed table
+    * immediately supports time travel, `Snapshots.readDelta`
+    * increments, compaction and vacuum — a downstream incremental
+    * pipeline consumes exactly the snapshots it hasn't seen.
+    * Returns the started query; callers own its lifecycle. */
+  def snapshotSink(stream: DataFrame, path: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Snapshots.appendTagged(batch, path, s"b$batchId")
+        ()
+      }
+      .start()
 }

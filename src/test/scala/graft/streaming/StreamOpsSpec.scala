@@ -134,6 +134,37 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  test("snapshotSink lands each micro-batch as one tagged commit") {
+    import graft.sources.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapsink")
+    val path = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[Long]
+    val q = StreamOps.snapshotSink(input.toDF(), path, ckpt)
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+      val entries = Snapshots.entries(spark, path)
+      assert(entries.map(_.id) == Seq(1L, 2L))
+      assert(entries.forall(_.tag.exists(_.startsWith("b"))))
+      assert(Snapshots.read(spark, path).as[Long].collect().sorted
+        .sameElements(Array(1L, 2L, 3L)))
+      // the downstream increment: exactly the second micro-batch
+      assert(Snapshots.readDelta(spark, path, 1L, 2L).as[Long].collect()
+        .sameElements(Array(3L)))
+      // a replayed batch is a no-op: re-commit under an existing tag
+      val replayTag = entries.head.tag.get
+      val again = Snapshots.appendTagged(
+        Seq(99L).toDF("value"), path, replayTag)
+      assert(again == 1L)
+      assert(Snapshots.entries(spark, path).map(_.id) == Seq(1L, 2L))
+      assert(!Snapshots.read(spark, path).as[Long].collect().contains(99L))
+    } finally q.stop()
+  }
+
   test("session windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
