@@ -188,6 +188,17 @@ class PlanQualitySpec extends SpecBase {
       plan.contains("PushedFilters: [IsNotNull(ts)"), "ts pushdown lost")
   }
 
+  test("q_join_bucketed: bucket layout replaces the join+agg shuffles") {
+    val df = Joins.qJoinBucketed.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // both scans carry HashPartitioning(custkey, 8) from the buckets:
+    // the join consumes it, the groupBy reuses it — the only exchange
+    // in the whole plan is the presentation sort's range partition
+    assert(countShuffles(df) <= 1,
+      s"bucketed join+agg must not exchange data:\n$plan")
+  }
+
   test("q_snapshot_delta scans only the increment's snap directory") {
     val df = Core.qSnapshotDelta.fn(spark, sfDir)
     val files = df.inputFiles
