@@ -508,8 +508,98 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** A12 — time-series resampling: gap-fill each user's event series
+    * onto a regular daily grid with linear interpolation between the
+    * neighboring observations (the light-curve regularization step
+    * before period-finding; complements q_lightcurve's summary
+    * stats). Union observations + grid points, then ONE shuffle on
+    * the series key drives both IGNORE-NULLS window passes (previous
+    * and next observation per grid point); interior points
+    * interpolate with a fixed double expression, d6-snapped. Grid
+    * size is per-user span / step — output scales with series count,
+    * not event count, and nothing joins events-to-events. */
+  val qResample: QuerySpec = QuerySpec(
+    "q_resample",
+    s"""WITH ev AS (SELECT user_id,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+       |    value FROM events),
+       |obs AS (SELECT user_id, t, min(value) AS v FROM ev
+       |  GROUP BY user_id, t),
+       |span AS (SELECT user_id,
+       |    date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS lo,
+       |    date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS hi
+       |  FROM events GROUP BY user_id),
+       |grid AS (SELECT user_id,
+       |    unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g
+       |  FROM span),
+       |g2 AS (SELECT user_id, g,
+       |    CAST(floor(epoch(g)) AS BIGINT) AS t FROM grid),
+       |u AS (
+       |  SELECT user_id, t, v, 1 AS is_obs,
+       |    CAST(NULL AS TIMESTAMP) AS g FROM obs
+       |  UNION ALL
+       |  SELECT user_id, t, CAST(NULL AS DOUBLE) AS v, 0 AS is_obs, g
+       |  FROM g2),
+       |w AS (SELECT user_id, t, is_obs, g,
+       |    last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+       |      OVER win_p AS v_prev,
+       |    last_value(CASE WHEN is_obs = 1 THEN CAST(t AS DOUBLE) END
+       |      IGNORE NULLS) OVER win_p AS t_prev,
+       |    first_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+       |      OVER win_f AS v_next,
+       |    first_value(CASE WHEN is_obs = 1 THEN CAST(t AS DOUBLE) END
+       |      IGNORE NULLS) OVER win_f AS t_next
+       |  FROM u
+       |  WINDOW win_p AS (PARTITION BY user_id ORDER BY t, is_obs
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    win_f AS (PARTITION BY user_id ORDER BY t, is_obs
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, g AS grid_ts,
+       |  ${D.sql.d6("v_prev + (v_next - v_prev) * " +
+         "((CAST(t AS DOUBLE) - t_prev) / (t_next - t_prev))")}
+       |    AS v_interp
+       |FROM w
+       |WHERE is_obs = 0 AND v_prev IS NOT NULL AND v_next IS NOT NULL
+       |ORDER BY user_id, grid_ts""".stripMargin) { (s, dir) =>
+    val events = LsdDb.table(s, dir, "events")
+    val obs = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        col("value"))
+      .groupBy("user_id", "t").agg(min("value").as("v"))
+    val span = events.groupBy("user_id").agg(
+      date_trunc("DAY", min(col("ts"))).as("lo"),
+      date_trunc("DAY", max(col("ts"))).as("hi"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("g"))
+      .withColumn("t", unix_timestamp(col("g")))
+    val u = obs.select(col("user_id"), col("t"), col("v"),
+        lit(1).as("is_obs"), lit(null).cast("timestamp").as("g"))
+      .unionByName(grid.select(col("user_id"), col("t"),
+        lit(null).cast(DoubleType).as("v"), lit(0).as("is_obs"),
+        col("g")))
+    val winP = Window.partitionBy("user_id").orderBy(col("t"), col("is_obs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winF = Window.partitionBy("user_id").orderBy(col("t"), col("is_obs"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsV = when(col("is_obs") === 1, col("v"))
+    val obsT = when(col("is_obs") === 1, col("t").cast(DoubleType))
+    u.select(col("user_id"), col("t"), col("is_obs"), col("g"),
+        last(obsV, ignoreNulls = true).over(winP).as("v_prev"),
+        last(obsT, ignoreNulls = true).over(winP).as("t_prev"),
+        first(obsV, ignoreNulls = true).over(winF).as("v_next"),
+        first(obsT, ignoreNulls = true).over(winF).as("t_next"))
+      .filter(col("is_obs") === 0 &&
+        col("v_prev").isNotNull && col("v_next").isNotNull)
+      .select(col("user_id"), col("g").as("grid_ts"),
+        Det.d6(col("v_prev") + (col("v_next") - col("v_prev")) *
+          ((col("t").cast(DoubleType) - col("t_prev")) /
+            (col("t_next") - col("t_prev")))).as("v_interp"))
+      .orderBy("user_id", "grid_ts")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
-    qMixtureWeights)
+    qMixtureWeights, qResample)
 }
