@@ -598,8 +598,78 @@ object PipelineOps {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** A13 — phase-folding period search (phase dispersion
+    * minimization): for each series and each trial period, fold the
+    * observation times onto phase [0,1), bin into 8 phase bins, and
+    * score the period by the within-bin sum of squared residuals —
+    * the best (smallest) statistic marks the candidate period. The
+    * variable-star analysis the reference's photometric time series
+    * existed to feed. Shape: events × |trial periods| (a constant
+    * explode), two two-phase hash aggregates (per-bin, then
+    * per-period), one window for the per-series argmin — everything
+    * keyed, partial-agged, linear in events. Decimal-exact bin sums
+    * make the double statistic bit-identical in both engines, so the
+    * ARGMIN itself is deterministic (ties break on smaller period). */
+  val qPhaseFold: QuerySpec = QuerySpec(
+    "q_phase_fold",
+    s"""WITH ev AS (SELECT user_id,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      / 86400.0 AS td,
+       |    value FROM events),
+       |folded AS (SELECT user_id, p,
+       |    CAST(least(floor((td / p - floor(td / p)) * 8), 7) AS INT)
+       |      AS bin,
+       |    value
+       |  FROM ev CROSS JOIN
+       |    (SELECT unnest([0.5, 1.0, 2.0, 3.0, 5.0]) AS p)),
+       |ba AS (SELECT user_id, p, bin, count(*) AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS sv,
+       |    CAST(sum(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE)
+       |      AS sq
+       |  FROM folded GROUP BY user_id, p, bin),
+       |st AS (SELECT user_id, p,
+       |    CAST(sum(CAST(sq - sv * sv / n AS DECIMAL(38,8))) AS DOUBLE)
+       |      AS stat
+       |  FROM ba GROUP BY user_id, p),
+       |r AS (SELECT user_id, p, stat,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY stat, p)
+       |      AS rn
+       |  FROM st)
+       |SELECT user_id, p AS best_period, stat
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val periods = Seq(0.5, 1.0, 2.0, 3.0, 5.0)
+    val td = unix_timestamp(col("ts")) / 86400.0
+    val phase = col("td") / col("p") - floor(col("td") / col("p"))
+    val folded = LsdDb.table(s, dir, "events")
+      .select(col("user_id"), td.as("td"), col("value"))
+      .withColumn("p", explode(typedLit(periods)))
+      .select(col("user_id"), col("p"),
+        least(floor(phase * 8), lit(7.0)).cast("int").as("bin"),
+        col("value"))
+    val ba = folded.groupBy("user_id", "p", "bin").agg(
+      count(lit(1)).as("n"),
+      Det.dsum(col("value")).as("sv"),
+      sum((col("value") * col("value"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+        .cast(DoubleType).as("sq"))
+    val resid = col("sq") - col("sv") * col("sv") / col("n")
+    val st = ba.groupBy("user_id", "p").agg(
+      sum(resid.cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+        .cast(DoubleType).as("stat"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("stat").asc, col("p").asc)
+    st.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      // stat is already decimal(38,8)-exact cast to double — re-snapping
+      // to d6 would ROUND A QUANTIZED VALUE, and an 8-dp value can sit
+      // exactly on a 1e-6 midpoint where Spark (half-up) and DuckDB
+      // (half-even) disagree; emit the exact value instead
+      .select(col("user_id"), col("p").as("best_period"), col("stat"))
+      .orderBy("user_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
-    qMixtureWeights, qResample)
+    qMixtureWeights, qResample, qPhaseFold)
 }

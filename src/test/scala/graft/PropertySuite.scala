@@ -71,8 +71,19 @@ object PropertySuite extends Properties("graft") {
     val lat2 = math.max(-89.9, math.min(89.9, la + d * math.sin(ang)))
     val lon2 = lo + d * math.cos(ang) /
       math.max(0.05, math.cos(math.toRadians(la)))
-    val applicable = math.abs(la) <= 84 &&
-      havDeg(lo, la, lon2, lat2) <= margin && math.abs(lat2) <= 85
+    // ±1-cell closure is only CONTRACTED where the margin's longitude
+    // span fits one cell: cos(lat) >= margin·2^lv/360 — exactly
+    // CrossMatch.levelFor's bound (2^l <= 360·cos(capLat)/r). Beyond
+    // that latitude the production paths route through the polar cap
+    // channel, so the property must not claim closure there. The 1.05
+    // absorbs the second-order sphere-vs-grid difference between the
+    // haversine ball and the Δlon it induces near the bound.
+    val cosBound = 1.05 * margin * (1L << lv) / 360.0
+    val latBound =
+      if (cosBound >= 1.0) 0.0 else math.toDegrees(math.acos(cosBound))
+    val latCap = math.min(84.0, latBound)
+    val applicable = math.abs(la) <= latCap &&
+      havDeg(lo, la, lon2, lat2) <= margin && math.abs(lat2) <= latCap
     Prop(!applicable || {
       val home = SkyPix.cellId(lo, la, lv)
       SkyPix.stripNeighborIds(lon2, lat2, lv, margin).contains(home)
