@@ -33,7 +33,7 @@ object ScaleSmoke {
       degrees(asin(rand(seed = 4) * 2 - 1)).as("lat"))
     t("xmatch 4M dets x 2M objs, r=0.01°, nmax=1") {
       CrossMatch(dets, objects, "det_id", "lon", "lat",
-        "obj_id", "lon", "lat", 0.01, 1).count() + " matches"
+        "obj_id", "lon", "lat", 0.01, 1).count().toString + " matches"
     }
 
     // 50M-row decimal aggregation (the oracle-exact sum path)
@@ -42,7 +42,7 @@ object ScaleSmoke {
       (rand(seed = 5) * 100000).as("x"))
     t("decimal-routed agg over 50M rows, 97 groups") {
       big.groupBy("k").agg(Det.dsum(col("x")).as("s"),
-        count(lit(1)).as("c")).count() + " groups"
+        count(lit(1)).as("c")).count().toString + " groups"
     }
 
     // banded range join at 10x the bench fact size
@@ -59,7 +59,7 @@ object ScaleSmoke {
       val o = ord.withColumn("bucket", floor(col("price") / bw))
       c.join(o, c("bucket") === o("bucket") &&
           col("price") >= col("lo") && col("price") < col("hi"))
-        .groupBy("ck").agg(count(lit(1))).count() + " customers"
+        .groupBy("ck").agg(count(lit(1))).count().toString + " customers"
     }
 
     // connected components: 10M nodes, 3M edges forming ~1M small
@@ -72,7 +72,7 @@ object ScaleSmoke {
       ((col("id") % 1000000) * 10 + (col("id") % 9) + 1).as("b"))
     t("connected components 10M nodes, 3M edges") {
       graft.operators.Components.minLabel(nodes, "id", edges, "a", "b")
-        .select(countDistinct(col("component"))).head.getLong(0) +
+        .select(countDistinct(col("component"))).head().getLong(0).toString +
         " components"
     }
 
@@ -96,7 +96,7 @@ object ScaleSmoke {
             graft.functions.VectorKernels.dot(col("pv"), col("v")),
             col("pn"), col("nrm")).as("cos"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5).count() + " results"
+        .filter(col("rn") <= 5).count().toString + " results"
     }
     // hyperplane-LSH cosine dedup at 1M vectors. Two scale rules on
     // display: (1) this corpus is all-positive (rand + i*0.001), and
@@ -127,7 +127,7 @@ object ScaleSmoke {
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id"), col("b.vec_id")).distinct()
-        .count() + " candidate pairs"
+        .count().toString + " candidate pairs"
     }
 
     // text-pipeline shapes at 10M docs: synthesize a zipf-ish corpus
@@ -166,7 +166,7 @@ object ScaleSmoke {
       sh.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(eval), "s")
         .groupBy("doc_id").agg(count(lit(1)))
-        .count() + " contaminated docs"
+        .count().toString + " contaminated docs"
     }
     t("bm25 10M docs (3 query terms, broadcast df)") {
       val tok = corpus10m.select(col("doc_id"), explode(col("w")).as("t"))
@@ -185,7 +185,7 @@ object ScaleSmoke {
       tf.join(broadcast(df), "t").crossJoin(broadcast(stats))
         .groupBy("doc_id").agg(sum(score).as("s"))
         .orderBy(col("s").desc, col("doc_id")).limit(20)
-        .count() + " top docs"
+        .count().toString + " top docs"
     }
     corpus10m.unpersist()
     spark.stop()

@@ -151,7 +151,7 @@ object AnnIndex {
       assign(spark, p, "pv", centroidVecs, nbest = nprobe)
         .withColumn("pn", VectorKernels.norm2(col("pv"))))
     val probedCells = probeSide.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ k values
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq // ≤ k values
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     probeSide
