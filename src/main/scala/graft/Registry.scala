@@ -9,7 +9,8 @@ object Registry {
   def specs: Seq[QuerySpec] =
     Core.specs ++ Aggregates.specs ++ SetOps.specs ++ Joins.specs ++
       Windows.specs ++ TimeWindows.specs ++ TextOps.specs ++
-      VectorOps.specs ++ MiscOps.specs ++ PipelineOps.specs
+      VectorOps.specs ++ MiscOps.specs ++ PipelineOps.specs ++
+      SurveyOps.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

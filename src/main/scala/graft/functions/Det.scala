@@ -30,7 +30,11 @@ object Det {
   // hot loop (the sum buffer widens to decimal(28,8) but its values
   // stay under 2^63 unscaled, which also stays compact). Data values
   // are ≤ ~1e6 with 8 scale digits → 14 of 18 digits used.
-  private val M = DecimalType(18, 8)
+  val M = DecimalType(18, 8)
+
+  /** Wide twin for squared/product terms (x² of a ≤1e6 value carries
+    * up to 12 integer digits; scale 8 keeps the grid argument above). */
+  val M38 = DecimalType(38, 8)
 
   /** Exact order-independent sum of a money-like double → double. */
   def dsum(c: Column): Column = sum(c.cast(M)).cast(DoubleType)

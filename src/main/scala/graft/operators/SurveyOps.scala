@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import graft.functions.Det
+import graft.functions.{Det => D}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Survey-astronomy operator family, round 5 wave 2 — the remaining
+  * workload shapes a sky-survey engine runs over its detection stream
+  * (SURVEY.md §1 "time-series of detections", UNVERIFIED — reference
+  * checkout empty): sigma-clipped photometric statistics, sky density
+  * maps over the equal-area pixelization, proper-motion-aware
+  * cross-matching, and ordered event-run compression.
+  *
+  * Determinism discipline as everywhere: exact decimal sums for every
+  * aggregate that feeds a comparison, d6 snapping for transcendentals,
+  * fixed IEEE expression trees mirrored textually into the DuckDB
+  * oracle twins.
+  */
+object SurveyOps {
+
+  /** A11b — sigma-clipped per-object photometry: the robust-mean
+    * reduction every survey pipeline applies to repeat flux
+    * measurements before catalog publication (outlier epochs — cosmic
+    * rays, clouds — are dropped at k·σ and the mean recomputed).
+    *
+    * Shape: ONE shuffle. Per-object μ and σ come from decimal-exact
+    * window sums over the object key (no join-back of a stats table —
+    * the window reuses the same hash partitioning the final aggregate
+    * needs), the keep mask is a row-local comparison of
+    * IEEE-identical doubles, and the clipped re-aggregation
+    * partial-aggregates map-side. At 100 TB the window sort is
+    * per-object-partition and spills; nothing is driver-side.
+    *
+    * No d6 snapping anywhere: every number here is division/sqrt of
+    * exact decimal sums, and IEEE-754 requires divide and sqrt to be
+    * correctly rounded — both engines produce bit-identical doubles.
+    * (A d6 snap would actually BREAK this query: means of 2-decimal
+    * data are rationals that can land exactly on 0.5e-6 midpoints,
+    * where Spark rounds half-up and DuckDB half-even — observed live
+    * on user 146 of this corpus.)
+    *
+    * σ guard: single-epoch objects (n=1) have no sample stddev — the
+    * mask is forced false and the clipped mean NULL rather than
+    * letting 0/0 NaNs diverge between engines.
+    */
+  val qSigmaClip: QuerySpec = QuerySpec(
+    "q_sigma_clip",
+    s"""WITH w AS (
+       |  SELECT user_id, value,
+       |    count(*) OVER pw AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,8))) OVER pw AS DOUBLE) AS s,
+       |    CAST(sum(CAST(value * value AS DECIMAL(38,8))) OVER pw AS DOUBLE)
+       |      AS sxx
+       |  FROM events
+       |  WINDOW pw AS (PARTITION BY user_id)),
+       |m AS (
+       |  SELECT user_id, value, n,
+       |    s / n AS mu,
+       |    CASE WHEN n > 1 THEN
+       |      sqrt(GREATEST((sxx - (s * s) / n) / (n - 1.0), 0.0))
+       |    END AS sd
+       |  FROM w),
+       |k AS (
+       |  SELECT user_id, value, mu,
+       |    (n > 1 AND abs(value - mu) <= 3.0 * sd) AS keep
+       |  FROM m)
+       |SELECT user_id,
+       |  count(*) AS n_total,
+       |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+       |  ${D.sql.davg("value")} AS mean_raw,
+       |  CAST(sum(CASE WHEN keep THEN CAST(value AS DECIMAL(18,8)) END)
+       |    AS DOUBLE) / count(CASE WHEN keep THEN 1 END) AS mean_clipped
+       |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val pw = Window.partitionBy("user_id")
+    val n = count(lit(1)).over(pw)
+    val sm = sum(col("value").cast(Det.M)).over(pw).cast(DoubleType)
+    val sxx = sum((col("value") * col("value")).cast(Det.M38)).over(pw)
+      .cast(DoubleType)
+    val mu = sm / n
+    val sd = when(n > 1,
+      sqrt(greatest((sxx - (sm * sm) / n) / (n - lit(1.0)), lit(0.0))))
+    val keep = n > 1 && abs(col("value") - mu) <= lit(3.0) * sd
+    LsdDb.table(s, dir, "events")
+      .select(col("user_id"), col("value"), mu.as("mu"), keep.as("keep"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        Det.davg(col("value")).as("mean_raw"),
+        (sum(when(col("keep"), col("value")).cast(Det.M))
+          .cast(DoubleType) / count(when(col("keep"), lit(1))))
+          .as("mean_clipped"))
+      .orderBy("user_id")
+  }
+
+  /** O9 — run-length encoding of ordered event streams: collapse each
+    * object's time-ordered event sequence into maximal runs of equal
+    * type (the survey form: consecutive same-band detections; the
+    * pipeline form: compressing clickstreams before sessionization).
+    *
+    * Shape: one shuffle on the series key; lag + running sum share a
+    * single window sort, and the run aggregation reuses the same
+    * partitioning. Tie-safe ordering (ts, event_id) makes run
+    * boundaries deterministic. */
+  val qEventRuns: QuerySpec = QuerySpec(
+    "q_event_runs",
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+      |    event_id)),
+      |r AS (
+      |  SELECT user_id, event_type, tsu,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS run_id
+      |  FROM o)
+      |SELECT user_id, run_id, event_type,
+      |  count(*) AS run_len, min(tsu) AS run_start
+      |FROM r GROUP BY user_id, run_id, event_type
+      |ORDER BY user_id, run_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val chg = when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L)
+    LsdDb.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        chg.as("chg"))
+      .withColumn("run_id", sum(col("chg")).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(count(lit(1)).as("run_len"), min(col("ts")).as("run_start"))
+      .orderBy("user_id", "run_id")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns)
+}
