@@ -139,5 +139,68 @@ object SurveyOps {
       .orderBy("user_id", "run_id")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns)
+  /** Skymap resolution: level 4 → 256 equal-area cells (the synthetic
+    * sky spans |lat| ≤ 30 → ~128 populated). At survey scale the same
+    * query runs at level 8-12; the plan shape is identical (one
+    * partial-aggregated groupBy on the packed cell). */
+  private val skymapLevel = 4
+
+  /** SC2f — sky density map: per-cell source counts + mean scalar over
+    * the SkyPix equal-area grid, the reference engine's headline
+    * interactive workload (density/mean maps over billions of rows;
+    * SURVEY.md §1 "sky maps", UNVERIFIED). ONE map-side-combined
+    * groupBy on a packed BIGINT — the 100-TB shape (4^level cells
+    * bound the reduce side regardless of input rows).
+    *
+    * Cell ids use the d6-SNAPPED grid (SkyPix.ixSnapped) so the
+    * engines' 1-ulp sin() disagreement cannot flip a boundary floor;
+    * cell centers are exact grid arithmetic (lon) and one d6-snapped
+    * asin (lat). */
+  val qSkymap: QuerySpec = {
+    val lv = skymapLevel
+    val n = 1L << lv
+    val wLon = 360.0 / n  // exact: power-of-two division
+    val hSin = 2.0 / n    // exact
+    QuerySpec(
+      "q_skymap",
+      s"""WITH c AS (SELECT c_custkey AS id,
+         |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+         |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat,
+         |    c_acctbal
+         |  FROM customer),
+         |g AS (SELECT ${graft.spatial.SkyPix.sql.ixSnapped("lon", lv)} AS ix,
+         |    ${graft.spatial.SkyPix.sql.iySnapped("lat", lv)} AS iy,
+         |    c_acctbal
+         |  FROM c)
+         |SELECT ${graft.spatial.SkyPix.sql.mortonCell("ix", "iy", lv)} AS cell,
+         |  count(*) AS n_src,
+         |  ${D.sql.davg("c_acctbal")} AS mean_bal,
+         |  (CAST(ix AS DOUBLE) + 0.5) * $wLon AS lon_center,
+         |  ${D.sql.d6(
+            s"degrees(asin((CAST(iy AS DOUBLE) + 0.5) * $hSin - 1.0))")}
+         |    AS lat_center
+         |FROM g GROUP BY ix, iy ORDER BY cell""".stripMargin) { (s, dir) =>
+      import graft.spatial.SkyPix
+      LsdDb.table(s, dir, "customer")
+        .select(
+          ((col("c_custkey") * 13) % 3600).cast(DoubleType)./(10.0).as("lon"),
+          (((col("c_custkey") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+            .as("lat"),
+          col("c_acctbal"))
+        .select(SkyPix.ixSnapped(col("lon"), lv).as("ix"),
+          SkyPix.iySnapped(col("lat"), lv).as("iy"), col("c_acctbal"))
+        .groupBy("ix", "iy")
+        .agg(count(lit(1)).as("n_src"),
+          Det.davg(col("c_acctbal")).as("mean_bal"))
+        .select(
+          SkyPix.mortonCell(col("ix"), col("iy"), lv).as("cell"),
+          col("n_src"), col("mean_bal"),
+          ((col("ix").cast(DoubleType) + 0.5) * wLon).as("lon_center"),
+          Det.d6(degrees(asin((col("iy").cast(DoubleType) + 0.5) * hSin
+            - 1.0))).as("lat_center"))
+        .orderBy("cell")
+    }
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap)
 }

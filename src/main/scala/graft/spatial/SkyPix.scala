@@ -152,6 +152,67 @@ object SkyPix {
     array(cells: _*)
   }
 
+  /** Oracle-matchable grid coordinate: identical to the internal grid
+    * math except the unit-square fraction is d6-snapped BEFORE
+    * flooring. `sin` differs by ~1 ulp across libms (Java Math.sin vs
+    * DuckDB's libm), so an unsnapped floor could disagree between
+    * engines for points within a ulp of a cell boundary; the snap
+    * collapses both to the same 1e-6 grid point first (a ≤1e-6 shift
+    * of a bin edge is immaterial for density binning — and [[cell]]
+    * consumers never compare cell ids across engines, only oracle
+    * queries do). Keep textually in sync with [[sql.ixSnapped]]. */
+  def ixSnapped(lon: Column, level: Int): Column = {
+    require(level >= 0 && level <= MaxLevel, s"level $level out of range")
+    val n = 1L << level
+    val fx = graft.functions.Det.d6(pmod(lon, lit(360.0)) / 360.0)
+    greatest(least(floor(fx * n), lit(n - 1)), lit(0L))
+  }
+
+  /** See [[ixSnapped]]; sin(lat) axis. */
+  def iySnapped(lat: Column, level: Int): Column = {
+    require(level >= 0 && level <= MaxLevel, s"level $level out of range")
+    val n = 1L << level
+    val fy = graft.functions.Det.d6((sin(radians(lat)) + 1.0) / 2.0)
+    greatest(least(floor(fy * n), lit(n - 1)), lit(0L))
+  }
+
+  /** Public packed-cell constructor from grid coordinates — [[cell]]
+    * = mortonCell(ixy). Exposed so queries that group by (ix, iy) can
+    * emit the packed id without recomputing the projection. */
+  def mortonCell(ix: Column, iy: Column, level: Int): Column = {
+    require(level >= 0 && level <= MaxLevel, s"level $level out of range")
+    morton(ix, iy, level).bitwiseOR(lit(level.toLong << 58))
+  }
+
+  /** DuckDB SQL twins of the snapped grid + morton packing, for
+    * oracle-checked queries that output cell ids. All-integer bit
+    * arithmetic after the snap, so the generated SQL is exact. */
+  object sql {
+    private def d6(e: String): String =
+      s"CAST(CAST(($e) AS DECIMAL(18,6)) AS DOUBLE)"
+
+    def ixSnapped(lonExpr: String, level: Int): String = {
+      val n = 1L << level
+      val fx = d6(s"((($lonExpr) % 360.0 + 360.0) % 360.0) / 360.0")
+      s"GREATEST(LEAST(CAST(floor($fx * $n) AS BIGINT), ${n - 1}), 0)"
+    }
+
+    def iySnapped(latExpr: String, level: Int): String = {
+      val n = 1L << level
+      val fy = d6(s"(sin(radians($latExpr)) + 1.0) / 2.0")
+      s"GREATEST(LEAST(CAST(floor($fy * $n) AS BIGINT), ${n - 1}), 0)"
+    }
+
+    def mortonCell(ixExpr: String, iyExpr: String, level: Int): String = {
+      val bits = (0 until level).flatMap { b =>
+        Seq(s"(((($ixExpr) >> $b) & 1) << ${2 * b})",
+          s"(((($iyExpr) >> $b) & 1) << ${2 * b + 1})")
+      }
+      (Seq(s"(CAST(${level.toLong} AS BIGINT) << 58)") ++ bits)
+        .mkString("(", " | ", ")")
+    }
+  }
+
   /** Packed row id — the engine's `_ID` pseudo-column (the
     * reference's packed object id: cell bits ‖ row-within-cell;
     * SURVEY.md §2B P8, ref `lsd/table.py` id assignment, UNVERIFIED).
