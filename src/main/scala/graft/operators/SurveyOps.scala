@@ -202,5 +202,93 @@ object SurveyOps {
     }
   }
 
-  def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap)
+  /** q_xmatch_pm geometry: match radius 0.5°, catalog proper motions
+    * ≤ 0.005°/yr per axis, detection epochs 2010–2020 (Δt ≤ 20 yr from
+    * the 2000.0 catalog epoch) → max coordinate displacement 0.1°/axis
+    * → max angular displacement √2·0.1 ≈ 0.142°. Blocking radius must
+    * cover dist(a, b₂₀₀₀) ≤ 0.5 + 5e-7 (d6 slack) + 0.142 < 0.65 —
+    * 0.7 leaves margin. */
+  private val pmMatchR = 0.5
+  private val pmBlockR = 0.7
+
+  /** J6e — proper-motion-aware cross-match (epoch propagation): each
+    * detection (epoch 2010–2020) matches the catalog at the DETECTION
+    * epoch — catalog positions are propagated by pm·Δt per candidate
+    * pair before the radius cut. The reference engine matched
+    * detections against a moving-object catalog the same way
+    * (SURVEY.md §1 xmatch, UNVERIFIED).
+    *
+    * Scale shape: block once at the catalog's reference epoch with the
+    * radius inflated by the maximum possible displacement (allPairsCarry
+    * at 0.7°, a conservative superset — proof at [[pmBlockR]]), then
+    * refine row-locally on the propagated distance. Candidates never
+    * re-join their payload (pm, epoch ride through the blocked join),
+    * and the blocking plan is identical to q_xmatch's strip-pruned
+    * two-channel join. */
+  val qXmatchPm: QuerySpec = QuerySpec(
+    "q_xmatch_pm",
+    s"""WITH a AS (SELECT o_orderkey AS a_id,
+       |    CAST(o_orderkey * 13 % 3600 AS DOUBLE) / 10.0 AS a_lon,
+       |    CAST(o_orderkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS a_lat,
+       |    CAST(2010 + o_orderkey % 11 AS DOUBLE) AS ep
+       |  FROM orders),
+       |b AS (SELECT s_suppkey AS b_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS b_lon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS b_lat,
+       |    (CAST(s_suppkey * 11 % 21 AS DOUBLE) - 10) / 2000.0 AS pm_lon,
+       |    (CAST(s_suppkey * 19 % 21 AS DOUBLE) - 10) / 2000.0 AS pm_lat
+       |  FROM supplier),
+       |t AS (SELECT a_id, b_id, a_lon, a_lat,
+       |    b_lon + pm_lon * (ep - 2000.0) AS bx,
+       |    b_lat + pm_lat * (ep - 2000.0) AS by
+       |  FROM a CROSS JOIN b),
+       |p AS (SELECT a_id, b_id,
+       |    ${D.sql.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(by - a_lat) / 2) * sin(radians(by - a_lat) / 2)" +
+            " + cos(radians(a_lat)) * cos(radians(by))" +
+            " * sin(radians(bx - a_lon) / 2)" +
+            " * sin(radians(bx - a_lon) / 2))))")} AS dist_deg
+       |  FROM t)
+       |SELECT a_id, b_id, dist_deg, CAST(rn AS INT) AS match_rank FROM (
+       |  SELECT a_id, b_id, dist_deg,
+       |    row_number() OVER (PARTITION BY a_id
+       |                       ORDER BY dist_deg, b_id) AS rn
+       |  FROM p WHERE dist_deg <= $pmMatchR)
+       |WHERE rn <= 2 ORDER BY a_id, match_rank""".stripMargin) { (s, dir) =>
+    val a = LsdDb.table(s, dir, "orders").select(
+      col("o_orderkey").as("a_id"),
+      ((col("o_orderkey") * 13) % 3600).cast(DoubleType)./(10.0).as("a_lon"),
+      (((col("o_orderkey") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+        .as("a_lat"),
+      (lit(2010) + col("o_orderkey") % 11).cast(DoubleType).as("ep"))
+    val b = LsdDb.table(s, dir, "supplier").select(
+      col("s_suppkey").as("b_id"),
+      ((col("s_suppkey") * 13) % 3600).cast(DoubleType)./(10.0).as("b_lon"),
+      (((col("s_suppkey") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+        .as("b_lat"),
+      (((col("s_suppkey") * 11) % 21).cast(DoubleType) - 10)./(2000.0)
+        .as("pm_lon"),
+      (((col("s_suppkey") * 19) % 21).cast(DoubleType) - 10)./(2000.0)
+        .as("pm_lat"))
+    val dt = col("ep") - lit(2000.0)
+    val bx = col("b_lon") + col("pm_lon") * dt
+    val by = col("b_lat") + col("pm_lat") * dt
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    graft.spatial.CrossMatch
+      .allPairsCarry(a, b, "a_id", "a_lon", "a_lat", "b_id", "b_lon", "b_lat",
+        pmBlockR, capLat = 31.0, // data lies in |lat| ≤ 30
+        carryA = Seq("ep"), carryB = Seq("pm_lon", "pm_lat"),
+        keepCoords = true)
+      .withColumn("dist_deg", Det.d6(graft.spatial.CrossMatch.distDeg(
+        col("a_lon"), col("a_lat"), bx, by)))
+      .filter(col("dist_deg") <= pmMatchR)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= 2)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+      .orderBy("a_id", "match_rank")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm)
 }

@@ -96,7 +96,29 @@ object CrossMatch {
   def allPairs(a: DataFrame, b: DataFrame,
                aId: String, aLon: String, aLat: String,
                bId: String, bLon: String, bLat: String,
-               radiusDeg: Double, capLat: Double = CapLat): DataFrame = {
+               radiusDeg: Double, capLat: Double = CapLat): DataFrame =
+    allPairsCarry(a, b, aId, aLon, aLat, bId, bLon, bLat, radiusDeg, capLat,
+      Nil, Nil, keepCoords = false)
+
+  /** [[allPairs]] with payload columns carried through the blocked
+    * join — the form epoch-aware matching needs: per-pair refinement
+    * against PROPAGATED positions (proper motion × Δepoch) must see
+    * each side's payload (epochs, motions) and coordinates in the
+    * candidate relation, not re-join them onto the pair table
+    * afterwards (an extra shuffle of the big side at survey scale).
+    *
+    * `carryA`/`carryB` name caller columns to pass through unchanged
+    * (must not collide with a_id/a_lon/a_lat/b_id/b_lon/b_lat/cell/
+    * dist_deg); `keepCoords` additionally emits a_lon/a_lat/b_lon/
+    * b_lat. Candidates are still refined to `radiusDeg` at the GIVEN
+    * coordinates — callers doing propagated matching pass an inflated
+    * radius (match radius + max displacement) and re-refine. */
+  def allPairsCarry(a: DataFrame, b: DataFrame,
+                    aId: String, aLon: String, aLat: String,
+                    bId: String, bLon: String, bLat: String,
+                    radiusDeg: Double, capLat: Double,
+                    carryA: Seq[String], carryB: Seq[String],
+                    keepCoords: Boolean): DataFrame = {
     require(radiusDeg > 0 && radiusDeg <= 1.0,
       s"radiusDeg must be in (0, 1], got $radiusDeg")
     // capLat >= radiusDeg is a CORRECTNESS bound, not a perf knob: the
@@ -107,12 +129,16 @@ object CrossMatch {
     // of the opposite sign and both channels would drop the pair.
     require(capLat >= radiusDeg && capLat <= CapLat,
       s"capLat must be in [$radiusDeg (radiusDeg), $CapLat], got $capLat")
+    val reserved = Set("a_id", "a_lon", "a_lat", "b_id", "b_lon", "b_lat",
+      "cell", "dist_deg")
+    require((carryA ++ carryB).forall(c => !reserved(c)),
+      s"carry columns may not collide with $reserved")
     val level = levelFor(radiusDeg, capLat)
 
-    val aSel = a.select(col(aId).as("a_id"), col(aLon).as("a_lon"),
-      col(aLat).as("a_lat"))
-    val bSel = b.select(col(bId).as("b_id"), col(bLon).as("b_lon"),
-      col(bLat).as("b_lat"))
+    val aSel = a.select(col(aId).as("a_id") +: col(aLon).as("a_lon") +:
+      col(aLat).as("a_lat") +: carryA.map(col): _*)
+    val bSel = b.select(col(bId).as("b_id") +: col(bLon).as("b_lon") +:
+      col(bLat).as("b_lat") +: carryB.map(col): _*)
 
     // channel 1: cell-local candidates below the cap. The B-side probe
     // explode is strip-pruned: a B row only visits neighbor cells whose
@@ -127,8 +153,10 @@ object CrossMatch {
           radiusDeg)))
     val cellPairs = aCells.join(bCells, "cell").drop("cell")
 
+    val coords = if (keepCoords) Seq("a_lon", "a_lat", "b_lon", "b_lat")
+    else Nil
     cellPairs.unionByName(capChannel(aSel, bSel, radiusDeg, capLat))
-      .transform(refine(radiusDeg))
+      .transform(refine(radiusDeg, coords ++ carryA ++ carryB))
   }
 
   /** Cross-match consuming a write-time margin cache — LSD's signature
@@ -215,7 +243,8 @@ object CrossMatch {
   }
 
   /** Exact-distance refinement over a candidate relation. */
-  private def refine(radiusDeg: Double)(cand: DataFrame): DataFrame =
+  private def refine(radiusDeg: Double, carry: Seq[String] = Nil)(
+      cand: DataFrame): DataFrame =
     cand
       // lossless prefilter: great-circle distance ≥ |Δlat|, so this
       // culls most candidates before the trig-heavy haversine
@@ -223,5 +252,5 @@ object CrossMatch {
       .withColumn("dist_deg",
         distDeg(col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat")))
       .filter(col("dist_deg") <= radiusDeg)
-      .select("a_id", "b_id", "dist_deg")
+      .select(("a_id" +: "b_id" +: "dist_deg" +: carry).map(col): _*)
 }
