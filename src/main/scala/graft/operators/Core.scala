@@ -421,8 +421,39 @@ object Core {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Write-once JSONL export of a lineitem subset (integer + string
+    * columns only — JSON text round-trips those exactly; doubles go
+    * through the FITS/ORC paths, which carry IEEE bits). */
+  def ensureJsonExport(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String = synchronized {
+    val tmp = graft.sources.CacheKeys.path(
+      "graft_json_roundtrip", s"$dir/lineitem.parquet")
+    if (!graft.sources.CacheKeys.isComplete(tmp))
+      LsdDb.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag",
+          "l_linestatus")
+        .write.mode("overwrite").json(tmp)
+    tmp
+  }
+
+  /** SC3d — bulk import via JSON lines (the third text interchange
+    * format next to CSV and FITS/ORC: the shape crawl dumps and API
+    * exports arrive in). Explicit schema on read — schema inference
+    * would cost a second full pass over 100 TB. */
+  val qImportJson: QuerySpec = QuerySpec(
+    "q_import_json",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+    (s, dir) =>
+    s.read
+      .schema("l_orderkey LONG, l_linenumber INT, l_partkey LONG, " +
+        "l_returnflag STRING, l_linestatus STRING")
+      .json(ensureJsonExport(s, dir))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
-    qImportCsv, qImportFits, qImportOrc, qTimeTravel, qSnapshotDelta,
-    qProject, qFilter, qMath, qCase, qString, qDatetime, qArray,
-    qArrayOps, qJson)
+    qImportCsv, qImportFits, qImportOrc, qImportJson, qTimeTravel,
+    qSnapshotDelta, qProject, qFilter, qMath, qCase, qString, qDatetime,
+    qArray, qArrayOps, qJson)
 }

@@ -668,8 +668,129 @@ object PipelineOps {
       .orderBy("user_id")
   }
 
+  /** X2n — URL canonicalization for crawl dedup: scheme/case/www/
+    * tracking-query/trailing-slash normalization, then per-domain
+    * dedup stats. URLs are synthesized deterministically from doc_id
+    * (the corpus has none — same derivation discipline as
+    * q_redact_pii's PII), with paths on a doc_id%50 grid so distinct
+    * raw URLs genuinely collapse. Map-only expression chain (anchored
+    * regexes in the Java∩RE2 common subset, single-match so Spark's
+    * replace-all and DuckDB's replace-first agree) + one
+    * partial-aggregated groupBy on the domain. */
+  val qUrlNormalize: QuerySpec = {
+    val urlSql =
+      "'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END" +
+        " || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM/p/'" +
+        " || CAST(doc_id % 50 AS VARCHAR)" +
+        " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END" +
+        " || CASE WHEN doc_id % 2 = 0" +
+        "      THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)" +
+        "      ELSE '' END"
+    val canonSql =
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "lower(url), '^https?://', ''), '^www\\.', ''), '\\?.*$', '')," +
+        " '/+$', '')"
+    QuerySpec(
+      "q_url_normalize",
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |c AS (SELECT doc_id, url, $canonSql AS canon FROM u),
+         |d AS (SELECT doc_id, url, canon,
+         |    regexp_extract(canon, '^([^/]+)', 1) AS domain
+         |  FROM c)
+         |SELECT domain, count(*) AS n_urls,
+         |  count(DISTINCT url) AS n_raw_distinct,
+         |  count(DISTINCT canon) AS n_canonical
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      val url = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        lit("Site"), (col("doc_id") % 20).cast("string"),
+        lit(".Example.COM/p/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+          .otherwise(""))
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("url")), "^https?://", ""),
+        "^www\\.", ""), "\\?.*$", ""), "/+$", "")
+      LsdDb.table(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon", canon)
+        .withColumn("domain", regexp_extract(col("canon"), "^([^/]+)", 1))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_raw_distinct"),
+          countDistinct(col("canon")).as("n_canonical"))
+        .orderBy("domain")
+    }
+  }
+
+  /** O8c — prefix-filtering set-similarity self-join (the PPJoin
+    * family: Chaudhuri et al. 2006 "A Primitive Operator for
+    * Similarity Joins", public): for Jaccard ≥ τ, two sets MUST share
+    * a token among each side's ⌊(1−τ)·|set|⌋+1 globally-rarest tokens
+    * — so candidates come from an equi-join on rare prefix tokens
+    * only, a PROVABLE fan-out bound (vs q_dedup_ngram's heuristic df
+    * cap; both are corpus×corpus with no cartesian). Exact verify via
+    * integer cross-multiplication (10·∩ ≥ 6·∪ — no float threshold).
+    *
+    * Scale: the df dimension shuffles on the token (never broadcast —
+    * shingle vocabulary grows with the corpus), the prefix self-join
+    * touches ~0.4·|set| of each doc's tokens, and verification joins
+    * only candidate pairs back to the token relation. */
+  val qDedupPrefix: QuerySpec = QuerySpec(
+    "q_dedup_prefix",
+    s"""WITH base AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
+       |toks AS (SELECT doc_id, unnest(sh) AS s FROM base),
+       |df AS (SELECT s, count(*) AS df FROM toks GROUP BY s),
+       |ws AS (SELECT t.doc_id, t.s,
+       |    count(*) OVER (PARTITION BY t.doc_id) AS sz,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.s)
+       |      AS rn
+       |  FROM toks t JOIN df USING (s)),
+       |pref AS (SELECT * FROM ws WHERE rn <= sz - ((6 * sz + 9) // 10) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sz AS sza, b.sz AS szb
+       |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |i AS (SELECT c.doc_a, c.doc_b, c.sza, c.szb, count(*) AS n_inter
+       |  FROM cand c JOIN toks t1 ON t1.doc_id = c.doc_a
+       |    JOIN toks t2 ON t2.doc_id = c.doc_b AND t2.s = t1.s
+       |  GROUP BY c.doc_a, c.doc_b, c.sza, c.szb)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sza + szb - n_inter) AS jaccard
+       |FROM i WHERE 10 * n_inter >= 6 * (sza + szb - n_inter)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val toks = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val df = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    val ws = toks.join(df, "s")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+    val pref = ws.filter(col("rn") <=
+      col("sz") - expr("(6 * sz + 9) div 10") + 1)
+    val cand = pref.as("a").join(pref.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .distinct()
+    val inter = cand
+      .join(toks.as("t1"), col("doc_a") === col("t1.doc_id"))
+      .join(toks.as("t2"),
+        col("doc_b") === col("t2.doc_id") && col("t1.s") === col("t2.s"))
+      .groupBy("doc_a", "doc_b", "sza", "szb")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .filter(lit(10) * col("n_inter") >=
+        lit(6) * (col("sza") + col("szb") - col("n_inter")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast(DoubleType) /
+          (col("sza") + col("szb") - col("n_inter"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
-    qMixtureWeights, qResample, qPhaseFold)
+    qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix)
 }
