@@ -216,6 +216,52 @@ class PlanQualitySpec extends SpecBase {
     assert(!planOf(df).contains("CartesianProduct"))
   }
 
+  test("q_skymap is one two-phase hash aggregate on the packed cell") {
+    val df = SurveyOps.qSkymap.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+    // one agg exchange + the presentation sort — the 100-TB shape
+    // (reduce side bounded by 4^level cells regardless of input rows)
+    assert(countShuffles(df) <= 2, s"too many shuffles:\n$plan")
+  }
+
+  test("q_sigma_clip: stats window and clipped agg share one hash partitioning") {
+    val df = SurveyOps.qSigmaClip.fn(spark, sfDir)
+    // window on user_id + groupBy user_id + output sort: the window's
+    // exchange is REUSED by the aggregate (same key), so ≤2 total
+    assert(countShuffles(df) <= 2,
+      s"clip must not re-shuffle between window and agg:\n${planOf(df)}")
+  }
+
+  test("q_xmatch_pm: blocked two-channel join, no cartesian on the big side") {
+    val df = SurveyOps.qXmatchPm.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"pm xmatch must stay cell-blocked:\n$plan")
+    // the only nested-loop allowed is the (empty-here) polar-cap
+    // channel, which broadcasts the small side
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      !plan.contains("NestedLoop"))
+  }
+
+  test("q_dedup_prefix: candidates come from equi-joins only") {
+    val df = PipelineOps.qDedupPrefix.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix join must not plan a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must not plan a nested-loop join:\n$plan")
+  }
+
+  test("q_url_normalize is map-only before the domain aggregate") {
+    val df = PipelineOps.qUrlNormalize.fn(spark, sfDir)
+    // distinct-count agg (2-phase) + output sort; canonicalization
+    // itself must add no exchange
+    assert(countShuffles(df) <= 3, s"too many shuffles:\n${planOf(df)}")
+    assert(!planOf(df).contains("CartesianProduct"))
+  }
+
   test("q_dedup_lshcos: banded equi-join, never a cartesian") {
     val df = VectorOps.qDedupLshCos.fn(spark, sfDir)
     val plan = planOf(df)

@@ -136,6 +136,36 @@ class SkyPixSpec extends SpecBase {
     }
   }
 
+  test("snapped grid matches cell() away from the 1e-6 snap band") {
+    // ixSnapped/iySnapped may legitimately differ from cell()'s grid
+    // only for points within ~1e-6 of a cell edge; everywhere else the
+    // packed ids must agree exactly.
+    val pts = samples(300, 17).filter { case (lo, la) =>
+      val n = 64L
+      def farFromEdge(f: Double) =
+        math.abs(f * n - math.rint(f * n)) > 1e-4 * n
+      farFromEdge((((lo % 360) + 360) % 360) / 360.0) &&
+        farFromEdge((math.sin(math.toRadians(la)) + 1) / 2)
+    }
+    val df = pts.toDF("lon", "lat")
+    val got = df.select(SkyPix.mortonCell(
+      SkyPix.ixSnapped(col("lon"), 6), SkyPix.iySnapped(col("lat"), 6), 6))
+      .collect().map(_.getLong(0))
+    val want = pts.map { case (lo, la) => SkyPix.cellId(lo, la, 6) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("snapped grid clamps the poles and lon=360 like cell()") {
+    val pts = Seq((360.0, 90.0), (0.0, -90.0), (719.9999, 89.99999))
+    val df = pts.toDF("lon", "lat")
+    val rows = df.select(SkyPix.ixSnapped(col("lon"), 4),
+      SkyPix.iySnapped(col("lat"), 4)).collect()
+    for (r <- rows) {
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 15)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 15)
+    }
+  }
+
   test("equal-area: level-3 occupancy of a uniform sphere sample is even") {
     val n = 200000
     val df = spark.range(n).select(
