@@ -38,6 +38,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { operators.Core.ensureOrcExport(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { operators.Core.ensureJsonExport(spark, sfDir) }
+    catch { case _: Throwable => () }
     try { operators.Core.ensureSnapshotEvents(spark, sfDir) }
     catch { case _: Throwable => () }
     try { operators.Joins.ensureBucketedTables(spark, sfDir) }

@@ -290,5 +290,100 @@ object SurveyOps {
       .orderBy("a_id", "match_rank")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm)
+  /** P10b — oracle-checked galactic coordinate transform. The P10
+    * contract row was smoke-only ("libm-sensitive in the last ulp"),
+    * but the q_xmatch discipline upgrades it: the ROTATION CONSTANTS
+    * are embedded as identical 64-bit literals on both sides (Java's
+    * toRadians divides by 180 then multiplies by π — a different ulp
+    * than DuckDB's radians(); printing the Scala double into the SQL
+    * text removes that divergence), and the final angles are
+    * d6-snapped, absorbing the ≤ few-ulp sin/cos/atan2 spread.
+    * Map-only expression tree; no shuffle but the presentation sort. */
+  val qCoordGal: QuerySpec = {
+    import graft.functions.AstroCoords._
+    // full-precision literals: %.17g round-trips any double exactly
+    def f(d: Double) = "%.17g".format(d)
+    val (aG, dG, lNcp) = (math.toRadians(NgpRaDeg), math.toRadians(NgpDecDeg),
+      math.toRadians(LonNcpDeg))
+    QuerySpec(
+      "q_coord_gal",
+      s"""WITH c AS (SELECT p_partkey AS id,
+         |    CAST(p_partkey * 29 % 3600 AS DOUBLE) / 10.0 AS ra,
+         |    CAST(p_partkey * 23 % 1700 AS DOUBLE) / 10.0 - 85.0 AS dec
+         |  FROM part),
+         |r AS (SELECT id, ra, dec,
+         |    radians(ra) AS a, radians(dec) AS d FROM c),
+         |g AS (SELECT id, ra, dec,
+         |    sin(d) * ${f(math.sin(dG))} + cos(d) * ${f(math.cos(dG))}
+         |      * cos(a - ${f(aG)}) AS sinb,
+         |    cos(d) * sin(a - ${f(aG)}) AS y,
+         |    sin(d) * ${f(math.cos(dG))} - cos(d) * ${f(math.sin(dG))}
+         |      * cos(a - ${f(aG)}) AS x
+         |  FROM r)
+         |SELECT id, ra, dec,
+         |  ${D.sql.d6(s"((degrees(${f(lNcp)} - atan2(y, x)) % 360.0" +
+            ") + 360.0) % 360.0")} AS gal_l,
+         |  ${D.sql.d6("degrees(asin(sinb))")} AS gal_b
+         |FROM g ORDER BY id""".stripMargin) { (s, dir) =>
+      val a = radians(col("ra"))
+      val d = radians(col("dec"))
+      val sinb = sin(d) * math.sin(dG) + cos(d) * math.cos(dG) *
+        cos(a - aG)
+      val y = cos(d) * sin(a - aG)
+      val x = sin(d) * math.cos(dG) - cos(d) * math.sin(dG) * cos(a - aG)
+      LsdDb.table(s, dir, "part")
+        .select(col("p_partkey").as("id"),
+          ((col("p_partkey") * 29) % 3600).cast(DoubleType)./(10.0).as("ra"),
+          (((col("p_partkey") * 23) % 1700).cast(DoubleType) / 10.0 - 85.0)
+            .as("dec"))
+        .withColumn("gal_l",
+          Det.d6(pmod(degrees(lit(lNcp) - atan2(y, x)), lit(360.0))))
+        .withColumn("gal_b", Det.d6(degrees(asin(sinb))))
+        .orderBy("id")
+    }
+  }
+
+  /** A14 — spatiotemporal cube: detection counts + mean flux per
+    * (sky cell × night) — the survey's nightly-coverage / cadence
+    * bookkeeping query (SURVEY.md §1 sky×time tabulation, UNVERIFIED).
+    * ONE partial-aggregated groupBy on (packed cell, date-truncated
+    * night); the reduce side is bounded by cells × nights regardless
+    * of detection count. */
+  val qCubeSkytime: QuerySpec = {
+    val lv = 3
+    QuerySpec(
+      "q_cube_skytime",
+      s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
+         |    CAST(event_id * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+         |    CAST(event_id * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+         |  FROM events),
+         |g AS (SELECT ${graft.spatial.SkyPix.sql.ixSnapped("lon", lv)} AS ix,
+         |    ${graft.spatial.SkyPix.sql.iySnapped("lat", lv)} AS iy,
+         |    date_trunc('day', tsu) AS night, value
+         |  FROM e)
+         |SELECT ${graft.spatial.SkyPix.sql.mortonCell("ix", "iy", lv)}
+         |    AS cell,
+         |  night, count(*) AS n_det, ${D.sql.davg("value")} AS mean_val
+         |FROM g GROUP BY ix, iy, night
+         |ORDER BY cell, night""".stripMargin) { (s, dir) =>
+      import graft.spatial.SkyPix
+      LsdDb.table(s, dir, "events")
+        .select(col("value"),
+          ((col("event_id") * 13) % 3600).cast(DoubleType)./(10.0).as("lon"),
+          (((col("event_id") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+            .as("lat"),
+          date_trunc("day", col("ts")).as("night"))
+        .select(SkyPix.ixSnapped(col("lon"), lv).as("ix"),
+          SkyPix.iySnapped(col("lat"), lv).as("iy"),
+          col("night"), col("value"))
+        .groupBy("ix", "iy", "night")
+        .agg(count(lit(1)).as("n_det"), Det.davg(col("value")).as("mean_val"))
+        .select(SkyPix.mortonCell(col("ix"), col("iy"), lv).as("cell"),
+          col("night"), col("n_det"), col("mean_val"))
+        .orderBy("cell", "night")
+    }
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
+    qCoordGal, qCubeSkytime)
 }
