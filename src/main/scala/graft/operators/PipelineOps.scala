@@ -762,17 +762,29 @@ object PipelineOps {
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val toks = LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
-    val df = toks.groupBy("s").agg(count(lit(1)).as("df"))
-    val ws = toks.join(df, "s")
+    // df as a window count (not groupBy+join-back): same shuffle key,
+    // one pass, and the expensive shingle explode appears ONCE in this
+    // branch instead of twice
+    val ws = toks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
     val pref = ws.filter(col("rn") <=
       col("sz") - expr("(6 * sz + 9) div 10") + 1)
-    val cand = pref.as("a").join(pref.as("b"),
-      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
+    // candidate pairs bucket-locally from ONE evaluation of the prefix
+    // relation (a pref.as(a)⋈pref.as(b) self-join would re-run the
+    // whole explode+window pipeline per side): group the prefix rows
+    // by token, emit in-bucket pairs. Bucket sizes are bounded by the
+    // prefix property itself — these are each doc's RAREST tokens.
+    val cand = pref
+      .select(col("s"), struct(col("doc_id"), col("sz")).as("d"))
+      .groupBy("s").agg(collect_list(col("d")).as("ds"))
+      .select(explode(col("ds")).as("d1"), col("ds"))
+      .select(col("d1"), explode(col("ds")).as("d2"))
+      .filter(col("d1.doc_id") < col("d2.doc_id"))
+      .select(col("d1.doc_id").as("doc_a"), col("d2.doc_id").as("doc_b"),
+        col("d1.sz").as("sza"), col("d2.sz").as("szb"))
       .distinct()
     val inter = cand
       .join(toks.as("t1"), col("doc_a") === col("t1.doc_id"))
