@@ -40,6 +40,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { operators.Core.ensureJsonExport(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { operators.Core.ensureEvolvedExport(spark, sfDir) }
+    catch { case _: Throwable => () }
     try { operators.Core.ensureSnapshotEvents(spark, sfDir) }
     catch { case _: Throwable => () }
     try { operators.Joins.ensureBucketedTables(spark, sfDir) }

@@ -452,8 +452,52 @@ object Core {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Write-once two-generation parquet dataset: generation 1 landed
+    * WITHOUT l_discount (even order keys), generation 2 added the
+    * column (odd keys) — the schema-widening every long-lived table
+    * undergoes. */
+  def ensureEvolvedExport(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String = synchronized {
+    val tmp = graft.sources.CacheKeys.path(
+      "graft_schema_evolve", s"$dir/lineitem.parquet")
+    if (!graft.sources.CacheKeys.isComplete(tmp)) {
+      val li = LsdDb.table(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_discount")
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+    }
+    tmp
+  }
+
+  /** SC3e — schema-evolution read: mergeSchema unions the two
+    * generations' physical schemas, so generation-1 rows surface the
+    * later column as NULL and aggregates over it see exactly the rows
+    * that carried it. (At 100 TB, mergeSchema's footer sampling reads
+    * k footers, not the dataset — and a production table would pin the
+    * merged schema in a catalog; the read semantics are what this
+    * query pins.) */
+  val qSchemaEvolve: QuerySpec = QuerySpec(
+    "q_schema_evolve",
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${D.dsum("l_quantity")} AS sum_qty,
+       |  ${D.dsum("CASE WHEN l_orderkey % 2 = 1 THEN l_discount END")}
+       |    AS sum_disc_evolved
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    s.read.option("mergeSchema", "true").parquet(ensureEvolvedExport(s, dir))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_discount")).as("sum_disc_evolved"))
+      .orderBy("l_returnflag")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
     qImportCsv, qImportFits, qImportOrc, qImportJson, qTimeTravel,
     qSnapshotDelta, qProject, qFilter, qMath, qCase, qString, qDatetime,
-    qArray, qArrayOps, qJson)
+    qArray, qArrayOps, qJson, qSchemaEvolve)
 }

@@ -156,4 +156,21 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** S9 — streaming sky density map: per-cell detection counts over
+    * tumbling event-time windows — the live form of q_skymap (coverage
+    * / alert-rate monitoring as detections arrive). State is one
+    * counter per (active window × touched cell), bounded by the
+    * watermark's eviction; at survey scale the groupBy key is the
+    * packed BIGINT cell, so state shards evenly across executors the
+    * same way the batch skymap's aggregate does. */
+  def skymapStream(dets: DataFrame, level: Int, windowLen: String,
+                   watermark: String): DataFrame =
+    dets
+      .withWatermark("ts", watermark)
+      .withColumn("cell",
+        graft.spatial.SkyPix.cell(col("lon"), col("lat"), level))
+      .groupBy(col("cell"), window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_det"))
+      .select(col("cell"), col("window.start").as("wstart"), col("n_det"))
 }

@@ -15,6 +15,37 @@ class StreamOpsSpec extends SpecBase {
 
   case class Ev(ts: Timestamp, user_id: Long, value: Double)
 
+  case class SkyDet(ts: Timestamp, lon: Double, lat: Double)
+
+  test("streaming skymap matches the batch per-cell counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SkyDet]
+    val map = StreamOps.skymapStream(input.toDF(), level = 4,
+      windowLen = "1 hour", watermark = "10 minutes")
+    val q = map.writeStream.format("memory").queryName("skymap_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val dets = Seq(
+        SkyDet(ts("2024-01-01 00:05:00"), 10.0, 5.0),
+        SkyDet(ts("2024-01-01 00:15:00"), 10.1, 5.1),   // same cell
+        SkyDet(ts("2024-01-01 00:20:00"), 200.0, -40.0),
+        SkyDet(ts("2024-01-01 00:25:00"), 355.0, 60.0))
+      input.addData(dets: _*)
+      q.processAllAvailable()
+      // advance event time past the window + watermark so it closes
+      input.addData(SkyDet(ts("2024-01-01 02:00:00"), 0.0, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("skymap_stream")
+        .select("cell", "n_det")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = dets.groupBy(d =>
+          graft.spatial.SkyPix.cellId(d.lon, d.lat, 4))
+        .map { case (c, ds) => (c, ds.size.toLong) }.toSet
+      assert(got == want)
+      assert(got.exists(_._2 == 2L), "co-located detections share a cell")
+    } finally q.stop()
+  }
+
   test("watermark drops late rows from tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
