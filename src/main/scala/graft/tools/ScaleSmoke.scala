@@ -188,6 +188,42 @@ object ScaleSmoke {
         .count().toString + " top docs"
     }
     corpus10m.unpersist()
+
+    // skymap at 50M detections, level 8 (65k cells): ONE two-phase
+    // hash aggregate on the packed cell — the reduce side is 65k rows
+    // no matter the input, which is the whole 100-TB argument
+    t("skymap 50M dets, level 8") {
+      val dets = spark.range(50000000L).select(
+        (rand(31) * 360).as("lon"),
+        degrees(asin(rand(37) * 2 - 1)).as("lat"))
+      dets.select(graft.spatial.SkyPix.cell(col("lon"), col("lat"), 8)
+          .as("cell"))
+        .groupBy("cell").count().count().toString + " cells"
+    }
+
+    // sigma-clip at 20M epochs x 1M objects (~20 epochs each): the
+    // window and the clipped aggregate share the object-key hash
+    // partitioning — two shuffles total, per-partition sorts spill
+    t("sigma-clip 20M epochs, 1M objects") {
+      import org.apache.spark.sql.expressions.Window
+      val eps = spark.range(20000000L).select(
+        (col("id") % 1000000L).as("obj"),
+        (rand(41) * 100 + when(col("id") % 97 === 0, 5000.0).otherwise(0.0))
+          .as("flux"))
+      val pw = Window.partitionBy("obj")
+      val n = count(lit(1)).over(pw)
+      val mu = sum(col("flux")).over(pw) / n
+      val sd = sqrt(greatest(
+        (sum(col("flux") * col("flux")).over(pw) - mu * mu * n) /
+          (n - lit(1.0)), lit(0.0)))
+      eps.withColumn("keep",
+          n > 1 && abs(col("flux") - mu) <= lit(3.0) * sd)
+        .groupBy("obj")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), lit(1))).as("n_kept"))
+        .filter(col("n_kept") < col("n_total"))
+        .count().toString + " objects clipped"
+    }
     spark.stop()
   }
 }
