@@ -384,6 +384,69 @@ object SurveyOps {
     }
   }
 
+  /** Epoch origin for trend fitting: 2024-01-01 00:00 UTC. Centering
+    * the regressor near the data keeps n·Σx² − (Σx)² conditioned
+    * (raw epoch seconds ~1.7e9 would cancel ~12 of double's 16
+    * digits; offsets ≤ a few 1e6 cancel ~2). The slope is
+    * offset-invariant; the intercept is AT THE ORIGIN, documented. */
+  private val trendEpoch0 = 1704067200L
+
+  /** A15 — per-object linear trend fit (OLS slope/intercept): the
+    * survey's secular-variability screen (is this source brightening?)
+    * and the pipeline's per-key regression primitive. ONE two-phase
+    * hash aggregate: Σx/Σx² exact in BIGINT, Σy/Σxy exact via the
+    * decimal route, then a fixed double expression. The compound
+    * products (a·b − c·d) are NOT engine-identical — DuckDB's
+    * vectorized kernels may FMA-contract them (observed: last-ulp
+    * slope spread on 9/150 objects) — so the degenerate-variance
+    * guard uses EXACT BIGINT arithmetic (n·Σx² − (Σx)², ≤2e17 here)
+    * and the emitted numbers are d6-snapped, with the slope scaled
+    * to per-day so the 1e-6 grid keeps ~6 significant digits. */
+  val qTrendFit: QuerySpec = QuerySpec(
+    "q_trend_fit",
+    s"""WITH ev AS (SELECT user_id,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      - $trendEpoch0 AS x,
+       |    value AS y
+       |  FROM events),
+       |a AS (SELECT user_id,
+       |    count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sxb,
+       |    CAST(sum(x * x) AS BIGINT) AS sxxb,
+       |    ${D.sql.dsum("y")} AS sy,
+       |    ${D.sql.sprod("x", "y")} AS sxy
+       |  FROM ev GROUP BY user_id HAVING count(*) >= 3),
+       |f AS (SELECT user_id, n, sy, sxb,
+       |    CASE WHEN n * sxxb - sxb * sxb <> 0 THEN
+       |      (n * sxy - CAST(sxb AS DOUBLE) * sy)
+       |        / CAST(n * sxxb - sxb * sxb AS DOUBLE) END AS slope
+       |  FROM a)
+       |SELECT user_id AS object_id, n AS n_obs,
+       |  ${D.sql.d6("slope * 86400.0")} AS slope_per_day,
+       |  ${D.sql.d6("(sy - slope * CAST(sxb AS DOUBLE)) / n")} AS intercept
+       |FROM f ORDER BY object_id""".stripMargin) { (s, dir) =>
+    val x = (unix_timestamp(col("ts")) - trendEpoch0).as("x")
+    val agg = LsdDb.table(s, dir, "events")
+      .select(col("user_id"), x, col("value").as("y"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sxb"),
+        sum(col("x") * col("x")).as("sxxb"),
+        Det.dsum(col("y")).as("sy"),
+        Det.dsumProd(col("x"), col("y")).as("sxy"))
+      .filter(col("n") >= 3)
+    val idenom = col("n") * col("sxxb") - col("sxb") * col("sxb") // exact
+    agg
+      .withColumn("slope", when(idenom =!= 0,
+        (col("n") * col("sxy") - col("sxb").cast(DoubleType) * col("sy")) /
+          idenom.cast(DoubleType)))
+      .select(col("user_id").as("object_id"), col("n").as("n_obs"),
+        Det.d6(col("slope") * 86400.0).as("slope_per_day"),
+        Det.d6((col("sy") - col("slope") * col("sxb").cast(DoubleType)) /
+          col("n")).as("intercept"))
+      .orderBy("object_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
-    qCoordGal, qCubeSkytime)
+    qCoordGal, qCubeSkytime, qTrendFit)
 }
