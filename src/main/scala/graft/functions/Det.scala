@@ -19,6 +19,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * This is also the right call at 100 TB: decimal sums are codegen'd,
   * partial-aggregated map-side, and immune to re-ordering under AQE
   * re-partitioning — determinism and scale point the same way.
+  *
+  * FMA caveat (learned the hard way, q_trend_fit): even with
+  * bit-identical inputs, a compound product `a*b - c*d` is NOT
+  * engine-identical — DuckDB's compiled kernels may contract the
+  * multiply-subtract into a fused-multiply-add, which rounds once
+  * where Spark's JVM code rounds twice. Plain single-op chains
+  * (x/y, sqrt, a-b, a*const) ARE identical under IEEE-754. Rules:
+  * (1) any value built through a mul-add/mul-sub chain must be
+  * d6-snapped before it is emitted or compared; (2) zero/sign guards
+  * on such expressions must be computed in exact integer or decimal
+  * arithmetic instead.
   */
 object Det {
   // Scale 8, not 4: money products carry up to 6 true decimal digits

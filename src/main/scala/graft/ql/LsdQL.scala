@@ -48,10 +48,26 @@ final case class JoinDef(left: String, leftKey: String,
 final case class IdSpec(lonCol: String, latCol: String, keyCol: String,
                         level: Int = 8)
 
+/** Radius-based spatial join relation — the reference's xmatch join
+  * resolved at QUERY time, no pre-materialized pair table (ref
+  * `lsd/join_ops.py` xmatch joins, UNVERIFIED): when the FROM list
+  * crosses this relation, the planner runs the cell-blocked
+  * [[graft.spatial.CrossMatch]] and attaches the matched right-table
+  * rows plus two pseudo-columns: `_DIST` (match distance, degrees)
+  * and `_NR` (match rank, 1 = nearest). Directional (left drives);
+  * `nmax = 1` is the reference's nearest-neighbor default. An
+  * `(outer)` FROM item keeps unmatched left rows with NULL matches. */
+final case class SpatialJoinDef(left: String, leftKey: String,
+                                lonL: String, latL: String,
+                                right: String, rightKey: String,
+                                lonR: String, latR: String,
+                                radiusDeg: Double, nmax: Int = 1)
+
 final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
                        intoRoot: Option[String] = None,
                        idSpecs: Map[String, IdSpec] = Map.empty,
-                       idKeys: Map[String, String] = LsdQL.standardIdKeys) {
+                       idKeys: Map[String, String] = LsdQL.standardIdKeys,
+                       spatialJoins: Seq[SpatialJoinDef] = Nil) {
 
   private case class FromItem(table: String, outer: Boolean)
 
@@ -84,18 +100,37 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       }
     }
     for (item <- fromItems.tail) {
-      val jd = joins.find(j =>
+      val equi = joins.find(j =>
         (joined.contains(j.left) && j.right == item.table) ||
           (joined.contains(j.right) && j.left == item.table))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no join relation declared between {${joined.mkString(",")}} " +
-            s"and ${item.table}"))
-      val (lk, rk) =
-        if (joined.contains(jd.left)) (jd.leftKey, jd.rightKey)
-        else (jd.rightKey, jd.leftKey)
-      val right = db.table(item.table)
       val how = if (item.outer) "left_outer" else "inner"
-      df = df.join(right, df(lk) === right(rk), how)
+      equi match {
+        case Some(jd) =>
+          val (lk, rk) =
+            if (joined.contains(jd.left)) (jd.leftKey, jd.rightKey)
+            else (jd.rightKey, jd.leftKey)
+          val right = db.table(item.table)
+          df = df.join(right, df(lk) === right(rk), how)
+        case None =>
+          val sjd = spatialJoins.find(j =>
+            joined.contains(j.left) && j.right == item.table)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no join relation (equi or spatial) declared between " +
+                s"{${joined.mkString(",")}} and ${item.table}"))
+          val right = db.table(item.table)
+          // cell-blocked nearest-k pairs over the RUNNING relation (so
+          // upstream WHERE-able columns survive), then attach the
+          // matched right rows; _DIST/_NR become ordinary columns
+          val pairs = graft.spatial.CrossMatch(df, right,
+            sjd.leftKey, sjd.lonL, sjd.latL,
+            sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax)
+            .withColumnRenamed("dist_deg", "_DIST")
+            .withColumnRenamed("match_rank", "_NR")
+          df = df.join(pairs, df(sjd.leftKey) === pairs("a_id"), how)
+            .drop("a_id")
+          df = df.join(right, df("b_id") === right(sjd.rightKey), how)
+            .drop("b_id")
+      }
       joined += item.table
     }
     whereOpt.foreach(w => df = df.filter(w))

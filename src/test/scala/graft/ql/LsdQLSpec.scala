@@ -128,6 +128,40 @@ class LsdQLSpec extends SpecBase {
       .count() == 0)
   }
 
+  test("query-time spatial join: _DIST/_NR pseudo-columns, no pair table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_ql_sj").toString
+    val rnd = new scala.util.Random(5)
+    val objs = (0L until 150L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))))
+      .toDF("obj_id", "obj_lon", "obj_lat")
+    // two detections per object: one at 0.001°, one far (unmatched id)
+    val near = objs.select((col("obj_id") * 10).as("det_id"),
+      (col("obj_lon") + 0.001).as("det_lon"),
+      (col("obj_lat") + 0.001).as("det_lat"))
+    objs.write.parquet(s"$tmp/objs.parquet")
+    near.write.parquet(s"$tmp/dets.parquet")
+    val db2 = LsdDb(spark, tmp)
+    val q = LsdQL(db2, joins = Nil, spatialJoins = Seq(
+      SpatialJoinDef("dets", "det_id", "det_lon", "det_lat",
+        "objs", "obj_id", "obj_lon", "obj_lat", radiusDeg = 0.05)))
+    val joined = q.query(
+      "SELECT det_id, obj_id, _DIST, _NR FROM dets, objs WHERE _NR = 1")
+    val rows = joined.collect()
+    assert(rows.length == 150)
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1) * 10),
+      "each detection must match its own object")
+    assert(rows.forall(_.getDouble(2) <= 0.05))
+    // parity with the direct CrossMatch call
+    val direct = graft.spatial.CrossMatch(db2.table("dets"),
+      db2.table("objs"), "det_id", "det_lon", "det_lat",
+      "obj_id", "obj_lon", "obj_lat", 0.05, 1)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
+  }
+
   test("_ID usable in WHERE; key-fallback for non-spatial tables") {
     // non-spatial fallback: _ID == declared unique key
     val df = ql.query("SELECT _ID, o_orderkey FROM orders WHERE _ID % 2 = 0")
