@@ -801,8 +801,85 @@ object PipelineOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X2o — per-document character entropy (the cheap perplexity proxy:
+    * gibberish and boilerplate sit at the distribution's tails). A
+    * FIXED 27-symbol alphabet (a-z + space) keeps the whole thing one
+    * map-only expression tree — counts via length(translate(...))
+    * deltas, no explode, no shuffle (a per-char explode would 1000× the
+    * row count at 100 TB for a number computable row-locally).
+    * Probabilities are exact integer ratios; the Σ −p·log2 p chain is
+    * FMA-sensitive (Det doc) so the final entropy is d6-snapped. */
+  val qCharEntropy: QuerySpec = {
+    val alphabet = ('a' to 'z') :+ ' '
+    def cntSql(c: Char) =
+      s"(length(text) - length(translate(text, '$c', '')))"
+    val totalSql = alphabet.map(cntSql).mkString("(", " + ", ")")
+    val termsSql = alphabet.map { c =>
+      val p = s"(CAST(${cntSql(c)} AS DOUBLE) / total)"
+      s"CASE WHEN ${cntSql(c)} > 0 THEN -$p * log2($p) ELSE 0.0 END"
+    }.mkString("(", " + ", ")")
+    QuerySpec(
+      "q_char_entropy",
+      s"""WITH t AS (SELECT doc_id, text,
+         |    CAST($totalSql AS BIGINT) AS total FROM documents)
+         |SELECT doc_id, total AS n_alpha,
+         |  ${D.sql.d6(termsSql)} AS entropy_bits
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def cnt(c: Char): Column =
+        length(col("text")) - length(translate(col("text"), c.toString, ""))
+      val total = alphabet.map(cnt).reduce(_ + _)
+      val terms = alphabet.map { c =>
+        val p = cnt(c).cast(DoubleType) / col("total")
+        when(cnt(c) > 0, -p * log2(p)).otherwise(0.0)
+      }.reduce(_ + _)
+      LsdDb.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), total.cast(LongType).as("total"))
+        .select(col("doc_id"), col("total").as("n_alpha"),
+          Det.d6(terms).as("entropy_bits"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** X2p — cross-source contamination matrix: documents with the same
+    * CONTENT SIGNATURE (md5 of the sorted distinct word set — robust
+    * to word order and repetition; raw-text md5 finds nothing in this
+    * corpus) shared BETWEEN sources. This is the mixture-hygiene check
+    * run before assigning per-source weights — a doc present in two
+    * sources double-weights itself. One signature per doc, self-join
+    * inside signature groups only (families are small), pair keyed by
+    * the unordered source pair. */
+  val qDupCrossSource: QuerySpec = QuerySpec(
+    "q_dup_cross_source",
+    s"""WITH h AS (SELECT doc_id, source,
+       |    md5(array_to_string(list_sort(list_distinct($wordsSql)), ' '))
+       |      AS h
+       |  FROM documents),
+       |p AS (SELECT LEAST(a.source, b.source) AS src_lo,
+       |    GREATEST(a.source, b.source) AS src_hi, a.h AS h
+       |  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.source <> b.source)
+       |SELECT src_lo, src_hi, count(*) AS n_pairs,
+       |  count(DISTINCT h) AS n_texts
+       |FROM p GROUP BY src_lo, src_hi
+       |ORDER BY src_lo, src_hi""".stripMargin) { (s, dir) =>
+    val h = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
+          .as("h"))
+    h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.source") =!= col("b.source"))
+      .select(least(col("a.source"), col("b.source")).as("src_lo"),
+        greatest(col("a.source"), col("b.source")).as("src_hi"),
+        col("a.h").as("h"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("h")).as("n_texts"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
-    qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix)
+    qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
+    qCharEntropy, qDupCrossSource)
 }
