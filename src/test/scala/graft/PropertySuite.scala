@@ -102,4 +102,26 @@ object PropertySuite extends Properties("graft") {
     val d3 = Haversine.distanceKm(0, 0, 0, a + b)
     math.abs(d1 + d2 - d3) < 1e-6
   }
+
+  // Prefix-filter completeness (the theorem q_dedup_prefix rests on):
+  // if Jaccard(A, B) >= 0.6, A and B MUST share a token within each
+  // side's prefix of length sz - ceil(0.6·sz) + 1 under ANY common
+  // total order of the token universe. Mirrors the query's integer
+  // arithmetic exactly: prefLen = sz - (6·sz + 9) div 10 + 1.
+  private val tokenSet: Gen[Set[Int]] =
+    Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 60)).map(_.toSet))
+
+  property("prefixFilter.complete") = Prop.forAll(tokenSet, tokenSet) {
+    (a, b) =>
+      val inter = (a & b).size
+      val union = (a | b).size
+      val jaccardAtLeast06 = 10 * inter >= 6 * union
+      def prefix(s: Set[Int]): Set[Int] = {
+        val sz = s.size
+        val prefLen = (sz - (6 * sz + 9) / 10 + 1).max(0)
+        s.toSeq.sorted.take(prefLen).toSet // "rarest-first" = any fixed order
+      }
+      Prop(!jaccardAtLeast06 || (prefix(a) & prefix(b)).nonEmpty)
+  }
 }
