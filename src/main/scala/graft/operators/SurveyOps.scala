@@ -447,6 +447,75 @@ object SurveyOps {
       .orderBy("object_id")
   }
 
+  /** A16 — nearest-neighbor distance histogram (bounded radius): the
+    * clustering statistic surveys run over their own catalog (NN
+    * distances vs a Poisson field). Self cross-match at 0.9°, self
+    * pairs excluded, nearest per object by (dist, id), distances
+    * histogrammed in 0.1° bins. Objects whose NN lies beyond the
+    * radius are absent by contract (bounded-radius NN — at survey
+    * density the radius covers the distribution's support). The Spark
+    * side is the cell-blocked self-join — candidates scale with
+    * density × area, never catalog²; the oracle pays the true
+    * cross-join price with a lossless Δlat prefilter.
+    *
+    * Positions use a Knuth multiplicative-hash scatter (0.01° grid),
+    * NOT the shared ×13/×7 lattice: that lattice's minimum nonzero
+    * spacing exceeds 0.9°, which would make every in-radius NN a
+    * zero-distance duplicate and the histogram a single bin. The
+    * catalog is a FIXED deterministic subsample (o_orderkey ≤ 60000,
+    * spatially unbiased under the hash scatter): an NN-distance
+    * statistic needs a fair sample at a fixed density, not the whole
+    * catalog — without the cap, growing SF shrinks every NN below one
+    * bin while the blocked self-join pays for the full density. */
+  val qNnHist: QuerySpec = QuerySpec(
+    "q_nn_hist",
+    s"""WITH c AS (SELECT o_orderkey AS id,
+       |    CAST(o_orderkey * 2654435761 % 36000 AS DOUBLE) / 100.0 AS lon,
+       |    CAST(o_orderkey * 40503 % 6000 AS DOUBLE) / 100.0 - 30.0 AS lat
+       |  FROM orders WHERE o_orderkey <= 60000),
+       |p AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    ${D.sql.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)" +
+            " + cos(radians(a.lat)) * cos(radians(b.lat))" +
+            " * sin(radians(b.lon - a.lon) / 2)" +
+            " * sin(radians(b.lon - a.lon) / 2))))")} AS dist_deg
+       |  FROM c a JOIN c b
+       |    ON a.id <> b.id AND abs(a.lat - b.lat) <= 0.9),
+       |nn AS (SELECT a_id, dist_deg,
+       |    row_number() OVER (PARTITION BY a_id
+       |                       ORDER BY dist_deg, b_id) AS rn
+       |  FROM p WHERE dist_deg <= 0.9)
+       |SELECT CAST(floor(dist_deg * 10) AS BIGINT) AS bin_01deg,
+       |  count(*) AS n_objects
+       |FROM nn WHERE rn = 1
+       |GROUP BY bin_01deg ORDER BY bin_01deg""".stripMargin) { (s, dir) =>
+    val c = LsdDb.table(s, dir, "orders")
+      .filter(col("o_orderkey") <= 60000)
+      .select(
+      col("o_orderkey").as("id"),
+      ((col("o_orderkey") * 2654435761L) % 36000).cast(DoubleType)./(100.0)
+        .as("lon"),
+      (((col("o_orderkey") * 40503) % 6000).cast(DoubleType) / 100.0 - 30.0)
+        .as("lat"))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    graft.spatial.CrossMatch
+      // block at 0.95 > 0.9 + d6 slack: a pair whose RAW distance is
+      // 0.9000004 snaps to 0.900000 and must survive the block (the
+      // q_xmatch pattern)
+      .allPairs(c, c, "id", "lon", "lat", "id", "lon", "lat", 0.95,
+        capLat = 31.0) // data lies in |lat| ≤ 30
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("dist_deg", Det.d6(col("dist_deg")))
+      .filter(col("dist_deg") <= 0.9)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(floor(col("dist_deg") * 10).cast(LongType).as("bin_01deg"))
+      .agg(count(lit(1)).as("n_objects"))
+      .orderBy("bin_01deg")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
-    qCoordGal, qCubeSkytime, qTrendFit)
+    qCoordGal, qCubeSkytime, qTrendFit, qNnHist)
 }
