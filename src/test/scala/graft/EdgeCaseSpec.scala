@@ -54,4 +54,34 @@ class EdgeCaseSpec extends SpecBase {
       graft.spatial.SkyPix.cell(col("lon"), col("lat"), 6)).collect()
     assert(cells.forall(!_.isNullAt(0)))
   }
+
+  test("allPairsCarry rejects carry columns that collide with pair columns") {
+    val a = Seq((1L, 10.0, 10.0, 2.0)).toDF("id", "lon", "lat", "dist_deg")
+    val e = intercept[IllegalArgumentException] {
+      graft.spatial.CrossMatch.allPairsCarry(a, a,
+        "id", "lon", "lat", "id", "lon", "lat", 0.5, 85.0,
+        carryA = Seq("dist_deg"), carryB = Nil, keepCoords = false)
+    }
+    assert(e.getMessage.contains("carry"))
+  }
+
+  test("WavCodec rejects truncated and size-corrupt payloads, not crashes") {
+    import graft.multimodal.Multimodal.{AudioClip, WavCodec}
+    val good = WavCodec.encode(AudioClip(8000, Array[Short](1, 2, 3, 4)))
+    assert(WavCodec.decode(good).isDefined)
+    assert(WavCodec.decode(good.take(20)).isEmpty, "truncated header")
+    assert(WavCodec.decode(Array.fill[Byte](100)(7)).isEmpty, "not RIFF")
+    val corrupt = good.clone()
+    corrupt(40) = 127 // data chunk claims more bytes than exist
+    assert(WavCodec.decode(corrupt).isEmpty, "chunk overruns payload")
+  }
+
+  test("LsdQL reports missing relations across BOTH join kinds") {
+    val db = LsdDb(spark, sfDir)
+    val q = graft.ql.LsdQL(db, joins = Nil)
+    val e = intercept[IllegalArgumentException] {
+      q.query("SELECT * FROM orders, customer")
+    }
+    assert(e.getMessage.contains("equi or spatial"))
+  }
 }
