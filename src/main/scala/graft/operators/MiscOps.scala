@@ -244,7 +244,53 @@ object MiscOps {
       .orderBy("n_nationkey", "x")
   }
 
+  /** §3 entry point 2 — the kernel-chain dataflow under the oracle
+    * gate: two chained typed map/reduce stages (KernelChain.mapReduce
+    * ≅ the reference's `Query.execute([(mapper,), (reducer,)])`
+    * pool2 chain). Stage 1 reduces (flag, status) partials, stage 2
+    * re-keys by flag and merges them — LSD's mapper→reducer→reducer
+    * shape. Group iterators arrive in NON-deterministic order after
+    * the shuffle, so the reducers fold in exact BigDecimal (l_quantity
+    * is integral → bit-equal to the oracle's decimal sum). The
+    * declarative twin of this query is one `groupBy.agg` — the
+    * Scaladoc on KernelChain says when to prefer which; this entry
+    * proves the imperative surface produces oracle-identical results. */
+  val qKernelChain: QuerySpec = QuerySpec(
+    "q_kernel_chain",
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${graft.functions.Det.sql.dsum("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val rows = LsdDb.table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .as[(String, String, Double)]
+    val partials = KernelChain.mapReduce[
+      (String, String, Double), (String, String), Double,
+      ((String, String), Long, BigDecimal)](
+      rows,
+      r => Iterator.single(((r._1, r._2), r._3)),
+      (k, it) => {
+        var n = 0L
+        var sum = BigDecimal(0)
+        it.foreach { q => n += 1; sum += BigDecimal(q) }
+        Iterator.single((k, n, sum))
+      })
+    val merged = KernelChain.mapReduce[
+      ((String, String), Long, BigDecimal), String, (Long, BigDecimal),
+      (String, Long, Double)](
+      partials,
+      p => Iterator.single((p._1._1, (p._2, p._3))),
+      (flag, it) => {
+        var n = 0L
+        var sum = BigDecimal(0)
+        it.foreach { case (pn, ps) => n += pn; sum += ps }
+        Iterator.single((flag, n, sum.toDouble))
+      })
+    merged.toDF("l_returnflag", "n", "sum_qty").orderBy("l_returnflag")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinFull, qJoinCross, qExistsSubq,
     qGroupingSets, qAggMinmaxBy, qWindowCume, qRegex, qBitwise, qNullOps,
-    qSeqExplode)
+    qSeqExplode, qKernelChain)
 }
