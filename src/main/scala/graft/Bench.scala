@@ -51,10 +51,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 0.1 ms per-query precision keeps the full map line ~2.4 KB for
-    // 92 queries — small enough that the driver's stdout-tail window
+    // 1 ms per-query precision keeps the full map line ~2.6 KB at 123
+    // queries — small enough that the driver's stdout-tail window
     // (~3 KB, observed) holds BOTH complete lines below.
-    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver keeps the TAIL of stdout and parses its last line, so
