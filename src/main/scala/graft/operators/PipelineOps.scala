@@ -840,20 +840,29 @@ object PipelineOps {
     }
   }
 
+  private val dupFamilyCap = 100
+
   /** X2p — cross-source contamination matrix: documents with the same
     * CONTENT SIGNATURE (md5 of the sorted distinct word set — robust
     * to word order and repetition; raw-text md5 finds nothing in this
     * corpus) shared BETWEEN sources. This is the mixture-hygiene check
     * run before assigning per-source weights — a doc present in two
     * sources double-weights itself. One signature per doc, self-join
-    * inside signature groups only (families are small), pair keyed by
-    * the unordered source pair. */
+    * inside signature groups only, pair keyed by the unordered source
+    * pair. Signature families larger than [[dupFamilyCap]] are dropped
+    * before the self-join (the minhash hot-bucket rule): a boilerplate
+    * family of size f contributes f² pairs, and at corpus scale one
+    * 100k-doc template would otherwise dominate the join; mega-families
+    * are a finding for exact dedup, not a pair statistic. */
   val qDupCrossSource: QuerySpec = QuerySpec(
     "q_dup_cross_source",
-    s"""WITH h AS (SELECT doc_id, source,
+    s"""WITH h0 AS (SELECT doc_id, source,
        |    md5(array_to_string(list_sort(list_distinct($wordsSql)), ' '))
        |      AS h
        |  FROM documents),
+       |h AS (SELECT * FROM (SELECT doc_id, source, h,
+       |    count(*) OVER (PARTITION BY h) AS fam FROM h0)
+       |  WHERE fam <= $dupFamilyCap),
        |p AS (SELECT LEAST(a.source, b.source) AS src_lo,
        |    GREATEST(a.source, b.source) AS src_hi, a.h AS h
        |  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -866,6 +875,9 @@ object PipelineOps {
       .select(col("doc_id"), col("source"),
         md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
           .as("h"))
+      .withColumn("fam", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("fam") <= dupFamilyCap)
+      .drop("fam")
     h.as("a").join(h.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.source") =!= col("b.source"))
