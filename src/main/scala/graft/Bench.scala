@@ -46,6 +46,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { operators.Joins.ensureBucketedTables(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { operators.VectorOps.ensureAnnLayout(spark, sfDir) }
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -370,7 +370,79 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Write-once materialized IVF layout: the q_ann_ivf assignment
+    * (identical tie-breaks) landed via AnnIndex.writeIndex — corpus
+    * directory-partitioned by coarse cell, centroids alongside. */
+  def ensureAnnLayout(s: SparkSession, dir: String): String = synchronized {
+    val path = graft.sources.CacheKeys.path(
+      "graft_ann_index", s"$dir/embeddings.parquet")
+    if (!graft.sources.CacheKeys.isComplete(s"$path/vectors")) {
+      val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+      val cent = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn")))
+      val aw = Window.partitionBy("vec_id")
+        .orderBy(col("acos").desc, col("cent_id").asc)
+      val assigned = emb.filter(col("vec_id") >= 18).crossJoin(cent)
+        .withColumn("acos",
+          cosine(col("cv"), col("v"), col("cn"), col("nrm")))
+        .withColumn("arn", row_number().over(aw))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").cast("int").as("cell"))
+      val centroids = LsdDb.table(s, dir, "embeddings")
+        .filter(col("vec_id") < 8).select("vec_id", "embedding")
+        .collect() // 8 rows — the centroid table is driver-sized
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      graft.vector.AnnIndex.writeIndex(path, centroids, assigned)
+    }
+    path
+  }
+
+  /** X1d — the SAME search as q_ann_ivf, answered from the
+    * MATERIALIZED index (AnnIndex.writeIndex layout): probes route
+    * through the broadcast centroids, the union of probed cell ids
+    * (≤ k values, an O(k) driver list — same argument as
+    * AnnIndex.searchIndex) prunes the corpus scan to its `cell=`
+    * directories, and the equi-join + top-k window run on the pruned
+    * scan. This makes "a search touches ~nprobe/k of the corpus ON
+    * DISK" an oracle-checked property, not just a join-graph one —
+    * the oracle is q_ann_ivf's verbatim, so the layout provably
+    * changes the physics and not the answer. */
+  val qAnnDisk: QuerySpec = QuerySpec(
+    "q_ann_disk", qAnnIvf.oracle.get) { (s, dir) =>
+    val path = ensureAnnLayout(s, dir)
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val cent = broadcast(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn")))
+    val pw = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    val pbuckets = emb.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+      .crossJoin(cent)
+      .withColumn("pcos", cosine(col("cv"), col("pv"), col("cn"), col("pn")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= 2)
+      .select("probe_id", "pv", "pn", "cent_id")
+    val probedCells = pbuckets.select("cent_id").distinct()
+      .collect().map(_.getLong(0).toInt).sorted.toIndexedSeq // O(k)
+    val vectors = s.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cell").cast("long").as("cent_id"))
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(pbuckets).join(vectors, "cent_id")
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= 3)
+      .orderBy("probe_id", "rn")
+  }
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
-      qDedupLshCos)
+      qDedupLshCos, qAnnDisk)
 }

@@ -262,6 +262,21 @@ class PlanQualitySpec extends SpecBase {
     assert(!planOf(df).contains("CartesianProduct"))
   }
 
+  test("q_ann_disk reads only probed cell= directories of the layout") {
+    val df = VectorOps.qAnnDisk.fn(spark, sfDir)
+    df.collect()
+    val layoutFiles = df.inputFiles.filter(_.contains("/vectors/"))
+    assert(layoutFiles.nonEmpty, "search must read the materialized layout")
+    assert(layoutFiles.forall(_.contains("cell=")),
+      s"every layout read must be cell-pruned:\n${layoutFiles.mkString("\n")}")
+    // the probed union is ≤ 8 cells by construction; the pin is that
+    // pruning REACHED the scan (PartitionFilters), so a cell the
+    // probes don't route to is never opened
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected directory-level cell pruning:\n$plan")
+  }
+
   test("q_dedup_lshcos: banded equi-join, never a cartesian") {
     val df = VectorOps.qDedupLshCos.fn(spark, sfDir)
     val plan = planOf(df)
