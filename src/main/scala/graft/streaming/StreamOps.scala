@@ -157,6 +157,57 @@ object StreamOps {
       }
       .start()
 
+  /** S10 input/state/output rows for [[runningObjectStats]]. */
+  case class Det(ts: java.sql.Timestamp, obj: Long, flux: Double)
+  case class ObjState(n: Long, sumMilli: Long, lastMs: Long)
+  case class ObjStats(obj: Long, n: Long, mean_flux: Double,
+                      last_ts: java.sql.Timestamp)
+
+  /** S10 — CUSTOM stateful streaming: running per-object statistics
+    * via `mapGroupsWithState` (the escape hatch for state machines
+    * the built-in windowed aggregates can't express). Each object
+    * carries (epoch count, exact integer milli-flux sum, last event
+    * time); every micro-batch emits the object's updated totals, and
+    * state EVICTS on event-time timeout `idleMs` past the object's
+    * last detection once the watermark passes it — an object that
+    * reappears later restarts from n=1 (tested), so state size tracks
+    * ACTIVE objects, not ever-seen objects. The flux sum is integer
+    * millis so totals are partition- and replay-order independent,
+    * the same exactness rule as Det.dsum. */
+  def runningObjectStats(dets: org.apache.spark.sql.Dataset[Det],
+                         watermark: String,
+                         idleMs: Long): org.apache.spark.sql.Dataset[ObjStats] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = dets.sparkSession
+    import spark.implicits._
+    dets
+      .withWatermark("ts", watermark)
+      .groupByKey(_.obj)
+      .mapGroupsWithState[ObjState, ObjStats](
+        GroupStateTimeout.EventTimeTimeout) {
+        (obj: Long, it: Iterator[Det], state: GroupState[ObjState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove() // eviction: the retired row is flagged n = -st.n
+            ObjStats(obj, -st.n, st.sumMilli / 1000.0 / st.n,
+              new java.sql.Timestamp(st.lastMs))
+          } else {
+            val prev = state.getOption.getOrElse(ObjState(0L, 0L, 0L))
+            var n = prev.n
+            var sum = prev.sumMilli
+            var last = prev.lastMs
+            it.foreach { d =>
+              n += 1
+              sum += math.round(d.flux * 1000) // exact integer millis
+              last = math.max(last, d.ts.getTime)
+            }
+            state.update(ObjState(n, sum, last))
+            state.setTimeoutTimestamp(last + idleMs)
+            ObjStats(obj, n, sum / 1000.0 / n, new java.sql.Timestamp(last))
+          }
+      }
+  }
+
   /** S9 — streaming sky density map: per-cell detection counts over
     * tumbling event-time windows — the live form of q_skymap (coverage
     * / alert-rate monitoring as detections arrive). State is one

@@ -15,6 +15,45 @@ class StreamOpsSpec extends SpecBase {
 
   case class Ev(ts: Timestamp, user_id: Long, value: Double)
 
+  test("mapGroupsWithState running stats: accumulate, evict, restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{Det => SDet, ObjStats}
+    val input = MemoryStream[SDet]
+    val stats = StreamOps.runningObjectStats(input.toDS(),
+      watermark = "0 seconds", idleMs = 60 * 60 * 1000L) // 1 h idle
+    val q = stats.writeStream.format("memory").queryName("objstats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def rows(): Seq[ObjStats] = spark.table("objstats")
+        .as[ObjStats].collect().toSeq
+      // batch 1: obj 1 twice, obj 2 once
+      input.addData(SDet(ts("2024-01-01 00:00:00"), 1L, 1.5),
+        SDet(ts("2024-01-01 00:10:00"), 1L, 2.5),
+        SDet(ts("2024-01-01 00:10:00"), 2L, 7.0))
+      q.processAllAvailable()
+      assert(rows().exists(r => r.obj == 1 && r.n == 2 && r.mean_flux == 2.0))
+      assert(rows().exists(r => r.obj == 2 && r.n == 1))
+      // batch 2: obj 1 again → state persisted across batches (n=3)
+      input.addData(SDet(ts("2024-01-01 00:20:00"), 1L, 2.0))
+      q.processAllAvailable()
+      assert(rows().exists(r => r.obj == 1 && r.n == 3 && r.mean_flux == 2.0))
+      // batch 3: event time jumps far ahead → watermark passes both
+      // idle deadlines; obj 2's state evicts (retired row n = -1)
+      input.addData(SDet(ts("2024-01-02 00:00:00"), 9L, 1.0))
+      q.processAllAvailable()
+      input.addData(SDet(ts("2024-01-02 00:00:01"), 9L, 1.0))
+      q.processAllAvailable()
+      assert(rows().exists(r => r.obj == 2 && r.n == -1),
+        s"expected eviction tombstone for obj 2 in ${rows()}")
+      // batch 4: obj 2 reappears → restarts from n=1, not n=2
+      input.addData(SDet(ts("2024-01-02 00:00:02"), 2L, 5.0))
+      q.processAllAvailable()
+      val reborn = rows().filter(r => r.obj == 2 && r.n == 1 &&
+        r.mean_flux == 5.0)
+      assert(reborn.nonEmpty, s"obj 2 must restart from fresh state")
+    } finally q.stop()
+  }
+
   case class SkyDet(ts: Timestamp, lon: Double, lat: Double)
 
   test("streaming skymap matches the batch per-cell counts") {
