@@ -695,8 +695,74 @@ object Joins {
       .orderBy("c_custkey")
   }
 
+  /** J8 — TWO-TABLE backward as-of join (the "latest calibration ≤ t"
+    * join): each event picks the user's most recent order at or
+    * before the event time. Implemented as the UNION-WINDOW shape —
+    * tag both streams, one shuffle on the key, one ordered scan with
+    * last(...) IGNORE NULLS — never a per-row subquery or range
+    * cross-product: at 100 TB the cost is one sort of |events|+|orders|
+    * per key partition, and the same plan serves any asof direction
+    * by flipping the frame. Tie policy: at equal t the order row
+    * sorts BEFORE the event (src 0 < 1 → "at or before" inclusive),
+    * equal-t orders resolve to the max key (last in (t, src, key)
+    * order). Events before any order keep NULL (tested path). Order
+    * times are synthesized onto the events' January-2024 axis
+    * (integer-hour arithmetic — exact in both engines); o_orderdate
+    * itself lies decades earlier, which would make every as-of
+    * degenerate. */
+  val qAsofJoin: QuerySpec = QuerySpec(
+    "q_asof_join",
+    """WITH o AS (SELECT o_custkey % 150 AS u,
+      |    TIMESTAMP '2024-01-01 00:00:00'
+      |      + INTERVAL (o_orderkey % 720) HOUR AS t,
+      |    o_orderkey AS k
+      |  FROM orders),
+      |e AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t, event_id
+      |  FROM events),
+      |un AS (
+      |  SELECT u, t, 0 AS src, k, CAST(NULL AS BIGINT) AS event_id FROM o
+      |  UNION ALL
+      |  SELECT u, t, 1 AS src, CAST(NULL AS BIGINT) AS k, event_id FROM e),
+      |w AS (SELECT u, t, src, event_id,
+      |    last_value(CASE WHEN src = 0 THEN k END IGNORE NULLS) OVER win
+      |      AS asof_orderkey,
+      |    last_value(CASE WHEN src = 0 THEN t END IGNORE NULLS) OVER win
+      |      AS asof_order_t
+      |  FROM un
+      |  WINDOW win AS (PARTITION BY u ORDER BY t, src, COALESCE(k, event_id)
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, u AS user_id, asof_orderkey, asof_order_t
+      |FROM w WHERE src = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val o = LsdDb.table(s, dir, "orders").select(
+      (col("o_custkey") % 150).as("u"),
+      expr("timestamp'2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)")
+        .as("t"),
+      col("o_orderkey").as("k"),
+      lit(0).as("src"),
+      lit(null).cast("long").as("event_id"))
+    val e = LsdDb.table(s, dir, "events").select(
+      col("user_id").as("u"), col("ts").as("t"),
+      lit(null).cast("long").as("k"),
+      lit(1).as("src"), col("event_id"))
+    val win = Window.partitionBy("u")
+      .orderBy(col("t"), col("src"), coalesce(col("k"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select("u", "t", "src", "k", "event_id")
+      .unionByName(e.select("u", "t", "src", "k", "event_id"))
+      .withColumn("asof_orderkey",
+        last(when(col("src") === 0, col("k")), ignoreNulls = true).over(win))
+      .withColumn("asof_order_t",
+        last(when(col("src") === 0, col("t")), ignoreNulls = true).over(win))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("u").as("user_id"),
+        col("asof_orderkey"), col("asof_order_t"))
+      .orderBy("event_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
-    qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qJoinSelf, qScalarSubq,
-    qJoinBucketed, qXmatch, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
-    qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect)
+    qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qAsofJoin, qJoinSelf,
+    qScalarSubq, qJoinBucketed, qXmatch, qXmatchMargin, qXmatchAuto,
+    qXmatchTemporal, qFootprintPolygon, qFootprintCells, qFootprintCone,
+    qFootprintRect)
 }
