@@ -889,9 +889,86 @@ object PipelineOps {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** X2q — corpus-unigram language-model scoring (the KenLM-filtering
+    * proxy): each doc's mean token log₂-probability under the corpus
+    * unigram distribution — boilerplate scores high, gibberish low.
+    * The LM is the token→count relation: dictionary-scale, BROADCAST
+    * (the corpus-side explode never shuffles; same rule as
+    * decontaminate/TF-IDF). Probabilities are exact integer ratios
+    * (tf/total); the Σ log₂ p chain is FMA-sensitive → per-doc score
+    * d6-snapped. add-one smoothing keeps unseen-token behavior
+    * defined (here every token is seen; the +1 keeps the formula
+    * total at scale where the LM would be a top-K cut). */
+  val qUnigramLm: QuerySpec = QuerySpec(
+    "q_unigram_lm",
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |lm AS (SELECT w, count(*) AS tf FROM toks GROUP BY w),
+       |tot AS (SELECT count(*) AS n_tok, count(DISTINCT w) AS n_vocab
+       |  FROM toks),
+       |scored AS (SELECT t.doc_id,
+       |    log2((CAST(lm.tf AS DOUBLE) + 1.0)
+       |      / (CAST(tot.n_tok AS DOUBLE) + tot.n_vocab)) AS lp
+       |  FROM toks t JOIN lm USING (w) CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  ${D.sql.d6(
+          "CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)")}
+       |    AS mean_log2p
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val lm = toks.groupBy("w").agg(count(lit(1)).as("tf"))
+    val tot = toks.agg(count(lit(1)).as("n_tok"),
+      countDistinct(col("w")).as("n_vocab"))
+    val lp = log2((col("tf").cast(DoubleType) + 1.0) /
+      (col("n_tok").cast(DoubleType) + col("n_vocab")))
+    toks.join(broadcast(lm), "w").crossJoin(broadcast(tot))
+      .select(col("doc_id"), lp.as("lp"))
+      // snap each token's log-prob to the 1e-6 grid BEFORE the sum so
+      // the per-doc total is partition-order-free (decimal addition is
+      // associative) — the BM25 rule
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Det.d6(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("mean_log2p"))
+      .orderBy("doc_id")
+  }
+
+  /** X2r — dedup keep-best policy: inside each exact-content family
+    * (the q_dup_cross_source signature), keep the member with the
+    * best quality (longest text, doc_id tie-break) and report what
+    * was dropped — the step between "find duplicates" and "write the
+    * training shard". One shuffle on the signature; max_by is a
+    * partial-aggregating argmax, so families never materialize. */
+  val qDedupKeepBest: QuerySpec = QuerySpec(
+    "q_dedup_keep_best",
+    s"""WITH h AS (SELECT doc_id, n_chars,
+       |    md5(array_to_string(list_sort(list_distinct($wordsSql)), ' '))
+       |      AS sig
+       |  FROM documents)
+       |SELECT sig,
+       |  max_by(doc_id, n_chars * 1000000000 - doc_id) AS keep_id,
+       |  count(*) AS n_members,
+       |  CAST(max(n_chars) AS BIGINT) AS best_chars
+       |FROM h GROUP BY sig
+       |HAVING count(*) > 1
+       |ORDER BY sig""".stripMargin) { (s, dir) =>
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
+          .as("sig"))
+      .groupBy("sig")
+      .agg(
+        max_by(col("doc_id"), col("n_chars") * 1000000000L - col("doc_id"))
+          .as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("n_chars")).cast(LongType).as("best_chars"))
+      .filter(col("n_members") > 1)
+      .orderBy("sig")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
-    qCharEntropy, qDupCrossSource)
+    qCharEntropy, qDupCrossSource, qUnigramLm, qDedupKeepBest)
 }
