@@ -201,6 +201,27 @@ object ScaleSmoke {
         .groupBy("cell").count().count().toString + " cells"
     }
 
+    // union-window backward as-of: 50M events pick the latest of 5M
+    // reference rows per key — ONE shuffle + one ordered scan over
+    // |events|+|refs| per key partition; no per-row subquery ever
+    t("asof join 50M events vs 5M refs, 100k keys") {
+      import org.apache.spark.sql.expressions.Window
+      val refs = spark.range(5000000L).select(
+        (col("id") % 100000L).as("k"), (col("id") * 7 % 1000000L).as("t"),
+        lit(0).as("src"), col("id").as("payload"))
+      val evs = spark.range(50000000L).select(
+        (col("id") % 100000L).as("k"), (col("id") * 13 % 1000000L).as("t"),
+        lit(1).as("src"), lit(null).cast("long").as("payload"))
+      val win = Window.partitionBy("k").orderBy(col("t"), col("src"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      refs.unionByName(evs)
+        .withColumn("asof",
+          last(when(col("src") === 0, col("payload")), ignoreNulls = true)
+            .over(win))
+        .filter(col("src") === 1 && col("asof").isNotNull)
+        .count().toString + " matched events"
+    }
+
     // sigma-clip at 20M epochs x 1M objects (~20 epochs each): the
     // window and the clipped aggregate share the object-key hash
     // partitioning — two shuffles total, per-partition sorts spill
