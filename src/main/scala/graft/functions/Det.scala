@@ -60,8 +60,12 @@ object Det {
     c.cast(DecimalType(18, 6)).cast(DoubleType)
 
   /** Exact sum of products (x*y is IEEE-deterministic; the decimal cast
-    * makes the subsequent summation order-independent). */
-  def dsumProd(x: Column, y: Column): Column = dsum(x * y)
+    * makes the subsequent summation order-independent). Uses the wide
+    * M38 type: a product of two ≤1e6 values carries up to 12 integer
+    * digits, which overflows M's 10 — and the oracle twin sums at
+    * DECIMAL(38,8), so both sides must keep the term. */
+  def dsumProd(x: Column, y: Column): Column =
+    sum((x * y).cast(M38)).cast(DoubleType)
 
   /** Average via exact sum / count — identical double division on both
     * sides. Null-safe: counts only non-null x. */

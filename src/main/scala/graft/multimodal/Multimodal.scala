@@ -210,7 +210,9 @@ object Multimodal {
       while (off + 8 <= bytes.length && clip.isEmpty) {
         val id = tag(bytes, off)
         val sz = le32(bytes, off + 4)
-        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        // Long arithmetic: a crafted sz near Int.MaxValue would wrap the
+        // Int sum past the guard and reach the allocation below.
+        if (sz < 0 || off.toLong + 8L + sz > bytes.length) return None
         id match {
           case "fmt " =>
             if (sz < 16 || le16(bytes, off + 8) != 1) return None // PCM only

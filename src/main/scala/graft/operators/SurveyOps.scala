@@ -127,7 +127,9 @@ object SurveyOps {
       |ORDER BY user_id, run_id""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val prev = lag(col("event_type"), 1).over(w)
-    val chg = when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L)
+    // Null-safe boundary to mirror the oracle's IS DISTINCT FROM:
+    // consecutive NULL types continue a run; non-null→NULL starts one.
+    val chg = when(!(prev <=> col("event_type")), 1L).otherwise(0L)
     LsdDb.table(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
         chg.as("chg"))
@@ -481,7 +483,7 @@ object SurveyOps {
             " * sin(radians(b.lon - a.lon) / 2)" +
             " * sin(radians(b.lon - a.lon) / 2))))")} AS dist_deg
        |  FROM c a JOIN c b
-       |    ON a.id <> b.id AND abs(a.lat - b.lat) <= 0.9),
+       |    ON a.id <> b.id AND abs(a.lat - b.lat) <= 0.9000005),
        |nn AS (SELECT a_id, dist_deg,
        |    row_number() OVER (PARTITION BY a_id
        |                       ORDER BY dist_deg, b_id) AS rn
