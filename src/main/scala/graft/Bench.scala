@@ -48,9 +48,22 @@ object Bench {
     catch { case _: Throwable => () }
     try { operators.VectorOps.ensureAnnLayout(spark, sfDir) }
     catch { case _: Throwable => () }
+    // Time FULL materialization of every output column, not count():
+    // under count() Catalyst prunes the projection, so map-only
+    // queries (q_project, q_string, …) were timing the scan rather
+    // than their expressions. executedPlan.execute() runs the plan
+    // as-built — all output columns computed into UnsafeRows — and
+    // the foreach drains every partition. Failures are NOT folded
+    // into a plausible wall-time: they surface in an "errors" list.
+    var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        fn(spark, sfDir).queryExecution.toRdd
+          .foreachPartition(it => while (it.hasNext) { it.next(); () })
+      } catch {
+        case _: Throwable => errors ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // 1 ms per-query precision keeps the full map line ~2.6 KB at 123
@@ -58,13 +71,14 @@ object Bench {
     // (~3 KB, observed) holds BOTH complete lines below.
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    val errs = errors.sorted.map(e => s""""$e"""").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver keeps the TAIL of stdout and parses its last line, so
     // the short always-parseable headline is printed LAST; the full
     // per-query map line directly above it is compact enough to
     // survive the tail window intact as well.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
     spark.stop()
   }
 }

@@ -713,14 +713,25 @@ object PipelineOps {
       val canon = regexp_replace(regexp_replace(regexp_replace(
         regexp_replace(lower(col("url")), "^https?://", ""),
         "^www\\.", ""), "\\?.*$", ""), "/+$", "")
+      // Two distinct-aggregates over different columns would plan an
+      // Expand (×3 rows through the first aggregate — the 100 TB
+      // anti-shape). canon is a FUNCTION of url, so distinct-counting
+      // both collapses to plain aggregation ladders: dedup (domain,
+      // url, canon) once (map-side combined, shrinks to the distinct-
+      // URL count), then (domain, canon), then domain — zero Expand,
+      // zero distinct aggregates, each shuffle strictly smaller.
       LsdDb.table(s, dir, "documents")
         .select(col("doc_id"), url.as("url"))
         .withColumn("canon", canon)
         .withColumn("domain", regexp_extract(col("canon"), "^([^/]+)", 1))
+        .groupBy("domain", "url", "canon")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("domain", "canon")
+        .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("n_raw"))
         .groupBy("domain")
-        .agg(count(lit(1)).as("n_urls"),
-          countDistinct(col("url")).as("n_raw_distinct"),
-          countDistinct(col("canon")).as("n_canonical"))
+        .agg(sum(col("cnt")).as("n_urls"),
+          sum(col("n_raw")).as("n_raw_distinct"),
+          count(lit(1)).as("n_canonical"))
         .orderBy("domain")
     }
   }

@@ -16,6 +16,11 @@ object QueryProfile {
     spark.sparkContext.setLogLevel("ERROR")
     val q = Registry.specs.find(_.name == name)
       .getOrElse(sys.error(s"unknown query $name"))
+    // Mirror Bench's generic warmup so "cold" here = the query's own
+    // first-run cost under bench conditions, not JVM bring-up.
+    graft.LsdDb.standardTables
+      .foreach(t => graft.LsdDb.table(spark, dir, t).count())
+    graft.operators.Aggregates.qAggBasic.fn(spark, dir).count()
     for (run <- Seq("cold", "warm", "warm")) {
       val t0 = System.nanoTime()
       val n = q.fn(spark, dir).count()
