@@ -345,6 +345,71 @@ object SurveyOps {
     }
   }
 
+  /** P10b — dust-map lookup + dereddening: the reference's other
+    * coordinate-adjacent builtin, `ebv(l, b)` (ref `lsd/sfd.py`,
+    * UNVERIFIED; SFD98 is the public source). Equatorial positions →
+    * galactic (the q_coord_gal rotation, d6-snapped) → packed SkyPix
+    * cell → BROADCAST join against the sampled dust grid
+    * ([[graft.functions.DustMap]]) → extinction-corrected magnitude
+    * (A_r = 2.751·E(B−V), the SFD98 r-band coefficient). The corpus
+    * side never shuffles — the 100 TB dereddening shape. */
+  val qEbvLookup: QuerySpec = {
+    import graft.functions.{AstroCoords, DustMap}
+    def f(d: Double) = "%.17g".format(d)
+    val (aG, dG, lNcp) = (math.toRadians(AstroCoords.NgpRaDeg),
+      math.toRadians(AstroCoords.NgpDecDeg),
+      math.toRadians(AstroCoords.LonNcpDeg))
+    val lv = DustMap.Level
+    QuerySpec(
+      "q_ebv_lookup",
+      s"""WITH c AS (SELECT p_partkey AS id,
+         |    CAST(p_partkey * 29 % 3600 AS DOUBLE) / 10.0 AS ra,
+         |    CAST(p_partkey * 23 % 1700 AS DOUBLE) / 10.0 - 85.0 AS dec,
+         |    15.0 + CAST(p_partkey % 700 AS DOUBLE) / 100.0 AS mag_r
+         |  FROM part),
+         |r AS (SELECT id, mag_r, radians(ra) AS a, radians(dec) AS d FROM c),
+         |g AS (SELECT id, mag_r,
+         |    sin(d) * ${f(math.sin(dG))} + cos(d) * ${f(math.cos(dG))}
+         |      * cos(a - ${f(aG)}) AS sinb,
+         |    cos(d) * sin(a - ${f(aG)}) AS y,
+         |    sin(d) * ${f(math.cos(dG))} - cos(d) * ${f(math.sin(dG))}
+         |      * cos(a - ${f(aG)}) AS x
+         |  FROM r),
+         |gl AS (SELECT id, mag_r,
+         |    ${D.sql.d6(s"((degrees(${f(lNcp)} - atan2(y, x)) % 360.0" +
+            ") + 360.0) % 360.0")} AS l6,
+         |    ${D.sql.d6("degrees(asin(sinb))")} AS b6
+         |  FROM g),
+         |grid AS (${DustMap.gridSql}),
+         |k AS (SELECT id, mag_r,
+         |    ${graft.spatial.SkyPix.sql.mortonCell(
+              graft.spatial.SkyPix.sql.ixSnapped("l6", lv),
+              graft.spatial.SkyPix.sql.iySnapped("b6", lv), lv)} AS cell
+         |  FROM gl)
+         |SELECT id, ebv, mag_r - 2.751 * ebv AS mag_r_corr
+         |FROM k JOIN grid USING (cell) ORDER BY id""".stripMargin) { (s, dir) =>
+      val a = radians(col("ra"))
+      val d = radians(col("dec"))
+      val sinb = sin(d) * math.sin(dG) + cos(d) * math.cos(dG) * cos(a - aG)
+      val y = cos(d) * sin(a - aG)
+      val x = sin(d) * math.cos(dG) - cos(d) * math.sin(dG) * cos(a - aG)
+      val src = LsdDb.table(s, dir, "part")
+        .select(col("p_partkey").as("id"),
+          ((col("p_partkey") * 29) % 3600).cast(DoubleType)./(10.0).as("ra"),
+          (((col("p_partkey") * 23) % 1700).cast(DoubleType) / 10.0 - 85.0)
+            .as("dec"),
+          (lit(15.0) + (col("p_partkey") % 700).cast(DoubleType) / 100.0)
+            .as("mag_r"))
+        .withColumn("l6",
+          Det.d6(pmod(degrees(lit(lNcp) - atan2(y, x)), lit(360.0))))
+        .withColumn("b6", Det.d6(degrees(asin(sinb))))
+      DustMap.withEbv(src, col("l6"), col("b6"))
+        .select(col("id"), col("ebv"),
+          (col("mag_r") - col("ebv") * 2.751).as("mag_r_corr"))
+        .orderBy("id")
+    }
+  }
+
   /** A14 — spatiotemporal cube: detection counts + mean flux per
     * (sky cell × night) — the survey's nightly-coverage / cadence
     * bookkeeping query (SURVEY.md §1 sky×time tabulation, UNVERIFIED).
@@ -519,5 +584,5 @@ object SurveyOps {
   }
 
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
-    qCoordGal, qCubeSkytime, qTrendFit, qNnHist)
+    qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup)
 }
