@@ -19,12 +19,12 @@ import org.apache.spark.sql.types.LongType
   *
   * Image decode and resize are REAL: `javax.imageio` (PNG/JPEG/BMP/GIF
   * readers ship in the JDK) + `Graphics2D` bilinear scaling — no
-  * external libraries, fully offline. Payloads no reader understands
-  * fall back to byte-content features (width/height = -1) so the
+  * external libraries, fully offline. Audio (RIFF/WAVE PCM) and video
+  * (RIFF/AVI with MJPEG frames) are parsed by hand-written codecs on
+  * the same chunk grammar. Payloads no codec understands fall back to
+  * byte-content features (width/height = -1) or zero rows so the
   * pipeline is total over dirty corpora — at 100 TB a corrupt sample
-  * must degrade, not kill the stage. Video frame sampling remains a
-  * deterministic STUB (no ffmpeg in the JDK); its explode shape and
-  * batching are real.
+  * must degrade, not kill the stage.
   *
   * At 100 TB: binary payloads dominate row size, so `targetBatchBytes`
   * bounds working memory per task regardless of row width, and
@@ -300,21 +300,188 @@ object Multimodal {
     }))
   }
 
-  /** STUB ??? — video frame sampling: every `stride`-th fixed-size
-    * chunk stands in for every n-th decoded frame (the JDK has no
-    * video codec; swap this flatMap body for an ffmpeg binding). Emits
-    * one row per sampled frame with its index — the explode shape a
-    * real ffmpeg-backed sampler produces. */
+  /** Decoded video container: dimensions, frame interval, and the raw
+    * per-frame payloads (JPEG bytes for MJPEG — pixel decode stays
+    * lazy so stride sampling never decodes the frames it skips). */
+  case class VideoClip(width: Int, height: Int, microSecPerFrame: Int,
+                       frames: IndexedSeq[Array[Byte]])
+
+  /** REAL in-JVM video codec: RIFF/AVI with MJPEG video (the public
+    * AVI container — Microsoft multimedia file formats spec, RIFF
+    * registry 1992 — carrying one JPEG per frame). The RIFF walk
+    * mirrors [[WavCodec]] (same chunk grammar, same Long-arithmetic
+    * bound checks); per-frame pixel decode reuses the JDK JPEG reader
+    * via [[MediaCodec.decodeImage]]. Anything unparseable returns
+    * None and callers degrade instead of dying. */
+  object AviCodec {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** Walk one RIFF chunk run in [off, end), collecting stream-0
+      * video frame payloads ("00dc"/"00db"); recurse into LIST
+      * groups ("movi" at top level, "rec " batches inside it). */
+    private def collectFrames(b: Array[Byte], off0: Int, end: Int,
+                              out: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Boolean = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = tag(b, off)
+        val sz = le32(b, off + 4)
+        if (sz < 0 || off.toLong + 8L + sz > end) return false
+        if (id == "LIST") {
+          if (sz < 4) return false
+          if (!collectFrames(b, off + 12, off + 8 + sz, out)) return false
+        } else if (id == "00dc" || id == "00db") {
+          out += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      true
+    }
+
+    def decode(bytes: Array[Byte]): Option[VideoClip] = {
+      if (bytes.length < 24 || tag(bytes, 0) != "RIFF" ||
+        tag(bytes, 8) != "AVI ") return None
+      var off = 12
+      var wh: Option[(Int, Int, Int)] = None // (w, h, usPerFrame)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      while (off + 8 <= bytes.length) {
+        val id = tag(bytes, off)
+        val sz = le32(bytes, off + 4)
+        if (sz < 0 || off.toLong + 8L + sz > bytes.length) return None
+        if (id == "LIST" && sz >= 4) {
+          tag(bytes, off + 8) match {
+            case "hdrl" =>
+              // first child must be avih (56-byte main header):
+              // us/frame at +0, width/height at +32/+36
+              val a = off + 12
+              if (a + 8 + 40 > bytes.length || tag(bytes, a) != "avih")
+                return None
+              wh = Some((le32(bytes, a + 40), le32(bytes, a + 44),
+                le32(bytes, a + 8)))
+            case "movi" =>
+              if (!collectFrames(bytes, off + 12, off + 8 + sz, frames))
+                return None
+            case _ => () // strl/odml/INFO — not needed for sampling
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      wh.collect { case (w, h, us) if frames.nonEmpty =>
+        VideoClip(w, h, us, frames.toIndexedSeq)
+      }
+    }
+
+    /** Minimal MJPEG-in-AVI writer (tests + round trips): avih + one
+      * vids/MJPG stream + movi with one 00dc JPEG chunk per frame. */
+    def encode(frames: Seq[BufferedImage], fps: Int): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0)
+      val jpegs = frames.map { img =>
+        val bos = new ByteArrayOutputStream()
+        // JPEG writer rejects alpha; normalize to RGB first
+        val rgb = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        ImageIO.write(rgb, "jpg", bos)
+        bos.toByteArray
+      }
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val bos = new ByteArrayOutputStream()
+      def w32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+      def wTag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      def chunk(id: String, body: Array[Byte]): Unit = {
+        wTag(id); w32(body.length); bos.write(body)
+        if ((body.length & 1) == 1) bos.write(0)
+      }
+      def list(kind: String, body: Array[Byte]): Unit = {
+        wTag("LIST"); w32(4 + body.length); wTag(kind); bos.write(body)
+        if ((body.length & 1) == 1) bos.write(0)
+      }
+      def build(f: ByteArrayOutputStream => Unit): Array[Byte] = {
+        val b = new ByteArrayOutputStream(); f(b); b.toByteArray
+      }
+      def i32(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val usPerFrame = 1000000 / fps
+      val avih = build { b => // 56-byte main header
+        Seq(usPerFrame, 0, 0, 0, jpegs.length, 0, 1, 0, w, h, 0, 0, 0, 0)
+          .foreach(v => b.write(i32(v)))
+      }
+      val strh = build { b =>
+        b.write("vids".getBytes("US-ASCII")); b.write("MJPG".getBytes("US-ASCII"))
+        Seq(0, 0, 0, 1, fps, 0, jpegs.length, 0, -1, 0, 0, 0)
+          .foreach(v => b.write(i32(v)))
+      }
+      val strf = build { b => // BITMAPINFOHEADER
+        b.write(i32(40)); b.write(i32(w)); b.write(i32(h))
+        b.write(i32(1 | (24 << 16))) // planes=1, bitcount=24
+        b.write("MJPG".getBytes("US-ASCII"))
+        Seq(w * h * 3, 0, 0, 0, 0).foreach(v => b.write(i32(v)))
+      }
+      val strl = build { b =>
+        b.write("strh".getBytes("US-ASCII")); b.write(i32(strh.length))
+        b.write(strh)
+        b.write("strf".getBytes("US-ASCII")); b.write(i32(strf.length))
+        b.write(strf)
+      }
+      val hdrl = build { b =>
+        b.write("avih".getBytes("US-ASCII")); b.write(i32(avih.length))
+        b.write(avih)
+        b.write("LIST".getBytes("US-ASCII")); b.write(i32(4 + strl.length))
+        b.write("strl".getBytes("US-ASCII")); b.write(strl)
+      }
+      val movi = build { b =>
+        jpegs.foreach { j =>
+          b.write("00dc".getBytes("US-ASCII")); b.write(i32(j.length))
+          b.write(j); if ((j.length & 1) == 1) b.write(0)
+        }
+      }
+      list("hdrl", hdrl)
+      list("movi", movi)
+      val body = bos.toByteArray
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII")); out.write(i32(4 + body.length))
+      out.write("AVI ".getBytes("US-ASCII")); out.write(body)
+      out.toByteArray
+    }
+  }
+
+  /** Video frame sampling — every `stride`-th frame of each clip, one
+    * row per sampled frame (the explode shape). Container parse is the
+    * real AVI/MJPEG codec above; skipped frames are never
+    * pixel-decoded (payloads pass through as JPEG bytes), so sampling
+    * 1-in-N costs 1/N of the decode budget — the property that matters
+    * when the stage feeds a GPU captioner at 100 TB. Undecodable
+    * payloads emit zero rows (degrade, not die). */
   case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  def frameSample(ds: Dataset[MediaRow], frameBytes: Int,
-                  stride: Int): Dataset[FrameRow] = {
-    require(frameBytes > 0 && stride > 0)
+  def frameSample(ds: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    require(stride > 0)
     implicit val enc = Encoders.product[FrameRow]
     ds.flatMap { r =>
-      r.media.grouped(frameBytes).zipWithIndex
-        .filter { case (_, i) => i % stride == 0 }
-        .map { case (chunk, i) => FrameRow(r.media_id, i, chunk) }
+      AviCodec.decode(r.media).toSeq.flatMap { clip =>
+        Iterator.range(0, clip.frames.length, stride)
+          .map(i => FrameRow(r.media_id, i, clip.frames(i)))
+      }
+    }
+  }
+
+  /** Sampled-frame feature pass: stride-sample, then run the image
+    * feature extractor on just the sampled frames — video reduced to
+    * the already-tested image path. */
+  def frameFeatures(ds: Dataset[MediaRow], stride: Int): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    frameSample(ds, stride).map { fr =>
+      val (w, h, feat) = MediaCodec.decode(fr.frame)
+      // media_id ‖ frame_idx keeps per-frame rows addressable
+      MediaFeatures(fr.media_id * 1000000L + fr.frame_idx,
+        fr.frame.length.toLong, w, h, feat)
     }
   }
 

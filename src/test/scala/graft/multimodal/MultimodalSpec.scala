@@ -109,6 +109,55 @@ class MultimodalSpec extends SpecBase {
     assert(feats(99L).sample_rate == -1, "garbage must degrade, not die")
   }
 
+  /** Real MJPEG AVI payload: solid-color frames. */
+  private def aviRow(id: Long, fps: Int, colors: Seq[Int], w: Int = 32,
+                     h: Int = 24): MediaRow = {
+    val frames = colors.map { c =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      img
+    }
+    MediaRow(id, "video/avi", Multimodal.AviCodec.encode(frames, fps))
+  }
+
+  test("real AVI decode: a generated 2-frame MJPEG clip round-trips") {
+    val row = aviRow(1L, fps = 25, colors = Seq(0xffffff, 0x000000))
+    val clip = Multimodal.AviCodec.decode(row.media)
+    assert(clip.isDefined)
+    assert(clip.get.width == 32 && clip.get.height == 24)
+    assert(clip.get.microSecPerFrame == 40000) // 25 fps
+    assert(clip.get.frames.length == 2)
+    // each frame payload is a real JPEG the JDK image reader accepts,
+    // and pixel content survives (white vs black, JPEG-lossy tolerant)
+    val imgs = clip.get.frames.map(MediaCodec.decodeImage(_).get)
+    assert(imgs.forall(i => i.getWidth == 32 && i.getHeight == 24))
+    assert(((imgs(0).getRGB(16, 12) >> 16) & 0xff) > 200)
+    assert(((imgs(1).getRGB(16, 12) >> 16) & 0xff) < 50)
+  }
+
+  test("frameSample takes every stride-th frame, skipped frames undecoded") {
+    val colors = (0 until 10).map(i => (i * 25) << 16) // 10 frames
+    val rows = Seq(aviRow(1L, 30, colors),
+      MediaRow(2L, "bin/garbage", Array.fill(500)(7.toByte)))
+    val frames = Multimodal.frameSample(rows.toDS(), stride = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.media_id).distinct.toSeq == Seq(1L)) // garbage → 0 rows
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    // sampled payloads are the original JPEG chunk bytes (lazy decode)
+    val full = Multimodal.AviCodec.decode(rows.head.media).get.frames
+    assert(frames.forall(f => f.frame.toSeq == full(f.frame_idx).toSeq))
+  }
+
+  test("frameFeatures reduces video to the image feature path") {
+    val rows = Seq(aviRow(5L, 10, Seq(0xffffff, 0x000000, 0xffffff)))
+    val feats = Multimodal.frameFeatures(rows.toDS(), stride = 2)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2) // frames 0 and 2
+    assert(feats.forall(f => f.width == 32 && f.height == 24))
+    // white frames: mass in the top luma bin
+    assert(feats.forall(_.feature(MediaCodec.FeatureDim - 1) > 0.9f))
+  }
+
   test("WAV decode averages stereo to mono and honors chunk alignment") {
     // hand-build a stereo WAV: L = +1000, R = -1000 → mono = 0
     val n = 100

@@ -20,12 +20,9 @@ class MultimodalStubsSpec extends SpecBase {
     assert(again.toSeq == out.sortBy(_.media_id).map(_.media.toSeq).toSeq)
   }
 
-  test("frameSample emits every stride-th chunk with correct indices") {
-    val ds = Seq(row(1L, 1000)).toDS() // 10 frames of 100 bytes
-    val frames = Multimodal.frameSample(ds, frameBytes = 100, stride = 3)
-      .collect().sortBy(_.frame_idx)
-    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
-    assert(frames.forall(_.frame.length == 100))
+  test("frameSample emits zero rows for undecodable payloads") {
+    val ds = Seq(row(1L, 1000)).toDS() // random bytes, not an AVI
+    assert(Multimodal.frameSample(ds, stride = 3).count() === 0L)
   }
 
   test("dot_fold is callable from spark.sql after registration") {
