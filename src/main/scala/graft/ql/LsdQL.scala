@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions.{col, row_number}
 /** The reference's SQL-ish query language, re-hosted on Catalyst:
   *
   *   SELECT expr [AS name], ... FROM t1, t2[(outer)], ...
-  *     [WHERE expr] [INTO newtable]
+  *     [WHERE expr] [GROUP BY expr, ...] [HAVING expr]
+  *     [ORDER BY expr, ...] [INTO newtable]
   *
   * (SURVEY.md §0.2/§3 entry point 1; ref `lsd/query_parser.py` — a
   * clause splitter, not a grammar — and `lsd/join_ops.py` join-path
@@ -73,7 +74,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
 
   /** Run a QL string → DataFrame (and materialize if INTO given). */
   def query(q: String): DataFrame = {
-    val (selectList, fromItems, whereOpt, intoOpt) = parse(q)
+    val (selectList, fromItems, whereOpt, groupOpt, havingOpt, orderOpt,
+      intoOpt) = parse(q)
     var df = db.table(fromItems.head.table)
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
@@ -134,7 +136,30 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       joined += item.table
     }
     whereOpt.foreach(w => df = df.filter(w))
-    if (selectList.nonEmpty && selectList != Seq("*"))
+    if (groupOpt.isDefined || havingOpt.isDefined || orderOpt.isDefined) {
+      // Aggregation surface: hand the joined+filtered relation to
+      // Catalyst as SQL over a temp view — the reference routed
+      // aggregation through kernel chains because its executor had no
+      // grouped operator; ours does, so GROUP BY/HAVING/ORDER BY are
+      // the real thing (partial aggregation, AQE, codegen for free).
+      require(havingOpt.isEmpty || groupOpt.isDefined,
+        "HAVING requires GROUP BY")
+      val view = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      try {
+        val sql = new StringBuilder("SELECT ")
+        sql ++= (if (selectList.isEmpty) Seq("*") else selectList)
+          .mkString(", ")
+        sql ++= s" FROM $view"
+        groupOpt.foreach(g => sql ++= s" GROUP BY $g")
+        havingOpt.foreach(h => sql ++= s" HAVING $h")
+        orderOpt.foreach(o => sql ++= s" ORDER BY $o")
+        df = df.sparkSession.sql(sql.toString)
+      } finally {
+        // analysis binds the plan eagerly at sql(); the view can go
+        df.sparkSession.catalog.dropTempView(view)
+      }
+    } else if (selectList.nonEmpty && selectList != Seq("*"))
       df = df.selectExpr(selectList: _*)
     intoOpt.foreach { name =>
       val root = intoRoot.getOrElse(db.root)
@@ -167,16 +192,20 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * strings for Catalyst to parse. Keywords and commas inside string
     * literals (e.g. WHERE name LIKE 'from,where') are ignored. */
   private def parse(q: String)
-      : (Seq[String], Seq[FromItem], Option[String], Option[String]) = {
+      : (Seq[String], Seq[FromItem], Option[String], Option[String],
+         Option[String], Option[String], Option[String]) = {
     val text = q.trim.stripSuffix(";")
     val quoted = quotedSpans(text)
-    val kw = "(?i)\\b(SELECT|FROM|WHERE|INTO)\\b".r
+    val kw =
+      "(?i)\\b(SELECT|FROM|WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|INTO)\\b".r
     val marks = kw.findAllMatchIn(text).toList.filterNot(m => quoted(m.start))
     require(marks.nonEmpty && marks.head.matched.equalsIgnoreCase("SELECT"),
       "query must start with SELECT")
     val sections = marks.zipWithIndex.map { case (m, i) =>
       val end = if (i + 1 < marks.length) marks(i + 1).start else text.length
-      m.matched.toUpperCase -> text.substring(m.end, end).trim
+      // canonical section key: internal whitespace collapsed
+      m.matched.toUpperCase.replaceAll("\\s+", " ") ->
+        text.substring(m.end, end).trim
     }.toMap
     require(sections.contains("FROM"), "query must have a FROM clause")
 
@@ -188,7 +217,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         case name => FromItem(name, outer = false)
       }
     }
-    (selectList, fromItems, sections.get("WHERE"), sections.get("INTO"))
+    (selectList, fromItems, sections.get("WHERE"), sections.get("GROUP BY"),
+      sections.get("HAVING"), sections.get("ORDER BY"), sections.get("INTO"))
   }
 
   /** Split on commas not nested inside parens or string literals. */
@@ -210,6 +240,10 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
 }
 
 object LsdQL {
+  /** Unique temp-view suffix for the aggregation path (concurrent
+    * queries on one session must not collide). */
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Join relations for the standard test schema (the analog of the
     * `.join` files in an LSD database directory). */
   val standardJoins: Seq[JoinDef] = Seq(

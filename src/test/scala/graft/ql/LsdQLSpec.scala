@@ -162,6 +162,50 @@ class LsdQLSpec extends SpecBase {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
   }
 
+  test("GROUP BY round-trips against the DataFrame path") {
+    import org.apache.spark.sql.functions._
+    val got = ql.query(
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+    val want = db.table("lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getDouble(1) == w.getDouble(1))
+      assert(g.getLong(2) == w.getLong(2))
+    }
+  }
+
+  test("GROUP BY composes with joins, WHERE and HAVING") {
+    import org.apache.spark.sql.functions._
+    val got = ql.query(
+      """SELECT n_name, count(*) AS n_cust FROM customer, nation
+        |WHERE c_acctbal > 0 GROUP BY n_name HAVING count(*) > 1
+        |ORDER BY n_name""".stripMargin).collect()
+    val nation = db.table("nation")
+    val want = db.table("customer").filter("c_acctbal > 0")
+      .join(nation, col("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust") > 1).orderBy("n_name").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      want.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("ORDER BY without GROUP BY; HAVING without GROUP BY rejected") {
+    val got = ql.query(
+      "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC")
+      .limit(3).collect()
+    assert(got.length == 3)
+    intercept[IllegalArgumentException] {
+      ql.query("SELECT o_orderkey FROM orders HAVING count(*) > 1")
+    }
+  }
+
   test("_ID usable in WHERE; key-fallback for non-spatial tables") {
     // non-spatial fallback: _ID == declared unique key
     val df = ql.query("SELECT _ID, o_orderkey FROM orders WHERE _ID % 2 = 0")
