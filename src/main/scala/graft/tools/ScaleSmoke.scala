@@ -189,6 +189,109 @@ object ScaleSmoke {
     }
     corpus10m.unpersist()
 
+    // text-dedup family at 5M docs: the two shapes whose 100-TB claim
+    // is "pairs come from bounded buckets, never corpus²". Shared
+    // synthetic corpus: ~15-token docs, every 200th doc is one of 500
+    // boilerplate templates (plus a per-doc salt token, so template
+    // families are near- but not exact dups) — ~25k docs in 500
+    // genuine near-dup families of ~50.
+    val dedupDocs = {
+      val isTmpl = col("id") % 200 === 0
+      // family id = (id div 200) mod 500 → 500 families × ~50 docs
+      // (id % 500 would alias to 5 families of 5000 — ids are
+      // multiples of 200, and gcd(200,500)=100 eats the range)
+      val seed = when(isTmpl, expr("(id div 200) % 500"))
+        .otherwise(col("id"))
+      spark.range(5000000).select(
+        col("id").as("doc_id"),
+        concat(
+          transform(sequence(lit(1), lit(15)), i =>
+            xxhash64(seed * 31 + i * 7919L)),
+          array(when(isTmpl, xxhash64(col("id") * 13))
+            .otherwise(xxhash64(col("id") * 17)))).as("toks"))
+        .persist()
+    }
+    dedupDocs.count() // materialize: measure the operator, not synth
+    val maxBucket = 1000
+
+    // MinHash+LSH banding (q_dedup_minhash/q_dedup_clusters shape).
+    // At scale the signature hash is xxhash64, not the oracle-compat
+    // md5 hex-string min — same min-per-hash algebra, long keys
+    // instead of 64-hex strings.
+    t("minhash dedup + clusters 5M docs (8 sigs, 4 bands, cap)") {
+      val wrds = dedupDocs.select(col("doc_id"),
+        explode(array_distinct(col("toks"))).as("w"))
+      val sigAggs = (0 until 8).map(i => min(xxhash64(lit(i), col("w")))
+        .as(s"s$i"))
+      val sigs = wrds.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      val bandStructs = (0 until 4).map(j => struct(lit(j).as("k"),
+        xxhash64(col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("bv")))
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("doc_id"), col("band.k").as("k"), col("band.bv").as("bv"))
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k", "bv")))
+        .filter(col("bsz") <= maxBucket)
+      // no single-task hot bucket: the largest surviving bucket must be
+      // a near-dup family (~50 docs + collision slack), nowhere near
+      // the cap that would make one task emit O(cap²) pairs
+      val largest = bands.groupBy("k", "bv").count()
+        .agg(max(col("count"))).head().getLong(0)
+      require(largest <= 200, s"hot bucket survived the cap: $largest")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().persist()
+      val nPairs = cand.count()
+      val nodes = dedupDocs.select(col("doc_id"))
+      val comps = graft.operators.Components
+        .minLabel(nodes, "doc_id", cand, "doc_a", "doc_b")
+        .filter(col("component") =!= col("doc_id")).count()
+      cand.unpersist()
+      s"$nPairs pairs, $comps non-canonical members"
+    }
+
+    // PPJoin prefix-filter similarity self-join (q_dedup_prefix shape):
+    // df as a window on the token shuffle, prefix = rarest ~40% of each
+    // doc's tokens, bucket-local pair generation, exact integer verify.
+    t("ppjoin prefix dedup 5M docs (tau=0.6, bucket-local pairs)") {
+      import org.apache.spark.sql.expressions.Window
+      val toks = dedupDocs.select(col("doc_id"),
+        explode(array_distinct(col("toks"))).as("s"))
+      val ws = toks
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      val pref = ws.filter(col("rn") <=
+        col("sz") - expr("(6 * sz + 9) div 10") + 1)
+      // prefix buckets are each doc's RAREST tokens: the biggest
+      // bucket must stay family-sized, or one task pays O(bucket²)
+      val hot = pref.groupBy("s").count().agg(max(col("count")))
+        .head().getLong(0)
+      require(hot <= 200, s"prefix bucket exceeded family size: $hot")
+      val cand = pref
+        .select(col("s"), struct(col("doc_id"), col("sz")).as("d"))
+        .groupBy("s").agg(collect_list(col("d")).as("ds"))
+        .select(explode(col("ds")).as("d1"), col("ds"))
+        .select(col("d1"), explode(col("ds")).as("d2"))
+        .filter(col("d1.doc_id") < col("d2.doc_id"))
+        .select(col("d1.doc_id").as("doc_a"), col("d2.doc_id").as("doc_b"),
+          col("d1.sz").as("sza"), col("d2.sz").as("szb"))
+        .distinct()
+      val inter = cand
+        .join(toks.as("t1"), col("doc_a") === col("t1.doc_id"))
+        .join(toks.as("t2"),
+          col("doc_b") === col("t2.doc_id") && col("t1.s") === col("t2.s"))
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(count(lit(1)).as("n_inter"))
+      inter.filter(lit(10) * col("n_inter") >=
+          lit(6) * (col("sza") + col("szb") - col("n_inter")))
+        .count().toString + " verified near-dup pairs"
+    }
+    dedupDocs.unpersist()
+
     // skymap at 50M detections, level 8 (65k cells): ONE two-phase
     // hash aggregate on the packed cell — the reduce side is 65k rows
     // no matter the input, which is the whole 100-TB argument

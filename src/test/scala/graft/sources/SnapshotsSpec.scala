@@ -152,4 +152,46 @@ class SnapshotsSpec extends SpecBase {
     assert(Snapshots.readDelta(spark, path, base, 4L).as[Int].collect()
       .sameElements(Array(4)))
   }
+
+  test("compaction lifecycle: repeated compact+vacuum generations") {
+    val path = freshPath()
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def dirs(): Set[String] =
+      f.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith("snap=")).toSet
+
+    // generation 1: appends 1,2 → base 3 → vacuum
+    Snapshots.append(Seq(1).toDF("x"), path)
+    Snapshots.append(Seq(2).toDF("x"), path)
+    val base1 = Snapshots.compact(spark, path)
+    assert(Snapshots.vacuum(spark, path) == Seq(1L, 2L))
+    assert(dirs() == Set(s"snap=$base1"), s"got ${dirs()}")
+    // asOf AT the base works after vacuum; below it refuses loudly
+    assert(Snapshots.read(spark, path, Some(base1)).as[Int].collect()
+      .sorted.sameElements(Array(1, 2)))
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, path, Some(1L))
+    }
+
+    // generation 2: more appends → second base → vacuum again
+    Snapshots.append(Seq(3).toDF("x"), path)
+    Snapshots.append(Seq(4).toDF("x"), path)
+    val base2 = Snapshots.compact(spark, path)
+    assert(Snapshots.vacuum(spark, path) ==
+      Seq(base1, base1 + 1, base1 + 2))
+    assert(dirs() == Set(s"snap=$base2"))
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted
+      .sameElements(Array(1, 2, 3, 4)))
+    // a second vacuum with nothing before the base is a no-op
+    assert(Snapshots.vacuum(spark, path).isEmpty)
+    assert(Snapshots.committed(spark, path) == Seq(base2))
+
+    // life goes on: appends and delta reads after the vacuumed base
+    Snapshots.append(Seq(5).toDF("x"), path)
+    assert(Snapshots.readDelta(spark, path, base2, base2 + 1)
+      .as[Int].collect().sameElements(Array(5)))
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted
+      .sameElements(Array(1, 2, 3, 4, 5)))
+  }
 }
