@@ -254,12 +254,20 @@ class PlanQualitySpec extends SpecBase {
       s"prefix join must not plan a nested-loop join:\n$plan")
   }
 
-  test("q_url_normalize is map-only before the domain aggregate") {
+  test("q_url_normalize: Expand-free aggregation ladder, map-side combined") {
     val df = PipelineOps.qUrlNormalize.fn(spark, sfDir)
-    // distinct-count agg (2-phase) + output sort; canonicalization
-    // itself must add no exchange
-    assert(countShuffles(df) <= 3, s"too many shuffles:\n${planOf(df)}")
-    assert(!planOf(df).contains("CartesianProduct"))
+    val plan = planOf(df)
+    // the ladder (domain,url,canon)→(domain,canon)→(domain) + output
+    // sort = 4 exchanges of strictly shrinking data, each preceded by
+    // a partial aggregate; the anti-shape it replaced is ONE fewer
+    // shuffle but an Expand (×3 row multiplication through the first
+    // aggregate — the 100 TB killer)
+    assert(countShuffles(df) <= 4, s"too many shuffles:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"multi-distinct Expand must not reappear:\n$plan")
+    assert(plan.contains("partial_"),
+      s"every ladder shuffle must be map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("q_ann_disk reads only probed cell= directories of the layout") {
