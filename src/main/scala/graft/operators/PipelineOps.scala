@@ -815,9 +815,15 @@ object PipelineOps {
   /** X2o — per-document character entropy (the cheap perplexity proxy:
     * gibberish and boilerplate sit at the distribution's tails). A
     * FIXED 27-symbol alphabet (a-z + space) keeps the whole thing one
-    * map-only expression tree — counts via length(translate(...))
-    * deltas, no explode, no shuffle (a per-char explode would 1000× the
-    * row count at 100 TB for a number computable row-locally).
+    * map-only expression tree — no explode, no shuffle (a per-char
+    * explode would 1000× the row count at 100 TB for a number
+    * computable row-locally). Counts come from ONE codegen'd byte
+    * pass ([[graft.functions.CharCounts]]); the composed-builtin form
+    * (27 × length(translate(...)) deltas, which the oracle still
+    * uses) copies the string per symbol per use site and was the
+    * slowest line of the sf0.1 bench (11 s → sub-second). The count
+    * algebra is unchanged — byte-scan equals code-point count for
+    * ASCII symbols on any UTF-8 input — so the oracle hash is too.
     * Probabilities are exact integer ratios; the Σ −p·log2 p chain is
     * FMA-sensitive (Det doc) so the final entropy is d6-snapped. */
   val qCharEntropy: QuerySpec = {
@@ -836,15 +842,18 @@ object PipelineOps {
          |SELECT doc_id, total AS n_alpha,
          |  ${D.sql.d6(termsSql)} AS entropy_bits
          |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      def cnt(c: Char): Column =
-        length(col("text")) - length(translate(col("text"), c.toString, ""))
-      val total = alphabet.map(cnt).reduce(_ + _)
-      val terms = alphabet.map { c =>
-        val p = cnt(c).cast(DoubleType) / col("total")
-        when(cnt(c) > 0, -p * log2(p)).otherwise(0.0)
+      // element_at is 1-indexed; alphabet order matches the oracle's
+      // left-to-right sum so the IEEE addition order is identical
+      def cnt(i: Int): Column = element_at(col("cnt"), i + 1)
+      val total = alphabet.indices.map(cnt).reduce(_ + _)
+      val terms = alphabet.indices.map { i =>
+        val p = cnt(i).cast(DoubleType) / col("total")
+        when(cnt(i) > 0, -p * log2(p)).otherwise(0.0)
       }.reduce(_ + _)
       LsdDb.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"), total.cast(LongType).as("total"))
+        .select(col("doc_id"),
+          graft.functions.TextKernels.charCounts(col("text")).as("cnt"))
+        .select(col("doc_id"), col("cnt"), total.cast(LongType).as("total"))
         .select(col("doc_id"), col("total").as("n_alpha"),
           Det.d6(terms).as("entropy_bits"))
         .orderBy("doc_id")
