@@ -5,7 +5,7 @@ import graft.functions.Det
 import graft.functions.Det.{sql => D}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** §2A scans/sources + §2B projection/filter/scalar expressions.
   *
@@ -409,12 +409,15 @@ object Core {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
     val seq1n = sequence(lit(1L), col("l_linenumber").cast(LongType))
     val lit24 = array(lit(2L), lit(4L))
+    // array cast, not transform(_.cast(...)): the higher-order lambda
+    // runs interpreted (boxes every element, breaks codegen); the
+    // element-wise Cast is the same formatting, codegen'd
     def joined(c: Column): Column =
-      array_join(transform(c, _.cast(StringType)), ",")
+      array_join(c.cast(ArrayType(StringType)), ",")
     LsdDb.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        joined(array_sort(array_union(seq1n, lit24))).as("union_sorted"),
-        joined(array_sort(array_intersect(seq1n, lit24))).as("inter_sorted"),
+        joined(sort_array(array_union(seq1n, lit24))).as("union_sorted"),
+        joined(sort_array(array_intersect(seq1n, lit24))).as("inter_sorted"),
         array_position(seq1n, 3L).as("pos3"),
         array_contains(seq1n, 2L).as("has2"),
         joined(flatten(array(seq1n, array(lit(9L), lit(10L))))).as("flat"))
