@@ -290,7 +290,28 @@ object MiscOps {
     merged.toDF("l_returnflag", "n", "sum_qty").orderBy("l_returnflag")
   }
 
+  /** X3b — multimodal metadata scan under the oracle: binary payload
+    * columns summarized (byte size + content fingerprint) WITHOUT
+    * decoding — the pushdown-friendly pass a media pipeline runs
+    * before committing to a decode stage. Payloads here are the
+    * documents' text bytes cast to binary (the testdata ships no
+    * media blobs; the path under test — binary column in, md5/size
+    * projection out through [[graft.multimodal.Multimodal
+    * .mediaStats]] — is exactly the production one). Spark md5 over
+    * the UTF-8 bytes == DuckDB md5 over the VARCHAR (both hash UTF-8),
+    * the q_sample-proven cross-engine pair. */
+  val qMediaStats: QuerySpec = QuerySpec(
+    "q_media_stats",
+    """SELECT doc_id AS media_id, 'text/plain' AS format,
+      |  octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val media = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("text/plain").as("format"),
+        col("text").cast("binary").as("media"))
+    graft.multimodal.Multimodal.mediaStats(media).orderBy("media_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinFull, qJoinCross, qExistsSubq,
     qGroupingSets, qAggMinmaxBy, qWindowCume, qRegex, qBitwise, qNullOps,
-    qSeqExplode, qKernelChain)
+    qSeqExplode, qKernelChain, qMediaStats)
 }
