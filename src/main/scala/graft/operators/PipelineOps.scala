@@ -773,14 +773,26 @@ object PipelineOps {
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val toks = LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    // The CANDIDATE phase runs on (doc_id, xxhash64(s)) — the
+    // decontaminate-smoke lesson: the three window/join shuffles carry
+    // 8-byte longs instead of ~25-byte shingle strings. Output safety:
+    // the PPJoin prefix theorem holds under ANY consistent global
+    // token order, and verification below joins the STRING relation
+    // with exact intersection counts — a (cosmically unlikely) hash
+    // collision can only add a false candidate for the verifier to
+    // reject, never change the verified output.
+    val th = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(shingles3(col("text")), t => xxhash64(t)))
+          .as("h"))
     // df as a window count (not groupBy+join-back): same shuffle key,
     // one pass, and the expensive shingle explode appears ONCE in this
     // branch instead of twice
-    val ws = toks
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val ws = th
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
     val pref = ws.filter(col("rn") <=
       col("sz") - expr("(6 * sz + 9) div 10") + 1)
     // candidate pairs bucket-locally from ONE evaluation of the prefix
@@ -789,8 +801,8 @@ object PipelineOps {
     // by token, emit in-bucket pairs. Bucket sizes are bounded by the
     // prefix property itself — these are each doc's RAREST tokens.
     val cand = pref
-      .select(col("s"), struct(col("doc_id"), col("sz")).as("d"))
-      .groupBy("s").agg(collect_list(col("d")).as("ds"))
+      .select(col("h"), struct(col("doc_id"), col("sz")).as("d"))
+      .groupBy("h").agg(collect_list(col("d")).as("ds"))
       .select(explode(col("ds")).as("d1"), col("ds"))
       .select(col("d1"), explode(col("ds")).as("d2"))
       .filter(col("d1.doc_id") < col("d2.doc_id"))
