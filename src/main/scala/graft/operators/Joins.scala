@@ -575,15 +575,21 @@ object Joins {
   /** J6d — TEMPORAL cross-match: pairs within BOTH a sky radius and a
     * time window — the query shape LSD's per-epoch temporal sub-cells
     * existed for (SURVEY §1.1: each spatial cell splits into MJD
-    * ranges). Blocking is the (sky × time) product grid: A keyed by
-    * (home cell, own day-bucket); B exploded to (strip-pruned
-    * neighbor cells) × (bucket−1, bucket, bucket+1). Each qualifying
-    * pair meets on EXACTLY one (cell, bucket) key — A has one key and
-    * the B replicas are pairwise distinct — so no dedup pass exists,
-    * the same disjointness discipline as the cap channel. Refines are
-    * exact: d6-snapped great-circle ≤ 0.95° and an integer
-    * microsecond |Δt| ≤ 7 days (bucket width == window width, so ±1
-    * bucket replication is closure-complete). Probe side restricted to event_id < 500 so the
+    * ranges). Blocking is the (sky × time) product grid — and the
+    * REPLICATION RIDES THE SMALL SIDE: the bounded probe batch A
+    * explodes to (strip-pruned neighbor cells of a) × (bucket−1,
+    * bucket, bucket+1) and is broadcast (~9× of 500 rows); the corpus
+    * B is keyed by its ONE (home cell, own day-bucket) and never
+    * replicates, never shuffles — a pure map-side pass no matter the
+    * corpus size. Coverage: a pair within 0.95° puts b's home cell
+    * inside a's strip-pruned neighbor set (the strip bounds are
+    * point-to-boundary distances, valid from either side), and
+    * |Δt| ≤ W with bucket width W means bucket indices differ by ≤1.
+    * Each qualifying pair meets on EXACTLY one key — B has one key
+    * and A's replicas are pairwise distinct — so no dedup pass
+    * exists, the same disjointness discipline as the cap channel.
+    * Refines are exact: d6-snapped great-circle ≤ 0.95° and an
+    * integer microsecond |Δt| ≤ 7 days. Probe side restricted to event_id < 500 so the
     * DuckDB oracle's cross join stays feasible; the Spark plan never
     * builds that product. */
   val qXmatchTemporal: QuerySpec = QuerySpec(
@@ -617,20 +623,21 @@ object Joins {
     val a = e.filter(col("id") < 500)
       .select(col("id").as("a_id"), col("lon").as("a_lon"),
         col("lat").as("a_lat"), col("tus").as("a_tus"))
-      .withColumn("cell",
-        graft.spatial.SkyPix.cell(col("a_lon"), col("a_lat"), level))
-      .withColumn("bucket", floor(col("a_tus") / winUs))
+      .withColumn("cell", explode(graft.spatial.SkyPix
+        .neighborCellsWithin(col("a_lon"), col("a_lat"), level, 0.95)))
+      .withColumn("a0", floor(col("a_tus") / winUs))
+      .withColumn("bucket",
+        explode(array(col("a0") - 1, col("a0"), col("a0") + 1)))
+      .drop("a0")
     val b = e
       .select(col("id").as("b_id"), col("lon").as("b_lon"),
         col("lat").as("b_lat"), col("tus").as("b_tus"))
-      .withColumn("cell", explode(graft.spatial.SkyPix
-        .neighborCellsWithin(col("b_lon"), col("b_lat"), level, 0.95)))
-      .withColumn("b0", floor(col("b_tus") / winUs))
-      .withColumn("bucket",
-        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
-      .drop("b0")
-    // the probe batch is bounded (id < 500) → broadcast it and the
-    // corpus side never shuffles: the whole match is one map-side pass
+      .withColumn("cell",
+        graft.spatial.SkyPix.cell(col("b_lon"), col("b_lat"), level))
+      .withColumn("bucket", floor(col("b_tus") / winUs))
+    // the probe batch is bounded (id < 500) → IT carries the ~9×
+    // cell×bucket replication and is broadcast; the corpus side keeps
+    // one key per row and never shuffles: one map-side pass
     broadcast(a).join(b, Seq("cell", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("dist_deg", Det.d6(graft.spatial.CrossMatch.distDeg(
