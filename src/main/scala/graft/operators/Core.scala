@@ -188,6 +188,49 @@ object Core {
       .orderBy("event_type")
   }
 
+  /** Write-once keyed snapshot table for the merge-on-read query:
+    * snap 1 upserts every order (key, price), snap 2 re-upserts the
+    * %7 keys at doubled price, snap 3 tombstones the %11 keys. */
+  def ensureMergedSnapshotOrders(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = synchronized {
+    val path = graft.sources.CacheKeys.path(
+      "graft_snapshots_merge", s"$dir/orders.parquet")
+    if (graft.sources.Snapshots.committed(s, path).size < 3) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val o = LsdDb.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      graft.sources.Snapshots.upsert(o, path)
+      graft.sources.Snapshots.upsert(
+        o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price", col("price") * 2.0), path)
+      graft.sources.Snapshots.delete(
+        o.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"), path)
+    }
+    path
+  }
+
+  /** SC4d / §1.1 snapshots — MERGE-ON-READ upserts: the table state
+    * after an upsert batch (price correction on the %7 keys) and a
+    * delete batch (%11 keys tombstoned), resolved at read time by one
+    * key-partitioned window — the reference's updatable-catalog story
+    * under the same append-only snapshot layout. The oracle is the
+    * semantic content (CASE for the update, WHERE for the delete);
+    * the engine side actually reads three snapshot directories and
+    * merges. */
+  val qSnapshotMerge: QuerySpec = QuerySpec(
+    "q_snapshot_merge",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS price
+      |FROM orders WHERE o_orderkey % 11 <> 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    graft.sources.Snapshots
+      .readMerged(s, ensureMergedSnapshotOrders(s, dir), "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
   /** SC3c — bulk import via ORC (Spark's second bundled columnar
     * format): write-once export of the lineitem subset, read back.
     * Like FITS (and unlike CSV text), ORC stores IEEE doubles
@@ -501,6 +544,6 @@ object Core {
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
     qImportCsv, qImportFits, qImportOrc, qImportJson, qTimeTravel,
-    qSnapshotDelta, qProject, qFilter, qMath, qCase, qString, qDatetime,
-    qArray, qArrayOps, qJson, qSchemaEvolve)
+    qSnapshotDelta, qSnapshotMerge, qProject, qFilter, qMath, qCase,
+    qString, qDatetime, qArray, qArrayOps, qJson, qSchemaEvolve)
 }

@@ -213,6 +213,86 @@ object Snapshots {
     spark.read.parquet(visible.map(e => s"$path/snap=${e.id}"): _*)
   }
 
+  // ---- keyed tables: merge-on-read upserts/deletes (CDC-lite) ------
+  //
+  // The reference's catalogs were UPDATABLE under the same
+  // single-writer transaction model (object recalibration, flag
+  // fixes). Spark-native form: upserts and deletes are ordinary
+  // append snapshots — an upsert batch carries full rows, a delete
+  // batch carries keys with a `_tombstone` marker — and the MERGE
+  // happens at read time: one window over (base + deltas) keyed on
+  // the table key, newest snapshot wins, tombstones drop. That is
+  // merge-on-read, the scalable half of the Delta/Iceberg design:
+  // writes stay O(batch), reads pay one key-partitioned shuffle over
+  // the visible directories, and compactMerged() periodically folds
+  // history into a live-rows-only BASE to bound that fan-in.
+  //
+  // Contract: keys are unique within one batch (the caller's CDC
+  // dedup, same as Delta MERGE's unique-match rule); across batches
+  // last-writer-wins by snapshot id.
+
+  private val Tombstone = "_tombstone"
+
+  /** Append an upsert batch (full rows; insert-or-replace by key at
+    * read time). Plain [[append]] — the semantics live in the read. */
+  def upsert(df: DataFrame, path: String): Long = append(df, path)
+
+  /** Append a delete batch: `keys` holds just the key column(s);
+    * rows become tombstones that hide every older version of the key. */
+  def delete(keys: DataFrame, path: String): Long =
+    append(keys.withColumn(Tombstone, org.apache.spark.sql.functions.lit(true)),
+      path)
+
+  /** Merged (upsert-resolved) state as of `asOf` (default head): per
+    * key, the newest visible version wins; tombstoned keys vanish.
+    * Scan set = last base + later deltas, exactly like [[read]]; the
+    * merge costs ONE key-partitioned window over that union. */
+  def readMerged(spark: SparkSession, path: String, key: String,
+                 asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val all = entries(spark, path)
+    require(all.nonEmpty, s"no committed snapshots at $path")
+    val upTo = asOf match {
+      case Some(s) =>
+        require(all.exists(_.id == s), s"snapshot $s was never " +
+          s"committed (committed: ${all.map(_.id).mkString(",")})")
+        all.filter(_.id <= s)
+      case None => all
+    }
+    val lastBase = upTo.lastIndexWhere(_.isBase)
+    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    // per-directory reads so each row knows its snapshot id; delete
+    // batches carry only (key, _tombstone) → union by name with
+    // missing columns as NULL
+    val parts = visible.map { e =>
+      val d = spark.read.parquet(s"$path/snap=${e.id}")
+      val t = if (d.columns.contains(Tombstone)) d
+              else d.withColumn(Tombstone, lit(false))
+      t.withColumn("_snap", lit(e.id))
+    }
+    val u = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = Window.partitionBy(key).orderBy(col("_snap").desc)
+    u.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col(Tombstone))
+      .drop("_rn", "_snap", Tombstone)
+  }
+
+  /** Compact a keyed table: materialize the MERGED head (live rows
+    * only — upserts resolved, tombstones applied and discarded) as a
+    * new BASE snapshot. Post-base reads scan one directory + later
+    * deltas; [[vacuum]] then reclaims pre-base history as usual. */
+  def compactMerged(spark: SparkSession, path: String, key: String): Long = {
+    val current = readMerged(spark, path, key) // resolve OUTSIDE the lock
+    withLock(spark, path) {
+      val prior = entries(spark, path)
+      val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
+      current.write.mode("overwrite").parquet(s"$path/snap=$id")
+      commit(spark, path, prior :+ Entry(id, isBase = true))
+      id
+    }
+  }
+
   /** Incremental (delta) read: ONLY the rows that landed in snapshots
     * `(after, asOf]` — the "process just the new data" primitive an
     * incremental pipeline runs between two checkpoints. Version

@@ -153,6 +153,49 @@ class SnapshotsSpec extends SpecBase {
       .sameElements(Array(4)))
   }
 
+  test("merge-on-read: upserts replace, deletes tombstone, asOf travels") {
+    val path = freshPath()
+    Snapshots.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      path)
+    Snapshots.upsert(Seq((2L, "B"), (4L, "d")).toDF("k", "v"), path)
+    val delId = Snapshots.delete(Seq(Tuple1(1L)).toDF("k"), path)
+    // head: 1 deleted, 2 replaced, 3 untouched, 4 inserted
+    val head = Snapshots.readMerged(spark, path, "k")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(head.toSeq == Seq((2L, "B"), (3L, "c"), (4L, "d")))
+    assert(Snapshots.readMerged(spark, path, "k").columns.toSeq ==
+      Seq("k", "v"), "merge internals must not leak into the schema")
+    // asOf before the delete still sees key 1 with its latest value
+    val atTwo = Snapshots.readMerged(spark, path, "k", Some(delId - 1))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(atTwo.toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // re-inserting a deleted key resurrects it (newest version wins)
+    Snapshots.upsert(Seq((1L, "A2")).toDF("k", "v"), path)
+    assert(Snapshots.readMerged(spark, path, "k")
+      .filter(col("k") === 1L).as[(Long, String)].head() == (1L, "A2"))
+  }
+
+  test("compactMerged folds upserts+tombstones into a live-rows base") {
+    val path = freshPath()
+    Snapshots.upsert(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x"),
+      path)
+    Snapshots.upsert(Seq((2L, 21.0)).toDF("k", "x"), path)
+    Snapshots.delete(Seq(Tuple1(3L)).toDF("k"), path)
+    val base = Snapshots.compactMerged(spark, path, "k")
+    assert(Snapshots.vacuum(spark, path).size == 3)
+    // one directory, live rows only, no tombstone column on disk
+    val files = Snapshots.readMerged(spark, path, "k").inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"snap=$base")))
+    assert(Snapshots.readMerged(spark, path, "k")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 10.0), (2L, 21.0)))
+    // merges keep working on top of the base
+    Snapshots.delete(Seq(Tuple1(1L)).toDF("k"), path)
+    assert(Snapshots.readMerged(spark, path, "k")
+      .as[(Long, Double)].collect().toSeq == Seq((2L, 21.0)))
+  }
+
   test("compaction lifecycle: repeated compact+vacuum generations") {
     val path = freshPath()
     val f = org.apache.hadoop.fs.FileSystem.get(
