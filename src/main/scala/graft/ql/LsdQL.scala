@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.{col, row_number}
   *
   *   SELECT expr [AS name], ... FROM t1, t2[(outer)], ...
   *     [WHERE expr] [GROUP BY expr, ...] [HAVING expr]
-  *     [ORDER BY expr, ...] [INTO newtable]
+  *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
   *
   * (SURVEY.md §0.2/§3 entry point 1; ref `lsd/query_parser.py` — a
   * clause splitter, not a grammar — and `lsd/join_ops.py` join-path
@@ -75,7 +75,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
   /** Run a QL string → DataFrame (and materialize if INTO given). */
   def query(q: String): DataFrame = {
     val (selectList, fromItems, whereOpt, groupOpt, havingOpt, orderOpt,
-      intoOpt) = parse(q)
+      limitOpt, intoOpt) = parse(q)
     var df = db.table(fromItems.head.table)
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
@@ -161,6 +161,13 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       }
     } else if (selectList.nonEmpty && selectList != Seq("*"))
       df = df.selectExpr(selectList: _*)
+    limitOpt.foreach { n =>
+      val k = n.trim.toLong
+      require(k >= 0 && k <= Int.MaxValue, s"LIMIT out of range: $n")
+      // with ORDER BY, Catalyst plans this as TakeOrderedAndProject
+      // (distributed top-k, never a full sorted collect)
+      df = df.limit(k.toInt)
+    }
     intoOpt.foreach { name =>
       val root = intoRoot.getOrElse(db.root)
       df.write.mode("overwrite").parquet(s"$root/$name.parquet")
@@ -193,11 +200,11 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * literals (e.g. WHERE name LIKE 'from,where') are ignored. */
   private def parse(q: String)
       : (Seq[String], Seq[FromItem], Option[String], Option[String],
-         Option[String], Option[String], Option[String]) = {
+         Option[String], Option[String], Option[String], Option[String]) = {
     val text = q.trim.stripSuffix(";")
     val quoted = quotedSpans(text)
     val kw =
-      "(?i)\\b(SELECT|FROM|WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|INTO)\\b".r
+      "(?i)\\b(SELECT|FROM|WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT|INTO)\\b".r
     val marks = kw.findAllMatchIn(text).toList.filterNot(m => quoted(m.start))
     require(marks.nonEmpty && marks.head.matched.equalsIgnoreCase("SELECT"),
       "query must start with SELECT")
@@ -218,7 +225,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       }
     }
     (selectList, fromItems, sections.get("WHERE"), sections.get("GROUP BY"),
-      sections.get("HAVING"), sections.get("ORDER BY"), sections.get("INTO"))
+      sections.get("HAVING"), sections.get("ORDER BY"),
+      sections.get("LIMIT"), sections.get("INTO"))
   }
 
   /** Split on commas not nested inside parens or string literals. */

@@ -206,6 +206,19 @@ class LsdQLSpec extends SpecBase {
     }
   }
 
+  test("LIMIT caps rows; with ORDER BY it plans distributed top-k") {
+    val df = ql.query(
+      "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5")
+    assert(df.count() == 5)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT must plan top-k, not a full sort")
+    assert(ql.query("SELECT o_orderkey FROM orders LIMIT 7").count() == 7)
+    intercept[IllegalArgumentException] {
+      ql.query("SELECT o_orderkey FROM orders LIMIT -1")
+    }
+  }
+
   test("_ID usable in WHERE; key-fallback for non-spatial tables") {
     // non-spatial fallback: _ID == declared unique key
     val df = ql.query("SELECT _ID, o_orderkey FROM orders WHERE _ID % 2 = 0")
