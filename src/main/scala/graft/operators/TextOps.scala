@@ -410,14 +410,26 @@ object TextOps {
          |WHERE a.bsz <= $maxBucket
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
+    // 16 integer nibbles once per token, then 64 bit-test aggregates —
+    // NOT 64 × (substring + string-set membership): same md5-derived
+    // bits (hex char → nibble value is exact integer logic, identical
+    // to the oracle's IN-list per bit), half the aggregate CPU.
+    // ascii: '0'-'9' → 48-57, 'a'-'f' → 97-102 (Spark md5 is lowercase)
     val wrds = LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
-    val sumAggs = (0 until 64).map { j =>
-      val (p, chars) = md5Bit(j)
-      sum(when(substring(md5(col("w").cast("binary")), p, 1)
-        .isin(chars: _*), 1).otherwise(-1)).as(s"v$j")
+      .withColumn("h", md5(col("w").cast("binary")))
+    val nibs = (0 until 16).map { p =>
+      val a = ascii(substring(col("h"), p + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).as(s"n$p")
     }
-    val sums = wrds.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
+    val withNibs = wrds.select(col("doc_id") +: nibs: _*)
+    val sumAggs = (0 until 64).map { j =>
+      val p = j / 4          // hex position (0-based)
+      val bit = 3 - j % 4    // MSB-first within the nibble
+      sum(when(shiftright(col(s"n$p"), bit).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val sums = withNibs.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
     val bandStructs = (0 until simBands).map { k =>
       val bv = (0 until simBandBits)
         .map(i => when(col(s"v${k * simBandBits + i}") >= 0, lit(1 << i))
