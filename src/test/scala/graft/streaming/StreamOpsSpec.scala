@@ -235,6 +235,39 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  test("streaming CDC: snapshotSink micro-batches resolve via readMerged") {
+    import graft.sources.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcsink")
+    val path = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // CDC rows: (key, value, _tombstone) — upserts carry false,
+    // deletes true; each micro-batch lands as one tagged commit and
+    // merge-on-read resolves newest-wins
+    val input = MemoryStream[(Long, String, Boolean)]
+    val q = StreamOps.snapshotSink(
+      input.toDF().toDF("k", "v", "_tombstone"), path, ckpt)
+    try {
+      input.addData((1L, "a", false), (2L, "b", false))
+      q.processAllAvailable()
+      input.addData((2L, "B", false), (1L, "", true)) // update 2, delete 1
+      q.processAllAvailable()
+      val merged = Snapshots.readMerged(spark, path, "k")
+        .select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+      assert(merged.toSeq == Seq((2L, "B")))
+      // time travel to before the CDC batch sees the original state
+      val atOne = Snapshots.readMerged(spark, path, "k", Some(1L))
+        .select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+      assert(atOne.toSeq == Seq((1L, "a"), (2L, "b")))
+      // compaction folds the CDC history into a live-rows base
+      Snapshots.compactMerged(spark, path, "k")
+      Snapshots.vacuum(spark, path)
+      assert(Snapshots.readMerged(spark, path, "k")
+        .select("k", "v").as[(Long, String)].collect().toSeq ==
+        Seq((2L, "B")))
+    } finally q.stop()
+  }
+
   test("session windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
