@@ -124,4 +124,71 @@ object PropertySuite extends Properties("graft") {
       }
       Prop(!jaccardAtLeast06 || (prefix(a) & prefix(b)).nonEmpty)
   }
+
+  // CharCounts byte-scan == per-code-point count for the 27-symbol
+  // alphabet on ANY input, unicode included (the claim the entropy
+  // kernel's oracle equivalence rests on).
+  private val mixedText: Gen[String] = Gen.listOf(Gen.frequency[String](
+    8 -> Gen.alphaLowerChar.map(_.toString),
+    3 -> Gen.const(" "),
+    2 -> Gen.alphaUpperChar.map(_.toString),
+    2 -> Gen.oneOf("\u00e9", "\u00df", "\u6c49", "\ud83d\ude42", "0", "!"),
+    1 -> Gen.const("\n"))).map(_.mkString)
+
+  property("charCounts.matchesCodePointScan") = Prop.forAll(mixedText) { t =>
+    val got = graft.functions.CharCounts(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(t))
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val want = new Array[Long](27)
+    t.codePoints().forEach { cp =>
+      if (cp >= 'a' && cp <= 'z') want(cp - 'a') += 1
+      else if (cp == ' ') want(26) += 1
+    }
+    got.toSeq == want.toSeq
+  }
+
+  // WAV round trip: encode → decode recovers rate and samples exactly.
+  private val pcm: Gen[(Int, Array[Short])] = for {
+    rate <- Gen.oneOf(8000, 16000, 44100)
+    n <- Gen.chooseNum(0, 200)
+    xs <- Gen.listOfN(n, Gen.chooseNum(Short.MinValue, Short.MaxValue))
+  } yield (rate, xs.map(_.toShort).toArray)
+
+  property("wavCodec.roundTrip") = Prop.forAll(pcm) { case (rate, xs) =>
+    import graft.multimodal.Multimodal.{AudioClip, WavCodec}
+    val back = WavCodec.decode(WavCodec.encode(AudioClip(rate, xs)))
+    back.exists(c => c.sampleRate == rate && c.samples.sameElements(xs))
+  }
+
+  // Codec totality on dirty bytes: arbitrary payloads and truncated
+  // valid containers must return None (or a valid clip for AVI
+  // prefixes that still hold >= 1 whole frame), never throw — the
+  // degrade-don't-die contract for 100 TB corpora.
+  private val junk: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+
+  property("codecs.neverThrowOnJunk") = Prop.forAll(junk) { bytes =>
+    import graft.multimodal.Multimodal.{AviCodec, WavCodec}
+    WavCodec.decode(bytes)
+    AviCodec.decode(bytes)
+    // RIFF-looking junk exercises the chunk walker, not the magic check
+    val riff = "RIFF".getBytes("US-ASCII") ++ bytes ++
+      "WAVE".getBytes("US-ASCII")
+    WavCodec.decode(riff)
+    true
+  }
+
+  property("aviCodec.truncationSafe") = {
+    import graft.multimodal.Multimodal.AviCodec
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+    val full = AviCodec.encode(Seq(img, img), fps = 10)
+    Prop.forAll(Gen.chooseNum(0, full.length - 1)) { cut =>
+      AviCodec.decode(java.util.Arrays.copyOfRange(full, 0, cut))
+      true // no exception; None or a shorter-but-valid clip both fine
+    }
+  }
 }
