@@ -84,4 +84,52 @@ class EdgeCaseSpec extends SpecBase {
     }
     assert(e.getMessage.contains("equi or spatial"))
   }
+
+  test("DustMap lookup is total at the poles, lon wrap and lon=360") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq((1L, 0.0, 90.0), (2L, 0.0, -90.0), (3L, 360.0, 0.0),
+      (4L, -0.001, 45.0), (5L, 720.5, -45.0)).toDF("id", "l", "b")
+    val out = graft.functions.DustMap.withEbv(edges, col("l"), col("b"))
+    assert(out.count() == 5 && out.filter(col("ebv").isNull).count() == 0)
+    // wrap equivalence: lon and lon+360 land in the same cell
+    val e1 = graft.functions.DustMap.withEbv(
+      Seq((1L, 10.0, 20.0)).toDF("id", "l", "b"), col("l"), col("b"))
+      .select("ebv").head.getDouble(0)
+    val e2 = graft.functions.DustMap.withEbv(
+      Seq((1L, 370.0, 20.0)).toDF("id", "l", "b"), col("l"), col("b"))
+      .select("ebv").head.getDouble(0)
+    assert(e1 == e2)
+  }
+
+  test("readMerged: all-tombstoned table is empty, not an error") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_edge_merge")
+      .resolve("t").toString
+    Snapshots.upsert(Seq((1L, "a")).toDF("k", "v"), path)
+    Snapshots.delete(Seq(Tuple1(1L)).toDF("k"), path)
+    assert(Snapshots.readMerged(spark, path, "k").count() == 0)
+    // compacting an empty merged state still commits a (empty) base
+    val base = Snapshots.compactMerged(spark, path, "k")
+    assert(Snapshots.readMerged(spark, path, "k", Some(base)).count() == 0)
+  }
+
+  test("AviCodec rejects header-only and zero-frame containers") {
+    import graft.multimodal.Multimodal.AviCodec
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    val full = AviCodec.encode(Seq(img), fps = 5)
+    assert(AviCodec.decode(full).exists(_.frames.length == 1))
+    // strip the movi LIST: header parses but no frames → None
+    val moviAt = {
+      var i = -1
+      (0 until full.length - 4).find(o =>
+        new String(full, o, 4, "US-ASCII") == "movi").foreach(i = _)
+      i
+    }
+    assert(moviAt > 0)
+    assert(AviCodec.decode(java.util.Arrays.copyOfRange(full, 0, moviAt - 8))
+      .isEmpty, "container with headers but zero frames must be None")
+  }
 }
