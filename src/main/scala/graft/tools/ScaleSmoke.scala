@@ -292,6 +292,38 @@ object ScaleSmoke {
     }
     dedupDocs.unpersist()
 
+    // merge-on-read at 10M keys: base + 5 upsert deltas + a tombstone
+    // batch, resolved by ONE key-partitioned window over the visible
+    // directories — the read cost the CDC design note in Snapshots
+    // claims. compactMerged then folds it to a live-rows base and the
+    // post-compaction read drops to a single-directory scan.
+    {
+      val mergeDir = java.nio.file.Files
+        .createTempDirectory("graft_scale_merge").resolve("t").toString
+      val base = spark.range(10000000L)
+        .select(col("id").as("k"), (col("id") * 3).as("v"))
+      graft.sources.Snapshots.upsert(base, mergeDir)
+      for (i <- 1 to 5)
+        graft.sources.Snapshots.upsert(
+          spark.range(10000000L).filter(col("id") % 100 === i)
+            .select(col("id").as("k"), (col("id") * 7 + i).as("v")),
+          mergeDir)
+      graft.sources.Snapshots.delete(
+        spark.range(10000000L).filter(col("id") % 50 === 49)
+          .select(col("id").as("k")), mergeDir)
+      t("merge-on-read 10M keys, 5 upsert deltas + tombstones") {
+        graft.sources.Snapshots.readMerged(spark, mergeDir, "k")
+          .count().toString + " live rows"
+      }
+      t("compactMerged 10M keys -> live-rows base") {
+        graft.sources.Snapshots.compactMerged(spark, mergeDir, "k").toString
+      }
+      t("post-compaction merged read (single directory)") {
+        graft.sources.Snapshots.readMerged(spark, mergeDir, "k")
+          .count().toString + " live rows"
+      }
+    }
+
     // skymap at 50M detections, level 8 (65k cells): ONE two-phase
     // hash aggregate on the packed cell — the reduce side is 65k rows
     // no matter the input, which is the whole 100-TB argument
