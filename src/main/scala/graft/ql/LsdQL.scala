@@ -102,17 +102,25 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       }
     }
     for (item <- fromItems.tail) {
-      val equi = joins.find(j =>
-        (joined.contains(j.left) && j.right == item.table) ||
-          (joined.contains(j.right) && j.left == item.table))
+      // multi-hop path resolution through declared relations (the
+      // reference resolved join paths through its JoinRelation graph
+      // the same way): BFS from the already-joined set to the target,
+      // pulling in intermediate tables implicitly. FROM lineitem,
+      // region works with only the adjacent JoinDefs declared.
+      val path = joinPath(joined, item.table)
       val how = if (item.outer) "left_outer" else "inner"
-      equi match {
-        case Some(jd) =>
-          val (lk, rk) =
-            if (joined.contains(jd.left)) (jd.leftKey, jd.rightKey)
-            else (jd.rightKey, jd.leftKey)
-          val right = db.table(item.table)
-          df = df.join(right, df(lk) === right(rk), how)
+      path match {
+        case Some(hops) =>
+          for (jd <- hops) {
+            val (lk, rk, tbl) =
+              if (joined.contains(jd.left)) (jd.leftKey, jd.rightKey, jd.right)
+              else (jd.rightKey, jd.leftKey, jd.left)
+            val right = db.table(tbl)
+            // (outer) applies to every hop of the path, so unmatched
+            // left rows survive the whole chain
+            df = df.join(right, df(lk) === right(rk), how)
+            joined += tbl
+          }
         case None =>
           val sjd = spatialJoins.find(j =>
             joined.contains(j.left) && j.right == item.table)
@@ -173,6 +181,35 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       df.write.mode("overwrite").parquet(s"$root/$name.parquet")
     }
     df
+  }
+
+  /** Shortest hop sequence from any table in `from` to `to` through
+    * the declared JoinDef graph (BFS, undirected). Each returned hop
+    * connects the set grown so far to one new table; applying them in
+    * order reaches `to`. None when no path exists. */
+  private def joinPath(from: Set[String], to: String)
+      : Option[List[JoinDef]] = {
+    if (from.contains(to)) return Some(Nil)
+    val queue = scala.collection.mutable.Queue(
+      from.toList.map(t => (t, List.empty[JoinDef])): _*)
+    val seen = scala.collection.mutable.Set(from.toSeq: _*)
+    while (queue.nonEmpty) {
+      val (at, hops) = queue.dequeue()
+      for (jd <- joins) {
+        val next =
+          if (jd.left == at) Some(jd.right)
+          else if (jd.right == at) Some(jd.left)
+          else None
+        next.foreach { n =>
+          if (!seen.contains(n)) {
+            if (n == to) return Some((jd :: hops).reverse)
+            seen += n
+            queue.enqueue((n, jd :: hops))
+          }
+        }
+      }
+    }
+    None
   }
 
   /** True when the query text references the `_ID` pseudo-column

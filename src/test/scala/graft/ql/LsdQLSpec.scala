@@ -206,6 +206,28 @@ class LsdQLSpec extends SpecBase {
     }
   }
 
+  test("multi-hop join paths resolve through the declared relations") {
+    // lineitem→region has no direct JoinDef; the path runs
+    // lineitem→orders→customer→nation→region, pulled in implicitly
+    val df = ql.query(
+      """SELECT r_name, count(*) AS n FROM lineitem, region
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    import org.apache.spark.sql.functions._
+    val li = db.table("lineitem"); val o = db.table("orders")
+    val c = db.table("customer"); val n = db.table("nation")
+    val r = db.table("region")
+    val want = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n"))
+      .orderBy("r_name").collect()
+    val got = df.collect()
+    assert(got.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      want.map(x => (x.getString(0), x.getLong(1))).toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("LIMIT caps rows; with ORDER BY it plans distributed top-k") {
     val df = ql.query(
       "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5")
