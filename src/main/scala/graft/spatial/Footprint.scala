@@ -261,6 +261,48 @@ object Footprint {
     cells.result().distinct
   }
 
+  /** Distributed twin of [[coneCells]]: the same conservative cell
+    * superset as a DataFrame (`cell` BIGINT), generated on executors —
+    * one row per quadtree row, lon span exploded per row. Use when the
+    * enumeration is too large for a driver IN-list (deep levels ×
+    * wide cones): `table.join(coneCellsDf(...), Seq("cell"),
+    * "left_semi")` prunes a cell-partitioned layout via dynamic
+    * partition pruning instead of a literal filter. Driver-side work
+    * is O(1) (two row indices); everything else is Column arithmetic
+    * mirroring [[coneCells]] exactly. */
+  def coneCellsDf(spark: org.apache.spark.sql.SparkSession,
+                  lon0: Double, lat0: Double, radiusDeg: Double,
+                  level: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val n = 1L << level
+    val latLo = lat0 - radiusDeg
+    val latHi = lat0 + radiusDeg
+    def iyOf(lat: Double): Long = {
+      val fy = (math.sin(math.toRadians(math.max(-90, math.min(90, lat)))) + 1) / 2
+      math.min((fy * n).toLong, n - 1).max(0)
+    }
+    val iyLo = if (latLo <= -90 + 1e-12) 0L else iyOf(latLo)
+    val iyHi = if (latHi >= 90 - 1e-12) n - 1 else iyOf(latHi)
+    val ix0 = math.floor((((lon0 % 360) + 360) % 360) / 360.0 * n).toLong
+    def latEdge(iy: Column): Column =
+      degrees(asin(greatest(lit(-1.0), least(lit(1.0),
+        iy.cast("double") * 2.0 / n - 1.0))))
+    val iy = col("id")
+    val rowLatMax = greatest(abs(latEdge(iy)), abs(latEdge(iy + 1)))
+    val cosMin = cos(radians(least(lit(89.999), rowLatMax)))
+    val halfW = when(rowLatMax >= 89.9, lit(n.toDouble))
+      .otherwise(lit(radiusDeg / (360.0 / n)) / cosMin + 1)
+    val w = least(lit(n.toDouble), halfW * 2 + 1)
+    val ixs = when(w >= n.toDouble, sequence(lit(0L), lit(n - 1)))
+      .otherwise(transform(
+        sequence(-halfW.cast(LongType), halfW.cast(LongType)),
+        d => pmod(d + ix0, lit(n))))
+    spark.range(iyLo, iyHi + 1)
+      .select(iy.as("iy"), explode(ixs).as("ix"))
+      .select(SkyPix.mortonCell(col("ix"), col("iy"), level).as("cell"))
+      .distinct()
+  }
+
   private def latOfRowEdge(iy: Long, n: Long): Double = {
     val sinLat = 2.0 * iy / n - 1.0
     math.toDegrees(math.asin(math.max(-1, math.min(1, sinLat))))

@@ -209,4 +209,36 @@ class FootprintSpec extends SpecBase {
       s"$unstable grid points decide unstably near the boundary, " +
         s"first at $firstBad — vertex tweak or sf bump could flip a row")
   }
+
+  test("coneCellsDf equals the driver-side enumeration") {
+    // equatorial, mid-latitude, polar-touching, wraparound, all-sky-row
+    val cases = Seq(
+      (10.0, 0.0, 1.5, 6), (200.0, 55.0, 3.0, 5), (0.0, 88.5, 2.0, 6),
+      (359.5, -20.0, 1.0, 7), (180.0, -89.0, 5.0, 4), (45.0, 30.0, 0.3, 9))
+    for ((lo, la, r, lv) <- cases) {
+      val driver = Footprint.coneCells(lo, la, r, lv).toSet
+      val dist = Footprint.coneCellsDf(spark, lo, la, r, lv)
+        .collect().map(_.getLong(0)).toSet
+      assert(dist == driver,
+        s"cone ($lo,$la,r=$r,lv=$lv): distributed=${dist.size} " +
+          s"driver=${driver.size}, diff=${(dist diff driver).take(3)}" +
+          s"/${(driver diff dist).take(3)}")
+    }
+  }
+
+  test("coneCellsDf semi-join prunes like the IN-list filter") {
+    import org.apache.spark.sql.functions._
+    val pts = spark.range(20000).select(
+      (col("id") % 3600).cast("double")./(10.0).as("lon"),
+      // coprime multiplier decorrelates lat from lon (1200 | 3600)
+      ((col("id") * 7 % 1200).cast("double") / 10.0 - 60.0).as("lat"))
+      .withColumn("cell", SkyPix.cell(col("lon"), col("lat"), 5))
+    val viaIn = pts.filter(
+      col("cell").isin(Footprint.coneCells(100.0, 10.0, 4.0, 5): _*))
+      .count()
+    val viaJoin = pts.join(
+      Footprint.coneCellsDf(spark, 100.0, 10.0, 4.0, 5),
+      Seq("cell"), "left_semi").count()
+    assert(viaIn == viaJoin && viaIn > 0)
+  }
 }
