@@ -998,9 +998,44 @@ object PipelineOps {
       .orderBy("sig")
   }
 
+  /** X2r — consecutive-repeat collapse (the crawl-cleanup RLE pass:
+    * "batch batch batch" → "batch"; stutter artifacts from template
+    * expansion and OCR are the classic source). Map-only, no shuffle.
+    *
+    * Spark side pairs each token with its predecessor via zip_with
+    * over a SHIFTED SLICE of the same array — not an index lambda
+    * reading the outer array, which re-evaluates the tokenize subtree
+    * per element (the shingles3 lesson above). The sentinel "" is
+    * safe as the first predecessor because the tokenizer drops
+    * empties. The oracle uses DuckDB's indexed list_filter directly
+    * (per-element re-eval is a Spark codegen concern, not DuckDB's). */
+  val qCollapseRepeats: QuerySpec = QuerySpec(
+    "q_collapse_repeats",
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |c AS (SELECT doc_id, len(w) AS n_raw,
+       |    list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS cw
+       |  FROM t)
+       |SELECT doc_id, n_raw, len(cw) AS n_collapsed,
+       |  md5(array_to_string(cw, ' ')) AS sig
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    val prev = concat(array(lit("")),
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))))
+    val kept = filter(zip_with(w, prev, (x, p) => when(x =!= p, x)),
+      x => x.isNotNull)
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), size(w).cast(LongType).as("n_raw"),
+        kept.as("cw"))
+      .select(col("doc_id"), col("n_raw"),
+        size(col("cw")).cast(LongType).as("n_collapsed"),
+        md5(array_join(col("cw"), " ").cast("binary")).as("sig"))
+      .orderBy("doc_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
-    qCharEntropy, qDupCrossSource, qUnigramLm, qDedupKeepBest)
+    qCharEntropy, qDupCrossSource, qUnigramLm, qDedupKeepBest,
+    qCollapseRepeats)
 }
