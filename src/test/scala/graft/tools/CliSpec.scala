@@ -14,6 +14,13 @@ class CliSpec extends SpecBase {
       "5"))
   }
 
+  test("QueryCli handles aggregation, multi-hop paths and LIMIT") {
+    QueryCli.main(Array(sfDir,
+      """SELECT r_name, count(*) AS n FROM lineitem, region
+        |GROUP BY r_name HAVING count(*) > 0
+        |ORDER BY n DESC LIMIT 3""".stripMargin, "5"))
+  }
+
   test("ImportCli + XmatchCli round trip") {
     val root = Files.createTempDirectory("graft_cli").toString
     val csv = s"$root/objs.csv"
