@@ -68,19 +68,35 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 1 ms per-query precision keeps the full map line ~2.6 KB at 123
-    // queries — small enough that the driver's stdout-tail window
-    // (~3 KB, observed) holds BOTH complete lines below.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // The driver keeps only the LAST 2000 chars of stdout (measured
+    // from BENCH_r06.json) and parses the final line. 131 quoted query
+    // names alone exceed that window, so a name:value map can never
+    // survive whole. Instead:
+    //   line 1  full name:value map + errors -> bench_queries.json on
+    //           disk (survives as a repo artifact; full precision);
+    //   line 2  per-query seconds as a positional JSON array in
+    //           sorted-name order — the SAME order as the registry and
+    //           the driver's CORRECTNESS file, so names are exactly
+    //           recoverable; ~900 B, fits the window with room;
+    //   line 3  the 20 slowest queries BY NAME (what regression
+    //           triage actually reads first);
+    //   line 4  the short always-parseable headline, LAST.
     val errs = errors.sorted.map(e => s""""$e"""").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // The driver keeps the TAIL of stdout and parses its last line, so
-    // the short always-parseable headline is printed LAST; the full
-    // per-query map line directly above it is compact enough to
-    // survive the tail window intact as well.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
+    try {
+      val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_queries.json"),
+        s"""{"sf":"$sfDir","total":$total,"queries":$qs,"errors":$errs}""")
+    } catch { case _: Throwable => () } // read-only cwd: stdout still has it
+    val arr = results.map { case (_, v) => f"$v%.3f" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"per_query","unit":"sec","order":"sorted-name","n":${results.size},"sec":$arr}""")
+    val slow = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"slowest","unit":"sec","sec":$slow}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs}""")
     spark.stop()
   }
 }

@@ -1,0 +1,260 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact per-group quantiles by iterative histogram rank-select —
+  * the scale-safe replacement for Spark's buffering `percentile` /
+  * `median` aggregates (SURVEY.md §2D row A9).
+  *
+  * Spark's exact `percentile(col, p)` holds each group's entire value
+  * multiset in executor memory (an OpenHashMap per aggregation
+  * buffer). With a 3-value grouping key over a 100 TB table that is
+  * per-group state linear in table size — the canonical hot-group
+  * OOM. The classic distributed fix (BigQuery-style exact quantiles;
+  * also the selection step of external quickselect) is rank-select by
+  * range refinement:
+  *
+  *   pass 0  one scan: per-group `count / min / max` (O(1) state);
+  *   pass k  one scan: fixed-width histogram of the candidate range —
+  *           `groupBy(range, bin).agg(count, min, max)` — so executor
+  *           state is O(ranges × bins) counters, NEVER row-linear;
+  *           the driver walks the cumulative counts, finds the one
+  *           bin containing each wanted rank, and narrows the range
+  *           to that bin's observed [min, max];
+  *   final   the surviving ranges hold ≤ collectThreshold rows each;
+  *           collect exactly those rows, sort driver-side, index.
+  *
+  * Because bin assignment `floor((v-lo)/width)` is monotone in v,
+  * a bin's rows are exactly the rows with v in its observed closed
+  * interval [bmin, bmax], earlier bins hold strictly smaller values,
+  * and the rank arithmetic stays exact — no fp-boundary row can
+  * migrate between a histogram pass and the next filter. A range
+  * whose bmin == bmax is resolved immediately (all duplicates), so
+  * heavy duplication CONVERGES rather than defeating the refinement;
+  * ranges with ≥2 distinct values always split. Uniform data resolves
+  * in one histogram pass (bin population n/bins); adversarial data in
+  * O(log_bins n) passes.
+  *
+  * Interpolation matches `quantile_cont` (and Spark's `percentile`):
+  * h = p·(n−1), v = v_floor(h) + (v_ceil(h) − v_floor(h))·(h − ⌊h⌋),
+  * evaluated in driver doubles — the same IEEE expression DuckDB's
+  * interpolator uses, so results are bit-identical to the oracle.
+  *
+  * Driver-side state is O(groups × bins) histogram counters plus the
+  * ≤ collectThreshold final values per range — the group set must be
+  * driver-enumerable, which is exactly the hot-group regime this
+  * exists for (few groups × unbounded rows). The many-groups ×
+  * few-rows regime is the one Spark's buffering aggregate already
+  * handles. NULL values are ignored (SQL semantics); NULL group keys
+  * form their own group (null-safe `<=>` join).
+  */
+object ExactQuantiles {
+
+  /** One requested quantile: `p` of `valueCol`, emitted as `outName`. */
+  final case class Req(valueCol: String, p: Double, outName: String) {
+    require(p >= 0.0 && p <= 1.0, s"quantile p out of [0,1]: $p")
+  }
+
+  /** Run metrics for scale assertions: `histPasses` = histogram scans
+    * taken by the slowest column; `maxRangeRows` = largest row count
+    * any final range was collected with; `totalCollected` = total
+    * rows ever brought to the driver. */
+  final case class Stats(histPasses: Int, maxRangeRows: Long,
+      totalCollected: Long)
+
+  def quantiles(df: DataFrame, groupCols: Seq[String], reqs: Seq[Req],
+      bins: Int = 1024, collectThreshold: Long = 1L << 16,
+      maxPasses: Int = 20): DataFrame =
+    computeWithStats(df, groupCols, reqs, bins, collectThreshold,
+      maxPasses)._1
+
+  def computeWithStats(df: DataFrame, groupCols: Seq[String],
+      reqs: Seq[Req], bins: Int = 1024,
+      collectThreshold: Long = 1L << 16, maxPasses: Int = 20)
+      : (DataFrame, Stats) = {
+    require(reqs.nonEmpty, "at least one quantile request")
+    require(bins >= 2, "bins >= 2")
+    val spark = df.sparkSession
+    val valueCols = reqs.map(_.valueCol).distinct
+    val nG = groupCols.length
+
+    // ---- pass 0: one scan for every column's per-group count/min/max
+    val statAggs = valueCols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        min(col(c).cast(DoubleType)).as(s"__lo_$c"),
+        max(col(c).cast(DoubleType)).as(s"__hi_$c"))
+    }
+    val statRows =
+      df.groupBy(groupCols.map(col): _*).agg(statAggs.head, statAggs.tail: _*)
+        .collect()
+    val groups: Array[Seq[Any]] =
+      statRows.map(r => (0 until nG).map(r.get))
+    // (valueCol, groupIdx) -> (n, min, max)
+    val stat = mutable.Map.empty[(String, Int), (Long, Double, Double)]
+    for ((r, gi) <- statRows.zipWithIndex; c <- valueCols) {
+      val n = r.getAs[Long](s"__n_$c")
+      if (n > 0)
+        stat((c, gi)) = (n, r.getAs[Double](s"__lo_$c"),
+          r.getAs[Double](s"__hi_$c"))
+    }
+
+    // group-typed schema for the broadcast range relations
+    val rangeSchema = StructType(
+      groupCols.zipWithIndex.map { case (c, i) =>
+        df.schema(c).copy(name = s"__g$i")
+      } ++ Seq(StructField("__rid", IntegerType, nullable = false),
+        StructField("__rlo", DoubleType, nullable = false),
+        StructField("__rhi", DoubleType, nullable = false)))
+
+    /** Rows of `valueCol` falling in each task's [lo,hi], tagged with
+      * the task id — a broadcast join against the O(tasks) range
+      * relation, so the big side never shuffles. */
+    def joined(valueCol: String,
+        tasks: Seq[(Int, Int, Double, Double)]): DataFrame = {
+      val rRows = tasks.map { case (rid, gi, lo, hi) =>
+        // Seq[Any], NOT Seq(...): inference would numeric-widen the
+        // Int rid to Double and break the row<->schema correspondence
+        Row.fromSeq(groups(gi) ++ Seq[Any](rid, lo, hi))
+      }
+      val rdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rRows, 1), rangeSchema)
+      val base = df
+        .select(groupCols.map(col) :+
+          col(valueCol).cast(DoubleType).as("__v"): _*)
+        .where(col("__v").isNotNull)
+      val cond = groupCols.zipWithIndex
+        .map { case (c, i) => base(c) <=> rdf(s"__g$i") }
+        .reduce(_ && _) &&
+        col("__v") >= col("__rlo") && col("__v") <= col("__rhi")
+      base.join(broadcast(rdf), cond)
+    }
+
+    // A candidate range: rows of one group with value in [lo, hi];
+    // `offset` = how many of the group's rows sort strictly below lo;
+    // `ranks` = the global 0-based ranks still to be located inside.
+    final case class Task(gi: Int, lo: Double, hi: Double, offset: Long,
+        cnt: Long, ranks: Set[Long])
+
+    // (valueCol, groupIdx, rank) -> value
+    val resolved = mutable.Map.empty[(String, Int, Long), Double]
+    var histPasses = 0
+    var maxRangeRows = 0L
+    var totalCollected = 0L
+
+    for (c <- valueCols) {
+      // ranks needed for this column: floor/ceil of h = p(n-1)
+      val needed = mutable.Map.empty[Int, mutable.Set[Long]]
+      for (r <- reqs if r.valueCol == c; gi <- groups.indices) {
+        stat.get((c, gi)).foreach { case (n, _, _) =>
+          val h = r.p * (n - 1).toDouble
+          val s = needed.getOrElseUpdate(gi, mutable.Set.empty[Long])
+          s += math.floor(h).toLong
+          s += math.ceil(h).toLong
+        }
+      }
+      val collectable = mutable.Buffer.empty[Task]
+      def triage(t: Task): Option[Task] =
+        if (t.lo == t.hi) { // all duplicates of one value
+          t.ranks.foreach(k => resolved((c, t.gi, k)) = t.lo); None
+        } else if (t.cnt <= collectThreshold) { collectable += t; None }
+        else Some(t)
+
+      var active: Seq[Task] = needed.toSeq.flatMap { case (gi, ranks) =>
+        val (n, lo, hi) = stat((c, gi))
+        triage(Task(gi, lo, hi, 0L, n, ranks.toSet))
+      }
+      var passes = 0
+      while (active.nonEmpty && passes < maxPasses) {
+        passes += 1
+        val ids = active.zipWithIndex.map { case (t, i) =>
+          (i, t.gi, t.lo, t.hi)
+        }
+        val width = (col("__rhi") - col("__rlo")) / bins
+        val bin = when(col("__rhi") === col("__rlo"), 0)
+          .otherwise(least(lit(bins - 1), greatest(lit(0),
+            floor((col("__v") - col("__rlo")) / width).cast(IntegerType))))
+        val hist = joined(c, ids)
+          .groupBy(col("__rid"), bin.as("__bin"))
+          .agg(count(lit(1)).as("__c"), min("__v").as("__bmin"),
+            max("__v").as("__bmax"))
+          .collect()
+          .groupBy(_.getAs[Int]("__rid"))
+        // narrow every wanted rank to its bin's observed [bmin, bmax]
+        val children = mutable.Map.empty[(Int, Double, Double), Task]
+        for ((t, i) <- active.zipWithIndex) {
+          val bs = hist(i).map(r => (r.getAs[Int]("__bin"),
+            r.getAs[Long]("__c"), r.getAs[Double]("__bmin"),
+            r.getAs[Double]("__bmax"))).sortBy(_._1)
+          var cum = 0L
+          val cums = bs.map { b => val below = cum; cum += b._2; (b, below) }
+          for (k <- t.ranks) {
+            val j = k - t.offset // local 0-based rank inside this range
+            val ((_, bc, bmin, bmax), below) =
+              cums.find { case ((_, c0, _, _), below0) =>
+                j < below0 + c0
+              }.getOrElse(cums.last)
+            val key = (t.gi, bmin, bmax)
+            val child = children.get(key) match {
+              case Some(prev) => prev.copy(ranks = prev.ranks + k)
+              case None =>
+                Task(t.gi, bmin, bmax, t.offset + below, bc, Set(k))
+            }
+            children(key) = child
+          }
+        }
+        active = children.values.toSeq.flatMap(triage)
+      }
+      // fp narrowing is ~bins× per pass, so maxPasses is unreachable
+      // in practice; if hit, fall back to collecting what remains
+      collectable ++= active
+      histPasses = math.max(histPasses, passes)
+
+      if (collectable.nonEmpty) {
+        val ids = collectable.zipWithIndex.map { case (t, i) =>
+          (i, t.gi, t.lo, t.hi)
+        }
+        val vals = joined(c, ids.toSeq)
+          .select(col("__rid"), col("__v")).collect()
+          .groupBy(_.getInt(0))
+          .map { case (rid, rows) =>
+            rid -> rows.map(_.getDouble(1)).sorted
+          }
+        for ((t, i) <- collectable.zipWithIndex) {
+          val sortedVals = vals(i)
+          maxRangeRows = math.max(maxRangeRows, sortedVals.length.toLong)
+          totalCollected += sortedVals.length
+          t.ranks.foreach { k =>
+            resolved((c, t.gi, k)) = sortedVals((k - t.offset).toInt)
+          }
+        }
+      }
+    }
+
+    // ---- assemble: one output row per group, DuckDB's interpolation
+    val outRows = groups.indices.map { gi =>
+      val qs = reqs.map { r =>
+        stat.get((r.valueCol, gi)) match {
+          case None => null
+          case Some((n, _, _)) =>
+            val h = r.p * (n - 1).toDouble
+            val kLo = math.floor(h).toLong
+            val kHi = math.ceil(h).toLong
+            val vLo = resolved((r.valueCol, gi, kLo))
+            val v = if (kLo == kHi) vLo
+            else vLo + (resolved((r.valueCol, gi, kHi)) - vLo) * (h - kLo)
+            java.lang.Double.valueOf(v)
+        }
+      }
+      Row.fromSeq(groups(gi) ++ qs)
+    }
+    val outSchema = StructType(groupCols.map(df.schema(_)) ++
+      reqs.map(r => StructField(r.outName, DoubleType, nullable = true)))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), outSchema)
+    (out, Stats(histPasses, maxRangeRows, totalCollected))
+  }
+}

@@ -172,18 +172,25 @@ object Aggregates {
       .orderBy("o_custkey")
   }
 
-  /** A9 — exact median (both engines interpolate the two middle values
-    * with the same (a+b)/2 double arithmetic). */
+  /** A9 — exact median. NOT Spark's `median` aggregate: that buffers
+    * each group's whole value multiset in executor memory, which on a
+    * 3-value grouping key is per-group state linear in table size —
+    * the one plan in the registry that would OOM at 100×. Instead the
+    * scale-safe iterative histogram rank-select
+    * ([[graft.functions.ExactQuantiles]]): O(bins) executor state per
+    * group, 2–3 scans, bit-identical interpolation (h = p(n−1),
+    * lo + (hi−lo)·frac — DuckDB's own formula). */
   val qAggMedian: QuerySpec = QuerySpec(
     "q_agg_median",
     """SELECT l_returnflag,
       |  median(l_quantity) AS med_qty,
       |  median(l_extendedprice) AS med_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    LsdDb.table(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(median(col("l_quantity")).as("med_qty"),
-        median(col("l_extendedprice")).as("med_price"))
+    import graft.functions.ExactQuantiles
+    ExactQuantiles.quantiles(
+      LsdDb.table(s, dir, "lineitem"), Seq("l_returnflag"),
+      Seq(ExactQuantiles.Req("l_quantity", 0.5, "med_qty"),
+        ExactQuantiles.Req("l_extendedprice", 0.5, "med_price")))
       .orderBy("l_returnflag")
   }
 
@@ -262,9 +269,11 @@ object Aggregates {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
-  /** A9b — exact quartiles (linear interpolation; both engines use the
-    * (1−g)·low + g·high definition, snapped to the d6 grid for the
-    * final-arithmetic ulp). */
+  /** A9b — exact quartiles via the same scale-safe rank-select engine
+    * as [[qAggMedian]] (one stats scan + one histogram scan covers all
+    * three quartiles of the column; Spark's buffering `percentile`
+    * would hold each group's multiset in memory). d6-snap covers the
+    * final interpolation ulp, as before. */
   val qPercentiles: QuerySpec = QuerySpec(
     "q_percentiles",
     s"""SELECT l_returnflag,
@@ -272,12 +281,14 @@ object Aggregates {
        |  ${D.d6("quantile_cont(l_extendedprice, 0.50)")} AS p50,
        |  ${D.d6("quantile_cont(l_extendedprice, 0.75)")} AS p75
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    LsdDb.table(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        Det.d6(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
-        Det.d6(percentile(col("l_extendedprice"), lit(0.50))).as("p50"),
-        Det.d6(percentile(col("l_extendedprice"), lit(0.75))).as("p75"))
+    import graft.functions.ExactQuantiles
+    ExactQuantiles.quantiles(
+      LsdDb.table(s, dir, "lineitem"), Seq("l_returnflag"),
+      Seq(ExactQuantiles.Req("l_extendedprice", 0.25, "p25"),
+        ExactQuantiles.Req("l_extendedprice", 0.50, "p50"),
+        ExactQuantiles.Req("l_extendedprice", 0.75, "p75")))
+      .select(col("l_returnflag"), Det.d6(col("p25")).as("p25"),
+        Det.d6(col("p50")).as("p50"), Det.d6(col("p75")).as("p75"))
       .orderBy("l_returnflag")
   }
 

@@ -380,6 +380,41 @@ object ScaleSmoke {
         .filter(col("n_kept") < col("n_total"))
         .count().toString + " objects clipped"
     }
+    // exact quantiles at 24M rows / 3 groups — the A9 hot-group regime
+    // that OOMs Spark's buffering percentile at scale. v = id² gives a
+    // non-uniform value distribution AND an analytic ground truth
+    // (group g sorted rank k ⇒ value (g+3k)²; exact in double < 2^53).
+    // collectThreshold=1000 forces a second refinement pass; executor
+    // aggregation state is ≤ ranges×bins counters (3×1024), never
+    // row-linear, and the driver never holds >1000 rows per range.
+    locally {
+      import graft.functions.ExactQuantiles
+      val nRows = 24000000L
+      val qdf = spark.range(nRows).select((col("id") % 3).as("g"),
+        (col("id") * col("id")).cast("double").as("v"))
+      t("exact quantiles 24M rows, 3 hot groups (2-pass rank-select)") {
+        val reqs = Seq(ExactQuantiles.Req("v", 0.25, "p25"),
+          ExactQuantiles.Req("v", 0.50, "p50"),
+          ExactQuantiles.Req("v", 0.90, "p90"))
+        val (out, stats) = ExactQuantiles.computeWithStats(qdf, Seq("g"),
+          reqs, bins = 1024, collectThreshold = 1000)
+        val got = out.collect().map(r => r.getLong(0) -> r).toMap
+        val nPer = nRows / 3
+        for (g <- 0L until 3L; (p, i) <- Seq(0.25, 0.50, 0.90).zipWithIndex) {
+          val h = p * (nPer - 1).toDouble
+          val kLo = math.floor(h).toLong; val kHi = math.ceil(h).toLong
+          def f(k: Long): Double = { val x = (g + 3 * k).toDouble; x * x }
+          val want = if (kLo == kHi) f(kLo)
+            else f(kLo) + (f(kHi) - f(kLo)) * (h - kLo)
+          require(got(g).getDouble(1 + i) == want,
+            s"g=$g p=$p: ${got(g).getDouble(1 + i)} != $want")
+        }
+        require(stats.histPasses >= 2, s"expected multi-pass: $stats")
+        require(stats.maxRangeRows <= 1000, s"collect bound broken: $stats")
+        s"exact, $stats"
+      }
+    }
+
     spark.stop()
   }
 }
