@@ -65,11 +65,20 @@ object DustMap {
     * across engines (the q_skymap discipline). */
   def withEbv(df: DataFrame, lDeg: Column, bDeg: Column): DataFrame = {
     val spark = df.sparkSession
+    // the appended column is part of the API; a pre-existing `ebv`
+    // would be silently shadowed — fail loudly instead
+    require(!df.columns.contains("ebv"),
+      "withEbv appends an 'ebv' column but the input already has one")
     val cell = SkyPix.mortonCell(
       SkyPix.ixSnapped(lDeg, Level), SkyPix.iySnapped(bDeg, Level), Level)
+    // grid columns under reserved names: a caller `cell` (or `ebv`)
+    // column must not make the join condition ambiguous
+    val g = grid(spark).select(col("cell").as("__dust_cell_rhs"),
+      col("ebv").as("__dust_ebv"))
     df.withColumn("__dust_cell", cell)
-      .join(broadcast(grid(spark)), col("__dust_cell") === col("cell"),
+      .join(broadcast(g), col("__dust_cell") === col("__dust_cell_rhs"),
         "left")
-      .drop("__dust_cell", "cell")
+      .drop("__dust_cell", "__dust_cell_rhs")
+      .withColumnRenamed("__dust_ebv", "ebv")
   }
 }

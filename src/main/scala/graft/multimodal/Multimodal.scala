@@ -321,22 +321,36 @@ object Multimodal {
       new String(b, o, 4, "US-ASCII")
 
     /** Walk one RIFF chunk run in [off, end), collecting stream-0
-      * video frame payloads ("00dc"/"00db"); recurse into LIST
-      * groups ("movi" at top level, "rec " batches inside it). */
-    private def collectFrames(b: Array[Byte], off0: Int, end: Int,
+      * video frame payloads ("00dc"/"00db"); descend into LIST
+      * groups ("movi" at top level, "rec " batches inside it).
+      * ITERATIVE with an explicit segment stack, not recursive: a
+      * crafted payload of deeply nested LISTs costs ~12 bytes per
+      * level, so a few hundred KB would StackOverflow a recursive
+      * walk and kill the task — violating degrade-don't-die. */
+    private def collectFrames(b: Array[Byte], off0: Int, end0: Int,
                               out: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Boolean = {
-      var off = off0
-      while (off + 8 <= end) {
-        val id = tag(b, off)
-        val sz = le32(b, off + 4)
-        if (sz < 0 || off.toLong + 8L + sz > end) return false
-        if (id == "LIST") {
-          if (sz < 4) return false
-          if (!collectFrames(b, off + 12, off + 8 + sz, out)) return false
-        } else if (id == "00dc" || id == "00db") {
-          out += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+      var segs: List[(Int, Int)] = (off0, end0) :: Nil
+      while (segs.nonEmpty) {
+        var (off, end) = segs.head
+        segs = segs.tail
+        var walking = true
+        while (walking && off + 8 <= end) {
+          val id = tag(b, off)
+          val sz = le32(b, off + 4)
+          if (sz < 0 || off.toLong + 8L + sz > end) return false
+          if (id == "LIST") {
+            if (sz < 4) return false
+            // child body first (document order), then this run's rest
+            segs = (off + 12, off + 8 + sz) ::
+              (off + 8 + sz + (sz & 1), end) :: segs
+            walking = false
+          } else {
+            if (id == "00dc" || id == "00db") {
+              out += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+            }
+            off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+          }
         }
-        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       }
       true
     }
@@ -355,9 +369,15 @@ object Multimodal {
           tag(bytes, off + 8) match {
             case "hdrl" =>
               // first child must be avih (56-byte main header):
-              // us/frame at +0, width/height at +32/+36
+              // us/frame at +0, width/height at +32/+36. Bound the
+              // reads by the avih chunk's OWN declared size, not just
+              // bytes.length — a malformed header would otherwise
+              // serve the next chunk's bytes as width/height.
               val a = off + 12
-              if (a + 8 + 40 > bytes.length || tag(bytes, a) != "avih")
+              if (a + 8 > bytes.length || tag(bytes, a) != "avih")
+                return None
+              val asz = le32(bytes, a + 4)
+              if (asz < 40 || a.toLong + 8L + asz > off.toLong + 8L + sz)
                 return None
               wh = Some((le32(bytes, a + 40), le32(bytes, a + 44),
                 le32(bytes, a + 8)))
@@ -475,13 +495,26 @@ object Multimodal {
   /** Sampled-frame feature pass: stride-sample, then run the image
     * feature extractor on just the sampled frames — video reduced to
     * the already-tested image path. */
+  /** Largest media_id whose packed per-frame id cannot overflow. */
+  private val MaxPackableMediaId = (Long.MaxValue - 999999L) / 1000000L
+
   def frameFeatures(ds: Dataset[MediaRow], stride: Int): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
-    frameSample(ds, stride).map { fr =>
-      val (w, h, feat) = MediaCodec.decode(fr.frame)
-      // media_id ‖ frame_idx keeps per-frame rows addressable
-      MediaFeatures(fr.media_id * 1000000L + fr.frame_idx,
-        fr.frame.length.toLong, w, h, feat)
+    frameSample(ds, stride).flatMap { fr =>
+      // media_id ‖ frame_idx keeps per-frame rows addressable. The
+      // packing is only injective for frame_idx < 1e6 and media_id
+      // ≤ ~9.2e12 — outside that, a packed id would silently alias a
+      // neighboring clip (or overflow Long), so such frames are
+      // dropped rather than mislabeled. Clips with ≥1M frames or
+      // larger id spaces should use frameSample's unpacked
+      // (media_id, frame_idx) columns directly.
+      if (fr.frame_idx >= 1000000 || fr.media_id < 0 ||
+        fr.media_id > MaxPackableMediaId) None
+      else {
+        val (w, h, feat) = MediaCodec.decode(fr.frame)
+        Some(MediaFeatures(fr.media_id * 1000000L + fr.frame_idx,
+          fr.frame.length.toLong, w, h, feat))
+      }
     }
   }
 

@@ -31,6 +31,18 @@ class DustMapSpec extends SpecBase {
     assert(e1 === e2)
   }
 
+  test("caller's own `cell` column survives; pre-existing `ebv` fails loudly") {
+    import spark.implicits._
+    val pts = Seq((1L, 10.0, 20.0, 777L)).toDF("id", "l", "b", "cell")
+    val out = DustMap.withEbv(pts, col("l"), col("b"))
+    assert(out.columns.toSeq == Seq("id", "l", "b", "cell", "ebv"))
+    assert(out.head.getLong(3) === 777L) // untouched by the grid join
+    val clash = Seq((1L, 10.0, 20.0, 0.5)).toDF("id", "l", "b", "ebv")
+    val e = intercept[IllegalArgumentException](
+      DustMap.withEbv(clash, col("l"), col("b")))
+    assert(e.getMessage.contains("ebv"))
+  }
+
   test("lookup is a broadcast join: the big side never shuffles") {
     import spark.implicits._
     val pts = spark.range(1000).select(col("id"),

@@ -158,6 +158,68 @@ class MultimodalSpec extends SpecBase {
     assert(feats.forall(_.feature(MediaCodec.FeatureDim - 1) > 0.9f))
   }
 
+  private def le32a(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  test("deeply nested LISTs walk iteratively — no StackOverflow, frame found") {
+    // 60k nested "rec " LISTs (~720 KB) around one 2-byte frame chunk:
+    // a recursive walker would StackOverflow; the iterative walk must
+    // still find the innermost frame. Built front-to-back in one pass.
+    val depth = 60000
+    val nested = new Array[Byte](12 * depth + 10)
+    def putTag(o: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, nested, o, 4)
+    def put32(o: Int, v: Int): Unit =
+      System.arraycopy(le32a(v), 0, nested, o, 4)
+    var off = 0
+    for (_ <- 0 until depth) {
+      putTag(off, "LIST"); put32(off + 4, nested.length - off - 8)
+      putTag(off + 8, "rec "); off += 12
+    }
+    putTag(off, "00dc"); put32(off + 4, 2)
+    nested(off + 8) = 1; nested(off + 9) = 2
+    val avihBody = new Array[Byte](56)
+    System.arraycopy(le32a(40000), 0, avihBody, 0, 4) // usPerFrame
+    System.arraycopy(le32a(32), 0, avihBody, 32, 4) // width
+    System.arraycopy(le32a(24), 0, avihBody, 36, 4) // height
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(b: Array[Byte]): Unit = bos.write(b)
+    def t(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    t("AVI ")
+    t("LIST"); w(le32a(4 + 8 + 56)); t("hdrl")
+    t("avih"); w(le32a(56)); w(avihBody)
+    t("LIST"); w(le32a(4 + nested.length)); t("movi"); w(nested)
+    val body = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32a(body.length))
+    out.write(body)
+    val clip = Multimodal.AviCodec.decode(out.toByteArray)
+    assert(clip.isDefined && clip.get.frames.length == 1)
+    assert(clip.get.frames.head.toSeq == Seq[Byte](1, 2))
+  }
+
+  test("avih with undersized declared length is rejected, not misread") {
+    val good = aviRow(1L, fps = 25, colors = Seq(0xffffff)).media
+    assert(Multimodal.AviCodec.decode(good).isDefined)
+    // avih chunk size field sits at offset 28 (RIFF 12 + LIST hdr 12 +
+    // "avih" 4); declare only 8 body bytes — the width/height reads at
+    // body+32/+36 would land in the NEXT chunk's bytes
+    val bad = good.clone()
+    System.arraycopy(le32a(8), 0, bad, 28, 4)
+    assert(Multimodal.AviCodec.decode(bad).isEmpty)
+  }
+
+  test("frameFeatures drops frames whose packed id would alias") {
+    // media_id past the packable range must yield zero rows, not a
+    // silently aliased id
+    val big = aviRow(1L, 10, Seq(0xffffff)).copy(media_id = Long.MaxValue / 2)
+    val ok = aviRow(2L, 10, Seq(0xffffff))
+    val feats = Multimodal.frameFeatures(Seq(big, ok).toDS(), stride = 1)
+      .collect()
+    assert(feats.map(_.media_id).toSeq == Seq(2L * 1000000L))
+  }
+
   test("WAV decode averages stereo to mono and honors chunk alignment") {
     // hand-build a stereo WAV: L = +1000, R = -1000 → mono = 0
     val n = 100
