@@ -58,22 +58,84 @@ object DustMap {
           .as("ebv"))
   }
 
+  /** Ingest the PUBLISHED SFD98 dust map: two Lambert ZEA (zenithal
+    * equal-area) FITS float images, one per galactic hemisphere
+    * (`SFD_dust_4096_ngp.fits` / `..._sgp.fits`), into the same
+    * (cell, ebv) lookup-table shape as the synthetic [[grid]] — so
+    * the broadcast-join query plan is identical and only the ingest
+    * differs. Pixel transform from the SFD98 paper (Schlegel,
+    * Finkbeiner & Davis 1998, ApJ 500, 525, Appendix C; n = +1
+    * north / −1 south, S = image side):
+    *
+    *   x = S/2 · sqrt(1 − n·sin b) · cos l + (S−1)/2
+    *   y = −n · S/2 · sqrt(1 − n·sin b) · sin l + (S−1)/2
+    *
+    * Each level-`level` SkyPix cell is sampled at its center with
+    * nearest-pixel lookup — the standard point-sample mode of public
+    * SFD readers. The two hemisphere images are driver-resident
+    * during ingest (tens of MB — the one-time cost), and the result
+    * is a driver-sized table that [[withEbv]] broadcasts, so corpus
+    * dereddening stays map-side at any corpus scale. */
+  def fromFits(spark: SparkSession, ngpPath: String, sgpPath: String,
+      level: Int = Level): DataFrame = {
+    import graft.sources.Fits
+    val ngp = Fits.readImage2D(spark, ngpPath)
+    val sgp = Fits.readImage2D(spark, sgpPath)
+    require(ngp.width == ngp.height && sgp.width == sgp.height,
+      "SFD hemisphere maps must be square Lambert images")
+    def sample(lDeg: Double, bDeg: Double): Double = {
+      val hemi = if (bDeg >= 0) 1.0 else -1.0
+      val img = if (bDeg >= 0) ngp else sgp
+      val s = img.width
+      val l = math.toRadians(lDeg); val b = math.toRadians(bDeg)
+      val r = s / 2.0 * math.sqrt(1.0 - hemi * math.sin(b))
+      val x = r * math.cos(l) + (s - 1) / 2.0
+      val y = -hemi * r * math.sin(l) + (s - 1) / 2.0
+      val ix = math.min(s - 1, math.max(0, math.round(x).toInt))
+      val iy = math.min(s - 1, math.max(0, math.round(y).toInt))
+      img(ix, iy)
+    }
+    val side = 1L << level
+    val rows = (0L until side * side).map { id =>
+      val ix = id & (side - 1); val iy = id >> level
+      // cell center of the equal-area grid: lon uniform, lat via
+      // asin of the uniform sin-lat strip (SkyPix.ixy inverse)
+      val lc = (ix + 0.5) * 360.0 / side
+      val bc = math.toDegrees(math.asin((iy + 0.5) * 2.0 / side - 1.0))
+      org.apache.spark.sql.Row(SkyPix.mortonCellValue(ix, iy, level),
+        sample(lc, bc))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ebv",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
   /** ebv(l, b): append an `ebv` column looked up from the dust grid at
     * each row's galactic coordinates. Broadcast hash join on the
     * packed cell — the big side never shuffles. Coordinates are
     * d6-snapped before gridding so the cell choice is reproducible
     * across engines (the q_skymap discipline). */
-  def withEbv(df: DataFrame, lDeg: Column, bDeg: Column): DataFrame = {
-    val spark = df.sparkSession
+  def withEbv(df: DataFrame, lDeg: Column, bDeg: Column): DataFrame =
+    withEbv(df, lDeg, bDeg, grid(df.sparkSession), Level)
+
+  /** [[withEbv]] against a caller-supplied (cell, ebv) lookup table —
+    * e.g. one ingested from the published SFD maps via [[fromFits]] —
+    * gridded at `level`. Same broadcast-join shape. */
+  def withEbv(df: DataFrame, lDeg: Column, bDeg: Column,
+      dustGrid: DataFrame, level: Int): DataFrame = {
     // the appended column is part of the API; a pre-existing `ebv`
     // would be silently shadowed — fail loudly instead
     require(!df.columns.contains("ebv"),
       "withEbv appends an 'ebv' column but the input already has one")
     val cell = SkyPix.mortonCell(
-      SkyPix.ixSnapped(lDeg, Level), SkyPix.iySnapped(bDeg, Level), Level)
+      SkyPix.ixSnapped(lDeg, level), SkyPix.iySnapped(bDeg, level), level)
     // grid columns under reserved names: a caller `cell` (or `ebv`)
     // column must not make the join condition ambiguous
-    val g = grid(spark).select(col("cell").as("__dust_cell_rhs"),
+    val g = dustGrid.select(col("cell").as("__dust_cell_rhs"),
       col("ebv").as("__dust_ebv"))
     df.withColumn("__dust_cell", cell)
       .join(broadcast(g), col("__dust_cell") === col("__dust_cell_rhs"),

@@ -225,6 +225,77 @@ object Fits {
     cards.result()
   }
 
+  /** A primary-HDU 2-D FITS image, driver-resident. This is the
+    * published format of the SFD98 dust maps (and most survey sky
+    * maps): BITPIX −32/−64 big-endian IEEE floats (or 8/16/32-bit
+    * ints under BSCALE/BZERO), row-major with NAXIS1 the fast axis.
+    * Driver-sized by contract — a full-sky map at survey resolution
+    * is tens of MB, which is exactly the "ingest once, broadcast
+    * forever" regime of [[graft.functions.DustMap]]. */
+  final case class Image2D(width: Int, height: Int, data: Array[Double],
+      cards: Map[String, String]) {
+    require(data.length == width.toLong * height, "data size mismatch")
+    def apply(ix: Int, iy: Int): Double = data(iy * width + ix)
+  }
+
+  /** Read a single-file primary-HDU 2-D image (any Hadoop FileSystem). */
+  def readImage2D(spark: SparkSession, path: String): Image2D = {
+    val fs = FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(new Path(path))
+    val bytes = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(st.getPath)
+    try in.readFully(0L, bytes) finally in.close()
+    val bb = ByteBuffer.wrap(bytes)
+    val h = readHeader(bb)
+    require(h.get("NAXIS").exists(_.trim.toInt == 2),
+      s"FITS image import: want NAXIS=2 primary HDU, got ${h.get("NAXIS")}")
+    val w = h("NAXIS1").trim.toInt
+    val ht = h("NAXIS2").trim.toInt
+    val bscale = h.get("BSCALE").map(_.trim.toDouble).getOrElse(1.0)
+    val bzero = h.get("BZERO").map(_.trim.toDouble).getOrElse(0.0)
+    val data = new Array[Double](w * ht)
+    val read: () => Double = h("BITPIX").trim.toInt match {
+      case -32 => () => bb.getFloat().toDouble
+      case -64 => () => bb.getDouble()
+      case 8   => () => (bb.get() & 0xff).toDouble
+      case 16  => () => bb.getShort().toDouble
+      case 32  => () => bb.getInt().toDouble
+      case b => throw new IllegalArgumentException(
+        s"FITS image import: unsupported BITPIX $b")
+    }
+    var i = 0
+    while (i < data.length) { data(i) = bzero + bscale * read(); i += 1 }
+    Image2D(w, ht, data, h)
+  }
+
+  /** Write a primary-HDU 2-D float image (BITPIX −32, or −64 when
+    * `asDouble`). Round-trips bit-exactly through [[readImage2D]]. */
+  def writeImage2D(spark: SparkSession, path: String, img: Image2D,
+      asDouble: Boolean = false,
+      extraCards: Seq[(String, String)] = Nil): Unit = {
+    val fs = FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path), true)
+    try {
+      val h = new StringBuilder
+      h ++= card("SIMPLE", "T")
+      h ++= card("BITPIX", if (asDouble) "-64" else "-32")
+      h ++= card("NAXIS", "2")
+      h ++= card("NAXIS1", img.width.toString)
+      h ++= card("NAXIS2", img.height.toString)
+      extraCards.foreach { case (k, v) => h ++= card(k, v) }
+      h ++= "END".padTo(CardLen, ' ')
+      writePadded(out, h.toString)
+      val unit = if (asDouble) 8 else 4
+      val bb = ByteBuffer.allocate(img.data.length * unit)
+      img.data.foreach(v =>
+        if (asDouble) bb.putDouble(v) else bb.putFloat(v.toFloat))
+      out.write(bb.array())
+      out.write(new Array[Byte](pad(bb.capacity())))
+    } finally out.close()
+  }
+
   /** Import a directory of FITS BINTABLE files written by [[write]]
     * (or any standard single-BINTABLE FITS with supported TFORMs).
     * One task per file; schema comes from the first file's header. */

@@ -184,6 +184,21 @@ object SkyPix {
     morton(ix, iy, level).bitwiseOR(lit(level.toLong << 58))
   }
 
+  /** Driver-side (plain Long) twin of [[mortonCell]], for building
+    * driver-sized lookup tables (e.g. dust-map ingest) without a
+    * Spark job per cell. */
+  def mortonCellValue(ix: Long, iy: Long, level: Int): Long = {
+    require(level >= 0 && level <= MaxLevel, s"level $level out of range")
+    var m = 0L
+    var b = 0
+    while (b < level) {
+      m |= ((ix >> b) & 1L) << (2 * b)
+      m |= ((iy >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    m | (level.toLong << 58)
+  }
+
   /** DuckDB SQL twins of the snapped grid + morton packing, for
     * oracle-checked queries that output cell ids. All-integer bit
     * arithmetic after the snap, so the generated SQL is exact. */
