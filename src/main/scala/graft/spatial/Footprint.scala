@@ -75,6 +75,53 @@ object Footprint {
     cells.result().distinct
   }
 
+  /** Cells at `level` intersecting a lon/lat rectangle (wraparound-
+    * aware in lon, like [[rect]]). Exact cell cover — the grid is
+    * aligned to lon/lat, so unlike cone/polygon covers this is not a
+    * superset but the precise set of touched cells. */
+  def rectCells(lonMin: Double, lonMax: Double, latMin: Double,
+                latMax: Double, level: Int): Seq[Long] = {
+    require(latMin <= latMax, "latMin > latMax")
+    val n = 1L << level
+    def iyOf(lat: Double): Long = {
+      val fy = (math.sin(math.toRadians(math.max(-90.0, math.min(90.0, lat)))) + 1) / 2
+      math.min((fy * n).toLong, n - 1).max(0)
+    }
+    val lo = ((lonMin % 360) + 360) % 360
+    val hi = ((lonMax % 360) + 360) % 360
+    val ixLo = math.min(math.floor(lo / 360.0 * n).toLong, n - 1)
+    val ixHi = math.min(math.floor(hi / 360.0 * n).toLong, n - 1)
+    val ixs: Seq[Long] =
+      if (lo <= hi) ixLo to ixHi
+      else (ixLo until n) ++ (0L to ixHi) // wraps through lon=0
+    for (iy <- iyOf(latMin) to iyOf(latMax); ix <- ixs)
+      yield pack(ix, iy, level)
+  }
+
+  /** Area of one equal-area cell at `level`, in square degrees
+    * (the whole sphere is 4π sr = 360²/π ≈ 41252.96 deg²). */
+  def cellAreaDeg2(level: Int): Double = {
+    val n = 1L << level
+    (360.0 * 360.0 / math.Pi) / (n.toDouble * n.toDouble)
+  }
+
+  /** Exact spherical cap area in deg² (cone footprint). */
+  def coneAreaDeg2(radiusDeg: Double): Double = {
+    val sr = 2 * math.Pi * (1 - math.cos(math.toRadians(radiusDeg)))
+    sr * math.pow(180.0 / math.Pi, 2)
+  }
+
+  /** Exact lon/lat-rectangle area in deg² (wraparound-aware). */
+  def rectAreaDeg2(lonMin: Double, lonMax: Double, latMin: Double,
+                   latMax: Double): Double = {
+    val lo = ((lonMin % 360) + 360) % 360
+    val hi = ((lonMax % 360) + 360) % 360
+    val dLon = if (lo <= hi) hi - lo else 360 - lo + hi
+    val sr = math.toRadians(dLon) *
+      (math.sin(math.toRadians(latMax)) - math.sin(math.toRadians(latMin)))
+    sr * math.pow(180.0 / math.Pi, 2)
+  }
+
   // ---- Spherical polygon bounds (great-circle edges) ----
 
   /** Precomputed gnomonic frame: unit centroid `c`, local east/north

@@ -89,6 +89,144 @@ object MakeObjectCatalogCli {
   }
 }
 
+/** lsd-footprint analog: enumerate the cells a spatial bound touches
+  * at a grid level, report areas, and (optionally) how many of those
+  * cell directories a stored SpatialWriter layout actually holds —
+  * i.e. how much of the table a bounded query would scan after
+  * bounds∩quadtree pruning. Driver-only: cell enumeration is pure
+  * arithmetic and the layout check is a directory listing; no Spark
+  * job runs.
+  *
+  * Usage:
+  *   FootprintCli cone <lon> <lat> <radiusDeg> <level> [layoutDir]
+  *   FootprintCli rect <lonMin> <lonMax> <latMin> <latMax> <level> [layoutDir]
+  *   FootprintCli polygon <lon1,lat1;lon2,lat2;...> <level> [layoutDir]
+  */
+object FootprintCli {
+  import graft.spatial.Footprint
+
+  /** (cells, exact area if analytic) for the parsed bound. */
+  private[tools] def enumerate(args: Array[String])
+      : (Seq[Long], Int, Option[Double], Option[String]) = args(0) match {
+    case "cone" =>
+      val Array(lon, lat, r) = args.slice(1, 4).map(_.toDouble)
+      val level = args(4).toInt
+      (Footprint.coneCells(lon, lat, r, level), level,
+        Some(Footprint.coneAreaDeg2(r)), args.lift(5))
+    case "rect" =>
+      val Array(lo, hi, la, lb) = args.slice(1, 5).map(_.toDouble)
+      val level = args(5).toInt
+      (Footprint.rectCells(lo, hi, la, lb, level), level,
+        Some(Footprint.rectAreaDeg2(lo, hi, la, lb)), args.lift(6))
+    case "polygon" =>
+      val verts = args(1).split(";").toSeq.map { p =>
+        val Array(lo, la) = p.split(",").map(_.trim.toDouble); (lo, la)
+      }
+      val level = args(2).toInt
+      (Footprint.polygonCells(verts, level), level, None, args.lift(3))
+    case other => throw new IllegalArgumentException(
+      s"usage: FootprintCli cone|rect|polygon ... (got '$other')")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: FootprintCli cone <lon> <lat> <r> <level> [layoutDir] | " +
+        "rect <lonMin> <lonMax> <latMin> <latMax> <level> [layoutDir] | " +
+        "polygon <lon1,lat1;...> <level> [layoutDir]")
+    val (cells, level, exactArea, layoutDir) = enumerate(args)
+    val total = 1L << (2 * level)
+    val cellArea = Footprint.cellAreaDeg2(level)
+    println(f"cells: ${cells.length} of $total at level $level " +
+      f"(${100.0 * cells.length / total}%.2f%% of sky)")
+    println(f"cover area: ${cells.length * cellArea}%.3f deg2 " +
+      f"(${cellArea}%.3f deg2/cell)")
+    exactArea.foreach(a => println(f"exact bound area: $a%.3f deg2 " +
+      f"(cover overshoot ${cells.length * cellArea / a}%.2fx)"))
+    layoutDir.foreach { dir =>
+      // which candidate cell dirs exist in the stored layout
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), conf)
+      val present = cells.count(c => fs.exists(
+        new org.apache.hadoop.fs.Path(dir, s"cell=$c")))
+      val all = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "cell=*"))).map(_.length)
+        .getOrElse(0)
+      println(s"layout: $present of ${cells.length} candidate dirs " +
+        s"present; scan $present of $all stored cells " +
+        f"(${if (all > 0) 100.0 - 100.0 * present / all else 0.0}%.2f%% pruned)")
+    }
+  }
+}
+
+/** lsd-admin analog: inspect and maintain stored tables. Subcommands:
+  *
+  *   AdminCli list <dbRoot>           — datasets under the root with
+  *     kind (plain / spatial layout / snapshot table), file count, bytes
+  *   AdminCli snapshots <tablePath>   — commit log of a snapshot table
+  *   AdminCli compact <tablePath>     — fold history into a base snapshot
+  *   AdminCli vacuum <tablePath>      — drop pre-base history
+  *   AdminCli compact-merged <tablePath> <keyCol> — fold upsert/delete
+  *     deltas into a live-rows base (merge-on-read maintenance)
+  */
+object AdminCli {
+  import graft.sources.Snapshots
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def fsFor(p: String) = FileSystem.get(
+    new java.net.URI(p), new org.apache.hadoop.conf.Configuration())
+
+  private[tools] def describe(root: String): Seq[(String, String, Long, Long)] = {
+    val fs = fsFor(root)
+    val kids = Option(fs.listStatus(new Path(root))).getOrElse(Array.empty)
+    kids.toSeq.filterNot(_.getPath.getName.startsWith("_")).map { st =>
+      val name = st.getPath.getName
+      val (kind, files, bytes) =
+        if (!st.isDirectory) ("file", 1L, st.getLen)
+        else {
+          val sum = fs.getContentSummary(st.getPath)
+          val k =
+            if (fs.exists(new Path(st.getPath, "_COMMITS"))) "snapshot"
+            else if (Option(fs.globStatus(new Path(st.getPath, "cell=*")))
+              .exists(_.nonEmpty)) "spatial"
+            else "plain"
+          (k, sum.getFileCount, sum.getLength)
+        }
+      (name, kind, files, bytes)
+    }.sortBy(_._1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AdminCli list|snapshots|compact|" +
+      "vacuum|compact-merged ...")
+    args(0) match {
+      case "list" =>
+        describe(args(1)).foreach { case (name, kind, files, bytes) =>
+          println(f"$name%-40s $kind%-9s $files%6d files $bytes%12d bytes")
+        }
+      case "snapshots" =>
+        val spark = Cli.session()
+        val es = Snapshots.entries(spark, args(1))
+        if (es.isEmpty) println(s"${args(1)}: not a snapshot table")
+        else es.foreach(e => println(
+          s"snap=${e.id}${if (e.isBase) " BASE" else ""}" +
+            e.tag.fold("")(t => s" tag=$t")))
+      case "compact" =>
+        val id = Snapshots.compact(Cli.session(), args(1))
+        println(s"compacted ${args(1)} -> base snap=$id")
+      case "vacuum" =>
+        val dropped = Snapshots.vacuum(Cli.session(), args(1))
+        println(s"vacuumed ${args(1)}: removed " +
+          s"${dropped.map(i => s"snap=$i").mkString(", ")}")
+      case "compact-merged" =>
+        val id = Snapshots.compactMerged(Cli.session(), args(1), args(2))
+        println(s"compacted merge-on-read ${args(1)} -> base snap=$id")
+      case other => throw new IllegalArgumentException(
+        s"unknown subcommand '$other'")
+    }
+  }
+}
+
 /** lsd-xmatch analog: materialize a cross-match pair table between two
   * catalogs — the artifact the reference stored as a join definition.
   * Register the result as a JoinDef through its id columns to use it

@@ -21,6 +21,52 @@ class CliSpec extends SpecBase {
         |ORDER BY n DESC LIMIT 3""".stripMargin, "5"))
   }
 
+  test("FootprintCli enumerates cone/rect/polygon cells and prunes a layout") {
+    // rect cover is exact: cells x cellArea >= exact area, and every
+    // enumerated cell is in range
+    val (rc, lvl, Some(area), _) = FootprintCli.enumerate(
+      Array("rect", "350", "10", "-20", "5", "4")): @unchecked
+    assert(rc.nonEmpty && rc.distinct.length == rc.length)
+    assert(rc.length * graft.spatial.Footprint.cellAreaDeg2(lvl) >= area)
+    // cone cover must contain the cone's center cell
+    val (cc, _, Some(carea), _) = FootprintCli.enumerate(
+      Array("cone", "123.4", "-12.3", "9.0", "4")): @unchecked
+    assert(carea > 0 && cc.nonEmpty)
+    // polygon parse + enumeration
+    val (pc, _, None, _) = FootprintCli.enumerate(
+      Array("polygon", "10,10;40,10;40,35;10,35", "4")): @unchecked
+    assert(pc.nonEmpty)
+    // against a stored layout: build a tiny SpatialWriter table and
+    // check the CLI runs end to end (output goes to stdout)
+    val root = Files.createTempDirectory("graft_fp").toString
+    val pts = (0L until 300L).map { i =>
+      (i, (i * 13 % 3600) / 10.0, (i * 7 % 600) / 10.0 - 30.0)
+    }.toDF("id", "lon", "lat")
+    graft.sources.SpatialWriter.write(pts, "lon", "lat", 4, s"$root/sky")
+    FootprintCli.main(Array("cone", "123.4", "-12.3", "9.0", "4",
+      s"$root/sky"))
+  }
+
+  test("AdminCli lists datasets and maintains snapshot tables") {
+    val root = Files.createTempDirectory("graft_admin").toString
+    // a plain dataset + a snapshot table with two appends
+    (1 to 10).map(i => (i, i * 2)).toDF("k", "v")
+      .write.parquet(s"$root/plain.parquet")
+    graft.sources.Snapshots.append(
+      Seq((1, "a")).toDF("k", "s"), s"$root/snaps")
+    graft.sources.Snapshots.append(
+      Seq((2, "b")).toDF("k", "s"), s"$root/snaps")
+    val listed = AdminCli.describe(root).map(r => r._1 -> r._2).toMap
+    assert(listed("plain.parquet") == "plain")
+    assert(listed("snaps") == "snapshot")
+    AdminCli.main(Array("snapshots", s"$root/snaps")) // prints 2 lines
+    AdminCli.main(Array("compact", s"$root/snaps"))
+    AdminCli.main(Array("vacuum", s"$root/snaps"))
+    val es = graft.sources.Snapshots.entries(spark, s"$root/snaps")
+    assert(es.length == 1 && es.head.isBase) // history folded + dropped
+    assert(graft.sources.Snapshots.read(spark, s"$root/snaps").count() == 2)
+  }
+
   test("ImportCli + XmatchCli round trip") {
     val root = Files.createTempDirectory("graft_cli").toString
     val csv = s"$root/objs.csv"
