@@ -125,12 +125,21 @@ object SurveyOps {
       |  count(*) AS run_len, min(tsu) AS run_start
       |FROM r GROUP BY user_id, run_id, event_type
       |ORDER BY user_id, run_id""".stripMargin) { (s, dir) =>
+    eventRuns(LsdDb.table(s, dir, "events"))
+  }
+
+  /** The q_event_runs pipeline over any (user_id, event_id,
+    * event_type, ts) frame — factored out so edge tests can drive the
+    * REAL path with injected data (e.g. NULL event_type, which the
+    * testdata never exercises). */
+  def eventRuns(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val prev = lag(col("event_type"), 1).over(w)
     // Null-safe boundary to mirror the oracle's IS DISTINCT FROM:
     // consecutive NULL types continue a run; non-null→NULL starts one.
     val chg = when(!(prev <=> col("event_type")), 1L).otherwise(0L)
-    LsdDb.table(s, dir, "events")
+    events
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
         chg.as("chg"))
       .withColumn("run_id", sum(col("chg")).over(

@@ -115,6 +115,81 @@ class EdgeCaseSpec extends SpecBase {
     assert(Snapshots.readMerged(spark, path, "k", Some(base)).count() == 0)
   }
 
+  test("eventRuns with NULL event_type: IS-DISTINCT-FROM run semantics") {
+    import java.sql.Timestamp
+    // user 1 ordered stream: A, A, NULL, NULL, A, NULL
+    // expected runs: A(2), NULL(2), A(1), NULL(1) — consecutive NULLs
+    // CONTINUE a run (null-safe <=>), transitions always break one
+    val evs = Seq(
+      (1L, 10L, Option("A"), 1000L), (1L, 11L, Option("A"), 2000L),
+      (1L, 12L, None, 3000L), (1L, 13L, None, 4000L),
+      (1L, 14L, Option("A"), 5000L), (1L, 15L, None, 6000L),
+      // user 2: all NULL → one single run of length 3
+      (2L, 20L, None, 1000L), (2L, 21L, None, 2000L), (2L, 22L, None, 3000L))
+      .map { case (u, e, t, ms) => (u, e, t.orNull, new Timestamp(ms)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.operators.SurveyOps.eventRuns(evs.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("∅"), r.getLong(3)))
+    // first row of user 1: lag() is NULL, which IS DISTINCT FROM 'A'
+    // → chg=1, so its runs are 1-based; user 2's NULL stream starts
+    // with lag NULL <=> NULL → chg=0 → run 0. Subtle but exactly the
+    // oracle's arithmetic.
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", 2L), (1L, 2L, "∅", 2L), (1L, 3L, "A", 1L),
+      (1L, 4L, "∅", 1L), (2L, 0L, "∅", 3L)))
+    // the oracle's own formulation (IS DISTINCT FROM) run through
+    // Spark SQL on the same injected frame must agree row for row
+    evs.createOrReplaceTempView("ev_nulls")
+    val sql = spark.sql(
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev_nulls),
+        |r AS (SELECT user_id, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM o)
+        |SELECT user_id, run_id, event_type, count(*) AS run_len
+        |FROM r GROUP BY user_id, run_id, event_type
+        |ORDER BY user_id, run_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("∅"), r.getLong(3)))
+    assert(sql.toSeq == got.map(g => (g._1, g._2, g._3, g._4)).toSeq)
+  }
+
+  test("merge-on-read: NULL payload upserts and tombstone resurrection") {
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_null_merge").resolve("t").toString
+    // base: k=1 v=5, k=2 v=7; then upsert k=1 with NULL payload;
+    // delete k=2; then re-upsert k=2 with NULL payload
+    Snapshots.upsert(Seq((1L, Option(5L)), (2L, Option(7L)))
+      .map { case (k, v) => (k, v.map(Long.box).orNull) }
+      .toDF("k", "v"), dir)
+    Snapshots.upsert(Seq((1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "v"), dir)
+    Snapshots.delete(Seq(Tuple1(2L)).toDF("k"), dir)
+    val afterDelete = Snapshots.readMerged(spark, dir, "k").collect()
+    assert(afterDelete.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(afterDelete.head.isNullAt(1), "NULL upsert must WIN, not be " +
+      "dropped or backfilled from the older non-null version")
+    Snapshots.upsert(Seq((2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "v"), dir)
+    val resurrected = Snapshots.readMerged(spark, dir, "k")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    // k=2 is visible again (newest version beats the tombstone) and
+    // carries the NULL payload it was re-inserted with
+    assert(resurrected == Map(1L -> true, 2L -> true))
+    // compaction folds the same answer into a base
+    Snapshots.compactMerged(spark, dir, "k")
+    val compacted = Snapshots.readMerged(spark, dir, "k")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(compacted == resurrected)
+  }
+
   test("AviCodec rejects header-only and zero-frame containers") {
     import graft.multimodal.Multimodal.AviCodec
     import java.awt.image.BufferedImage
