@@ -18,4 +18,29 @@ object GraftShims {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Spark's own parquet-file row reader as a serializable closure —
+    * the same `buildReaderWithPartitionValues` product every built-in
+    * file scan ships to its tasks, reused by graft's DataSource-V2
+    * snapshot stream so a custom source never hand-rolls a parquet
+    * decoder. Built on the driver, executed executor-side. */
+  def parquetRowReader(spark: SparkSession, schema: types.StructType)
+      : execution.datasources.PartitionedFile =>
+        Iterator[catalyst.InternalRow] =
+    new execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(spark, schema,
+        new types.StructType(), schema, Nil,
+        // rows, not ColumnarBatch: the V2 PartitionReader surface here
+        // is row-based (the vectorized reader still runs underneath)
+        Map(execution.datasources.FileFormat.OPTION_RETURNING_BATCH
+          -> "false"),
+        spark.sessionState.newHadoopConf())
+
+  /** Minimal whole-file PartitionedFile (no partition values). */
+  def wholeFile(path: String, length: Long)
+      : execution.datasources.PartitionedFile =
+    execution.datasources.PartitionedFile(
+      catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(path), 0L, length,
+      Array.empty, 0L, length, Map.empty)
 }

@@ -235,6 +235,59 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  test("SnapshotSource streams committed deltas exactly once, across restart") {
+    import graft.sources.Snapshots
+    import graft.streaming.{SnapshotSource => SnapSrc}
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapsrc")
+    val path = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // two commits before the stream starts
+    Snapshots.append(Seq(1L, 2L, 3L).toDF("v"), path)
+    Snapshots.append(Seq(4L, 5L).toDF("v"), path)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = SnapSrc.readStream(spark, path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.as[Long].collect() }; ()
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // initial load
+      Snapshots.append(Seq(6L, 7L).toDF("v"), path) // commit mid-stream
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == (1L to 7L)) // the delta, exactly once
+    } finally q.stop()
+    // RESTART from the checkpoint: rows already delivered must not
+    // replay; only the snapshot committed while the stream was down
+    Snapshots.append(Seq(8L).toDF("v"), path)
+    got.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.sorted.toSeq == Seq(8L), s"replay or loss: $got")
+      // compaction rewrites history -> the incremental stream must
+      // SKIP the base (those rows were all delivered already)
+      Snapshots.compact(spark, path)
+      Snapshots.append(Seq(9L).toDF("v"), path)
+      q2.processAllAvailable()
+      assert(got.sorted.toSeq == Seq(8L, 9L), s"base replayed: $got")
+    } finally q2.stop()
+    // a COLD start (fresh checkpoint) on the compacted table reads the
+    // last base as its initial load — once, not once per pre-base dir
+    got.clear()
+    val q3 = SnapSrc.readStream(spark, path)
+      .writeStream.option("checkpointLocation",
+        dir.resolve("ckpt2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.as[Long].collect() }; ()
+      }.start()
+    try {
+      q3.processAllAvailable()
+      assert(got.sorted.toSeq == (1L to 9L), s"cold start wrong: $got")
+    } finally q3.stop()
+  }
+
   test("streaming CDC: snapshotSink micro-batches resolve via readMerged") {
     import graft.sources.Snapshots
     implicit val sqlCtx = spark.sqlContext
