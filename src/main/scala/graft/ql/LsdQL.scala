@@ -178,7 +178,21 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     }
     intoOpt.foreach { name =>
       val root = intoRoot.getOrElse(db.root)
-      df.write.mode("overwrite").parquet(s"$root/$name.parquet")
+      val path = s"$root/$name.parquet"
+      // Spatial INTO: when the result still carries the driving
+      // table's registered sky coordinates, it lands as a
+      // SpatialWriter cell-partitioned layout (at the IdSpec's level)
+      // instead of a flat parquet dir — so a footprint-bounded query
+      // against the derived table prunes directories exactly like the
+      // source catalog (the reference's INTO inherited the cell
+      // structure the same way). Everything else stays flat parquet.
+      idSpecs.get(fromItems.head.table) match {
+        case Some(spec) if df.columns.contains(spec.lonCol) &&
+            df.columns.contains(spec.latCol) =>
+          graft.sources.SpatialWriter.write(
+            df, spec.lonCol, spec.latCol, spec.level, path)
+        case _ => df.write.mode("overwrite").parquet(path)
+      }
     }
     df
   }

@@ -225,6 +225,72 @@ object CrossMatch {
       .transform(refine(radiusDeg))
   }
 
+  /** [[apply]] with deep-field skew mitigation — the survey reality
+    * where one pointing is observed 100× more than the rest of the
+    * sky, so one blocking cell funnels |A_cell| × |B_neighborhood|
+    * candidate work through a single task while every other task
+    * finishes in seconds.
+    *
+    * One cheap count aggregation finds the cells whose A-side
+    * population exceeds `hotThreshold` (driver-sized by construction:
+    * a deep field is a handful of cells). Cold rows take [[apply]]'s
+    * plan untouched. Hot rows are SALTED into `salts` sub-buckets on
+    * a hash of the A id, while their B-side probe set — only the hot
+    * cells' neighbor-explosions, a spatially bounded slice —
+    * broadcast-replicates per salt ([[graft.operators.Skew]]'s
+    * salted-broadcast shape applied to the spatial join): the one
+    * monster task becomes `salts` even tasks. The polar-cap channel
+    * is re-attached for the hot rows, so the channel decomposition
+    * (and therefore the answer, nmax ranking included) is EXACTLY
+    * [[apply]]'s — the A-row partition is disjoint and ranking is
+    * per A row. Asserted against [[apply]] in ScaleSmoke on a 100×
+    * deep field, with the per-bucket work bound checked. */
+  def skewSafe(a: DataFrame, b: DataFrame,
+               aId: String, aLon: String, aLat: String,
+               bId: String, bLon: String, bLat: String,
+               radiusDeg: Double, nmax: Int,
+               hotThreshold: Long, salts: Int,
+               capLat: Double = CapLat): DataFrame = {
+    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
+    require(salts >= 1 && hotThreshold >= 1, "salts, hotThreshold >= 1")
+    val level = levelFor(radiusDeg, capLat)
+    val aSel = a.select(col(aId).as("a_id"), col(aLon).as("a_lon"),
+      col(aLat).as("a_lat"))
+    val aCelled = aSel.withColumn("cell",
+      SkyPix.cell(col("a_lon"), col("a_lat"), level))
+    val hot = aCelled.filter(abs(col("a_lat")) <= capLat)
+      .groupBy("cell").count().filter(col("count") > hotThreshold)
+      .select("cell").collect().map(_.getLong(0)).toSeq
+    if (hot.isEmpty)
+      return apply(a, b, aId, aLon, aLat, bId, bLon, bLat, radiusDeg,
+        nmax, capLat)
+    val isHot = col("cell").isin(hot: _*) && abs(col("a_lat")) <= capLat
+    val cold = apply(aCelled.filter(!isHot), b,
+      "a_id", "a_lon", "a_lat", bId, bLon, bLat, radiusDeg, nmax, capLat)
+    // hot channel: salted A × per-salt-replicated broadcast probe set
+    val aHot = aCelled.filter(isHot)
+      .withColumn("_salt", pmod(xxhash64(col("a_id")), lit(salts.toLong)))
+    val bSel = b.select(col(bId).as("b_id"), col(bLon).as("b_lon"),
+      col(bLat).as("b_lat"))
+    val bProbe = bSel.filter(abs(col("b_lat")) <= capLat)
+      .withColumn("cell", explode(SkyPix.neighborCellsWithin(
+        col("b_lon"), col("b_lat"), level, radiusDeg)))
+      .filter(col("cell").isin(hot: _*))
+      .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    val hotCellPairs = aHot.join(broadcast(bProbe), Seq("cell", "_salt"))
+      .drop("cell", "_salt")
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    val hotRanked = hotCellPairs
+      .unionByName(capChannel(aHot.select("a_id", "a_lon", "a_lat"),
+        bSel, radiusDeg, capLat))
+      .transform(refine(radiusDeg))
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= nmax)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+    cold.unionByName(hotRanked)
+  }
+
   /** Polar-cap channel: pairs with at least one side ABOVE the cap,
     * matched via broadcast. The strict >capLat requirement makes the
     * two channels disjoint (the cell channel requires both sides ≤

@@ -380,6 +380,59 @@ object ScaleSmoke {
         .filter(col("n_kept") < col("n_total"))
         .count().toString + " objects clipped"
     }
+    // deep-field cross-match: 2M uniform detections + 400k crammed
+    // into a ~0.5° pointing (a >=100x hot blocking cell — the survey
+    // skew SCALE.md claims CrossMatch.skewSafe bounds). Asserts BOTH
+    // halves of the claim: (1) the mitigated answer is row-identical
+    // to the plain plan, (2) the largest per-task candidate bucket
+    // shrinks by ~the salt factor, so no single task owns the field.
+    locally {
+      val uni = spark.range(2000000).select(
+        col("id").as("det_id"),
+        (rand(seed = 31) * 360).as("lon"),
+        degrees(asin(rand(seed = 32) * 2 - 1)).as("lat"))
+      val deep = spark.range(2000000, 2400000).select(
+        col("id").as("det_id"),
+        (lit(180.0) + rand(seed = 33) * 0.5).as("lon"),
+        (lit(10.0) + rand(seed = 34) * 0.5).as("lat"))
+      val dets = uni.unionByName(deep).persist()
+      val objs = spark.range(500000).select(
+        col("id").as("obj_id"),
+        (rand(seed = 35) * 360).as("lon"),
+        degrees(asin(rand(seed = 36) * 2 - 1)).as("lat"))
+        .unionByName(spark.range(500000, 540000).select(
+          col("id").as("obj_id"),
+          (lit(180.0) + rand(seed = 37) * 0.5).as("lon"),
+          (lit(10.0) + rand(seed = 38) * 0.5).as("lat"))).persist()
+      dets.count(); objs.count()
+      val r = 0.01
+      val level = CrossMatch.levelFor(r)
+      val salts = 16
+      val hotThreshold = 50000L
+      t(s"deep-field xmatch 2.4M dets (400k in one cell) x 540k objs") {
+        val plain = CrossMatch(dets, objs, "det_id", "lon", "lat",
+          "obj_id", "lon", "lat", r, 1)
+        val safe = CrossMatch.skewSafe(dets, objs, "det_id", "lon", "lat",
+          "obj_id", "lon", "lat", r, 1, hotThreshold, salts)
+        val diff = plain.exceptAll(safe).count() + safe.exceptAll(plain).count()
+        require(diff == 0, s"skewSafe answer diverged by $diff rows")
+        // work-bound: biggest (cell) A-population before vs biggest
+        // (cell, salt) bucket after — the per-task candidate driver
+        val cellOf = graft.spatial.SkyPix.cell(col("lon"), col("lat"), level)
+        val hotBefore = dets.groupBy(cellOf.as("c")).count()
+          .agg(max("count")).head().getLong(0)
+        val hotAfter = dets.select(col("det_id"), cellOf.as("c"))
+          .withColumn("s", pmod(xxhash64(col("det_id")), lit(salts.toLong)))
+          .groupBy("c", "s").count().agg(max("count")).head().getLong(0)
+        require(hotBefore > hotThreshold, s"field not hot: $hotBefore")
+        require(hotAfter * (salts / 2) <= hotBefore,
+          s"salting failed to spread the field: $hotBefore -> $hotAfter")
+        f"${safe.count()} matches; hot cell $hotBefore rows -> " +
+          f"max bucket $hotAfter (${salts}x salt)"
+      }
+      dets.unpersist(); objs.unpersist()
+    }
+
     // exact quantiles at 24M rows / 3 groups — the A9 hot-group regime
     // that OOMs Spark's buffering percentile at scale. v = id² gives a
     // non-uniform value distribution AND an analytic ground truth

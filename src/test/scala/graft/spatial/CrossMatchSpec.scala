@@ -68,6 +68,30 @@ class CrossMatchSpec extends SpecBase {
     assert(got.filter(col("dist_deg") > 0.05).count() == 0)
   }
 
+  test("skewSafe equals the plain plan, with and without a hot field") {
+    // a dense clump makes several cells hot at tiny thresholds; the
+    // answer must be row-identical either way (incl. polar rows going
+    // through the cap channel and nmax tie-breaks)
+    val clumped = detections ++ (0L until 500L).map { i =>
+      (5000L + i, 100.0 + (i % 25) * 0.0004, 20.0 + (i / 25) * 0.0004)
+    }
+    val clumpObjs = objects ++ (0L until 60L).map { i =>
+      (8000L + i, 100.0 + (i % 8) * 0.0011, 20.0 + (i / 8) * 0.0011)
+    }
+    val d = clumped.toDF("det_id", "lon", "lat")
+    val o = clumpObjs.toDF("obj_id", "lon", "lat")
+    for ((radius, nmax, hot, salts) <- Seq(
+        (0.05, 2, 100L, 7), (0.05, 1, 100000L, 4) /* nothing hot */ )) {
+      val plain = CrossMatch(d, o, "det_id", "lon", "lat",
+        "obj_id", "lon", "lat", radius, nmax)
+      val safe = CrossMatch.skewSafe(d, o, "det_id", "lon", "lat",
+        "obj_id", "lon", "lat", radius, nmax, hot, salts)
+      assert(plain.exceptAll(safe).count() == 0 &&
+        safe.exceptAll(plain).count() == 0,
+        s"radius=$radius nmax=$nmax hot=$hot salts=$salts")
+    }
+  }
+
   test("empty probe side yields empty result") {
     val empty = Seq.empty[(Long, Double, Double)].toDF("det_id", "lon", "lat")
     assert(CrossMatch(empty, objDf, "det_id", "lon", "lat",
