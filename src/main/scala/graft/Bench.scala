@@ -57,16 +57,30 @@ object Bench {
     // as-built — all output columns computed into UnsafeRows — and
     // the foreach drains every partition. Failures are NOT folded
     // into a plausible wall-time: they surface in an "errors" list.
+    // Each query is timed TWICE back-to-back: `cold` = first run,
+    // `best` = min of the two. Round-7 showed single-shot numbers on
+    // a shared sandbox swing ±30% (and 3× on individual queries) with
+    // zero code change; a second run in the same JVM washes out
+    // whichever transient (GC, codegen compile, page cache, sibling
+    // load) the first run happened to eat, so `best` approximates
+    // steady-state cost. BASELINE.md documents which number gates.
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd
           .foreachPartition(it => while (it.hasNext) { it.next(); () })
-      } catch {
-        case _: Throwable => errors ::= name
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        val cold = once()
+        val best = math.min(cold, once())
+        (name, cold, best)
+      } catch {
+        case _: Throwable =>
+          errors ::= name
+          (name, 0.0, 0.0)
+      }
     }
     // The driver keeps only the LAST 2000 chars of stdout (measured
     // from BENCH_r06.json) and parses the final line. 131 quoted query
@@ -82,21 +96,30 @@ object Bench {
     //           triage actually reads first);
     //   line 4  the short always-parseable headline, LAST.
     val errs = errors.sorted.map(e => s""""$e"""").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val coldTotal = results.map(_._2).sum
+    val bestTotal = results.map(_._3).sum
     try {
-      val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-        .mkString("{", ",", "}")
+      val qs = results.map { case (k, c, b) =>
+        f""""$k":{"cold":$c%.3f,"best":$b%.3f}"""
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_queries.json"),
-        s"""{"sf":"$sfDir","total":$total,"queries":$qs,"errors":$errs}""")
+        s"""{"sf":"$sfDir","cold_total":$coldTotal,"best_total":$bestTotal,"queries":$qs,"errors":$errs}""")
     } catch { case _: Throwable => () } // read-only cwd: stdout still has it
-    val arr = results.map { case (_, v) => f"$v%.3f" }
+    val arrCold = results.map { case (_, c, _) => f"$c%.3f" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"per_query","unit":"sec","order":"sorted-name","n":${results.size},"sec":$arr}""")
-    val slow = results.sortBy(-_._2).take(20)
-      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"slowest","unit":"sec","sec":$slow}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs}""")
+    val arrBest = results.map { case (_, _, b) => f"$b%.3f" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"per_query_cold","unit":"sec","order":"sorted-name","n":${results.size},"sec":$arrCold}""")
+    println(s"""{"metric":"per_query_best","unit":"sec","order":"sorted-name","n":${results.size},"sec":$arrBest}""")
+    val slow = results.sortBy(-_._3).take(20)
+      .map { case (k, _, b) => f""""$k":$b%.2f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"slowest_best","unit":"sec","sec":$slow}""")
+    // headline LAST (the driver json-parses the final stdout line):
+    // `value` = best-of-2 total (the number BASELINE.md gates on from
+    // r8), `cold_value` = sum of first runs (methodology-compatible
+    // with the single-shot totals of rounds ≤ 7).
+    println(s"""{"metric":"total","value":$bestTotal,"cold_value":$coldTotal,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs}""")
     spark.stop()
   }
 }

@@ -31,7 +31,19 @@ final case class LsdDb(spark: SparkSession, root: String) {
     */
   def table(name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$root/$name.parquet")
+    val raw = spark.read.parquet(s"$root/$name.parquet")
+    // A SpatialWriter cell-partitioned layout (e.g. a spatial INTO
+    // result) carries two layout-only columns: `cell` (the directory
+    // partition key) and `is_margin` (replica flag). The TABLE view
+    // of such a dataset is its logical rows: margin replicas out,
+    // layout columns off — so `SELECT *` round-trips the original
+    // result schema. Footprint-pruned access goes through
+    // SpatialWriter.readPrimary/readWithMargins, which keep them.
+    val df =
+      if (raw.columns.contains("is_margin") && raw.columns.contains("cell"))
+        raw.filter(!org.apache.spark.sql.functions.col("is_margin"))
+          .drop("is_margin", "cell")
+      else raw
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
         // integer DIV, not `/`: ns epochs (~1.7e18) exceed double's

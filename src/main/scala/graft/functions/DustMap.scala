@@ -96,22 +96,37 @@ object DustMap {
       img(ix, iy)
     }
     val side = 1L << level
-    val rows = (0L until side * side).map { id =>
+    // Generate the grid ON EXECUTORS (spark.range → map), with the two
+    // hemisphere images broadcast once. At the default level the grid
+    // is 4k rows either way, but at a real-map level (≥10) the
+    // driver-side enumeration this replaces would materialize 1M+
+    // Rows on the driver; here the driver holds only the images
+    // (tens of MB, the irreducible ingest cost) and each executor
+    // samples its own id-range. Same coneCellsDf discipline:
+    // driver-side work is O(1), generation is distributed.
+    val bNgp = spark.sparkContext.broadcast(ngp)
+    val bSgp = spark.sparkContext.broadcast(sgp)
+    val _ = sample(0.0, 45.0) // validate images driver-side before shipping
+    import spark.implicits._
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (side * side / 65536L).toInt))
+    spark.range(0, side * side, 1, parts).as[Long].map { id =>
       val ix = id & (side - 1); val iy = id >> level
       // cell center of the equal-area grid: lon uniform, lat via
       // asin of the uniform sin-lat strip (SkyPix.ixy inverse)
       val lc = (ix + 0.5) * 360.0 / side
       val bc = math.toDegrees(math.asin((iy + 0.5) * 2.0 / side - 1.0))
-      org.apache.spark.sql.Row(SkyPix.mortonCellValue(ix, iy, level),
-        sample(lc, bc))
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("ebv",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val img = if (bc >= 0) bNgp.value else bSgp.value
+      val hemi = if (bc >= 0) 1.0 else -1.0
+      val s = img.width
+      val l = math.toRadians(lc); val b = math.toRadians(bc)
+      val r = s / 2.0 * math.sqrt(1.0 - hemi * math.sin(b))
+      val x = r * math.cos(l) + (s - 1) / 2.0
+      val y = -hemi * r * math.sin(l) + (s - 1) / 2.0
+      val jx = math.min(s - 1, math.max(0, math.round(x).toInt))
+      val jy = math.min(s - 1, math.max(0, math.round(y).toInt))
+      (SkyPix.mortonCellValue(ix, iy, level), img(jx, jy))
+    }.toDF("cell", "ebv")
   }
 
   /** ebv(l, b): append an `ebv` column looked up from the dust grid at

@@ -82,24 +82,47 @@ object ExactQuantiles {
     val valueCols = reqs.map(_.valueCol).distinct
     val nG = groupCols.length
 
-    // ---- pass 0: one scan for every column's per-group count/min/max
+    // ---- pass 0: one scan for every column's per-group count/min/max.
+    // Non-finite values are COUNTED here and resolved by rank
+    // arithmetic alone, never entering histogram refinement: an
+    // infinite endpoint makes the bin width infinite ((v-lo)/width is
+    // 0 or NaN for every row), so the range would never narrow and
+    // the maxPasses fallback would collect the whole group — exactly
+    // the O(collectThreshold) driver-memory contract this class
+    // exists to keep. Sort order used: -Inf < finite < +Inf < NaN
+    // (Spark's and DuckDB's double ordering).
     val statAggs = valueCols.flatMap { c =>
-      Seq(count(col(c)).as(s"__n_$c"),
-        min(col(c).cast(DoubleType)).as(s"__lo_$c"),
-        max(col(c).cast(DoubleType)).as(s"__hi_$c"))
+      val v = col(c).cast(DoubleType)
+      val finite = !isnan(v) &&
+        v =!= Double.NegativeInfinity && v =!= Double.PositiveInfinity
+      Seq(count(v).as(s"__n_$c"),
+        count(when(v === Double.NegativeInfinity, 1)).as(s"__ni_$c"),
+        count(when(v === Double.PositiveInfinity, 1)).as(s"__pi_$c"),
+        count(when(isnan(v), 1)).as(s"__nan_$c"),
+        min(when(finite, v)).as(s"__lo_$c"),
+        max(when(finite, v)).as(s"__hi_$c"))
     }
     val statRows =
       df.groupBy(groupCols.map(col): _*).agg(statAggs.head, statAggs.tail: _*)
         .collect()
     val groups: Array[Seq[Any]] =
       statRows.map(r => (0 until nG).map(r.get))
-    // (valueCol, groupIdx) -> (n, min, max)
-    val stat = mutable.Map.empty[(String, Int), (Long, Double, Double)]
+    // per-(valueCol, group): counts by class + finite min/max
+    final case class GStat(n: Long, ni: Long, pi: Long, nan: Long,
+        lo: Double, hi: Double) {
+      def finCnt: Long = n - ni - pi - nan
+    }
+    val stat = mutable.Map.empty[(String, Int), GStat]
     for ((r, gi) <- statRows.zipWithIndex; c <- valueCols) {
       val n = r.getAs[Long](s"__n_$c")
-      if (n > 0)
-        stat((c, gi)) = (n, r.getAs[Double](s"__lo_$c"),
-          r.getAs[Double](s"__hi_$c"))
+      if (n > 0) {
+        val lo = if (r.isNullAt(r.fieldIndex(s"__lo_$c"))) 0.0
+          else r.getAs[Double](s"__lo_$c")
+        val hi = if (r.isNullAt(r.fieldIndex(s"__hi_$c"))) 0.0
+          else r.getAs[Double](s"__hi_$c")
+        stat((c, gi)) = GStat(n, r.getAs[Long](s"__ni_$c"),
+          r.getAs[Long](s"__pi_$c"), r.getAs[Long](s"__nan_$c"), lo, hi)
+      }
     }
 
     // group-typed schema for the broadcast range relations
@@ -149,8 +172,8 @@ object ExactQuantiles {
       // ranks needed for this column: floor/ceil of h = p(n-1)
       val needed = mutable.Map.empty[Int, mutable.Set[Long]]
       for (r <- reqs if r.valueCol == c; gi <- groups.indices) {
-        stat.get((c, gi)).foreach { case (n, _, _) =>
-          val h = r.p * (n - 1).toDouble
+        stat.get((c, gi)).foreach { st =>
+          val h = r.p * (st.n - 1).toDouble
           val s = needed.getOrElseUpdate(gi, mutable.Set.empty[Long])
           s += math.floor(h).toLong
           s += math.ceil(h).toLong
@@ -164,8 +187,20 @@ object ExactQuantiles {
         else Some(t)
 
       var active: Seq[Task] = needed.toSeq.flatMap { case (gi, ranks) =>
-        val (n, lo, hi) = stat((c, gi))
-        triage(Task(gi, lo, hi, 0L, n, ranks.toSet))
+        val st = stat((c, gi))
+        // resolve non-finite ranks directly from the class counts
+        // (rank order: ni × -Inf, finite, pi × +Inf, nan × NaN)
+        val finiteRanks = ranks.toSet.filter { k =>
+          if (k < st.ni) {
+            resolved((c, gi, k)) = Double.NegativeInfinity; false
+          } else if (k >= st.n - st.nan) {
+            resolved((c, gi, k)) = Double.NaN; false
+          } else if (k >= st.n - st.nan - st.pi) {
+            resolved((c, gi, k)) = Double.PositiveInfinity; false
+          } else true
+        }
+        if (finiteRanks.isEmpty) None
+        else triage(Task(gi, st.lo, st.hi, st.ni, st.finCnt, finiteRanks))
       }
       var passes = 0
       while (active.nonEmpty && passes < maxPasses) {
@@ -239,8 +274,8 @@ object ExactQuantiles {
       val qs = reqs.map { r =>
         stat.get((r.valueCol, gi)) match {
           case None => null
-          case Some((n, _, _)) =>
-            val h = r.p * (n - 1).toDouble
+          case Some(st) =>
+            val h = r.p * (st.n - 1).toDouble
             val kLo = math.floor(h).toLong
             val kHi = math.ceil(h).toLong
             val vLo = resolved((r.valueCol, gi, kLo))

@@ -29,7 +29,8 @@ object Footprint {
     val lo = ((lonMin % 360) + 360) % 360
     val hi = ((lonMax % 360) + 360) % 360
     val lonPred =
-      if (lo <= hi) lon >= lo && lon <= hi
+      if (lonMax - lonMin >= 360.0) lit(true) // full ring
+      else if (lo <= hi) lon >= lo && lon <= hi
       else lon >= lo || lon <= hi // wraps through 0
     lonPred && latCol >= latMin && latCol <= latMax
   }
@@ -92,7 +93,8 @@ object Footprint {
     val ixLo = math.min(math.floor(lo / 360.0 * n).toLong, n - 1)
     val ixHi = math.min(math.floor(hi / 360.0 * n).toLong, n - 1)
     val ixs: Seq[Long] =
-      if (lo <= hi) ixLo to ixHi
+      if (lonMax - lonMin >= 360.0) 0L until n // full ring: every column
+      else if (lo <= hi) ixLo to ixHi
       else (ixLo until n) ++ (0L to ixHi) // wraps through lon=0
     for (iy <- iyOf(latMin) to iyOf(latMax); ix <- ixs)
       yield pack(ix, iy, level)
@@ -116,7 +118,10 @@ object Footprint {
                    latMax: Double): Double = {
     val lo = ((lonMin % 360) + 360) % 360
     val hi = ((lonMax % 360) + 360) % 360
-    val dLon = if (lo <= hi) hi - lo else 360 - lo + hi
+    val dLon =
+      if (lonMax - lonMin >= 360.0) 360.0 // full ring, not an empty span
+      else if (lo <= hi) hi - lo
+      else 360 - lo + hi
     val sr = math.toRadians(dLon) *
       (math.sin(math.toRadians(latMax)) - math.sin(math.toRadians(latMin)))
     sr * math.pow(180.0 / math.Pi, 2)

@@ -99,6 +99,40 @@ class ExactQuantilesSpec extends SpecBase {
     assert(stats == Stats(0, 0L, 0L), s"unexpected work: $stats")
   }
 
+  test("±Inf segregated by rank arithmetic — no whole-group collect") {
+    // An infinite range endpoint makes (v-lo)/width degenerate (0 or
+    // NaN), so pre-fix every row landed in bin 0, the range never
+    // narrowed, and the maxPasses fallback collected the ENTIRE
+    // group. Now non-finite values resolve from pass-0 counts and
+    // only the finite slice is refined.
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(String, java.lang.Double)] = (0 until 30000).map { i =>
+      val v: Double =
+        if (i % 100 == 0) Double.NegativeInfinity
+        else if (i % 100 == 1) Double.PositiveInfinity
+        else rnd.nextGaussian() * 100
+      ("g", java.lang.Double.valueOf(v))
+    }
+    val df = mkDf(rows)
+    val reqs = ps.zipWithIndex.map { case (p, i) => Req("v", p, s"q$i") }
+    val (out, st) = ExactQuantiles.computeWithStats(df, Seq("g"), reqs,
+      bins = 32, collectThreshold = 500)
+    // the driver-memory contract must HOLD despite the infinities
+    assert(st.maxRangeRows <= 500,
+      s"collected a range of ${st.maxRangeRows} rows > threshold")
+    val vs = rows.map(_._2.doubleValue())
+    val got = out.collect().head
+    for ((p, i) <- ps.zipWithIndex) {
+      val want = ref(vs, p)
+      val have = got.getDouble(1 + i)
+      assert(have == want || (have.isNaN && want.isNaN),
+        s"p=$p: $have != $want")
+    }
+    // p=0 with 1% -Inf rows and p=1 with 1% +Inf rows hit the rails
+    assert(got.getDouble(1).isNegInfinity && got.getDouble(1 + ps.length - 1)
+      .isPosInfinity)
+  }
+
   test("agrees with Spark's buffering percentile on lineitem (1e-9 rel)") {
     val li = graft.LsdDb.table(spark, sfDir, "lineitem")
     val want = li.groupBy("l_returnflag")

@@ -47,6 +47,38 @@ class LsdQLSpec extends SpecBase {
       db.table("orders").filter("o_totalprice > 450000").count())
   }
 
+  test("spatial INTO round-trips: layout columns never leak into SELECT *") {
+    import spark.implicits._
+    // a spatial table (registered sky coords) materialized via INTO
+    // lands as a cell-partitioned SpatialWriter layout; reading it
+    // back as a TABLE must return exactly the original result schema
+    // and rows — no is_margin, no cell partition column.
+    val tmp = Files.createTempDirectory("graft_ql_sinto").toString
+    val rnd = new scala.util.Random(11)
+    val cat = (0L until 400L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1)),
+      rnd.nextDouble() * 25))
+      .toDF("obj_id", "lon", "lat", "mag")
+    cat.write.parquet(s"$tmp/cat.parquet")
+    val sdb = LsdDb(spark, tmp)
+    val q = LsdQL(sdb, Seq.empty, intoRoot = Some(tmp),
+      idSpecs = Map("cat" -> IdSpec("lon", "lat", "obj_id", level = 4)))
+    q.query("SELECT obj_id, lon, lat, mag FROM cat WHERE mag < 20 INTO bright")
+    // it IS a spatial layout on disk (cell directories exist) ...
+    assert(new java.io.File(s"$tmp/bright.parquet").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+    // ... but the table view round-trips the logical result exactly
+    val back = sdb.table("bright")
+    assert(back.columns.toSeq == Seq("obj_id", "lon", "lat", "mag"))
+    val expect = cat.filter("mag < 20")
+    assert(back.count() == expect.count())
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+    // and footprint-style access still sees the partition column
+    val layout = graft.sources.SpatialWriter.readWithMargins(
+      spark, s"$tmp/bright.parquet")
+    assert(layout.columns.contains("cell"))
+  }
+
   test("keywords and commas inside string literals don't break parsing") {
     val df = ql.query(
       """SELECT concat(o_orderpriority, ' from, where ') AS tagged, o_orderkey

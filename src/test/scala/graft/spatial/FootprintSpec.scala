@@ -32,6 +32,26 @@ class FootprintSpec extends SpecBase {
     assert(wrapped.filter(col("lon") > 10 && col("lon") < 350).count() == 0)
   }
 
+  test("full-circle lon span means the whole ring, not an empty one") {
+    // lonMin=0, lonMax=360 used to mod-collapse to a single cell
+    // column / zero area; it must mean "all longitudes".
+    val level = 4; val n = 1L << level
+    val band = Footprint.rectCells(0.0, 360.0, -10.0, 10.0, level)
+    def unIx(cell: Long): Long = { // de-interleave the even Morton bits
+      var ix = 0L
+      for (b <- 0 until level) ix |= ((cell >> (2 * b)) & 1L) << b
+      ix
+    }
+    val ixs = band.map(unIx).distinct
+    assert(ixs.size == n, s"expected all $n lon columns, got ${ixs.size}")
+    val area = Footprint.rectAreaDeg2(0.0, 360.0, -90.0, 90.0)
+    assert(math.abs(area - 360.0 * 360.0 / math.Pi) < 1e-6,
+      s"full sphere expected, got $area")
+    // the predicate too: everything is inside a full-ring rect
+    assert(cat.filter(Footprint.rect(col("lon"), col("lat"),
+      0, 360, -90, 90)).count() == cat.count())
+  }
+
   test("coneCells is a superset of the cells of matching points") {
     for ((lon0, lat0, r) <- Seq((120.0, 30.0, 5.0), (0.5, -45.0, 2.0),
       (359.0, 88.0, 3.0), (180.0, -89.5, 1.0))) {
