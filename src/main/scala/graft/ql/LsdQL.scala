@@ -57,12 +57,23 @@ final case class IdSpec(lonCol: String, latCol: String, keyCol: String,
   * rows plus two pseudo-columns: `_DIST` (match distance, degrees)
   * and `_NR` (match rank, 1 = nearest). Directional (left drives);
   * `nmax = 1` is the reference's nearest-neighbor default. An
-  * `(outer)` FROM item keeps unmatched left rows with NULL matches. */
+  * `(outer)` FROM item keeps unmatched left rows with NULL matches.
+  *
+  * Deep-field skew mitigation is an OPTION on the relation, not a
+  * separate library call: set `hotThreshold` (left-side rows per
+  * blocking cell above which a cell is treated as a deep field) and
+  * the planner routes through [[graft.spatial.CrossMatch.skewSafe]] —
+  * hot cells salted into `salts` even tasks, cold cells on the plain
+  * plan, row-identical results either way. A survey user whose first
+  * query hits the deep field turns this on per-relation; the default
+  * (None) is the unsalted plan. */
 final case class SpatialJoinDef(left: String, leftKey: String,
                                 lonL: String, latL: String,
                                 right: String, rightKey: String,
                                 lonR: String, latR: String,
-                                radiusDeg: Double, nmax: Int = 1)
+                                radiusDeg: Double, nmax: Int = 1,
+                                hotThreshold: Option[Long] = None,
+                                salts: Int = 16)
 
 final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
                        intoRoot: Option[String] = None,
@@ -131,9 +142,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           // cell-blocked nearest-k pairs over the RUNNING relation (so
           // upstream WHERE-able columns survive), then attach the
           // matched right rows; _DIST/_NR become ordinary columns
-          val pairs = graft.spatial.CrossMatch(df, right,
-            sjd.leftKey, sjd.lonL, sjd.latL,
-            sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax)
+          val rawPairs = sjd.hotThreshold match {
+            case Some(ht) => graft.spatial.CrossMatch.skewSafe(df, right,
+              sjd.leftKey, sjd.lonL, sjd.latL,
+              sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,
+              ht, sjd.salts)
+            case None => graft.spatial.CrossMatch(df, right,
+              sjd.leftKey, sjd.lonL, sjd.latL,
+              sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax)
+          }
+          val pairs = rawPairs
             .withColumnRenamed("dist_deg", "_DIST")
             .withColumnRenamed("match_rank", "_NR")
           df = df.join(pairs, df(sjd.leftKey) === pairs("a_id"), how)

@@ -244,13 +244,20 @@ object CrossMatch {
     * (and therefore the answer, nmax ranking included) is EXACTLY
     * [[apply]]'s — the A-row partition is disjoint and ranking is
     * per A row. Asserted against [[apply]] in ScaleSmoke on a 100×
-    * deep field, with the per-bucket work bound checked. */
+    * deep field, with the per-bucket work bound checked.
+    *
+    * When the replicated probe set would itself be large (B dense at
+    * the same deep field: probeRows × salts > maxBroadcastRows), the
+    * hot channel falls back from broadcast to a shuffled equi-join on
+    * (cell, salt) — same salted split of the monster task, same rows,
+    * no driver/broadcast-memory cliff. */
   def skewSafe(a: DataFrame, b: DataFrame,
                aId: String, aLon: String, aLat: String,
                bId: String, bLon: String, bLat: String,
                radiusDeg: Double, nmax: Int,
                hotThreshold: Long, salts: Int,
-               capLat: Double = CapLat): DataFrame = {
+               capLat: Double = CapLat,
+               maxBroadcastRows: Long = 4L << 20): DataFrame = {
     require(nmax >= 1, s"nmax must be >= 1, got $nmax")
     require(salts >= 1 && hotThreshold >= 1, "salts, hotThreshold >= 1")
     val level = levelFor(radiusDeg, capLat)
@@ -272,12 +279,27 @@ object CrossMatch {
       .withColumn("_salt", pmod(xxhash64(col("a_id")), lit(salts.toLong)))
     val bSel = b.select(col(bId).as("b_id"), col(bLon).as("b_lon"),
       col(bLat).as("b_lat"))
-    val bProbe = bSel.filter(abs(col("b_lat")) <= capLat)
+    val bProbeBase = bSel.filter(abs(col("b_lat")) <= capLat)
       .withColumn("cell", explode(SkyPix.neighborCellsWithin(
         col("b_lon"), col("b_lat"), level, radiusDeg)))
       .filter(col("cell").isin(hot: _*))
+    // Broadcast guard: when B is ALSO dense at the deep field, the
+    // probe set replicated ×salts can exceed driver/broadcast memory
+    // — a hard failure, strictly worse than the slow task it was
+    // meant to fix. Count the slice first (cheap: one agg over the
+    // already-filtered neighbor explosion); past the cap, keep the
+    // same salted plan but let the (cell, _salt) equi-join SHUFFLE:
+    // the monster task still splits into `salts` even tasks, the
+    // replicated probe rows just travel by exchange instead of
+    // broadcast. Row identity with [[apply]] is unchanged either way
+    // (same candidate relation, different physical transport).
+    val probeRows = bProbeBase.count()
+    val bProbe = bProbeBase
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
-    val hotCellPairs = aHot.join(broadcast(bProbe), Seq("cell", "_salt"))
+    val probeSide =
+      if (probeRows * salts <= maxBroadcastRows) broadcast(bProbe)
+      else bProbe.hint("shuffle_hash")
+    val hotCellPairs = aHot.join(probeSide, Seq("cell", "_salt"))
       .drop("cell", "_salt")
     val w = Window.partitionBy("a_id")
       .orderBy(col("dist_deg").asc, col("b_id").asc)

@@ -234,17 +234,31 @@ object AdminCli {
   *
   * Usage: XmatchCli <dbRoot> <tableA> <aId,aLon,aLat>
   *                  <tableB> <bId,bLon,bLat> <radiusDeg> <nmax> <outName>
+  *                  [hotThreshold [salts]]
+  *
+  * The optional trailing args turn on deep-field skew mitigation
+  * (CrossMatch.skewSafe): cells with more than hotThreshold left-side
+  * rows are salted into `salts` (default 16) even tasks; results are
+  * row-identical to the plain plan.
   */
 object XmatchCli {
   def main(args: Array[String]): Unit = {
-    require(args.length == 8, "usage: XmatchCli <dbRoot> <tableA> " +
-      "<aId,aLon,aLat> <tableB> <bId,bLon,bLat> <radiusDeg> <nmax> <outName>")
+    require(args.length >= 8 && args.length <= 10,
+      "usage: XmatchCli <dbRoot> <tableA> " +
+      "<aId,aLon,aLat> <tableB> <bId,bLon,bLat> <radiusDeg> <nmax> " +
+      "<outName> [hotThreshold [salts]]")
     val spark = Cli.session()
     val db = LsdDb(spark, args(0))
     val Array(aId, aLon, aLat) = args(2).split(",").map(_.trim)
     val Array(bId, bLon, bLat) = args(4).split(",").map(_.trim)
-    val pairs = CrossMatch(db.table(args(1)), db.table(args(3)),
-      aId, aLon, aLat, bId, bLon, bLat, args(5).toDouble, args(6).toInt)
+    val pairs =
+      if (args.length >= 9)
+        CrossMatch.skewSafe(db.table(args(1)), db.table(args(3)),
+          aId, aLon, aLat, bId, bLon, bLat, args(5).toDouble, args(6).toInt,
+          hotThreshold = args(8).toLong,
+          salts = if (args.length == 10) args(9).toInt else 16)
+      else CrossMatch(db.table(args(1)), db.table(args(3)),
+        aId, aLon, aLat, bId, bLon, bLat, args(5).toDouble, args(6).toInt)
     pairs.write.mode("overwrite").parquet(s"${args(0)}/${args(7)}.parquet")
     println(s"xmatch ${args(1)}x${args(3)} -> ${args(7)} " +
       s"(${pairs.count()} pairs)")

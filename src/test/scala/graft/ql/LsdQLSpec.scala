@@ -194,6 +194,84 @@ class LsdQLSpec extends SpecBase {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
   }
 
+  test("spatial join with hotThreshold: skew-mitigated path is row-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_ql_skew").toString
+    val rnd = new scala.util.Random(17)
+    // background objects all-sky + a deep field: 300 objects crammed
+    // into ~0.2° at (180, 0) so one blocking cell goes hot
+    val objs = ((0L until 150L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1)))) ++
+      (150L until 450L).map(i => (i, 180.0 + rnd.nextDouble() * 0.2,
+        rnd.nextDouble() * 0.2)))
+      .toDF("obj_id", "obj_lon", "obj_lat")
+    val dets = objs.select((col("obj_id") * 10).as("det_id"),
+      (col("obj_lon") + 0.001).as("det_lon"),
+      (col("obj_lat") + 0.001).as("det_lat"))
+    objs.write.parquet(s"$tmp/objs.parquet")
+    dets.write.parquet(s"$tmp/dets.parquet")
+    val db2 = LsdDb(spark, tmp)
+    def run(ht: Option[Long]) = LsdQL(db2, joins = Nil, spatialJoins = Seq(
+      SpatialJoinDef("dets", "det_id", "det_lon", "det_lat",
+        "objs", "obj_id", "obj_lon", "obj_lat", radiusDeg = 0.05,
+        hotThreshold = ht, salts = 4)))
+      .query("SELECT det_id, obj_id, _DIST, _NR FROM dets, objs WHERE _NR = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val plain = run(None)
+    val mitigated = run(Some(50L)) // deep field (300 rows/cell) goes hot
+    assert(plain.nonEmpty && mitigated == plain,
+      s"skew-mitigated spatial join diverged: ${
+        (mitigated diff plain).take(3)}/${(plain diff mitigated).take(3)}")
+  }
+
+  test("GROUP BY over a spatial-join FROM (per-object match counts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_ql_sjagg").toString
+    val rnd = new scala.util.Random(23)
+    val objs = (0L until 120L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))))
+      .toDF("obj_id", "obj_lon", "obj_lat")
+    // 1-3 detections per object, tiny offsets
+    val dets = objs.as[(Long, Double, Double)].flatMap { case (id, lo, la) =>
+      (0 until (1 + (id % 3)).toInt).map(k =>
+        (id * 10 + k, lo + 0.0005 * (k + 1), la + 0.0005))
+    }.toDF("det_id", "det_lon", "det_lat")
+    objs.write.parquet(s"$tmp/objs.parquet")
+    dets.write.parquet(s"$tmp/dets.parquet")
+    val db2 = LsdDb(spark, tmp)
+    val q = LsdQL(db2, joins = Nil, spatialJoins = Seq(
+      SpatialJoinDef("dets", "det_id", "det_lon", "det_lat",
+        "objs", "obj_id", "obj_lon", "obj_lat", radiusDeg = 0.05)))
+    // aggregate OVER the spatial join: matches per object + mean dist
+    val got = q.query(
+      """SELECT obj_id, count(*) AS n_det, min(_DIST) AS best
+        |FROM dets, objs WHERE _NR = 1 GROUP BY obj_id
+        |ORDER BY obj_id""".stripMargin).collect()
+    // DataFrame twin: CrossMatch + groupBy
+    val want = graft.spatial.CrossMatch(db2.table("dets"),
+      db2.table("objs"), "det_id", "det_lon", "det_lat",
+      "obj_id", "obj_lon", "obj_lat", 0.05, 1)
+      .filter(col("match_rank") === 1)
+      .groupBy(col("b_id").as("obj_id"))
+      .agg(count(lit(1)).as("n_det"), min("dist_deg").as("best"))
+      .orderBy("obj_id").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.getLong(1) == w.getLong(1))
+      assert(g.getDouble(2) == w.getDouble(2))
+    }
+    // HAVING over the same shape: only multi-detection objects
+    val multi = q.query(
+      """SELECT obj_id, count(*) AS n_det FROM dets, objs
+        |WHERE _NR = 1 GROUP BY obj_id HAVING count(*) >= 2""".stripMargin)
+      .count()
+    assert(multi == want.count(_.getLong(1) >= 2))
+  }
+
   test("GROUP BY round-trips against the DataFrame path") {
     import org.apache.spark.sql.functions._
     val got = ql.query(

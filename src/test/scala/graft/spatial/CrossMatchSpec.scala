@@ -92,6 +92,29 @@ class CrossMatchSpec extends SpecBase {
     }
   }
 
+  test("skewSafe broadcast guard: shuffle fallback is still row-identical") {
+    // Force the guard (maxBroadcastRows tiny) so the hot channel joins
+    // by exchange instead of broadcast — the B-also-dense deep-field
+    // regime where broadcasting salts× the probe slice would blow the
+    // driver. Same rows must come back.
+    val clumped = detections ++ (0L until 400L).map { i =>
+      (5000L + i, 100.0 + (i % 20) * 0.0005, 20.0 + (i / 20) * 0.0005)
+    }
+    val clumpObjs = objects ++ (0L until 300L).map { i =>
+      (8000L + i, 100.0 + (i % 17) * 0.0006, 20.0 + (i / 17) * 0.0006)
+    }
+    val d = clumped.toDF("det_id", "lon", "lat")
+    val o = clumpObjs.toDF("obj_id", "lon", "lat")
+    val plain = CrossMatch(d, o, "det_id", "lon", "lat",
+      "obj_id", "lon", "lat", 0.05, 2)
+    val guarded = CrossMatch.skewSafe(d, o, "det_id", "lon", "lat",
+      "obj_id", "lon", "lat", 0.05, 2, hotThreshold = 100L, salts = 5,
+      maxBroadcastRows = 10L) // anything real exceeds this
+    assert(plain.exceptAll(guarded).count() == 0 &&
+      guarded.exceptAll(plain).count() == 0)
+    assert(guarded.count() > 0)
+  }
+
   test("empty probe side yields empty result") {
     val empty = Seq.empty[(Long, Double, Double)].toDF("det_id", "lon", "lat")
     assert(CrossMatch(empty, objDf, "det_id", "lon", "lat",

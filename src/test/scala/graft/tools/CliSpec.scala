@@ -88,5 +88,17 @@ class CliSpec extends SpecBase {
     val pairs = spark.read.parquet(s"$root/obj_x_obj.parquet")
     // every object matches itself at rank 1, distance 0
     assert(pairs.filter("a_id = b_id AND match_rank = 1").count() == 200)
+
+    // deep-field flag: same xmatch through CrossMatch.skewSafe
+    // (hotThreshold=1 forces every populated cell hot, salts=4) must
+    // produce the identical pair set — the ScaleSmoke row-identity
+    // equality, reachable from the CLI surface.
+    XmatchCli.main(Array(root, "objects", "obj_id,lon,lat",
+      "objects", "obj_id,lon,lat", "0.5", "2", "obj_x_obj_skew", "1", "4"))
+    val skew = spark.read.parquet(s"$root/obj_x_obj_skew.parquet")
+    val key = org.apache.spark.sql.functions.struct("a_id", "b_id",
+      "match_rank")
+    assert(skew.count() == pairs.count())
+    assert(skew.select(key).exceptAll(pairs.select(key)).isEmpty)
   }
 }
