@@ -419,6 +419,176 @@ object SurveyOps {
     }
   }
 
+  /** P10c — the canonical LSD kernel use-case composed END TO END: a
+    * DEREDDENED color-magnitude diagram (the query the reference's
+    * docs open with — per-star E(B−V) from the dust map, extinction-
+    * corrected g−r vs r, binned into a 2-D histogram). Everything is
+    * the q_ebv_lookup pipeline (galactic rotation → d6 snap → packed
+    * cell → BROADCAST grid join — corpus never shuffles) plus one
+    * partial-aggregated groupBy on the two bin keys: reduce state is
+    * O(color bins × mag bins) regardless of star count, the 100 TB
+    * CMD shape. Bin assignment floors identical IEEE doubles on both
+    * engines (all inputs are integer-derived or 1e-3-grid ebv values
+    * flowing through the same expression tree), so the histogram is
+    * hash-exact. SFD98 extinction coefficients: A_g = 3.793·E(B−V),
+    * A_r = 2.751·E(B−V). */
+  val qCmd: QuerySpec = {
+    import graft.functions.{AstroCoords, DustMap}
+    def f(d: Double) = "%.17g".format(d)
+    val (aG, dG, lNcp) = (math.toRadians(AstroCoords.NgpRaDeg),
+      math.toRadians(AstroCoords.NgpDecDeg),
+      math.toRadians(AstroCoords.LonNcpDeg))
+    val lv = DustMap.Level
+    QuerySpec(
+      "q_cmd",
+      s"""WITH c AS (SELECT p_partkey AS id,
+         |    CAST(p_partkey * 29 % 3600 AS DOUBLE) / 10.0 AS ra,
+         |    CAST(p_partkey * 23 % 1700 AS DOUBLE) / 10.0 - 85.0 AS dec,
+         |    15.0 + CAST(p_partkey % 700 AS DOUBLE) / 100.0 AS mag_r,
+         |    15.2 + CAST(p_partkey * 13 % 900 AS DOUBLE) / 100.0 AS mag_g
+         |  FROM part),
+         |r AS (SELECT id, mag_r, mag_g,
+         |    radians(ra) AS a, radians(dec) AS d FROM c),
+         |g AS (SELECT id, mag_r, mag_g,
+         |    sin(d) * ${f(math.sin(dG))} + cos(d) * ${f(math.cos(dG))}
+         |      * cos(a - ${f(aG)}) AS sinb,
+         |    cos(d) * sin(a - ${f(aG)}) AS y,
+         |    sin(d) * ${f(math.cos(dG))} - cos(d) * ${f(math.sin(dG))}
+         |      * cos(a - ${f(aG)}) AS x
+         |  FROM r),
+         |gl AS (SELECT id, mag_r, mag_g,
+         |    ${D.sql.d6(s"((degrees(${f(lNcp)} - atan2(y, x)) % 360.0" +
+            ") + 360.0) % 360.0")} AS l6,
+         |    ${D.sql.d6("degrees(asin(sinb))")} AS b6
+         |  FROM g),
+         |grid AS (${DustMap.gridSql}),
+         |k AS (SELECT id, mag_r, mag_g,
+         |    ${graft.spatial.SkyPix.sql.mortonCell(
+              graft.spatial.SkyPix.sql.ixSnapped("l6", lv),
+              graft.spatial.SkyPix.sql.iySnapped("b6", lv), lv)} AS cell
+         |  FROM gl),
+         |der AS (SELECT
+         |    (mag_g - 3.793 * ebv) - (mag_r - 2.751 * ebv) AS color,
+         |    mag_r - 2.751 * ebv AS r_corr
+         |  FROM k JOIN grid USING (cell))
+         |SELECT CAST(floor((color + 1.0) / 0.05) AS BIGINT) AS color_bin,
+         |  CAST(floor((r_corr - 12.0) / 0.25) AS BIGINT) AS mag_bin,
+         |  count(*) AS n_stars,
+         |  ${D.sql.dsum("color")} AS sum_color
+         |FROM der GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val a = radians(col("ra"))
+      val d = radians(col("dec"))
+      val sinb = sin(d) * math.sin(dG) + cos(d) * math.cos(dG) * cos(a - aG)
+      val y = cos(d) * sin(a - aG)
+      val x = sin(d) * math.cos(dG) - cos(d) * math.sin(dG) * cos(a - aG)
+      val src = LsdDb.table(s, dir, "part")
+        .select(col("p_partkey").as("id"),
+          ((col("p_partkey") * 29) % 3600).cast(DoubleType)./(10.0).as("ra"),
+          (((col("p_partkey") * 23) % 1700).cast(DoubleType) / 10.0 - 85.0)
+            .as("dec"),
+          (lit(15.0) + (col("p_partkey") % 700).cast(DoubleType) / 100.0)
+            .as("mag_r"),
+          (lit(15.2) + ((col("p_partkey") * 13) % 900).cast(DoubleType)
+            / 100.0).as("mag_g"))
+        .withColumn("l6",
+          Det.d6(pmod(degrees(lit(lNcp) - atan2(y, x)), lit(360.0))))
+        .withColumn("b6", Det.d6(degrees(asin(sinb))))
+      DustMap.withEbv(src, col("l6"), col("b6"))
+        .select(
+          ((col("mag_g") - lit(3.793) * col("ebv")) -
+            (col("mag_r") - lit(2.751) * col("ebv"))).as("color"),
+          (col("mag_r") - lit(2.751) * col("ebv")).as("r_corr"))
+        .groupBy(
+          floor((col("color") + 1.0) / 0.05).cast(LongType).as("color_bin"),
+          floor((col("r_corr") - 12.0) / 0.25).cast(LongType).as("mag_bin"))
+        .agg(count(lit(1)).as("n_stars"),
+          Det.dsum(col("color")).as("sum_color"))
+        .orderBy("color_bin", "mag_bin")
+    }
+  }
+
+  /** A13b — variability CATALOG: the phase-folding period search
+    * (q_phase_fold) joined BACK to the object catalog — the
+    * round-trip a survey user actually runs ("which of my objects are
+    * periodic variables, at what period and amplitude?"). Per-series
+    * work is the q_phase_fold aggregate (explode by constant trial
+    * periods, two keyed partial aggs, one argmin window); amplitude
+    * stats ride the SAME first aggregation pass (no extra scan of
+    * events); the final attach is an equi-join to the catalog —
+    * BROADCAST-able whenever the variable-candidate list is small
+    * (here by construction; at 100 TB the period search output is
+    * one row per OBJECT, already reduced by orders of magnitude).
+    * Everything decimal-exact end to end, so the argmin and the
+    * emitted statistics hash-match DuckDB bit for bit. */
+  val qVariabilityCatalog: QuerySpec = QuerySpec(
+    "q_variability_catalog",
+    s"""WITH ev AS (SELECT user_id,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      / 86400.0 AS td,
+       |    value FROM events),
+       |folded AS (SELECT user_id, p,
+       |    CAST(least(floor((td / p - floor(td / p)) * 8), 7) AS INT)
+       |      AS bin,
+       |    value
+       |  FROM ev CROSS JOIN
+       |    (SELECT unnest([0.5, 1.0, 2.0, 3.0, 5.0]) AS p)),
+       |ba AS (SELECT user_id, p, bin, count(*) AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS sv,
+       |    CAST(sum(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE)
+       |      AS sq,
+       |    min(value) AS mn, max(value) AS mx
+       |  FROM folded GROUP BY user_id, p, bin),
+       |st AS (SELECT user_id, p,
+       |    CAST(sum(CAST(sq - sv * sv / n AS DECIMAL(38,8))) AS DOUBLE)
+       |      AS stat,
+       |    CAST(sum(n) AS BIGINT) AS n_obs,
+       |    max(mx) - min(mn) AS amplitude
+       |  FROM ba GROUP BY user_id, p),
+       |r AS (SELECT user_id, p, stat, n_obs, amplitude,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY stat, p)
+       |      AS rn
+       |  FROM st)
+       |SELECT user_id, c_name, best_period, stat, n_obs, amplitude
+       |FROM (SELECT user_id, p AS best_period, stat, n_obs, amplitude
+       |      FROM r WHERE rn = 1) v
+       |JOIN customer ON user_id = c_custkey
+       |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val periods = Seq(0.5, 1.0, 2.0, 3.0, 5.0)
+    val td = unix_timestamp(col("ts")) / 86400.0
+    val phase = col("td") / col("p") - floor(col("td") / col("p"))
+    val folded = LsdDb.table(s, dir, "events")
+      .select(col("user_id"), td.as("td"), col("value"))
+      .withColumn("p", explode(typedLit(periods)))
+      .select(col("user_id"), col("p"),
+        least(floor(phase * 8), lit(7.0)).cast("int").as("bin"),
+        col("value"))
+    val ba = folded.groupBy("user_id", "p", "bin").agg(
+      count(lit(1)).as("n"),
+      Det.dsum(col("value")).as("sv"),
+      sum((col("value") * col("value"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+        .cast(DoubleType).as("sq"),
+      min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val resid = col("sq") - col("sv") * col("sv") / col("n")
+    val st = ba.groupBy("user_id", "p").agg(
+      sum(resid.cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+        .cast(DoubleType).as("stat"),
+      sum(col("n")).as("n_obs"),
+      (max(col("mx")) - min(col("mn"))).as("amplitude"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("stat").asc, col("p").asc)
+    val best = st.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("p").as("best_period"), col("stat"),
+        col("n_obs"), col("amplitude"))
+    val cust = LsdDb.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    best.join(broadcast(cust), best("user_id") === cust("c_custkey"))
+      .select("user_id", "c_name", "best_period", "stat", "n_obs",
+        "amplitude")
+      .orderBy("user_id")
+  }
+
   /** A14 — spatiotemporal cube: detection counts + mean flux per
     * (sky cell × night) — the survey's nightly-coverage / cadence
     * bookkeeping query (SURVEY.md §1 sky×time tabulation, UNVERIFIED).
@@ -593,5 +763,6 @@ object SurveyOps {
   }
 
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
-    qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup)
+    qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
+    qVariabilityCatalog)
 }

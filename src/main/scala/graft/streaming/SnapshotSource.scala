@@ -33,9 +33,12 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * handled by the append-only streaming rule: a base REWRITES already-
   * delivered history, so an incremental batch skips base directories;
   * only a cold start (offset 0) on a compacted table reads the last
-  * base as its initial load. (Retention caveat, same as any log-
-  * tailing consumer: `vacuum` must not outrun the slowest stream's
-  * checkpoint.)
+  * base as its initial load. Retention is ENFORCED, not just
+  * documented: if `vacuum` outruns the slowest stream's checkpoint,
+  * the next batch fails loudly ("vacuumed past stream checkpoint")
+  * instead of silently skipping the vacuumed appends; recovery is a
+  * fresh checkpoint, whose cold start delivers the current table
+  * state.
   *
   * Scale shape: planning is a commit-log read (driver, O(entries));
   * each batch's tasks are one-per-parquet-file of the delta
@@ -111,8 +114,25 @@ private[streaming] class SnapshotMicroBatchStream(path: String,
       : Array[InputPartition] = {
     val s = start.asInstanceOf[SnapshotOffset].id
     val e = end.asInstanceOf[SnapshotOffset].id
-    val inRange = Snapshots.entries(spark, path)
-      .filter(x => x.id > s && x.id <= e)
+    val all = Snapshots.entries(spark, path)
+    // Retention guard: snapshot ids are DENSE (each commit is
+    // prior+1), so a resuming stream (s > 0) requires every entry
+    // after s to still be in the log. If vacuum ran past this
+    // stream's checkpoint, the retained log starts at a later base
+    // and the appends in between are physically gone; the pre-guard
+    // behavior silently SKIPPED them (the incremental path drops base
+    // entries, and the folded-in appends with it). Data loss must be
+    // loud, and actionable.
+    if (s > 0 && all.nonEmpty && all.head.id > s + 1)
+      throw new IllegalStateException(
+        s"SnapshotSource at $path: vacuumed past stream checkpoint — " +
+          s"resume offset snap=$s, but the earliest retained commit is " +
+          s"snap=${all.head.id}; appends in (${s}, ${all.head.id}) were " +
+          "deleted by vacuum and cannot be replayed. Restart with a " +
+          "FRESH checkpoint (a cold start delivers the current table " +
+          "state from the last base), and keep vacuum behind the " +
+          "slowest stream's checkpoint.")
+    val inRange = all.filter(x => x.id > s && x.id <= e)
     val lastBase = inRange.lastIndexWhere(_.isBase)
     val chosen =
       if (s == 0L && lastBase >= 0) inRange.drop(lastBase) // initial load

@@ -288,6 +288,48 @@ class StreamOpsSpec extends SpecBase {
     } finally q3.stop()
   }
 
+  test("SnapshotSource fails loud when vacuum outran the checkpoint") {
+    import graft.sources.Snapshots
+    import graft.streaming.{SnapshotSource => SnapSrc}
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapvac")
+    val path = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def start(cp: String) = SnapSrc.readStream(spark, path)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    Snapshots.append(Seq(1L, 2L).toDF("v"), path)
+    val q = start(ckpt)
+    try { q.processAllAvailable() } finally q.stop() // checkpoint at snap=1
+    // while the stream is down: appends, compact, vacuum — history
+    // between the checkpoint and the base is physically deleted
+    Snapshots.append(Seq(3L).toDF("v"), path)
+    Snapshots.append(Seq(4L).toDF("v"), path)
+    Snapshots.compact(spark, path)
+    assert(Snapshots.vacuum(spark, path).nonEmpty)
+    val q2 = start(ckpt)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    try q2.stop() catch { case _: Throwable => () }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage +: Iterator.iterate(t.getCause)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).toSeq).mkString(" | ")
+    assert(rootMsg(ex).contains("vacuumed past stream checkpoint"),
+      s"wrong failure: ${rootMsg(ex)}")
+    // recovery path: a FRESH checkpoint cold-starts from the base and
+    // delivers the current table state
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = SnapSrc.readStream(spark, path)
+      .writeStream.option("checkpointLocation",
+        dir.resolve("ckpt2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.as[Long].collect() }; ()
+      }.start()
+    try { q3.processAllAvailable() } finally q3.stop()
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L), s"cold start: $got")
+  }
+
   test("streaming CDC: snapshotSink micro-batches resolve via readMerged") {
     import graft.sources.Snapshots
     implicit val sqlCtx = spark.sqlContext
