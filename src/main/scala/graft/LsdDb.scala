@@ -1,5 +1,6 @@
 package graft
 
+import graft.sources.Snapshots
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types.LongType
@@ -29,9 +30,28 @@ final case class LsdDb(spark: SparkSession, root: String) {
     * `CAST(ts AS TIMESTAMP)` truncation, so oracle comparisons stay
     * exact at µs precision.
     */
-  def table(name: String): DataFrame = {
+  def table(name: String): DataFrame = table(name, asOf = None)
+
+  /** [[table]] with optional snapshot time travel (`asOf` = committed
+    * snapshot id; only meaningful for snapshot-layout tables). */
+  def table(name: String, asOf: Option[Long]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$root/$name.parquet")
+    val path = s"$root/$name.parquet"
+    // A Snapshots commit-log table must resolve through the LOG: a
+    // raw recursive parquet read would ingest every snap= directory
+    // — bases PLUS the appends they fold, double-counting history —
+    // and would see uncommitted/torn directories. Detection is the
+    // same _COMMITS probe AdminCli's lister uses.
+    val isSnapshotTable = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(path, "_COMMITS"))
+    }
+    require(asOf.isEmpty || isSnapshotTable,
+      s"table '$name' is not a snapshot table; AS OF / @id requires one")
+    val raw =
+      if (isSnapshotTable) Snapshots.read(spark, path, asOf)
+      else spark.read.parquet(path)
     // A SpatialWriter cell-partitioned layout (e.g. a spatial INTO
     // result) carries two layout-only columns: `cell` (the directory
     // partition key) and `is_margin` (replica flag). The TABLE view

@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions.{col, row_number}
 
 /** The reference's SQL-ish query language, re-hosted on Catalyst:
   *
-  *   SELECT expr [AS name], ... FROM t1, t2[(outer)], ...
+  *   SELECT expr [AS name], ... FROM t1[@snap], t2[(outer)], ...
   *     [WHERE expr] [GROUP BY expr, ...] [HAVING expr]
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
+  *
+  * `t@N` reads a snapshot-layout table as of committed snapshot N
+  * (time travel through the Snapshots commit log); plain `t` reads
+  * head. Non-snapshot tables reject the suffix.
   *
   * (SURVEY.md §0.2/§3 entry point 1; ref `lsd/query_parser.py` — a
   * clause splitter, not a grammar — and `lsd/join_ops.py` join-path
@@ -81,13 +85,19 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
                        idKeys: Map[String, String] = LsdQL.standardIdKeys,
                        spatialJoins: Seq[SpatialJoinDef] = Nil) {
 
-  private case class FromItem(table: String, outer: Boolean)
+  private case class FromItem(table: String, outer: Boolean,
+                              asOf: Option[Long] = None)
 
   /** Run a QL string → DataFrame (and materialize if INTO given). */
   def query(q: String): DataFrame = {
     val (selectList, fromItems, whereOpt, groupOpt, havingOpt, orderOpt,
       limitOpt, intoOpt) = parse(q)
-    var df = db.table(fromItems.head.table)
+    // `t@N` time travel: FROM items may pin a snapshot-table read to
+    // a committed snapshot id; tables pulled in implicitly as join-
+    // path intermediates always read head.
+    val asOfByTable = fromItems.flatMap(i => i.asOf.map(i.table -> _)).toMap
+    def load(name: String) = db.table(name, asOfByTable.get(name))
+    var df = load(fromItems.head.table)
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
     // reference's per-table ids): packed SkyPix id for tables with a
@@ -126,7 +136,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             val (lk, rk, tbl) =
               if (joined.contains(jd.left)) (jd.leftKey, jd.rightKey, jd.right)
               else (jd.rightKey, jd.leftKey, jd.left)
-            val right = db.table(tbl)
+            val right = load(tbl)
             // (outer) applies to every hop of the path, so unmatched
             // left rows survive the whole chain
             df = df.join(right, df(lk) === right(rk), how)
@@ -138,7 +148,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             .getOrElse(throw new IllegalArgumentException(
               s"no join relation (equi or spatial) declared between " +
                 s"{${joined.mkString(",")}} and ${item.table}"))
-          val right = db.table(item.table)
+          val right = load(item.table)
           // cell-blocked nearest-k pairs over the RUNNING relation (so
           // upstream WHERE-able columns survive), then attach the
           // matched right rows; _DIST/_NR become ordinary columns
@@ -287,10 +297,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
 
     val selectList = splitTopLevel(sections("SELECT")).map(_.trim)
     val fromItems = splitTopLevel(sections("FROM")).map(_.trim).map { t =>
-      val outer = "(?i)^(\\w+)\\s*\\(\\s*outer\\s*\\)$".r
+      // `t@N` pins a snapshot table to committed snapshot N (time
+      // travel); composes with the (outer) suffix: `t@3(outer)`.
+      val outer = "(?i)^(\\w+)(?:@(\\d+))?\\s*\\(\\s*outer\\s*\\)$".r
+      val plain = "^(\\w+)(?:@(\\d+))?$".r
       t match {
-        case outer(name) => FromItem(name, outer = true)
-        case name => FromItem(name, outer = false)
+        case outer(name, asOf) =>
+          FromItem(name, outer = true, Option(asOf).map(_.toLong))
+        case plain(name, asOf) =>
+          FromItem(name, outer = false, Option(asOf).map(_.toLong))
+        case other => FromItem(other, outer = false)
       }
     }
     (selectList, fromItems, sections.get("WHERE"), sections.get("GROUP BY"),

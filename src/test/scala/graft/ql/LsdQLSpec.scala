@@ -272,6 +272,35 @@ class LsdQLSpec extends SpecBase {
     assert(multi == want.count(_.getLong(1) >= 2))
   }
 
+  test("snapshot tables resolve through the commit log; t@N time-travels") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val tmp = Files.createTempDirectory("graft_ql_snap").toString
+    // a snapshot-layout table inside a db root: raw recursive parquet
+    // would read bases + folded appends (double count) — the table
+    // surface must resolve the log instead
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      s"$tmp/snaps.parquet")
+    Snapshots.append(Seq((3L, "c")).toDF("k", "v"), s"$tmp/snaps.parquet")
+    Snapshots.compact(spark, s"$tmp/snaps.parquet") // base id 3
+    Snapshots.append(Seq((4L, "d")).toDF("k", "v"), s"$tmp/snaps.parquet")
+    val sdb = LsdDb(spark, tmp)
+    // head view: 4 logical rows, even though snap dirs hold 3+1+3=7
+    assert(sdb.table("snaps").count() == 4)
+    assert(sdb.table("snaps", Some(1L)).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b")))
+    val q = LsdQL(sdb, Seq.empty)
+    assert(q.query("SELECT k, v FROM snaps").count() == 4)
+    assert(q.query("SELECT k FROM snaps@2 ORDER BY k").as[Long].collect()
+      .toSeq == Seq(1L, 2L, 3L))
+    // non-snapshot tables reject the suffix
+    Seq((9L, "z")).toDF("k", "v").write.parquet(s"$tmp/plain.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      q.query("SELECT k FROM plain@1").collect()
+    }
+    assert(ex.getMessage.contains("not a snapshot table"))
+  }
+
   test("GROUP BY round-trips against the DataFrame path") {
     import org.apache.spark.sql.functions._
     val got = ql.query(
