@@ -231,6 +231,62 @@ object Core {
       .orderBy("o_orderkey")
   }
 
+  /** Write-once RANGED snapshot table: four committed appends that
+    * each carry a contiguous `event_id` range (quartiles of [1, m]),
+    * with a zone map on `event_id` recorded in the commit log — the
+    * natural shape of survey ingest, where appends arrive per
+    * epoch/run and their key ranges barely overlap. */
+  def ensureRangedSnapshotEvents(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = synchronized {
+    val path = graft.sources.CacheKeys.path(
+      "graft_snapshots_ranged", s"$dir/events.parquet")
+    if (graft.sources.Snapshots.committed(s, path).size < 4) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ev = LsdDb.table(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      val m = ev.agg(max("event_id")).head.getLong(0)
+      for (i <- 1L to 4L) {
+        val lo = (i - 1) * m / 4 // integer quartile boundaries
+        val hi = i * m / 4
+        val slice = if (i == 1) ev.filter(col("event_id") <= hi)
+          else ev.filter(col("event_id") > lo && col("event_id") <= hi)
+        graft.sources.Snapshots.append(slice, path,
+          statsCols = Seq("event_id"))
+      }
+    }
+    path
+  }
+
+  /** SC4e / §1.1 snapshots — ZONE-MAP-PRUNED range read: the top-half
+    * event_id range over the 4-append ranged table. The max id and
+    * the scan set both come from the COMMIT LOG's per-snapshot
+    * [min,max] stats — the two low-range directories are dropped
+    * before any file footer is opened. At 100 TB with per-epoch
+    * appends this is the "one night out of ten years" query: scan
+    * cost is the selected range's bytes, not the table's. The oracle
+    * is the plain semantic filter; directory selection is pinned in
+    * PlanQualitySpec via inputFiles. */
+  val qSnapshotPrune: QuerySpec = QuerySpec(
+    "q_snapshot_prune",
+    s"""SELECT event_type, count(*) AS n, ${D.dsum("value")} AS total
+       |FROM events
+       |WHERE event_id * 2 > (SELECT max(event_id) FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val path = ensureRangedSnapshotEvents(s, dir)
+    // the table's max id read from zone-map metadata alone — no scan
+    val m = graft.sources.Snapshots.entries(s, path)
+      .flatMap(_.stats.get("event_id")).map(_._2).max.toLong
+    graft.sources.Snapshots
+      .readPruned(s, path, "event_id", (m / 2 + 1).toDouble,
+        Double.MaxValue)
+      .filter(col("event_id") * 2 > m) // exact integer refine
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
   /** SC3c — bulk import via ORC (Spark's second bundled columnar
     * format): write-once export of the lineitem subset, read back.
     * Like FITS (and unlike CSV text), ORC stores IEEE doubles
@@ -544,6 +600,7 @@ object Core {
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
     qImportCsv, qImportFits, qImportOrc, qImportJson, qTimeTravel,
-    qSnapshotDelta, qSnapshotMerge, qProject, qFilter, qMath, qCase,
+    qSnapshotDelta, qSnapshotMerge, qSnapshotPrune, qProject, qFilter,
+    qMath, qCase,
     qString, qDatetime, qArray, qArrayOps, qJson, qSchemaEvolve)
 }

@@ -48,12 +48,14 @@ object Snapshots {
   /** One committed entry: snapshot id + whether it is a BASE snapshot
     * (a compaction product that already contains everything before
     * it, so reads never need to look further back) + an optional
-    * idempotency tag (see [[appendTagged]]). Log line format:
+    * idempotency tag (see [[appendTagged]]) + optional per-column
+    * zone-map stats (see [[readPruned]]). Log line format:
     * `<id>` for an append, `<id> B` for a base, with ` T:<tag>`
-    * appended when tagged — unknown trailing fields are ignored by
-    * old readers. */
+    * appended when tagged and ` S:<col>:<min>:<max>` per stats
+    * column — unknown trailing fields are ignored by old readers. */
   final case class Entry(id: Long, isBase: Boolean,
-                         tag: Option[String] = None)
+                         tag: Option[String] = None,
+                         stats: Map[String, (Double, Double)] = Map.empty)
 
   /** Committed entries, oldest first (empty if table absent). */
   def entries(spark: SparkSession, path: String): Seq[Entry] = {
@@ -67,7 +69,15 @@ object Snapshots {
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
         val parts = l.split("\\s+")
         Entry(parts(0).toLong, parts.exists(_ == "B"),
-          parts.collectFirst { case t if t.startsWith("T:") => t.drop(2) })
+          parts.collectFirst { case t if t.startsWith("T:") => t.drop(2) },
+          parts.iterator.filter(_.startsWith("S:")).flatMap { t =>
+            // S:<col>:<min>:<max> — doubles never contain ':'
+            t.drop(2).split(":") match {
+              case Array(c, mn, mx) =>
+                Some(c -> (mn.toDouble, mx.toDouble))
+              case _ => None // malformed field: ignore, stay conservative
+            }
+          }.toMap)
       }.toSeq
     }
   }
@@ -102,7 +112,10 @@ object Snapshots {
     val o = f.create(tmp, true)
     try o.write(all.map { e =>
       s"${e.id}" + (if (e.isBase) " B" else "") +
-        e.tag.map(t => s" T:$t").getOrElse("")
+        e.tag.map(t => s" T:$t").getOrElse("") +
+        e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s" S:$c:$mn:$mx"
+        }.mkString
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally o.close()
     if (f.exists(new Path(path, CommitLog)))
@@ -111,16 +124,55 @@ object Snapshots {
       "commit-log rename failed")
   }
 
+  /** Per-column [min, max] of the WRITTEN snapshot directory — the
+    * zone map [[readPruned]] consumes. Computed by reading the staged
+    * bytes back (column-pruned scan of just the stats columns), so
+    * the recorded range is exactly what a reader of that directory
+    * would see — never a recomputation of a nondeterministic input
+    * plan. Values are cast to double (numerics exact up to 2^53;
+    * timestamps become epoch seconds, identically on the filter
+    * side). NULL-only columns record no stats (a range predicate on
+    * the column excludes NULL rows anyway, so [[readPruned]] may
+    * still drop the directory). */
+  private def dirStats(spark: SparkSession, dir: String,
+                       statsCols: Seq[String]): Map[String, (Double, Double)] =
+    if (statsCols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{col, max, min}
+      import org.apache.spark.sql.types.DoubleType
+      statsCols.foreach(c => require(
+        !c.exists(ch => ch.isWhitespace || ch == ':'),
+        s"stats column name must be whitespace/colon-free: '$c'"))
+      val back = spark.read.parquet(dir)
+      val aggs = statsCols.flatMap { c =>
+        val v = col(c).cast(DoubleType)
+        Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
+      }
+      val r = back.agg(aggs.head, aggs.tail: _*).head()
+      statsCols.flatMap { c =>
+        val i = r.fieldIndex(s"__mn_$c")
+        if (r.isNullAt(i)) None
+        else Some(c -> (r.getDouble(i), r.getDouble(i + 1)))
+      }.toMap
+    }
+
   /** Append `df` as a new snapshot; returns its id. Stages the data
     * directory completely before the commit-log swap, so readers can
-    * never observe a partial snapshot. */
-  def append(df: DataFrame, path: String): Long = {
+    * never observe a partial snapshot. `statsCols` names columns whose
+    * [min, max] is recorded in the commit entry for zone-map pruning
+    * ([[readPruned]]) — the LSD temporal-sub-cell idea as metadata:
+    * when appends arrive in natural ranges (per-epoch MJD batches,
+    * per-run ids), a range query skips whole snapshot directories
+    * without opening a single file footer. */
+  def append(df: DataFrame, path: String,
+             statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     withLock(spark, path) {
       val prior = entries(spark, path)
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       df.write.mode("overwrite").parquet(s"$path/snap=$id")
-      commit(spark, path, prior :+ Entry(id, isBase = false))
+      val st = dirStats(spark, s"$path/snap=$id", statsCols)
+      commit(spark, path, prior :+ Entry(id, isBase = false, stats = st))
       id
     }
   }
@@ -131,7 +183,8 @@ object Snapshots {
     * returned — so an at-least-once producer (a retried micro-batch
     * after a crash) lands exactly once. The tag check and the commit
     * happen under the same writer lock as the append itself. */
-  def appendTagged(df: DataFrame, path: String, tag: String): Long = {
+  def appendTagged(df: DataFrame, path: String, tag: String,
+                   statsCols: Seq[String] = Nil): Long = {
     require(tag.nonEmpty && !tag.exists(_.isWhitespace),
       s"tag must be non-empty and whitespace-free: '$tag'")
     val spark = df.sparkSession
@@ -142,8 +195,9 @@ object Snapshots {
         case None =>
           val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
           df.write.mode("overwrite").parquet(s"$path/snap=$id")
+          val st = dirStats(spark, s"$path/snap=$id", statsCols)
           commit(spark, path, prior :+
-            Entry(id, isBase = false, tag = Some(tag)))
+            Entry(id, isBase = false, tag = Some(tag), stats = st))
           id
       }
     }
@@ -163,7 +217,12 @@ object Snapshots {
       val prior = entries(spark, path)
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       current.write.mode("overwrite").parquet(s"$path/snap=$id")
-      commit(spark, path, prior :+ Entry(id, isBase = true))
+      // a base folds all prior data → recompute its zone map over the
+      // union of every stats column any prior entry tracked, so
+      // readPruned keeps pruning across compaction
+      val st = dirStats(spark, s"$path/snap=$id",
+        prior.flatMap(_.stats.keys).distinct)
+      commit(spark, path, prior :+ Entry(id, isBase = true, stats = st))
       id
     }
   }
@@ -211,6 +270,51 @@ object Snapshots {
     val lastBase = upTo.lastIndexWhere(_.isBase)
     val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
     spark.read.parquet(visible.map(e => s"$path/snap=${e.id}"): _*)
+  }
+
+  /** Zone-map-pruned read: like [[read]], but snapshot directories
+    * whose recorded `[min, max]` of `statCol` (written by
+    * `append(statsCols = …)`) does NOT intersect `[lo, hi]` are
+    * dropped from the scan set entirely — metadata-only pruning,
+    * before any file footer is opened. This is the scale story for
+    * range queries over naturally-ranged appends (per-epoch MJD
+    * batches, monotone run ids): a one-night query over a 10-year
+    * table reads one night's directories.
+    *
+    * Contract: the caller's downstream filter must imply
+    * `statCol BETWEEN lo AND hi` (after the same double cast the
+    * stats used) — such a predicate excludes NULLs, so directories
+    * are droppable even when they carry NULL rows, and stats-less
+    * NULL-only columns prune safely. Directories with NO stats for
+    * `statCol` are always kept (conservative), so pruning is purely
+    * an optimization: `readPruned(...).filter(p)` ≡ `read(...)
+    * .filter(p)`. NaN endpoints keep the directory (comparisons with
+    * NaN are false). */
+  def readPruned(spark: SparkSession, path: String, statCol: String,
+                 lo: Double, hi: Double,
+                 asOf: Option[Long] = None): DataFrame = {
+    val all = entries(spark, path)
+    require(all.nonEmpty, s"no committed snapshots at $path")
+    val upTo = asOf match {
+      case Some(s) =>
+        require(all.exists(_.id == s), s"snapshot $s was never " +
+          s"committed (committed: ${all.map(_.id).mkString(",")})")
+        all.filter(_.id <= s)
+      case None => all
+    }
+    val lastBase = upTo.lastIndexWhere(_.isBase)
+    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    val kept = visible.filter { e =>
+      e.stats.get(statCol) match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi) // NaN-safe: keep
+        case None => true // no zone map for this column: must scan
+      }
+    }
+    if (kept.nonEmpty)
+      spark.read.parquet(kept.map(e => s"$path/snap=${e.id}"): _*)
+    else // every directory pruned: empty result with the head schema
+      spark.read.parquet(s"$path/snap=${visible.last.id}")
+        .where(org.apache.spark.sql.functions.lit(false))
   }
 
   // ---- keyed tables: merge-on-read upserts/deletes (CDC-lite) ------
@@ -288,7 +392,9 @@ object Snapshots {
       val prior = entries(spark, path)
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       current.write.mode("overwrite").parquet(s"$path/snap=$id")
-      commit(spark, path, prior :+ Entry(id, isBase = true))
+      val st = dirStats(spark, s"$path/snap=$id",
+        prior.flatMap(_.stats.keys).distinct)
+      commit(spark, path, prior :+ Entry(id, isBase = true, stats = st))
       id
     }
   }

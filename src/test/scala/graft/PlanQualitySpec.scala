@@ -206,6 +206,15 @@ class PlanQualitySpec extends SpecBase {
       s"incremental read must touch only the delta:\n${files.mkString("\n")}")
   }
 
+  test("q_snapshot_prune drops the low-range snap dirs via the zone map") {
+    val df = Core.qSnapshotPrune.fn(spark, sfDir)
+    val files = df.inputFiles
+    // quartile appends 1..4; the top-half range needs only 3 and 4
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("snap=3") || f.contains("snap=4")),
+      s"zone-map read must skip snap=1,2:\n${files.mkString("\n")}")
+  }
+
   test("q_redact_pii is map-only: no shuffle except the output sort") {
     val df = PipelineOps.qRedactPii.fn(spark, sfDir)
     // the redaction pass itself must add no exchange: the only

@@ -237,4 +237,55 @@ class SnapshotsSpec extends SpecBase {
     assert(Snapshots.read(spark, path).as[Int].collect().sorted
       .sameElements(Array(1, 2, 3, 4, 5)))
   }
+
+  test("zone-map stats prune whole snapshot dirs; stats survive the log") {
+    val path = freshPath()
+    // three ranged appends, one stats column
+    Snapshots.append(Seq((1, "a"), (5, "b")).toDF("x", "s"), path,
+      statsCols = Seq("x"))
+    Snapshots.append(Seq((10, "c"), (15, "d")).toDF("x", "s"), path,
+      statsCols = Seq("x"))
+    Snapshots.append(Seq((20, "e")).toDF("x", "s"), path,
+      statsCols = Seq("x"))
+    // stats round-trip through the log text
+    val st = Snapshots.entries(spark, path).map(_.stats)
+    assert(st == Seq(Map("x" -> (1.0, 5.0)), Map("x" -> (10.0, 15.0)),
+      Map("x" -> (20.0, 20.0))))
+    // range [8, 16] must scan ONLY snap=2 — metadata pruning
+    val pruned = Snapshots.readPruned(spark, path, "x", 8.0, 16.0)
+    assert(pruned.inputFiles.forall(_.contains("snap=2")))
+    assert(pruned.filter(col("x").between(8, 16)).as[(Int, String)]
+      .collect().toSet == Set((10, "c"), (15, "d")))
+    // pruned ∘ filter ≡ read ∘ filter (the advisory contract)
+    assert(Snapshots.readPruned(spark, path, "x", 0.0, 100.0)
+      .as[(Int, String)].collect().toSet ==
+      Snapshots.read(spark, path).as[(Int, String)].collect().toSet)
+    // a range matching nothing yields an empty frame, same schema
+    val none = Snapshots.readPruned(spark, path, "x", 100.0, 200.0)
+    assert(none.columns.toSeq == Seq("x", "s") && none.count() == 0)
+  }
+
+  test("pruning stays conservative without stats and across compaction") {
+    val path = freshPath()
+    Snapshots.append(Seq(1).toDF("x"), path) // no stats recorded
+    Snapshots.append(Seq(50).toDF("x"), path, statsCols = Seq("x"))
+    // stats-less dir is always kept; the out-of-range stats dir drops
+    val p = Snapshots.readPruned(spark, path, "x", 0.0, 10.0)
+    assert(p.inputFiles.forall(_.contains("snap=1")))
+    assert(p.as[Int].collect().sameElements(Array(1)))
+    // compact recomputes the zone map over the tracked column union
+    Snapshots.compact(spark, path)
+    val base = Snapshots.entries(spark, path).last
+    assert(base.isBase && base.stats == Map("x" -> (1.0, 50.0)))
+    // the base's [1,50] intersects [0,10] → kept; the advisory
+    // contract means the caller's own filter still applies
+    assert(Snapshots.readPruned(spark, path, "x", 0.0, 10.0)
+      .filter(col("x").between(0, 10))
+      .as[Int].collect().sameElements(Array(1)))
+    // a post-compact ranged append prunes against the base's stats
+    Snapshots.append(Seq(99).toDF("x"), path, statsCols = Seq("x"))
+    val hi = Snapshots.readPruned(spark, path, "x", 90.0, 100.0)
+    assert(hi.inputFiles.forall(_.contains(s"snap=${base.id + 1}")))
+    assert(hi.as[Int].collect().sameElements(Array(99)))
+  }
 }
