@@ -292,6 +292,51 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** A9c — robust per-group outlier screen via MAD (median absolute
+    * deviation): med = median(v), mad = median(|v − med|), outlier ⇔
+    * |v − med| > 3σ-equivalent (3 × 1.4826 = 4.4478 × mad). The
+    * survey's variability/artifact cut where mean/stddev clipping
+    * (q_sigma_clip) is itself dragged by the outliers it should
+    * reject. Both medians run through ExactQuantiles — O(bins)
+    * executor state, never a row-linear buffer — and attach back as
+    * broadcast O(groups) maps, so the corpus passes map-only except
+    * the final keyed agg. Exactness: medians are bit-identical to
+    * quantile_cont (ExactQuantiles contract), |v−med| and the 4.4478
+    * product are single-op IEEE chains — no FMA hazard — so the
+    * outlier comparison is engine-identical; emitted med/mad are
+    * d6-snapped for the hash. */
+  val qOutlierMad: QuerySpec = QuerySpec(
+    "q_outlier_mad",
+    s"""WITH t AS (SELECT l_returnflag AS flag, l_extendedprice AS v
+       |  FROM lineitem),
+       |m AS (SELECT flag, median(v) AS med FROM t GROUP BY flag),
+       |d AS (SELECT t.flag, v, med, abs(v - med) AS ad
+       |  FROM t JOIN m USING (flag)),
+       |md AS (SELECT flag, median(ad) AS mad FROM d GROUP BY flag)
+       |SELECT d.flag, count(*) AS n,
+       |  ${D.d6("max(d.med)")} AS med,
+       |  ${D.d6("max(md.mad)")} AS mad,
+       |  count(CASE WHEN ad > 4.4478 * mad THEN 1 END) AS n_out
+       |FROM d JOIN md USING (flag)
+       |GROUP BY d.flag ORDER BY d.flag""".stripMargin) { (s, dir) =>
+    import graft.functions.ExactQuantiles
+    val t = LsdDb.table(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+    val med = ExactQuantiles.quantiles(t, Seq("flag"),
+      Seq(ExactQuantiles.Req("v", 0.5, "med")))
+    val d = t.join(broadcast(med), Seq("flag"))
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = ExactQuantiles.quantiles(d, Seq("flag"),
+      Seq(ExactQuantiles.Req("ad", 0.5, "mad")))
+    d.join(broadcast(mad), Seq("flag"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        Det.d6(max(col("med"))).as("med"),
+        Det.d6(max(col("mad"))).as("mad"),
+        count(when(col("ad") > lit(4.4478) * col("mad"), 1)).as("n_out"))
+      .orderBy("flag")
+  }
+
   /** A8b — string aggregation (sorted for canonical form). */
   val qStringAgg: QuerySpec = QuerySpec(
     "q_string_agg",
@@ -341,5 +386,6 @@ object Aggregates {
 
   def specs: Seq[QuerySpec] = Seq(qAggBasic, qAggGlobal, qAggDistinct,
     qHistogram, qRollup, qAggStats, qAggCollect, qAggMedian, qCube,
-    qPivot, qUnpivot, qSample, qPercentiles, qStringAgg, qAggSalted)
+    qPivot, qUnpivot, qSample, qPercentiles, qStringAgg, qAggSalted,
+    qOutlierMad)
 }

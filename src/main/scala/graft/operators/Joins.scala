@@ -290,6 +290,48 @@ object Joins {
       .orderBy("a_id", "match_rank")
   }
 
+  /** J6f — spatial ANTI cross-match: sources with NO counterpart
+    * within the match radius — the orphan/transient screen (a
+    * detection matching nothing in the reference catalog is the
+    * alert-worthy row), and the complement of q_xmatch under the
+    * same blocking. Plan: the cell-blocked candidate join finds every
+    * MATCHED a_id (distinct — partial-aggregating, so the build side
+    * of the anti join is O(|matched ids|), not O(|pairs|)), then one
+    * left_anti equi-join keeps the orphans. The corpus A is scanned
+    * twice but never cartesian'd; at 100 TB both passes are the same
+    * blocked shape as q_xmatch. Determinism: the radius cut uses the
+    * same d6-snapped distance as q_xmatch, so the match relation —
+    * and hence its complement — is engine-identical. */
+  val qXmatchAnti: QuerySpec = QuerySpec(
+    "q_xmatch_anti",
+    s"""WITH a AS (SELECT o_orderkey AS a_id,
+       |    CAST(o_orderkey * 13 % 3600 AS DOUBLE) / 10.0 AS a_lon,
+       |    CAST(o_orderkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS a_lat
+       |  FROM orders),
+       |b AS (SELECT s_suppkey AS b_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS b_lon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS b_lat
+       |  FROM supplier)
+       |SELECT a_id, a_lon, a_lat FROM a
+       |WHERE NOT EXISTS (SELECT 1 FROM b WHERE ${D.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b_lat - a_lat) / 2) * sin(radians(b_lat - a_lat) / 2)" +
+            " + cos(radians(a_lat)) * cos(radians(b_lat))" +
+            " * sin(radians(b_lon - a_lon) / 2)" +
+            " * sin(radians(b_lon - a_lon) / 2))))")} <= 0.95)
+       |ORDER BY a_id""".stripMargin) { (s, dir) =>
+    val a = skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+      "a_id", "a_lon", "a_lat")
+    val b = skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+      "b_id", "b_lon", "b_lat")
+    val matched = graft.spatial.CrossMatch
+      .allPairs(a, b, "a_id", "a_lon", "a_lat", "b_id", "b_lon", "b_lat",
+        1.0, capLat = xmatchCapLat)
+      .filter(Det.d6(col("dist_deg")) <= 0.95)
+      .select("a_id").distinct()
+    a.join(matched, Seq("a_id"), "left_anti").orderBy("a_id")
+  }
+
   /** Deterministic sky projection shared by q_xmatch and
     * q_xmatch_margin (exact integer modular arithmetic → identical in
     * both engines). */
@@ -769,7 +811,7 @@ object Joins {
 
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
     qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qAsofJoin, qJoinSelf,
-    qScalarSubq, qJoinBucketed, qXmatch, qXmatchMargin, qXmatchAuto,
-    qXmatchTemporal, qFootprintPolygon, qFootprintCells, qFootprintCone,
-    qFootprintRect)
+    qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchMargin,
+    qXmatchAuto, qXmatchTemporal, qFootprintPolygon, qFootprintCells,
+    qFootprintCone, qFootprintRect)
 }
