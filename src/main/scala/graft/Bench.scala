@@ -44,6 +44,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { operators.Core.ensureSnapshotEvents(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { operators.Core.ensureRangedSnapshotEvents(spark, sfDir) }
+    catch { case _: Throwable => () }
     try { operators.Core.ensureMergedSnapshotOrders(spark, sfDir) }
     catch { case _: Throwable => () }
     try { operators.Joins.ensureBucketedTables(spark, sfDir) }

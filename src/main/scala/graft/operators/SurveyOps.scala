@@ -713,6 +713,104 @@ object SurveyOps {
     * statistic needs a fair sample at a fixed density, not the whole
     * catalog — without the cap, growing SF shrinks every NN below one
     * bin while the blocked self-join pays for the full density. */
+  /** J6g — moving-object TRACKLET linking (the MOPS shape: Kubica et
+    * al. 2007, Denneau et al. 2013 — public): pairs of detections
+    * close in time AND whose implied angular motion sits in the
+    * asteroid band — slow enough to be real (v ≤ 0.95 °/d, leaving
+    * 0.1° of blocking headroom over the d6 snap) and fast enough to
+    * not be a stationary re-detection (v ≥ 0.05 °/d). The probe
+    * batch ("tonight's detections", event_id < 500) links FORWARD in
+    * time against the whole stream.
+    *
+    * The detection field is a genuine MOVING-OBJECT model, in exact
+    * integer arithmetic so both engines agree bit-for-bit: each
+    * user_id is an object on a linear track — per-object base
+    * position and (lon, lat) rates in integer MILLIDEGREES PER HOUR
+    * (up to ±18 ⇒ ≤ 0.43 °/d), stepped at integer epoch-hours and
+    * double-mod-wrapped into [0,360)×[−20,20). Same-object pairs
+    * move coherently through the velocity band; near-stationary
+    * objects (small rates) fall to the vmin cut; cross-object
+    * coincidences are the confusion pairs a real linker must carry
+    * to verification. No float multiply-add ever touches a
+    * coordinate (the Det FMA rule) — doubles appear only at the
+    * final /1000.
+    *
+    * Blocking is the q_xmatch_temporal (sky × time) product grid
+    * with radius vmax·Δtmax = 2°: the bounded probe side carries the
+    * ~9× cell×bucket replication and broadcasts; the corpus keys on
+    * its ONE (home cell, own day-bucket) and never shuffles —
+    * map-only at any corpus size. Refines are exact: integer-µs
+    * Δt ∈ (0, 2 d], d6-snapped distance, and the velocity ratio of
+    * those two engine-identical values. */
+  val qTracklets: QuerySpec = QuerySpec(
+    "q_tracklets",
+    s"""WITH e0 AS (SELECT event_id AS id, user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS thr
+       |  FROM events),
+       |e AS (SELECT id, tus,
+       |    CAST(((user_id * 2654435761 + (user_id * 7919 % 37 - 18) * thr)
+       |      % 360000 + 360000) % 360000 AS DOUBLE) / 1000.0 AS lon,
+       |    CAST(((user_id * 40503 + (user_id * 104729 % 13 - 6) * thr)
+       |      % 40000 + 40000) % 40000 AS DOUBLE) / 1000.0 - 20.0 AS lat
+       |  FROM e0),
+       |a AS (SELECT * FROM e WHERE id < 500),
+       |p AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    ${D.sql.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)" +
+            " + cos(radians(a.lat)) * cos(radians(b.lat))" +
+            " * sin(radians(b.lon - a.lon) / 2)" +
+            " * sin(radians(b.lon - a.lon) / 2))))")} AS dist_deg,
+       |    (b.tus - a.tus) / 86400000000.0 AS dt_days
+       |  FROM a CROSS JOIN e b
+       |  WHERE b.tus > a.tus AND b.tus - a.tus <= 172800000000)
+       |SELECT a_id, b_id, dt_days, dist_deg,
+       |  ${D.sql.d6("dist_deg / dt_days")} AS v_deg_day
+       |FROM p
+       |WHERE dist_deg / dt_days >= 0.05 AND dist_deg / dt_days <= 0.95
+       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val winUs = 172800000000L // Δtmax 2 days; bucket width == window
+    val thr = expr("unix_micros(ts) DIV 3600000000") // integer hours
+    val rLon = (col("user_id") * 7919) % 37 - 18 // mdeg/hr, ±18
+    val rLat = (col("user_id") * 104729) % 13 - 6 // mdeg/hr, ±6
+    val e = LsdDb.table(s, dir, "events")
+      .select(col("event_id").as("id"),
+        pmod(col("user_id") * 2654435761L + rLon * thr, lit(360000L))
+          .cast(DoubleType)./(1000.0).as("lon"),
+        (pmod(col("user_id") * 40503L + rLat * thr, lit(40000L))
+          .cast(DoubleType) / 1000.0 - 20.0).as("lat"),
+        unix_micros(col("ts")).as("tus"))
+    val level = graft.spatial.CrossMatch.levelFor(2.0, 21.0)
+    val a = e.filter(col("id") < 500)
+      .select(col("id").as("a_id"), col("lon").as("a_lon"),
+        col("lat").as("a_lat"), col("tus").as("a_tus"))
+      .withColumn("cell", explode(graft.spatial.SkyPix
+        .neighborCellsWithin(col("a_lon"), col("a_lat"), level, 2.0)))
+      .withColumn("a0", floor(col("a_tus") / winUs))
+      .withColumn("bucket",
+        explode(array(col("a0") - 1, col("a0"), col("a0") + 1)))
+      .drop("a0")
+    val b = e
+      .select(col("id").as("b_id"), col("lon").as("b_lon"),
+        col("lat").as("b_lat"), col("tus").as("b_tus"))
+      .withColumn("cell",
+        graft.spatial.SkyPix.cell(col("b_lon"), col("b_lat"), level))
+      .withColumn("bucket", floor(col("b_tus") / winUs))
+    val dt = (col("b_tus") - col("a_tus")).cast(DoubleType) / 86400000000.0
+    broadcast(a).join(b, Seq("cell", "bucket"))
+      .filter(col("b_tus") > col("a_tus") &&
+        col("b_tus") - col("a_tus") <= winUs)
+      .withColumn("dist_deg", Det.d6(graft.spatial.CrossMatch.distDeg(
+        col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))))
+      .withColumn("dt_days", dt)
+      .filter(col("dist_deg") / col("dt_days") >= 0.05 &&
+        col("dist_deg") / col("dt_days") <= 0.95)
+      .select(col("a_id"), col("b_id"), col("dt_days"), col("dist_deg"),
+        Det.d6(col("dist_deg") / col("dt_days")).as("v_deg_day"))
+      .orderBy("a_id", "b_id")
+  }
+
   val qNnHist: QuerySpec = QuerySpec(
     "q_nn_hist",
     s"""WITH c AS (SELECT o_orderkey AS id,
@@ -764,5 +862,5 @@ object SurveyOps {
 
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
-    qVariabilityCatalog)
+    qVariabilityCatalog, qTracklets)
 }

@@ -210,7 +210,10 @@ object AdminCli {
         if (es.isEmpty) println(s"${args(1)}: not a snapshot table")
         else es.foreach(e => println(
           s"snap=${e.id}${if (e.isBase) " BASE" else ""}" +
-            e.tag.fold("")(t => s" tag=$t")))
+            e.tag.fold("")(t => s" tag=$t") +
+            e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+              s" $c=[$mn,$mx]"
+            }.mkString))
       case "compact" =>
         val id = Snapshots.compact(Cli.session(), args(1))
         println(s"compacted ${args(1)} -> base snap=$id")
