@@ -768,7 +768,7 @@ object SurveyOps {
        |SELECT a_id, b_id, dt_days, dist_deg,
        |  ${D.sql.d6("dist_deg / dt_days")} AS v_deg_day
        |FROM p
-       |WHERE dist_deg / dt_days >= 0.05 AND dist_deg / dt_days <= 0.95
+       |WHERE dist_deg >= 0.05 * dt_days AND dist_deg <= 0.95 * dt_days
        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     val winUs = 172800000000L // Δtmax 2 days; bucket width == window
     val thr = expr("unix_micros(ts) DIV 3600000000") // integer hours
@@ -804,11 +804,142 @@ object SurveyOps {
       .withColumn("dist_deg", Det.d6(graft.spatial.CrossMatch.distDeg(
         col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))))
       .withColumn("dt_days", dt)
-      .filter(col("dist_deg") / col("dt_days") >= 0.05 &&
-        col("dist_deg") / col("dt_days") <= 0.95)
+      // division-free band cut: ANSI mode + Catalyst conjunct
+      // reordering means a ratio predicate can meet a dt=0 self-pair
+      .filter(col("dist_deg") >= lit(0.05) * col("dt_days") &&
+        col("dist_deg") <= lit(0.95) * col("dt_days"))
       .select(col("a_id"), col("b_id"), col("dt_days"), col("dist_deg"),
         Det.d6(col("dist_deg") / col("dt_days")).as("v_deg_day"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** J6h — tracklet CHAINING into 3-detection tracks (MOPS stage 2):
+    * two velocity-band pairs sharing their middle detection, kept
+    * when the segment velocity VECTORS agree within 0.05 °/d per
+    * component — a linear-motion consistency test, the filter that
+    * separates a real moving object from chance pair coincidences.
+    * All three detections come from the 3-night linking window
+    * (event_id < 1500). Segments need Δt ≥ 0.5 d so the hourly
+    * stepping of the synthetic tracks cannot push a true object's
+    * velocity estimate outside the tolerance.
+    *
+    * Plan: the pair relation is the same broadcast-probe blocked
+    * join as q_tracklets (map-only over the corpus); the chain step
+    * is a self-join of that SMALL candidate relation on the shared
+    * detection — at survey scale pairs ≪ detections, so the
+    * expensive geometry never runs on anything bigger than the
+    * tracklet set. Velocity components are wrapped-Δlon/Δt and
+    * Δlat/Δt — single-op IEEE chains (fmod is exact), d6-snapped
+    * before the consistency compare and the emitted mean. */
+  val qTracks: QuerySpec = QuerySpec(
+    "q_tracks",
+    s"""WITH e0 AS (SELECT event_id AS id, user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS thr
+       |  FROM events),
+       |e AS (SELECT id, tus,
+       |    CAST(((user_id * 2654435761 + (user_id * 7919 % 37 - 18) * thr)
+       |      % 360000 + 360000) % 360000 AS DOUBLE) / 1000.0 AS lon,
+       |    CAST(((user_id * 40503 + (user_id * 104729 % 13 - 6) * thr)
+       |      % 40000 + 40000) % 40000 AS DOUBLE) / 1000.0 - 20.0 AS lat
+       |  FROM e0 WHERE id < 1500),
+       |p AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    a.lon AS alon, a.lat AS alat, b.lon AS blon, b.lat AS blat,
+       |    ${D.sql.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)" +
+            " + cos(radians(a.lat)) * cos(radians(b.lat))" +
+            " * sin(radians(b.lon - a.lon) / 2)" +
+            " * sin(radians(b.lon - a.lon) / 2))))")} AS dist_deg,
+       |    (b.tus - a.tus) / 86400000000.0 AS dt_days
+       |  FROM e a CROSS JOIN e b
+       |  WHERE b.tus > a.tus AND b.tus - a.tus <= 172800000000),
+       |pr AS (SELECT a_id, b_id,
+       |    ${D.sql.d6(
+          "((blon - alon + 540.0) % 360.0 - 180.0) / dt_days")} AS vlon,
+       |    ${D.sql.d6("(blat - alat) / dt_days")} AS vlat
+       |  FROM p WHERE dt_days >= 0.5
+       |    AND dist_deg >= 0.05 * dt_days AND dist_deg <= 0.95 * dt_days)
+       |SELECT p1.a_id, p1.b_id, p2.b_id AS c_id,
+       |  CAST(CAST((p1.vlon + p2.vlon) / 2 AS DECIMAL(18,7)) AS DOUBLE)
+       |    AS v_lon,
+       |  CAST(CAST((p1.vlat + p2.vlat) / 2 AS DECIMAL(18,7)) AS DOUBLE)
+       |    AS v_lat
+       |FROM pr p1 JOIN pr p2 ON p1.b_id = p2.a_id
+       |WHERE abs(p1.vlon - p2.vlon) <= 0.05
+       |  AND abs(p1.vlat - p2.vlat) <= 0.05
+       |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val winUs = 172800000000L
+    val thr = expr("unix_micros(ts) DIV 3600000000")
+    val rLon = (col("user_id") * 7919) % 37 - 18
+    val rLat = (col("user_id") * 104729) % 13 - 6
+    val e = LsdDb.table(s, dir, "events")
+      .filter(col("event_id") < 1500)
+      .select(col("event_id").as("id"),
+        pmod(col("user_id") * 2654435761L + rLon * thr, lit(360000L))
+          .cast(DoubleType)./(1000.0).as("lon"),
+        (pmod(col("user_id") * 40503L + rLat * thr, lit(40000L))
+          .cast(DoubleType) / 1000.0 - 20.0).as("lat"),
+        unix_micros(col("ts")).as("tus"))
+    val level = graft.spatial.CrossMatch.levelFor(2.0, 21.0)
+    val a = e
+      .select(col("id").as("a_id"), col("lon").as("a_lon"),
+        col("lat").as("a_lat"), col("tus").as("a_tus"))
+      .withColumn("cell", explode(graft.spatial.SkyPix
+        .neighborCellsWithin(col("a_lon"), col("a_lat"), level, 2.0)))
+      .withColumn("a0", floor(col("a_tus") / winUs))
+      .withColumn("bucket",
+        explode(array(col("a0") - 1, col("a0"), col("a0") + 1)))
+      .drop("a0")
+    val b = e
+      .select(col("id").as("b_id"), col("lon").as("b_lon"),
+        col("lat").as("b_lat"), col("tus").as("b_tus"))
+      .withColumn("cell",
+        graft.spatial.SkyPix.cell(col("b_lon"), col("b_lat"), level))
+      .withColumn("bucket", floor(col("b_tus") / winUs))
+    val dt = (col("b_tus") - col("a_tus")).cast(DoubleType) / 86400000000.0
+    val pairs = broadcast(a).join(b, Seq("cell", "bucket"))
+      .filter(col("b_tus") > col("a_tus") &&
+        col("b_tus") - col("a_tus") <= winUs)
+      .withColumn("dist_deg", Det.d6(graft.spatial.CrossMatch.distDeg(
+        col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))))
+      .withColumn("dt_days", dt)
+      .filter(col("dt_days") >= 0.5 &&
+        col("dist_deg") >= lit(0.05) * col("dt_days") &&
+        col("dist_deg") <= lit(0.95) * col("dt_days"))
+      // The when-guard is semantically inert (dt_days >= 0.5 by the
+      // filter above) but load-bearing under ANSI: the chain filter's
+      // abs(vlon1 - vlon2) constraint makes Catalyst INFER
+      // isnotnull(vlon), inline this definition into it, and push the
+      // copy into the blocked join's condition — where it would run
+      // on dt = 0 self-pairs before the b_tus > a_tus conjunct and
+      // throw DIVIDE_BY_ZERO. Guarded, any relocated copy is
+      // null-safe.
+      .select(col("a_id"), col("b_id"),
+        Det.d6(when(col("dt_days") > 0.0,
+          ((col("b_lon") - col("a_lon") + 540.0) % 360.0 - 180.0)
+            / col("dt_days"))).as("vlon"),
+        Det.d6(when(col("dt_days") > 0.0,
+          (col("b_lat") - col("a_lat")) / col("dt_days"))).as("vlat"))
+    val p1 = pairs.select(col("a_id"), col("b_id"),
+      col("vlon").as("vlon1"), col("vlat").as("vlat1"))
+    val p2 = pairs.select(col("a_id").as("b2_id"), col("b_id").as("c_id"),
+      col("vlon").as("vlon2"), col("vlat").as("vlat2"))
+    p1.join(p2, col("b_id") === col("b2_id"))
+      .filter(abs(col("vlon1") - col("vlon2")) <= 0.05 &&
+        abs(col("vlat1") - col("vlat2")) <= 0.05)
+      // d7, not d6: the mean of two 1e-6-grid values sits EXACTLY on
+      // the 1e-7 grid (never a decimal midpoint), while at d6 it can
+      // land on a 0.5e-6 midpoint where Spark rounds half-up and
+      // DuckDB half-even — observed live on this corpus
+      .select(col("a_id"), col("b_id"), col("c_id"),
+        ((col("vlon1") + col("vlon2")) / 2)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 7))
+          .cast(DoubleType).as("v_lon"),
+        ((col("vlat1") + col("vlat2")) / 2)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 7))
+          .cast(DoubleType).as("v_lat"))
+      .orderBy("a_id", "b_id", "c_id")
   }
 
   val qNnHist: QuerySpec = QuerySpec(
@@ -862,5 +993,5 @@ object SurveyOps {
 
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
-    qVariabilityCatalog, qTracklets)
+    qVariabilityCatalog, qTracklets, qTracks)
 }
