@@ -34,7 +34,28 @@ final case class LsdDb(spark: SparkSession, root: String) {
 
   /** [[table]] with optional snapshot time travel (`asOf` = committed
     * snapshot id; only meaningful for snapshot-layout tables). */
-  def table(name: String, asOf: Option[Long]): DataFrame = {
+  def table(name: String, asOf: Option[Long]): DataFrame =
+    table(name, asOf, prune = None)
+
+  /** Columns with zone-map stats recorded in the table's commit log
+    * (empty for non-snapshot tables) — what [[table]]'s `prune`
+    * argument can act on. */
+  def statsCols(name: String): Set[String] = {
+    val path = s"$root/$name.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_COMMITS")))
+      Set.empty
+    else Snapshots.entries(spark, path).flatMap(_.stats.keys).toSet
+  }
+
+  /** [[table]] with snapshot time travel AND zone-map pruning:
+    * `prune = Some((col, lo, hi))` drops snapshot directories whose
+    * recorded [min, max] of `col` cannot intersect [lo, hi]
+    * ([[Snapshots.readPruned]] — advisory, the caller's own filter
+    * must still imply the range). Ignored for non-snapshot tables. */
+  def table(name: String, asOf: Option[Long],
+            prune: Option[(String, Double, Double)]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$root/$name.parquet"
     // A Snapshots commit-log table must resolve through the LOG: a
@@ -50,7 +71,11 @@ final case class LsdDb(spark: SparkSession, root: String) {
     require(asOf.isEmpty || isSnapshotTable,
       s"table '$name' is not a snapshot table; AS OF / @id requires one")
     val raw =
-      if (isSnapshotTable) Snapshots.read(spark, path, asOf)
+      if (isSnapshotTable) prune match {
+        case Some((c, lo, hi)) =>
+          Snapshots.readPruned(spark, path, c, lo, hi, asOf)
+        case None => Snapshots.read(spark, path, asOf)
+      }
       else spark.read.parquet(path)
     // A SpatialWriter cell-partitioned layout (e.g. a spatial INTO
     // result) carries two layout-only columns: `cell` (the directory

@@ -97,7 +97,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // path intermediates always read head.
     val asOfByTable = fromItems.flatMap(i => i.asOf.map(i.table -> _)).toMap
     def load(name: String) = db.table(name, asOfByTable.get(name))
-    var df = load(fromItems.head.table)
+    // Zone-map pruning for the DRIVING table: when it is a snapshot
+    // table with recorded per-snapshot stats and the WHERE clause
+    // contains a sound top-level range conjunct on a stats column,
+    // route the read through readPruned — whole snapshot directories
+    // drop before any footer is opened, and the full WHERE still
+    // applies below, so this is purely a scan-set optimization.
+    val headPrune = whereOpt.flatMap(w =>
+      LsdQL.extractRange(w, db.statsCols(fromItems.head.table)))
+    var df = db.table(fromItems.head.table,
+      asOfByTable.get(fromItems.head.table), headPrune)
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
     // reference's per-table ids): packed SkyPix id for tables with a
@@ -357,4 +366,69 @@ object LsdQL {
     "embeddings" -> "vec_id")
 
   def forDb(db: LsdDb): LsdQL = LsdQL(db, standardJoins)
+
+  /** Extract a SOUND zone-map range from a WHERE clause: a single
+    * stats column's [lo, hi] implied by top-level AND conjuncts of
+    * the form `col >= n` / `> n` / `<= n` / `< n` / `= n` (numeric
+    * literal on the right). Soundness rules:
+    *  - conjuncts are split on AND at paren/quote depth 0, so a
+    *    recognized fragment is genuinely implied by the whole
+    *    predicate — EXCEPT when a top-level OR exists anywhere
+    *    (precedence could make an AND operand disjunctive), in which
+    *    case extraction aborts entirely;
+    *  - unrecognized conjuncts (function calls, BETWEEN fragments,
+    *    NOT, subqueries) are simply skipped — they can only narrow
+    *    the result further, never widen it;
+    *  - strict bounds are relaxed to inclusive (a superset — pruning
+    *    may keep one extra directory, never drop a needed one).
+    * Returns the stats column with the most bounds, or None. */
+  private[ql] def extractRange(where: String, statsCols: Set[String])
+      : Option[(String, Double, Double)] = {
+    if (statsCols.isEmpty) return None
+    // split on top-level AND; abort on top-level OR
+    val conjuncts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr: Option[Char] = None
+    var i = 0
+    def isWord(s: String, at: Int, w: String): Boolean =
+      s.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || !s(at - 1).isLetterOrDigit && s(at - 1) != '_') &&
+        (at + w.length >= s.length ||
+          !s(at + w.length).isLetterOrDigit && s(at + w.length) != '_')
+    while (i < where.length) {
+      val c = where(i)
+      inStr match {
+        case Some(q) =>
+          cur += c; if (c == q) inStr = None
+        case None =>
+          if (c == '\'' || c == '"') { inStr = Some(c); cur += c }
+          else if (c == '(') { depth += 1; cur += c }
+          else if (c == ')') { depth -= 1; cur += c }
+          else if (depth == 0 && isWord(where, i, "OR")) return None
+          else if (depth == 0 && isWord(where, i, "AND")) {
+            conjuncts += cur.toString; cur.clear(); i += 2
+          } else cur += c
+      }
+      i += 1
+    }
+    conjuncts += cur.toString
+    val Cmp = """\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*""".r
+    val bounds = scala.collection.mutable
+      .Map.empty[String, (Double, Double, Int)] // col -> (lo, hi, n)
+    conjuncts.foreach {
+      case Cmp(c, op, num) if statsCols.contains(c) =>
+        val v = num.toDouble
+        val (lo, hi, n) = bounds.getOrElse(c,
+          (Double.NegativeInfinity, Double.PositiveInfinity, 0))
+        bounds(c) = op match {
+          case ">" | ">=" => (math.max(lo, v), hi, n + 1)
+          case "<" | "<=" => (lo, math.min(hi, v), n + 1)
+          case "=" => (math.max(lo, v), math.min(hi, v), n + 2)
+        }
+      case _ => () // unrecognized conjunct: skipped, still sound
+    }
+    bounds.toSeq.sortBy { case (c, (_, _, n)) => (-n, c) }.headOption
+      .map { case (c, (lo, hi, _)) => (c, lo, hi) }
+  }
 }

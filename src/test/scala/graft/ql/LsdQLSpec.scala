@@ -301,6 +301,54 @@ class LsdQLSpec extends SpecBase {
     assert(ex.getMessage.contains("not a snapshot table"))
   }
 
+  test("WHERE range conjuncts drive zone-map pruning on snapshot tables") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val tmp = Files.createTempDirectory("graft_ql_zone").toString
+    val p = s"$tmp/ranged.parquet"
+    Snapshots.append(Seq((1L, "a"), (5L, "b")).toDF("k", "v"), p,
+      statsCols = Seq("k"))
+    Snapshots.append(Seq((10L, "c"), (15L, "d")).toDF("k", "v"), p,
+      statsCols = Seq("k"))
+    Snapshots.append(Seq((20L, "e")).toDF("k", "v"), p,
+      statsCols = Seq("k"))
+    val q = LsdQL(LsdDb(spark, tmp), Seq.empty)
+    // the range conjuncts prune to snap=2 alone — and the full WHERE
+    // still applies (k=10 filtered out by the extra conjunct)
+    val r = q.query(
+      "SELECT k, v FROM ranged WHERE k >= 8 AND k <= 16 AND v <> 'c'")
+    assert(r.inputFiles.nonEmpty && r.inputFiles.forall(_.contains("snap=2")))
+    assert(r.as[(Long, String)].collect().toSet == Set((15L, "d")))
+    // a top-level OR makes range extraction unsound -> no pruning,
+    // same rows as the unpruned read
+    val or = q.query("SELECT k FROM ranged WHERE k <= 5 OR k >= 20")
+    assert(or.inputFiles.exists(_.contains("snap=1")) &&
+      or.inputFiles.exists(_.contains("snap=3")))
+    assert(or.as[Long].collect().toSet == Set(1L, 5L, 20L))
+    // equality conjunct pins a point range
+    val eq = q.query("SELECT v FROM ranged WHERE k = 20")
+    assert(eq.inputFiles.forall(_.contains("snap=3")))
+    assert(eq.as[String].collect().toSeq == Seq("e"))
+  }
+
+  test("extractRange soundness corners") {
+    val st = Set("x", "y")
+    assert(LsdQL.extractRange("x >= 3 AND x < 9", st)
+      .contains(("x", 3.0, 9.0)))
+    // OR anywhere at top level aborts (AND binds tighter than OR)
+    assert(LsdQL.extractRange("x >= 3 OR y = 1 AND x <= 9", st).isEmpty)
+    // parenthesized OR is fine — the other conjunct still implies
+    assert(LsdQL.extractRange("(y = 1 OR v = 2) AND x >= 3", st)
+      .contains(("x", 3.0, Double.PositiveInfinity)))
+    // unknown columns and function conjuncts are skipped
+    assert(LsdQL.extractRange("abs(x) > 2 AND z = 5", st).isEmpty)
+    // BETWEEN fragments never match the comparison shape
+    assert(LsdQL.extractRange("x BETWEEN 1 AND 9", st).isEmpty)
+    // string literal containing AND/OR does not split
+    assert(LsdQL.extractRange("v = 'a AND b' AND x <= 4", st)
+      .contains(("x", Double.NegativeInfinity, 4.0)))
+  }
+
   test("GROUP BY round-trips against the DataFrame path") {
     import org.apache.spark.sql.functions._
     val got = ql.query(
