@@ -771,8 +771,6 @@ object PipelineOps {
        |  CAST(n_inter AS DOUBLE) / (sza + szb - n_inter) AS jaccard
        |FROM i WHERE 10 * n_inter >= 6 * (sza + szb - n_inter)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val toks = LsdDb.table(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
     // The CANDIDATE phase runs on (doc_id, xxhash64(s)) — the
     // decontaminate-smoke lesson: the three window/join shuffles carry
     // 8-byte longs instead of ~25-byte shingle strings. Output safety:
@@ -809,9 +807,22 @@ object PipelineOps {
       .select(col("d1.doc_id").as("doc_a"), col("d2.doc_id").as("doc_b"),
         col("d1.sz").as("sza"), col("d2.sz").as("szb"))
       .distinct()
+    // Verification reads the STRING token relation, but only for docs
+    // that appear in some candidate pair: the semi-join runs BEFORE
+    // the explode, so the expensive shingle re-tokenization (twice,
+    // once per pair side) covers candidate docs instead of the whole
+    // corpus — at similarity thresholds worth running, candidates are
+    // a small fraction of the corpus, and the prefix filter already
+    // bounded how many pairs can exist.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val toksCand = LsdDb.table(s, dir, "documents")
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
     val inter = cand
-      .join(toks.as("t1"), col("doc_a") === col("t1.doc_id"))
-      .join(toks.as("t2"),
+      .join(toksCand.as("t1"), col("doc_a") === col("t1.doc_id"))
+      .join(toksCand.as("t2"),
         col("doc_b") === col("t2.doc_id") && col("t1.s") === col("t2.s"))
       .groupBy("doc_a", "doc_b", "sza", "szb")
       .agg(count(lit(1)).as("n_inter"))
