@@ -144,15 +144,22 @@ object StreamOps {
     * immediately supports time travel, `Snapshots.readDelta`
     * increments, compaction and vacuum — a downstream incremental
     * pipeline consumes exactly the snapshots it hasn't seen.
+    *
+    * `statsCols` records per-batch [min, max] zone maps in the commit
+    * log (Snapshots.readPruned): a stream's micro-batches are the
+    * naturally-ranged appends — per-epoch event times, monotone ids —
+    * that make historical range queries over the landed table skip
+    * whole snapshot directories.
     * Returns the started query; callers own its lifecycle. */
   def snapshotSink(stream: DataFrame, path: String,
-                   checkpoint: String)
+                   checkpoint: String, statsCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.Snapshots.appendTagged(batch, path, s"b$batchId")
+        graft.sources.Snapshots.appendTagged(batch, path, s"b$batchId",
+          statsCols)
         ()
       }
       .start()

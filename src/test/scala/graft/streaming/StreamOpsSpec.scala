@@ -235,6 +235,31 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  test("snapshotSink records zone-map stats; historical reads prune") {
+    import graft.sources.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapzone")
+    val path = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[Long]
+    val q = StreamOps.snapshotSink(input.toDF(), path, ckpt,
+      statsCols = Seq("value"))
+    try {
+      input.addData(1L, 5L) // batch 1: [1, 5]
+      q.processAllAvailable()
+      input.addData(100L, 150L) // batch 2: [100, 150]
+      q.processAllAvailable()
+      val st = Snapshots.entries(spark, path).map(_.stats)
+      assert(st == Seq(Map("value" -> (1.0, 5.0)),
+        Map("value" -> (100.0, 150.0))))
+      // a range query over the landed table skips the other batch
+      val hi = Snapshots.readPruned(spark, path, "value", 90.0, 200.0)
+      assert(hi.inputFiles.nonEmpty &&
+        hi.inputFiles.forall(_.contains("snap=2")))
+      assert(hi.as[Long].collect().sorted.sameElements(Array(100L, 150L)))
+    } finally q.stop()
+  }
+
   test("SnapshotSource streams committed deltas exactly once, across restart") {
     import graft.sources.Snapshots
     import graft.streaming.{SnapshotSource => SnapSrc}
