@@ -380,9 +380,17 @@ object ScaleSmoke {
         .filter(col("n_kept") < col("n_total"))
         .count().toString + " objects clipped"
     }
-    // deep-field cross-match: 2M uniform detections + 400k crammed
-    // into a ~0.5° pointing (a >=100x hot blocking cell — the survey
-    // skew SCALE.md claims CrossMatch.skewSafe bounds). Asserts BOTH
+    // deep-field cross-match: 2M uniform detections + 100k crammed
+    // into a ~0.02° pointing (a >=2000x hot blocking cell at ANY
+    // plausible blocking level — the field must be smaller than one
+    // cell for the "one monster cell" premise to hold; at the
+    // original 0.5° a level-11 grid spread it over ~9 cells and the
+    // block asserted on its own premise, not the mitigation). The
+    // deep OBJECT count is kept at 1k: the hot-cell candidate count
+    // is nA_cell x nB_cell, and the block must demonstrate skew
+    // mitigation, not manufacture an unbounded quadratic blowup no
+    // plan could absorb (100k x 1k = 100M hot candidates — a monster
+    // task, not a disk-filling one). Asserts BOTH
     // halves of the claim: (1) the mitigated answer is row-identical
     // to the plain plan, (2) the largest per-task candidate bucket
     // shrinks by ~the salt factor, so no single task owns the field.
@@ -391,25 +399,28 @@ object ScaleSmoke {
         col("id").as("det_id"),
         (rand(seed = 31) * 360).as("lon"),
         degrees(asin(rand(seed = 32) * 2 - 1)).as("lat"))
-      val deep = spark.range(2000000, 2400000).select(
+      val deep = spark.range(2000000, 2100000).select(
         col("id").as("det_id"),
-        (lit(180.0) + rand(seed = 33) * 0.5).as("lon"),
-        (lit(10.0) + rand(seed = 34) * 0.5).as("lat"))
+        (lit(180.0) + rand(seed = 33) * 0.02).as("lon"),
+        (lit(10.0) + rand(seed = 34) * 0.02).as("lat"))
       val dets = uni.unionByName(deep).persist()
       val objs = spark.range(500000).select(
         col("id").as("obj_id"),
         (rand(seed = 35) * 360).as("lon"),
         degrees(asin(rand(seed = 36) * 2 - 1)).as("lat"))
-        .unionByName(spark.range(500000, 540000).select(
+        .unionByName(spark.range(500000, 501000).select(
           col("id").as("obj_id"),
-          (lit(180.0) + rand(seed = 37) * 0.5).as("lon"),
-          (lit(10.0) + rand(seed = 38) * 0.5).as("lat"))).persist()
+          (lit(180.0) + rand(seed = 37) * 0.02).as("lon"),
+          (lit(10.0) + rand(seed = 38) * 0.02).as("lat"))).persist()
       dets.count(); objs.count()
       val r = 0.01
       val level = CrossMatch.levelFor(r)
       val salts = 16
-      val hotThreshold = 50000L
-      t(s"deep-field xmatch 2.4M dets (400k in one cell) x 540k objs") {
+      // 40k, not 50k: the 100k-det field straddles a sin-spaced lat
+      // row boundary (~52k/48k split); the premise check must not sit
+      // 5% from its own parameter
+      val hotThreshold = 40000L
+      t(s"deep-field xmatch 2.1M dets (100k in one cell) x 501k objs") {
         val plain = CrossMatch(dets, objs, "det_id", "lon", "lat",
           "obj_id", "lon", "lat", r, 1)
         val safe = CrossMatch.skewSafe(dets, objs, "det_id", "lon", "lat",
@@ -465,6 +476,44 @@ object ScaleSmoke {
         require(stats.histPasses >= 2, s"expected multi-pass: $stats")
         require(stats.maxRangeRows <= 1000, s"collect bound broken: $stats")
         s"exact, $stats"
+      }
+    }
+
+    // zone-map pruning at directory depth: a year of ranged appends
+    // (48 commits x 100k rows, contiguous id ranges), then a
+    // narrow-range query. The pruned read must touch exactly ONE
+    // snap= directory and agree row-for-row with the unpruned read —
+    // the "one night out of ten years" scan-economics claim, held to
+    // its correctness contract.
+    {
+      import graft.sources.Snapshots
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_scale_zone").resolve("t").toString
+      val per = 100000L
+      t("zone-map: 48 ranged appends x 100k rows") {
+        for (i <- 0L until 48L) {
+          Snapshots.append(
+            spark.range(i * per, (i + 1) * per).select(col("id"),
+              (col("id") % 1000).as("payload")),
+            root, statsCols = Seq("id"))
+        }
+        s"${Snapshots.committed(spark, root).size} commits"
+      }
+      t("zone-map: narrow range over 4.8M rows") {
+        val lo = 17L * per + 250
+        val hi = lo + 1000
+        val pruned = Snapshots
+          .readPruned(spark, root, "id", lo.toDouble, hi.toDouble)
+          .filter(col("id").between(lo, hi))
+        val dirs = pruned.inputFiles
+          .map(_.replaceAll(".*/(snap=\\d+)/.*", "$1")).distinct
+        require(dirs.sameElements(Array("snap=18")),
+          s"expected one directory, scanned: ${dirs.mkString(",")}")
+        val n = pruned.count()
+        val full = Snapshots.read(spark, root)
+          .filter(col("id").between(lo, hi)).count()
+        require(n == full && n == 1001, s"pruned $n vs full $full")
+        s"$n rows from ${dirs.length}/48 dirs"
       }
     }
 

@@ -265,6 +265,24 @@ class SnapshotsSpec extends SpecBase {
     assert(none.columns.toSeq == Seq("x", "s") && none.count() == 0)
   }
 
+  test("zone-map stats on a timestamp column prune in epoch seconds") {
+    val path = freshPath()
+    import java.sql.Timestamp
+    // two one-hour batches a day apart; stats cast ts -> epoch seconds
+    Snapshots.append(Seq(
+      (1, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2, Timestamp.valueOf("2024-01-01 01:00:00"))).toDF("k", "ts"), path,
+      statsCols = Seq("ts"))
+    Snapshots.append(Seq(
+      (3, Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("k", "ts"), path,
+      statsCols = Seq("ts"))
+    val day2 = Timestamp.valueOf("2024-01-02 00:00:00").getTime / 1000.0
+    val p = Snapshots.readPruned(spark, path, "ts", day2, day2 + 3600)
+    assert(p.inputFiles.forall(_.contains("snap=2")))
+    assert(p.filter(col("ts").cast("double") >= day2)
+      .select("k").as[Int].collect().sameElements(Array(3)))
+  }
+
   test("pruning stays conservative without stats and across compaction") {
     val path = freshPath()
     Snapshots.append(Seq(1).toDF("x"), path) // no stats recorded
