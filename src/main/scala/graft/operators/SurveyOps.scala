@@ -991,7 +991,186 @@ object SurveyOps {
       .orderBy("bin_01deg")
   }
 
+  /** q_pm_fit epoch origin, in integer HOURS (trendEpoch0 / 3600 —
+    * 1704067200 is divisible by 3600, so this is exact). Centering the
+    * regressor shrinks every OLS accumulator far below the BIGINT
+    * overflow line (worst case here: n·Σxy ≲ 1e16 ≪ 2^63). */
+  private val pmFitT0Hours = 1704067200L / 3600L
+
+  /** A17 — per-object PROPER-MOTION fit over the multi-epoch detection
+    * stream: the PS1-era reference's flagship derived catalog (Jurić's
+    * LSD built the 3π proper-motion catalog this way — SURVEY.md §0,
+    * UNVERIFIED) — fit lon(t), lat(t) per object by least squares and
+    * publish (μ_lon, μ_lat, position at epoch, n_obs).
+    *
+    * Input is the same exact-integer moving-object field as
+    * q_tracklets (per-object linear tracks in integer mdeg/hour,
+    * stepped at integer epoch-hours), so the WHOLE fit is exact
+    * BIGINT arithmetic: Σx, Σx², Σy, Σxy are integer sums, the slope
+    * is one correctly-rounded division of two exact BIGINTs, and both
+    * engines agree bit-for-bit before the d6 courtesy snap. Objects
+    * whose track mod-wraps inside the window (lon span > 180°, lat
+    * span > half-range) are excluded by an EXACT integer span
+    * predicate — the analog of RA unwrapping, decided identically by
+    * both engines.
+    *
+    * Shape: ONE partial-aggregated groupBy on the object key — O(1)
+    * accumulator state per object, no window, no join. At 100 TB
+    * (billions of detections → hundreds of millions of objects) this
+    * is a single shuffle keyed on object id; the catalog emerges
+    * map-side-combined. The canonical "derived catalog" reduction. */
+  val qPmFit: QuerySpec = QuerySpec(
+    "q_pm_fit",
+    s"""WITH e0 AS (SELECT user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS thr
+       |  FROM events),
+       |e AS (SELECT user_id, thr - $pmFitT0Hours AS x,
+       |    ((user_id * 2654435761 + (user_id * 7919 % 37 - 18) * thr)
+       |      % 360000 + 360000) % 360000 AS lon_m,
+       |    ((user_id * 40503 + (user_id * 104729 % 13 - 6) * thr)
+       |      % 40000 + 40000) % 40000 AS lat_m
+       |  FROM e0),
+       |a AS (SELECT user_id, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(lon_m) AS BIGINT) AS sy1,
+       |    CAST(sum(x * lon_m) AS BIGINT) AS sxy1,
+       |    CAST(sum(lat_m) AS BIGINT) AS sy2,
+       |    CAST(sum(x * lat_m) AS BIGINT) AS sxy2
+       |  FROM e GROUP BY user_id
+       |  HAVING count(*) >= 3
+       |    AND max(lon_m) - min(lon_m) <= 180000
+       |    AND max(lat_m) - min(lat_m) <= 20000),
+       |f AS (SELECT user_id, n, sx, sy1, sy2,
+       |    CAST(n * sxy1 - sx * sy1 AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE) AS sl1,
+       |    CAST(n * sxy2 - sx * sy2 AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE) AS sl2
+       |  FROM a WHERE n * sxx - sx * sx <> 0)
+       |SELECT user_id AS object_id, n AS n_obs,
+       |  ${D.sql.d6("sl1 * 0.024")} AS pm_lon_deg_day,
+       |  ${D.sql.d6("sl2 * 0.024")} AS pm_lat_deg_day,
+       |  ${D.sql.d6(
+          "(CAST(sy1 AS DOUBLE) - sl1 * CAST(sx AS DOUBLE)) / n / 1000.0")}
+       |    AS lon0_deg,
+       |  ${D.sql.d6("(CAST(sy2 AS DOUBLE) - sl2 * CAST(sx AS DOUBLE))" +
+          " / n / 1000.0 - 20.0")} AS lat0_deg
+       |FROM f ORDER BY object_id""".stripMargin) { (s, dir) =>
+    val thr = expr("unix_micros(ts) DIV 3600000000")
+    val rLon = (col("user_id") * 7919) % 37 - 18
+    val rLat = (col("user_id") * 104729) % 13 - 6
+    val e = LsdDb.table(s, dir, "events").select(
+      col("user_id"),
+      (thr - pmFitT0Hours).as("x"),
+      pmod(col("user_id") * 2654435761L + rLon * thr, lit(360000L))
+        .as("lon_m"),
+      pmod(col("user_id") * 40503L + rLat * thr, lit(40000L)).as("lat_m"))
+    val a = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("lon_m")).as("sy1"),
+        sum(col("x") * col("lon_m")).as("sxy1"),
+        sum(col("lat_m")).as("sy2"),
+        sum(col("x") * col("lat_m")).as("sxy2"),
+        (max(col("lon_m")) - min(col("lon_m"))).as("span1"),
+        (max(col("lat_m")) - min(col("lat_m"))).as("span2"))
+      .filter(col("n") >= 3 && col("span1") <= 180000 &&
+        col("span2") <= 20000)
+    val den = col("n") * col("sxx") - col("sx") * col("sx") // exact BIGINT
+    a.filter(den =!= 0)
+      .withColumn("sl1",
+        (col("n") * col("sxy1") - col("sx") * col("sy1")).cast(DoubleType)
+          / den.cast(DoubleType))
+      .withColumn("sl2",
+        (col("n") * col("sxy2") - col("sx") * col("sy2")).cast(DoubleType)
+          / den.cast(DoubleType))
+      .select(col("user_id").as("object_id"), col("n").as("n_obs"),
+        Det.d6(col("sl1") * 0.024).as("pm_lon_deg_day"),
+        Det.d6(col("sl2") * 0.024).as("pm_lat_deg_day"),
+        Det.d6((col("sy1").cast(DoubleType)
+          - col("sl1") * col("sx").cast(DoubleType)) / col("n") / 1000.0)
+          .as("lon0_deg"),
+        Det.d6((col("sy2").cast(DoubleType)
+          - col("sl2") * col("sx").cast(DoubleType)) / col("n") / 1000.0
+          - 20.0).as("lat0_deg"))
+      .orderBy("object_id")
+  }
+
+  /** SC2g — neighborhood-smoothed sky map (overdensity screen): the
+    * 3×3 box filter over the equal-area grid — each cell's own count
+    * next to its neighborhood total, with the density contrast
+    * 9·n_own/n_3×3 that a cluster/dwarf-galaxy search thresholds on
+    * (the matched-filter shape run over star-count maps; SURVEY.md §1
+    * sky maps, UNVERIFIED). Cells adjacent to populated cells appear
+    * with n_own = 0: the filter's support, not just its input.
+    *
+    * Shape: the corpus reduces FIRST (one map-side-combined groupBy
+    * to O(4^level) cells, exactly q_skymap), and the 9× neighbor
+    * explode runs on the REDUCED relation — at 100 TB the kernel
+    * costs 9·cells rows, independent of the detection count. lon
+    * wraps mod n; lat clamps at the poles (rows beyond the last ring
+    * are dropped). All-integer arithmetic end to end: counts,
+    * neighbor indices, and the contrast's single correctly-rounded
+    * division are engine-identical with no snapping. */
+  val qSkymapSmooth: QuerySpec = {
+    val lv = skymapLevel
+    val n = 1L << lv
+    QuerySpec(
+      "q_skymap_smooth",
+      s"""WITH c AS (SELECT
+         |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+         |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+         |  FROM customer),
+         |g AS (SELECT ${graft.spatial.SkyPix.sql.ixSnapped("lon", lv)} AS ix,
+         |    ${graft.spatial.SkyPix.sql.iySnapped("lat", lv)} AS iy,
+         |    count(*) AS n_src
+         |  FROM c GROUP BY 1, 2),
+         |o AS (SELECT unnest([-1, 0, 1]) AS d),
+         |nb AS (SELECT ((g.ix + ox.d) % $n + $n) % $n AS jx,
+         |    g.iy + oy.d AS jy, g.n_src, ox.d AS dx, oy.d AS dy
+         |  FROM g CROSS JOIN o ox CROSS JOIN o oy),
+         |sm AS (SELECT jx, jy,
+         |    CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN n_src ELSE 0 END)
+         |      AS BIGINT) AS n_own,
+         |    CAST(sum(n_src) AS BIGINT) AS n_3x3
+         |  FROM nb WHERE jy >= 0 AND jy < $n
+         |  GROUP BY jx, jy)
+         |SELECT ${graft.spatial.SkyPix.sql.mortonCell("jx", "jy", lv)}
+         |    AS cell,
+         |  n_own, n_3x3,
+         |  CAST(9 * n_own AS DOUBLE) / CAST(n_3x3 AS DOUBLE) AS contrast
+         |FROM sm ORDER BY cell""".stripMargin) { (s, dir) =>
+      import graft.spatial.SkyPix
+      val g = LsdDb.table(s, dir, "customer")
+        .select(
+          ((col("c_custkey") * 13) % 3600).cast(DoubleType)./(10.0)
+            .as("lon"),
+          (((col("c_custkey") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+            .as("lat"))
+        .select(SkyPix.ixSnapped(col("lon"), lv).as("ix"),
+          SkyPix.iySnapped(col("lat"), lv).as("iy"))
+        .groupBy("ix", "iy")
+        .agg(count(lit(1)).as("n_src"))
+      g.withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(pmod(col("ix") + col("dx"), lit(n)).as("jx"),
+          (col("iy") + col("dy")).as("jy"), col("n_src"),
+          col("dx"), col("dy"))
+        .filter(col("jy") >= 0 && col("jy") < n)
+        .groupBy("jx", "jy")
+        .agg(sum(when(col("dx") === 0 && col("dy") === 0, col("n_src"))
+          .otherwise(0L)).as("n_own"),
+          sum(col("n_src")).as("n_3x3"))
+        .select(SkyPix.mortonCell(col("jx"), col("jy"), lv).as("cell"),
+          col("n_own"), col("n_3x3"),
+          ((col("n_own") * 9).cast(DoubleType)
+            / col("n_3x3").cast(DoubleType)).as("contrast"))
+        .orderBy("cell")
+    }
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
-    qVariabilityCatalog, qTracklets, qTracks)
+    qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth)
 }

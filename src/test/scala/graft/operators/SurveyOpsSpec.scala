@@ -87,4 +87,40 @@ class SurveyOpsSpec extends SpecBase {
       assert(graft.spatial.SkyPix.cellId(lonC, latC, 4) == cellId)
     }
   }
+
+  test("q_pm_fit recovers the exact per-object track rates") {
+    // The moving-object field is exactly linear in integer space, so
+    // OLS over any ≥3 unwrapped epochs must return the TRUE rate —
+    // not approximately, but to the d6 snap of rate·0.024 exactly.
+    // This is ground truth the DuckDB oracle can't provide (it only
+    // proves both engines agree, not that the answer is right).
+    val rows = SurveyOps.qPmFit.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def d6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val rLon = (id * 7919) % 37 - 18
+      val rLat = (id * 104729) % 13 - 6
+      assert(r.getDouble(2) == d6(rLon * 0.024),
+        s"object $id pm_lon: ${r.getDouble(2)} vs rate $rLon mdeg/hr")
+      assert(r.getDouble(3) == d6(rLat * 0.024),
+        s"object $id pm_lat: ${r.getDouble(3)} vs rate $rLat mdeg/hr")
+    }
+  }
+
+  test("q_skymap_smooth conserves counts and bounds the contrast") {
+    val sm = SurveyOps.qSkymapSmooth.fn(spark, sfDir).collect()
+    assert(sm.nonEmpty)
+    // every source lands in exactly one cell, and every populated
+    // cell is in the filter's support (its own 3×3 contains it), so
+    // Σ n_own over the output = total input rows
+    val total = LsdDb.table(spark, sfDir, "customer").count()
+    assert(sm.map(_.getLong(1)).sum == total)
+    for (r <- sm) {
+      val (own, tot, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(own >= 0 && own <= tot)
+      assert(c >= 0.0 && c <= 9.0)
+      assert(c == own.toDouble * 9 / tot)
+    }
+  }
 }
