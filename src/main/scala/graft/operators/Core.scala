@@ -287,6 +287,55 @@ object Core {
       .orderBy("event_type")
   }
 
+  /** Write-once snapshot table of `events` as 4 appends PARTITIONED BY
+    * KEY SET (user_id % 4), not by range: every append spans the full
+    * user_id range, so zone maps cannot prune a point lookup — but
+    * each append's bounded key SET can, via the commit-log Bloom
+    * filters. The natural shape of per-source/per-shard ingest. */
+  def ensureKeyedSnapshotEvents(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String = synchronized {
+    val path = graft.sources.CacheKeys.path(
+      "graft_snapshots_keyed", s"$dir/events.parquet")
+    if (graft.sources.Snapshots.committed(s, path).size < 4) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ev = LsdDb.table(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      for (i <- 0L until 4L)
+        graft.sources.Snapshots.append(
+          ev.filter(col("user_id") % 4 === i), path,
+          statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+    }
+    path
+  }
+
+  /** SC4f / §1.1 snapshots — BLOOM-PRUNED point lookup: one object's
+    * full event history over the 4-append keyed table. The probed key
+    * (the MIDDLE of the dense user-id range — read from zone-map
+    * metadata alone) sits inside EVERY directory's [min, max], so the
+    * zone maps provably cannot prune (pinned in the spec) — but the
+    * commit-log Bloom filters prove the key absent from the 3
+    * directories holding the other residue classes before any footer
+    * is opened. The "one object's history across ten years of
+    * appends" scan shape; the oracle is the plain semantic filter. */
+  val qSnapshotBloom: QuerySpec = QuerySpec(
+    "q_snapshot_bloom",
+    s"""SELECT event_type, count(*) AS n, ${D.dsum("value")} AS total
+       |FROM events
+       |WHERE user_id = (SELECT max(user_id) // 2 FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val path = ensureKeyedSnapshotEvents(s, dir)
+    val key = graft.sources.Snapshots.entries(s, path)
+      .flatMap(_.stats.get("user_id")).map(_._2).max.toLong / 2
+    graft.sources.Snapshots
+      .readPrunedKey(s, path, "user_id", key)
+      .filter(col("user_id") === key)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
   /** SC3c — bulk import via ORC (Spark's second bundled columnar
     * format): write-once export of the lineitem subset, read back.
     * Like FITS (and unlike CSV text), ORC stores IEEE doubles
@@ -600,7 +649,8 @@ object Core {
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
     qImportCsv, qImportFits, qImportOrc, qImportJson, qTimeTravel,
-    qSnapshotDelta, qSnapshotMerge, qSnapshotPrune, qProject, qFilter,
+    qSnapshotDelta, qSnapshotMerge, qSnapshotPrune, qSnapshotBloom,
+    qProject, qFilter,
     qMath, qCase,
     qString, qDatetime, qArray, qArrayOps, qJson, qSchemaEvolve)
 }

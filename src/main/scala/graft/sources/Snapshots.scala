@@ -49,13 +49,41 @@ object Snapshots {
     * (a compaction product that already contains everything before
     * it, so reads never need to look further back) + an optional
     * idempotency tag (see [[appendTagged]]) + optional per-column
-    * zone-map stats (see [[readPruned]]). Log line format:
+    * zone-map stats (see [[readPruned]]) + optional per-column Bloom
+    * filters (see [[readPrunedKey]]). Log line format:
     * `<id>` for an append, `<id> B` for a base, with ` T:<tag>`
-    * appended when tagged and ` S:<col>:<min>:<max>` per stats
-    * column — unknown trailing fields are ignored by old readers. */
+    * appended when tagged, ` S:<col>:<min>:<max>` per stats column,
+    * and ` F:<col>:<m>:<k>:<hex>` per bloom column — unknown
+    * trailing fields are ignored by old readers. */
   final case class Entry(id: Long, isBase: Boolean,
                          tag: Option[String] = None,
-                         stats: Map[String, (Double, Double)] = Map.empty)
+                         stats: Map[String, (Double, Double)] = Map.empty,
+                         blooms: Map[String, Bloom] = Map.empty)
+
+  /** A serialized Bloom filter over one column's value set: `m` bits
+    * (hex-encoded, big-endian within each byte), `k` hash slices of
+    * the value's md5. No false negatives by construction; false
+    * positives only cost an extra directory scan. */
+  final case class Bloom(m: Int, k: Int, hex: String) {
+    private lazy val bytes: Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def mightContain(value: String): Boolean =
+      Snapshots.bloomPositions(value, m, k).forall { p =>
+        (bytes(p >> 3) & (0x80 >> (p & 7))) != 0
+      }
+  }
+
+  /** The k bit positions of a value: consecutive 2-byte slices of
+    * md5(UTF-8 bytes), big-endian, mod m. The WRITE side computes the
+    * identical positions in Spark SQL (`conv(substring(md5(...)))`),
+    * so membership tests never disagree with the recorded bits. */
+  private[sources] def bloomPositions(v: String, m: Int, k: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8"))
+    (0 until k).map { i =>
+      (((md(2 * i) & 0xff) << 8) | (md(2 * i + 1) & 0xff)) % m
+    }
+  }
 
   /** Committed entries, oldest first (empty if table absent). */
   def entries(spark: SparkSession, path: String): Seq[Entry] = {
@@ -75,6 +103,13 @@ object Snapshots {
             t.drop(2).split(":") match {
               case Array(c, mn, mx) =>
                 Some(c -> (mn.toDouble, mx.toDouble))
+              case _ => None // malformed field: ignore, stay conservative
+            }
+          }.toMap,
+          parts.iterator.filter(_.startsWith("F:")).flatMap { t =>
+            t.drop(2).split(":") match {
+              case Array(c, m, k, hx) if hx.length == (m.toInt + 7) / 8 * 2 =>
+                Some(c -> Bloom(m.toInt, k.toInt, hx))
               case _ => None // malformed field: ignore, stay conservative
             }
           }.toMap)
@@ -115,6 +150,9 @@ object Snapshots {
         e.tag.map(t => s" T:$t").getOrElse("") +
         e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s" S:$c:$mn:$mx"
+        }.mkString +
+        e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+          s" F:$c:${b.m}:${b.k}:${b.hex}"
         }.mkString
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally o.close()
@@ -156,6 +194,52 @@ object Snapshots {
       }.toMap
     }
 
+  /** Default Bloom geometry: 4096 bits / 4 hashes ≈ 2% false-positive
+    * rate at 500 distinct keys per snapshot, saturating gracefully
+    * (a saturated bloom keeps its directory — never wrong, just not
+    * pruning). Sized for appends whose per-batch key set is BOUNDED
+    * (per-run calibration tables, per-night batch ids); dense
+    * high-cardinality keys belong to zone maps, not blooms — the
+    * commit log is a text file, not an index. */
+  val BloomBits = 4096
+  val BloomHashes = 4
+
+  /** Per-column Bloom filter of the WRITTEN snapshot directory.
+    * Values are canonicalized by Spark's string cast (longs print
+    * exactly, strings pass through — the same canonical form
+    * [[readPrunedKey]] applies to its probe value). Bit positions
+    * come from a codegen'd md5-hex-slice expression, no UDF; the
+    * DISTINCT on positions bounds the collected set to ≤ m ints
+    * regardless of directory size. NULLs set no bits (an equality
+    * probe excludes NULL rows anyway). */
+  private def dirBlooms(spark: SparkSession, dir: String,
+                        bloomCols: Seq[String]): Map[String, Bloom] =
+    if (bloomCols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{array, col, conv, explode, md5, substring}
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+      bloomCols.foreach(c => require(
+        !c.exists(ch => ch.isWhitespace || ch == ':'),
+        s"bloom column name must be whitespace/colon-free: '$c'"))
+      val (m, k) = (BloomBits, BloomHashes)
+      val back = spark.read.parquet(dir)
+      bloomCols.map { c =>
+        val h = md5(col("v").cast("binary"))
+        val pos = (0 until k).map(i =>
+          (conv(substring(h, i * 4 + 1, 4), 16, 10).cast(LongType) % m)
+            .cast(IntegerType))
+        val bits = back.select(col(c).cast(StringType).as("v"))
+          .na.drop()
+          .select(explode(array(pos: _*)).as("p"))
+          .distinct()
+          .collect().map(_.getInt(0)) // ≤ m rows by construction
+        val bytes = new Array[Byte]((m + 7) / 8)
+        bits.foreach(p => bytes(p >> 3) =
+          (bytes(p >> 3) | (0x80 >> (p & 7))).toByte)
+        c -> Bloom(m, k, bytes.map(b => f"${b & 0xff}%02x").mkString)
+      }.toMap
+    }
+
   /** Append `df` as a new snapshot; returns its id. Stages the data
     * directory completely before the commit-log swap, so readers can
     * never observe a partial snapshot. `statsCols` names columns whose
@@ -165,14 +249,17 @@ object Snapshots {
     * per-run ids), a range query skips whole snapshot directories
     * without opening a single file footer. */
   def append(df: DataFrame, path: String,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     withLock(spark, path) {
       val prior = entries(spark, path)
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       df.write.mode("overwrite").parquet(s"$path/snap=$id")
       val st = dirStats(spark, s"$path/snap=$id", statsCols)
-      commit(spark, path, prior :+ Entry(id, isBase = false, stats = st))
+      val bl = dirBlooms(spark, s"$path/snap=$id", bloomCols)
+      commit(spark, path, prior :+
+        Entry(id, isBase = false, stats = st, blooms = bl))
       id
     }
   }
@@ -217,12 +304,16 @@ object Snapshots {
       val prior = entries(spark, path)
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       current.write.mode("overwrite").parquet(s"$path/snap=$id")
-      // a base folds all prior data → recompute its zone map over the
-      // union of every stats column any prior entry tracked, so
-      // readPruned keeps pruning across compaction
+      // a base folds all prior data → recompute its zone map and
+      // blooms over the union of every column any prior entry
+      // tracked, so readPruned/readPrunedKey keep pruning across
+      // compaction
       val st = dirStats(spark, s"$path/snap=$id",
         prior.flatMap(_.stats.keys).distinct)
-      commit(spark, path, prior :+ Entry(id, isBase = true, stats = st))
+      val bl = dirBlooms(spark, s"$path/snap=$id",
+        prior.flatMap(_.blooms.keys).distinct)
+      commit(spark, path, prior :+
+        Entry(id, isBase = true, stats = st, blooms = bl))
       id
     }
   }
@@ -308,6 +399,48 @@ object Snapshots {
       e.stats.get(statCol) match {
         case Some((mn, mx)) => !(mx < lo || mn > hi) // NaN-safe: keep
         case None => true // no zone map for this column: must scan
+      }
+    }
+    if (kept.nonEmpty)
+      spark.read.parquet(kept.map(e => s"$path/snap=${e.id}"): _*)
+    else // every directory pruned: empty result with the head schema
+      spark.read.parquet(s"$path/snap=${visible.last.id}")
+        .where(org.apache.spark.sql.functions.lit(false))
+  }
+
+  /** Bloom-pruned point-lookup read: like [[read]], but snapshot
+    * directories whose recorded Bloom filter for `keyCol` (written by
+    * `append(bloomCols = …)`) proves `value` ABSENT are dropped from
+    * the scan set — the membership complement of [[readPruned]]'s
+    * range pruning. This is the "one object's history across ten
+    * years of appends" query: zone maps can't help when every append
+    * spans the full key range, but each append's bounded key SET can.
+    *
+    * `value` is canonicalized by `toString`, which matches the write
+    * side's Spark string cast for integer and string keys (pass the
+    * key's natural form: a Long for BIGINT columns, a String for
+    * text). Directories with NO bloom for `keyCol` are always kept,
+    * and false positives only add directories — so
+    * `readPrunedKey(...).filter(col === value)` ≡
+    * `read(...).filter(col === value)` always. */
+  def readPrunedKey(spark: SparkSession, path: String, keyCol: String,
+                    value: Any, asOf: Option[Long] = None): DataFrame = {
+    val all = entries(spark, path)
+    require(all.nonEmpty, s"no committed snapshots at $path")
+    val upTo = asOf match {
+      case Some(s) =>
+        require(all.exists(_.id == s), s"snapshot $s was never " +
+          s"committed (committed: ${all.map(_.id).mkString(",")})")
+        all.filter(_.id <= s)
+      case None => all
+    }
+    val lastBase = upTo.lastIndexWhere(_.isBase)
+    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    val v = String.valueOf(value)
+    val kept = visible.filter { e =>
+      e.blooms.get(keyCol) match {
+        case Some(b) => b.mightContain(v)
+        case None => true // no bloom for this column: must scan
       }
     }
     if (kept.nonEmpty)

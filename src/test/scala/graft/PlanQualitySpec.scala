@@ -215,6 +215,27 @@ class PlanQualitySpec extends SpecBase {
       s"zone-map read must skip snap=1,2:\n${files.mkString("\n")}")
   }
 
+  test("q_snapshot_bloom prunes dirs the zone map provably cannot") {
+    val df = Core.qSnapshotBloom.fn(spark, sfDir)
+    val path = Core.ensureKeyedSnapshotEvents(spark, sfDir)
+    val es = graft.sources.Snapshots.entries(spark, path)
+    val key = es.flatMap(_.stats.get("user_id")).map(_._2).max.toLong / 2
+    // zone maps are useless here BY CONSTRUCTION: the probed key is
+    // inside every directory's recorded [min, max]
+    assert(es.forall(_.stats.get("user_id").exists { case (mn, mx) =>
+      mn <= key && key <= mx }))
+    // the bloom-predicted scan set is exactly what the read touches —
+    // and it's a strict subset of the 4 appends (the key lives in one
+    // dir; deterministic false positives may add, never remove)
+    val predicted = es.filter(_.blooms("user_id")
+      .mightContain(key.toString)).map(e => s"snap=${e.id}").toSet
+    val touched = df.inputFiles
+      .map(f => "snap=" + f.split("/snap=")(1).takeWhile(_ != '/')).toSet
+    assert(touched == predicted, s"$touched vs $predicted")
+    assert(predicted.size < es.size,
+      s"bloom must prune at least one of ${es.size} dirs")
+  }
+
   test("q_redact_pii is map-only: no shuffle except the output sort") {
     val df = PipelineOps.qRedactPii.fn(spark, sfDir)
     // the redaction pass itself must add no exchange: the only

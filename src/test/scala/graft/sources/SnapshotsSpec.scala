@@ -306,4 +306,68 @@ class SnapshotsSpec extends SpecBase {
     assert(hi.inputFiles.forall(_.contains(s"snap=${base.id + 1}")))
     assert(hi.as[Int].collect().sameElements(Array(99)))
   }
+
+  test("bloom filters prune point lookups; no false negatives ever") {
+    val path = freshPath()
+    // three appends with DISJOINT key sets but IDENTICAL key ranges —
+    // the zone map is useless here by construction; only membership
+    // can tell the directories apart
+    Snapshots.append(Seq((1L, "a1"), (1000L, "a2"), (7L, "a3"))
+      .toDF("k", "s"), path, statsCols = Seq("k"), bloomCols = Seq("k"))
+    Snapshots.append(Seq((1L + 1, "b1"), (1000L, "b2"), (13L, "b3"))
+      .toDF("k", "s"), path, statsCols = Seq("k"), bloomCols = Seq("k"))
+    Snapshots.append(Seq((3L, "c1"), (1000L, "c2"), (999L, "c3"))
+      .toDF("k", "s"), path, statsCols = Seq("k"), bloomCols = Seq("k"))
+    val es = Snapshots.entries(spark, path)
+    // blooms round-trip through the log text with their geometry
+    assert(es.forall(e => e.blooms.get("k").exists(b =>
+      b.m == Snapshots.BloomBits && b.k == Snapshots.BloomHashes)))
+    // no false negatives: every written key is "might contain" in its dir
+    assert(es(0).blooms("k").mightContain("1"))
+    assert(es(0).blooms("k").mightContain("1000"))
+    assert(es(1).blooms("k").mightContain("2"))
+    assert(es(2).blooms("k").mightContain("999"))
+    // key 7 lives only in snap=1: the other dirs must prove absence
+    // (deterministic bloom bits — pinned, not probabilistic luck)
+    val p7 = Snapshots.readPrunedKey(spark, path, "k", 7L)
+    assert(p7.inputFiles.nonEmpty &&
+      p7.inputFiles.forall(_.contains("snap=1")),
+      s"expected only snap=1:\n${p7.inputFiles.mkString("\n")}")
+    // key 1000 is everywhere: nothing may be pruned
+    assert(Snapshots.readPrunedKey(spark, path, "k", 1000L)
+      .inputFiles.map(f => f.split("/snap=")(1).takeWhile(_ != '/'))
+      .toSet == Set("1", "2", "3"))
+    // prunedKey ∘ filter ≡ read ∘ filter for present AND absent keys
+    for (key <- Seq(1L, 2L, 3L, 7L, 13L, 999L, 1000L, 424242L))
+      assert(Snapshots.readPrunedKey(spark, path, "k", key)
+        .filter(col("k") === key).as[(Long, String)].collect().toSet ==
+        Snapshots.read(spark, path)
+          .filter(col("k") === key).as[(Long, String)].collect().toSet,
+        s"equivalence broken for key $key")
+    // a bloom-less dir is always kept (conservative)
+    Snapshots.append(Seq((555L, "d1")).toDF("k", "s"), path)
+    assert(Snapshots.readPrunedKey(spark, path, "k", 7L)
+      .inputFiles.exists(_.contains("snap=4")))
+    // compact folds blooms: the base answers membership for all keys
+    Snapshots.compact(spark, path)
+    val base = Snapshots.entries(spark, path).last
+    assert(base.isBase && base.blooms.contains("k"))
+    for (key <- Seq(1L, 7L, 555L, 1000L))
+      assert(base.blooms("k").mightContain(key.toString))
+    assert(Snapshots.readPrunedKey(spark, path, "k", 7L)
+      .filter(col("k") === 7L).as[(Long, String)].collect()
+      .toSet == Set((7L, "a3")))
+  }
+
+  test("bloom pruning works for string keys with the same canonical form") {
+    val path = freshPath()
+    Snapshots.append(Seq(("alpha", 1), ("beta", 2)).toDF("name", "v"),
+      path, bloomCols = Seq("name"))
+    Snapshots.append(Seq(("gamma", 3)).toDF("name", "v"),
+      path, bloomCols = Seq("name"))
+    val p = Snapshots.readPrunedKey(spark, path, "name", "gamma")
+    assert(p.inputFiles.nonEmpty && p.inputFiles.forall(_.contains("snap=2")))
+    assert(p.filter(col("name") === "gamma").as[(String, Int)]
+      .collect().sameElements(Array(("gamma", 3))))
+  }
 }
