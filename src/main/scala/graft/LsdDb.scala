@@ -49,6 +49,20 @@ final case class LsdDb(spark: SparkSession, root: String) {
     else Snapshots.entries(spark, path).flatMap(_.stats.keys).toSet
   }
 
+  /** Columns with ANY pruning metadata in the commit log — zone-map
+    * stats OR Bloom filters. A range on a bloom-only column prunes
+    * nothing (conservative), but an EQUALITY on it prunes through
+    * [[Snapshots.readPrunedEq]]'s membership channel. */
+  def prunableCols(name: String): Set[String] = {
+    val path = s"$root/$name.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_COMMITS")))
+      Set.empty
+    else Snapshots.entries(spark, path)
+      .flatMap(e => e.stats.keys ++ e.blooms.keys).toSet
+  }
+
   /** [[table]] with snapshot time travel AND zone-map pruning:
     * `prune = Some((col, lo, hi))` drops snapshot directories whose
     * recorded [min, max] of `col` cannot intersect [lo, hi]
@@ -72,6 +86,9 @@ final case class LsdDb(spark: SparkSession, root: String) {
       s"table '$name' is not a snapshot table; AS OF / @id requires one")
     val raw =
       if (isSnapshotTable) prune match {
+        case Some((c, lo, hi)) if lo == hi =>
+          // equality probe: zone map AND bloom membership both prune
+          Snapshots.readPrunedEq(spark, path, c, lo, asOf)
         case Some((c, lo, hi)) =>
           Snapshots.readPruned(spark, path, c, lo, hi, asOf)
         case None => Snapshots.read(spark, path, asOf)

@@ -97,14 +97,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // path intermediates always read head.
     val asOfByTable = fromItems.flatMap(i => i.asOf.map(i.table -> _)).toMap
     def load(name: String) = db.table(name, asOfByTable.get(name))
-    // Zone-map pruning for the DRIVING table: when it is a snapshot
-    // table with recorded per-snapshot stats and the WHERE clause
-    // contains a sound top-level range conjunct on a stats column,
-    // route the read through readPruned — whole snapshot directories
-    // drop before any footer is opened, and the full WHERE still
-    // applies below, so this is purely a scan-set optimization.
+    // Metadata pruning for the DRIVING table: when it is a snapshot
+    // table with recorded per-snapshot stats/blooms and the WHERE
+    // clause contains a sound top-level range conjunct on a tracked
+    // column, route the read through readPruned (ranges) or
+    // readPrunedEq (equality — zone map AND bloom membership) —
+    // whole snapshot directories drop before any footer is opened,
+    // and the full WHERE still applies below, so this is purely a
+    // scan-set optimization.
     val headPrune = whereOpt.flatMap(w =>
-      LsdQL.extractRange(w, db.statsCols(fromItems.head.table)))
+      LsdQL.extractRange(w, db.prunableCols(fromItems.head.table)))
     var df = db.table(fromItems.head.table,
       asOfByTable.get(fromItems.head.table), headPrune)
     var joined = Set(fromItems.head.table)

@@ -450,6 +450,51 @@ object Snapshots {
         .where(org.apache.spark.sql.functions.lit(false))
   }
 
+  /** Equality-probe read combining BOTH metadata channels: a
+    * directory survives only if its zone map admits `v` (when
+    * recorded) AND its Bloom filter might contain `v` (when
+    * recorded). Built for the query layer, where an extracted
+    * `col = literal` arrives as a double: an integral `v` is probed
+    * under BOTH its integer and decimal string forms (`"7"` and
+    * `"7.0"`), so whichever canonical form the write side's string
+    * cast produced, the true directory always matches — false
+    * negatives stay impossible and extra matches only widen the
+    * scan. Directories with neither channel are always kept. */
+  def readPrunedEq(spark: SparkSession, path: String, keyCol: String,
+                   v: Double, asOf: Option[Long] = None): DataFrame = {
+    val all = entries(spark, path)
+    require(all.nonEmpty, s"no committed snapshots at $path")
+    val upTo = asOf match {
+      case Some(s) =>
+        require(all.exists(_.id == s), s"snapshot $s was never " +
+          s"committed (committed: ${all.map(_.id).mkString(",")})")
+        all.filter(_.id <= s)
+      case None => all
+    }
+    val lastBase = upTo.lastIndexWhere(_.isBase)
+    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    val canonicals =
+      if (v.isWhole && math.abs(v) < 9.007199254740992e15)
+        Seq(v.toLong.toString, v.toString)
+      else Seq(v.toString)
+    val kept = visible.filter { e =>
+      val zoneOk = e.stats.get(keyCol) match {
+        case Some((mn, mx)) => !(mx < v || mn > v) // NaN-safe: keep
+        case None => true
+      }
+      val bloomOk = e.blooms.get(keyCol) match {
+        case Some(b) => canonicals.exists(b.mightContain)
+        case None => true
+      }
+      zoneOk && bloomOk
+    }
+    if (kept.nonEmpty)
+      spark.read.parquet(kept.map(e => s"$path/snap=${e.id}"): _*)
+    else // every directory pruned: empty result with the head schema
+      spark.read.parquet(s"$path/snap=${visible.last.id}")
+        .where(org.apache.spark.sql.functions.lit(false))
+  }
+
   // ---- keyed tables: merge-on-read upserts/deletes (CDC-lite) ------
   //
   // The reference's catalogs were UPDATABLE under the same

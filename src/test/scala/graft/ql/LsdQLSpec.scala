@@ -331,6 +331,31 @@ class LsdQLSpec extends SpecBase {
     assert(eq.as[String].collect().toSeq == Seq("e"))
   }
 
+  test("WHERE equality drives BLOOM pruning where zone maps cannot") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val tmp = Files.createTempDirectory("graft_ql_bloom").toString
+    val p = s"$tmp/keyed.parquet"
+    // overlapping key RANGES (zone maps useless for the probe below),
+    // disjoint key SETS (blooms decisive)
+    Snapshots.append(Seq((1L, "a"), (100L, "a2")).toDF("k", "v"), p,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    Snapshots.append(Seq((2L, "b"), (99L, "b2")).toDF("k", "v"), p,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    Snapshots.append(Seq((3L, "c"), (98L, "c2")).toDF("k", "v"), p,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    val q = LsdQL(LsdDb(spark, tmp), Seq.empty)
+    // k=99 is inside every dir's [min,max]; only snap=2's bloom says yes
+    val r = q.query("SELECT v FROM keyed WHERE k = 99")
+    assert(r.inputFiles.nonEmpty && r.inputFiles.forall(_.contains("snap=2")),
+      s"bloom should prune to snap=2:\n${r.inputFiles.mkString("\n")}")
+    assert(r.as[String].collect().toSeq == Seq("b2"))
+    // a RANGE on the same column cannot use membership: all dirs scan,
+    // rows still correct
+    val rg = q.query("SELECT v FROM keyed WHERE k >= 98 AND k <= 100")
+    assert(rg.as[String].collect().toSet == Set("a2", "b2", "c2"))
+  }
+
   test("extractRange soundness corners") {
     val st = Set("x", "y")
     assert(LsdQL.extractRange("x >= 3 AND x < 9", st)

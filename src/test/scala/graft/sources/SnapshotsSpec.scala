@@ -359,6 +359,29 @@ class SnapshotsSpec extends SpecBase {
       .toSet == Set((7L, "a3")))
   }
 
+  test("readPrunedEq intersects the zone and bloom channels") {
+    val path = freshPath()
+    // snap=1: range [1,10], keys {1,10}; snap=2: range [5,20], keys {5,20}
+    Snapshots.append(Seq((1L, "a"), (10L, "b")).toDF("k", "v"), path,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    Snapshots.append(Seq((5L, "c"), (20L, "d")).toDF("k", "v"), path,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    // 7 ∈ both ranges but neither key set → everything pruned
+    assert(Snapshots.readPrunedEq(spark, path, "k", 7.0).count() == 0)
+    // 10 ∈ both ranges, only snap=1's key set
+    val r10 = Snapshots.readPrunedEq(spark, path, "k", 10.0)
+    assert(r10.inputFiles.forall(_.contains("snap=1")))
+    // 20: zone map alone excludes snap=1, bloom alone excludes nothing more
+    val r20 = Snapshots.readPrunedEq(spark, path, "k", 20.0)
+    assert(r20.inputFiles.forall(_.contains("snap=2")))
+    assert(r20.filter(col("k") === 20L).as[(Long, String)]
+      .collect().sameElements(Array((20L, "d"))))
+    // integral double probes match the long column's canonical form
+    // (the QL layer always hands doubles down)
+    assert(Snapshots.readPrunedEq(spark, path, "k", 5.0)
+      .filter(col("k") === 5L).count() == 1)
+  }
+
   test("bloom pruning works for string keys with the same canonical form") {
     val path = freshPath()
     Snapshots.append(Seq(("alpha", 1), ("beta", 2)).toDF("name", "v"),
