@@ -271,7 +271,8 @@ object Snapshots {
     * after a crash) lands exactly once. The tag check and the commit
     * happen under the same writer lock as the append itself. */
   def appendTagged(df: DataFrame, path: String, tag: String,
-                   statsCols: Seq[String] = Nil): Long = {
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
     require(tag.nonEmpty && !tag.exists(_.isWhitespace),
       s"tag must be non-empty and whitespace-free: '$tag'")
     val spark = df.sparkSession
@@ -283,8 +284,10 @@ object Snapshots {
           val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
           df.write.mode("overwrite").parquet(s"$path/snap=$id")
           val st = dirStats(spark, s"$path/snap=$id", statsCols)
+          val bl = dirBlooms(spark, s"$path/snap=$id", bloomCols)
           commit(spark, path, prior :+
-            Entry(id, isBase = false, tag = Some(tag), stats = st))
+            Entry(id, isBase = false, tag = Some(tag), stats = st,
+              blooms = bl))
           id
       }
     }

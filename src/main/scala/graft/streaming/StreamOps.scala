@@ -152,14 +152,15 @@ object StreamOps {
     * whole snapshot directories.
     * Returns the started query; callers own its lifecycle. */
   def snapshotSink(stream: DataFrame, path: String,
-                   checkpoint: String, statsCols: Seq[String] = Nil)
+                   checkpoint: String, statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Snapshots.appendTagged(batch, path, s"b$batchId",
-          statsCols)
+          statsCols, bloomCols)
         ()
       }
       .start()

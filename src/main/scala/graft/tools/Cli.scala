@@ -213,6 +213,9 @@ object AdminCli {
             e.tag.fold("")(t => s" tag=$t") +
             e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
               s" $c=[$mn,$mx]"
+            }.mkString +
+            e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+              s" $c=bloom(${b.m}b/${b.k}h)"
             }.mkString))
       case "compact" =>
         val id = Snapshots.compact(Cli.session(), args(1))

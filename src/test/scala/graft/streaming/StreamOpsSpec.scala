@@ -243,7 +243,7 @@ class StreamOpsSpec extends SpecBase {
     val ckpt = dir.resolve("ckpt").toString
     val input = MemoryStream[Long]
     val q = StreamOps.snapshotSink(input.toDF(), path, ckpt,
-      statsCols = Seq("value"))
+      statsCols = Seq("value"), bloomCols = Seq("value"))
     try {
       input.addData(1L, 5L) // batch 1: [1, 5]
       q.processAllAvailable()
@@ -257,6 +257,10 @@ class StreamOpsSpec extends SpecBase {
       assert(hi.inputFiles.nonEmpty &&
         hi.inputFiles.forall(_.contains("snap=2")))
       assert(hi.as[Long].collect().sorted.sameElements(Array(100L, 150L)))
+      // the sink records blooms too: a point lookup prunes by key set
+      val p = Snapshots.readPrunedKey(spark, path, "value", 5L)
+      assert(p.inputFiles.nonEmpty &&
+        p.inputFiles.forall(_.contains("snap=1")))
     } finally q.stop()
   }
 
