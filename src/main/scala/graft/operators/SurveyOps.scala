@@ -1170,7 +1170,94 @@ object SurveyOps {
     }
   }
 
+  /** A18 — Stetson J variability index (Stetson 1996, PASP 108 —
+    * public): the robust correlated-variability statistic surveys
+    * compute per object — time-ADJACENT pairs of normalized residuals
+    * δᵢ = (vᵢ−μ)/σ multiplied, then sgn(P)·√|P| averaged. True
+    * variables (correlated excursions) score high; uncorrelated noise
+    * cancels. Complements q_trend_fit (secular), q_phase_fold
+    * (periodic), q_outlier_mad (robust screen).
+    *
+    * Determinism: μ/σ from decimal-exact window sums over the SAME
+    * object-key partitioning the final aggregate uses (the
+    * q_sigma_clip pattern — divide/sqrt of identical doubles are
+    * correctly rounded, so δ is engine-identical); the pair products
+    * and their sgn·√ are single IEEE ops; each pair TERM is
+    * d6-snapped BEFORE the associative decimal sum (the BM25
+    * order-free-score rule) because a double sum over an unordered
+    * group is merge-order-dependent. Zero-variance objects drop on an
+    * exact comparison of identical doubles.
+    *
+    * Shape: one hash partitioning on the object key serves the stats
+    * window, the lag window, and the final aggregate — no join, no
+    * second shuffle of the detection stream. O(1) reduce state per
+    * object; at 100 TB the per-object sort is partition-local. */
+  val qStetson: QuerySpec = QuerySpec(
+    "q_stetson",
+    s"""WITH w AS (
+       |  SELECT user_id, value, event_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+       |    count(*) OVER pw AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,8))) OVER pw AS DOUBLE) AS s,
+       |    CAST(sum(CAST(value * value AS DECIMAL(38,8))) OVER pw AS DOUBLE)
+       |      AS sxx
+       |  FROM events
+       |  WINDOW pw AS (PARTITION BY user_id)),
+       |d AS (
+       |  SELECT user_id, tus, event_id,
+       |    (value - s / n)
+       |      / sqrt((sxx - (s * s) / n) / (n - 1.0)) AS delta
+       |  FROM w WHERE n >= 2 AND (sxx - (s * s) / n) > 0),
+       |p AS (
+       |  SELECT user_id, delta * lag(delta) OVER
+       |      (PARTITION BY user_id ORDER BY tus, event_id) AS pk
+       |  FROM d),
+       |t AS (
+       |  SELECT user_id, ${D.sql.d6(
+          "CASE WHEN pk >= 0 THEN sqrt(pk) ELSE -sqrt(-pk) END")} AS term
+       |  FROM p WHERE pk IS NOT NULL)
+       |SELECT user_id AS object_id, count(*) AS n_pairs,
+       |  ${D.sql.dsum("term")} / count(*) AS stetson_j
+       |FROM t GROUP BY user_id ORDER BY object_id""".stripMargin) { (s, dir) =>
+    val pw = Window.partitionBy("user_id")
+    val n = count(lit(1)).over(pw)
+    val sm = sum(col("value").cast(Det.M)).over(pw).cast(DoubleType)
+    val sxx = sum((col("value") * col("value")).cast(Det.M38)).over(pw)
+      .cast(DoubleType)
+    val varNum = sxx - (sm * sm) / n
+    val d = LsdDb.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"),
+        n.as("n"), sm.as("s"), varNum.as("vn"))
+      .filter(col("n") >= 2 && col("vn") > 0)
+      .select(col("user_id"), col("tus"), col("event_id"),
+        ((col("value") - col("s") / col("n"))
+          / sqrt(col("vn") / (col("n") - lit(1.0)))).as("delta"))
+    val lw = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    d.select(col("user_id"),
+      (col("delta") * lag(col("delta"), 1).over(lw)).as("pk"))
+      .filter(col("pk").isNotNull)
+      .select(col("user_id"), Det.d6(
+        when(col("pk") >= 0, sqrt(col("pk")))
+          .otherwise(-sqrt(-col("pk")))).as("term"))
+      .groupBy("user_id")
+      // NO final snap: the decimal term sum and the count are engine-
+      // identical, so their double quotient is bit-identical — while
+      // a d6 of it CAN hit an exact decimal midpoint (a 1e-6-grid sum
+      // over n pairs divides to a terminating expansion whenever the
+      // odd part of n divides the scaled sum — observed live:
+      // -13.412455/70 = -0.1916065 exactly, Spark half-even vs DuckDB
+      // half-up). The q_tracks d7 rule generalizes: never snap a
+      // ratio of already-deterministic values.
+      .agg(count(lit(1)).as("n_pairs"),
+        (Det.dsum(col("term")) / count(lit(1))).as("stetson_j"))
+      .select(col("user_id").as("object_id"), col("n_pairs"),
+        col("stetson_j"))
+      .orderBy("object_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
-    qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth)
+    qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth,
+    qStetson)
 }
