@@ -953,8 +953,7 @@ object PipelineOps {
        |      / (CAST(tot.n_tok AS DOUBLE) + tot.n_vocab)) AS lp
        |  FROM toks t JOIN lm USING (w) CROSS JOIN tot)
        |SELECT doc_id, count(*) AS n_tokens,
-       |  ${D.sql.d6(
-          "CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)")}
+       |  CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
        |    AS mean_log2p
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val toks = LsdDb.table(s, dir, "documents")
@@ -968,10 +967,14 @@ object PipelineOps {
       .select(col("doc_id"), lp.as("lp"))
       // snap each token's log-prob to the 1e-6 grid BEFORE the sum so
       // the per-doc total is partition-order-free (decimal addition is
-      // associative) — the BM25 rule
+      // associative) — the BM25 rule. The mean itself is UNSNAPPED:
+      // the quotient of the identical decimal sum by the identical
+      // count is bit-identical by IEEE division, while a d6 of it can
+      // hit a decimal midpoint whenever the odd part of n_tokens
+      // divides the scaled sum (the q_stetson lesson, SCALE.md)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        Det.d6(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        (sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast(DoubleType) / count(lit(1))).as("mean_log2p"))
       .orderBy("doc_id")
   }
