@@ -1046,10 +1046,73 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** X2s — BIGRAM language-model scoring (add-1 conditional
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V)): the KenLM-filter proxy one
+    * order up from q_unigram_lm, and deliberately the NON-BROADCAST
+    * plan shape — a real bigram table is billions of rows, so the
+    * corpus joins the model on the n-gram KEY (both sides shuffle on
+    * `bg`; Catalyst picks the strategy) instead of shipping the model
+    * to every executor. The context count c(w₁·) rides the MODEL
+    * relation via a model-sized window (sum of bigram counts per
+    * first word), so the corpus is joined exactly ONCE; only the
+    * scalar vocab size broadcasts.
+    *
+    * Bigram extraction is map-only zip-with-shift (no window over
+    * the corpus, no posexplode self-join). Per-term log₂p is
+    * d6-snapped BEFORE the decimal sum (BM25 rule); the per-doc mean
+    * is UNSNAPPED (q_stetson rule). Docs with < 2 tokens have no
+    * bigrams and are absent by contract. */
+  val qBigramLm: QuerySpec = QuerySpec(
+    "q_bigram_lm",
+    s"""WITH t0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |toks AS (SELECT doc_id, unnest(
+       |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+       |    AS bg
+       |  FROM t0),
+       |lm AS (SELECT bg, count(*) AS c2 FROM toks GROUP BY bg),
+       |lmx AS (SELECT bg, c2,
+       |    CAST(sum(c2) OVER (PARTITION BY split_part(bg, ' ', 1))
+       |      AS BIGINT) AS c1
+       |  FROM lm),
+       |voc AS (SELECT count(DISTINCT u) AS v
+       |  FROM (SELECT unnest(w) AS u FROM t0)),
+       |scored AS (SELECT t.doc_id, ${D.sql.d6(
+          "log2((CAST(lmx.c2 AS DOUBLE) + 1.0)" +
+            " / (CAST(lmx.c1 AS DOUBLE) + voc.v))")} AS lp
+       |  FROM toks t JOIN lmx USING (bg) CROSS JOIN voc)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CAST(lp AS DECIMAL(18,8))) AS DOUBLE) / count(*)
+       |    AS mean_log2p
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    val bgArr = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val toks = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(bgArr).as("bg"))
+    val lm = toks.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val lmx = lm.withColumn("c1",
+      sum(col("c2")).over(Window.partitionBy(
+        substring_index(col("bg"), " ", 1))))
+    val voc = LsdDb.table(s, dir, "documents")
+      .select(explode(words(col("text"))).as("u"))
+      .agg(countDistinct(col("u")).as("v"))
+    val lp = Det.d6(log2((col("c2").cast(DoubleType) + 1.0) /
+      (col("c1").cast(DoubleType) + col("v"))))
+    toks.join(lmx, "bg").crossJoin(broadcast(voc))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp").cast(Det.M)).cast(DoubleType) / count(lit(1)))
+          .as("mean_log2p"))
+      .orderBy("doc_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
     qCharEntropy, qDupCrossSource, qUnigramLm, qDedupKeepBest,
-    qCollapseRepeats)
+    qCollapseRepeats, qBigramLm)
 }
