@@ -68,15 +68,35 @@ final case class LsdDb(spark: SparkSession, root: String) {
     * recorded [min, max] of `col` cannot intersect [lo, hi]
     * ([[Snapshots.readPruned]] — advisory, the caller's own filter
     * must still imply the range). Ignored for non-snapshot tables. */
+  /** [[table]] with an IN-LIST metadata probe: snapshot directories
+    * admitting none of `vs` under their zone map AND bloom channels
+    * drop from the scan set ([[Snapshots.readPrunedIn]] — advisory;
+    * the caller's own `col IN (vs)` filter must still apply). */
+  def tableIn(name: String, asOf: Option[Long], keyCol: String,
+              vs: Seq[Double]): DataFrame =
+    tableResolved(name, asOf,
+      path => Snapshots.readPrunedIn(spark, path, keyCol, vs, asOf))
+
   def table(name: String, asOf: Option[Long],
-            prune: Option[(String, Double, Double)]): DataFrame = {
+            prune: Option[(String, Double, Double)]): DataFrame =
+    tableResolved(name, asOf, path => prune match {
+      case Some((c, lo, hi)) if lo == hi =>
+        // equality probe: zone map AND bloom membership both prune
+        Snapshots.readPrunedEq(spark, path, c, lo, asOf)
+      case Some((c, lo, hi)) =>
+        Snapshots.readPruned(spark, path, c, lo, hi, asOf)
+      case None => Snapshots.read(spark, path, asOf)
+    })
+
+  /** Shared table resolution: snapshot tables go through `snapRead`
+    * (the commit log is the truth — a raw recursive parquet read
+    * would double-count bases plus the appends they fold and see
+    * torn directories); plain tables read directly. Both paths get
+    * the layout-column strip and the ns→µs ts conversion. */
+  private def tableResolved(name: String, asOf: Option[Long],
+                            snapRead: String => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$root/$name.parquet"
-    // A Snapshots commit-log table must resolve through the LOG: a
-    // raw recursive parquet read would ingest every snap= directory
-    // — bases PLUS the appends they fold, double-counting history —
-    // and would see uncommitted/torn directories. Detection is the
-    // same _COMMITS probe AdminCli's lister uses.
     val isSnapshotTable = {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -85,14 +105,7 @@ final case class LsdDb(spark: SparkSession, root: String) {
     require(asOf.isEmpty || isSnapshotTable,
       s"table '$name' is not a snapshot table; AS OF / @id requires one")
     val raw =
-      if (isSnapshotTable) prune match {
-        case Some((c, lo, hi)) if lo == hi =>
-          // equality probe: zone map AND bloom membership both prune
-          Snapshots.readPrunedEq(spark, path, c, lo, asOf)
-        case Some((c, lo, hi)) =>
-          Snapshots.readPruned(spark, path, c, lo, hi, asOf)
-        case None => Snapshots.read(spark, path, asOf)
-      }
+      if (isSnapshotTable) snapRead(path)
       else spark.read.parquet(path)
     // A SpatialWriter cell-partitioned layout (e.g. a spatial INTO
     // result) carries two layout-only columns: `cell` (the directory

@@ -105,10 +105,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // whole snapshot directories drop before any footer is opened,
     // and the full WHERE still applies below, so this is purely a
     // scan-set optimization.
-    val headPrune = whereOpt.flatMap(w =>
-      LsdQL.extractRange(w, db.prunableCols(fromItems.head.table)))
-    var df = db.table(fromItems.head.table,
-      asOfByTable.get(fromItems.head.table), headPrune)
+    val headTable = fromItems.head.table
+    val headCols = db.prunableCols(headTable)
+    val headIn = whereOpt.flatMap(w => LsdQL.extractInList(w, headCols))
+    val headPrune = whereOpt.flatMap(w => LsdQL.extractRange(w, headCols))
+    var df = headIn match {
+      case Some((c, vs)) =>
+        db.tableIn(headTable, asOfByTable.get(headTable), c, vs)
+      case None =>
+        db.table(headTable, asOfByTable.get(headTable), headPrune)
+    }
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
     // reference's per-table ids): packed SkyPix id for tables with a
@@ -384,10 +390,11 @@ object LsdQL {
     *  - strict bounds are relaxed to inclusive (a superset — pruning
     *    may keep one extra directory, never drop a needed one).
     * Returns the stats column with the most bounds, or None. */
-  private[ql] def extractRange(where: String, statsCols: Set[String])
-      : Option[(String, Double, Double)] = {
-    if (statsCols.isEmpty) return None
-    // split on top-level AND; abort on top-level OR
+  /** Split `where` on top-level AND conjuncts, honoring parens and
+    * string literals; None if a top-level OR exists anywhere (AND
+    * binds tighter than OR, so a fragment next to a top-level OR is
+    * not implied by the whole predicate). */
+  private def topConjuncts(where: String): Option[Seq[String]] = {
     val conjuncts = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -415,6 +422,13 @@ object LsdQL {
       i += 1
     }
     conjuncts += cur.toString
+    Some(conjuncts.toSeq)
+  }
+
+  private[ql] def extractRange(where: String, statsCols: Set[String])
+      : Option[(String, Double, Double)] = {
+    if (statsCols.isEmpty) return None
+    val conjuncts = topConjuncts(where).getOrElse(return None)
     val Cmp = """\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*""".r
     val bounds = scala.collection.mutable
       .Map.empty[String, (Double, Double, Int)] // col -> (lo, hi, n)
@@ -432,5 +446,26 @@ object LsdQL {
     }
     bounds.toSeq.sortBy { case (c, (_, _, n)) => (-n, c) }.headOption
       .map { case (c, (lo, hi, _)) => (c, lo, hi) }
+  }
+
+  /** Extract a SOUND IN-list probe from a WHERE clause: a top-level
+    * conjunct `col IN (n1, n2, …)` with all-numeric literals on a
+    * prunable column. Same soundness frame as [[extractRange]]
+    * (top-level OR aborts; other conjuncts only narrow). The filter
+    * can only be satisfied through a listed value, so a directory
+    * admitting none of them ([[graft.sources.Snapshots.readPrunedIn]])
+    * is droppable. First matching column wins. */
+  private[ql] def extractInList(where: String, prunable: Set[String])
+      : Option[(String, Seq[Double])] = {
+    if (prunable.isEmpty) return None
+    val conjuncts = topConjuncts(where).getOrElse(return None)
+    val In = """(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(([^()]*)\)\s*""".r
+    val Num = """\s*-?\d+(?:\.\d+)?\s*""".r
+    conjuncts.collectFirst {
+      case In(c, body) if prunable.contains(c) &&
+          body.split(",", -1).forall(Num.matches) &&
+          body.trim.nonEmpty =>
+        (c, body.split(",").toSeq.map(_.trim.toDouble))
+    }
   }
 }

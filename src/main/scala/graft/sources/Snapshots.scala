@@ -453,18 +453,47 @@ object Snapshots {
         .where(org.apache.spark.sql.functions.lit(false))
   }
 
-  /** Equality-probe read combining BOTH metadata channels: a
-    * directory survives only if its zone map admits `v` (when
-    * recorded) AND its Bloom filter might contain `v` (when
-    * recorded). Built for the query layer, where an extracted
-    * `col = literal` arrives as a double: an integral `v` is probed
+  /** Whether entry `e` can possibly hold `keyCol = v`: its zone map
+    * must admit `v` (when recorded) AND its Bloom filter might
+    * contain `v` (when recorded). For the query layer an extracted
+    * numeric literal arrives as a double: an integral `v` is probed
     * under BOTH its integer and decimal string forms (`"7"` and
     * `"7.0"`), so whichever canonical form the write side's string
     * cast produced, the true directory always matches — false
     * negatives stay impossible and extra matches only widen the
-    * scan. Directories with neither channel are always kept. */
+    * scan. Entries with neither channel always pass. */
+  private def mayHoldEq(e: Entry, keyCol: String, v: Double): Boolean = {
+    val zoneOk = e.stats.get(keyCol) match {
+      case Some((mn, mx)) => !(mx < v || mn > v) // NaN-safe: keep
+      case None => true
+    }
+    lazy val canonicals =
+      if (v.isWhole && math.abs(v) < 9.007199254740992e15)
+        Seq(v.toLong.toString, v.toString)
+      else Seq(v.toString)
+    val bloomOk = e.blooms.get(keyCol) match {
+      case Some(b) => canonicals.exists(b.mightContain)
+      case None => true
+    }
+    zoneOk && bloomOk
+  }
+
+  /** Equality-probe read combining BOTH metadata channels (see
+    * [[mayHoldEq]]): directories that provably lack `keyCol = v`
+    * drop from the scan set. */
   def readPrunedEq(spark: SparkSession, path: String, keyCol: String,
-                   v: Double, asOf: Option[Long] = None): DataFrame = {
+                   v: Double, asOf: Option[Long] = None): DataFrame =
+    readPrunedIn(spark, path, keyCol, Seq(v), asOf)
+
+  /** IN-list probe read: a directory survives if ANY listed value
+    * passes its metadata ([[mayHoldEq]] per value — the filter
+    * `keyCol IN (vs)` can only be satisfied through some listed
+    * value, so dropping a directory that admits none is sound).
+    * Advisory like its siblings:
+    * `readPrunedIn(...).filter(col isin vs)` ≡ `read(...).filter`. */
+  def readPrunedIn(spark: SparkSession, path: String, keyCol: String,
+                   vs: Seq[Double], asOf: Option[Long] = None): DataFrame = {
+    require(vs.nonEmpty, "IN-list probe needs at least one value")
     val all = entries(spark, path)
     require(all.nonEmpty, s"no committed snapshots at $path")
     val upTo = asOf match {
@@ -476,21 +505,7 @@ object Snapshots {
     }
     val lastBase = upTo.lastIndexWhere(_.isBase)
     val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
-    val canonicals =
-      if (v.isWhole && math.abs(v) < 9.007199254740992e15)
-        Seq(v.toLong.toString, v.toString)
-      else Seq(v.toString)
-    val kept = visible.filter { e =>
-      val zoneOk = e.stats.get(keyCol) match {
-        case Some((mn, mx)) => !(mx < v || mn > v) // NaN-safe: keep
-        case None => true
-      }
-      val bloomOk = e.blooms.get(keyCol) match {
-        case Some(b) => canonicals.exists(b.mightContain)
-        case None => true
-      }
-      zoneOk && bloomOk
-    }
+    val kept = visible.filter(e => vs.exists(v => mayHoldEq(e, keyCol, v)))
     if (kept.nonEmpty)
       spark.read.parquet(kept.map(e => s"$path/snap=${e.id}"): _*)
     else // every directory pruned: empty result with the head schema

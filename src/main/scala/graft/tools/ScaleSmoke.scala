@@ -517,6 +517,49 @@ object ScaleSmoke {
       }
     }
 
+    // bloom pruning at directory depth: 48 appends whose RUN-ID sets
+    // are disjoint but INTERLEAVED (run_id = slot*48 + shard), so
+    // every append's zone map spans essentially the full run-id range
+    // and range pruning is structurally useless — yet a point lookup
+    // ("this run's history") must hit exactly the one directory whose
+    // bloom admits the key. 100 runs/append keeps the 4096-bit bloom
+    // far from saturation (the documented design point).
+    {
+      import graft.sources.Snapshots
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_scale_bloom").resolve("t").toString
+      val per = 100000L
+      t("bloom: 48 keyed appends x 100k rows, interleaved run ids") {
+        for (i <- 0L until 48L) {
+          Snapshots.append(
+            spark.range(i * per, (i + 1) * per).select(col("id"),
+              ((col("id") % 100) * 48 + i).as("run_id")),
+            root, statsCols = Seq("run_id"), bloomCols = Seq("run_id"))
+        }
+        s"${Snapshots.committed(spark, root).size} commits"
+      }
+      t("bloom: point lookup over 4.8M rows") {
+        val probe = 1742L // = 36*48 + 14 -> lives only in append 15
+        // premise: the zone maps genuinely cannot prune this probe
+        val zs = Snapshots.entries(spark, root)
+          .flatMap(_.stats.get("run_id"))
+        require(zs.size == 48 &&
+          zs.forall { case (mn, mx) => mn <= probe && probe <= mx },
+          "premise broken: probe escapes some zone range")
+        val pruned = Snapshots.readPrunedKey(spark, root, "run_id", probe)
+          .filter(col("run_id") === probe)
+        val dirs = pruned.inputFiles
+          .map(_.replaceAll(".*/(snap=\\d+)/.*", "$1")).distinct
+        require(dirs.contains("snap=15") && dirs.length <= 2,
+          s"expected ~one directory, scanned: ${dirs.mkString(",")}")
+        val n = pruned.count()
+        val full = Snapshots.read(spark, root)
+          .filter(col("run_id") === probe).count()
+        require(n == full && n == 1000, s"pruned $n vs full $full")
+        s"$n rows from ${dirs.length}/48 dirs"
+      }
+    }
+
     spark.stop()
   }
 }

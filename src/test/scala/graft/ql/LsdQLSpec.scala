@@ -354,6 +354,31 @@ class LsdQLSpec extends SpecBase {
     // rows still correct
     val rg = q.query("SELECT v FROM keyed WHERE k >= 98 AND k <= 100")
     assert(rg.as[String].collect().toSet == Set("a2", "b2", "c2"))
+    // an IN list prunes to the union of its values' directories
+    val in2 = q.query("SELECT v FROM keyed WHERE k IN (99, 3)")
+    val dirs = in2.inputFiles
+      .map(f => "snap=" + f.split("/snap=")(1).takeWhile(_ != '/')).toSet
+    assert(dirs == Set("snap=2", "snap=3"), s"got $dirs")
+    assert(in2.as[String].collect().toSet == Set("b2", "c"))
+    // IN with a non-literal entry is not extracted; rows still correct
+    assert(q.query("SELECT v FROM keyed WHERE k IN (98 + 1, 3 - 3)")
+      .as[String].collect().toSet == Set("b2"))
+  }
+
+  test("extractInList soundness corners") {
+    val st = Set("x")
+    assert(LsdQL.extractInList("x IN (1, 2, 3)", st)
+      .contains(("x", Seq(1.0, 2.0, 3.0))))
+    // OR at top level aborts
+    assert(LsdQL.extractInList("x IN (1) OR x = 5", st).isEmpty)
+    // non-literal members abort the extraction (not the query)
+    assert(LsdQL.extractInList("x IN (1, y)", st).isEmpty)
+    // subquery IN never matches (inner parens break the body shape)
+    assert(LsdQL.extractInList("x IN (SELECT k FROM t)", st).isEmpty)
+    // NOT IN must not be treated as IN
+    assert(LsdQL.extractInList("x NOT IN (1, 2)", st).isEmpty)
+    // unknown column skipped
+    assert(LsdQL.extractInList("z IN (1)", st).isEmpty)
   }
 
   test("extractRange soundness corners") {
