@@ -125,6 +125,70 @@ object Multimodal {
       ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** Perceptual hash (aHash): 8×8 block-mean luma grid, bit i set
+      * iff cell mean > grid mean — ALL-INTEGER arithmetic (BT.601
+      * milli-luma block sums, cross-multiplied comparisons; no float
+      * ever, so the hash is bit-stable across JVMs). Robust to
+      * re-encoding (PNG↔JPEG of the same frame hash equal — pinned
+      * in spec) and to resolution changes that preserve block means;
+      * flips with real content change. */
+    def perceptualHash(img: BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      // deterministic ≤64×64 sampling stride like imageFeatures, so
+      // per-image cost is bounded no matter the dimensions
+      val sx = math.max(1, w / 64)
+      val sy = math.max(1, h / 64)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(7, x * 8 / w)
+          val rgb = img.getRGB(x, y)
+          val luma = 299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+          val g = gy * 8 + gx
+          sums(g) += luma
+          counts(g) += 1
+          x += sx
+        }
+        y += sy
+      }
+      var total = 0L
+      var n = 0L
+      var i = 0
+      while (i < 64) { total += sums(i); n += counts(i); i += 1 }
+      // bit i set iff cell mean > grid mean, exactly:
+      //   sums(i)/counts(i) > total/n  ⇔  sums(i)·n > total·counts(i)
+      // (cross-multiplied in Long: sums ≤ 64·64·255000 < 2^31, n ≤ 4096)
+      var hash = 0L
+      i = 0
+      while (i < 64) {
+        if (counts(i) > 0 && sums(i) * n > total * counts(i))
+          hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
+    /** Hash a payload: decoded images get [[perceptualHash]];
+      * undecodable bytes fall back to a content hash (first 8 bytes
+      * of md5, big-endian) so dirty corpora still dedup exactly. */
+    def mediaHash(bytes: Array[Byte]): (Long, Boolean) =
+      decodeImage(bytes) match {
+        case Some(img) => (perceptualHash(img), true)
+        case None =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes)
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (md(i) & 0xffL); i += 1 }
+          (v, false)
+      }
   }
 
   /** Decode/feature-extract media rows in bounded batches per
@@ -160,6 +224,33 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** X3d — perceptual-hash image dedup: per-partition decode →
+    * 64-bit aHash (bounded batches, media bytes NEVER shuffle — only
+    * the (media_id, hash, decoded) triple leaves the scan), then one
+    * hash-groupBy for duplicate families. Near-identical images
+    * (lossy re-encodes, format changes) collide on the block-mean
+    * signature; undecodable payloads dedup exactly via the md5
+    * fallback channel (kept separate by the `decoded` flag so a
+    * pathological byte-hash can never merge with an image family).
+    * The multimodal twin of q_dedup_exact: at 100 TB the shuffle
+    * carries 17 bytes/row, not the media. */
+  def dedupByPhash(ds: Dataset[MediaRow],
+                   maxBatchRows: Int = 64): DataFrame = {
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaBoolean)
+    ds.mapPartitions(_.grouped(maxBatchRows).flatMap(_.map { r =>
+      val (h, decoded) = MediaCodec.mediaHash(r.media)
+      (r.media_id, h, decoded)
+    })).toDF("media_id", "phash", "decoded")
+      .groupBy("phash", "decoded")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("media_id")).as("keep_id"),
+        sort_array(collect_list(col("media_id"))).as("members"))
+      .filter(col("n_members") > 1)
+      .orderBy("phash")
   }
 
   /** Resize pass over media rows: real decode → bilinear scale → PNG

@@ -235,4 +235,53 @@ class MultimodalSpec extends SpecBase {
     assert(clip.get.samples.length == n)
     assert(clip.get.samples.forall(_ == 0))
   }
+
+  /** Gradient test image: distinct block structure for the aHash. */
+  private def gradRow(id: Long, w: Int, h: Int, fmt: String,
+                      invert: Boolean = false): MediaRow = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v0 = (x * 255) / math.max(1, w - 1)
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    MediaRow(id, s"image/$fmt", bos.toByteArray)
+  }
+
+  test("perceptual hash survives lossy re-encode, flips on content") {
+    val png = gradRow(1L, 64, 64, "png")
+    val jpg = gradRow(2L, 64, 64, "jpg") // same frame, lossy bytes
+    val inv = gradRow(3L, 64, 64, "png", invert = true)
+    assert(!png.media.sameElements(jpg.media)) // genuinely different bytes
+    val hPng = MediaCodec.mediaHash(png.media)
+    val hJpg = MediaCodec.mediaHash(jpg.media)
+    val hInv = MediaCodec.mediaHash(inv.media)
+    assert(hPng._2 && hJpg._2 && hInv._2) // all decoded
+    assert(hPng._1 == hJpg._1, "lossy re-encode must collide")
+    assert(hPng._1 != hInv._1, "inverted content must differ")
+    // resolution change preserving block structure collides too
+    assert(MediaCodec.mediaHash(gradRow(4L, 128, 128, "png").media)._1
+      == hPng._1)
+  }
+
+  test("dedupByPhash groups re-encodes; fallback channel stays separate") {
+    val blob = row(10L, 100)
+    val rows = Seq(
+      gradRow(1L, 64, 64, "png"), gradRow(2L, 64, 64, "jpg"),
+      gradRow(3L, 64, 64, "png", invert = true),
+      blob, blob.copy(media_id = 11L), // identical bytes → md5 family
+      row(12L, 101))
+    val fams = Multimodal.dedupByPhash(rows.toDS().repartition(3))
+      .collect()
+    assert(fams.length == 2)
+    val byKeep = fams.map(r => r.getLong(3) -> r).toMap
+    // image family: the png+jpg pair, keep-id 1, decoded channel
+    assert(byKeep(1L).getBoolean(1) &&
+      byKeep(1L).getSeq[Long](4) == Seq(1L, 2L))
+    // byte family: ids 10,11 (identical payloads), fallback channel
+    assert(!byKeep(10L).getBoolean(1) &&
+      byKeep(10L).getSeq[Long](4) == Seq(10L, 11L))
+  }
 }
