@@ -809,9 +809,71 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** J6i — OUTER spatial cross-match: EVERY source row survives,
+    * carrying its nearest counterpart ≤ 0.95° (deterministic
+    * (dist, id) tie-break) or NULLs when isolated — the "augment the
+    * catalog, lose nothing" form that completes the family (q_xmatch
+    * inner-nearest, q_xmatch_anti complement, this one their union).
+    * The reference's xmatch exposed exactly this outer mode
+    * (SURVEY.md §2C J6, UNVERIFIED).
+    *
+    * Plan: the nearest-match relation comes from the same cell-
+    * blocked candidate join as q_xmatch (never a cartesian; the
+    * oracle pays the true cross-join price), reduced to one row per
+    * matched source by a partial WindowGroupLimit; the outer join
+    * back to the source is a plain left join on the source key —
+    * at 100 TB both sides of that join are keyed on the same id, and
+    * the match relation is ≤ the source in rows. */
+  val qXmatchOuter: QuerySpec = QuerySpec(
+    "q_xmatch_outer",
+    s"""WITH a AS (SELECT o_orderkey AS a_id,
+       |    CAST(o_orderkey * 13 % 3600 AS DOUBLE) / 10.0 AS a_lon,
+       |    CAST(o_orderkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS a_lat
+       |  FROM orders),
+       |b AS (SELECT s_suppkey AS b_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS b_lon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS b_lat
+       |  FROM supplier),
+       |p AS (SELECT a_id, b_id,
+       |    ${D.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b_lat - a_lat) / 2) * sin(radians(b_lat - a_lat) / 2)" +
+            " + cos(radians(a_lat)) * cos(radians(b_lat))" +
+            " * sin(radians(b_lon - a_lon) / 2)" +
+            " * sin(radians(b_lon - a_lon) / 2))))")} AS dist_deg
+       |  FROM a CROSS JOIN b),
+       |m AS (SELECT a_id, b_id, dist_deg FROM (
+       |    SELECT a_id, b_id, dist_deg,
+       |      row_number() OVER (PARTITION BY a_id
+       |                         ORDER BY dist_deg, b_id) AS rn
+       |    FROM p WHERE dist_deg <= 0.95)
+       |  WHERE rn = 1)
+       |SELECT a.a_id, a.a_lon, a.a_lat, m.b_id, m.dist_deg
+       |FROM a LEFT JOIN m USING (a_id)
+       |ORDER BY a_id""".stripMargin) { (s, dir) =>
+    val a = skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+      "a_id", "a_lon", "a_lat")
+    val b = skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+      "b_id", "b_lon", "b_lat")
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    val m = graft.spatial.CrossMatch
+      .allPairs(a, b, "a_id", "a_lon", "a_lat", "b_id", "b_lon", "b_lat",
+        1.0, capLat = xmatchCapLat)
+      .withColumn("dist_deg", Det.d6(col("dist_deg")))
+      .filter(col("dist_deg") <= 0.95)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("a_id", "b_id", "dist_deg")
+    a.join(m, Seq("a_id"), "left")
+      .select(col("a_id"), col("a_lon"), col("a_lat"),
+        col("b_id"), col("dist_deg"))
+      .orderBy("a_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
     qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qAsofJoin, qJoinSelf,
-    qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchMargin,
-    qXmatchAuto, qXmatchTemporal, qFootprintPolygon, qFootprintCells,
-    qFootprintCone, qFootprintRect)
+    qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchOuter,
+    qXmatchMargin, qXmatchAuto, qXmatchTemporal, qFootprintPolygon,
+    qFootprintCells, qFootprintCone, qFootprintRect)
 }
