@@ -192,6 +192,25 @@ class LsdQLSpec extends SpecBase {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
+
+    // (outer) on the SPATIAL from-item: an isolated detection (far
+    // from every object) survives with NULL match columns — the
+    // reference's outer xmatch mode at the QL surface
+    val lone = Seq((99999L, 0.0, -89.9)).toDF("det_id", "det_lon", "det_lat")
+    db2.table("dets").union(lone).write.mode("overwrite")
+      .parquet(s"$tmp/dets2.parquet")
+    val q2 = LsdQL(db2, joins = Nil, spatialJoins = Seq(
+      SpatialJoinDef("dets2", "det_id", "det_lon", "det_lat",
+        "objs", "obj_id", "obj_lon", "obj_lat", radiusDeg = 0.05)))
+    val outer = q2.query(
+      "SELECT det_id, obj_id, _DIST FROM dets2, objs(outer)").collect()
+    assert(outer.length == 151) // 150 matched + the isolated one
+    val loneRow = outer.find(_.getLong(0) == 99999L).get
+    assert(loneRow.isNullAt(1) && loneRow.isNullAt(2),
+      "isolated detection must survive with NULL match columns")
+    // inner drops it
+    assert(q2.query("SELECT det_id FROM dets2, objs").collect()
+      .forall(_.getLong(0) != 99999L))
   }
 
   test("spatial join with hotThreshold: skew-mitigated path is row-identical") {
