@@ -384,8 +384,62 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** A5b — EQUI-DEPTH histogram (quartile buckets): the statistics a
+    * planner or data-profiler actually wants — bucket BOUNDARIES from
+    * the data's own quantiles, then per-bucket count + exact mass.
+    * Complements q_histogram's fixed-width bins: equal-width bins go
+    * empty/overfull under skew, equal-depth bins adapt.
+    *
+    * Cuts come from ExactQuantiles (O(bins) executor state, the
+    * quantile_cont-bit-identical contract q_percentiles pins) and
+    * attach back as a broadcast O(groups) dimension; bucket
+    * assignment is a CASE chain over identical doubles, so bucket
+    * membership is engine-identical and the UNSNAPPED cuts do the
+    * comparing while only the EMITTED cuts are d6-snapped. Two corpus
+    * passes (quantile refinement + bucketing) — the price of exact
+    * equi-depth at any scale; nothing is row-linear on any executor. */
+  val qHistogramEqdepth: QuerySpec = QuerySpec(
+    "q_histogram_eqdepth",
+    s"""WITH c AS (SELECT l_returnflag AS flag,
+       |    quantile_cont(l_extendedprice, 0.25) AS p25,
+       |    quantile_cont(l_extendedprice, 0.50) AS p50,
+       |    quantile_cont(l_extendedprice, 0.75) AS p75
+       |  FROM lineitem GROUP BY 1),
+       |b AS (SELECT c.flag,
+       |    CASE WHEN l_extendedprice <= p25 THEN 0
+       |         WHEN l_extendedprice <= p50 THEN 1
+       |         WHEN l_extendedprice <= p75 THEN 2 ELSE 3 END AS bucket,
+       |    l_extendedprice AS v, p25, p50, p75
+       |  FROM lineitem t JOIN c ON t.l_returnflag = c.flag)
+       |SELECT flag, bucket, count(*) AS n, ${D.dsum("v")} AS total,
+       |  ${D.d6("min(p25)")} AS cut25, ${D.d6("min(p50)")} AS cut50,
+       |  ${D.d6("min(p75)")} AS cut75
+       |FROM b GROUP BY flag, bucket ORDER BY flag, bucket""".stripMargin) {
+    (s, dir) =>
+    import graft.functions.ExactQuantiles
+    val cuts = ExactQuantiles.quantiles(
+      LsdDb.table(s, dir, "lineitem"), Seq("l_returnflag"),
+      Seq(ExactQuantiles.Req("l_extendedprice", 0.25, "p25"),
+        ExactQuantiles.Req("l_extendedprice", 0.50, "p50"),
+        ExactQuantiles.Req("l_extendedprice", 0.75, "p75")))
+    val v = col("l_extendedprice")
+    val bucket = when(v <= col("p25"), 0)
+      .when(v <= col("p50"), 1)
+      .when(v <= col("p75"), 2).otherwise(3)
+    LsdDb.table(s, dir, "lineitem")
+      .join(broadcast(cuts), "l_returnflag")
+      .select(col("l_returnflag").as("flag"), bucket.as("bucket"),
+        v.as("v"), col("p25"), col("p50"), col("p75"))
+      .groupBy("flag", "bucket")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("v")).as("total"),
+        Det.d6(min(col("p25"))).as("cut25"),
+        Det.d6(min(col("p50"))).as("cut50"),
+        Det.d6(min(col("p75"))).as("cut75"))
+      .orderBy("flag", "bucket")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qAggBasic, qAggGlobal, qAggDistinct,
     qHistogram, qRollup, qAggStats, qAggCollect, qAggMedian, qCube,
     qPivot, qUnpivot, qSample, qPercentiles, qStringAgg, qAggSalted,
-    qOutlierMad)
+    qOutlierMad, qHistogramEqdepth)
 }
