@@ -70,4 +70,38 @@ object Aggregators {
     def bufferEncoder: Encoder[LcBuf] = Encoders.product[LcBuf]
     def outputEncoder: Encoder[LcStats] = Encoders.product[LcStats]
   }
+
+  /** Elementwise EXACT sum of d6-snapped term arrays — the reduce
+    * kernel behind q_embed_gram (distributed Gram matrix). Each input
+    * element is a 1e-6-grid value (the caller snaps with `Det.d6`);
+    * `math.rint(x·1e6)` recovers its exact integer millionths (the
+    * snapped double sits within ~1e-10 of the grid point, far inside
+    * the 0.5 recovery margin), so the buffer is an exact integer
+    * vector — merge order cannot move the result, the same guarantee
+    * the decimal-sum route gives scalar aggregates, at O(len) state
+    * per partition instead of a row-linear anything.
+    *
+    * finish converts via `BigDecimal.valueOf(sum, 6).doubleValue` —
+    * the identical correctly-rounded decimal→double conversion the
+    * oracle's `CAST(sum(DECIMAL) AS DOUBLE)` performs. */
+  class SnappedVecSum(len: Int)
+      extends Aggregator[Array[Double], Array[Long], Array[Double]] {
+    def zero: Array[Long] = new Array[Long](len)
+    def reduce(b: Array[Long], a: Array[Double]): Array[Long] = {
+      var i = 0
+      while (i < len) { b(i) += math.rint(a(i) * 1e6).toLong; i += 1 }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < len) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Array[Double] =
+      b.map(l => java.math.BigDecimal.valueOf(l, 6).doubleValue)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
 }

@@ -442,7 +442,53 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  /** X1e/X4 — distributed GRAM MATRIX of the embedding corpus
+    * (XᵀX — the PCA/whitening/low-rank precursor every embedding
+    * pipeline eventually needs): one typed Aggregator pass with
+    * O(d²) integer state per partition and ZERO row blowup — the
+    * naive (i,j) posexplode multiplies the corpus 4096×, which at
+    * 100 TB is the difference between a map-side fold and an
+    * un-runnable shuffle.
+    *
+    * Determinism: each term d6(vᵢ·vⱼ) is snapped by a codegen'd
+    * transform (float→double products are exact, the snap matches
+    * the oracle's DECIMAL(18,6) cast because dyadic doubles never
+    * sit on decimal midpoints); SnappedVecSum accumulates exact
+    * integer millionths, so partial-merge order cannot move a cell;
+    * finish performs the oracle's identical decimal→double cast.
+    * The oracle pays the honest 4096× unnest price. */
+  val qEmbedGram: QuerySpec = {
+    val d = 64
+    QuerySpec(
+      "q_embed_gram",
+      s"""WITH e AS (SELECT embedding AS v FROM embeddings),
+         |ks AS (SELECT unnest(range(0, ${d * d})) AS k),
+         |t AS (SELECT ks.k, ${D.d6(
+            s"CAST(v[ks.k // $d + 1] AS DOUBLE)" +
+              s" * CAST(v[ks.k % $d + 1] AS DOUBLE)")} AS term
+         |  FROM e CROSS JOIN ks)
+         |SELECT CAST(k // $d AS INT) AS i, CAST(k % $d AS INT) AS j,
+         |  ${D.dsum("term")} AS gram
+         |FROM t GROUP BY k ORDER BY i, j""".stripMargin) { (s, dir) =>
+      val terms = transform(sequence(lit(0), lit(d * d - 1)), k => {
+        val i = (k / lit(d)).cast("int")
+        val j = pmod(k, lit(d)).cast("int")
+        Det.d6(element_at(col("v"), i + 1).cast(DoubleType)
+          * element_at(col("v"), j + 1).cast(DoubleType))
+      })
+      val gramSum = udaf(new graft.functions.Aggregators.SnappedVecSum(d * d))
+      LsdDb.table(s, dir, "embeddings")
+        .select(col("embedding").as("v"))
+        .select(terms.as("t"))
+        .agg(gramSum(col("t")).as("g"))
+        .select(posexplode(col("g")).as(Seq("k", "gram")))
+        .select((col("k") / d).cast("int").as("i"),
+          pmod(col("k"), lit(d)).cast("int").as("j"), col("gram"))
+        .orderBy("i", "j")
+    }
+  }
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
-      qDedupLshCos, qAnnDisk)
+      qDedupLshCos, qAnnDisk, qEmbedGram)
 }
