@@ -459,6 +459,14 @@ object VectorOps {
     * The oracle pays the honest 4096× unnest price. */
   val qEmbedGram: QuerySpec = {
     val d = 64
+    // Symmetry: only the d(d+1)/2 upper-triangle terms are computed
+    // and aggregated (the snap is the per-row cost; XᵀX is symmetric,
+    // so paying it twice is pure waste) — the lower triangle is
+    // mirrored from the FINISHED matrix, an O(d²) projection of the
+    // single aggregated row. `tri` maps triangle position → packed
+    // (i, j), identically at plan-build time and in the output join.
+    val tri: Array[Long] =
+      (for (i <- 0 until d; j <- i until d) yield (i * d + j).toLong).toArray
     QuerySpec(
       "q_embed_gram",
       s"""WITH e AS (SELECT embedding AS v FROM embeddings),
@@ -470,20 +478,28 @@ object VectorOps {
          |SELECT CAST(k // $d AS INT) AS i, CAST(k % $d AS INT) AS j,
          |  ${D.dsum("term")} AS gram
          |FROM t GROUP BY k ORDER BY i, j""".stripMargin) { (s, dir) =>
-      val terms = transform(sequence(lit(0), lit(d * d - 1)), k => {
-        val i = (k / lit(d)).cast("int")
-        val j = pmod(k, lit(d)).cast("int")
-        Det.d6(element_at(col("v"), i + 1).cast(DoubleType)
-          * element_at(col("v"), j + 1).cast(DoubleType))
-      })
-      val gramSum = udaf(new graft.functions.Aggregators.SnappedVecSum(d * d))
-      LsdDb.table(s, dir, "embeddings")
+      val terms = transform(
+        filter(sequence(lit(0), lit(d * d - 1)),
+          k => pmod(k, lit(d)) >= (k / lit(d)).cast("int")),
+        k => {
+          val i = (k / lit(d)).cast("int")
+          val j = pmod(k, lit(d)).cast("int")
+          Det.d6(element_at(col("v"), i + 1).cast(DoubleType)
+            * element_at(col("v"), j + 1).cast(DoubleType))
+        })
+      val gramSum =
+        udaf(new graft.functions.Aggregators.SnappedVecSum(tri.length))
+      val upper = LsdDb.table(s, dir, "embeddings")
         .select(col("embedding").as("v"))
         .select(terms.as("t"))
         .agg(gramSum(col("t")).as("g"))
-        .select(posexplode(col("g")).as(Seq("k", "gram")))
+        .select(posexplode(col("g")).as(Seq("p", "gram")))
+        .select(element_at(lit(tri), col("p").cast("int") + 1).as("k"),
+          col("gram"))
         .select((col("k") / d).cast("int").as("i"),
           pmod(col("k"), lit(d)).cast("int").as("j"), col("gram"))
+      upper.unionAll(upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("gram")))
         .orderBy("i", "j")
     }
   }
