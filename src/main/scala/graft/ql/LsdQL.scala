@@ -384,20 +384,28 @@ object LsdQL {
     *    predicate — EXCEPT when a top-level OR exists anywhere
     *    (precedence could make an AND operand disjunctive), in which
     *    case extraction aborts entirely;
-    *  - unrecognized conjuncts (function calls, BETWEEN fragments,
-    *    NOT, subqueries) are simply skipped — they can only narrow
-    *    the result further, never widen it;
+    *  - `col BETWEEN lo AND hi` is recognized as one conjunct (the
+    *    splitter knows BETWEEN's AND is not a conjunction); NOT
+    *    BETWEEN never matches the shape;
+    *  - unrecognized conjuncts (function calls, NOT, subqueries) are
+    *    simply skipped — they can only narrow the result further,
+    *    never widen it;
     *  - strict bounds are relaxed to inclusive (a superset — pruning
     *    may keep one extra directory, never drop a needed one).
     * Returns the stats column with the most bounds, or None. */
   /** Split `where` on top-level AND conjuncts, honoring parens and
     * string literals; None if a top-level OR exists anywhere (AND
     * binds tighter than OR, so a fragment next to a top-level OR is
-    * not implied by the whole predicate). */
+    * not implied by the whole predicate). The AND that belongs to a
+    * `BETWEEN lo AND hi` is part of the BETWEEN expression, not a
+    * conjunction — the first AND after a BETWEEN keyword is consumed
+    * into the current fragment, so `k BETWEEN 1 AND 9` survives as
+    * ONE conjunct (extractRange turns it into the [1, 9] range). */
   private def topConjuncts(where: String): Option[Seq[String]] = {
     val conjuncts = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
+    var betweenDepth = -1 // depth at which a BETWEEN awaits its AND
     var inStr: Option[Char] = None
     var i = 0
     def isWord(s: String, at: Int, w: String): Boolean =
@@ -415,9 +423,17 @@ object LsdQL {
           else if (c == '(') { depth += 1; cur += c }
           else if (c == ')') { depth -= 1; cur += c }
           else if (depth == 0 && isWord(where, i, "OR")) return None
-          else if (depth == 0 && isWord(where, i, "AND")) {
-            conjuncts += cur.toString; cur.clear(); i += 2
-          } else cur += c
+          else if (isWord(where, i, "BETWEEN") && betweenDepth < 0) {
+            betweenDepth = depth; cur ++= where.substring(i, i + 7); i += 6
+          } else if (depth == 0 && isWord(where, i, "AND")) {
+            if (betweenDepth == 0) { // BETWEEN's own AND: keep inline
+              betweenDepth = -1; cur ++= where.substring(i, i + 3); i += 2
+            } else { conjuncts += cur.toString; cur.clear(); i += 2 }
+          } else {
+            if (isWord(where, i, "AND") && betweenDepth == depth &&
+              depth > 0) betweenDepth = -1 // nested BETWEEN resolved
+            cur += c
+          }
       }
       i += 1
     }
@@ -430,6 +446,8 @@ object LsdQL {
     if (statsCols.isEmpty) return None
     val conjuncts = topConjuncts(where).getOrElse(return None)
     val Cmp = """\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*""".r
+    val Btw = ("""(?i)\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+""" +
+      """(-?\d+(?:\.\d+)?)\s+AND\s+(-?\d+(?:\.\d+)?)\s*""").r
     val bounds = scala.collection.mutable
       .Map.empty[String, (Double, Double, Int)] // col -> (lo, hi, n)
     conjuncts.foreach {
@@ -442,6 +460,12 @@ object LsdQL {
           case "<" | "<=" => (lo, math.min(hi, v), n + 1)
           case "=" => (math.max(lo, v), math.min(hi, v), n + 2)
         }
+      case Btw(c, a, b) if statsCols.contains(c) =>
+        // NOT BETWEEN never reaches here: the NOT breaks the shape
+        val (lo, hi, n) = bounds.getOrElse(c,
+          (Double.NegativeInfinity, Double.PositiveInfinity, 0))
+        bounds(c) = (math.max(lo, a.toDouble),
+          math.min(hi, b.toDouble), n + 2)
       case _ => () // unrecognized conjunct: skipped, still sound
     }
     bounds.toSeq.sortBy { case (c, (_, _, n)) => (-n, c) }.headOption

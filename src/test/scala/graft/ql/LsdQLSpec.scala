@@ -338,6 +338,12 @@ class LsdQLSpec extends SpecBase {
       "SELECT k, v FROM ranged WHERE k >= 8 AND k <= 16 AND v <> 'c'")
     assert(r.inputFiles.nonEmpty && r.inputFiles.forall(_.contains("snap=2")))
     assert(r.as[(Long, String)].collect().toSet == Set((15L, "d")))
+    // BETWEEN prunes like the explicit pair of bounds
+    val btw = q.query("SELECT k, v FROM ranged WHERE k BETWEEN 8 AND 16")
+    assert(btw.inputFiles.nonEmpty &&
+      btw.inputFiles.forall(_.contains("snap=2")))
+    assert(btw.as[(Long, String)].collect().toSet ==
+      Set((10L, "c"), (15L, "d")))
     // a top-level OR makes range extraction unsound -> no pruning,
     // same rows as the unpruned read
     val or = q.query("SELECT k FROM ranged WHERE k <= 5 OR k >= 20")
@@ -411,8 +417,20 @@ class LsdQLSpec extends SpecBase {
       .contains(("x", 3.0, Double.PositiveInfinity)))
     // unknown columns and function conjuncts are skipped
     assert(LsdQL.extractRange("abs(x) > 2 AND z = 5", st).isEmpty)
-    // BETWEEN fragments never match the comparison shape
-    assert(LsdQL.extractRange("x BETWEEN 1 AND 9", st).isEmpty)
+    // BETWEEN is a single conjunct (its AND is not a conjunction)
+    assert(LsdQL.extractRange("x BETWEEN 1 AND 9", st)
+      .contains(("x", 1.0, 9.0)))
+    assert(LsdQL.extractRange("x BETWEEN 1 AND 9 AND y >= 4", st)
+      .contains(("x", 1.0, 9.0)))
+    assert(LsdQL.extractRange("y = 2 AND x BETWEEN 3 AND 5", st)
+      .contains(("x", 3.0, 5.0)) ||
+      LsdQL.extractRange("y = 2 AND x BETWEEN 3 AND 5", st)
+        .contains(("y", 2.0, 2.0))) // both valid; most-bounded wins ties
+    // NOT BETWEEN must not extract (the NOT breaks the shape)
+    assert(LsdQL.extractRange("x NOT BETWEEN 1 AND 9", st).isEmpty)
+    // parenthesized BETWEEN inside an abandoned fragment stays inert
+    assert(LsdQL.extractRange("(x BETWEEN 1 AND 9) AND x <= 4", st)
+      .contains(("x", Double.NegativeInfinity, 4.0)))
     // string literal containing AND/OR does not split
     assert(LsdQL.extractRange("v = 'a AND b' AND x <= 4", st)
       .contains(("x", Double.NegativeInfinity, 4.0)))
