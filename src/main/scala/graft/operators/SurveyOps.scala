@@ -1256,8 +1256,57 @@ object SurveyOps {
       .orderBy("object_id")
   }
 
+  /** A19 — STRUCTURE FUNCTION of the detection stream: SF(τ) =
+    * mean[(v(t₂)−v(t₁))²] over all same-object epoch pairs binned by
+    * time lag — the stochastic-variability characterization (AGN
+    * damped-random-walk fitting, quasar selection) that complements
+    * the deterministic statistics (q_trend_fit secular, q_phase_fold
+    * periodic, q_stetson correlated).
+    *
+    * Shape: ONE shuffle — the self-join pairs epochs within each
+    * object key (both sides hash-partition on user_id; pair count is
+    * Σ n_obj², bounded per object by the epoch count, never
+    * catalog²), then a partial-aggregated groupBy on the O(lags)
+    * bucket key. Determinism: Δv² is a single IEEE multiply of
+    * identical doubles, lag buckets are exact integer day
+    * arithmetic, per-bucket mass is a decimal-exact sum, and the
+    * mean is UNSNAPPED (the snap-of-ratio rule — its inputs are
+    * already engine-identical). */
+  val qStructureFn: QuerySpec = QuerySpec(
+    "q_structure_fn",
+    s"""WITH e AS (SELECT user_id, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+       |    event_id FROM events),
+       |p AS (SELECT b.d - a.d AS lag_days,
+       |    (b.value - a.value) * (b.value - a.value) AS dv2
+       |  FROM e a JOIN e b ON a.user_id = b.user_id
+       |  WHERE b.d > a.d OR (b.d = a.d AND b.event_id > a.event_id))
+       |SELECT lag_days, count(*) AS n_pairs,
+       |  ${D.sql.dsum("dv2")} / count(*) AS sf
+       |FROM p GROUP BY lag_days ORDER BY lag_days""".stripMargin) {
+    (s, dir) =>
+    val e = LsdDb.table(s, dir, "events")
+      .select(col("user_id"), col("value"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"), col("event_id"))
+    val a = e.select(col("user_id"), col("value").as("v1"),
+      col("d").as("d1"), col("event_id").as("id1"))
+    val b = e.select(col("user_id"), col("value").as("v2"),
+      col("d").as("d2"), col("event_id").as("id2"))
+    a.join(b, Seq("user_id"))
+      // canonical time order with id tie-break: every unordered epoch
+      // pair counted exactly once, lag always >= 0
+      .filter(col("d2") > col("d1") ||
+        (col("d2") === col("d1") && col("id2") > col("id1")))
+      .select((col("d2") - col("d1")).as("lag_days"),
+        ((col("v2") - col("v1")) * (col("v2") - col("v1"))).as("dv2"))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        (Det.dsum(col("dv2")) / count(lit(1))).as("sf"))
+      .orderBy("lag_days")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
     qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth,
-    qStetson)
+    qStetson, qStructureFn)
 }
