@@ -1305,8 +1305,140 @@ object SurveyOps {
       .orderBy("lag_days")
   }
 
+  /** A20 — angular TWO-POINT CORRELATION function (Landy–Szalay
+    * 1993, public): THE large-scale-structure statistic — excess
+    * pair counts of the data catalog D over a same-footprint
+    * comparison catalog R, per angular-separation bin:
+    * w(θ) = (DD − 2DR + RR)/RR with each count normalized by its
+    * total pair budget. Positions are deterministic hash scatters
+    * (two different multiplicative hashes ⇒ mutually uncorrelated
+    * fields, so w(θ) ≈ 0 — the null test a correct estimator must
+    * pass; the VALUE is not the point, the pair-count machinery is).
+    *
+    * Shape: three cell-blocked pair joins (DD, RR with a<b dedup;
+    * DR ordered) — candidates scale with density × area like every
+    * blocked xmatch, never catalog²; each reduces to an O(bins)
+    * partial-aggregated groupBy, then the three tiny bin relations
+    * full-outer-merge driver-free. The oracle pays three true cross
+    * joins with the lossless Δlat prefilter. Normalized ratios are
+    * single divisions of exact integers (bit-identical); the LS
+    * combination reuses the proven subtract-of-products pattern. */
+  val qTwoPoint: QuerySpec = {
+    val rMax = 0.5
+    val blockR = 0.55 // covers the d6 snap slack over 0.5
+    QuerySpec(
+      "q_two_point",
+      s"""WITH ${twoPointCatSql("d", 2654435761L)},
+         |${twoPointCatSql("r", 7919L)},
+         |nn AS (SELECT count(*) AS n FROM d),
+         |dd AS (SELECT CAST(floor(${twoPointDistSql("a", "b")} * 10)
+         |      AS BIGINT) AS bin, count(*) AS dd
+         |  FROM d a JOIN d b ON a.id < b.id
+         |    AND abs(a.lat - b.lat) <= $blockR
+         |  WHERE ${twoPointDistSql("a", "b")} <= $rMax GROUP BY 1),
+         |rr AS (SELECT CAST(floor(${twoPointDistSql("a", "b")} * 10)
+         |      AS BIGINT) AS bin, count(*) AS rr
+         |  FROM r a JOIN r b ON a.id < b.id
+         |    AND abs(a.lat - b.lat) <= $blockR
+         |  WHERE ${twoPointDistSql("a", "b")} <= $rMax GROUP BY 1),
+         |dr AS (SELECT CAST(floor(${twoPointDistSql("a", "b")} * 10)
+         |      AS BIGINT) AS bin, count(*) AS dr
+         |  FROM d a JOIN r b ON abs(a.lat - b.lat) <= $blockR
+         |  WHERE ${twoPointDistSql("a", "b")} <= $rMax GROUP BY 1),
+         |m AS (SELECT COALESCE(dd.bin, rr.bin, dr.bin) AS bin,
+         |    COALESCE(dd, 0) AS dd, COALESCE(rr, 0) AS rr,
+         |    COALESCE(dr, 0) AS dr
+         |  FROM dd FULL JOIN rr ON dd.bin = rr.bin
+         |          FULL JOIN dr ON COALESCE(dd.bin, rr.bin) = dr.bin)
+         |SELECT bin AS bin_01deg, dd AS n_dd, dr AS n_dr, rr AS n_rr,
+         |  CASE WHEN rr > 0 THEN
+         |    (CAST(dd AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) / 2)
+         |     - 2 * (CAST(dr AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+         |     + CAST(rr AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) / 2))
+         |    / (CAST(rr AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) / 2))
+         |  END AS w_ls
+         |FROM m CROSS JOIN nn ORDER BY bin_01deg""".stripMargin) { (s, dir) =>
+      // xorshift-style scramble: linear congruences alone compose to
+      // a LATTICE whose minimum spacing can exceed the whole radius
+      // (observed live: the ×2654435761 scatter had NO pairs ≤ 0.5°
+      // at sf0.01 while its lattice constant parked every RR pair in
+      // one bin) — the interleaved xor-shift breaks linearity and
+      // yields the Poisson-like annulus fill (counts ∝ 2k+1) the
+      // estimator needs. Integer-exact and textually mirrored in the
+      // oracle; x ≥ 0 makes `>> n` ≡ `// 2^n`.
+      def cat(seed: Long) = {
+        val M = 4294967296L // 2^32
+        val x1 = (col("o_orderkey") * seed) % M
+        val x3 = (x1.bitwiseXOR(shiftright(x1, 16)) * 40503L) % M
+        val x4 = x3.bitwiseXOR(shiftright(x3, 16))
+        val x5 = (x4 * 104729L) % M
+        val x6 = x5.bitwiseXOR(shiftright(x5, 17))
+        LsdDb.table(s, dir, "orders")
+          .filter(col("o_orderkey") <= 30000)
+          .select(col("o_orderkey").as("id"),
+            (x4 % 3600000L).cast(DoubleType)./(10000.0).as("lon"),
+            ((x6 % 600000L).cast(DoubleType) / 10000.0 - 30.0).as("lat"))
+      }
+      val d = cat(2654435761L)
+      val r = cat(7919L)
+      def pairBins(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame,
+                   dedup: Boolean, cnt: String) = {
+        val p = graft.spatial.CrossMatch
+          .allPairs(a, b, "id", "lon", "lat", "id", "lon", "lat", blockR,
+            capLat = 31.0) // data lies in |lat| ≤ 30
+        val q = if (dedup) p.filter(col("a_id") < col("b_id")) else p
+        q.withColumn("dist_deg", Det.d6(col("dist_deg")))
+          .filter(col("dist_deg") <= rMax)
+          .groupBy(floor(col("dist_deg") * 10).cast(LongType).as("bin"))
+          .agg(count(lit(1)).as(cnt))
+      }
+      val dd = pairBins(d, d, dedup = true, "n_dd")
+      val rr = pairBins(r, r, dedup = true, "n_rr")
+      val dr = pairBins(d, r, dedup = false, "n_dr")
+      val n = d.count().toDouble // driver scalar: one tiny count
+      val pSelf = n * (n - 1) / 2
+      val pCross = n * n
+      val merged = dd.join(rr, Seq("bin"), "full")
+        .join(dr, Seq("bin"), "full")
+        .na.fill(0L, Seq("n_dd", "n_rr", "n_dr"))
+      val ddn = col("n_dd").cast(DoubleType) / pSelf
+      val drn = col("n_dr").cast(DoubleType) / pCross
+      val rrn = col("n_rr").cast(DoubleType) / pSelf
+      merged.select(col("bin").as("bin_01deg"), col("n_dd"),
+        col("n_dr"), col("n_rr"),
+        when(col("n_rr") > 0, (ddn - lit(2) * drn + rrn) / rrn)
+          .as("w_ls"))
+        .orderBy("bin_01deg")
+    }
+  }
+
+  /** Oracle twin of the q_two_point xorshift scatter (one CTE per
+    * catalog; `//` on nonnegative ints ≡ the Spark `shiftright`). */
+  private def twoPointCatSql(name: String, seed: Long): String =
+    s"""$name AS (SELECT id,
+       |    CAST(x4 % 3600000 AS DOUBLE) / 10000.0 AS lon,
+       |    CAST(xor(x4 * 104729 % 4294967296,
+       |             (x4 * 104729 % 4294967296) // 131072) % 600000
+       |      AS DOUBLE) / 10000.0 - 30.0 AS lat
+       |  FROM (SELECT id, xor(x3, x3 // 65536) AS x4 FROM
+       |    (SELECT id, (xor(x1, x1 // 65536) * 40503) % 4294967296 AS x3
+       |     FROM (SELECT o_orderkey AS id,
+       |         (o_orderkey * $seed) % 4294967296 AS x1
+       |       FROM orders WHERE o_orderkey <= 30000) t1) t2) t3)""".stripMargin
+
+  /** d6-snapped haversine between aliased catalogs — shared text of
+    * the q_two_point oracle (kept in one place so the three pair
+    * CTEs stay literally identical). */
+  private def twoPointDistSql(a: String, b: String): String = D.sql.d6(
+    s"degrees(2 * asin(sqrt(" +
+      s"sin(radians($b.lat - $a.lat) / 2) * sin(radians($b.lat - $a.lat) / 2)" +
+      s" + cos(radians($a.lat)) * cos(radians($b.lat))" +
+      s" * sin(radians($b.lon - $a.lon) / 2)" +
+      s" * sin(radians($b.lon - $a.lon) / 2))))")
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
     qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth,
-    qStetson, qStructureFn)
+    qStetson, qStructureFn, qTwoPoint)
 }

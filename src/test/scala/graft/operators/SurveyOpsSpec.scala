@@ -108,6 +108,21 @@ class SurveyOpsSpec extends SpecBase {
     }
   }
 
+  test("q_two_point: uncorrelated fields give w ≈ 0 in every filled bin") {
+    // The Landy–Szalay null test: D and R come from different hash
+    // scrambles of the same keys, so there is no real clustering and
+    // any |w| >> 0 means the pair counting or normalization is wrong.
+    val rows = SurveyOps.qTwoPoint.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows if !r.isNullAt(4)) {
+      val w = r.getDouble(4)
+      assert(math.abs(w) < 1.0, s"bin ${r.getLong(0)}: w_ls $w")
+    }
+    // annulus geometry: pair counts must grow with bin radius overall
+    val dd = rows.map(_.getLong(1))
+    assert(dd.last > dd.head, "outer annulus must hold more pairs")
+  }
+
   test("q_skymap_smooth conserves counts and bounds the contrast") {
     val sm = SurveyOps.qSkymapSmooth.fn(spark, sfDir).collect()
     assert(sm.nonEmpty)
