@@ -1437,8 +1437,79 @@ object SurveyOps {
       s" * sin(radians($b.lon - $a.lon) / 2)" +
       s" * sin(radians($b.lon - $a.lon) / 2))))")
 
+  /** A21 — classical (Schuster/DFT) PERIODOGRAM: per object and
+    * trial frequency, the spectral power P(f) = (C² + S²)/n with
+    * C = Σ(v−v̄)cos 2πft, S = Σ(v−v̄)sin 2πft — the frequency-domain
+    * period search next to q_phase_fold's phase-dispersion method
+    * (different nulls: PDM favors non-sinusoidal shapes, the
+    * periodogram resolves close sinusoids).
+    *
+    * Shape: the mean rides a window on the SAME object-key
+    * partitioning the final aggregate needs (q_sigma_clip pattern),
+    * the frequency grid is a bounded explode (6×), and each (object,
+    * frequency) reduces map-side to two decimal sums — O(freqs)
+    * state per object. Determinism: each trig TERM is d6-snapped
+    * AFTER the (v−v̄)·cos product (one multiply on the libm value —
+    * the snap absorbs the 1-ulp trig spread), sums are decimal,
+    * the power combines exact sums with the proven mul/add/divide
+    * pattern, and the final d6 guards the transcendental-derived
+    * value; argmax tie-breaks on (power DESC, f). */
+  val qPeriodogram: QuerySpec = QuerySpec(
+    "q_periodogram",
+    s"""WITH ev AS (SELECT user_id,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      / 86400.0 AS td,
+       |    value,
+       |    CAST(sum(CAST(value AS DECIMAL(18,8))) OVER pw AS DOUBLE)
+       |      / count(*) OVER pw AS mu
+       |  FROM events
+       |  WINDOW pw AS (PARTITION BY user_id)),
+       |t AS (SELECT user_id, f,
+       |    ${D.sql.d6("(value - mu) * cos(2 * pi() * f * td)")} AS ct,
+       |    ${D.sql.d6("(value - mu) * sin(2 * pi() * f * td)")} AS st
+       |  FROM ev CROSS JOIN
+       |    (SELECT unnest([0.25, 0.5, 1.0, 1.5, 2.0, 3.0]) AS f)),
+       |ps AS (SELECT user_id, f, count(*) AS n,
+       |    ${D.sql.dsum("ct")} AS c, ${D.sql.dsum("st")} AS s
+       |  FROM t GROUP BY user_id, f),
+       |pw2 AS (SELECT user_id, f,
+       |    ${D.sql.d6("(c * c + s * s) / n")} AS power
+       |  FROM ps),
+       |r AS (SELECT user_id, f, power,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY power DESC, f) AS rn
+       |  FROM pw2)
+       |SELECT user_id AS object_id, f AS best_freq_per_day, power
+       |FROM r WHERE rn = 1 ORDER BY object_id""".stripMargin) { (s, dir) =>
+    val freqs = Seq(0.25, 0.5, 1.0, 1.5, 2.0, 3.0)
+    val pw = Window.partitionBy("user_id")
+    val mu = (sum(col("value").cast(Det.M)).over(pw).cast(DoubleType)
+      / count(lit(1)).over(pw))
+    val omega = lit(2) * lit(math.Pi) * col("f") * col("td")
+    val t = LsdDb.table(s, dir, "events")
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) / 86400.0).as("td"),
+        col("value"), mu.as("mu"))
+      .withColumn("f", explode(typedLit(freqs)))
+      .select(col("user_id"), col("f"),
+        Det.d6((col("value") - col("mu")) * cos(omega)).as("ct"),
+        Det.d6((col("value") - col("mu")) * sin(omega)).as("st"))
+    val ps = t.groupBy("user_id", "f")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("ct")).as("c"), Det.dsum(col("st")).as("s"))
+      .withColumn("power",
+        Det.d6((col("c") * col("c") + col("s") * col("s")) / col("n")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("power").desc, col("f").asc)
+    ps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("object_id"),
+        col("f").as("best_freq_per_day"), col("power"))
+      .orderBy("object_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
     qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth,
-    qStetson, qStructureFn, qTwoPoint)
+    qStetson, qStructureFn, qTwoPoint, qPeriodogram)
 }
