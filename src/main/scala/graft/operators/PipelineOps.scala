@@ -32,6 +32,8 @@ object PipelineOps {
     filter(split(c, "\\s+"), w => w =!= "")
   private val wordsSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+  private def wordSet(c: Column): Column = array_distinct(words(c))
+  private val wordSetSql = s"list_distinct($wordsSql)"
 
   /** Word 3-gram shingles joined with '' — the
     * decontamination unit (a 3-token overlap window; production
@@ -1109,10 +1111,108 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** X2t — the QUALITY FUNNEL report: per-stage survival counts of
+    * the standard cleaning cascade (length → token count → lexical
+    * diversity → stopword language proxy → exact-dup representative)
+    * — the attrition table every training-data pipeline publishes
+    * before a run. Stages 1–4 are map-only flags; the dedup stage is
+    * the funnel's ONE shuffle (a window min over the content hash),
+    * and the whole report reduces to a single row of counts — at
+    * 100 TB this is one pass over the corpus plus one keyed window,
+    * nothing driver-side. */
+  val qQualityFunnel: QuerySpec = QuerySpec(
+    "q_quality_funnel",
+    s"""WITH f AS (SELECT doc_id,
+       |    n_chars >= 20 AS f1,
+       |    len($wordsSql) >= 5 AS f2,
+       |    CAST(len($wordSetSql) AS DOUBLE)
+       |      / greatest(len($wordsSql), 1) >= 0.5 AS f3,
+       |    len(list_filter($wordsSql,
+       |      w -> w IN ('the', 'a', 'of', 'and', 'in'))) >= 1 AS f4,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) = doc_id AS f5
+       |  FROM documents)
+       |SELECT count(*) AS n_input,
+       |  count(CASE WHEN f1 THEN 1 END) AS n_length,
+       |  count(CASE WHEN f1 AND f2 THEN 1 END) AS n_tokens,
+       |  count(CASE WHEN f1 AND f2 AND f3 THEN 1 END) AS n_diversity,
+       |  count(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 END) AS n_lang,
+       |  count(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 END)
+       |    AS n_dedup
+       |FROM f""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    val ws = wordSet(col("text"))
+    val stop = size(filter(w, x => x.isin("the", "a", "of", "and", "in")))
+    val dw = Window.partitionBy(md5(col("text").cast("binary")))
+    val f = LsdDb.table(s, dir, "documents").select(
+      (col("n_chars") >= 20).as("f1"),
+      (size(w) >= 5).as("f2"),
+      (size(ws).cast(DoubleType) / greatest(size(w), lit(1)) >= 0.5)
+        .as("f3"),
+      (stop >= 1).as("f4"),
+      (min(col("doc_id")).over(dw) === col("doc_id")).as("f5"))
+    f.agg(count(lit(1)).as("n_input"),
+      count(when(col("f1"), 1)).as("n_length"),
+      count(when(col("f1") && col("f2"), 1)).as("n_tokens"),
+      count(when(col("f1") && col("f2") && col("f3"), 1)).as("n_diversity"),
+      count(when(col("f1") && col("f2") && col("f3") && col("f4"), 1))
+        .as("n_lang"),
+      count(when(col("f1") && col("f2") && col("f3") && col("f4")
+        && col("f5"), 1)).as("n_dedup"))
+  }
+
+  /** X2u — TOKEN-BUDGET curve: "take the best-quality documents
+    * until the budget is spent" as a SCALE-SAFE report. The naive
+    * form sorts the corpus by quality and prefix-sums tokens — a
+    * single-partition global sort. The pipeline form buckets quality
+    * into O(bins), aggregates tokens/docs per bucket map-side, and
+    * prefix-sums over the BINS (a window over ≤10 rows) — identical
+    * decisions at budget boundaries coarser than a bin, zero global
+    * sort. Bucket membership compares engine-identical doubles (the
+    * q_quality_score formula), so bin populations are exact. */
+  val qTokenBudget: QuerySpec = QuerySpec(
+    "q_token_budget",
+    s"""WITH q AS (SELECT doc_id, len($wordsSql) AS toks,
+       |    (0.4 * least(CAST(len($wordsSql) AS DOUBLE) / 50.0, 1.0))
+       |    + (0.3 * (CAST(len($wordSetSql) AS DOUBLE) / len($wordsSql)))
+       |    + (0.3 * (CAST(len(list_filter($wordsSql,
+       |          w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+       |        / len($wordsSql))) AS quality
+       |  FROM documents WHERE len($wordsSql) > 0),
+       |b AS (SELECT least(greatest(CAST(floor(quality * 10) AS BIGINT),
+       |      0), 9) AS bin,
+       |    count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens
+       |  FROM q GROUP BY 1)
+       |SELECT bin, n_docs, tokens,
+       |  CAST(sum(tokens) OVER (ORDER BY bin DESC) AS BIGINT)
+       |    AS cum_tokens_from_best,
+       |  CAST(sum(n_docs) OVER (ORDER BY bin DESC) AS BIGINT)
+       |    AS cum_docs_from_best
+       |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    val stop = size(filter(w, x => x.isin("the", "a", "of", "and", "in")))
+    val quality =
+      (lit(0.4) * least(size(w).cast(DoubleType) / 50.0, lit(1.0))) +
+        (lit(0.3) * (size(wordSet(col("text"))).cast(DoubleType)
+          / size(w))) +
+        (lit(0.3) * (stop.cast(DoubleType) / size(w)))
+    val b = LsdDb.table(s, dir, "documents")
+      .filter(size(w) > 0)
+      .select(size(w).cast(LongType).as("toks"), quality.as("quality"))
+      .groupBy(least(greatest(floor(col("quality") * 10).cast(LongType),
+        lit(0L)), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+    val cw = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.select(col("bin"), col("n_docs"), col("tokens"),
+      sum(col("tokens")).over(cw).as("cum_tokens_from_best"),
+      sum(col("n_docs")).over(cw).as("cum_docs_from_best"))
+      .orderBy("bin")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
     qCharEntropy, qDupCrossSource, qUnigramLm, qDedupKeepBest,
-    qCollapseRepeats, qBigramLm)
+    qCollapseRepeats, qBigramLm, qQualityFunnel, qTokenBudget)
 }
