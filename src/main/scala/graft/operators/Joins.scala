@@ -871,9 +871,104 @@ object Joins {
       .orderBy("a_id")
   }
 
+  /** J6j — THREE-WAY chained cross-match (the multi-survey join:
+    * detections → survey-2 counterpart → survey-3 counterpart, each
+    * hop nearest-within-radius): the reference's precomputed xmatch
+    * tables chained across catalogs. Each hop is the standard
+    * cell-blocked candidate join + WindowGroupLimit nearest-1 —
+    * crucially the SECOND hop's left side is the already-matched
+    * (a,b) relation (≤ |a| rows), so survey-3 blocks against a
+    * relation no bigger than the first survey; no hop ever sees a
+    * cartesian, and each emits one shuffle pair. The oracle pays two
+    * true cross joins with nearest-by-window semantics. */
+  val qXmatch3way: QuerySpec = QuerySpec(
+    "q_xmatch_3way",
+    s"""WITH a AS (SELECT o_orderkey AS a_id,
+       |    CAST(o_orderkey * 13 % 3600 AS DOUBLE) / 10.0 AS a_lon,
+       |    CAST(o_orderkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS a_lat
+       |  FROM orders),
+       |b AS (SELECT s_suppkey AS b_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS b_lon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS b_lat
+       |  FROM supplier),
+       |c AS (SELECT c_custkey AS c_id,
+       |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS c_lon,
+       |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS c_lat
+       |  FROM customer),
+       |p1 AS (SELECT a_id, b_id, b_lon, b_lat, dist_ab FROM (
+       |    SELECT a.a_id, b.b_id, b.b_lon, b.b_lat,
+       |      ${D.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b_lat - a_lat) / 2) * sin(radians(b_lat - a_lat) / 2)" +
+            " + cos(radians(a_lat)) * cos(radians(b_lat))" +
+            " * sin(radians(b_lon - a_lon) / 2)" +
+            " * sin(radians(b_lon - a_lon) / 2))))")} AS dist_ab,
+       |      row_number() OVER (PARTITION BY a.a_id
+       |        ORDER BY ${D.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b_lat - a_lat) / 2) * sin(radians(b_lat - a_lat) / 2)" +
+            " + cos(radians(a_lat)) * cos(radians(b_lat))" +
+            " * sin(radians(b_lon - a_lon) / 2)" +
+            " * sin(radians(b_lon - a_lon) / 2))))")}, b.b_id) AS rn
+       |    FROM a CROSS JOIN b) WHERE rn = 1 AND dist_ab <= 0.95),
+       |p2 AS (SELECT a_id, b_id, dist_ab, c_id, dist_bc FROM (
+       |    SELECT p1.a_id, p1.b_id, p1.dist_ab, c.c_id,
+       |      ${D.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(c_lat - b_lat) / 2) * sin(radians(c_lat - b_lat) / 2)" +
+            " + cos(radians(b_lat)) * cos(radians(c_lat))" +
+            " * sin(radians(c_lon - b_lon) / 2)" +
+            " * sin(radians(c_lon - b_lon) / 2))))")} AS dist_bc,
+       |      row_number() OVER (PARTITION BY p1.a_id
+       |        ORDER BY ${D.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(c_lat - b_lat) / 2) * sin(radians(c_lat - b_lat) / 2)" +
+            " + cos(radians(b_lat)) * cos(radians(c_lat))" +
+            " * sin(radians(c_lon - b_lon) / 2)" +
+            " * sin(radians(c_lon - b_lon) / 2))))")}, c.c_id) AS rn
+       |    FROM p1 CROSS JOIN c) WHERE rn = 1 AND dist_bc <= 0.95)
+       |SELECT a_id, b_id, c_id, dist_ab, dist_bc
+       |FROM p2 ORDER BY a_id""".stripMargin) { (s, dir) =>
+    val a = skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+      "a_id", "a_lon", "a_lat")
+    val b = skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+      "b_id", "b_lon", "b_lat")
+    val c = skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey",
+      "c_id", "c_lon", "c_lat")
+    def nearest(left: org.apache.spark.sql.DataFrame, lKey: String,
+                lLon: String, lLat: String,
+                right: org.apache.spark.sql.DataFrame, rKey: String,
+                rLon: String, rLat: String, distName: String) = {
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("dist_deg").asc, col("b_id").asc)
+      graft.spatial.CrossMatch
+        .allPairs(left, right, lKey, lLon, lLat, rKey, rLon, rLat,
+          1.0, capLat = xmatchCapLat)
+        .withColumn("dist_deg", Det.d6(col("dist_deg")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("dist_deg") <= 0.95)
+        .select(col("a_id").as(lKey), col("b_id").as(rKey),
+          col("dist_deg").as(distName))
+    }
+    val hop1 = nearest(a, "a_id", "a_lon", "a_lat",
+      b, "b_id", "b_lon", "b_lat", "dist_ab")
+    // second hop blocks the MATCHED relation (≤ |a| rows) against c;
+    // the b positions re-attach by key for the hop's geometry
+    val abPos = hop1.join(b, "b_id")
+      .select(col("a_id"), col("b_id"), col("dist_ab"),
+        col("b_lon"), col("b_lat"))
+    val hop2 = nearest(
+      abPos.select(col("a_id"), col("b_lon"), col("b_lat")),
+      "a_id", "b_lon", "b_lat", c, "c_id", "c_lon", "c_lat", "dist_bc")
+    abPos.join(hop2, "a_id")
+      .select(col("a_id"), col("b_id"), col("c_id"),
+        col("dist_ab"), col("dist_bc"))
+      .orderBy("a_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
     qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qAsofJoin, qJoinSelf,
     qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchOuter,
-    qXmatchMargin, qXmatchAuto, qXmatchTemporal, qFootprintPolygon,
-    qFootprintCells, qFootprintCone, qFootprintRect)
+    qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
+    qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect)
 }

@@ -1508,8 +1508,62 @@ object SurveyOps {
       .orderBy("object_id")
   }
 
+  /** A22 — per-object observation CADENCE: epoch count, time span,
+    * median and maximum inter-epoch gap — the survey-planning /
+    * detectability statistic (a median gap longer than a transient's
+    * timescale means the survey cannot see it). Gaps are exact
+    * integer second differences over the (ts, event_id) order; the
+    * median runs through ExactQuantiles (O(bins) executor state,
+    * quantile_cont-bit-identical), attaching to the span aggregate by
+    * one O(objects) join. One corpus shuffle on the object key feeds
+    * both the lag window and the aggregates. */
+  val qCadence: QuerySpec = QuerySpec(
+    "q_cadence",
+    s"""WITH ev AS (SELECT user_id,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+       |    event_id FROM events),
+       |g AS (SELECT user_id,
+       |    CAST(t - lag(t) OVER (PARTITION BY user_id
+       |      ORDER BY t, event_id) AS DOUBLE) / 86400.0 AS gap
+       |  FROM ev),
+       |gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+       |sp AS (SELECT user_id, count(*) + 1 AS n_obs,
+       |    max(gap) AS max_gap_days,
+       |    quantile_cont(gap, 0.50) AS median_gap_days,
+       |    CAST(sum(CAST(gap AS DECIMAL(18,8))) AS DOUBLE) AS span_days
+       |  FROM gg GROUP BY user_id)
+       |SELECT user_id AS object_id, n_obs, span_days,
+       |  median_gap_days, max_gap_days
+       |FROM sp ORDER BY object_id""".stripMargin) { (s, dir) =>
+    import graft.functions.ExactQuantiles
+    val lw = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val g = LsdDb.table(s, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        col("event_id"))
+      .select(col("user_id"),
+        ((col("t") - lag(col("t"), 1).over(lw)).cast(DoubleType)
+          / 86400.0).as("gap"))
+      .filter(col("gap").isNotNull)
+    // NO d6 anywhere: every value here is arithmetic on engine-
+    // identical doubles (integer-second diffs / 86400, their decimal
+    // sum, max, and the quantile_cont-identical median) — and gaps
+    // of the form k/86400 CAN land exactly on 1e-7-grid points where
+    // a d6 snap hits the midpoint tie-break (observed live:
+    // span 29.4315625). The snap-of-ratio rule, third sighting.
+    val agg = g.groupBy("user_id")
+      .agg((count(lit(1)) + 1).as("n_obs"),
+        max(col("gap")).as("max_gap_days"),
+        Det.dsum(col("gap")).as("span_days"))
+    val med = ExactQuantiles.quantiles(g, Seq("user_id"),
+      Seq(ExactQuantiles.Req("gap", 0.50, "median_gap_days")))
+    agg.join(med, "user_id")
+      .select(col("user_id").as("object_id"), col("n_obs"),
+        col("span_days"), col("median_gap_days"), col("max_gap_days"))
+      .orderBy("object_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
     qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth,
-    qStetson, qStructureFn, qTwoPoint, qPeriodogram)
+    qStetson, qStructureFn, qTwoPoint, qPeriodogram, qCadence)
 }
