@@ -1019,9 +1019,11 @@ object SurveyOps {
     * (billions of detections → hundreds of millions of objects) this
     * is a single shuffle keyed on object id; the catalog emerges
     * map-side-combined. The canonical "derived catalog" reduction. */
-  val qPmFit: QuerySpec = QuerySpec(
-    "q_pm_fit",
-    s"""WITH e0 AS (SELECT user_id,
+  /** SQL CTE chain of the proper-motion fit (shared by q_pm_fit and
+    * q_cpm_pairs — the derived catalog and its consumers must be the
+    * SAME text or the compositions drift). Ends with `pmcat`. */
+  private val pmFitSqlCtes: String =
+    s"""e0 AS (SELECT user_id,
        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS thr
        |  FROM events),
        |e AS (SELECT user_id, thr - $pmFitT0Hours AS x,
@@ -1046,8 +1048,8 @@ object SurveyOps {
        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS sl1,
        |    CAST(n * sxy2 - sx * sy2 AS DOUBLE)
        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS sl2
-       |  FROM a WHERE n * sxx - sx * sx <> 0)
-       |SELECT user_id AS object_id, n AS n_obs,
+       |  FROM a WHERE n * sxx - sx * sx <> 0),
+       |pmcat AS (SELECT user_id AS object_id, n AS n_obs,
        |  ${D.sql.d6("sl1 * 0.024")} AS pm_lon_deg_day,
        |  ${D.sql.d6("sl2 * 0.024")} AS pm_lat_deg_day,
        |  ${D.sql.d6(
@@ -1055,7 +1057,12 @@ object SurveyOps {
        |    AS lon0_deg,
        |  ${D.sql.d6("(CAST(sy2 AS DOUBLE) - sl2 * CAST(sx AS DOUBLE))" +
           " / n / 1000.0 - 20.0")} AS lat0_deg
-       |FROM f ORDER BY object_id""".stripMargin) { (s, dir) =>
+       |FROM f)""".stripMargin
+
+  /** The proper-motion catalog DataFrame (q_pm_fit minus the
+    * presentation sort) — the reusable derived-catalog builder. */
+  private def pmCatalog(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
     val thr = expr("unix_micros(ts) DIV 3600000000")
     val rLon = (col("user_id") * 7919) % 37 - 18
     val rLat = (col("user_id") * 104729) % 13 - 6
@@ -1094,7 +1101,75 @@ object SurveyOps {
         Det.d6((col("sy2").cast(DoubleType)
           - col("sl2") * col("sx").cast(DoubleType)) / col("n") / 1000.0
           - 20.0).as("lat0_deg"))
-      .orderBy("object_id")
+  }
+
+  val qPmFit: QuerySpec = QuerySpec(
+    "q_pm_fit",
+    s"""WITH $pmFitSqlCtes
+       |SELECT * FROM pmcat ORDER BY object_id""".stripMargin) { (s, dir) =>
+    pmCatalog(s, dir).orderBy("object_id")
+  }
+
+  /** J6k — COMOVING (common-proper-motion) pairs mined from the
+    * DERIVED catalog: the reference's derived-catalog story — build
+    * the PM catalog once (q_pm_fit), then run catalog-level science
+    * on it. Moving groups are found in VELOCITY space (objects
+    * sharing a velocity NEIGHBORHOOD are dynamically associated
+    * wherever they sit on the sky — the disk-moving-group method,
+    * with the bucket width playing the group's velocity dispersion),
+    * so the blocking key IS the velocity cell: the fitted d6 PM
+    * divides back to the exact integer rate (round() lands on the
+    * same integer in both engines — the value sits ~1e-7 from it,
+    * never near a half), the rate buckets into a dispersion cell by
+    * exact integer division, and pairs come from an EQUI-join on
+    * that cell — one shuffle on the velocity key, candidate count
+    * Σ cell², never catalog². The angular separation rides along as
+    * a descriptive column. */
+  val qCpmPairs: QuerySpec = QuerySpec(
+    "q_cpm_pairs",
+    s"""WITH $pmFitSqlCtes,
+       |v AS (SELECT object_id, lon0_deg, lat0_deg,
+       |    pm_lon_deg_day, pm_lat_deg_day,
+       |    (CAST(round(pm_lon_deg_day / 0.024) AS BIGINT) + 18) // 6
+       |      AS vlon,
+       |    (CAST(round(pm_lat_deg_day / 0.024) AS BIGINT) + 6) // 3
+       |      AS vlat
+       |  FROM pmcat)
+       |SELECT a.object_id AS a_id, b.object_id AS b_id,
+       |  a.pm_lon_deg_day AS pm_lon, a.pm_lat_deg_day AS pm_lat,
+       |  ${D.sql.d6(
+          "degrees(2 * asin(sqrt(" +
+            "sin(radians(b.lat0_deg - a.lat0_deg) / 2)" +
+            " * sin(radians(b.lat0_deg - a.lat0_deg) / 2)" +
+            " + cos(radians(a.lat0_deg)) * cos(radians(b.lat0_deg))" +
+            " * sin(radians(b.lon0_deg - a.lon0_deg) / 2)" +
+            " * sin(radians(b.lon0_deg - a.lon0_deg) / 2))))")} AS dist_deg
+       |FROM v a JOIN v b
+       |  ON a.vlon = b.vlon AND a.vlat = b.vlat
+       |  AND a.object_id < b.object_id
+       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val pm = pmCatalog(s, dir)
+    def side(p: String) = pm.select(
+      col("object_id").as(s"${p}_id"),
+      col("lon0_deg").as(s"${p}_lon"), col("lat0_deg").as(s"${p}_lat"),
+      col("pm_lon_deg_day").as(s"${p}_pml"),
+      col("pm_lat_deg_day").as(s"${p}_pmb"),
+      // +18/+6 shifts the rate nonnegative so integer division is
+      // floor-identical in both engines (DuckDB // floors, Spark DIV
+      // truncates — they agree only above zero)
+      expr("CAST((CAST(round(pm_lon_deg_day / 0.024) AS BIGINT) + 18)" +
+        s" DIV 6 AS BIGINT)").as(s"${p}_vlon"),
+      expr("CAST((CAST(round(pm_lat_deg_day / 0.024) AS BIGINT) + 6)" +
+        s" DIV 3 AS BIGINT)").as(s"${p}_vlat"))
+    side("a").join(side("b"),
+      col("a_vlon") === col("b_vlon") && col("a_vlat") === col("b_vlat")
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        col("a_pml").as("pm_lon"), col("a_pmb").as("pm_lat"),
+        Det.d6(graft.spatial.CrossMatch.distDeg(
+          col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat")))
+          .as("dist_deg"))
+      .orderBy("a_id", "b_id")
   }
 
   /** SC2g — neighborhood-smoothed sky map (overdensity screen): the
@@ -1565,5 +1640,5 @@ object SurveyOps {
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
     qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth,
-    qStetson, qStructureFn, qTwoPoint, qPeriodogram, qCadence)
+    qStetson, qStructureFn, qTwoPoint, qPeriodogram, qCadence, qCpmPairs)
 }
