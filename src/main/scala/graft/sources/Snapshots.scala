@@ -63,8 +63,18 @@ object Snapshots {
   /** A serialized Bloom filter over one column's value set: `m` bits
     * (hex-encoded, big-endian within each byte), `k` hash slices of
     * the value's md5. No false negatives by construction; false
-    * positives only cost an extra directory scan. */
-  final case class Bloom(m: Int, k: Int, hex: String) {
+    * positives only cost an extra directory scan.
+    *
+    * `tag` records the COLUMN TYPE CLASS the write side canonicalized
+    * through (`"i"` integral, `"s"` string, `"o"` anything else —
+    * decimal, float/double, date, …), so the read side only probes
+    * when it can reproduce the exact canonical string the writer
+    * hashed. Untagged (`None`) blooms come from pre-tag commit logs:
+    * the query layer treats them as unprunable (conservative), while
+    * [[readPrunedKey]] keeps its original documented caller contract
+    * for them. */
+  final case class Bloom(m: Int, k: Int, hex: String,
+                         tag: Option[String] = None) {
     private lazy val bytes: Array[Byte] =
       hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     def mightContain(value: String): Boolean =
@@ -94,6 +104,11 @@ object Snapshots {
       val in = f.open(log)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+      // S:/F: metadata fields are ADVISORY: a malformed or corrupt
+      // field (hand-edited log, future format) drops silently and the
+      // directory just isn't pruned — only the id itself is load-
+      // bearing and stays strict. Numeric parses are Try-guarded so
+      // one bad field can never fail the whole read path.
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
         val parts = l.split("\\s+")
         Entry(parts(0).toLong, parts.exists(_ == "B"),
@@ -102,14 +117,30 @@ object Snapshots {
             // S:<col>:<min>:<max> — doubles never contain ':'
             t.drop(2).split(":") match {
               case Array(c, mn, mx) =>
-                Some(c -> (mn.toDouble, mx.toDouble))
+                (scala.util.Try(mn.toDouble).toOption,
+                  scala.util.Try(mx.toDouble).toOption) match {
+                  case (Some(a), Some(b)) => Some(c -> (a, b))
+                  case _ => None // unparseable bound: drop the field
+                }
               case _ => None // malformed field: ignore, stay conservative
             }
           }.toMap,
           parts.iterator.filter(_.startsWith("F:")).flatMap { t =>
+            // F:<col>:<m>:<k>:<hex> (legacy, untyped) or
+            // F:<col>:<m>:<k>:<t>:<hex> (type-tagged)
+            def bloom(c: String, m: String, k: String, hx: String,
+                      tg: Option[String]): Option[(String, Bloom)] =
+              (scala.util.Try(m.toInt).toOption,
+                scala.util.Try(k.toInt).toOption) match {
+                case (Some(mi), Some(ki))
+                    if hx.length == (mi + 7) / 8 * 2 =>
+                  Some(c -> Bloom(mi, ki, hx, tg))
+                case _ => None // unparseable geometry: drop the field
+              }
             t.drop(2).split(":") match {
-              case Array(c, m, k, hx) if hx.length == (m.toInt + 7) / 8 * 2 =>
-                Some(c -> Bloom(m.toInt, k.toInt, hx))
+              case Array(c, m, k, tg, hx) if tg.length == 1 =>
+                bloom(c, m, k, hx, Some(tg))
+              case Array(c, m, k, hx) => bloom(c, m, k, hx, None)
               case _ => None // malformed field: ignore, stay conservative
             }
           }.toMap)
@@ -152,7 +183,10 @@ object Snapshots {
           s" S:$c:$mn:$mx"
         }.mkString +
         e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
-          s" F:$c:${b.m}:${b.k}:${b.hex}"
+          // tagged form is a 5-field F: — old readers' 4-field match
+          // drops it (conservative keep), new readers parse both
+          val tg = b.tag.map(t => s"$t:").getOrElse("")
+          s" F:$c:${b.m}:${b.k}:$tg${b.hex}"
         }.mkString
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally o.close()
@@ -217,13 +251,22 @@ object Snapshots {
     if (bloomCols.isEmpty) Map.empty
     else {
       import org.apache.spark.sql.functions.{array, col, conv, explode, md5, substring}
-      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
       bloomCols.foreach(c => require(
         !c.exists(ch => ch.isWhitespace || ch == ':'),
         s"bloom column name must be whitespace/colon-free: '$c'"))
       val (m, k) = (BloomBits, BloomHashes)
       val back = spark.read.parquet(dir)
       bloomCols.map { c =>
+        // the canonical a probe must reproduce EXACTLY is Spark's
+        // string cast of THIS column type — record which type class
+        // that was, so readers never guess (a DECIMAL(10,2) casts 7
+        // to "7.00", which no double-derived canonical matches)
+        val typeTag = back.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => "i"
+          case StringType => "s"
+          case _ => "o"
+        }
         val h = md5(col("v").cast("binary"))
         val pos = (0 until k).map(i =>
           (conv(substring(h, i * 4 + 1, 4), 16, 10).cast(LongType) % m)
@@ -236,7 +279,8 @@ object Snapshots {
         val bytes = new Array[Byte]((m + 7) / 8)
         bits.foreach(p => bytes(p >> 3) =
           (bytes(p >> 3) | (0x80 >> (p & 7))).toByte)
-        c -> Bloom(m, k, bytes.map(b => f"${b & 0xff}%02x").mkString)
+        c -> Bloom(m, k, bytes.map(b => f"${b & 0xff}%02x").mkString,
+          Some(typeTag))
       }.toMap
     }
 
@@ -439,11 +483,27 @@ object Snapshots {
     }
     val lastBase = upTo.lastIndexWhere(_.isBase)
     val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    // A tagged bloom only prunes when the probe's runtime class can
+    // reproduce the writer's canonical: integral probes for "i"
+    // columns, string probes for "s" columns. Tag/probe mismatches
+    // (a Double probe against an "o" decimal column, a numeric probe
+    // against a string column, …) keep the directory. Legacy untagged
+    // blooms retain this method's original documented contract: the
+    // caller passed the key's natural form, probe it as given.
     val v = String.valueOf(value)
+    val probeOk = (tag: Option[String]) => tag match {
+      case None => true // legacy: documented caller contract applies
+      case Some("i") => value match {
+        case _: Byte | _: Short | _: Int | _: Long => true
+        case _ => false
+      }
+      case Some("s") => value.isInstanceOf[String]
+      case Some(_) => false // "o"/unknown: canonical not reproducible
+    }
     val kept = visible.filter { e =>
       e.blooms.get(keyCol) match {
-        case Some(b) => b.mightContain(v)
-        case None => true // no bloom for this column: must scan
+        case Some(b) if probeOk(b.tag) => b.mightContain(v)
+        case _ => true // no bloom / unprobeable type: must scan
       }
     }
     if (kept.nonEmpty)
@@ -455,25 +515,28 @@ object Snapshots {
 
   /** Whether entry `e` can possibly hold `keyCol = v`: its zone map
     * must admit `v` (when recorded) AND its Bloom filter might
-    * contain `v` (when recorded). For the query layer an extracted
-    * numeric literal arrives as a double: an integral `v` is probed
-    * under BOTH its integer and decimal string forms (`"7"` and
-    * `"7.0"`), so whichever canonical form the write side's string
-    * cast produced, the true directory always matches — false
-    * negatives stay impossible and extra matches only widen the
-    * scan. Entries with neither channel always pass. */
+    * contain `v` (when recorded). The query layer's extracted numeric
+    * literal arrives as a double, so the bloom channel only prunes
+    * when the recorded type tag proves the writer's canonical is
+    * reproducible: an INTEGRAL column (`tag = "i"`) probed with a
+    * whole `v` inside double's exact-integer range hashes exactly
+    * `v.toLong.toString`, the same string Spark's cast produced at
+    * write time. Every other combination — decimal/float/date columns
+    * (`"o"`, whose cast renderings like `"7.00"` no double-derived
+    * string can reproduce), string columns probed numerically,
+    * untagged legacy blooms, non-whole or `|v| >= 2^53` probes —
+    * KEEPS the directory: pruning is advisory, missing rows are not.
+    * Entries with neither channel always pass. */
   private def mayHoldEq(e: Entry, keyCol: String, v: Double): Boolean = {
     val zoneOk = e.stats.get(keyCol) match {
       case Some((mn, mx)) => !(mx < v || mn > v) // NaN-safe: keep
       case None => true
     }
-    lazy val canonicals =
-      if (v.isWhole && math.abs(v) < 9.007199254740992e15)
-        Seq(v.toLong.toString, v.toString)
-      else Seq(v.toString)
     val bloomOk = e.blooms.get(keyCol) match {
-      case Some(b) => canonicals.exists(b.mightContain)
-      case None => true
+      case Some(b) if b.tag.contains("i") &&
+          v.isWhole && math.abs(v) < 9.007199254740992e15 =>
+        b.mightContain(v.toLong.toString)
+      case _ => true // canonical not provably reproducible: must scan
     }
     zoneOk && bloomOk
   }

@@ -11,6 +11,13 @@ class SnapshotsSpec extends SpecBase {
   private def freshPath(): String =
     Files.createTempDirectory("graft_snap").resolve("t").toString
 
+  /** Hadoop's LocalFileSystem keeps a `.crc` sidecar per file it
+    * wrote; after a test hand-edits `_COMMITS` the stale checksum
+    * would fail the next read, so drop the sidecar (a raw cluster
+    * FS like HDFS re-checksums on write and never hits this). */
+  private def rewriteCrcSidecar(log: java.nio.file.Path): Unit =
+    Files.deleteIfExists(log.resolveSibling("." + log.getFileName + ".crc"))
+
   test("append assigns sequential ids and read unions committed snapshots") {
     val path = freshPath()
     assert(Snapshots.append(Seq(1, 2).toDF("x"), path) == 1L)
@@ -392,5 +399,96 @@ class SnapshotsSpec extends SpecBase {
     assert(p.inputFiles.nonEmpty && p.inputFiles.forall(_.contains("snap=2")))
     assert(p.filter(col("name") === "gamma").as[(String, Int)]
       .collect().sameElements(Array(("gamma", 3))))
+  }
+
+  test("bloom equality pruning is type-gated: decimal/double/huge keys never lose rows") {
+    // DECIMAL column: Spark's string cast records "7.00", which no
+    // double-derived canonical reproduces — the bloom channel must
+    // refuse to prune (tag "o"), leaving the zone map as the only
+    // (sound) pruning channel
+    val decPath = freshPath()
+    Snapshots.append(
+      Seq(1L, 7L, 10L).toDF("k").select(col("k").cast("decimal(10,2)").as("k")),
+      decPath, statsCols = Seq("k"), bloomCols = Seq("k"))
+    Snapshots.append(
+      Seq(50L, 60L).toDF("k").select(col("k").cast("decimal(10,2)").as("k")),
+      decPath, statsCols = Seq("k"), bloomCols = Seq("k"))
+    assert(Snapshots.entries(spark, decPath)
+      .forall(_.blooms("k").tag.contains("o")))
+    val d7 = Snapshots.readPrunedEq(spark, decPath, "k", 7.0)
+    assert(d7.inputFiles.exists(_.contains("snap=1")),
+      "decimal-key directory wrongly bloom-pruned")
+    assert(d7.filter(col("k") === 7).count() == 1)
+    // the zone channel still prunes snap=2 (range [50,60] excludes 7)
+    assert(d7.inputFiles.forall(_.contains("snap=1")))
+
+    // DOUBLE column: same refusal (canonical "7.0" vs probe forms is
+    // exactly the ambiguity the tag removes)
+    val dblPath = freshPath()
+    Snapshots.append(Seq(7.0, 9.5).toDF("k"), dblPath, bloomCols = Seq("k"))
+    assert(Snapshots.readPrunedEq(spark, dblPath, "k", 7.0)
+      .filter(col("k") === 7.0).count() == 1)
+
+    // integral column beyond double's exact range: probe must keep
+    val bigPath = freshPath()
+    val big = 9007199254740993L // 2^53 + 1: not representable as double
+    Snapshots.append(Seq(big, 5L).toDF("k"), bigPath, bloomCols = Seq("k"))
+    assert(Snapshots.entries(spark, bigPath)
+      .forall(_.blooms("k").tag.contains("i")))
+    assert(Snapshots.readPrunedEq(spark, bigPath, "k", big.toDouble)
+      .filter(col("k") === big).count() == 1)
+    // …while an in-range integral probe still prunes through the bloom
+    assert(Snapshots.readPrunedEq(spark, bigPath, "k", 5.0)
+      .filter(col("k") === 5L).count() == 1)
+
+    // readPrunedKey: a probe whose runtime class mismatches the tag
+    // (Double against an integral column) keeps every directory
+    val kp = Snapshots.readPrunedKey(spark, bigPath, "k", 5.0)
+    assert(kp.inputFiles.nonEmpty)
+    assert(kp.filter(col("k") === 5L).count() == 1)
+  }
+
+  test("corrupt S:/F: log fields degrade to no-pruning, never to failure") {
+    val path = freshPath()
+    Snapshots.append(Seq((1L, "a"), (7L, "b")).toDF("k", "v"), path,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    // hand-corrupt the metadata fields the way a partial edit would:
+    // unparseable numerics in S: and F:, plus an unknown trailing tag
+    val log = java.nio.file.Paths.get(path, "_COMMITS")
+    val line = new String(Files.readAllBytes(log), "UTF-8").trim
+    val corrupted = line.replaceAll("S:k:\\S+", "S:k:low:high")
+      .replaceAll("F:k:\\S+", "F:k:notanum:4:beef") + " Z:future\n"
+    Files.write(log, corrupted.getBytes("UTF-8"))
+    rewriteCrcSidecar(log)
+    val es = Snapshots.entries(spark, path)
+    assert(es.size == 1 && es.head.id == 1L)
+    assert(es.head.stats.isEmpty, "unparseable zone bounds must drop")
+    assert(es.head.blooms.isEmpty, "unparseable bloom geometry must drop")
+    // reads and (now unprunable) pruned reads still return every row
+    assert(Snapshots.read(spark, path).count() == 2)
+    assert(Snapshots.readPrunedEq(spark, path, "k", 7.0)
+      .filter(col("k") === 7L).count() == 1)
+  }
+
+  test("legacy untagged bloom log lines parse and stay conservative in QL routing") {
+    val path = freshPath()
+    Snapshots.append(Seq(5L, 9L).toDF("k"), path, bloomCols = Seq("k"))
+    // rewrite the tagged F: field to the legacy 4-part form
+    val log = java.nio.file.Paths.get(path, "_COMMITS")
+    val line = new String(Files.readAllBytes(log), "UTF-8").trim
+    assert(line.contains(":i:"), "writer should tag integral blooms")
+    val legacy = line.replaceFirst("F:k:(\\d+):(\\d+):i:", "F:k:$1:$2:") + "\n"
+    Files.write(log, legacy.getBytes("UTF-8"))
+    rewriteCrcSidecar(log)
+    val e = Snapshots.entries(spark, path).head
+    assert(e.blooms.get("k").exists(_.tag.isEmpty))
+    // legacy blooms still serve readPrunedKey's documented contract…
+    assert(Snapshots.readPrunedKey(spark, path, "k", 5L)
+      .filter(col("k") === 5L).count() == 1)
+    // …but the double-probing QL path refuses to prune through them
+    assert(Snapshots.readPrunedEq(spark, path, "k", 5.0)
+      .filter(col("k") === 5L).count() == 1)
+    assert(Snapshots.readPrunedEq(spark, path, "k", 5.0)
+      .inputFiles.nonEmpty)
   }
 }
