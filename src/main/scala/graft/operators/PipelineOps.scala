@@ -63,6 +63,15 @@ object PipelineOps {
        |    i -> concat_ws(chr(1), $w[i], $w[i+1], $w[i+2])), x -> x IS NOT NULL))""".stripMargin
   }
 
+  /** PPJoin hot-bucket ceiling (q_dedup_prefix): prefix tokens shared
+    * by more docs than this are boilerplate and are dropped from
+    * candidate generation on both engine sides — bounds the per-token
+    * aggregation buffer AND the O(bucket²) pair fan-out. Same guard
+    * class as TextOps' minhash maxBucket (=50); higher here because a
+    * PPJoin prefix bucket must also cover legitimate mid-frequency
+    * shingles, not just 64-hex band collisions. */
+  private val maxPrefixBucket = 100
+
   /** Ext — benchmark decontamination: flag training documents that
     * share any word-3-gram with the held-out eval set (docs with
     * doc_id % 97 == 0 stand in for the benchmark). The eval shingle
@@ -750,7 +759,18 @@ object PipelineOps {
     * Scale: the df dimension shuffles on the token (never broadcast —
     * shingle vocabulary grows with the corpus), the prefix self-join
     * touches ~0.4·|set| of each doc's tokens, and verification joins
-    * only candidate pairs back to the token relation. */
+    * only candidate pairs back to the token relation.
+    *
+    * Hot-bucket guard (same discipline as minhash's maxBucket): a
+    * prefix token is rare WITHIN each doc, but on a boilerplate-heavy
+    * corpus it can still be globally common — one token shared by B
+    * docs puts B rows in one aggregation buffer and emits O(B²)
+    * pairs. Buckets larger than [[maxPrefixBucket]] are dropped from
+    * candidate generation ON BOTH ENGINE SIDES (the cap is part of
+    * the operator's algebra, not a Spark-side shortcut): a pair whose
+    * EVERY shared prefix token is that hot is the standard explicit
+    * recall tradeoff of capped set-similarity joins, and dropped
+    * buckets are boilerplate families by construction. */
   val qDedupPrefix: QuerySpec = QuerySpec(
     "q_dedup_prefix",
     s"""WITH base AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
@@ -761,7 +781,10 @@ object PipelineOps {
        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.s)
        |      AS rn
        |  FROM toks t JOIN df USING (s)),
-       |pref AS (SELECT * FROM ws WHERE rn <= sz - ((6 * sz + 9) // 10) + 1),
+       |pref0 AS (SELECT * FROM ws WHERE rn <= sz - ((6 * sz + 9) // 10) + 1),
+       |pref AS (SELECT * FROM (SELECT *,
+       |      count(*) OVER (PARTITION BY s) AS bsz FROM pref0)
+       |  WHERE bsz <= $maxPrefixBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.sz AS sza, b.sz AS szb
        |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -781,25 +804,36 @@ object PipelineOps {
     // with exact intersection counts — a (cosmically unlikely) hash
     // collision can only add a false candidate for the verifier to
     // reject, never change the verified output.
+    // sz (per-doc token count) is the shingle array's size, computed
+    // MAP-SIDE before the explode — a window count over doc_id would
+    // re-derive it with an extra full-relation sort pass
     val th = LsdDb.table(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(transform(shingles3(col("text")), t => xxhash64(t)))
-          .as("h"))
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(transform(col("sh"), t => xxhash64(t))).as("h"))
     // df as a window count (not groupBy+join-back): same shuffle key,
     // one pass, and the expensive shingle explode appears ONCE in this
     // branch instead of twice
     val ws = th
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
     val pref = ws.filter(col("rn") <=
       col("sz") - expr("(6 * sz + 9) div 10") + 1)
+      // hot-bucket cap (scaladoc above): the count rides the same
+      // hash-partitioning a groupBy("h") would use, and bounds BOTH
+      // the collect_list buffer and the pair fan-out below at
+      // maxPrefixBucket. One caveat vs the collision-immunity note
+      // above: a 64-bit collision merging two buckets could push a
+      // merged bucket over the cap — at vocab ≪ 2^32 that stays in
+      // the same cosmically-unlikely class.
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("bsz") <= maxPrefixBucket)
     // candidate pairs bucket-locally from ONE evaluation of the prefix
     // relation (a pref.as(a)⋈pref.as(b) self-join would re-run the
     // whole explode+window pipeline per side): group the prefix rows
-    // by token, emit in-bucket pairs. Bucket sizes are bounded by the
-    // prefix property itself — these are each doc's RAREST tokens.
+    // by token, emit in-bucket pairs. Bucket sizes are hard-bounded
+    // by the cap just applied (≤ maxPrefixBucket rows per buffer).
     val cand = pref
       .select(col("h"), struct(col("doc_id"), col("sz")).as("d"))
       .groupBy("h").agg(collect_list(col("d")).as("ds"))

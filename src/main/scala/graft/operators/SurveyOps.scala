@@ -788,8 +788,11 @@ object SurveyOps {
       .withColumn("cell", explode(graft.spatial.SkyPix
         .neighborCellsWithin(col("a_lon"), col("a_lat"), level, 2.0)))
       .withColumn("a0", floor(col("a_tus") / winUs))
-      .withColumn("bucket",
-        explode(array(col("a0") - 1, col("a0"), col("a0") + 1)))
+      // forward-in-time window with bucket width == window: a match
+      // needs b_tus ∈ (a_tus, a_tus + win], which floors into bucket
+      // a0 or a0+1 only — replicating into a0-1 would be dead weight
+      // (symmetric-window queries like q_xmatch_temporal keep 3)
+      .withColumn("bucket", explode(array(col("a0"), col("a0") + 1)))
       .drop("a0")
     val b = e
       .select(col("id").as("b_id"), col("lon").as("b_lon"),
@@ -888,8 +891,9 @@ object SurveyOps {
       .withColumn("cell", explode(graft.spatial.SkyPix
         .neighborCellsWithin(col("a_lon"), col("a_lat"), level, 2.0)))
       .withColumn("a0", floor(col("a_tus") / winUs))
-      .withColumn("bucket",
-        explode(array(col("a0") - 1, col("a0"), col("a0") + 1)))
+      // forward-only window ⇒ b can floor only into a0 or a0+1 (see
+      // q_tracklets for the bound)
+      .withColumn("bucket", explode(array(col("a0"), col("a0") + 1)))
       .drop("a0")
     val b = e
       .select(col("id").as("b_id"), col("lon").as("b_lon"),
@@ -1130,10 +1134,10 @@ object SurveyOps {
     s"""WITH $pmFitSqlCtes,
        |v AS (SELECT object_id, lon0_deg, lat0_deg,
        |    pm_lon_deg_day, pm_lat_deg_day,
-       |    (CAST(round(pm_lon_deg_day / 0.024) AS BIGINT) + 18) // 6
-       |      AS vlon,
-       |    (CAST(round(pm_lat_deg_day / 0.024) AS BIGINT) + 6) // 3
-       |      AS vlat
+       |    greatest(0, CAST(round(pm_lon_deg_day / 0.024) AS BIGINT) + 18)
+       |      // 6 AS vlon,
+       |    greatest(0, CAST(round(pm_lat_deg_day / 0.024) AS BIGINT) + 6)
+       |      // 3 AS vlat
        |  FROM pmcat)
        |SELECT a.object_id AS a_id, b.object_id AS b_id,
        |  a.pm_lon_deg_day AS pm_lon, a.pm_lat_deg_day AS pm_lat,
@@ -1154,13 +1158,15 @@ object SurveyOps {
       col("lon0_deg").as(s"${p}_lon"), col("lat0_deg").as(s"${p}_lat"),
       col("pm_lon_deg_day").as(s"${p}_pml"),
       col("pm_lat_deg_day").as(s"${p}_pmb"),
-      // +18/+6 shifts the rate nonnegative so integer division is
-      // floor-identical in both engines (DuckDB // floors, Spark DIV
-      // truncates — they agree only above zero)
-      expr("CAST((CAST(round(pm_lon_deg_day / 0.024) AS BIGINT) + 18)" +
-        s" DIV 6 AS BIGINT)").as(s"${p}_vlon"),
-      expr("CAST((CAST(round(pm_lat_deg_day / 0.024) AS BIGINT) + 6)" +
-        s" DIV 3 AS BIGINT)").as(s"${p}_vlat"))
+      // +18/+6 shifts the expected rate band nonnegative so integer
+      // division is floor-identical in both engines (DuckDB // floors,
+      // Spark DIV truncates — they agree only above zero); greatest(0,_)
+      // pins any out-of-band fitted slope to cell 0 on BOTH sides, so
+      // the engines can never disagree on a negative operand
+      expr("CAST(greatest(0, CAST(round(pm_lon_deg_day / 0.024) AS BIGINT)" +
+        s" + 18) DIV 6 AS BIGINT)").as(s"${p}_vlon"),
+      expr("CAST(greatest(0, CAST(round(pm_lat_deg_day / 0.024) AS BIGINT)" +
+        s" + 6) DIV 3 AS BIGINT)").as(s"${p}_vlat"))
     side("a").join(side("b"),
       col("a_vlon") === col("b_vlon") && col("a_vlat") === col("b_vlat")
         && col("a_id") < col("b_id"))

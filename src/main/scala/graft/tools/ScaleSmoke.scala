@@ -292,6 +292,53 @@ object ScaleSmoke {
     }
     dedupDocs.unpersist()
 
+    // PPJoin under a BOILERPLATE-HOT corpus: 1M docs where 200k share
+    // one template (per-doc salt keeps them near- not exact-dups) —
+    // every template token's prefix bucket holds ~200k docs, which
+    // uncapped means 200k-row agg buffers and ~2·10¹⁰ candidate
+    // pairs from ONE bucket. The q_dedup_prefix bsz cap must drop
+    // those buckets entirely: candidates then come only from the
+    // 800k-doc diverse tail, and the whole join stays linear.
+    t("ppjoin hot-bucket corpus 1M docs (200k boilerplate, capped)") {
+      import org.apache.spark.sql.expressions.Window
+      val isTmpl = col("id") % 5 === 0
+      val hotDocs = spark.range(1000000).select(
+        col("id").as("doc_id"),
+        concat(
+          transform(sequence(lit(1), lit(15)), i =>
+            when(isTmpl, xxhash64(i * 7919L)) // one shared template
+              .otherwise(xxhash64(col("id") * 31 + i * 7919L))),
+          array(xxhash64(col("id") * 13))).as("toks"))
+      val maxPrefixBucket = 100 // q_dedup_prefix's ceiling
+      val toks = hotDocs.select(col("doc_id"),
+        explode(array_distinct(col("toks"))).as("s"))
+      val ws = toks
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      val pref = ws.filter(col("rn") <=
+          col("sz") - expr("(6 * sz + 9) div 10") + 1)
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("bsz") <= maxPrefixBucket)
+      val cand = pref
+        .select(col("s"), struct(col("doc_id"), col("sz")).as("d"))
+        .groupBy("s").agg(collect_list(col("d")).as("ds"))
+        .select(explode(col("ds")).as("d1"), col("ds"))
+        .select(col("d1"), explode(col("ds")).as("d2"))
+        .filter(col("d1.doc_id") < col("d2.doc_id"))
+        .select(col("d1.doc_id").as("doc_a"), col("d2.doc_id").as("doc_b"))
+        .distinct()
+      val nPairs = cand.count()
+      // linearity proof: uncapped, the template bucket ALONE emits
+      // C(200k,2) ≈ 2·10¹⁰ pairs; surviving buckets emit ≤ C(100,2)
+      // each, and the diverse tail is salt-unique — candidates must
+      // stay ≪ one hot bucket's quadratic output
+      require(nPairs < 50000000L,
+        s"hot-bucket quadratic blowup survived the cap: $nPairs pairs")
+      s"$nPairs candidate pairs (template buckets dropped)"
+    }
+
     // merge-on-read at 10M keys: base + 5 upsert deltas + a tombstone
     // batch, resolved by ONE key-partitioned window over the visible
     // directories — the read cost the CDC design note in Snapshots
