@@ -123,5 +123,9 @@ object Bench {
     // with the single-shot totals of rounds ≤ 7).
     println(s"""{"metric":"total","value":$bestTotal,"cold_value":$coldTotal,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs}""")
     spark.stop()
+    // A run with errored queries must not report success: totals are
+    // non-comparable (errored queries contribute 0.0s) and tooling
+    // keying off rc would read the round as clean (round-10 ADVICE).
+    if (errors.nonEmpty) sys.exit(3)
   }
 }

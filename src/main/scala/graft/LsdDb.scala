@@ -3,7 +3,7 @@ package graft
 import graft.sources.Snapshots
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Thin database registry over a directory of Parquet tables.
   *
@@ -119,13 +119,23 @@ final case class LsdDb(spark: SparkSession, root: String) {
         raw.filter(!org.apache.spark.sql.functions.col("is_margin"))
           .drop("is_margin", "cell")
       else raw
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
-        // integer DIV, not `/`: ns epochs (~1.7e18) exceed double's
-        // exact-integer range, so float division would corrupt low bits
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
-    }
+    val withTs =
+      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) =>
+          // integer DIV, not `/`: ns epochs (~1.7e18) exceed double's
+          // exact-integer range, so float division would corrupt low bits
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case None => df
+      }
+    // Parquet written with isAdjustedToUTC=false surfaces as
+    // TIMESTAMP_NTZ, which unix_micros()/epoch arithmetic reject. The
+    // session runs in UTC, so casting NTZ → TIMESTAMP is value-
+    // preserving and matches DuckDB's CAST(ts AS TIMESTAMP).
+    withTs.schema.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(withTs)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c)
+        .cast(TimestampType)))
   }
 
   /** Register every known table as a temp view so `spark.sql` works. */

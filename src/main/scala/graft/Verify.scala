@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= (name, String.valueOf(e.getMessage).take(500))
+        // A crashed query must still produce a dump, else the driver's
+        // compare silently OMITS it and the round reads as green by
+        // omission (round-10 postmortem). A one-row sentinel with a
+        // column no oracle emits guarantees a RECORDED rows/schema/
+        // hash failure for this query instead.
+        try {
+          import spark.implicits._
+          Seq(String.valueOf(e.getMessage).take(500))
+            .toDF("_verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +56,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Human-triage sidecar: which queries crashed and why. The driver
+    // ignores unknown files; failures are ALSO visible per-query via
+    // the sentinel dumps above.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failed.sortBy(_._1)
+        .map { case (k, m) => s"${q(k)}: ${q(m)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(2)
   }
 }
