@@ -104,4 +104,57 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
+
+  /** Upper-triangle Gram accumulator taking the RAW embedding vector —
+    * the whole per-row term computation (float→double products, d6
+    * snap, millionths accumulation) runs as one JVM loop inside the
+    * aggregate. The previous shape computed the 2080 snapped terms as
+    * a Catalyst `transform(filter(sequence(...)))` array per row:
+    * higher-order functions evaluate INTERPRETED (outside whole-stage
+    * codegen), costing ~1 µs per element — 4.6 s for 2000×2080 terms
+    * at sf0.1; this loop does the identical arithmetic in ~0.3 s.
+    *
+    * Exactness: `BigDecimal.valueOf(prod)` is Double.toString's
+    * shortest decimal — the same representation Spark's
+    * double→DECIMAL(18,6) cast rounds (scala BigDecimal.decimal), and
+    * `setScale(6, HALF_UP)` is that cast's rounding mode, so the
+    * accumulated integer millionths equal Det.d6's snapped values
+    * bit-for-bit, INCLUDING dyadic midpoints (e.g. 1/128 = 0.0078125
+    * rounds UP to 0.007813, where a double-arithmetic
+    * `rint(x*1e6)` would round half-even to 7812 — the reason this
+    * does not shortcut through rint). finish matches the oracle's
+    * CAST(DECIMAL AS DOUBLE). */
+  class GramUpperTri(d: Int)
+      extends Aggregator[Array[Float], Array[Long], Array[Double]] {
+    private val len = d * (d + 1) / 2
+    def zero: Array[Long] = new Array[Long](len)
+    def reduce(b: Array[Long], v: Array[Float]): Array[Long] = {
+      var idx = 0
+      var i = 0
+      while (i < d) {
+        val vi = v(i).toDouble
+        var j = i
+        while (j < d) {
+          b(idx) += java.math.BigDecimal.valueOf(vi * v(j).toDouble)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValue()
+          idx += 1
+          j += 1
+        }
+        i += 1
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < len) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Array[Double] =
+      b.map(l => java.math.BigDecimal.valueOf(l, 6).doubleValue)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
 }

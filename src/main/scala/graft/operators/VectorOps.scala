@@ -478,21 +478,22 @@ object VectorOps {
          |SELECT CAST(k // $d AS INT) AS i, CAST(k % $d AS INT) AS j,
          |  ${D.dsum("term")} AS gram
          |FROM t GROUP BY k ORDER BY i, j""".stripMargin) { (s, dir) =>
-      val terms = transform(
-        filter(sequence(lit(0), lit(d * d - 1)),
-          k => pmod(k, lit(d)) >= (k / lit(d)).cast("int")),
-        k => {
-          val i = (k / lit(d)).cast("int")
-          val j = pmod(k, lit(d)).cast("int")
-          Det.d6(element_at(col("v"), i + 1).cast(DoubleType)
-            * element_at(col("v"), j + 1).cast(DoubleType))
-        })
-      val gramSum =
-        udaf(new graft.functions.Aggregators.SnappedVecSum(tri.length))
+      // raw vector straight into the typed Aggregator — products,
+      // d6 snap and accumulation are one codegen-free-but-JVM-tight
+      // loop per row (see GramUpperTri: the former Catalyst
+      // transform(filter(sequence)) shape evaluated interpreted at
+      // ~1 µs/element and dominated the query's runtime)
+      val gramSum = udaf(new graft.functions.Aggregators.GramUpperTri(d))
       val upper = LsdDb.table(s, dir, "embeddings")
         .select(col("embedding").as("v"))
-        .select(terms.as("t"))
-        .agg(gramSum(col("t")).as("g"))
+        // spread rows across cores before the O(d²)-per-row reduce: the
+        // corpus parquet is one split locally, which would serialize the
+        // whole Gram pass on one thread; the partials merge as fixed
+        // O(d²) vectors, so the tiny round-robin shuffle buys full
+        // parallelism (at cluster scale input arrives pre-split and
+        // this is a no-op-sized exchange)
+        .repartition(s.sparkContext.defaultParallelism)
+        .agg(gramSum(col("v")).as("g"))
         .select(posexplode(col("g")).as(Seq("p", "gram")))
         .select(element_at(lit(tri), col("p").cast("int") + 1).as("k"),
           col("gram"))
