@@ -489,16 +489,28 @@ object Multimodal {
       * vids/MJPG stream + movi with one 00dc JPEG chunk per frame. */
     def encode(frames: Seq[BufferedImage], fps: Int): Array[Byte] = {
       require(frames.nonEmpty && fps > 0)
-      val jpegs = frames.map { img =>
-        val bos = new ByteArrayOutputStream()
-        // JPEG writer rejects alpha; normalize to RGB first
-        val rgb = new BufferedImage(img.getWidth, img.getHeight,
-          BufferedImage.TYPE_INT_RGB)
-        val g = rgb.createGraphics()
-        try g.drawImage(img, 0, 0, null) finally g.dispose()
-        ImageIO.write(rgb, "jpg", bos)
-        bos.toByteArray
-      }
+      // one writer per encode() call, NOT ImageIO.write per frame: the
+      // convenience API walks the service registry and spins up a new
+      // writer + stream for every frame, which under a 32-thread
+      // mapPartitions turns into registry contention and allocation
+      // churn (bytes produced are identical — same writer, default
+      // params either way)
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val jpegs =
+        try frames.map { img =>
+          val bos = new ByteArrayOutputStream()
+          // JPEG writer rejects alpha; normalize to RGB first
+          val rgb = new BufferedImage(img.getWidth, img.getHeight,
+            BufferedImage.TYPE_INT_RGB)
+          val g = rgb.createGraphics()
+          try g.drawImage(img, 0, 0, null) finally g.dispose()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.write(rgb)
+          } finally ios.close()
+          bos.toByteArray
+        } finally writer.dispose()
       val w = frames.head.getWidth
       val h = frames.head.getHeight
       val bos = new ByteArrayOutputStream()

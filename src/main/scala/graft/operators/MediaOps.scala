@@ -68,7 +68,10 @@ object MediaOps {
       |       CAST(ps AS BIGINT) AS px_sum
       |FROM px ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // single-split local input would serialize the codec loop on one
+    // thread; rows are 8-byte ids, so the round-robin spread is free
     LsdDb.table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val w = (4 + id % 13).toInt
         val h = (3 + id % 7).toInt
@@ -122,6 +125,7 @@ object MediaOps {
       |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     LsdDb.table(s, dir, "embeddings").select(col("vec_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val n = (100 + id % 50).toInt
         val samples = Array.tabulate(n)(i =>
@@ -162,6 +166,7 @@ object MediaOps {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     LsdDb.table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val w = (8 + id % 9).toInt
         val h = (6 + id % 5).toInt
