@@ -823,10 +823,14 @@ object PipelineOps {
       // hot-bucket cap (scaladoc above): the count rides the same
       // hash-partitioning a groupBy("h") would use, and bounds BOTH
       // the collect_list buffer and the pair fan-out below at
-      // maxPrefixBucket. One caveat vs the collision-immunity note
-      // above: a 64-bit collision merging two buckets could push a
-      // merged bucket over the cap — at vocab ≪ 2^32 that stays in
-      // the same cosmically-unlikely class.
+      // maxPrefixBucket. A groupBy-count + semi-join-back was tried
+      // and is SLOWER: map-side partial aggregation makes the two
+      // h-exchanges structurally different, so the expensive
+      // explode+window lineage computes twice instead of being reused.
+      // One caveat vs the collision-immunity note above: a 64-bit
+      // collision merging two buckets could push a merged bucket over
+      // the cap — at vocab ≪ 2^32 that stays in the same
+      // cosmically-unlikely class.
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("bsz") <= maxPrefixBucket)
     // candidate pairs bucket-locally from ONE evaluation of the prefix
