@@ -135,15 +135,34 @@ object Aggregators {
         val vi = v(i).toDouble
         var j = i
         while (j < d) {
-          b(idx) += java.math.BigDecimal.valueOf(vi * v(j).toDouble)
-            .setScale(6, java.math.RoundingMode.HALF_UP)
-            .unscaledValue().longValue()
+          b(idx) += snap6(vi * v(j).toDouble)
           idx += 1
           j += 1
         }
         i += 1
       }
       b
+    }
+
+    /** prod's exact decimal value, rounded HALF_UP at scale 6, as
+      * integer millionths. Fast path: r = prod·1e6 in double is within
+      * ulp(r)/2 of the exact scaled value, so when r sits farther than
+      * a 2-ulp guard band from a .5 midpoint, `rint` already names the
+      * unique nearest integer and EVERY rounding mode agrees — only
+      * inside the band (rare: requires the product's decimal expansion
+      * to graze x.5·10⁻⁶) does the answer depend on HALF_UP vs
+      * half-even, and there we pay the exact BigDecimal (which also
+      * inherits Double.toString's shortest-decimal semantics, the
+      * representation Spark's double→DECIMAL cast rounds). ~20×
+      * cheaper than unconditional BigDecimal on the smooth path. */
+    @inline private def snap6(prod: Double): Long = {
+      val r = prod * 1e6
+      val k = Math.rint(r)
+      val dist = Math.abs(r - k)
+      if (dist < 0.5 - 2 * Math.ulp(r)) k.toLong
+      else java.math.BigDecimal.valueOf(prod)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValue()
     }
     def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
       var i = 0

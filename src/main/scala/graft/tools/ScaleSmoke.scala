@@ -607,6 +607,61 @@ object ScaleSmoke {
       }
     }
 
+    // Gram matrix over 1M × 64-d float vectors (500× the bench corpus):
+    // the GramUpperTri typed Aggregator does 2080 decimal-snapped
+    // products per row in a JVM loop with O(d²) partition state — the
+    // whole pass is map-side partial aggregation, so wall-clock scales
+    // with rows/cores and the merge tree is depth-log(partitions).
+    {
+      import org.apache.spark.sql.types.FloatType
+      val vecs = spark.range(1000000).select(
+        transform(sequence(lit(0), lit(63)),
+          j => (((col("id") * 31 + j * 7) % 1000) / lit(1000.0))
+            .cast(FloatType))
+          .as("v"))
+      val gram = udaf(new graft.functions.Aggregators.GramUpperTri(64))
+      t("gram matrix 1M x 64-d (2080 snapped terms/row)") {
+        val g = vecs.repartition(64)
+          .agg(gram(col("v")).as("g"))
+          .select(size(col("g"))).head().getInt(0)
+        require(g == 2080, s"expected 2080 upper-triangle cells, got $g")
+        s"$g cells"
+      }
+    }
+
+    // media codec fan-out: 200k PNG encode→decode round trips (40× the
+    // bench corpus) through the per-partition codec loop — bounded
+    // per-row cost, zero shuffle; proves the ImageIO path doesn't
+    // serialize under 32-way partition parallelism.
+    {
+      t("png round-trip 200k images (16x9 max)") {
+        import spark.implicits._
+        val n = spark.range(200000).as[Long]
+          .repartition(64)
+          .mapPartitions(_.map { id =>
+            val w = (4 + id % 13).toInt
+            val h = (3 + id % 7).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val dec = graft.multimodal.Multimodal.MediaCodec
+              .decodeImage(graft.multimodal.Multimodal.MediaCodec
+                .encodePng(img)).get
+            dec.getWidth.toLong * dec.getHeight
+          }).agg(sum("value")).head().getLong(0)
+        s"pixel total $n"
+      }
+    }
+
     spark.stop()
   }
 }

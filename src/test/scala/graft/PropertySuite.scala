@@ -191,4 +191,33 @@ object PropertySuite extends Properties("graft") {
       true // no exception; None or a shorter-but-valid clip both fine
     }
   }
+
+  /** GramUpperTri's rint fast path must agree with the exact
+    * BigDecimal HALF_UP snap on every product — including dyadic
+    * midpoints like 0.25·0.03125 = 0.0078125, whose ×1e6 lands
+    * exactly on 7812.5 (HALF_UP 7813, where plain rint would give the
+    * half-even 7812). The generator mixes smooth floats with
+    * power-of-two values to hit the midpoint band. */
+  property("gramUpperTri.snapMatchesBigDecimal") = {
+    val d = 4
+    val agg = new graft.functions.Aggregators.GramUpperTri(d)
+    val pow2 = Gen.choose(-8, 2).map(e => math.pow(2, e).toFloat)
+    val smooth = Gen.choose(-1.0, 1.0).map(_.toFloat)
+    val f = Gen.oneOf(pow2, smooth, Gen.oneOf(0f, -0.25f, 0.0625f))
+    Prop.forAll(Gen.listOfN(d, f)) { vs =>
+      val v = vs.toArray
+      val got = agg.reduce(agg.zero, v)
+      var idx = 0
+      var ok = true
+      for (i <- 0 until d; j <- i until d) {
+        val want = java.math.BigDecimal
+          .valueOf(v(i).toDouble * v(j).toDouble)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValue()
+        ok &&= got(idx) == want
+        idx += 1
+      }
+      ok
+    }
+  }
 }
