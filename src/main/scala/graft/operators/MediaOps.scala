@@ -193,5 +193,82 @@ object MediaOps {
       }).toDF().orderBy("doc_id")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qMediaDecode, qMediaAudio, qMediaVideo)
+  final case class PhashRow(doc_id: Long, width: Int, height: Int,
+                            phash_lo: Long, phash_hi: Long)
+
+  /** X3d — PERCEPTUAL HASH (aHash) oracle gate. Same generative image
+    * model as q_media_decode (gray ramp ⇒ BT.601 milli-luma = 1000·v
+    * exactly, since r=g=b), pushed through the REAL PNG encode→decode,
+    * then MediaCodec.perceptualHash — whose contract is all-integer
+    * arithmetic (block milli-luma sums, cross-multiplied mean
+    * comparisons) precisely so an external engine CAN replicate it
+    * bit-for-bit. The oracle rebuilds the 8×8 block-mean grid and the
+    * sums(g)·n > total·counts(g) bit rule in SQL over the closed-form
+    * pixels; images are ≤16×9 so the ≤64×64 sampling stride is 1 and
+    * every pixel participates. The 64-bit hash is emitted as two
+    * 32-bit halves (bit 63 would overflow signed BIGINT construction
+    * in SQL). This turns the image-dedup kernel from spec-tested into
+    * hash-gated. */
+  val qMediaPhash: QuerySpec = QuerySpec(
+    "q_media_phash",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(4 + doc_id % 13 AS INTEGER) AS width,
+      |         CAST(3 + doc_id % 7 AS INTEGER) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.width, d.height,
+      |         (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v,
+      |         (CASE WHEN y.y * 8 // d.height > 7 THEN 7
+      |               ELSE y.y * 8 // d.height END) * 8
+      |         + (CASE WHEN x.x * 8 // d.width > 7 THEN 7
+      |                 ELSE x.x * 8 // d.width END) AS g
+      |  FROM dims d
+      |  JOIN generate_series(0, 15) x(x) ON x.x < d.width
+      |  JOIN generate_series(0, 8) y(y) ON y.y < d.height),
+      |cells AS (
+      |  SELECT doc_id, width, height, g,
+      |         sum(1000 * v) AS s, count(*) AS c
+      |  FROM px GROUP BY doc_id, width, height, g),
+      |tot AS (
+      |  SELECT doc_id, sum(s) AS t, sum(c) AS n
+      |  FROM cells GROUP BY doc_id),
+      |bits AS (
+      |  SELECT c.doc_id, c.width, c.height, c.g,
+      |         CASE WHEN c.s * t.n > t.t * c.c THEN 1 ELSE 0 END AS b
+      |  FROM cells c JOIN tot t USING (doc_id))
+      |SELECT doc_id, width, height,
+      |  CAST(sum(CASE WHEN g < 32 THEN b * (1::BIGINT << g)
+      |           ELSE 0 END) AS BIGINT) AS phash_lo,
+      |  CAST(sum(CASE WHEN g >= 32 THEN b * (1::BIGINT << (g - 32))
+      |           ELSE 0 END) AS BIGINT) AS phash_hi
+      |FROM bits GROUP BY doc_id, width, height
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    LsdDb.table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 7).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val dec = MediaCodec.decodeImage(MediaCodec.encodePng(img))
+          .getOrElse(sys.error(s"png round-trip failed for doc $id"))
+        val phash = MediaCodec.perceptualHash(dec)
+        PhashRow(id, dec.getWidth, dec.getHeight,
+          phash & 0xFFFFFFFFL, phash >>> 32)
+      }).toDF().orderBy("doc_id")
+  }
+
+  def specs: Seq[QuerySpec] =
+    Seq(qMediaDecode, qMediaAudio, qMediaVideo, qMediaPhash)
 }
