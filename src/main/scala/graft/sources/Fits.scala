@@ -328,30 +328,39 @@ object Fits {
       val cols = (1 to nFields).map { i =>
         (h(s"TTYPE$i").trim, h(s"TFORM$i").trim)
       }
+      // decoders compiled ONCE per file, not a TFORM string-match (and
+      // for strings a regex) per CELL — at 600k rows × 5 columns the
+      // per-cell dispatch dominated the parse
+      val decoders: Array[() => Any] = cols.map { case (_, tform) =>
+        tform match {
+          case "K" => () => bb.getLong()
+          case "J" => () => bb.getInt()
+          case "D" => () => bb.getDouble()
+          case "E" => () => bb.getFloat()
+          case a if a.endsWith("A") =>
+            val w = a.dropRight(1).toInt
+            () => {
+              val b = new Array[Byte](w)
+              bb.get(b)
+              // trailing spaces are padding per the standard
+              var end = w
+              while (end > 0 && b(end - 1) == ' '.toByte) end -= 1
+              new String(b, 0, end, StandardCharsets.US_ASCII)
+            }
+          case t => throw new IllegalArgumentException(
+            s"FITS import: unsupported TFORM $t")
+        }
+      }.toArray
       (0 until nRows).iterator.map { _ =>
         val vals = new Array[Any](nFields)
         val start = bb.position()
         var i = 0
         while (i < nFields) {
-          vals(i) = cols(i)._2 match {
-            case "K" => bb.getLong()
-            case "J" => bb.getInt()
-            case "D" => bb.getDouble()
-            case "E" => bb.getFloat()
-            case a if a.endsWith("A") =>
-              val w = a.dropRight(1).toInt
-              val b = new Array[Byte](w)
-              bb.get(b)
-              // trailing spaces are padding per the standard
-              new String(b, StandardCharsets.US_ASCII)
-                .replaceAll(" +$", "")
-            case t => throw new IllegalArgumentException(
-              s"FITS import: unsupported TFORM $t")
-          }
+          vals(i) = decoders(i)()
           i += 1
         }
         bb.position(start + rowBytes)
-        Row.fromSeq(vals.toIndexedSeq)
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
       }
     }
     // schema from the first file's header (all parts share it)
