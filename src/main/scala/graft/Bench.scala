@@ -19,6 +19,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Preflight schema-contract check: a regenerated testdata table
+    // with a fatal drift makes every timing meaningless — fail loud
+    // BEFORE the warmup, with the diff on stderr and a parseable
+    // headline naming the preflight as the error.
+    try Preflight.check(spark, sfDir)
+    catch { case e: Preflight.SchemaDriftException =>
+      System.err.println(s"[bench] PREFLIGHT FAILED\n${e.getMessage}")
+      println(s"""{"metric":"total","value":0.0,"unit":"sec","sf":"$sfDir","n_queries":0,"n_errors":1,"errors":["_preflight"]}""")
+      spark.stop()
+      sys.exit(3)
+    }
     // Warmup: touch every table and exercise scan+shuffle+agg codegen.
     try {
       LsdDb.standardTables.foreach(t => LsdDb.table(spark, sfDir, t).count())

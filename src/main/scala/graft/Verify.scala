@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // dev-only: `--only a,b` restricts the dump (driver always passes 2 args)
@@ -19,6 +32,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight: fail the WHOLE run loud on testdata schema drift
+    // (round-10 postmortem: 7 queries died silently to a regenerated
+    // events.ts). No dumps are written, so the driver compare records
+    // every query as missing — unambiguous — and errors.json carries
+    // the printed diff for triage.
+    try Preflight.check(spark, sfDir)
+    catch { case e: Preflight.SchemaDriftException =>
+      System.err.println(s"[verify] PREFLIGHT FAILED\n${e.getMessage}")
+      Files.writeString(Paths.get(s"$outDir/errors.json"),
+        s"""{"_preflight": ${q(e.getMessage)}}""")
+      spark.stop()
+      sys.exit(2)
+    }
     var failed = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -33,6 +59,17 @@ object Verify {
         // omission (round-10 postmortem). A one-row sentinel with a
         // column no oracle emits guarantees a RECORDED rows/schema/
         // hash failure for this query instead.
+        //
+        // Delete any stale dump FIRST: if the sentinel write itself
+        // throws, a reused outDir must be left with an ABSENT dump
+        // (a recorded omission) rather than a prior run's passing
+        // parquet that would read as green for a crashed query.
+        try {
+          val d = Paths.get(s"$outDir/$name")
+          if (Files.exists(d))
+            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
         try {
           import spark.implicits._
           Seq(String.valueOf(e.getMessage).take(500))
@@ -41,18 +78,6 @@ object Verify {
         } catch { case _: Throwable => () }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -68,16 +68,18 @@ object ExactQuantiles {
 
   def quantiles(df: DataFrame, groupCols: Seq[String], reqs: Seq[Req],
       bins: Int = 1024, collectThreshold: Long = 1L << 16,
-      maxPasses: Int = 20): DataFrame =
+      maxPasses: Int = 20, maxGroups: Int = 4096): DataFrame =
     computeWithStats(df, groupCols, reqs, bins, collectThreshold,
-      maxPasses)._1
+      maxPasses, maxGroups)._1
 
   def computeWithStats(df: DataFrame, groupCols: Seq[String],
       reqs: Seq[Req], bins: Int = 1024,
-      collectThreshold: Long = 1L << 16, maxPasses: Int = 20)
+      collectThreshold: Long = 1L << 16, maxPasses: Int = 20,
+      maxGroups: Int = 4096)
       : (DataFrame, Stats) = {
     require(reqs.nonEmpty, "at least one quantile request")
     require(bins >= 2, "bins >= 2")
+    require(maxGroups >= 1, "maxGroups >= 1")
     val spark = df.sparkSession
     val valueCols = reqs.map(_.valueCol).distinct
     val nG = groupCols.length
@@ -102,9 +104,23 @@ object ExactQuantiles {
         min(when(finite, v)).as(s"__lo_$c"),
         max(when(finite, v)).as(s"__hi_$c"))
     }
+    // The collect is capped BEFORE it happens: `limit(maxGroups+1)`
+    // bounds driver intake to maxGroups+1 rows no matter the true
+    // cardinality, and one extra row proves the contract violation.
+    // Callers in the many-groups regime (per-object/per-row keys)
+    // must use Spark's buffering `percentile` aggregate instead —
+    // that is the regime it already handles; this class exists for
+    // the opposite one (few hot groups × unbounded rows).
     val statRows =
       df.groupBy(groupCols.map(col): _*).agg(statAggs.head, statAggs.tail: _*)
+        .limit(maxGroups + 1)
         .collect()
+    require(statRows.length <= maxGroups,
+      s"ExactQuantiles: group cardinality exceeds maxGroups=$maxGroups " +
+        s"for groupCols=${groupCols.mkString(",")}. Driver state is " +
+        "O(groups x bins); this operator is for driver-enumerable " +
+        "(hot-group) key sets. Use percentile()/median() aggregates " +
+        "for high-cardinality grouping keys.")
     val groups: Array[Seq[Any]] =
       statRows.map(r => (0 until nG).map(r.get))
     // per-(valueCol, group): counts by class + finite min/max

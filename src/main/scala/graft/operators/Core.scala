@@ -577,8 +577,12 @@ object Core {
         array_position(seq1n, 3L).as("pos3"),
         array_contains(seq1n, 2L).as("has2"),
         joined(flatten(array(seq1n, array(lit(9L), lit(10L))))).as("flat"))
+    // LEFT join: the dictionary rewrite must be row-preserving even if
+    // the fixture ever grows NULL l_linenumber rows — an inner USING
+    // join would silently drop them where the original per-row
+    // projection emitted them with NULL computed columns.
     li.select(col("l_orderkey"), col("l_linenumber"))
-      .join(broadcast(perKey), "l_linenumber")
+      .join(broadcast(perKey), Seq("l_linenumber"), "left")
       .select(col("l_orderkey"), col("l_linenumber"), col("union_sorted"),
         col("inter_sorted"), col("pos3"), col("has2"), col("flat"))
       .orderBy("l_orderkey", "l_linenumber")

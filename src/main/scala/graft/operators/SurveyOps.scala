@@ -1616,7 +1616,6 @@ object SurveyOps {
        |SELECT user_id AS object_id, n_obs, span_days,
        |  median_gap_days, max_gap_days
        |FROM sp ORDER BY object_id""".stripMargin) { (s, dir) =>
-    import graft.functions.ExactQuantiles
     val lw = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
     val g = LsdDb.table(s, dir, "events")
       .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
@@ -1631,13 +1630,19 @@ object SurveyOps {
     // of the form k/86400 CAN land exactly on 1e-7-grid points where
     // a d6 snap hits the midpoint tie-break (observed live:
     // span 29.4315625). The snap-of-ratio rule, third sighting.
-    val agg = g.groupBy("user_id")
+    //
+    // The median is Spark's buffering exact `percentile`: per-OBJECT
+    // gap multisets are tiny (epochs per object), which is exactly
+    // the many-groups × few-rows regime that aggregate handles and
+    // ExactQuantiles' contract forbids (its driver state is
+    // O(groups × bins) — unbounded here). Interpolation is the same
+    // IEEE lerp as quantile_cont, so hashes still match. One shuffle,
+    // no join, no driver state.
+    g.groupBy("user_id")
       .agg((count(lit(1)) + 1).as("n_obs"),
         max(col("gap")).as("max_gap_days"),
-        Det.dsum(col("gap")).as("span_days"))
-    val med = ExactQuantiles.quantiles(g, Seq("user_id"),
-      Seq(ExactQuantiles.Req("gap", 0.50, "median_gap_days")))
-    agg.join(med, "user_id")
+        Det.dsum(col("gap")).as("span_days"),
+        percentile(col("gap"), lit(0.5)).as("median_gap_days"))
       .select(col("user_id").as("object_id"), col("n_obs"),
         col("span_days"), col("median_gap_days"), col("max_gap_days"))
       .orderBy("object_id")

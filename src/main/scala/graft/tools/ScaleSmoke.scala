@@ -17,10 +17,15 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", 64)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def t[A](label: String)(f: => A): Unit = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s -> $r")
-    }
+    // dev filter: `runMain graft.tools.ScaleSmoke gram cadence` runs
+    // only blocks whose label contains one of the substrings (block-
+    // level setup outside t() still executes; it is lazy or cheap).
+    def t[A](label: String)(f: => A): Unit =
+      if (args.nonEmpty && !args.exists(label.contains(_))) ()
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s -> $r")
+      }
 
     // 2M objects + 4M detections on the sphere (uniform, seeded)
     val objects = spark.range(2000000).select(
@@ -621,11 +626,35 @@ object ScaleSmoke {
           .as("v"))
       val gram = udaf(new graft.functions.Aggregators.GramUpperTri(64))
       t("gram matrix 1M x 64-d (2080 snapped terms/row)") {
-        val g = vecs.repartition(64)
+        val got = vecs.repartition(64)
           .agg(gram(col("v")).as("g"))
-          .select(size(col("g"))).head().getInt(0)
-        require(g == 2080, s"expected 2080 upper-triangle cells, got $g")
-        s"$g cells"
+          .select(col("g")).head().getSeq[Double](0).toArray
+        require(got.length == 2080,
+          s"expected 2080 upper-triangle cells, got ${got.length}")
+        // Numeric gate, not just shape: the generator is periodic in
+        // id with period 1000 (gcd(31,1000)=1), so the 1M-row Gram is
+        // EXACTLY 1000× the 1000-row Gram — replicate the aggregator's
+        // own reduce over one period driver-side (2M products) and
+        // demand cell-for-cell equality. A regression in the snap6
+        // fast path now fails this smoke instead of passing on size.
+        val ref = new graft.functions.Aggregators.GramUpperTri(64)
+        val buf = ref.zero
+        var id = 0L
+        while (id < 1000L) {
+          val v = Array.tabulate(64)(j =>
+            (((id * 31 + j * 7) % 1000) / 1000.0).toFloat)
+          ref.reduce(buf, v)
+          id += 1
+        }
+        val want = buf.map(m =>
+          java.math.BigDecimal.valueOf(1000L * m, 6).doubleValue)
+        var i = 0
+        while (i < 2080) {
+          require(got(i) == want(i),
+            s"gram cell $i: got ${got(i)}, want ${want(i)}")
+          i += 1
+        }
+        s"2080 cells, all bit-equal to 1000x one-period reference"
       }
     }
 

@@ -327,4 +327,20 @@ class PlanQualitySpec extends SpecBase {
     // the codegen'd dot kernel carries both signature and verify math
     assert(plan.contains("dot_fold"), "expected DotFold kernel in plan")
   }
+
+  test("q_cadence: one executor-side aggregate, no driver-collected relation") {
+    val df = SurveyOps.qCadence.fn(spark, sfDir)
+    val plan = planOf(df)
+    // The per-object median must be Spark's buffering percentile inside
+    // the same groupBy — NOT a driver-side ExactQuantiles pass. A
+    // LocalTableScan would betray a collected per-object relation being
+    // re-broadcast (the round-11 scale flaw: O(objects) driver state).
+    assert(!plan.contains("LocalTableScan"),
+      s"q_cadence must not embed a driver-collected relation:\n$plan")
+    assert(plan.contains("percentile"),
+      "median must be the executor-side percentile aggregate")
+    // lag window shuffle + groupBy agg on the same user_id hash
+    // partitioning + output sort: nothing beyond those
+    assert(countShuffles(df) <= 3, s"too many shuffles:\n$plan")
+  }
 }

@@ -151,4 +151,23 @@ class ExactQuantilesSpec extends SpecBase {
       assert(math.abs(got(k)._2 - want(k)._2) <= 1e-9 * math.abs(want(k)._2))
     }
   }
+
+  test("maxGroups guard fails loud on high-cardinality grouping keys") {
+    // The driver-enumerable-groups contract is enforced, not advisory:
+    // a per-row key (the q_cadence round-11 flaw) must throw BEFORE any
+    // unbounded collect, with an error naming the right alternative.
+    val rows: Seq[(String, java.lang.Double)] = (0 until 500).map { i =>
+      (s"k$i", java.lang.Double.valueOf(i.toDouble))
+    }
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.quantiles(mkDf(rows), Seq("g"),
+        Seq(Req("v", 0.5, "med")), maxGroups = 100)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    assert(e.getMessage.contains("percentile"))
+    // at the default cap the same data passes
+    val ok = ExactQuantiles.quantiles(mkDf(rows), Seq("g"),
+      Seq(Req("v", 0.5, "med")))
+    assert(ok.count() == 500)
+  }
 }
