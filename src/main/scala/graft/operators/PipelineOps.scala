@@ -827,6 +827,12 @@ object PipelineOps {
       // and is SLOWER: map-side partial aggregation makes the two
       // h-exchanges structurally different, so the expensive
       // explode+window lineage computes twice instead of being reused.
+      // Round-12 retry with the token relation persist()ed
+      // (MEMORY_AND_DISK) and df/bsz as hash aggs + join-back:
+      // STILL slower — 10.0/22.1/14.5 s vs 6.6–13.0 s over 3 reps at
+      // sf0.1, identical 256-pair output. The cache materialization +
+      // the SMJ sorts the join-back needs cost more than the two
+      // window sorts they replace; the window shape stands.
       // One caveat vs the collision-immunity note above: a 64-bit
       // collision merging two buckets could push a merged bucket over
       // the cap — at vocab ≪ 2^32 that stays in the same

@@ -53,6 +53,64 @@ class AnnIndexSpec extends SpecBase {
     assigned.unpersist()
   }
 
+  test("clustered corpus, ids sorted by cluster: scattered init keeps recall") {
+    // The adversarial layout for seed selection: 64 well-separated
+    // clusters whose ids are CLUSTER-MAJOR (ingest order ≈ cluster
+    // order, the common real-world case) quantized to k=16 cells.
+    // First-k-by-id seeding puts every seed in cluster 0; scattered
+    // seeding spreads them, so cells stay near the ideal 4-clusters-
+    // per-cell packing.
+    val rnd = new scala.util.Random(7)
+    val d = 64
+    val rows = (0 until 6400).map { id =>
+      val c = id / 100 // cluster-major ids, 64 clusters
+      val v = Array.tabulate(d)(j =>
+        (if (j == c) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (id.toLong, v.toSeq)
+    }
+    import spark.implicits._
+    val corpus = rows.toDF("vec_id", "embedding")
+    val (cents, assigned) =
+      AnnIndex.build(corpus, "vec_id", "embedding", k = 16, iters = 4)
+    // every probe: one id from each cluster (the 7th point)
+    val probes = corpus.filter(col("vec_id") % 100 === 7)
+    val got = AnnIndex.search(cents, assigned, probes,
+      "vec_id", "embedding", topK = 10, nprobe = 4)
+      .select("probe_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val v = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", VectorKernels.norm2(col("v")))
+    val p = v.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = broadcast(p).join(v, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorKernels.cosine(VectorKernels.dot(col("pv"), col("v")),
+          col("pn"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("probe_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = truth.map { case (pid, t) =>
+      got.getOrElse(pid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9,
+      s"clustered-corpus mean recall@10 = $meanRecall")
+    // Recall alone cannot catch a seeding regression here: merged
+    // cells route probe AND neighbors identically, so recall stays
+    // high while the SCAN COST balloons. The discriminating property
+    // is cell balance — ideal 400/cell; measured max is 600 with
+    // scattered seeding vs 800 with first-k-by-id (both exactly
+    // reproducible: fixed data seed, deterministic k-means). The 700
+    // bar separates the two regimes.
+    val sizes = assigned.groupBy("cell").count().collect()
+      .map(_.getLong(1))
+    assert(sizes.max <= 700,
+      s"oversized IVF cell (seeding regression?): ${sizes.sorted.mkString(",")}")
+  }
+
   test("build is deterministic (same centroids across builds)") {
     val (c1, _) = AnnIndex.build(emb, "vec_id", "embedding", k = 8, iters = 2)
     val (c2, _) = AnnIndex.build(emb, "vec_id", "embedding", k = 8, iters = 2)
