@@ -9,15 +9,34 @@ import org.apache.spark.sql.functions._
   * assignment (TextOps q_dedup_clusters).
   *
   * `label := min(label, min over neighbors' labels)` to fixpoint:
-  * each round is one shuffle join + one aggregation, the round count
-  * is the component diameter (small for both use cases: detections of
-  * one source sit within ~radius; near-dup clusters are
-  * boilerplate-capped), and the fixpoint is unique — iteration order
-  * cannot change the answer, so results stay oracle-deterministic.
+  * each round is one shuffle join + one aggregation, and the fixpoint
+  * is unique — iteration order cannot change the answer, so results
+  * stay oracle-deterministic.
+  *
+  * Worst-case round bound: plain min-propagation needs rounds =
+  * component diameter, fine for the intended workloads (detections of
+  * one source sit within ~radius; near-dup clusters are boilerplate-
+  * capped) but a pathological chain-shaped component would blow the
+  * round budget. After [[jumpAfter]] rounds the loop therefore turns
+  * on POINTER JUMPING (label := min(label, label(label)) — the
+  * path-halving step of classic PRAM CC and the MapReduce small-star
+  * algorithms): reach more than doubles per round, so convergence is
+  * O(log diameter) with zero extra cost in the common few-round case.
+  * Exactness is unchanged — a label is always the id of some node
+  * reachable from its holder (initial: itself; neighbor-min: reach
+  * via one edge; jump: reachability is transitive), so the unique
+  * fixpoint is still the component's min id.
+  *
   * The per-round `count()` is a convergence check on a persisted
   * frame (bounded work), not a driver-side data path.
   */
 object Components {
+
+  /** Rounds of plain delta-propagation before pointer jumping turns
+    * on. Typical workloads converge within this budget and never pay
+    * the extra label self-join; a long chain escalates to the
+    * logarithmic regime from round 4. */
+  private val jumpAfter = 3
 
   /** @param nodes one row per node
     * @param idCol  node id column in `nodes` (numeric/orderable)
@@ -27,7 +46,14 @@ object Components {
     */
   def minLabel(nodes: DataFrame, idCol: String, edges: DataFrame,
                srcCol: String, dstCol: String,
-               maxIter: Int = 30): DataFrame = {
+               maxIter: Int = 30): DataFrame =
+    minLabelWithRounds(nodes, idCol, edges, srcCol, dstCol, maxIter)._1
+
+  /** [[minLabel]] plus the number of rounds taken — for scale smokes
+    * asserting the logarithmic worst-case bound. */
+  def minLabelWithRounds(nodes: DataFrame, idCol: String,
+                         edges: DataFrame, srcCol: String, dstCol: String,
+                         maxIter: Int = 30): (DataFrame, Int) = {
     val n = nodes.select(col(idCol).as("__cc_id"))
     val e1 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val sym = e1.unionByName(
@@ -58,11 +84,14 @@ object Components {
     // Monotone-min argument for exactness: a node's label can only
     // improve via a neighbor whose label improved the round before —
     // an unchanged neighbor's label was already pushed (round 1 pushes
-    // everything, since every identity label is "new"). Rounds stay
-    // = component diameter, but the per-round edge join shrinks from
-    // edges⋈ALL-labels to edges⋈frontier — at corpus scale most
-    // components settle in 1-2 rounds and drop out of the join, which
-    // is the difference between O(E) per round and O(E_frontier).
+    // everything, since every identity label is "new"). Pointer-jump
+    // improvements enter the same frontier (delta = "changed this
+    // round", whatever the mechanism), so every improvement is still
+    // eventually pushed across every edge and the fixpoint test below
+    // remains sound. The per-round edge join runs edges⋈frontier —
+    // at corpus scale most components settle in 1-2 rounds and drop
+    // out of the join, the difference between O(E) and O(E_frontier)
+    // per round.
     var delta = labels
     var converged = false
     var it = 0
@@ -71,37 +100,54 @@ object Components {
         .join(delta, sym("src") === delta("__cc_id"))
         .groupBy(col("dst").as("__cc_id2"))
         .agg(min(col("label")).as("nbr_min"))
-      // one join per round: the checkpointed frame carries both the
-      // old label and the neighbor minimum, so the convergence count,
-      // the next labels AND the next frontier all read it without a
-      // second join. The checkpoint is LAZY — the convergence count
-      // below is the action that materializes it, so each round runs
-      // exactly one job.
-      val joined = labels
+      // one edge join per round: `base` carries the old label and the
+      // neighbor-min merged, so the convergence count, next labels AND
+      // next frontier all read one frame without a second edge join.
+      val base = labels
         .join(neighborMin, col("__cc_id") === col("__cc_id2"), "left_outer")
         .select(col("__cc_id"), col("label"),
-          coalesce(col("nbr_min"), col("label")).as("nbr_min"))
-        .localCheckpoint(false)
-      val changed = joined.filter(col("nbr_min") < col("label")).count()
-      // `joined` is materialized now — the previous round's blocks
-      // can no longer be referenced by anything downstream
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("lbl1"))
+      val next =
+        if (it < jumpAfter)
+          base.select(col("__cc_id"), col("label"),
+            col("lbl1").as("new_label"))
+        else {
+          // pointer jump: new_label = min(lbl1, lbl1(lbl1)). The label
+          // relation is closed over active node ids (a label IS a
+          // reachable node's id), so the lookup is a self equi-join;
+          // left_outer + coalesce covers a label whose holder row sits
+          // in another partition of the same frame.
+          val hop = base.select(col("__cc_id").as("__h_id"),
+            col("lbl1").as("__h_lbl"))
+          base.join(hop, col("lbl1") === col("__h_id"), "left_outer")
+            .select(col("__cc_id"), col("label"),
+              least(col("lbl1"), coalesce(col("__h_lbl"), col("lbl1")))
+                .as("new_label"))
+        }
+      // The checkpoint is LAZY — the convergence count below is the
+      // action that materializes it, so each round runs exactly one
+      // job.
+      val ck = next.localCheckpoint(false)
+      val changed = ck.filter(col("new_label") < col("label")).count()
+      // `ck` is materialized now — the previous round's blocks can no
+      // longer be referenced by anything downstream
       prevCkpt.unpersist()
-      prevCkpt = joined
-      delta = joined.filter(col("nbr_min") < col("label"))
-        .select(col("__cc_id"), col("nbr_min").as("label"))
-      labels = joined
-        .select(col("__cc_id"),
-          least(col("label"), col("nbr_min")).as("label"))
+      prevCkpt = ck
+      delta = ck.filter(col("new_label") < col("label"))
+        .select(col("__cc_id"), col("new_label").as("label"))
+      labels = ck.select(col("__cc_id"), col("new_label").as("label"))
       converged = changed == 0
       it += 1
     }
     sym.unpersist()
     require(converged,
       s"component propagation did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter — raise it)")
+        "(pointer jumping caps rounds near jumpAfter + log2(diameter) " +
+        "— raise maxIter only for astronomically deep graphs)")
     val singletons = n.join(labels, Seq("__cc_id"), "left_anti")
       .select(col("__cc_id"), col("__cc_id").as("label"))
-    labels.unionByName(singletons)
-      .select(col("__cc_id").as(idCol), col("label").as("component"))
+    (labels.unionByName(singletons)
+      .select(col("__cc_id").as(idCol), col("label").as("component")), it)
   }
 }

@@ -81,6 +81,24 @@ object ScaleSmoke {
         " components"
     }
 
+    // worst-case diameter: a single 1M-node PATH (diameter 999,999 —
+    // 33,000× the maxIter budget). Pointer jumping must close it in
+    // ~jumpAfter + log2(1M) ≈ 23 rounds; this block is the measured
+    // answer to "what does a pathological chain cost", not a typical
+    // workload (dedup clusters are shallow).
+    t("connected components 1M-node single chain (pointer jumping)") {
+      val cnodes = spark.range(1000000).select(col("id"))
+      val cedges = spark.range(999999).select(
+        col("id").as("a"), (col("id") + 1).as("b"))
+      val (cc, rounds) = graft.operators.Components
+        .minLabelWithRounds(cnodes, "id", cedges, "a", "b")
+      val distinct = cc.select(countDistinct(col("component")))
+        .head().getLong(0)
+      require(distinct == 1, s"expected 1 component, got $distinct")
+      require(rounds <= 26, s"expected O(log) rounds, took $rounds")
+      s"1 component in $rounds rounds"
+    }
+
     // int8-quantized cosine search: 1M x 64-d corpus, 8 probes — the
     // map-only broadcast pass with the codegen'd double-array DotFold
     val corpus = spark.range(1000000).select(col("id").as("vec_id"),
