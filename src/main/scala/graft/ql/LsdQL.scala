@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions.{col, row_number}
 
 /** The reference's SQL-ish query language, re-hosted on Catalyst:
   *
-  *   SELECT expr [AS name], ... FROM t1[@snap], t2[(outer)], ...
+  *   SELECT [DISTINCT] expr [AS name], ... FROM t1[@snap], t2[(outer)], ...
   *     [WHERE expr] [GROUP BY expr, ...] [HAVING expr]
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
+  *   query {UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL]} query ...
   *
   * `t@N` reads a snapshot-layout table as of committed snapshot N
   * (time travel through the Snapshots commit log); plain `t` reads
@@ -88,10 +89,104 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
   private case class FromItem(table: String, outer: Boolean,
                               asOf: Option[Long] = None)
 
-  /** Run a QL string → DataFrame (and materialize if INTO given). */
+  /** Run a QL string → DataFrame (and materialize if INTO given).
+    *
+    * Set operators compose whole SELECT queries, standard SQL
+    * semantics: `UNION` dedups, `UNION ALL` keeps multiplicity,
+    * `INTERSECT`/`EXCEPT` are distinct-set ops (`ALL` variants keep
+    * bag semantics). Columns combine POSITIONALLY (names from the
+    * first operand — SQL's rule, Spark's `union`). ORDER BY / LIMIT /
+    * INTO may only appear on the LAST operand and then apply to the
+    * COMBINED result (so ORDER BY can reference only output columns —
+    * also SQL's rule for set expressions). */
   def query(q: String): DataFrame = {
-    val (selectList, fromItems, whereOpt, groupOpt, havingOpt, orderOpt,
-      limitOpt, intoOpt) = parse(q)
+    val text = q.trim.stripSuffix(";")
+    val parts = splitSetOps(text)
+    if (parts.lengthIs == 1) return queryOne(parts.head._2, liftTail = false)._1
+    var df: DataFrame = null
+    for (((op, ptext), i) <- parts.zipWithIndex) {
+      val last = i == parts.length - 1
+      val (pdf, tail) = queryOne(ptext, liftTail = true)
+      if (!last)
+        require(tail.isEmpty,
+          "ORDER BY / LIMIT / INTO are only allowed on the last " +
+            "operand of a set expression (they apply to the combined " +
+            "result)")
+      df = op match {
+        case "" => pdf
+        case "UNION ALL" => df.union(pdf)
+        case "UNION" => df.union(pdf).distinct()
+        case "INTERSECT ALL" => df.intersectAll(pdf)
+        case "INTERSECT" => df.intersect(pdf)
+        case "EXCEPT ALL" => df.exceptAll(pdf)
+        case "EXCEPT" => df.except(pdf)
+      }
+      if (last) tail.foreach { case (orderOpt, limitOpt, intoOpt) =>
+        if (orderOpt.isDefined || limitOpt.isDefined) {
+          // order/limit over the combined relation: only output
+          // columns are in scope, so a temp view + plain SQL is exact
+          val view = s"graft_ql_set_${LsdQL.viewCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(view)
+          try {
+            val sql = new StringBuilder(s"SELECT * FROM $view")
+            orderOpt.foreach(o => sql ++= s" ORDER BY $o")
+            limitOpt.foreach(n => sql ++= s" LIMIT ${parseLimit(n)}")
+            df = df.sparkSession.sql(sql.toString)
+          } finally df.sparkSession.catalog.dropTempView(view)
+        }
+        intoOpt.foreach(name => df = writeInto(df, name, None))
+      }
+    }
+    df
+  }
+
+  private def parseLimit(n: String): Int = {
+    val k = n.trim.toLong
+    require(k >= 0 && k <= Int.MaxValue, s"LIMIT out of range: $n")
+    k.toInt
+  }
+
+  /** Split a query on top-level set-operator keywords (outside string
+    * literals and parens). Returns (operator, operand-text) with ""
+    * as the first operator. */
+  private def splitSetOps(text: String): Seq[(String, String)] = {
+    val quoted = quotedSpans(text)
+    val kw = "(?i)\\b(UNION\\s+ALL|UNION|INTERSECT\\s+ALL|INTERSECT|EXCEPT\\s+ALL|EXCEPT)\\b".r
+    val depth = new Array[Int](text.length + 1)
+    var d = 0
+    for (i <- text.indices) {
+      if (!quoted(i)) {
+        if (text.charAt(i) == '(') d += 1
+        else if (text.charAt(i) == ')') d -= 1
+      }
+      depth(i + 1) = d
+    }
+    val marks = kw.findAllMatchIn(text).toList
+      .filterNot(m => quoted(m.start) || depth(m.start) != 0)
+    if (marks.isEmpty) return Seq("" -> text)
+    val parts = Seq.newBuilder[(String, String)]
+    var prevEnd = 0
+    var prevOp = ""
+    for (m <- marks) {
+      parts += prevOp -> text.substring(prevEnd, m.start)
+      prevOp = m.matched.toUpperCase.replaceAll("\\s+", " ")
+      prevEnd = m.end
+    }
+    parts += prevOp -> text.substring(prevEnd)
+    parts.result()
+  }
+
+  /** Build ONE select-query operand. With `liftTail`, ORDER BY /
+    * LIMIT / INTO are NOT applied; they return in the second slot for
+    * the caller to apply to a combined set expression. */
+  private def queryOne(q: String, liftTail: Boolean)
+      : (DataFrame,
+         Option[(Option[String], Option[String], Option[String])]) = {
+    val (distinctFlag, selectList, fromItems, whereOpt, groupOpt, havingOpt,
+      orderOpt0, limitOpt0, intoOpt0) = parse(q)
+    val (orderOpt, limitOpt, intoOpt) =
+      if (liftTail) (None, None, None)
+      else (orderOpt0, limitOpt0, intoOpt0)
     // `t@N` time travel: FROM items may pin a snapshot-table read to
     // a committed snapshot id; tables pulled in implicitly as join-
     // path intermediates always read head.
@@ -201,6 +296,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       df.createOrReplaceTempView(view)
       try {
         val sql = new StringBuilder("SELECT ")
+        if (distinctFlag) sql ++= "DISTINCT "
         sql ++= (if (selectList.isEmpty) Seq("*") else selectList)
           .mkString(", ")
         sql ++= s" FROM $view"
@@ -212,32 +308,49 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         // analysis binds the plan eagerly at sql(); the view can go
         df.sparkSession.catalog.dropTempView(view)
       }
-    } else if (selectList.nonEmpty && selectList != Seq("*"))
-      df = df.selectExpr(selectList: _*)
+    } else {
+      if (selectList.nonEmpty && selectList != Seq("*"))
+        df = df.selectExpr(selectList: _*)
+      // SELECT DISTINCT on the plain path: dedup AFTER projection
+      // (SQL semantics — distinct over the output columns). Catalyst
+      // plans it as the usual two-phase hash aggregate on all output
+      // columns, map-side combined.
+      if (distinctFlag) df = df.distinct()
+    }
     limitOpt.foreach { n =>
-      val k = n.trim.toLong
-      require(k >= 0 && k <= Int.MaxValue, s"LIMIT out of range: $n")
       // with ORDER BY, Catalyst plans this as TakeOrderedAndProject
       // (distributed top-k, never a full sorted collect)
-      df = df.limit(k.toInt)
+      df = df.limit(parseLimit(n))
     }
     intoOpt.foreach { name =>
-      val root = intoRoot.getOrElse(db.root)
-      val path = s"$root/$name.parquet"
-      // Spatial INTO: when the result still carries the driving
-      // table's registered sky coordinates, it lands as a
-      // SpatialWriter cell-partitioned layout (at the IdSpec's level)
-      // instead of a flat parquet dir — so a footprint-bounded query
-      // against the derived table prunes directories exactly like the
-      // source catalog (the reference's INTO inherited the cell
-      // structure the same way). Everything else stays flat parquet.
-      idSpecs.get(fromItems.head.table) match {
-        case Some(spec) if df.columns.contains(spec.lonCol) &&
-            df.columns.contains(spec.latCol) =>
-          graft.sources.SpatialWriter.write(
-            df, spec.lonCol, spec.latCol, spec.level, path)
-        case _ => df.write.mode("overwrite").parquet(path)
-      }
+      df = writeInto(df, name, Some(fromItems.head.table))
+    }
+    val tail =
+      if (!liftTail) None
+      else Some((orderOpt0, limitOpt0, intoOpt0))
+        .filter(t => t._1.isDefined || t._2.isDefined || t._3.isDefined)
+    (df, tail)
+  }
+
+  /** INTO materialization. Spatial INTO: when the result still
+    * carries the driving table's registered sky coordinates, it lands
+    * as a SpatialWriter cell-partitioned layout (at the IdSpec's
+    * level) instead of a flat parquet dir — so a footprint-bounded
+    * query against the derived table prunes directories exactly like
+    * the source catalog (the reference's INTO inherited the cell
+    * structure the same way). Everything else — including set-
+    * expression results, whose provenance is mixed — stays flat
+    * parquet. Returns the input frame unchanged. */
+  private def writeInto(df: DataFrame, name: String,
+                        drivingTable: Option[String]): DataFrame = {
+    val root = intoRoot.getOrElse(db.root)
+    val path = s"$root/$name.parquet"
+    drivingTable.flatMap(idSpecs.get) match {
+      case Some(spec) if df.columns.contains(spec.lonCol) &&
+          df.columns.contains(spec.latCol) =>
+        graft.sources.SpatialWriter.write(
+          df, spec.lonCol, spec.latCol, spec.level, path)
+      case _ => df.write.mode("overwrite").parquet(path)
     }
     df
   }
@@ -295,8 +408,9 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * strings for Catalyst to parse. Keywords and commas inside string
     * literals (e.g. WHERE name LIKE 'from,where') are ignored. */
   private def parse(q: String)
-      : (Seq[String], Seq[FromItem], Option[String], Option[String],
-         Option[String], Option[String], Option[String], Option[String]) = {
+      : (Boolean, Seq[String], Seq[FromItem], Option[String],
+         Option[String], Option[String], Option[String], Option[String],
+         Option[String]) = {
     val text = q.trim.stripSuffix(";")
     val quoted = quotedSpans(text)
     val kw =
@@ -312,7 +426,14 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     }.toMap
     require(sections.contains("FROM"), "query must have a FROM clause")
 
-    val selectList = splitTopLevel(sections("SELECT")).map(_.trim)
+    // leading DISTINCT on the select list (SELECT DISTINCT a, b ...)
+    val rawSelect = sections("SELECT")
+    val distinctRe = "(?is)^\\s*DISTINCT\\b(.*)$".r
+    val (distinctFlag, selectBody) = rawSelect match {
+      case distinctRe(rest) => (true, rest.trim)
+      case _ => (false, rawSelect)
+    }
+    val selectList = splitTopLevel(selectBody).map(_.trim)
     val fromItems = splitTopLevel(sections("FROM")).map(_.trim).map { t =>
       // `t@N` pins a snapshot table to committed snapshot N (time
       // travel); composes with the (outer) suffix: `t@3(outer)`.
@@ -326,9 +447,10 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         case other => FromItem(other, outer = false)
       }
     }
-    (selectList, fromItems, sections.get("WHERE"), sections.get("GROUP BY"),
-      sections.get("HAVING"), sections.get("ORDER BY"),
-      sections.get("LIMIT"), sections.get("INTO"))
+    (distinctFlag, selectList, fromItems, sections.get("WHERE"),
+      sections.get("GROUP BY"), sections.get("HAVING"),
+      sections.get("ORDER BY"), sections.get("LIMIT"),
+      sections.get("INTO"))
   }
 
   /** Split on commas not nested inside parens or string literals. */

@@ -526,4 +526,81 @@ class LsdQLSpec extends SpecBase {
     val lit = ql.query("SELECT '_ID x' AS tag, o_orderkey FROM orders")
     assert(!lit.columns.contains("_ID"))
   }
+
+  test("SELECT DISTINCT round-trips against the DataFrame twin") {
+    val df = ql.query("SELECT DISTINCT o_orderstatus FROM orders")
+    val want = db.table("orders").select("o_orderstatus").distinct()
+    assert(df.columns.toSeq == Seq("o_orderstatus"))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      want.collect().map(_.getString(0)).sorted.toSeq)
+    // DISTINCT composes with WHERE, ORDER BY and LIMIT
+    val lim = ql.query(
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_totalprice > 0 ORDER BY o_orderstatus, o_orderpriority
+        |LIMIT 3""".stripMargin)
+    val twin = db.table("orders").filter("o_totalprice > 0")
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority").limit(3)
+    assert(lim.collect().map(_.toString).toSeq ==
+      twin.collect().map(_.toString).toSeq)
+    // a column whose name merely starts with "distinct" is untouched
+    val agg = ql.query(
+      "SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 10")
+    assert(agg.count() ==
+      db.table("orders").filter("o_custkey < 10")
+        .select("o_custkey").distinct().count())
+  }
+
+  test("set operators: UNION/UNION ALL/INTERSECT/EXCEPT round-trip") {
+    val lo = "SELECT o_orderstatus FROM orders WHERE o_totalprice <= 200000"
+    val hi = "SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000"
+    val dfLo = db.table("orders").filter("o_totalprice <= 200000")
+      .select("o_orderstatus")
+    val dfHi = db.table("orders").filter("o_totalprice > 200000")
+      .select("o_orderstatus")
+    def vals(q: String) = ql.query(q).collect().map(_.getString(0)).sorted.toSeq
+    def dvals(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.getString(0)).sorted.toSeq
+    assert(vals(s"$lo UNION ALL $hi") == dvals(dfLo.union(dfHi)))
+    assert(vals(s"$lo UNION $hi") == dvals(dfLo.union(dfHi).distinct()))
+    assert(vals(s"$lo INTERSECT $hi") == dvals(dfLo.intersect(dfHi)))
+    assert(vals(s"$lo EXCEPT $hi") == dvals(dfLo.except(dfHi)))
+  }
+
+  test("set expression: trailing ORDER BY/LIMIT applies to the combined result") {
+    val q =
+      """SELECT o_orderkey FROM orders WHERE o_orderkey < 5
+        |UNION ALL
+        |SELECT o_orderkey FROM orders WHERE o_orderkey >= 5 AND o_orderkey < 9
+        |ORDER BY o_orderkey LIMIT 6""".stripMargin
+    val got = ql.query(q).collect().map(_.getLong(0)).toSeq
+    val want = db.table("orders").filter("o_orderkey < 9")
+      .select("o_orderkey").orderBy("o_orderkey").limit(6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // tail clauses on a NON-last operand fail loud
+    val e = intercept[IllegalArgumentException] {
+      ql.query(
+        """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+          |UNION ALL SELECT o_orderkey FROM orders""".stripMargin)
+    }
+    assert(e.getMessage.contains("last"))
+    // keyword inside a string literal is NOT a set operator
+    val lit = ql.query("SELECT 'a union b' AS t, o_orderkey FROM orders")
+    assert(lit.columns.toSeq == Seq("t", "o_orderkey"))
+  }
+
+  test("set expression INTO materializes the combined result") {
+    val tmp = Files.createTempDirectory("graft_ql_set_into").toString
+    val qlInto = LsdQL.forDb(db).copy(intoRoot = Some(tmp))
+    qlInto.query(
+      """SELECT o_orderstatus FROM orders WHERE o_totalprice <= 200000
+        |UNION
+        |SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000
+        |INTO statuses""".stripMargin)
+    val back = spark.read.parquet(s"$tmp/statuses.parquet")
+    val want = db.table("orders").select("o_orderstatus").distinct()
+    assert(back.collect().map(_.getString(0)).sorted.toSeq ==
+      want.collect().map(_.getString(0)).sorted.toSeq)
+  }
 }
