@@ -87,7 +87,16 @@ object Bench {
       }
       try {
         val cold = once()
-        val best = math.min(cold, once())
+        val warm = once()
+        // Third rep, only when the warm rep failed to beat the cold
+        // one (ratio ~1.0): that shape is either true steady state or
+        // BOTH runs eating the same transient (GC, sibling load) —
+        // round 11 showed q_dedup_clusters at best==cold 5.05 s in
+        // the driver run vs 3.48 s here. One extra rep for just these
+        // queries disambiguates at ~zero cost for the rest.
+        val best =
+          if (warm >= cold * 0.98) math.min(math.min(cold, warm), once())
+          else math.min(cold, warm)
         (name, cold, best)
       } catch {
         case _: Throwable =>

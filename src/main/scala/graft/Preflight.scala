@@ -116,11 +116,36 @@ object Preflight {
       }
     }.unzip match { case (f, w) => (f.flatten, w.flatten) }
     warns.foreach(w => System.err.println(s"[preflight] WARN $w"))
-    if (fatals.nonEmpty)
+    // Value-sanity probe for the one drift class the TYPE check is
+    // blind to: events.ts arrives as raw int64 and LsdDb divides by
+    // 1000 assuming NANOseconds. A regeneration in µs or ms would
+    // type-check identically and silently shift every timestamp
+    // 1000×. Epoch bounds on min/max (one single-column aggregate
+    // over one table) catch any unit error ≥ 10³ loudly.
+    val tsFatal =
+      if (fatals.nonEmpty) Nil // schema already broken; don't read data
+      else try {
+        val r = db.table("events")
+          .agg(org.apache.spark.sql.functions.min("ts"),
+            org.apache.spark.sql.functions.max("ts")).head()
+        val lo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+        val hi = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+        val (mn, mx) = (r.getTimestamp(0), r.getTimestamp(1))
+        if (mn == null || mn.before(lo) || mx.after(hi))
+          Seq(s"events.ts: values [$mn, $mx] outside [1990, 2100] — " +
+            "timestamp UNIT drift (ns assumption violated)?")
+        else Nil
+      } catch { case e: Throwable =>
+        Seq("events.ts: value probe failed " +
+          s"(${e.getClass.getSimpleName}: " +
+          s"${String.valueOf(e.getMessage).take(200)})")
+      }
+    val allFatal = fatals ++ tsFatal
+    if (allFatal.nonEmpty)
       throw new SchemaDriftException(
-        s"testdata schema drift at $sfDir — ${fatals.size} fatal " +
+        s"testdata schema drift at $sfDir — ${allFatal.size} fatal " +
           "difference(s) vs FIXTURES.md contract:\n  " +
-          fatals.mkString("\n  "))
+          allFatal.mkString("\n  "))
   }
 
   final class SchemaDriftException(msg: String)

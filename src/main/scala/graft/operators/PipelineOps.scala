@@ -850,6 +850,13 @@ object PipelineOps {
       .select(explode(col("ds")).as("d1"), col("ds"))
       .select(col("d1"), explode(col("ds")).as("d2"))
       .filter(col("d1.doc_id") < col("d2.doc_id"))
+      // PPJoin LENGTH filter: J ≤ min(sz)/max(sz), so a pair with
+      // 5·min < 3·max provably cannot reach τ=0.6 — drop it BEFORE
+      // the distinct and the verify joins. Output-preserving (the
+      // final 10·∩ ≥ 6·∪ test would reject exactly these), integer
+      // cross-multiplication like the verifier itself.
+      .filter(lit(5) * least(col("d1.sz"), col("d2.sz")) >=
+        lit(3) * greatest(col("d1.sz"), col("d2.sz")))
       .select(col("d1.doc_id").as("doc_a"), col("d2.doc_id").as("doc_b"),
         col("d1.sz").as("sza"), col("d2.sz").as("szb"))
       .distinct()

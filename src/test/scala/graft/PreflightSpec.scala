@@ -44,6 +44,24 @@ class PreflightSpec extends SpecBase {
     assert(fatal.isEmpty, fatal.mkString("; "))
   }
 
+  test("timestamp UNIT drift (µs written where ns assumed) fails the value probe") {
+    // Same schema, values 1000× off: events.ts regenerated in MICROs
+    // would pass the type check (int64 → DIV 1000 → timestamp) but
+    // land around 1970 — the probe must name the unit.
+    val tmp = Files.createTempDirectory("graft_preflight_ts").toString
+    for (t <- LsdDb.standardTables if t != "events")
+      Files.createSymbolicLink(
+        Paths.get(s"$tmp/$t.parquet"),
+        Paths.get(s"$sfDir/$t.parquet"))
+    LsdDb.table(spark, sfDir, "events")
+      .withColumn("ts", expr("unix_micros(ts)")) // int64 µs, not ns
+      .write.parquet(s"$tmp/events.parquet")
+    val e = intercept[Preflight.SchemaDriftException] {
+      Preflight.check(spark, tmp)
+    }
+    assert(e.getMessage.contains("UNIT"), e.getMessage)
+  }
+
   test("end-to-end: a drifted sfDir fails check() naming every drift at once") {
     val tmp = Files.createTempDirectory("graft_preflight").toString
     // symlink the real tables, then overwrite two with drifted schemas
