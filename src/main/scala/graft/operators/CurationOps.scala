@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import graft.functions.{Det => D}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** North-star extension, round 12 — the curation passes that sit
+  * between the existing dedup/quality family and shard-writing in an
+  * LLM-training-data pipeline:
+  *
+  *  - exact SUBSTRING-level duplication (Lee et al. 2021
+  *    "Deduplicating Training Data Makes Language Models Better",
+  *    arXiv:2107.06499) at word-5-gram granularity: per-doc duplicated
+  *    -span fractions plus the corpus-level boilerplate span ranking;
+  *  - DSIR-style importance weighting (Xie et al. 2023, arXiv:
+  *    2302.03169): per-doc mean log-ratio of a target-domain unigram
+  *    LM over the raw-corpus LM — the score used to importance-sample
+  *    raw crawl toward a target distribution;
+  *  - RAG/packing chunking: fixed-size overlapping token windows with
+  *    deterministic chunk signatures;
+  *  - k-anonymity metadata suppression: generalize (lang, source)
+  *    combinations rarer than k before release.
+  *
+  * Determinism discipline as everywhere in this repo: pure Catalyst
+  * expression trees (no UDFs), md5 for cross-engine signatures,
+  * xxhash64 only for Spark-internal shuffle keys whose values never
+  * reach the output, d6 snapping before decimal sums for
+  * transcendentals. Every query is whole-stage-codegen'd and
+  * DuckDB-hash-checked.
+  */
+object CurationOps {
+
+  /** Whitespace tokens, empties dropped — contract shared with
+    * TextOps.words / PipelineOps.words (SQL twin must stay textually
+    * in sync). */
+  private def words(c: Column): Column =
+    filter(split(c, "\\s+"), w => w =!= "")
+  private val wordsSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+
+  /** POSITIONAL word-5-gram spans (NOT distinct — multiplicity is the
+    * point: a span repeated inside one doc still counts once per
+    * occurrence toward that doc's duplicated-span fraction). Built as
+    * the zip_with-over-aligned-slices chain — the shingles3 lesson
+    * (PipelineOps.scala): an index lambda reading the outer array
+    * re-tokenizes per element. */
+  private def spans5(c: Column): Column = {
+    val w = words(c)
+    val m = greatest(size(w) - 4, lit(0))
+    val z2 = zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
+      (a, b) => concat_ws("\u0001", a, b))
+    val z3 = zip_with(z2, slice(w, lit(3), m),
+      (ab, x) => concat_ws("\u0001", ab, x))
+    val z4 = zip_with(z3, slice(w, lit(4), m),
+      (ab, x) => concat_ws("\u0001", ab, x))
+    zip_with(z4, slice(w, lit(5), m), (ab, x) => concat_ws("\u0001", ab, x))
+  }
+  private val spans5Sql = {
+    val w = wordsSql
+    s"""list_transform(range(1, len($w) - 3),
+       |    i -> concat_ws(chr(1), $w[i], $w[i+1], $w[i+2], $w[i+3], $w[i+4]))""".stripMargin
+  }
+
+  /** A span is boilerplate when it occurs in at least this many
+    * DISTINCT docs. */
+  private val dupDocThreshold = 3
+
+  /** X2 ext — exact substring-duplication profile per document: how
+    * much of each doc is made of word-5-gram spans that also appear
+    * in ≥ [[dupDocThreshold]] distinct documents. The per-doc
+    * `dup_span_frac` is the signal substring-dedup pipelines cut on
+    * (a doc that is 80% cross-corpus spans is boilerplate even when
+    * no single whole-doc duplicate exists).
+    *
+    * Scale shape: explode → distinct(doc, span-hash) → count = span
+    * document frequency (two shuffles on the well-distributed 64-bit
+    * span hash, partial aggregation absorbs the fan-out map-side);
+    * the duplicated-span set joins back to the positional explode on
+    * the same hash (equi-join, no pairs, no corpus×corpus anywhere);
+    * per-doc hit counts aggregate map-side. The span STRINGS never
+    * shuffle — only (doc_id, xxhash64(span)) pairs do; the hash is
+    * Spark-internal (outputs are counts), the oracle twin groups the
+    * strings themselves. At 100 TB every stage is linear in token
+    * count on a key with corpus-scale cardinality. */
+  val qDedupSubstring: QuerySpec = QuerySpec(
+    "q_dedup_substring",
+    s"""WITH base AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+       |    i -> concat_ws(chr(1), w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+       |    AS s FROM base),
+       |df AS (SELECT s, count(DISTINCT doc_id) AS df FROM g GROUP BY s),
+       |dup AS (SELECT s FROM df WHERE df >= $dupDocThreshold),
+       |hits AS (SELECT g.doc_id, count(*) AS n_dup
+       |  FROM g JOIN dup USING (s) GROUP BY g.doc_id)
+       |SELECT b.doc_id,
+       |  CAST(greatest(len(b.w) - 4, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       |  CASE WHEN len(b.w) > 4 THEN
+       |    ${D.sql.d6("CAST(coalesce(h.n_dup, 0) AS DOUBLE) / (len(b.w) - 4)")}
+       |  ELSE 0.0 END AS dup_span_frac
+       |FROM base b LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    // positional spans, hashed for the shuffles (strings stay put)
+    val g = docs.select(col("doc_id"),
+      explode(spans5(col("text"))).as("sp"))
+      .select(col("doc_id"), xxhash64(col("sp")).as("h"))
+    val dup = g.distinct().groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dupDocThreshold)
+      .select("h")
+    val hits = g.join(dup, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val nSpans = greatest(size(words(col("text"))) - 4, lit(0))
+    docs.select(col("doc_id"), nSpans.as("n_spans"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_spans").cast(LongType).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).cast(LongType).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          D.d6(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) /
+            col("n_spans")))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** X2 ext — the corpus-level view of the same signal: the most
+    * widely duplicated spans themselves (the boilerplate ranking a
+    * pipeline turns into a removal list). Here the span STRING is the
+    * output, so the groupBy key is the string — one shuffle, partial
+    * aggregation map-side, then a top-k (TakeOrderedAndProject, no
+    * global sort materialization). Deterministic total order:
+    * df desc, occurrences desc, span text asc. */
+  val qBoilerplateTopk: QuerySpec = QuerySpec(
+    "q_boilerplate_topk",
+    s"""WITH base AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+       |    i -> concat_ws(chr(1), w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+       |    AS s FROM base)
+       |SELECT replace(s, chr(1), ' ') AS span,
+       |  count(DISTINCT doc_id) AS df, count(*) AS n_occur
+       |FROM g GROUP BY s HAVING count(DISTINCT doc_id) >= $dupDocThreshold
+       |ORDER BY df DESC, n_occur DESC, span LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      LsdDb.table(s, dir, "documents")
+        .select(col("doc_id"), explode(spans5(col("text"))).as("s"))
+        .groupBy("s")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_occur"))
+        .filter(col("df") >= dupDocThreshold)
+        .select(regexp_replace(col("s"), "\u0001", " ").as("span"),
+          col("df"), col("n_occur"))
+        .orderBy(col("df").desc, col("n_occur").desc, col("span"))
+        .limit(20)
+  }
+
+  /** X2 ext — DSIR importance weight (target = English docs, raw =
+    * whole corpus): per-doc mean over tokens of
+    * ln(p_target(w) / p_raw(w)) with add-1 smoothing over the shared
+    * corpus vocabulary. Docs that look like the target domain score
+    * high; importance resampling keeps raw docs with probability ∝
+    * exp(weight). Both LMs are dictionary-scale → BROADCAST; the
+    * corpus-side explode never shuffles (the q_unigram_lm rule). Each
+    * token's log-ratio is d6-snapped BEFORE the decimal sum so the
+    * per-doc total is partition-order-free; the mean is the exact
+    * decimal sum over the exact count (unsnapped — the q_stetson
+    * midpoint lesson). */
+  val qDsirWeight: QuerySpec = QuerySpec(
+    "q_dsir_weight",
+    s"""WITH toks AS (SELECT doc_id, lang, unnest($wordsSql) AS w
+       |  FROM documents),
+       |lmr AS (SELECT w, count(*) AS cr FROM toks GROUP BY w),
+       |lmt AS (SELECT w, count(*) AS ct FROM toks WHERE lang = 'en'
+       |  GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
+       |    CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS nt,
+       |    CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+       |scored AS (SELECT t.doc_id,
+       |    ${D.sql.d6("ln(((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (nt + v)) * ((nr + v) / (CAST(cr AS DOUBLE) + 1.0)))")}
+       |      AS lr
+       |  FROM toks t JOIN lmr USING (w) LEFT JOIN lmt USING (w)
+       |  CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+       |    AS dsir_logratio
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      val toks = LsdDb.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(words(col("text"))).as("w"))
+      val lmr = toks.groupBy("w").agg(count(lit(1)).as("cr"))
+      val lmt = toks.filter(col("lang") === "en")
+        .groupBy("w").agg(count(lit(1)).as("ct"))
+      val tot = toks.agg(
+        count(lit(1)).cast(DoubleType).as("nr"),
+        count(when(col("lang") === "en", 1)).cast(DoubleType).as("nt"),
+        countDistinct(col("w")).cast(DoubleType).as("v"))
+      val lr = log(
+        ((coalesce(col("ct"), lit(0L)).cast(DoubleType) + 1.0) /
+          (col("nt") + col("v"))) *
+          ((col("nr") + col("v")) / (col("cr").cast(DoubleType) + 1.0)))
+      toks.join(broadcast(lmr), "w")
+        .join(broadcast(lmt), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), D.d6(lr).as("lr"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("lr").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast(DoubleType) / count(lit(1))).as("dsir_logratio"))
+        .orderBy("doc_id")
+  }
+
+  private val chunkSize = 32
+  private val chunkStride = 24
+
+  /** X2 ext — overlapping fixed-size token chunking (the RAG /
+    * context-packing pass): windows of [[chunkSize]] tokens every
+    * [[chunkStride]], last partial window kept, with a deterministic
+    * md5 signature per chunk. Map-only — sequence + explode + slice;
+    * zero shuffles before the presentation sort. Fan-out is
+    * size/stride ≈ 1.33× the corpus, independent of corpus size. */
+  val qChunkOverlap: QuerySpec = QuerySpec(
+    "q_chunk_overlap",
+    s"""WITH base AS (SELECT doc_id, $wordsSql AS w FROM documents
+       |  WHERE len($wordsSql) >= 1),
+       |ch AS (SELECT doc_id, w,
+       |    unnest(range(1, len(w) + 1, $chunkStride)) AS st FROM base)
+       |SELECT doc_id, CAST((st - 1) // $chunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(st AS BIGINT) AS start_tok,
+       |  CAST(len(list_slice(w, st, least(st + ${chunkSize - 1}, len(w))))
+       |    AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(
+       |    list_slice(w, st, least(st + ${chunkSize - 1}, len(w))), ' '))
+       |    AS chunk_sig
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    val chunk = slice(col("w"), col("st"), lit(chunkSize))
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(chunkStride)))
+          .as("st"))
+      .select(col("doc_id"),
+        ((col("st") - 1) / chunkStride).cast(LongType).as("chunk_idx"),
+        col("st").cast(LongType).as("start_tok"),
+        size(chunk).cast(LongType).as("n_tokens"),
+        md5(array_join(chunk, " ").cast("binary")).as("chunk_sig"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Minimum group size below which a (lang, source) combination is
+    * generalized away. */
+  private val kAnonThreshold = 5
+
+  /** X2 ext — k-anonymity metadata suppression: any (lang, source)
+    * combination carried by fewer than [[kAnonThreshold]] documents
+    * is generalized to '*' before the corpus is released (the
+    * quasi-identifier pass of a privacy-scrubbing pipeline; the
+    * direct-identifier pass is q_redact_pii). Group census is one
+    * partial-aggregating shuffle on a ~|langs|×|sources| key; the
+    * census is dimension-scale → BROADCAST back onto the corpus, so
+    * the documents themselves never shuffle. */
+  val qKanon: QuerySpec = QuerySpec(
+    "q_kanon",
+    s"""WITH grp AS (SELECT lang, source, count(*) AS n FROM documents
+       |  GROUP BY lang, source)
+       |SELECT d.doc_id,
+       |  CASE WHEN g.n >= $kAnonThreshold THEN d.lang ELSE '*' END
+       |    AS lang_pub,
+       |  CASE WHEN g.n >= $kAnonThreshold THEN d.source ELSE '*' END
+       |    AS source_pub,
+       |  g.n < $kAnonThreshold AS suppressed,
+       |  CAST(g.n AS BIGINT) AS group_n
+       |FROM documents d JOIN grp g USING (lang, source)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val grp = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    docs.join(broadcast(grp), Seq("lang", "source"))
+      .select(col("doc_id"),
+        when(col("n") >= kAnonThreshold, col("lang")).otherwise("*")
+          .as("lang_pub"),
+        when(col("n") >= kAnonThreshold, col("source")).otherwise("*")
+          .as("source_pub"),
+        (col("n") < kAnonThreshold).as("suppressed"),
+        col("n").cast(LongType).as("group_n"))
+      .orderBy("doc_id")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+    qDedupSubstring, qBoilerplateTopk, qDsirWeight, qChunkOverlap, qKanon)
+}
