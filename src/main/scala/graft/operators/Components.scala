@@ -38,6 +38,17 @@ object Components {
     * logarithmic regime from round 4. */
   private val jumpAfter = 3
 
+  /** Edge-count ceiling for the driver union-find fast path — the
+    * broadcast-join-threshold pattern applied to CC: below it the
+    * symmetrized edge list is ≤ ~8 MB of id pairs, a single collect +
+    * union-find replaces 2-20 shuffle-round jobs, and the labels go
+    * back as a broadcast relation (the corpus-scale node table never
+    * shuffles). Above it the delta-iterated/pointer-jumped loop runs
+    * unchanged — the cap is what makes the shortcut 100-TB-safe, the
+    * same way a broadcast join degrades to shuffle past its
+    * threshold. */
+  val defaultSmallGraphEdges: Long = 500000L
+
   /** @param nodes one row per node
     * @param idCol  node id column in `nodes` (numeric/orderable)
     * @param edges  undirected edge list, ONE row per edge (symmetry is
@@ -46,19 +57,37 @@ object Components {
     */
   def minLabel(nodes: DataFrame, idCol: String, edges: DataFrame,
                srcCol: String, dstCol: String,
-               maxIter: Int = 30): DataFrame =
-    minLabelWithRounds(nodes, idCol, edges, srcCol, dstCol, maxIter)._1
+               maxIter: Int = 30,
+               smallGraphEdges: Long = defaultSmallGraphEdges): DataFrame =
+    minLabelWithRounds(nodes, idCol, edges, srcCol, dstCol, maxIter,
+      smallGraphEdges)._1
 
-  /** [[minLabel]] plus the number of rounds taken — for scale smokes
-    * asserting the logarithmic worst-case bound. */
+  /** [[minLabel]] plus the number of rounds taken (0 = small-graph
+    * fast path) — for scale smokes asserting the logarithmic
+    * worst-case bound. */
   def minLabelWithRounds(nodes: DataFrame, idCol: String,
                          edges: DataFrame, srcCol: String, dstCol: String,
-                         maxIter: Int = 30): (DataFrame, Int) = {
+                         maxIter: Int = 30,
+                         smallGraphEdges: Long = defaultSmallGraphEdges)
+      : (DataFrame, Int) = {
     val n = nodes.select(col(idCol).as("__cc_id"))
     val e1 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val sym = e1.unionByName(
       e1.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .persist()
+
+    // Small-graph fast path: one count (materializes the persist the
+    // first round would have paid anyway), one bounded collect, zero
+    // iterative rounds. Only for integral ids — both current callers
+    // (FoF det_id, dedup doc_id) are LongType.
+    val integralIds = sym.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && sym.count() <= smallGraphEdges) {
+      val out = smallGraphLabels(n, sym, idCol)
+      sym.unpersist()
+      return (out, 0)
+    }
 
     // only nodes with at least one edge iterate; every other node is
     // trivially its own component and unions back in at the end. In a
@@ -149,5 +178,70 @@ object Components {
       .select(col("__cc_id"), col("__cc_id").as("label"))
     (labels.unionByName(singletons)
       .select(col("__cc_id").as(idCol), col("label").as("component")), it)
+  }
+
+  /** Driver union-find over a capped edge list. Exactness contract
+    * matches the iterative path bit-for-bit: only edges whose BOTH
+    * endpoints exist in `nodes` can merge components (in the loop, an
+    * endpoint with no label row neither receives nor forwards labels),
+    * and each component's label is its minimum member id — the same
+    * unique fixpoint, independent of union order.
+    *
+    * The node-membership filter costs one broadcast semi-join SCAN of
+    * the node table (the touched-id set is bounded by 2×edges — it
+    * broadcasts; the node table itself never shuffles), mirroring how
+    * the iterative path's `active` semi-join touches nodes exactly
+    * once. */
+  private def smallGraphLabels(n: DataFrame, sym: DataFrame,
+                               idCol: String): DataFrame = {
+    val spark = n.sparkSession
+    import spark.implicits._
+    val idType = n.schema("__cc_id").dataType
+
+    val raw = sym.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val touched = raw.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
+      .distinct.sorted
+    // which touched ids are real nodes — broadcast semi-join, bounded
+    // result (≤ |touched|)
+    val present = n.join(
+      broadcast(touched.toSeq.toDF("__cc_id")
+        .select(col("__cc_id").cast(idType))),
+      Seq("__cc_id"), "left_semi")
+      .select(col("__cc_id").cast("long")).as[Long].collect().toSet
+
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    present.foreach(id => parent(id) = id)
+    raw.foreach { case (a, b) =>
+      if (present(a) && present(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+    }
+    // component label = min member id (sorted ids → first hit per root
+    // is the min; map every member to it)
+    val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+    val presentSorted = present.toArray.sorted
+    presentSorted.foreach { id =>
+      val r = find(id)
+      if (!minOfRoot.contains(r)) minOfRoot(r) = id
+    }
+    val labels = presentSorted.map(id => (id, minOfRoot(find(id)))).toSeq
+      .toDF("__cc_id", "label")
+      .select(col("__cc_id").cast(idType).as("__cc_id"),
+        col("label").cast(idType).as("label"))
+
+    val singletons = n.join(broadcast(labels.select("__cc_id")),
+      Seq("__cc_id"), "left_anti")
+      .select(col("__cc_id"), col("__cc_id").as("label"))
+    labels.unionByName(singletons)
+      .select(col("__cc_id").as(idCol), col("label").as("component"))
   }
 }

@@ -11,11 +11,17 @@ class ComponentsSpec extends SpecBase {
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 30L, 31L, 32L).toDF("id")
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (30L, 31L), (31L, 32L), (30L, 32L)).toDF("a", "b")
-    val got = Components.minLabel(nodes, "id", edges, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L)
+    // default = small-graph union-find fast path
+    val got = Components.minLabel(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
+    // iterative path (fast path disabled) must agree exactly
+    val gotIter = Components.minLabel(nodes, "id", edges, "a", "b",
+      smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotIter == want)
   }
 
   test("long chain converges logarithmically via pointer jumping") {
@@ -26,14 +32,15 @@ class ComponentsSpec extends SpecBase {
     val n = 200
     val nodes = (0L until n.toLong).toDF("id")
     val chain = (0L until n.toLong - 1).map(i => (i, i + 1)).toDF("a", "b")
-    val (df, rounds) =
-      Components.minLabelWithRounds(nodes, "id", chain, "a", "b")
+    val (df, rounds) = Components.minLabelWithRounds(nodes, "id", chain,
+      "a", "b", smallGraphEdges = 0L)
     val got = df.collect().map(r => r.getLong(1)).distinct
     assert(got.toSeq == Seq(0L))
     assert(rounds <= 12, s"expected logarithmic convergence, took $rounds")
     // a genuinely too-small budget still fails loud
     intercept[IllegalArgumentException] {
-      Components.minLabel(nodes, "id", chain, "a", "b", maxIter = 2)
+      Components.minLabel(nodes, "id", chain, "a", "b", maxIter = 2,
+        smallGraphEdges = 0L)
     }
   }
 
@@ -47,7 +54,8 @@ class ComponentsSpec extends SpecBase {
     }
     val nodes = (0L until n.toLong).toDF("id")
     val got = Components.minLabel(nodes, "id", edges.toDF("a", "b"),
-      "a", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      "a", "b", smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference union-find
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {
@@ -62,5 +70,32 @@ class ComponentsSpec extends SpecBase {
     }
     val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
     assert(got == want)
+    // the fast path answers identically on the same graph
+    val gotFast = Components.minLabel(nodes, "id", edges.toDF("a", "b"),
+      "a", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFast == want)
+  }
+
+  test("edges through ids absent from the node table do not connect (both paths)") {
+    // 1-99-2: 99 is not a node, so 1 and 2 must stay separate; the
+    // dangling edge (3,100) must leave 3 a singleton.
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 99L), (99L, 2L), (3L, 100L)).toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    val fast = Components.minLabel(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
+    val iter = Components.minLabel(nodes, "id", edges, "a", "b",
+      smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iter == want)
+  }
+
+  test("fast path reports 0 rounds, iterative reports > 0") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    assert(Components.minLabelWithRounds(nodes, "id", edges, "a", "b")._2 == 0)
+    assert(Components.minLabelWithRounds(nodes, "id", edges, "a", "b",
+      smallGraphEdges = 0L)._2 > 0)
   }
 }
