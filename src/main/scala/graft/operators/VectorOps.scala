@@ -505,7 +505,153 @@ object VectorOps {
     }
   }
 
+  /** PQ geometry: 64-dim vectors cut into [[pqM]] subspaces of
+    * [[pqDsub]] dims; [[pqKsub]] codewords per subspace. */
+  private val pqM = 8
+  private val pqDsub = 8
+  private val pqKsub = 16
+  private val pqRerank = 8
+  private val pqTopK = 3
+
+  /** X1d — product-quantized ANN with asymmetric-distance (ADC)
+    * scoring and exact re-rank: the memory-scale path past int8
+    * (q_quantize_embed) — 64 float dims compress to [[pqM]] byte
+    * codes (32× vs float32), and candidate scoring reads only the
+    * codes plus a per-probe lookup table, never the corpus floats.
+    *
+    * Like q_ann_ivf's fixed centroids, the codebooks here are
+    * DETERMINISTIC "training" so the query stays oracle-checkable:
+    * codeword c of subspace j is the j-th [[pqDsub]]-dim slice of
+    * corpus vector c (vec_id < [[pqKsub]]); the k-means-trained
+    * library form lives in vector/PqIndex (recall-gated in spec,
+    * like AnnIndex). Pipeline, all equi-join shaped:
+    *
+    *  1. encode: corpus subvector → nearest codeword by exact
+    *     sequential L2 fold (argmin via window, code tiebreak) —
+    *     map-only vs a broadcast 128-row codebook;
+    *  2. LUT: probe × codebook partial dot products — broadcast;
+    *  3. ADC: codes ⋈ LUT on (subspace, code), per-(probe, vec)
+    *     decimal-exact sums (floats summed across subspaces are
+    *     order-sensitive; Det.dsum makes the GROUP BY associative);
+    *     rank by adot/sqrt(vn2) — probe norm is constant per probe,
+    *     so the ranking equals approximate cosine;
+    *  4. re-rank: top-[[pqRerank] candidates re-scored EXACTLY
+    *     against the raw vectors (candidate-sized join), emit
+    *     top-[[pqTopK]].
+    *
+    * At 100 TB the codes relation replaces the corpus in the hot
+    * join (m bytes/row), the LUT stays probes×m×ksub — broadcast —
+    * and the only corpus-float reads are the O(probes × rerank)
+    * re-rank lookups: the standard IVF-PQ memory story, minus the
+    * coarse cells q_ann_ivf already demonstrates. */
+  val qAnnPq: QuerySpec = QuerySpec(
+    "q_ann_pq", {
+      val sl = s"list_slice(c.vv, s.j * $pqDsub + 1, s.j * $pqDsub + $pqDsub)"
+      val psl =
+        s"list_slice(p.pvv, c.j * $pqDsub + 1, c.j * $pqDsub + $pqDsub)"
+      s"""$vvCte,
+         |sub AS (SELECT j FROM generate_series(0, ${pqM - 1}) t(j)),
+         |cb AS (SELECT s.j, c.vec_id AS code, $sl AS cw,
+         |    list_reduce(list_transform($sl, x -> x * x), (a, b) -> a + b)
+         |      AS cwn2
+         |  FROM sub s CROSS JOIN (SELECT vec_id, vv FROM n
+         |    WHERE vec_id < $pqKsub) c),
+         |corp AS (SELECT vec_id, vv, nrm FROM n WHERE vec_id >= 32),
+         |csub AS (SELECT c.vec_id, s.j, $sl AS sv
+         |  FROM corp c CROSS JOIN sub s),
+         |enc AS (SELECT vec_id, j, code, cwn2 FROM (
+         |  SELECT t.vec_id, t.j, b.code, b.cwn2,
+         |    row_number() OVER (PARTITION BY t.vec_id, t.j ORDER BY
+         |      list_reduce(list_transform(list_zip(t.sv, b.cw),
+         |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+         |        (a, b) -> a + b), b.code) AS ern
+         |  FROM csub t JOIN cb b USING (j)) WHERE ern = 1),
+         |probe AS (SELECT vec_id AS probe_id, vv AS pvv, nrm AS pnrm
+         |  FROM n WHERE vec_id >= $pqKsub AND vec_id < 32),
+         |lut AS (SELECT p.probe_id, c.j, c.code, p.pnrm,
+         |    list_reduce(list_transform(list_zip($psl, c.cw),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+         |      (a, b) -> a + b) AS pdot
+         |  FROM probe p CROSS JOIN cb c),
+         |adc AS (SELECT l.probe_id, k.vec_id,
+         |    ${D.dsum("l.pdot")} AS adot, ${D.dsum("k.cwn2")} AS vn2
+         |  FROM enc k JOIN lut l ON l.j = k.j AND l.code = k.code
+         |  GROUP BY l.probe_id, k.vec_id),
+         |cand AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adot / sqrt(vn2) DESC, vec_id) AS crn
+         |  FROM adc) WHERE crn <= $pqRerank),
+         |rer AS (SELECT t.probe_id, t.vec_id,
+         |    list_reduce(list_transform(list_zip(p.pvv, c.vv),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+         |      (a, b) -> a + b) / (sqrt(p.pnrm) * sqrt(c.nrm)) AS cos
+         |  FROM cand t JOIN probe p USING (probe_id)
+         |  JOIN corp c USING (vec_id))
+         |SELECT probe_id, vec_id, cos, rn FROM (
+         |  SELECT probe_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS INT) AS rn
+         |  FROM rer)
+         |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin
+    }) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+      .withColumn("vv", transform(col("v"), x => x.cast(DoubleType)))
+    val subs = explode(sequence(lit(0), lit(pqM - 1))).as("j")
+    val slice = (v: Column, j: Column) =>
+      org.apache.spark.sql.functions.slice(v, j * pqDsub + 1, lit(pqDsub))
+    val cb = emb.filter(col("vec_id") < pqKsub)
+      .select(col("vec_id").as("code"), col("vv"))
+      .select(col("code"), subs, col("vv"))
+      .select(col("j"), col("code"), slice(col("vv"), col("j")).as("cw"))
+      .withColumn("cwn2", aggregate(transform(col("cw"), x => x * x),
+        lit(0.0), (a, b) => a + b))
+    val csub = emb.filter(col("vec_id") >= 32)
+      .select(col("vec_id"), subs, col("vv"))
+      .select(col("vec_id"), col("j"), slice(col("vv"), col("j")).as("sv"))
+    val ew = Window.partitionBy("vec_id", "j")
+      .orderBy(col("l2").asc, col("code").asc)
+    val enc = csub.join(broadcast(cb), "j")
+      .withColumn("l2", aggregate(
+        zip_with(col("sv"), col("cw"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, b) => a + b))
+      .withColumn("ern", row_number().over(ew))
+      .filter(col("ern") === 1)
+      .select("vec_id", "j", "code", "cwn2")
+    val probe = emb.filter(col("vec_id") >= pqKsub && col("vec_id") < 32)
+      .select(col("vec_id").as("probe_id"), col("vv").as("pvv"),
+        col("nrm").as("pnrm"))
+    val lut = probe.select(col("probe_id"), col("pnrm"), subs, col("pvv"))
+      .join(broadcast(cb), "j")
+      .withColumn("pdot", aggregate(
+        zip_with(slice(col("pvv"), col("j")), col("cw"), (x, y) => x * y),
+        lit(0.0), (a, b) => a + b))
+      .select("probe_id", "j", "code", "pnrm", "pdot")
+    val adc = enc.join(broadcast(lut), Seq("j", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(Det.dsum(col("pdot")).as("adot"), Det.dsum(col("cwn2")).as("vn2"))
+    val cw2 = Window.partitionBy("probe_id")
+      .orderBy((col("adot") / sqrt(col("vn2"))).desc, col("vec_id").asc)
+    val cand = adc.withColumn("crn", row_number().over(cw2))
+      .filter(col("crn") <= pqRerank)
+      .select("probe_id", "vec_id")
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(cand)
+      .join(probe, "probe_id")
+      .join(emb.filter(col("vec_id") >= 32)
+        .select(col("vec_id"), col("vv").as("cv"), col("nrm").as("cn")),
+        "vec_id")
+      .select(col("probe_id"), col("vec_id"),
+        (aggregate(zip_with(col("pvv"), col("cv"), (x, y) => x * y),
+          lit(0.0), (a, b) => a + b) /
+          (sqrt(col("pnrm")) * sqrt(col("cn")))).as("cos"))
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= pqTopK)
+      .orderBy("probe_id", "rn")
+  }
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
-      qDedupLshCos, qAnnDisk, qEmbedGram)
+      qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq)
 }
