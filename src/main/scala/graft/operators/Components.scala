@@ -158,26 +158,128 @@ object Components {
       // action that materializes it, so each round runs exactly one
       // job.
       val ck = next.localCheckpoint(false)
-      val changed = ck.filter(col("new_label") < col("label")).count()
+      // Stats-inheritance reset (GraftShims.resetStats scaladoc): a
+      // checkpoint carries its origin plan's computed sizeInBytes, so
+      // without this re-wrap each round's join-stats product compounds
+      // the previous round's BigInts — by round ~10 the driver spends
+      // MINUTES multiplying 100k-digit integers inside stats
+      // estimation while the cluster sits idle. The re-wrap reuses the
+      // checkpointed RDD; only the logical leaf (and its default
+      // stats) is fresh.
+      val fresh = org.apache.spark.sql.GraftShims.resetStats(ck)
+      val changed = fresh.filter(col("new_label") < col("label")).count()
       // `ck` is materialized now — the previous round's blocks can no
       // longer be referenced by anything downstream
       prevCkpt.unpersist()
       prevCkpt = ck
-      delta = ck.filter(col("new_label") < col("label"))
+      delta = fresh.filter(col("new_label") < col("label"))
         .select(col("__cc_id"), col("new_label").as("label"))
-      labels = ck.select(col("__cc_id"), col("new_label").as("label"))
+      labels = fresh.select(col("__cc_id"), col("new_label").as("label"))
       converged = changed == 0
       it += 1
     }
+    // Deep-graph escalation instead of failure: pointer jumping's
+    // log-ish convergence leans on id-locality (label(label(x)) only
+    // doubles GRAPH reach when low ids sit along low-id paths — true
+    // for ingest-ordered chains, false for id-random graphs, where
+    // measured rounds track the component diameter). When the round
+    // budget runs out, contract the graph by the labels learned so
+    // far (strictly fewer nodes, exact: every label is a reachable
+    // id) and finish with large-star/small-star — proven O(log n)
+    // rounds on ANY graph shape — then compose. The loop can no
+    // longer die on a deep component; it just switches algorithms.
+    var lssRounds = 0
+    if (!converged) {
+      val l1 = labels.select(col("__cc_id").as("src"),
+        col("label").as("lsrc"))
+      val l2 = labels.select(col("__cc_id").as("dst"),
+        col("label").as("ldst"))
+      val contracted = sym.join(l1, "src").join(l2, "dst")
+        .select(col("lsrc").as("u"), col("ldst").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val (roots, r) = largeSmallStar(contracted)
+      lssRounds = r
+      labels = labels.join(roots, labels("label") === roots("u"),
+          "left_outer")
+        .select(col("__cc_id"),
+          coalesce(col("root"), col("label")).as("label"))
+    }
     sym.unpersist()
-    require(converged,
-      s"component propagation did not converge in $maxIter rounds " +
-        "(pointer jumping caps rounds near jumpAfter + log2(diameter) " +
-        "— raise maxIter only for astronomically deep graphs)")
     val singletons = n.join(labels, Seq("__cc_id"), "left_anti")
       .select(col("__cc_id"), col("__cc_id").as("label"))
     (labels.unionByName(singletons)
-      .select(col("__cc_id").as(idCol), col("label").as("component")), it)
+      .select(col("__cc_id").as(idCol), col("label").as("component")),
+      it + lssRounds)
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii: "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): each round
+    * rewrites the edge set so strictly-larger neighbors (large-star)
+    * then not-larger neighbors (small-star) hook onto the
+    * neighborhood minimum. Converges to per-component stars around
+    * the minimum id in O(log n) rounds REGARDLESS of graph shape —
+    * the guarantee the neighbor-min loop lacks on deep id-random
+    * graphs. Per round: two groupBy-min + join passes over the
+    * (shrinking) edge set, every shuffle an equi-join on node id.
+    *
+    * @param edges directed or undirected edge rows (u, v), self-loops
+    *              tolerated; node ids orderable
+    * @return ((u, root) one row per non-isolated node — roots
+    *         included, pointing to themselves —, rounds taken) */
+  def largeSmallStar(edges: DataFrame,
+                     maxIter: Int = 50): (DataFrame, Int) = {
+    var e = edges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var prev = e
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // large-star: sym neighborhoods; every neighbor v > u hooks to
+      // m(u) = min(N(u) ∪ {u})
+      val sym = e.unionByName(
+        e.select(col("v").as("u"), col("u").as("v")))
+      val lm = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(lm, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: orient edges big→small, hook all smaller
+      // neighbors AND u itself to the minimum
+      val nrm = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val sm = nrm.groupBy("u").agg(min(col("v")).as("m"))
+      val small = nrm.join(sm, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(sm.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val ck = small.localCheckpoint(false)
+      val fresh = org.apache.spark.sql.GraftShims.resetStats(ck)
+      // exact convergence: the edge SET is stable (both counts equal
+      // and no new-side row missing from the old side)
+      val stable = fresh.count() == e.count() &&
+        fresh.join(e, Seq("u", "v"), "left_anti").isEmpty
+      prev.unpersist()
+      prev = ck
+      e = fresh
+      converged = stable
+      it += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $maxIter rounds — " +
+        "not reachable for any graph with < 2^50 nodes (O(log n) bound)")
+    // stars: every non-root u carries exactly one (u, root) edge;
+    // roots get a self row
+    val roots = e.select(col("v")).distinct()
+      .join(e.select(col("u")).distinct(),
+        col("v") === col("u"), "left_anti")
+      .select(col("v").as("u"), col("v").as("root"))
+    (e.select(col("u"), col("v").as("root")).unionByName(roots), it)
   }
 
   /** Driver union-find over a capped edge list. Exactness contract

@@ -651,7 +651,68 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  /** X1e — SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then
+    * look for near-duplicates ONLY inside each cluster — the
+    * IVF-blocking idea applied to dedup instead of search, which
+    * turns corpus×corpus into Σ cell². Like q_ann_ivf, the cells
+    * come from fixed deterministic centroids (vec_id < 8) so the
+    * query stays oracle-checkable; the trained path would use
+    * AnnIndex/PqIndex codebooks.
+    *
+    * Dedup rule (deterministic, the keep-lowest-id policy of the
+    * exact-dedup family): a vector is a duplicate iff some LOWER-id
+    * vector in the SAME cell has cosine ≥ 0.4 with it; `dup_of` is
+    * the smallest such id. One broadcast pass for assignment, one
+    * cell equi-join for pairs (never cross-cell, never corpus²), one
+    * aggregation. At 100 TB the centroid count grows ~√N, so cell
+    * populations — and the in-cell pair fan-out — stay bounded, the
+    * same dial as nprobe/k in the search path. */
+  val qSemdedup: QuerySpec = QuerySpec(
+    "q_semdedup",
+    s"""$vvCte,
+       |cent AS (SELECT vec_id AS cell, vv, nrm FROM n WHERE vec_id < 8),
+       |corp AS (SELECT vec_id, vv, nrm FROM n WHERE vec_id >= 8),
+       |asgn AS (SELECT vec_id, vv, nrm, cell FROM (
+       |  SELECT c.vec_id, c.vv, c.nrm, k.cell,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosineSql("k", "c")} DESC, k.cell) AS arn
+       |  FROM corp c CROSS JOIN cent k) WHERE arn = 1),
+       |dups AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+       |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a", "b")} >= 0.4
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, s.cell, d.dup_of,
+       |  d.dup_of IS NOT NULL AS is_dup
+       |FROM asgn s LEFT JOIN dups d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val cent = broadcast(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("nrm").as("cn")))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("acos").desc, col("cell").asc)
+    val asgn = emb.filter(col("vec_id") >= 8).crossJoin(cent)
+      .withColumn("acos", cosine(col("cv"), col("v"), col("cn"), col("nrm")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select("vec_id", "v", "nrm", "cell")
+    val a = asgn.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = asgn.select(col("cell"), col("vec_id").as("vec_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dups = a.join(b, "cell")
+      .filter(col("a_id") < col("vec_id"))
+      .filter(cosine(col("av"), col("bv"), col("an"), col("bn")) >= 0.4)
+      .groupBy("vec_id").agg(min(col("a_id")).as("dup_of"))
+    asgn.select("vec_id", "cell")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
-      qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq)
+      qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup)
 }

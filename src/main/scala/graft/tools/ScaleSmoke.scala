@@ -709,6 +709,66 @@ object ScaleSmoke {
       }
     }
 
+    // PQ ANN at 1M x 64-d: train (2 Lloyd's rounds over the exploded
+    // (subspace, code, pos) relation — the expensive part, N×m×dsub
+    // rows per round), map-only encode to 8 codes/vector, ADC search
+    // for a 16-probe batch with exact re-rank. The point: the code
+    // table the search scans is 8 ints/row (vs 64 floats), the LUT is
+    // broadcast, and nothing shuffles before the per-probe top-k.
+    {
+      import org.apache.spark.sql.types.FloatType
+      val vecs = spark.range(1000000).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => ((((col("id") % 64) * 41 + j * 11) % 191) / lit(191.0) +
+            (((col("id") * 29 + j * 3) % 97) / lit(970.0)))
+            .cast(FloatType))
+          .as("v"))
+      t("pq ann 1M x 64-d: train(2 rounds) + encode + search 16 probes") {
+        val cb = graft.vector.PqIndex.train(vecs, "vec_id", "v",
+          m = 8, ksub = 16, iters = 2)
+        val encoded = graft.vector.PqIndex
+          .assignCodes(vecs, "v", cb).persist()
+        encoded.count() // materialize the encode pass
+        val probes = vecs.filter(col("vec_id") % 62500 === 7)
+          .select(col("vec_id"), col("v"))
+        val hits = graft.vector.PqIndex.search(cb, encoded, vecs,
+          "vec_id", "v", probes, "vec_id", "v",
+          topK = 10, rerank = 200).count()
+        encoded.unpersist()
+        require(hits == 160, s"expected 16 probes x 10, got $hits")
+        s"$hits results"
+      }
+    }
+
+    // Connected-components small-graph fast path vs iterative loop on
+    // the SAME 200k-edge sparse random graph (symmetrized ~400k, under
+    // the 500k cap; average degree ~1.3 gives long thin components —
+    // the many-round worst case for label propagation and exactly the
+    // regime the one-collect union-find shortcut targets).
+    {
+      val ccn = spark.range(300000).select(col("id"))
+      val cce = spark.range(200000).select(
+        abs(xxhash64(col("id")) % 300000).as("a"),
+        abs(xxhash64(col("id") + 7777777) % 300000).as("b"))
+      t("cc 200k edges: driver union-find fast path") {
+        graft.operators.Components.minLabel(ccn, "id", cce, "a", "b")
+          .select(countDistinct(col("component"))).head().getLong(0) +
+          " components"
+      }
+      // id-random near-critical graph: measured 36 neighbor-min rounds
+      // (diameter-tracking — no id-locality for pointer jumping to
+      // exploit), so the DEFAULT 30-round budget exhausts and the loop
+      // escalates to large-star/small-star mid-flight. This block
+      // exercises exactly that handoff at scale.
+      t("cc 200k edges: iterative loop + LSS escalation (fast path disabled)") {
+        val (df, rounds) = graft.operators.Components.minLabelWithRounds(
+          ccn, "id", cce, "a", "b", smallGraphEdges = 0L)
+        df.select(countDistinct(col("component"))).head().getLong(0) +
+          s" components in $rounds rounds (incl. escalation)"
+      }
+    }
+
     spark.stop()
   }
 }

@@ -36,6 +36,29 @@ object GraftShims {
           -> "false"),
         spark.sessionState.newHadoopConf())
 
+  /** Rebuild a DataFrame as a bare LogicalRDD over its own physical
+    * RDD, WITHOUT origin statistics/constraints. Spark 4's
+    * Dataset.(local)checkpoint copies the origin plan's COMPUTED
+    * sizeInBytes into the checkpoint's LogicalRDD
+    * (LogicalRDD.fromDataset → rewriteStatsAndConstraints, ExistingRDD
+    * .scala:263); in an iterative algorithm each round's join stats
+    * are the PRODUCT of the previous round's inherited BigInts, so
+    * digit counts compound ~4× per round until
+    * SizeInBytesOnlyStatsPlanVisitor's `children.map(sizeInBytes)
+    * .product` — pure driver-side BigInteger.multiply — dominates
+    * wall-clock (observed: minutes per localCheckpoint by round ~10,
+    * jstack showed Toom-Cook-3 multiplies on ~100k-digit operands).
+    * Re-wrapping the checkpointed RDD with default leaf stats resets
+    * the recursion; the RDD itself (and its materialized blocks) is
+    * reused as-is. */
+  def resetStats(df: DataFrame): DataFrame = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = cds.sparkSession
+    classic.Dataset.ofRows(spark,
+      execution.LogicalRDD(cds.queryExecution.analyzed.output,
+        cds.queryExecution.toRdd)(spark))
+  }
+
   /** Minimal whole-file PartitionedFile (no partition values). */
   def wholeFile(path: String, length: Long)
       : execution.datasources.PartitionedFile =

@@ -37,11 +37,12 @@ class ComponentsSpec extends SpecBase {
     val got = df.collect().map(r => r.getLong(1)).distinct
     assert(got.toSeq == Seq(0L))
     assert(rounds <= 12, s"expected logarithmic convergence, took $rounds")
-    // a genuinely too-small budget still fails loud
-    intercept[IllegalArgumentException] {
-      Components.minLabel(nodes, "id", chain, "a", "b", maxIter = 2,
-        smallGraphEdges = 0L)
-    }
+    // a too-small neighbor-min budget no longer fails: the loop
+    // escalates to large-star/small-star and stays exact
+    val esc = Components.minLabel(nodes, "id", chain, "a", "b",
+      maxIter = 2, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(esc.toSeq == Seq(0L))
   }
 
   test("pointer jumping changes rounds, not answers (random graph)") {
@@ -89,6 +90,36 @@ class ComponentsSpec extends SpecBase {
       smallGraphEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(iter == want)
+  }
+
+  test("large-star/small-star alone finds exact components on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 300
+    val edges = (0 until 280).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter(p => p._1 != p._2)
+    val (roots, rounds) = Components.largeSmallStar(
+      edges.toDF("u", "v"))
+    assert(rounds <= 12, s"O(log n) bound blown: $rounds rounds")
+    val got = roots.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find (min-id labels)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOf = (0 until n).groupBy(find).map { case (r, xs) =>
+      r -> xs.min.toLong }
+    val touched = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    touched.foreach { id =>
+      assert(got(id) == minOf(find(id.toInt)), s"node $id")
+    }
   }
 
   test("fast path reports 0 rounds, iterative reports > 0") {
