@@ -413,9 +413,24 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
          Option[String]) = {
     val text = q.trim.stripSuffix(";")
     val quoted = quotedSpans(text)
+    // clause keywords only count at paren depth 0 — an ORDER BY inside
+    // a window's OVER (...), or any keyword inside a parenthesized
+    // expression, belongs to that expression, not to the query shape
+    val depth = {
+      val d = new Array[Int](text.length)
+      var lvl = 0
+      for (i <- text.indices) {
+        val c = text.charAt(i)
+        if (!quoted(i) && c == '(') { d(i) = lvl; lvl += 1 }
+        else if (!quoted(i) && c == ')') { lvl -= 1; d(i) = lvl }
+        else d(i) = lvl
+      }
+      d
+    }
     val kw =
       "(?i)\\b(SELECT|FROM|WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT|INTO)\\b".r
-    val marks = kw.findAllMatchIn(text).toList.filterNot(m => quoted(m.start))
+    val marks = kw.findAllMatchIn(text).toList
+      .filterNot(m => quoted(m.start) || depth(m.start) > 0)
     require(marks.nonEmpty && marks.head.matched.equalsIgnoreCase("SELECT"),
       "query must start with SELECT")
     val sections = marks.zipWithIndex.map { case (m, i) =>

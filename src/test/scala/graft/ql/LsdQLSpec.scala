@@ -603,4 +603,29 @@ class LsdQLSpec extends SpecBase {
     assert(back.collect().map(_.getString(0)).sorted.toSeq ==
       want.collect().map(_.getString(0)).sorted.toSeq)
   }
+
+  test("window functions work in the select list (plain and agg paths)") {
+    // plain path: selectExpr parses OVER clauses
+    val df = ql.query(
+      """SELECT o_custkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        |    AS rk
+        |FROM orders WHERE o_custkey < 50""".stripMargin)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val twin = db.table("orders").filter("o_custkey < 50")
+      .select(col("o_custkey"), col("o_totalprice"),
+        rank().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc)).as("rk"))
+    assert(df.columns.toSeq == Seq("o_custkey", "o_totalprice", "rk"))
+    assert(df.collect().map(_.toString).sorted.toSeq ==
+      twin.collect().map(_.toString).sorted.toSeq)
+    // agg-path (ORDER BY present routes through spark.sql)
+    val lag1 = ql.query(
+      """SELECT o_orderkey,
+        |  lag(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin)
+    assert(lag1.columns.toSeq == Seq("o_orderkey", "prev_price"))
+    assert(lag1.count() == 5)
+  }
 }
