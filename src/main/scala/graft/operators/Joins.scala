@@ -115,6 +115,38 @@ object Joins {
       .orderBy("c_custkey")
   }
 
+  /** J1x — Bloom-prefiltered join: the explicit runtime-filter form of
+    * "filtered dim ⋈ huge fact". The build side (parts with p_size ≤ 5,
+    * ~10% of part) is collected into a Bloom filter of xxhash64(key)
+    * and applied to lineitem BEFORE the join via Spark's own codegen'd
+    * `might_contain` predicate (functions/BloomPrefilter.scala) — at
+    * 100 TB this is what keeps the fact-side shuffle proportional to
+    * the join selectivity instead of the corpus. The bloom is a
+    * superset gate; the exact join after it removes false positives,
+    * so the result — and the oracle — is the plain inner join.
+    * At the test SF the planner broadcasts the dim anyway; the bloom's
+    * value shows when the build side is 100M keys (rows too big to
+    * broadcast, key-bits small enough to ship). */
+  val qJoinBloom: QuerySpec = QuerySpec(
+    "q_join_bloom",
+    s"""SELECT p_brand, ${D.dsum("l_extendedprice")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_size <= 5
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    val build = LsdDb.table(s, dir, "part")
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    val probe = graft.functions.BloomPrefilter.prefilter(
+      LsdDb.table(s, dir, "lineitem").select("l_partkey", "l_extendedprice"),
+      col("l_partkey"), build, col("p_partkey"))
+    probe.join(build, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(Det.dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
   /** J5 — range (theta) join, banded. A naive `a.join(b, between)` is
     * a nested-loop cross product — O(|A|·|B|), dead at scale. Instead
     * both sides are bucketed on the range dimension (width 50k) and
@@ -967,7 +999,8 @@ object Joins {
   }
 
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
-    qJoinSemi, qJoinAnti, qJoinRange, qAsofNearest, qAsofJoin, qJoinSelf,
+    qJoinSemi, qJoinAnti, qJoinBloom, qJoinRange, qAsofNearest, qAsofJoin,
+    qJoinSelf,
     qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchOuter,
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect)

@@ -343,4 +343,25 @@ class PlanQualitySpec extends SpecBase {
     // partitioning + output sort: nothing beyond those
     assert(countShuffles(df) <= 3, s"too many shuffles:\n$plan")
   }
+
+  test("q_join_bloom: codegen'd might_contain gates the probe scan") {
+    val df = Joins.qJoinBloom.fn(spark, sfDir)
+    val plan = planOf(df)
+    // the bloom gate must be Spark's native BloomFilterMightContain
+    // (codegen'd), not a Scala UDF
+    assert(plan.contains("might_contain"),
+      s"expected native bloom predicate in plan:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython")
+      && !plan.contains("UDF("),
+      "bloom gate must not be a UDF")
+    // and it must sit on the lineitem (probe) side BEFORE the join:
+    // the Filter containing might_contain appears below the join node
+    // in the same subtree as the lineitem scan
+    val lines = plan.linesIterator.toVector
+    val bloomLine = lines.indexWhere(_.contains("might_contain"))
+    val scanLine = lines.indexWhere(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(bloomLine >= 0 && scanLine > bloomLine,
+      "might_contain must gate the probe-side scan")
+  }
 }
