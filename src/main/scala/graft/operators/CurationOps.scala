@@ -290,6 +290,49 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — key-skew profile: the diagnostic you run BEFORE deciding to
+    * salt a join or aggregate. Per-key frequencies reduce map-side
+    * (partial count), the top-10 heavy hitters come back through
+    * TakeOrderedAndProject (never a full sort), and each gets its
+    * corpus share plus the running cumulative share — the curve whose
+    * knee tells you whether skew is a one-key problem (salt that key)
+    * or a long-head problem (repartition). The only window runs over
+    * the 10 surviving rows; the total is a broadcast single-row cross
+    * join, so nothing here grows with the corpus except the one
+    * partial-aggregated groupBy. Shares are exact: BIGINT counts and
+    * cumulative sums divided once in double — no rounding needed for
+    * the oracle hash. */
+  val qSkewProfile: QuerySpec = QuerySpec(
+    "q_skew_profile",
+    """WITH c AS (SELECT user_id, count(*) AS n FROM events
+      |           GROUP BY user_id),
+      |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events),
+      |top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 10)
+      |SELECT user_id, n,
+      |  CAST(n AS DOUBLE) / total AS share,
+      |  CAST(sum(n) OVER (ORDER BY n DESC, user_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / total AS cum_share
+      |FROM top, t
+      |ORDER BY n DESC, user_id""".stripMargin) { (s, dir) =>
+    val ev = LsdDb.table(s, dir, "events")
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10)
+    val t = ev.agg(count(lit(1)).cast(DoubleType).as("total"))
+    // window over exactly 10 rows — single-partition by construction,
+    // deliberately AFTER the limit so the sort never sees the key set
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("user_id"))
+      .rowsBetween(Long.MinValue, 0)
+    top.crossJoin(broadcast(t))
+      .select(col("user_id"), col("n"),
+        (col("n").cast(DoubleType) / col("total")).as("share"),
+        (sum(col("n")).over(w).cast(DoubleType) / col("total"))
+          .as("cum_share"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
-    qDedupSubstring, qBoilerplateTopk, qDsirWeight, qChunkOverlap, qKanon)
+    qDedupSubstring, qBoilerplateTopk, qDsirWeight, qChunkOverlap, qKanon,
+    qSkewProfile)
 }

@@ -364,4 +364,12 @@ class PlanQualitySpec extends SpecBase {
     assert(bloomLine >= 0 && scanLine > bloomLine,
       "might_contain must gate the probe-side scan")
   }
+
+  test("q_skew_profile: heavy hitters via TakeOrderedAndProject, not a full sort") {
+    val df = CurationOps.qSkewProfile.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 keys must be a bounded top-k, got:\n$plan")
+    assert(plan.contains("partial_count"), "key counts must partial-agg")
+  }
 }
