@@ -8,10 +8,21 @@ import org.apache.spark.sql.functions.{col, row_number}
 
 /** The reference's SQL-ish query language, re-hosted on Catalyst:
   *
+  *   [WITH name AS (query), ...]
   *   SELECT [DISTINCT] expr [AS name], ... FROM t1[@snap], t2[(outer)], ...
   *     [WHERE expr] [GROUP BY expr, ...] [HAVING expr]
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
   *   query {UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL]} query ...
+  *
+  * WITH introduces named subqueries (CTEs): each body is a full query
+  * (set operators and nested WITH included), later CTEs and the main
+  * body see earlier ones by name in FROM. A CTE is a LOGICAL-plan
+  * alias — Catalyst inlines it per use site and optimizes through it
+  * (filter/projection pushdown cross the CTE boundary), exactly what
+  * you want at scale; nothing is materialized. CTEs join to base
+  * tables through the same declared JoinDef graph (declare a JoinDef
+  * whose side names the CTE). `@snap` time travel applies to stored
+  * snapshot tables only, not CTE names.
   *
   * `t@N` reads a snapshot-layout table as of committed snapshot N
   * (time travel through the Snapshots commit log); plain `t` reads
@@ -99,14 +110,28 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * INTO may only appear on the LAST operand and then apply to the
     * COMBINED result (so ORDER BY can reference only output columns —
     * also SQL's rule for set expressions). */
-  def query(q: String): DataFrame = {
-    val text = q.trim.stripSuffix(";")
+  def query(q: String): DataFrame = evalQuery(q, Map.empty)
+
+  /** One query at a given CTE scope: peel the WITH prefix (each body
+    * evaluated recursively, seeing earlier CTEs), then the set-op /
+    * single-select machinery below. */
+  private def evalQuery(q: String,
+                        scope0: Map[String, DataFrame]): DataFrame = {
+    val text0 = q.trim.stripSuffix(";")
+    val (ctes, text) = parseWith(text0)
+    var scope = scope0
+    for ((name, sub) <- ctes) {
+      require(!scope.contains(name) || scope0.contains(name),
+        s"duplicate CTE name '$name'")
+      scope += name -> evalQuery(sub, scope)
+    }
     val parts = splitSetOps(text)
-    if (parts.lengthIs == 1) return queryOne(parts.head._2, liftTail = false)._1
+    if (parts.lengthIs == 1)
+      return queryOne(parts.head._2, liftTail = false, scope)._1
     var df: DataFrame = null
     for (((op, ptext), i) <- parts.zipWithIndex) {
       val last = i == parts.length - 1
-      val (pdf, tail) = queryOne(ptext, liftTail = true)
+      val (pdf, tail) = queryOne(ptext, liftTail = true, scope)
       if (!last)
         require(tail.isEmpty,
           "ORDER BY / LIMIT / INTO are only allowed on the last " +
@@ -138,6 +163,44 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       }
     }
     df
+  }
+
+  /** Peel a leading `WITH n1 AS (q1), n2 AS (q2)` prefix. Returns the
+    * CTEs in declaration order (bodies unparsed — evalQuery recurses)
+    * and the remaining query text. Paren matching is string-literal
+    * aware, so a `')'` inside a CTE body cannot close it early. */
+  private def parseWith(text: String): (Seq[(String, String)], String) = {
+    if (!"(?is)^\\s*WITH\\b.*".r.matches(text)) return (Nil, text)
+    val quoted = quotedSpans(text)
+    val headRe = java.util.regex.Pattern.compile(
+      "\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\(",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    var i = "(?is)^\\s*WITH\\b".r.findFirstMatchIn(text).get.end
+    val ctes = Seq.newBuilder[(String, String)]
+    while (true) {
+      val m = headRe.matcher(text)
+      m.region(i, text.length)
+      require(m.lookingAt(),
+        s"malformed WITH clause: expected `name AS (` at: " +
+          text.substring(i).take(40))
+      var j = m.end // position just past '('
+      var depth = 1
+      while (depth > 0) {
+        require(j < text.length, "malformed WITH clause: unclosed (")
+        if (!quoted(j)) text.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      ctes += m.group(1) -> text.substring(m.end, j - 1)
+      var k = j
+      while (k < text.length && text.charAt(k).isWhitespace) k += 1
+      if (k < text.length && text.charAt(k) == ',') i = k + 1
+      else return (ctes.result(), text.substring(k))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def parseLimit(n: String): Int = {
@@ -179,7 +242,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
   /** Build ONE select-query operand. With `liftTail`, ORDER BY /
     * LIMIT / INTO are NOT applied; they return in the second slot for
     * the caller to apply to a combined set expression. */
-  private def queryOne(q: String, liftTail: Boolean)
+  private def queryOne(q: String, liftTail: Boolean,
+                       scope: Map[String, DataFrame] = Map.empty)
       : (DataFrame,
          Option[(Option[String], Option[String], Option[String])]) = {
     val (distinctFlag, selectList, fromItems, whereOpt, groupOpt, havingOpt,
@@ -191,7 +255,10 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // a committed snapshot id; tables pulled in implicitly as join-
     // path intermediates always read head.
     val asOfByTable = fromItems.flatMap(i => i.asOf.map(i.table -> _)).toMap
-    def load(name: String) = db.table(name, asOfByTable.get(name))
+    scope.keys.foreach(n => require(!asOfByTable.contains(n),
+      s"@snapshot time travel does not apply to CTE '$n'"))
+    def load(name: String) = scope.getOrElse(name,
+      db.table(name, asOfByTable.get(name)))
     // Metadata pruning for the DRIVING table: when it is a snapshot
     // table with recorded per-snapshot stats/blooms and the WHERE
     // clause contains a sound top-level range conjunct on a tracked
@@ -201,14 +268,19 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // and the full WHERE still applies below, so this is purely a
     // scan-set optimization.
     val headTable = fromItems.head.table
-    val headCols = db.prunableCols(headTable)
-    val headIn = whereOpt.flatMap(w => LsdQL.extractInList(w, headCols))
-    val headPrune = whereOpt.flatMap(w => LsdQL.extractRange(w, headCols))
-    var df = headIn match {
-      case Some((c, vs)) =>
-        db.tableIn(headTable, asOfByTable.get(headTable), c, vs)
+    var df = scope.get(headTable) match {
+      case Some(cte) => cte // logical alias: Catalyst pushes the WHERE
+                            // into/through the CTE's own plan
       case None =>
-        db.table(headTable, asOfByTable.get(headTable), headPrune)
+        val headCols = db.prunableCols(headTable)
+        val headIn = whereOpt.flatMap(w => LsdQL.extractInList(w, headCols))
+        val headPrune = whereOpt.flatMap(w => LsdQL.extractRange(w, headCols))
+        headIn match {
+          case Some((c, vs)) =>
+            db.tableIn(headTable, asOfByTable.get(headTable), c, vs)
+          case None =>
+            db.table(headTable, asOfByTable.get(headTable), headPrune)
+        }
     }
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the

@@ -628,4 +628,58 @@ class LsdQLSpec extends SpecBase {
     assert(lag1.columns.toSeq == Seq("o_orderkey", "prev_price"))
     assert(lag1.count() == 5)
   }
+
+  test("WITH: CTE round-trips against the DataFrame twin") {
+    val df = ql.query(
+      """WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+        |             WHERE o_totalprice > 300000)
+        |SELECT o_custkey, count(*) AS n FROM big
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    import org.apache.spark.sql.functions._
+    val twin = db.table("orders").filter("o_totalprice > 300000")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+    assert(df.collect().map(_.toString).toSeq ==
+      twin.collect().map(_.toString).toSeq)
+  }
+
+  test("WITH: later CTEs and nested WITH see earlier names") {
+    val df = ql.query(
+      """WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+        |             WHERE o_totalprice > 300000),
+        |  top AS (WITH x AS (SELECT o_custkey FROM big)
+        |          SELECT DISTINCT o_custkey FROM x)
+        |SELECT count(*) AS n FROM top""".stripMargin)
+    val want = db.table("orders").filter("o_totalprice > 300000")
+      .select("o_custkey").distinct().count()
+    assert(df.collect().head.getLong(0) == want)
+  }
+
+  test("WITH: CTE body may be a set expression; string ')' is opaque") {
+    val df = ql.query(
+      """WITH u AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 5
+        |           UNION ALL
+        |           SELECT c_custkey AS k FROM customer
+        |           WHERE c_name LIKE '%)never(%'),
+        |  w AS (SELECT k FROM u)
+        |SELECT k FROM w ORDER BY k""".stripMargin)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("WITH: @snapshot on a CTE name is rejected; filters push through") {
+    val e = intercept[IllegalArgumentException] {
+      ql.query(
+        """WITH c AS (SELECT * FROM customer)
+          |SELECT c_custkey FROM c@3""".stripMargin)
+    }
+    assert(e.getMessage.contains("CTE"))
+    // pushdown: a WHERE outside the CTE must reach the parquet scan
+    val df = ql.query(
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer)
+        |SELECT c_custkey FROM c WHERE c_custkey = 7""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(c_custkey,7"),
+      s"filter must push through the CTE boundary:\n$plan")
+  }
 }
