@@ -78,6 +78,58 @@ object Core {
       .orderBy("event_id")
   }
 
+  /** Write-once Z-order clustered lineitem layout on (l_orderkey,
+    * l_partkey) — completion keyed on the MANIFEST's _SUCCESS (it is
+    * written last, so a killed partial layout is redone). */
+  def ensureZOrderLineitem(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String = synchronized {
+    val path = graft.sources.CacheKeys.path(
+      "graft_zorder_lineitem", s"$dir/lineitem.parquet")
+    if (!graft.sources.CacheKeys.isComplete(s"$path/_zmanifest"))
+      graft.sources.ZOrderLayout.write(LsdDb.table(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", path, files = 24)
+    path
+  }
+
+  /** SC2c — MULTI-dimensional file skipping via a Z-order clustered
+    * layout (sources/ZOrderLayout.scala): a box predicate on BOTH
+    * (l_orderkey, l_partkey) reads only the files whose manifest box
+    * intersects it — single-column layouts (q_partition_prune's day
+    * buckets, the snapshot zone maps) cannot skip on the second
+    * dimension. The box bounds are derived from exact BIGINT min/max
+    * arithmetic on the driver so Spark literals and the oracle's
+    * integer expressions agree bit-for-bit (no FMA-able double chain
+    * near a comparison boundary — the q_trend_fit lesson). The
+    * manifest gate is a superset; the exact predicate applies below,
+    * so the result equals the plain filtered aggregate. */
+  val qZorderBox: QuerySpec = QuerySpec(
+    "q_zorder_box",
+    s"""WITH b AS (SELECT min(l_orderkey) AS xmn, max(l_orderkey) AS xmx,
+       |    min(l_partkey) AS ymn, max(l_partkey) AS ymx FROM lineitem),
+       |box AS (SELECT xmn + (xmx - xmn) * 40 // 100 AS x_lo,
+       |    xmn + (xmx - xmn) * 50 // 100 AS x_hi,
+       |    ymn + (ymx - ymn) * 20 // 100 AS y_lo,
+       |    ymn + (ymx - ymn) * 60 // 100 AS y_hi FROM b)
+       |SELECT count(*) AS n, ${D.dsum("l_extendedprice")} AS revenue
+       |FROM lineitem, box
+       |WHERE l_orderkey BETWEEN x_lo AND x_hi
+       |  AND l_partkey BETWEEN y_lo AND y_hi""".stripMargin) { (s, dir) =>
+    val path = ensureZOrderLineitem(s, dir)
+    val r = LsdDb.table(s, dir, "lineitem")
+      .agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head()
+    val (xmn, xmx, ymn, ymx) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (xLo, xHi) = (xmn + (xmx - xmn) * 40 / 100, xmn + (xmx - xmn) * 50 / 100)
+    val (yLo, yHi) = (ymn + (ymx - ymn) * 20 / 100, ymn + (ymx - ymn) * 60 / 100)
+    graft.sources.ZOrderLayout.read(s, path,
+        xLo.toDouble, xHi.toDouble, yLo.toDouble, yHi.toDouble)
+      .filter(col("l_orderkey").between(xLo, xHi) &&
+        col("l_partkey").between(yLo, yHi))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_extendedprice")).as("revenue"))
+  }
+
   /** SC3 — bulk import: CSV round-trip of the lossless column subset
     * (ints + strings survive text serialization exactly). Models the
     * reference's `lsd-import` text path. */
@@ -664,6 +716,7 @@ object Core {
   }
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
+    qZorderBox,
     qImportCsv, qImportFits, qImportOrc, qImportJson, qTimeTravel,
     qSnapshotDelta, qSnapshotMerge, qSnapshotPrune, qSnapshotBloom,
     qProject, qFilter,
