@@ -365,6 +365,14 @@ class PlanQualitySpec extends SpecBase {
       "might_contain must gate the probe-side scan")
   }
 
+  test("q_join_fuzzy: candidates from bucketed pairs, never a cartesian") {
+    val df = CurationOps.qJoinFuzzy.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must not plan an all-pairs join:\n$plan")
+  }
+
   test("q_skew_profile: heavy hitters via TakeOrderedAndProject, not a full sort") {
     val df = CurationOps.qSkewProfile.fn(spark, sfDir)
     val plan = planOf(df)
