@@ -177,6 +177,46 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — WEIGHTED sampling without replacement, k=5 per stratum
+    * (Efraimidis–Spirakis A-ES, Inf. Proc. Letters 2006): each row
+    * draws u ∈ (0,1) and ranks by u^(1/w) — equivalently ln(u)/w,
+    * monotone and division-free of pow — so the top-k per stratum is
+    * an exact weighted sample without replacement. Here w = n_chars:
+    * length-weighted document sampling, the TOKEN-mass-proportional
+    * draw a mixture recipe uses when "sample 1% of tokens" must not
+    * mean "1% of documents". u comes from the same overflow-free LCG
+    * as q_split_assign (engine-identical integer arithmetic); the
+    * ln(u)/w key is transcendental, so it is d6-snapped before
+    * ranking with doc_id as the deterministic tie-break — the
+    * repo-standard discipline for cross-engine float comparison.
+    * One shuffle on the stratum key; rank state is O(k) per group. */
+  val qSampleWeighted: QuerySpec = QuerySpec(
+    "q_sample_weighted",
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    CAST(CAST(ln((((doc_id % 2147483647) * 1103515245 + 12345)
+      |          % 1000000 + 1) / 1000001.0) / n_chars
+      |        AS DECIMAL(18,6)) AS DOUBLE) AS skey
+      |  FROM documents),
+      |rk AS (SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY skey DESC, doc_id) AS rn
+      |  FROM r)
+      |SELECT source, doc_id, n_chars FROM rk WHERE rn <= 5
+      |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    val u = (((col("doc_id") % 2147483647L) * 1103515245L + 12345L)
+      % 1000000L + 1L).cast(DoubleType) / 1000001.0
+    val skey = Det.d6(log(u) / col("n_chars"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("skey").desc, col("doc_id"))
+    LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        skey.as("skey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("source", "doc_id", "n_chars")
+      .orderBy("source", "doc_id")
+  }
+
   /** Ext — inverted index (term → postings list): the retrieval-side
     * product of a corpus. One explode + one groupBy(term) shuffle;
     * postings arrive sorted via array_sort after collect_set (the
@@ -1261,7 +1301,8 @@ object PipelineOps {
   }
 
   def specs: Seq[QuerySpec] = Seq(
-    qDecontaminate, qQualityGopher, qStratifiedSample, qInvertedIndex,
+    qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,
+    qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
     qCharEntropy, qDupCrossSource, qUnigramLm, qDedupKeepBest,
