@@ -10,7 +10,8 @@ object Registry {
     Core.specs ++ Aggregates.specs ++ SetOps.specs ++ Joins.specs ++
       Windows.specs ++ TimeWindows.specs ++ TextOps.specs ++
       VectorOps.specs ++ MiscOps.specs ++ PipelineOps.specs ++
-      SurveyOps.specs ++ MediaOps.specs ++ CurationOps.specs
+      SurveyOps.specs ++ MediaOps.specs ++ CurationOps.specs ++
+      GraphOps.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
