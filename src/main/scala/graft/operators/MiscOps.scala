@@ -311,7 +311,62 @@ object MiscOps {
     graft.multimodal.Multimodal.mediaStats(media).orderBy("media_id")
   }
 
+  /** Ext — one-pass table profiling (the ANALYZE/data-profiler
+    * utility): null count, exact distinct count and min/max for a
+    * column list, in a SINGLE scan. The multi-column count-distincts
+    * plan through one Expand (k-way row multiplication, still one
+    * scan + one shuffle — the q_agg_distinct machinery); the per-
+    * column rows come from `stack` over the single aggregated row.
+    * n_nulls is count(*) − count(col) (both engines' SUM-of-CASE
+    * would disagree on result type); the double column's min/max is
+    * decimal(18,2)-formatted so both engines print identical
+    * strings. */
+  val qProfileTable: QuerySpec = QuerySpec(
+    "q_profile_table",
+    """WITH s AS (SELECT count(*) AS n,
+      |    count(o_custkey) AS c1, count(DISTINCT o_custkey) AS d1,
+      |    CAST(min(o_custkey) AS VARCHAR) AS mn1,
+      |    CAST(max(o_custkey) AS VARCHAR) AS mx1,
+      |    count(o_orderstatus) AS c2,
+      |    count(DISTINCT o_orderstatus) AS d2,
+      |    min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
+      |    count(o_totalprice) AS c3, count(DISTINCT o_totalprice) AS d3,
+      |    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn3,
+      |    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx3
+      |  FROM orders)
+      |SELECT col, n_nulls, n_distinct, min_val, max_val FROM (
+      |  SELECT 'o_custkey' AS col, n - c1 AS n_nulls, d1 AS n_distinct,
+      |    mn1 AS min_val, mx1 AS max_val FROM s
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', n - c2, d2, mn2, mx2 FROM s
+      |  UNION ALL
+      |  SELECT 'o_totalprice', n - c3, d3, mn3, mx3 FROM s)
+      |ORDER BY col""".stripMargin) { (s, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val agg = LsdDb.table(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("c1"),
+      countDistinct(col("o_custkey")).as("d1"),
+      min(col("o_custkey")).cast("string").as("mn1"),
+      max(col("o_custkey")).cast("string").as("mx1"),
+      count(col("o_orderstatus")).as("c2"),
+      countDistinct(col("o_orderstatus")).as("d2"),
+      min(col("o_orderstatus")).as("mn2"),
+      max(col("o_orderstatus")).as("mx2"),
+      count(col("o_totalprice")).as("c3"),
+      countDistinct(col("o_totalprice")).as("d3"),
+      min(col("o_totalprice")).cast(dec).cast("string").as("mn3"),
+      max(col("o_totalprice")).cast(dec).cast("string").as("mx3"))
+    agg.select(expr(
+      """stack(3,
+        |  'o_custkey', n - c1, d1, mn1, mx1,
+        |  'o_orderstatus', n - c2, d2, mn2, mx2,
+        |  'o_totalprice', n - c3, d3, mn3, mx3)
+        |  AS (col, n_nulls, n_distinct, min_val, max_val)""".stripMargin))
+      .orderBy("col")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinFull, qJoinCross, qExistsSubq,
     qGroupingSets, qAggMinmaxBy, qWindowCume, qRegex, qBitwise, qNullOps,
-    qSeqExplode, qKernelChain, qMediaStats)
+    qSeqExplode, qKernelChain, qMediaStats, qProfileTable)
 }
