@@ -284,6 +284,90 @@ object PipelineOps {
       .orderBy("doc_id", "term")
   }
 
+  /** Ext — SPARSE cosine similarity search (TF-IDF k-NN through the
+    * inverted index): top-5 most similar documents for each of 5
+    * probe docs, scored by exact sparse cosine over tf·idf weights.
+    * The dense-ANN family (VectorOps) answers the same question for
+    * embeddings; this is its bag-of-words twin — dot products flow
+    * through a term-keyed equi-join (the inverted index), so cost is
+    * Σ postings(probe terms), never |corpus|². Float discipline for
+    * the oracle: ln-derived weights snap to the 1e-6 grid BEFORE any
+    * product (cross-engine ln differs in ulps), products of snapped
+    * doubles are IEEE-identical single ops, and every sum runs
+    * decimal(38,12)-exact; ranking uses the d6-snapped score with
+    * doc_id tie-break. At corpus scale the high-df (stopword) postings
+    * dominate Σ postings — a production deployment prunes or
+    * impact-orders them (public WAND/BM25 practice); kept exact here
+    * because the oracle is exact. */
+  val qSparseKnn: QuerySpec = QuerySpec(
+    "q_sparse_knn",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tok GROUP BY w),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |wt AS (SELECT tf.doc_id, tf.w AS term,
+       |    ${D.sql.d6("CAST(tf.tf AS DOUBLE) * " +
+                       "ln(CAST(n.n_docs AS DOUBLE) / df.df)")} AS wt
+       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+       |nrm AS (SELECT doc_id,
+       |    sqrt(CAST(sum(CAST(wt * wt AS DECIMAL(38,12))) AS DOUBLE))
+       |      AS nm
+       |  FROM wt GROUP BY doc_id),
+       |p AS (SELECT * FROM wt WHERE doc_id IN (0, 1, 2, 3, 4)),
+       |dot AS (SELECT p.doc_id AS probe_id, wt.doc_id AS doc_id,
+       |    CAST(sum(CAST(p.wt * wt.wt AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS dp
+       |  FROM p JOIN wt ON p.term = wt.term AND wt.doc_id <> p.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT probe_id, dot.doc_id,
+       |    ${D.sql.d6("dot.dp / (na.nm * nb.nm)")} AS cosine
+       |  FROM dot JOIN nrm na ON na.doc_id = dot.probe_id
+       |    JOIN nrm nb ON nb.doc_id = dot.doc_id),
+       |rk AS (SELECT probe_id, doc_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, doc_id) AS rn
+       |  FROM sc)
+       |SELECT probe_id, doc_id, cosine FROM rk WHERE rn <= 5
+       |ORDER BY probe_id, doc_id""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("w")
+      .agg(countDistinct(col("doc_id")).cast(LongType).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val wt = tf.join(df, "w").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w").as("term"),
+        Det.d6(col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df"))).as("wt"))
+    val nrm = wt.groupBy("doc_id")
+      .agg(sqrt(sum((col("wt") * col("wt")).cast(dec12))
+        .cast(DoubleType)).as("nm"))
+    val p = wt.filter(col("doc_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("doc_id").as("probe_id"), col("term"),
+        col("wt").as("pwt"))
+    val dot = p.as("p").join(wt.as("c"),
+        col("p.term") === col("c.term") &&
+          col("c.doc_id") =!= col("p.probe_id"))
+      .groupBy(col("p.probe_id").as("probe_id"),
+        col("c.doc_id").as("doc_id"))
+      .agg(sum((col("p.pwt") * col("c.wt")).cast(dec12))
+        .cast(DoubleType).as("dp"))
+    val na = nrm.select(col("doc_id").as("probe_id"), col("nm").as("na"))
+    val nb = nrm.select(col("doc_id").as("doc_id"), col("nm").as("nb"))
+    val rkw = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("doc_id"))
+    dot.join(na, "probe_id").join(nb, "doc_id")
+      .select(col("probe_id"), col("doc_id"),
+        Det.d6(col("dp") / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rn", row_number().over(rkw))
+      .filter(col("rn") <= 5)
+      .select("probe_id", "doc_id", "cosine")
+      .orderBy("probe_id", "doc_id")
+  }
+
   /** Ext — light-curve statistics: per-object time-series aggregation
     * over the event stream (epoch count, time span, exact-decimal
     * flux stats, amplitude). This is the reference engine's flagship
@@ -1302,7 +1386,7 @@ object PipelineOps {
 
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,
-    qInvertedIndex,
+    qSparseKnn, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
     qCharEntropy, qDupCrossSource, qUnigramLm, qDedupKeepBest,
