@@ -1026,6 +1026,94 @@ object PipelineOps {
     * ASCII symbols on any UTF-8 input — so the oracle hash is too.
     * Probabilities are exact integer ratios; the Σ −p·log2 p chain is
     * FMA-sensitive (Det doc) so the final entropy is d6-snapped. */
+  /** Ext — CONTAINMENT dedup (directional): ordered pairs (a, b) with
+    * |sh(a) ∩ sh(b)| ≥ 0.8·|sh(a)| — the quote/excerpt detector that
+    * symmetric Jaccard (q_dedup_prefix) structurally misses: a short
+    * doc fully contained in a long one has low Jaccard but containment
+    * ≈ 1. Candidate scheme is the ProbeCount form of the prefix
+    * filter: containment τ forces overlap ≥ ⌈τ·sza⌉, so a's
+    * (sza − ⌈τ·sza⌉ + 1) RAREST shingles must hit SOME token of b —
+    * a's prefix joins the FULL hashed token index (not b's prefix;
+    * the b-side bound does not exist for asymmetric containment).
+    * The df ≤ maxPrefixBucket boilerplate cap applies to the token
+    * index on both engine sides (the q_dedup_prefix algebra), and the
+    * integer size gate 5·szb ≥ 4·sza drops provably-impossible pairs
+    * before verification. Verification is exact distinct-shingle
+    * intersection on candidate docs only (semi-join before the
+    * re-explode); containment = n/sza is one BIGINT division in
+    * double — engine-identical, no snap needed. */
+  val qDedupContainment: QuerySpec = QuerySpec(
+    "q_dedup_containment",
+    s"""WITH base AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
+       |szs AS (SELECT doc_id, len(sh) AS sz FROM base WHERE len(sh) >= 5),
+       |toks AS (SELECT doc_id, unnest(sh) AS s FROM base),
+       |df AS (SELECT s, count(*) AS df FROM toks GROUP BY s),
+       |tk AS (SELECT t.doc_id, t.s, df.df FROM toks t JOIN df USING (s)
+       |  WHERE df.df <= $maxPrefixBucket),
+       |ws AS (SELECT tk.doc_id, tk.s, szs.sz,
+       |    row_number() OVER (PARTITION BY tk.doc_id
+       |      ORDER BY tk.df, tk.s) AS rn
+       |  FROM tk JOIN szs USING (doc_id)),
+       |pref AS (SELECT * FROM ws
+       |  WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+       |cand AS (SELECT DISTINCT p.doc_id AS doc_a, t.doc_id AS doc_b,
+       |    p.sz AS sza
+       |  FROM pref p JOIN tk t ON t.s = p.s AND t.doc_id <> p.doc_id),
+       |cs AS (SELECT c.doc_a, c.doc_b, c.sza
+       |  FROM cand c JOIN szs b ON b.doc_id = c.doc_b
+       |  WHERE 5 * b.sz >= 4 * c.sza),
+       |i AS (SELECT c.doc_a, c.doc_b, c.sza, count(*) AS n_inter
+       |  FROM cs c JOIN toks t1 ON t1.doc_id = c.doc_a
+       |    JOIN toks t2 ON t2.doc_id = c.doc_b AND t2.s = t1.s
+       |  GROUP BY c.doc_a, c.doc_b, c.sza)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / sza AS containment
+       |FROM i WHERE 5 * n_inter >= 4 * sza
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    // hashed token relation with map-side sizes (the dedup_prefix
+    // discipline: 8-byte tokens through every shuffle)
+    val th = docs
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(transform(col("sh"), t => xxhash64(t))).as("h"))
+    val tk = th
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxPrefixBucket)
+    val pref = tk.filter(col("sz") >= 5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+    // probe a's prefix into the full capped index, bucket-locally
+    // from ONE evaluation (collect_list bounded by the df cap)
+    val cand = tk
+      .select(col("h"), struct(col("doc_id"), col("sz")).as("d"))
+      .groupBy("h").agg(collect_list(col("d")).as("ds"))
+      .join(pref.select(col("h"), col("doc_id").as("doc_a"),
+        col("sz").as("sza")), "h")
+      .select(col("doc_a"), col("sza"), explode(col("ds")).as("d"))
+      .filter(col("d.doc_id") =!= col("doc_a") &&
+        lit(5) * col("d.sz") >= lit(4) * col("sza"))
+      .select(col("doc_a"), col("d.doc_id").as("doc_b"), col("sza"))
+      .distinct()
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val toksCand = docs
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    cand
+      .join(toksCand.as("t1"), col("doc_a") === col("t1.doc_id"))
+      .join(toksCand.as("t2"),
+        col("doc_b") === col("t2.doc_id") && col("t1.s") === col("t2.s"))
+      .groupBy("doc_a", "doc_b", "sza")
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(lit(5) * col("n_inter") >= lit(4) * col("sza"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast(DoubleType) / col("sza")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val qCharEntropy: QuerySpec = {
     val alphabet = ('a' to 'z') :+ ' '
     def cntSql(c: Char) =
@@ -1389,6 +1477,7 @@ object PipelineOps {
     qSparseKnn, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
-    qCharEntropy, qDupCrossSource, qUnigramLm, qDedupKeepBest,
+    qDedupContainment, qCharEntropy, qDupCrossSource, qUnigramLm,
+    qDedupKeepBest,
     qCollapseRepeats, qBigramLm, qQualityFunnel, qTokenBudget)
 }
