@@ -769,6 +769,85 @@ object ScaleSmoke {
       }
     }
 
+    // Bloom-prefiltered join at 10× bench scale: 20M-row probe vs a
+    // 200k-key build side. The headline is the SELECTIVITY the probe
+    // filter achieves before any shuffle: passed rows ≈ true matches
+    // (2M, every 10th key) + fpp of the rest.
+    {
+      val probe = spark.range(20000000).select(
+        col("id").as("pk"), (col("id") % 10000000L).as("key"))
+      val build = spark.range(200000).select(
+        (col("id") * 50L).as("bkey")) // every 50th key of 10M
+      t("bloom prefilter 20M probe x 200k build (fpp 1%)") {
+        val kept = graft.functions.BloomPrefilter.prefilter(
+          probe, col("key"), build, col("bkey")).count()
+        val trueMatches = probe.join(build,
+          col("key") === col("bkey"), "left_semi").count()
+        f"$kept%d kept vs $trueMatches%d true (${
+          kept.toDouble / trueMatches}%.3fx)"
+      }
+    }
+
+    // Z-order layout at 2M rows: write 64 z-clustered files over a
+    // 2-D key space, then a 1%-per-dim box — the manifest must prune
+    // nearly everything.
+    {
+      val dir = java.nio.file.Files.createTempDirectory("smoke_z").toString
+      val zdf = spark.range(2000000).select(
+        col("id"),
+        abs(xxhash64(col("id")) % 100000L).as("x"),
+        abs(xxhash64(col("id") + 99) % 100000L).as("y"))
+      t("zorder write 2M rows, 64 files + manifest") {
+        graft.sources.ZOrderLayout.write(zdf, "x", "y", dir, files = 64)
+        "written"
+      }
+      t("zorder 10%x10% box read (files pruned)") {
+        val (sel, total) = graft.sources.ZOrderLayout.selectFiles(
+          spark, dir, 40000, 50000, 40000, 50000)
+        val n = graft.sources.ZOrderLayout.read(
+            spark, dir, 40000, 50000, 40000, 50000)
+          .filter(col("x").between(40000, 50000) &&
+            col("y").between(40000, 50000)).count()
+        val want = zdf.filter(col("x").between(40000, 50000) &&
+          col("y").between(40000, 50000)).count()
+        require(n == want, s"zorder box mismatch: $n vs $want")
+        s"${sel.length} of $total files, $n rows exact"
+      }
+    }
+
+    // PageRank at 4M directed edges (2M undirected), 10 rounds — the
+    // iterative join+agg shape of q_pagerank an order past bench SF.
+    {
+      val ed = spark.range(2000000).select(
+        abs(xxhash64(col("id")) % 500000L).as("a"),
+        abs(xxhash64(col("id") + 31337) % 500000L).as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+        .union(ed.select(col("b").as("src"), col("a").as("dst")))
+        .distinct().localCheckpoint()
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val edges2 = edges.join(deg, edges("src") === deg("node"))
+        .select(col("src"), col("dst"), col("deg").as("src_deg"))
+        .repartition(col("src")).localCheckpoint()
+      t("pagerank 4M directed edges, 500k nodes, 10 rounds") {
+        val n = deg.count()
+        var pr = deg.select(col("node"))
+          .withColumn("r", lit(1.0) / n.toDouble)
+        for (_ <- 1 to 10) {
+          pr = pr.join(edges2, edges2("src") === pr("node"))
+            .select(col("dst"), (col("r") / col("src_deg")
+              .cast("double")).cast("decimal(38,20)").as("c"))
+            .groupBy("dst").agg(sum(col("c")).cast("double").as("s"))
+            .select(col("dst").as("node"),
+              (lit(0.15) / n.toDouble + lit(0.85) * col("s")).as("r"))
+        }
+        val top = pr.orderBy(col("r").desc, col("node")).limit(5)
+          .collect()
+        f"top rank ${top.head.getDouble(1)}%.2e over $n nodes"
+      }
+    }
+
     spark.stop()
   }
 }
