@@ -438,8 +438,47 @@ object Aggregates {
       .orderBy("flag", "bucket")
   }
 
+  /** A10 — full pairwise correlation MATRIX in ONE scan: all 6 pairs
+    * of 4 lineitem measures through a single aggregation (the sums,
+    * squares and cross-products partial-aggregate map-side together),
+    * reshaped to (col_a, col_b, corr) rows by `stack` over the one
+    * aggregated row. The closed-form exact-decimal corr (Det.dcorr)
+    * keeps every pair hash-identical to DuckDB; a per-pair-query
+    * formulation would scan the table six times for the same answer.
+    * Generated from the column list so the pair set and both engines'
+    * expressions cannot drift. */
+  val qCorrMatrix: QuerySpec = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j))
+    val sqlAggs = pairs.zipWithIndex.map { case ((a, b), k) =>
+      s"${D.d6(D.dcorr(a, b))} AS c$k" }.mkString(",\n       |    ")
+    val sqlRows = pairs.zipWithIndex.map { case ((a, b), k) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, c$k AS corr FROM s" }
+      .mkString("\n       |  UNION ALL ")
+    QuerySpec(
+      "q_corr_matrix",
+      s"""WITH s AS (SELECT
+         |    $sqlAggs
+         |  FROM lineitem)
+         |SELECT col_a, col_b, corr FROM (
+         |  $sqlRows)
+         |ORDER BY col_a, col_b""".stripMargin) { (s, dir) =>
+      val aggs = pairs.zipWithIndex.map { case ((a, b), k) =>
+        Det.d6(Det.dcorr(col(a), col(b))).as(s"c$k") }
+      val stackArgs = pairs.zipWithIndex.map { case ((a, b), k) =>
+        s"'$a', '$b', c$k" }.mkString(", ")
+      LsdDb.table(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${pairs.length}, $stackArgs) " +
+          "AS (col_a, col_b, corr)"))
+        .orderBy("col_a", "col_b")
+    }
+  }
+
   def specs: Seq[QuerySpec] = Seq(qAggBasic, qAggGlobal, qAggDistinct,
     qHistogram, qRollup, qAggStats, qAggCollect, qAggMedian, qCube,
     qPivot, qUnpivot, qSample, qPercentiles, qStringAgg, qAggSalted,
-    qOutlierMad, qHistogramEqdepth)
+    qOutlierMad, qHistogramEqdepth, qCorrMatrix)
 }

@@ -148,6 +148,33 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** W5 — rolling MEDIAN (order-statistic smoothing): per-user value
+    * median over the trailing 5-row frame ordered by time — the
+    * median-filter detrending pass survey photometry runs before
+    * variability statistics (robust to single-epoch outliers where a
+    * rolling mean is not). Spark evaluates the aggregate `percentile`
+    * over the moving frame with bounded per-frame buffering; DuckDB's
+    * quantile_cont over the same frame computes the identical IEEE
+    * lerp (the q_cadence precedent), so no snapping is needed. One
+    * shuffle on the partition key, frames never exceed 5 rows. */
+  val qRollingMedian: QuerySpec = QuerySpec(
+    "q_rolling_median",
+    """SELECT user_id, event_id, value,
+      |  quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    LsdDb.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("med5", percentile(col("value"), lit(0.5)).over(w))
+      .select("user_id", "event_id", "value", "med5")
+      .orderBy("user_id", "event_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowRank, qWindowLag, qWindowFrame,
-    qWindowNtile, qWindowRange)
+    qWindowNtile, qWindowRange, qRollingMedian)
 }
