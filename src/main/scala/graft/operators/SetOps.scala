@@ -58,6 +58,32 @@ object SetOps {
       .orderBy("o_custkey", "rn")
   }
 
+  /** O3b — q_topk_group through the CUSTOM PHYSICAL OPERATOR
+    * (plans/TopKPerGroup.scala): partial bounded heaps per input
+    * partition, a k·groups-row shuffle, final heaps — the window
+    * form's full per-partition sort never happens and dropped rows
+    * never shuffle. Identical SQL oracle as q_topk_group (same
+    * result by construction); the row_number window below runs over
+    * the ≤3·groups survivors only, to reproduce the rn column. */
+  val qTopkGroupFast: QuerySpec = QuerySpec(
+    "q_topk_group_fast",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val top = graft.plans.TopKPerGroup(
+      LsdDb.table(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 3)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    top.withColumn("rn", row_number().over(w))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** O4 — union (by name, no shuffle — just partition concatenation). */
   val qUnion: QuerySpec = QuerySpec(
     "q_union",
@@ -134,6 +160,6 @@ object SetOps {
       .orderBy("user_id", "event_type")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qSort, qTopk, qTopkGroup, qUnion,
-    qIntersect, qExcept, qDistinct, qDedup)
+  def specs: Seq[QuerySpec] = Seq(qSort, qTopk, qTopkGroup,
+    qTopkGroupFast, qUnion, qIntersect, qExcept, qDistinct, qDedup)
 }

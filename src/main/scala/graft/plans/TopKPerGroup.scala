@@ -1,0 +1,146 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
+  UnaryExecNode}
+
+/** Per-group top-k as a FIRST-CLASS physical operator — the rung of
+  * the custom-operator ladder (SURVEY.md §4) above expressions and
+  * optimizer rules: a custom `LogicalPlan` node, a `SparkStrategy`
+  * planning it into partial+final `SparkPlan`s, registered per-session
+  * via `spark.experimental.extraStrategies`.
+  *
+  * Why Spark needs it: the built-in way to take the k best rows per
+  * group is a window `row_number` + filter, which SORTS every
+  * partition of the full input (even with k=3, the sort is over ALL
+  * rows per group). Globally Spark has the right operator —
+  * `TakeOrderedAndProject` — but no grouped version. This operator is
+  * that grouped version: the PARTIAL phase scans each input partition
+  * once, keeping a bounded k-row heap per group seen (no sort, no
+  * shuffle of dropped rows); only those ≤ k·groups survivors shuffle
+  * on the group key; the FINAL phase re-heaps per group. Shuffle
+  * volume drops from |input| to k·|groups| — at 100 TB that is the
+  * whole game, and it is exactly the partial/final contract hash
+  * aggregation uses (state: O(groups-per-partition × k) rows, the
+  * hash-agg regime; a group-cardinality ≈ row-cardinality input
+  * degenerates gracefully to ~|input| state, where the window form
+  * was no better).
+  *
+  * Rows are kept as copied UnsafeRows in a JDK PriorityQueue whose
+  * head is the WORST kept row under the requested order (codegen'd
+  * `RowOrdering` comparator), so each arriving row costs one compare
+  * in the common reject path. Output order within a group is heap
+  * order — undefined, like hash-agg output; callers re-sort the tiny
+  * survivor relation (k·groups rows) as q_topk_group_fast does.
+  */
+object TopKPerGroup {
+
+  /** k best rows of `df` per `groupCols`, best = first under `order`
+    * as (columnName, descending) pairs. Catalyst SortOrders are built
+    * directly from the child's resolved attributes — the public
+    * Column DSL's `.desc` carries `sql.internal` nodes that only the
+    * analyzer converts, and this node bypasses analysis (it is
+    * injected into an already-analyzed plan). Registers the strategy
+    * on the session idempotently. */
+  def apply(df: DataFrame, groupCols: Seq[String],
+            order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    val child = GraftShims.analyzed(df)
+    val out = child.output
+    def attr(name: String): Attribute = out
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$name' not in ${out.map(_.name).mkString(",")}"))
+    val sortOrders = order.map { case (name, desc) =>
+      SortOrder(attr(name),
+        if (desc) org.apache.spark.sql.catalyst.expressions.Descending
+        else org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    GraftShims.ofRows(spark,
+      TopKPerGroupNode(groupCols.map(attr), sortOrders, k, child))
+  }
+}
+
+case class TopKPerGroupNode(groupExprs: Seq[Expression],
+                            order: Seq[SortOrder], k: Int,
+                            child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): TopKPerGroupNode = copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(groupExprs: Seq[Expression],
+                            order: Seq[SortOrder], k: Int, partial: Boolean,
+                            child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+  // the partial phase runs anywhere; the final phase demands
+  // co-location by group key — EnsureRequirements inserts the
+  // (k·groups)-row exchange between the two, exactly like partial →
+  // final hash aggregation
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val orderE = order
+    val kk = k
+    val childOut = output
+    child.execute().mapPartitions { it =>
+      val toUnsafe = UnsafeProjection.create(childOut, childOut)
+      val grp = UnsafeProjection.create(groupE, childOut)
+      val ord = RowOrdering.create(orderE, childOut)
+      val rev = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+          ord.compare(b, a) // head = worst kept row
+      }
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      while (it.hasNext) {
+        val row = toUnsafe(it.next())
+        val key = grp(row)
+        var h = heaps.get(key)
+        if (h == null) {
+          h = new java.util.PriorityQueue[UnsafeRow](kk, rev)
+          heaps.put(key.copy(), h)
+        }
+        if (h.size < kk) h.add(row.copy())
+        else if (ord.compare(row, h.peek()) < 0) {
+          h.poll(); h.add(row.copy())
+        }
+      }
+      heaps.values().iterator().asScala
+        .flatMap(_.iterator().asScala)
+        .map(_.asInstanceOf[InternalRow])
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): TopKPerGroupExec = copy(child = newChild)
+}

@@ -848,6 +848,26 @@ object ScaleSmoke {
       }
     }
 
+    // Custom physical operator A/B: per-group top-3 of 20M rows over
+    // 100k groups — the TopKPerGroup heaps (shuffle k·groups rows)
+    // against the built-in window row_number (shuffle + sort ALL
+    // rows). Same result set asserted.
+    {
+      val tk = spark.range(20000000).select(
+        col("id"), abs(xxhash64(col("id")) % 100000L).as("g"),
+        (xxhash64(col("id") + 3) % 1000000L).cast("double").as("v"))
+      t("topk-per-group 20M rows, 100k groups, k=3: window form") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id"))
+        tk.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).count() + " rows"
+      }
+      t("topk-per-group 20M rows, 100k groups, k=3: custom operator") {
+        graft.plans.TopKPerGroup(tk, Seq("g"),
+          Seq("v" -> true, "id" -> false), 3).count() + " rows"
+      }
+    }
+
     spark.stop()
   }
 }

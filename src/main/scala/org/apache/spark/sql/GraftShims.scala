@@ -59,6 +59,18 @@ object GraftShims {
         cds.queryExecution.toRdd)(spark))
   }
 
+  /** DataFrame from a custom LogicalPlan (Dataset.ofRows is
+    * private[sql]) — the entry point for custom logical operators
+    * planned by an extraStrategies strategy. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (resolved attributes —
+    * what a custom logical node needs as its child). */
+  def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   /** Minimal whole-file PartitionedFile (no partition values). */
   def wholeFile(path: String, length: Long)
       : execution.datasources.PartitionedFile =

@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.SpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerGroupSpec extends SpecBase {
+  import spark.implicits._
+
+  private def windowTwin(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("matches the window row_number form on random-ish data") {
+    val df = spark.range(5000).select(
+      col("id"), (col("id") % 97).as("g"),
+      (xxhash64(col("id")) % 1000).cast("double").as("v"))
+    val fast = TopKPerGroup(df, Seq("g"),
+      Seq("v" -> true, "id" -> false), 3)
+    assert(canon(fast) == canon(windowTwin(df, 3)))
+  }
+
+  test("k larger than every group keeps all rows; ties break by order") {
+    val df = Seq((1L, 1L, 5.0), (2L, 1L, 5.0), (3L, 2L, 1.0))
+      .toDF("id", "g", "v")
+    val fast = TopKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 10)
+    assert(fast.count() == 3)
+    // exact-tie group at k=1: the id tiebreak decides, like row_number
+    val one = TopKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 1)
+    assert(canon(one) == canon(windowTwin(df, 1)))
+  }
+
+  test("empty input and unknown column") {
+    val df = Seq.empty[(Long, Long, Double)].toDF("id", "g", "v")
+    assert(TopKPerGroup(df, Seq("g"), Seq("v" -> true), 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(df, Seq("nope"), Seq("v" -> true), 2).count()
+    }
+  }
+
+  test("plans partial+final heaps with one exchange, no pre-shuffle sort") {
+    val df = spark.range(1000).select(
+      col("id"), (col("id") % 10).as("g"), col("id").cast("double").as("v"))
+    val top = TopKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 3)
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial") &&
+      plan.contains("TopKPerGroupFinal"), s"missing operator nodes:\n$plan")
+    // the whole point: the input is never sorted — only heaps + the
+    // k-per-group exchange
+    assert(!plan.contains("Sort "), s"unexpected sort in plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(g"),
+      s"expected group-key exchange between partial and final:\n$plan")
+  }
+
+  test("partitioning-invariant results") {
+    val df = spark.range(3000).select(
+      col("id"), (col("id") % 31).as("g"),
+      (xxhash64(col("id") + 5) % 500).cast("double").as("v"))
+    val a = canon(TopKPerGroup(df.repartition(1), Seq("g"),
+      Seq("v" -> true, "id" -> false), 4))
+    val b = canon(TopKPerGroup(df.repartition(17), Seq("g"),
+      Seq("v" -> true, "id" -> false), 4))
+    assert(a == b)
+  }
+}
