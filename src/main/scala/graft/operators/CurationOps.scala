@@ -315,15 +315,14 @@ object CurationOps {
     * pool — a bounded set in any realistic key population, and empty
     * here. Completeness holds for DISTINCT pairs; duplicate identical
     * names would pair at distance 0, which both sides exclude. */
-  val qJoinFuzzy: QuerySpec = QuerySpec(
-    "q_join_fuzzy",
-    """SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b,
-      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-      |FROM customer a, customer b
-      |WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
-      |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
-    val names = LsdDb.table(s, dir, "customer")
-      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+  /** Verified edit-distance-≤1 pairs of `names` (columns: k, name) —
+    * the complete blocking+verify pipeline shared by q_join_fuzzy and
+    * q_graph_triangles (one definition so the hot-bucket cap, the
+    * short-string fallback and the length filter cannot drift between
+    * them). Returns (ka, kb, na, nb, dist) with ka < kb, one row per
+    * distinct KEY pair. */
+  private[operators] def fuzzyPairs(names: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // POSITIONAL 2-gram occurrences, hashed to 8 bytes. Positions are
     // ED-Join's location filter: an undisturbed occurrence shifts by
     // at most k=1 under one edit, so in-bucket pairs may additionally
@@ -388,12 +387,28 @@ object CurationOps {
     cand.union(shortPairs).distinct()
       .join(na, "ka").join(nb, "kb")
       .filter(abs(length(col("na")) - length(col("nb"))) <= 1)
+      .withColumn("dist",
+        levenshtein(col("na"), col("nb")).cast(LongType))
+      .filter(col("dist") <= 1)
+  }
+
+  val qJoinFuzzy: QuerySpec = QuerySpec(
+    "q_join_fuzzy",
+    """SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a, customer b
+      |WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+    // pair identity by NAME (oracle's a.c_name < b.c_name): reorder
+    // the key-paired rows by name; identical names (distance 0) drop
+    // at name_a < name_b
+    fuzzyPairs(LsdDb.table(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name")))
       .select(least(col("na"), col("nb")).as("name_a"),
         greatest(col("na"), col("nb")).as("name_b"))
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast(LongType))
-      .filter(col("dist") <= 1)
       .distinct()
       .orderBy("name_a", "name_b")
   }

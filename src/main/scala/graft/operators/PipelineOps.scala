@@ -1092,7 +1092,12 @@ object PipelineOps {
       .join(pref.select(col("h"), col("doc_id").as("doc_a"),
         col("sz").as("sza")), "h")
       .select(col("doc_a"), col("sza"), explode(col("ds")).as("d"))
+      // d.sz >= 5 mirrors the oracle's szs floor on the doc_b side
+      // (its `cs` CTE inner-joins the sz>=5 relation for b too):
+      // without it a 4-shingle doc nested in a 5-shingle doc passes
+      // here but never forms in the oracle
       .filter(col("d.doc_id") =!= col("doc_a") &&
+        col("d.sz") >= 5 &&
         lit(5) * col("d.sz") >= lit(4) * col("sza"))
       .select(col("doc_a"), col("d.doc_id").as("doc_b"), col("sza"))
       .distinct()

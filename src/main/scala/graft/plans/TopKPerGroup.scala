@@ -50,7 +50,14 @@ object TopKPerGroup {
     * Column DSL's `.desc` carries `sql.internal` nodes that only the
     * analyzer converts, and this node bypasses analysis (it is
     * injected into an already-analyzed plan). Registers the strategy
-    * on the session idempotently. */
+    * on the session idempotently.
+    *
+    * Determinism contract (same as every row_number dedup in this
+    * repo): `order` must be a TOTAL order within each group — append
+    * a unique tie-break column. On order-equal rows the heaps keep
+    * first arrivals, so a non-total order makes the surviving row
+    * set depend on partitioning, exactly as `row_number` over a
+    * non-total ORDER BY would. */
   def apply(df: DataFrame, groupCols: Seq[String],
             order: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
@@ -98,17 +105,25 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
   override def output: Seq[Attribute] = child.output
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+  // Float/double group keys normalize (-0.0 → 0.0, canonical NaN)
+  // BEFORE both the exchange hash and the heap-map key: the optimizer
+  // rule that does this for Aggregate/Window/Join grouping keys
+  // (NormalizeFloatingNumbers) does not know this custom node, and
+  // without it 0.0 and -0.0 would land in different partitions AND
+  // different heaps — two k-heaps for one SQL group.
+  private def normalizedGroupExprs: Seq[Expression] =
+    groupExprs.map(GraftShims.normalizeFloats)
   // the partial phase runs anywhere; the final phase demands
   // co-location by group key — EnsureRequirements inserts the
   // (k·groups)-row exchange between the two, exactly like partial →
   // final hash aggregation
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
-    else ClusteredDistribution(groupExprs) :: Nil
+    else ClusteredDistribution(normalizedGroupExprs) :: Nil
   override def outputPartitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val groupE = groupExprs
+    val groupE = normalizedGroupExprs
     val orderE = order
     val kk = k
     val childOut = output

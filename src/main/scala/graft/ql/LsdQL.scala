@@ -120,9 +120,12 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     val text0 = q.trim.stripSuffix(";")
     val (ctes, text) = parseWith(text0)
     var scope = scope0
+    // duplicate detection tracks names declared in THIS WITH list
+    // (shadowing an outer-scope CTE is legal; declaring the same name
+    // twice in one list is an error even when it also shadows)
+    val declared = scala.collection.mutable.Set.empty[String]
     for ((name, sub) <- ctes) {
-      require(!scope.contains(name) || scope0.contains(name),
-        s"duplicate CTE name '$name'")
+      require(declared.add(name), s"duplicate CTE name '$name'")
       scope += name -> evalQuery(sub, scope)
     }
     val parts = splitSetOps(text)

@@ -770,9 +770,10 @@ object ScaleSmoke {
     }
 
     // Bloom-prefiltered join at 10× bench scale: 20M-row probe vs a
-    // 200k-key build side. The headline is the SELECTIVITY the probe
-    // filter achieves before any shuffle: passed rows ≈ true matches
-    // (2M, every 10th key) + fpp of the rest.
+    // 200k-key build side (every 50th key of the 10M key space, each
+    // key on 2 probe rows → 400k true matches). The headline is the
+    // SELECTIVITY the probe filter achieves before any shuffle:
+    // passed rows ≈ 400k true + ~1% fpp of the other 19.6M.
     {
       val probe = spark.range(20000000).select(
         col("id").as("pk"), (col("id") % 10000000L).as("key"))

@@ -59,6 +59,13 @@ object GraftShims {
         cds.queryExecution.toRdd)(spark))
   }
 
+  /** Float/double canonicalization (-0.0 → 0.0, canonical NaN) for
+    * grouping expressions of custom physical operators — the same
+    * rewrite NormalizeFloatingNumbers applies to built-in Aggregate/
+    * Window/Join keys (it is private[sql], hence this shim). */
+  def normalizeFloats(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** DataFrame from a custom LogicalPlan (Dataset.ofRows is
     * private[sql]) — the entry point for custom logical operators
     * planned by an extraStrategies strategy. */

@@ -58,6 +58,16 @@ class TopKPerGroupSpec extends SpecBase {
       s"expected group-key exchange between partial and final:\n$plan")
   }
 
+  test("float group keys normalize: -0.0 and 0.0 are ONE group") {
+    val df = Seq((1L, 0.0, 1.0), (2L, -0.0, 2.0), (3L, -0.0, 3.0))
+      .toDF("id", "g", "v")
+    val top = TopKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 2)
+    // one group of three rows → k=2 survivors, the v-desc best two
+    val got = top.select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L),
+      s"-0.0/0.0 must share one heap, got ids $got")
+  }
+
   test("partitioning-invariant results") {
     val df = spark.range(3000).select(
       col("id"), (col("id") % 31).as("g"),

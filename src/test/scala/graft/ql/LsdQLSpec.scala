@@ -666,6 +666,32 @@ class LsdQLSpec extends SpecBase {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("WITH: duplicate name in one list rejected, even when shadowing") {
+    intercept[IllegalArgumentException] {
+      ql.query(
+        """WITH x AS (SELECT c_custkey FROM customer),
+          |  x AS (SELECT c_custkey FROM customer)
+          |SELECT count(*) AS n FROM x""".stripMargin)
+    }
+    // the same duplicate nested under an outer x must ALSO error
+    // (shadowing alone is legal; double declaration never is)
+    intercept[IllegalArgumentException] {
+      ql.query(
+        """WITH x AS (SELECT c_custkey FROM customer),
+          |  y AS (WITH x AS (SELECT c_custkey FROM x),
+          |             x AS (SELECT c_custkey FROM x)
+          |        SELECT c_custkey FROM x)
+          |SELECT count(*) AS n FROM y""".stripMargin)
+    }
+    // plain shadowing still works
+    val df = ql.query(
+      """WITH x AS (SELECT c_custkey FROM customer WHERE c_custkey < 10),
+        |  y AS (WITH x AS (SELECT c_custkey FROM x WHERE c_custkey < 5)
+        |        SELECT c_custkey FROM x)
+        |SELECT count(*) AS n FROM y""".stripMargin)
+    assert(df.collect().head.getLong(0) == 5L)
+  }
+
   test("WITH: @snapshot on a CTE name is rejected; filters push through") {
     val e = intercept[IllegalArgumentException] {
       ql.query(
