@@ -66,9 +66,14 @@ object Verify {
         // parquet that would read as green for a crashed query.
         try {
           val d = Paths.get(s"$outDir/$name")
-          if (Files.exists(d))
-            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          if (Files.exists(d)) {
+            // close the walk stream (it holds directory descriptors —
+            // one leak per crashed query otherwise)
+            val w = Files.walk(d)
+            try w.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
+            finally w.close()
+          }
         } catch { case _: Throwable => () }
         try {
           import spark.implicits._

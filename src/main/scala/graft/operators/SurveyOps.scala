@@ -1635,9 +1635,14 @@ object SurveyOps {
     // gap multisets are tiny (epochs per object), which is exactly
     // the many-groups × few-rows regime that aggregate handles and
     // ExactQuantiles' contract forbids (its driver state is
-    // O(groups × bins) — unbounded here). Interpolation is the same
-    // IEEE lerp as quantile_cont, so hashes still match. One shuffle,
-    // no join, no driver state.
+    // O(groups × bins) — unbounded here). Interpolation: for p=0.5
+    // on even counts DuckDB's quantile_cont empirically returns
+    // (lo+hi)/2, bit-identical to Percentile's
+    // (ceil−pos)·lo + (pos−floor)·hi = 0.5·lo + 0.5·hi (200/200
+    // probed pairs where formulas diverge) — do NOT "fix" this to the
+    // textbook lerp lo + (hi−lo)·0.5, which differs by 1 ulp on ~6%
+    // of pairs and breaks the hash. One shuffle, no join, no driver
+    // state.
     g.groupBy("user_id")
       .agg((count(lit(1)) + 1).as("n_obs"),
         max(col("gap")).as("max_gap_days"),

@@ -153,10 +153,13 @@ object Windows {
     * median-filter detrending pass survey photometry runs before
     * variability statistics (robust to single-epoch outliers where a
     * rolling mean is not). Spark evaluates the aggregate `percentile`
-    * over the moving frame with bounded per-frame buffering; DuckDB's
-    * quantile_cont over the same frame computes the identical IEEE
-    * lerp (the q_cadence precedent), so no snapping is needed. One
-    * shuffle on the partition key, frames never exceed 5 rows. */
+    * over the moving frame with bounded per-frame buffering; for
+    * even frames DuckDB's quantile_cont returns (lo+hi)/2,
+    * bit-identical to Percentile's 0.5·lo + 0.5·hi — NOT the
+    * textbook lerp lo + (hi−lo)·0.5, which is 1 ulp off on ~6% of
+    * pairs (measured; the q_cadence precedent) — so no snapping is
+    * needed. One shuffle on the partition key, frames never exceed
+    * 5 rows. */
   val qRollingMedian: QuerySpec = QuerySpec(
     "q_rolling_median",
     """SELECT user_id, event_id, value,

@@ -105,7 +105,9 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * Set operators compose whole SELECT queries, standard SQL
     * semantics: `UNION` dedups, `UNION ALL` keeps multiplicity,
     * `INTERSECT`/`EXCEPT` are distinct-set ops (`ALL` variants keep
-    * bag semantics). Columns combine POSITIONALLY (names from the
+    * bag semantics), and `INTERSECT [ALL]` binds TIGHTER than
+    * UNION/EXCEPT (SQL-standard precedence — `A UNION B INTERSECT C`
+    * is A ∪ (B ∩ C)). Columns combine POSITIONALLY (names from the
     * first operand — SQL's rule, Spark's `union`). ORDER BY / LIMIT /
     * INTO may only appear on the LAST operand and then apply to the
     * COMBINED result (so ORDER BY can reference only output columns —
@@ -131,8 +133,15 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     val parts = splitSetOps(text)
     if (parts.lengthIs == 1)
       return queryOne(parts.head._2, liftTail = false, scope)._1
-    var df: DataFrame = null
-    for (((op, ptext), i) <- parts.zipWithIndex) {
+    // Evaluate operands left to right, then fold with SQL precedence:
+    // INTERSECT [ALL] binds TIGHTER than UNION/EXCEPT (SQL standard,
+    // also Spark SQL's rule) — `A UNION B INTERSECT C` is
+    // A ∪ (B ∩ C), not (A ∪ B) ∩ C. `run` accumulates the current
+    // INTERSECT chain; a lower-precedence operator closes the chain
+    // into `acc` with the PREVIOUS pending lower operator.
+    var lastTail: Option[(Option[String], Option[String], Option[String])] =
+      None
+    val evaluated = parts.zipWithIndex.map { case ((op, ptext), i) =>
       val last = i == parts.length - 1
       val (pdf, tail) = queryOne(ptext, liftTail = true, scope)
       if (!last)
@@ -140,30 +149,44 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           "ORDER BY / LIMIT / INTO are only allowed on the last " +
             "operand of a set expression (they apply to the combined " +
             "result)")
-      df = op match {
-        case "" => pdf
-        case "UNION ALL" => df.union(pdf)
-        case "UNION" => df.union(pdf).distinct()
-        case "INTERSECT ALL" => df.intersectAll(pdf)
-        case "INTERSECT" => df.intersect(pdf)
-        case "EXCEPT ALL" => df.exceptAll(pdf)
-        case "EXCEPT" => df.except(pdf)
+      else lastTail = tail
+      (op, pdf)
+    }
+    def applyLower(acc: DataFrame, op: String, run: DataFrame): DataFrame =
+      if (acc == null) run
+      else op match {
+        case "UNION ALL" => acc.union(run)
+        case "UNION" => acc.union(run).distinct()
+        case "EXCEPT ALL" => acc.exceptAll(run)
+        case "EXCEPT" => acc.except(run)
       }
-      if (last) tail.foreach { case (orderOpt, limitOpt, intoOpt) =>
-        if (orderOpt.isDefined || limitOpt.isDefined) {
-          // order/limit over the combined relation: only output
-          // columns are in scope, so a temp view + plain SQL is exact
-          val view = s"graft_ql_set_${LsdQL.viewCounter.incrementAndGet()}"
-          df.createOrReplaceTempView(view)
-          try {
-            val sql = new StringBuilder(s"SELECT * FROM $view")
-            orderOpt.foreach(o => sql ++= s" ORDER BY $o")
-            limitOpt.foreach(n => sql ++= s" LIMIT ${parseLimit(n)}")
-            df = df.sparkSession.sql(sql.toString)
-          } finally df.sparkSession.catalog.dropTempView(view)
-        }
-        intoOpt.foreach(name => df = writeInto(df, name, None))
+    var acc: DataFrame = null
+    var pendingOp = ""
+    var run: DataFrame = null
+    for ((op, pdf) <- evaluated) op match {
+      case "" => run = pdf
+      case "INTERSECT" => run = run.intersect(pdf)
+      case "INTERSECT ALL" => run = run.intersectAll(pdf)
+      case lower =>
+        acc = applyLower(acc, pendingOp, run)
+        pendingOp = lower
+        run = pdf
+    }
+    var df: DataFrame = applyLower(acc, pendingOp, run)
+    lastTail.foreach { case (orderOpt, limitOpt, intoOpt) =>
+      if (orderOpt.isDefined || limitOpt.isDefined) {
+        // order/limit over the combined relation: only output
+        // columns are in scope, so a temp view + plain SQL is exact
+        val view = s"graft_ql_set_${LsdQL.viewCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        try {
+          val sql = new StringBuilder(s"SELECT * FROM $view")
+          orderOpt.foreach(o => sql ++= s" ORDER BY $o")
+          limitOpt.foreach(n => sql ++= s" LIMIT ${parseLimit(n)}")
+          df = df.sparkSession.sql(sql.toString)
+        } finally df.sparkSession.catalog.dropTempView(view)
       }
+      intoOpt.foreach(name => df = writeInto(df, name, None))
     }
     df
   }

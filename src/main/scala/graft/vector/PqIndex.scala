@@ -43,9 +43,13 @@ object PqIndex {
   }
 
   private def l2(a: Seq[Float], b: Array[Float]): Double = {
+    // fail loud on dimension mismatch: silently comparing the common
+    // prefix would score a truncated/malformed vector as a perfect
+    // match (empty slice → distance 0) instead of surfacing the bug
+    require(a.length == b.length,
+      s"subvector dim ${a.length} != codeword dim ${b.length}")
     var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 
@@ -64,6 +68,8 @@ object PqIndex {
 
     val seeds = v.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(ksub).collect().map(_.getSeq[Float](1).toArray)
+    require(seeds.length >= ksub,
+      s"corpus has only ${seeds.length} rows; k-means needs ksub=$ksub")
     var cents: Array[Array[Array[Float]]] =
       Array.tabulate(m, ksub)((j, c) =>
         seeds(c).slice(j * dsub, (j + 1) * dsub))

@@ -666,6 +666,27 @@ class LsdQLSpec extends SpecBase {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("set-op precedence: INTERSECT binds tighter than UNION") {
+    // custkeys: t1 = {0,1}, t2 = {1,2}, t3 = {2,3}
+    // SQL precedence: t1 UNION (t2 INTERSECT t3) = {0,1} ∪ {2} = {0,1,2}
+    // left-to-right (wrong) would be ({0,1}∪{1,2}) ∩ {2,3} = {2}
+    val df = ql.query(
+      """SELECT c_custkey FROM customer WHERE c_custkey < 2
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_custkey >= 1 AND c_custkey < 3
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_custkey >= 2 AND c_custkey < 4
+        |ORDER BY c_custkey""".stripMargin)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // Spark SQL twin agrees
+    val twin = spark.sql(
+      """SELECT id FROM range(0, 2)
+        |UNION SELECT id FROM range(1, 3)
+        |INTERSECT SELECT id FROM range(2, 4)
+        |ORDER BY id""".stripMargin)
+    assert(twin.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("WITH: duplicate name in one list rejected, even when shadowing") {
     intercept[IllegalArgumentException] {
       ql.query(
