@@ -6,7 +6,7 @@ import graft.functions.Det.{sql => D}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
 
 /** §2H — vector similarity over the `embeddings` table (north-star
   * extension; the reference's closest analog is its spatial
@@ -712,7 +712,124 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Ext — deterministic k-means over the embedding corpus: the
+    * cluster-balanced-sampling / topic-stratification primitive of a
+    * training-data curation pipeline (cluster, then sample per
+    * cluster). Fixed k = 8, fixed 3 Lloyd iterations, seeds = the
+    * vec_id < 8 vectors (the q_ann_ivf convention; the trainable
+    * scattered-seed path lives in vector/AnnIndex).
+    *
+    * Execution shape is the MLlib one — the RIGHT one at 100 TB:
+    * centroids are O(k·d) driver state (the bounded-collect class:
+    * zorder bounds, ExactQuantiles cuts), so each iteration is ONE
+    * map-only assignment pass (centroids constant-folded into the
+    * codegen'd [[VectorKernels.dot]] fold — no join, no broadcast
+    * exchange even) feeding ONE partial-aggregated groupBy for the
+    * per-dimension sums. Nothing iterative ever shuffles the vectors
+    * more than once per pass, and the lazy 10-stage plan blowup of
+    * the in-engine alternative (q_pagerank's shape) never forms.
+    *
+    * Determinism: assignment orders by (d6-snapped distance, cid) —
+    * the distance p.nrm + c.cn − 2·dot is a mul-add chain, which the
+    * FMA caveat (functions/Det.scala) says must be snapped before ANY
+    * compare; both engines snap identically so ties break identically.
+    * Per-dim centroid means are decimal(18,6)-exact sums (order-
+    * independent under shuffle; the value-at-scale-6 cast is the
+    * q_embed_gram-proven grid for this corpus) divided once in
+    * double. Centroid norms re-fold left-to-right in dim order on
+    * the driver — the same sequential fold [[DotFold]] and DuckDB's
+    * list_reduce run. */
+  val qClusterKmeans: QuerySpec = {
+    val K = 8
+    val Iters = 3
+    def normSqlOf(e: String): String =
+      s"list_reduce(list_transform($e, x -> x * x), (a, b) -> a + b)"
+    def kdistSql(p: String, c: String): String = D.d6(
+      s"$p.nrm + $c.cn - 2.0 * list_reduce(list_transform(" +
+        s"list_zip($p.vv, $c.cv), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), " +
+        "(a, b) -> a + b)")
+    val sb = new StringBuilder
+    sb ++= s"""$vvCte,
+       |k0 AS (SELECT vec_id AS cid, vv AS cv, nrm AS cn FROM n
+       |  WHERE vec_id < $K)""".stripMargin
+    for (i <- 1 to Iters) {
+      val prev = s"k${i - 1}"
+      sb ++= s""",
+       |a$i AS (SELECT vec_id, vv, cid FROM (
+       |  SELECT p.vec_id, p.vv, c.cid,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${kdistSql("p", "c")}, c.cid) AS rn
+       |  FROM n p CROSS JOIN $prev c) WHERE rn = 1),
+       |m$i AS (SELECT cid, d,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT cid, unnest(vv) AS x,
+       |        generate_subscripts(vv, 1) AS d FROM a$i)
+       |  GROUP BY cid, d),
+       |k$i AS (SELECT p.cid, COALESCE(t.cv, p.cv) AS cv,
+       |    COALESCE(t.cn, p.cn) AS cn
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, cv, ${normSqlOf("cv")} AS cn FROM (
+       |      SELECT cid, list(m ORDER BY d) AS cv FROM m$i
+       |      GROUP BY cid)) t USING (cid))""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT vec_id, cid AS cluster, dd AS dist FROM (
+       |  SELECT p.vec_id, c.cid, ${kdistSql("p", "c")} AS dd,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${kdistSql("p", "c")}, c.cid) AS rn
+       |  FROM n p CROSS JOIN k$Iters c) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+    QuerySpec("q_cluster_kmeans", sb.toString) { (s, dir) =>
+      val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+      var cents: Seq[(Long, Array[Double], Double)] =
+        emb.filter(col("vec_id") < K)
+          .select(col("vec_id"),
+            col("v").cast(ArrayType(DoubleType)).as("cv"), col("nrm"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2)))
+          .sortBy(_._1).toSeq
+      // (snapped distance, cid) struct-min = the oracle's row_number
+      // tie-break; centroid arrays are foldable literals, so codegen
+      // sees k constant arrays, not per-row construction
+      def assignCol: Column = array_min(array(cents.map {
+        case (cid, cv, cn) =>
+          struct(
+            Det.d6(col("nrm") + lit(cn) - lit(2.0) *
+              VectorKernels.dot(col("v"),
+                array(cv.toSeq.map(lit): _*))).as("dd"),
+            lit(cid).as("cid"))
+      }: _*))
+      for (_ <- 1 to Iters) {
+        val means = emb.withColumn("a", assignCol)
+          .select(col("a.cid").as("cid"),
+            posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("cid", "d")
+          .agg((sum(col("x").cast(DoubleType).cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(lit(1))).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+        cents = cents.map { case (cid, cv, cn) =>
+          means.get(cid) match {
+            case Some(m) =>
+              var acc = 0.0; var i = 0
+              while (i < m.length) { acc += m(i) * m(i); i += 1 }
+              (cid, m, acc)
+            case None => (cid, cv, cn)
+          }
+        }
+      }
+      emb.withColumn("a", assignCol)
+        .select(col("vec_id"), col("a.cid").as("cluster"),
+          col("a.dd").as("dist"))
+        .orderBy("vec_id")
+    }
+  }
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
-      qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup)
+      qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans)
 }

@@ -380,4 +380,19 @@ class PlanQualitySpec extends SpecBase {
       s"top-10 keys must be a bounded top-k, got:\n$plan")
     assert(plan.contains("partial_count"), "key counts must partial-agg")
   }
+
+  test("q_cluster_kmeans: assignment is map-only — no join, centroids folded") {
+    val df = VectorOps.qClusterKmeans.fn(spark, sfDir)
+    val plan = planOf(df)
+    // centroids are driver literals folded into the dot-product fold:
+    // the per-point pass must plan as scan→project→sort with NO join
+    // of any kind (the in-engine crossJoin+window alternative would
+    // shuffle the corpus per iteration)
+    assert(!plan.contains("Join"),
+      s"kmeans assignment must not join centroids:\n$plan")
+    assert(plan.contains("dot_fold"),
+      "assignment must use the codegen'd dot kernel")
+    // one range-partition exchange for the output sort, nothing else
+    assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
+  }
 }
