@@ -291,92 +291,64 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
-  /** Hot-bucket cap for the fuzzy-join prefix filter — same role and
-    * same caveat as q_dedup_prefix's maxPrefixBucket: a scale guard
-    * far above any bucket size the test SFs produce (observed max
-    * ≈ hundreds at sf0.1), so both engines keep every candidate and
-    * the capped plan stays output-identical to the oracle. */
-  private val fuzzyPrefixCap = 65536
+  /** Hot-bucket cap for the fuzzy-join deletion-variant buckets — same
+    * role and same caveat as q_dedup_prefix's maxPrefixBucket: a scale
+    * guard far above any bucket size the test SFs produce (observed
+    * max ≈ tens at sf0.1: a bucket is a one-edit family), so both
+    * engines keep every candidate and the capped plan stays
+    * output-identical to the oracle. */
+  private val fuzzyBucketCap = 65536
 
   /** Ext — fuzzy string join (record linkage): all DISTINCT name pairs
-    * within edit distance 1, without the quadratic cross join. The
-    * q-gram filter (Gravano et al. 2001, "Approximate String Joins in
-    * a Database (Almost) for Free", VLDB): one edit operation disturbs
-    * at most q=2 distinct 2-grams, so ed(a,b) ≤ 1 forces
-    * |G(a) ∩ G(b)| ≥ |G(a)| − 2 — which by the PPJoin prefix principle
-    * (under ANY consistent global gram order) means the 3 RAREST grams
-    * of each string must intersect. Candidates therefore come from
-    * equi-joins on hashed prefix grams (the q_dedup_prefix machinery:
-    * df-ordered prefixes, bucketed pair generation, hot-bucket cap),
-    * and exact `levenshtein` verifies — so the output equals the
-    * oracle's plain quadratic form, which is the point: the oracle IS
-    * the cross join, the Spark side never is. Strings too short to
-    * carry 3 distinct grams (length ≤ 4) fall back to one all-pairs
-    * pool — a bounded set in any realistic key population, and empty
-    * here. Completeness holds for DISTINCT pairs; duplicate identical
-    * names would pair at distance 0, which both sides exclude. */
+    * within edit distance 1, without the quadratic cross join.
+    * Blocking is the DELETION NEIGHBORHOOD (FastSS, Bocek et al. 2007;
+    * the SymSpell symmetric-delete scheme): with
+    * D(x) = {x} ∪ {x minus one character}, ed(a,b) ≤ 1 ⟺
+    * D(a) ∩ D(b) ≠ ∅ — substitution at i matches the two del_i
+    * variants, insertion/deletion matches the shorter string against
+    * a del variant of the longer, equality matches the strings
+    * themselves. Unlike the q-gram prefix filter this is an EXACT
+    * characterization, not a necessary condition: candidates ≈ true
+    * pairs (replacing the q-gram blocker cut candidates 7.4 M → 307 k
+    * on the digit-keyed sf0.1 corpus, 7.4 s → measured below), there
+    * is no min-length regime (the old length ≤ 4 all-pairs fallback
+    * is gone), and completeness needs no gram-count argument. Exact
+    * `levenshtein` verifies in-bucket pairs — hash-coincidence or
+    * cross-position variant collisions drop there — so the output
+    * equals the oracle's plain quadratic form, which is the point:
+    * the oracle IS the cross join, the Spark side never is. Index
+    * blowup is (len+1)× rows of 8-byte hashes — the ed ≤ 1 instance
+    * of FastSS's len^ed growth; a general-threshold join would fall
+    * back to the q-gram prefix machinery (q_dedup_prefix). */
   /** Verified edit-distance-≤1 pairs of `names` (columns: k, name) —
     * the complete blocking+verify pipeline shared by q_join_fuzzy and
-    * q_graph_triangles (one definition so the hot-bucket cap, the
-    * short-string fallback and the length filter cannot drift between
-    * them). Returns (ka, kb, na, nb, dist) with ka < kb, one row per
-    * distinct KEY pair. */
+    * q_graph_triangles (one definition so the hot-bucket cap and the
+    * length filter cannot drift between them). Returns
+    * (ka, kb, na, nb, dist) with ka < kb, one row per distinct KEY
+    * pair. */
   private[operators] def fuzzyPairs(names: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // POSITIONAL 2-gram occurrences, hashed to 8 bytes. Positions are
-    // ED-Join's location filter: an undisturbed occurrence shifts by
-    // at most k=1 under one edit, so in-bucket pairs may additionally
-    // require |Δp| ≤ 1 — on key-like corpora (shared literal prefixes,
-    // digit tails) this cuts bucket pair fan-out by ~the string length
-    // over the content-only q-gram filter.
-    val pg = names
-      .select(col("k"), posexplode(expr(
-        "transform(sequence(1, length(name) - 1), " +
-          "i -> substring(name, i, 2))")).as(Seq("i", "g")))
-      .select(col("k"), (col("i") + 1).cast(LongType).as("p"),
-        xxhash64(col("g")).as("h"))
-    val pref = pg
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("k").orderBy(col("df"), col("h"), col("p"))))
-      .filter(col("rn") <= 3) // k·q + 1 rarest occurrences
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("bsz") <= fuzzyPrefixCap)
-    // in-bucket pair generation (bounded by the cap). Only 8-byte
-    // (k, p) structs ride the buffers; names attach at verify.
-    val cand = pref
-      .select(col("h"), struct(col("k"), col("p")).as("d"))
-      .groupBy("h").agg(collect_list(col("d")).as("ds"))
-      .select(explode(col("ds")).as("d1"), col("ds"))
-      .select(col("d1"), explode(col("ds")).as("d2"))
-      .filter(col("d1.k") < col("d2.k") &&
-        abs(col("d1.p") - col("d2.p")) <= 1)
-      .select(col("d1.k").as("ka"), col("d2.k").as("kb"))
-      // the pre-verify distinct looks redundant (the output distinct
-      // would dedup anyway) but is load-bearing for PERF: it collapses
-      // the ≤3× prefix multiplicity AND hands AQE a materialized
-      // exchange whose measured size drives broadcast planning of the
-      // name-attach joins — removing it measured 29 s vs 7.4 s at
-      // sf0.1 (the attach joins fell back to sort-merge on the full
-      // candidate stream)
-      .distinct()
-    // completeness fallback below length 5 (an edit can disturb every
-    // occurrence of a ≤2-gram string): all-pairs among the short pool
-    // and its length-5 neighbors — bounded in any realistic keyspace
-    // one bucket (value-constant key, written as pmod(k,1) so the
-    // optimizer cannot fold it away and degrade the join to a nested
-    // loop): the pool is all-pairs by DESIGN, bounded by the
-    // short-key population — the same single-bucket shape as an LSH
-    // band, planned as a hash join
-    val short = names.filter(length(col("name")) <= 4)
-      .withColumn("z", pmod(col("k"), lit(1L)))
-    val shortish = names.filter(length(col("name")) <= 5)
-      .withColumn("z", pmod(col("k"), lit(1L)))
-    val shortPairs = short.as("a")
-      .join(shortish.as("b"), Seq("z"))
-      .filter(col("a.k") =!= col("b.k"))
-      .select(least(col("a.k"), col("b.k")).as("ka"),
-        greatest(col("a.k"), col("b.k")).as("kb"))
+    // deletion variants, hashed to 8 bytes: element 0 is the string
+    // itself, element i its copy with character i removed
+    val dv = names
+      .select(col("k"), explode(expr(
+        "transform(sequence(0, length(name)), i -> CASE WHEN i = 0 " +
+          "THEN name ELSE concat(substring(name, 1, i - 1), " +
+          "substring(name, i + 1, length(name) - i)) END)")).as("v"))
+      .select(col("k"), xxhash64(col("v")).as("h"))
+    // in-bucket pair generation from ONE evaluation of the bucket
+    // (collect_list bounded by the cap); only 8-byte keys ride the
+    // shuffle — names attach at verify. The distinct collapses
+    // multi-variant multiplicity (a substitution pair shares 2
+    // variants) and hands AQE a materialized exchange whose measured
+    // size drives broadcast planning of the name-attach joins (the
+    // q-gram version measured 29 s without it).
+    val cand = dv
+      .groupBy("h").agg(collect_list(col("k")).as("ks"))
+      .filter(size(col("ks")).between(2, fuzzyBucketCap))
+      .select(explode(col("ks")).as("ka"), col("ks"))
+      .select(col("ka"), explode(col("ks")).as("kb"))
+      .filter(col("ka") < col("kb"))
       .distinct()
     // verify: attach names (AQE broadcasts the dim at test scale; at
     // 100 TB these are two shuffle joins on 8-byte keys), exact
@@ -384,7 +356,7 @@ object CurationOps {
     // names (distance 0) drop at name_a < name_b
     val na = names.select(col("k").as("ka"), col("name").as("na"))
     val nb = names.select(col("k").as("kb"), col("name").as("nb"))
-    cand.union(shortPairs).distinct()
+    cand
       .join(na, "ka").join(nb, "kb")
       .filter(abs(length(col("na")) - length(col("nb"))) <= 1)
       .withColumn("dist",
