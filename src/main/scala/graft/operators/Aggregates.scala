@@ -4,7 +4,8 @@ import graft.{LsdDb, QuerySpec}
 import graft.functions.Det
 import graft.functions.Det.{sql => D}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.Column
 
 /** §2D — keyed/global aggregation. The reference had no GROUP BY in its
   * query language; all aggregation ran through map/reduce kernel chains
@@ -442,35 +443,112 @@ object Aggregates {
     * of 4 lineitem measures through a single aggregation (the sums,
     * squares and cross-products partial-aggregate map-side together),
     * reshaped to (col_a, col_b, corr) rows by `stack` over the one
-    * aggregated row. The closed-form exact-decimal corr (Det.dcorr)
-    * keeps every pair hash-identical to DuckDB; a per-pair-query
-    * formulation would scan the table six times for the same answer.
-    * Generated from the column list so the pair set and both engines'
-    * expressions cannot drift. */
+    * aggregated row. A per-pair-query formulation would scan the
+    * table six times for the same answer.
+    *
+    * Exactness WITHOUT decimal: every measure is an exact 2-decimal
+    * value (cents), so `round(x*100)` is an exact BIGINT and every
+    * sum/square/cross-product is pure integer arithmetic — order-
+    * independent under any shuffle (the determinism decimal sums buy)
+    * at primitive-long codegen speed (the decimal(38,8) form spent
+    * 4.6 s of the sf0.1 bench in per-row BigDecimal casts; this is
+    * sub-second). Squares/products of cents reach ~1.1e14 ≈ 2^47 per
+    * term, so row sums would overflow INT64 — each is SPLIT three
+    * ways, `p = a·2^40 + b·2^20 + c`, and the three partial sums
+    * recombine in double with power-of-two multipliers. Overflow
+    * headroom: a ≤ 2^7, b,c < 2^20, so every split sum stays in
+    * INT64 up to n < 2^43 rows (~8.8e12 — three orders past the
+    * 100 TB lineitem); beyond that this operator must fall back to
+    * decimal sums, which is the documented trade. Pearson is scale-
+    * invariant, so corr over cents = corr over units up to IEEE
+    * rounding, and the output is d6-snapped like every mul-add chain
+    * (FMA rule, functions/Det.scala). Generated from the column list
+    * so the pair set and both engines' expressions cannot drift. */
   val qCorrMatrix: QuerySpec = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.length
     } yield (cols(i), cols(j))
-    val sqlAggs = pairs.zipWithIndex.map { case ((a, b), k) =>
-      s"${D.d6(D.dcorr(a, b))} AS c$k" }.mkString(",\n       |    ")
+    def cIdx(c: String): Int = cols.indexOf(c)
+    // SQL side: cents CTE, split integer sums, double recombination
+    val centsSql = cols.zipWithIndex
+      .map { case (c, i) => s"CAST(round($c * 100) AS BIGINT) AS x$i" }
+      .mkString(", ")
+    // 3-way split of a ≤2^47 term: p = a·2^40 + b·2^20 + c
+    val (hiDiv, midDiv) = (1L << 40, 1L << 20)
+    def splitAggsSql(prodE: String, pfx: String): Seq[String] = Seq(
+      s"SUM(($prodE) // $hiDiv) AS ${pfx}h",
+      s"SUM((($prodE) // $midDiv) % $midDiv) AS ${pfx}m",
+      s"SUM(($prodE) % $midDiv) AS ${pfx}l")
+    val colAggsSql = cols.indices.flatMap { i =>
+      s"SUM(x$i) AS s$i" +: splitAggsSql(s"x$i * x$i", s"q$i")
+    }
+    val pairAggsSql = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val (i, j) = (cIdx(a), cIdx(b))
+      splitAggsSql(s"x$i * x$j", s"p$k")
+    }
+    def dSql(e: String) = s"CAST($e AS DOUBLE)"
+    def sumSql(pfx: String) =
+      s"(${hiDiv.toDouble} * ${dSql(pfx + "h")} + " +
+        s"${midDiv.toDouble} * ${dSql(pfx + "m")} + ${dSql(pfx + "l")})"
+    def corrSql(k: Int, a: String, b: String): String = {
+      val (i, j) = (cIdx(a), cIdx(b))
+      val n = dSql("n")
+      val (sa, sb) = (dSql(s"s$i"), dSql(s"s$j"))
+      val sp = sumSql(s"p$k")
+      val qa = sumSql(s"q$i")
+      val qb = sumSql(s"q$j")
+      D.d6(s"($sp - ($sa * $sb) / $n) / " +
+        s"sqrt(($qa - ($sa * $sa) / $n) * ($qb - ($sb * $sb) / $n))")
+    }
     val sqlRows = pairs.zipWithIndex.map { case ((a, b), k) =>
-      s"SELECT '$a' AS col_a, '$b' AS col_b, c$k AS corr FROM s" }
+      s"SELECT '$a' AS col_a, '$b' AS col_b, ${corrSql(k, a, b)} AS corr FROM s" }
       .mkString("\n       |  UNION ALL ")
     QuerySpec(
       "q_corr_matrix",
-      s"""WITH s AS (SELECT
-         |    $sqlAggs
-         |  FROM lineitem)
+      s"""WITH c AS (SELECT $centsSql FROM lineitem),
+         |s AS (SELECT count(*) AS n,
+         |    ${(colAggsSql ++ pairAggsSql).mkString(",\n         |    ")}
+         |  FROM c)
          |SELECT col_a, col_b, corr FROM (
          |  $sqlRows)
          |ORDER BY col_a, col_b""".stripMargin) { (s, dir) =>
-      val aggs = pairs.zipWithIndex.map { case ((a, b), k) =>
-        Det.d6(Det.dcorr(col(a), col(b))).as(s"c$k") }
+      val cents = cols.zipWithIndex.map { case (c, i) =>
+        round(col(c) * 100).cast(LongType).as(s"x$i") }
+      def x(i: Int) = col(s"x$i")
+      def splitAggs(prodE: String, pfx: String): Seq[Column] = Seq(
+        sum(expr(s"($prodE) div $hiDiv")).as(s"${pfx}h"),
+        sum(expr(s"(($prodE) div $midDiv) % $midDiv")).as(s"${pfx}m"),
+        sum(expr(s"($prodE) % $midDiv")).as(s"${pfx}l"))
+      val colAggs = cols.indices.flatMap { i =>
+        sum(x(i)).as(s"s$i") +: splitAggs(s"x$i * x$i", s"q$i")
+      }
+      val pairAggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+        val (i, j) = (cIdx(a), cIdx(b))
+        splitAggs(s"x$i * x$j", s"p$k")
+      }
+      def d(c: Column) = c.cast(DoubleType)
+      def dsum3(pfx: String) =
+        lit(hiDiv.toDouble) * d(col(pfx + "h")) +
+          lit(midDiv.toDouble) * d(col(pfx + "m")) + d(col(pfx + "l"))
+      def corrCol(k: Int, a: String, b: String): Column = {
+        val (i, j) = (cIdx(a), cIdx(b))
+        val n = d(col("n"))
+        val (sa, sb) = (d(col(s"s$i")), d(col(s"s$j")))
+        val sp = dsum3(s"p$k")
+        val qa = dsum3(s"q$i")
+        val qb = dsum3(s"q$j")
+        Det.d6((sp - (sa * sb) / n) /
+          sqrt((qa - (sa * sa) / n) * (qb - (sb * sb) / n)))
+      }
+      val allAggs = count(lit(1)).as("n") +: (colAggs ++ pairAggs)
       val stackArgs = pairs.zipWithIndex.map { case ((a, b), k) =>
         s"'$a', '$b', c$k" }.mkString(", ")
       LsdDb.table(s, dir, "lineitem")
-        .agg(aggs.head, aggs.tail: _*)
+        .select(cents: _*)
+        .agg(allAggs.head, allAggs.tail: _*)
+        .select(pairs.zipWithIndex.map { case ((a, b), k) =>
+          corrCol(k, a, b).as(s"c$k") }: _*)
         .select(expr(s"stack(${pairs.length}, $stackArgs) " +
           "AS (col_a, col_b, corr)"))
         .orderBy("col_a", "col_b")
