@@ -18,6 +18,35 @@ import org.apache.spark.sql.Column
   */
 object Aggregates {
 
+  /** Split-INT64 exact sums for products of cent-scaled measures —
+    * the decimal-free determinism path shared by q_corr_matrix and
+    * q_agg_stats. A product of two ≤2^24 cent values is ≤2^48; summed
+    * naively it overflows INT64 within ~2^15 rows, so each term is
+    * split `p = a·2^40 + b·2^20 + c` into three INT64 sums (headroom
+    * n < 2^43 rows, well past 100 TB of lineitem; beyond that fall
+    * back to decimal sums) and recombined in double with power-of-two
+    * multipliers, which both engines evaluate identically. */
+  private object SplitSums {
+    val hiDiv: Long = 1L << 40
+    val midDiv: Long = 1L << 20
+    def aggsSql(prodE: String, pfx: String): Seq[String] = Seq(
+      s"SUM(($prodE) // $hiDiv) AS ${pfx}h",
+      s"SUM((($prodE) // $midDiv) % $midDiv) AS ${pfx}m",
+      s"SUM(($prodE) % $midDiv) AS ${pfx}l")
+    def aggs(prodE: String, pfx: String): Seq[Column] = Seq(
+      sum(expr(s"($prodE) div $hiDiv")).as(s"${pfx}h"),
+      sum(expr(s"(($prodE) div $midDiv) % $midDiv")).as(s"${pfx}m"),
+      sum(expr(s"($prodE) % $midDiv")).as(s"${pfx}l"))
+    def totalSql(pfx: String): String =
+      s"(${hiDiv.toDouble} * CAST(${pfx}h AS DOUBLE) + " +
+        s"${midDiv.toDouble} * CAST(${pfx}m AS DOUBLE) + " +
+        s"CAST(${pfx}l AS DOUBLE))"
+    def total(pfx: String): Column =
+      lit(hiDiv.toDouble) * col(s"${pfx}h").cast(DoubleType) +
+        lit(midDiv.toDouble) * col(s"${pfx}m").cast(DoubleType) +
+        col(s"${pfx}l").cast(DoubleType)
+  }
+
   /** Flagship: TPC-H-Q1-style pricing summary. Scan → filter →
     * hash-agg (partial+final) → small sort. At 100 TB this is the
     * canonical map-side-combine pattern: the shuffle carries only
@@ -131,28 +160,68 @@ object Aggregates {
         col("l_linestatus").asc_nulls_first)
   }
 
-  /** A7 — stddev/variance/correlation. Computed from exact decimal
-    * sums (Det.dvarSamp/dcorr) rather than the engines' streaming
-    * moment kernels, whose merge order differs between Spark and
-    * DuckDB — same math, order-independent, and still a single
-    * partial+final aggregation pass. */
-  val qAggStats: QuerySpec = QuerySpec(
-    "q_agg_stats",
-    s"""SELECT l_returnflag,
-       |  ${D.d6(D.dvarSamp("l_quantity"))} AS var_qty,
-       |  ${D.d6(D.dstddevSamp("l_quantity"))} AS std_qty,
-       |  ${D.d6(D.dcorr("l_quantity", "l_extendedprice"))} AS corr_qty_price,
-       |  count(*) AS n_rows
-       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    LsdDb.table(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        Det.d6(Det.dvarSamp(col("l_quantity"))).as("var_qty"),
-        Det.d6(Det.dstddevSamp(col("l_quantity"))).as("std_qty"),
-        Det.d6(Det.dcorr(col("l_quantity"), col("l_extendedprice")))
-          .as("corr_qty_price"),
-        count(lit(1)).as("n_rows"))
-      .orderBy("l_returnflag")
+  /** A7 — stddev/variance/correlation from exact order-independent
+    * sums rather than the engines' streaming moment kernels (whose
+    * merge order differs between Spark and DuckDB). Sums run on the
+    * [[SplitSums]] integer-cents path (see q_corr_matrix: measures
+    * are exact 2-decimal values, so round(x·100) is an exact BIGINT
+    * and the whole partial+final pass is primitive-long codegen — the
+    * decimal(38,8) form cost 2.4 s of the sf0.1 bench in per-row
+    * BigDecimal casts). Variance de-scales by the exact factor 10⁴
+    * (one double division, engine-identical); corr is scale-
+    * invariant; every output is d6-snapped per the FMA rule. */
+  val qAggStats: QuerySpec = {
+    val aggsSql = (Seq("SUM(x0) AS s0", "SUM(x1) AS s1") ++
+      SplitSums.aggsSql("x0 * x0", "q0") ++
+      SplitSums.aggsSql("x1 * x1", "q1") ++
+      SplitSums.aggsSql("x0 * x1", "p0")).mkString(",\n       |    ")
+    val (nD, s0, s1) = ("CAST(n AS DOUBLE)", "CAST(s0 AS DOUBLE)",
+      "CAST(s1 AS DOUBLE)")
+    val (q0, q1, p0) = (SplitSums.totalSql("q0"), SplitSums.totalSql("q1"),
+      SplitSums.totalSql("p0"))
+    val varCents = s"(($q0 - ($s0 * $s0) / $nD) / ($nD - 1.0))"
+    QuerySpec(
+      "q_agg_stats",
+      s"""WITH c AS (SELECT l_returnflag,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS x0,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x1
+         |  FROM lineitem),
+         |s AS (SELECT l_returnflag, count(*) AS n,
+         |    $aggsSql
+         |  FROM c GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  ${D.d6(s"$varCents / 10000.0")} AS var_qty,
+         |  ${D.d6(s"sqrt($varCents) / 100.0")} AS std_qty,
+         |  ${D.d6(s"($p0 - ($s0 * $s1) / $nD) / " +
+            s"sqrt(($q0 - ($s0 * $s0) / $nD) * ($q1 - ($s1 * $s1) / $nD))")}
+         |    AS corr_qty_price,
+         |  n AS n_rows
+         |FROM s ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val aggs = Seq(count(lit(1)).as("n"),
+        sum(col("x0")).as("s0"), sum(col("x1")).as("s1")) ++
+        SplitSums.aggs("x0 * x0", "q0") ++
+        SplitSums.aggs("x1 * x1", "q1") ++
+        SplitSums.aggs("x0 * x1", "p0")
+      def d(c: Column) = c.cast(DoubleType)
+      val (nD, s0, s1) = (d(col("n")), d(col("s0")), d(col("s1")))
+      val (q0, q1, p0) = (SplitSums.total("q0"), SplitSums.total("q1"),
+        SplitSums.total("p0"))
+      val varCents = (q0 - (s0 * s0) / nD) / (nD - lit(1.0))
+      LsdDb.table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast(LongType).as("x0"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("x1"))
+        .groupBy("l_returnflag")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag"),
+          Det.d6(varCents / lit(10000.0)).as("var_qty"),
+          Det.d6(sqrt(varCents) / lit(100.0)).as("std_qty"),
+          Det.d6((p0 - (s0 * s1) / nD) /
+            sqrt((q0 - (s0 * s0) / nD) * (q1 - (s1 * s1) / nD)))
+            .as("corr_qty_price"),
+          col("n").as("n_rows"))
+        .orderBy("l_returnflag")
+    }
   }
 
   /** A8 — collect_list (reference analog: per-object detection lists
@@ -474,30 +543,21 @@ object Aggregates {
     val centsSql = cols.zipWithIndex
       .map { case (c, i) => s"CAST(round($c * 100) AS BIGINT) AS x$i" }
       .mkString(", ")
-    // 3-way split of a ≤2^47 term: p = a·2^40 + b·2^20 + c
-    val (hiDiv, midDiv) = (1L << 40, 1L << 20)
-    def splitAggsSql(prodE: String, pfx: String): Seq[String] = Seq(
-      s"SUM(($prodE) // $hiDiv) AS ${pfx}h",
-      s"SUM((($prodE) // $midDiv) % $midDiv) AS ${pfx}m",
-      s"SUM(($prodE) % $midDiv) AS ${pfx}l")
     val colAggsSql = cols.indices.flatMap { i =>
-      s"SUM(x$i) AS s$i" +: splitAggsSql(s"x$i * x$i", s"q$i")
+      s"SUM(x$i) AS s$i" +: SplitSums.aggsSql(s"x$i * x$i", s"q$i")
     }
     val pairAggsSql = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
       val (i, j) = (cIdx(a), cIdx(b))
-      splitAggsSql(s"x$i * x$j", s"p$k")
+      SplitSums.aggsSql(s"x$i * x$j", s"p$k")
     }
     def dSql(e: String) = s"CAST($e AS DOUBLE)"
-    def sumSql(pfx: String) =
-      s"(${hiDiv.toDouble} * ${dSql(pfx + "h")} + " +
-        s"${midDiv.toDouble} * ${dSql(pfx + "m")} + ${dSql(pfx + "l")})"
     def corrSql(k: Int, a: String, b: String): String = {
       val (i, j) = (cIdx(a), cIdx(b))
       val n = dSql("n")
       val (sa, sb) = (dSql(s"s$i"), dSql(s"s$j"))
-      val sp = sumSql(s"p$k")
-      val qa = sumSql(s"q$i")
-      val qb = sumSql(s"q$j")
+      val sp = SplitSums.totalSql(s"p$k")
+      val qa = SplitSums.totalSql(s"q$i")
+      val qb = SplitSums.totalSql(s"q$j")
       D.d6(s"($sp - ($sa * $sb) / $n) / " +
         s"sqrt(($qa - ($sa * $sa) / $n) * ($qb - ($sb * $sb) / $n))")
     }
@@ -516,28 +576,21 @@ object Aggregates {
       val cents = cols.zipWithIndex.map { case (c, i) =>
         round(col(c) * 100).cast(LongType).as(s"x$i") }
       def x(i: Int) = col(s"x$i")
-      def splitAggs(prodE: String, pfx: String): Seq[Column] = Seq(
-        sum(expr(s"($prodE) div $hiDiv")).as(s"${pfx}h"),
-        sum(expr(s"(($prodE) div $midDiv) % $midDiv")).as(s"${pfx}m"),
-        sum(expr(s"($prodE) % $midDiv")).as(s"${pfx}l"))
       val colAggs = cols.indices.flatMap { i =>
-        sum(x(i)).as(s"s$i") +: splitAggs(s"x$i * x$i", s"q$i")
+        sum(x(i)).as(s"s$i") +: SplitSums.aggs(s"x$i * x$i", s"q$i")
       }
       val pairAggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
         val (i, j) = (cIdx(a), cIdx(b))
-        splitAggs(s"x$i * x$j", s"p$k")
+        SplitSums.aggs(s"x$i * x$j", s"p$k")
       }
       def d(c: Column) = c.cast(DoubleType)
-      def dsum3(pfx: String) =
-        lit(hiDiv.toDouble) * d(col(pfx + "h")) +
-          lit(midDiv.toDouble) * d(col(pfx + "m")) + d(col(pfx + "l"))
       def corrCol(k: Int, a: String, b: String): Column = {
         val (i, j) = (cIdx(a), cIdx(b))
         val n = d(col("n"))
         val (sa, sb) = (d(col(s"s$i")), d(col(s"s$j")))
-        val sp = dsum3(s"p$k")
-        val qa = dsum3(s"q$i")
-        val qb = dsum3(s"q$j")
+        val sp = SplitSums.total(s"p$k")
+        val qa = SplitSums.total(s"q$i")
+        val qb = SplitSums.total(s"q$j")
         Det.d6((sp - (sa * sb) / n) /
           sqrt((qa - (sa * sa) / n) * (qb - (sb * sb) / n)))
       }
