@@ -55,9 +55,13 @@ object Det {
     * `round()`, whose double pathway differs between engines, a
     * double→decimal(18,6)→double trip is identical on both sides
     * except at exact decimal midpoints, which transcendental values
-    * never hit. */
+    * never hit. Runs as the codegen'd [[SnapDecimal6]] — bit-identical
+    * to the cast chain (property-tested in SnapDecimalSpec) without
+    * its per-row BigDecimal detour. */
   def d6(c: Column): Column =
-    c.cast(DecimalType(18, 6)).cast(DoubleType)
+    org.apache.spark.sql.GraftShims.column(
+      SnapDecimal6(org.apache.spark.sql.GraftShims.expression(
+        c.cast(DoubleType))))
 
   /** Exact sum of products (x*y is IEEE-deterministic; the decimal cast
     * makes the subsequent summation order-independent). Uses the wide
