@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions.{col, row_number}
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
   *   query {UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL]} query ...
   *
+  * WHERE may embed UNCORRELATED subqueries — `x IN (SELECT …)`,
+  * [NOT] EXISTS (SELECT …), scalar `(SELECT max(…) …)` — each inner
+  * text a full QL query (CTE scope visible). Correlated outer-column
+  * references are rejected; express those through the join graph.
+  *
   * WITH introduces named subqueries (CTEs): each body is a full query
   * (set operators and nested WITH included), later CTEs and the main
   * body see earlier ones by name in FROM. A CTE is a LOGICAL-plan
@@ -189,6 +194,61 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       intoOpt.foreach(name => df = writeInto(df, name, None))
     }
     df
+  }
+
+  /** Find every parenthesized `(SELECT …)` span in a WHERE clause
+    * (string-literal aware, properly paren-matched), evaluate each
+    * inner text as a full QL query at `scope`, register it as a temp
+    * view, and return the WHERE with each span replaced by
+    * `(SELECT * FROM view)` plus the created view names (caller
+    * drops them after the outer plan is analyzed). */
+  private def rewriteWhereSubqueries(w: String,
+                                     scope: Map[String, DataFrame])
+      : (String, Seq[String]) = {
+    val quoted = quotedSpans(w)
+    val open = java.util.regex.Pattern
+      .compile("\\(\\s*SELECT\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+    val m = open.matcher(w)
+    val out = new StringBuilder
+    val views = Seq.newBuilder[String]
+    var pos = 0
+    var from = 0
+    while (m.find(from)) {
+      val start = m.start
+      if (quoted(start) || start < pos) { from = m.end }
+      else {
+        var j = start + 1
+        var depth = 1
+        while (depth > 0) {
+          require(j < w.length, s"unclosed subquery in WHERE: $w")
+          if (!quoted(j)) w.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        val inner = w.substring(start + 1, j - 1)
+        val sub =
+          try evalQuery(inner, scope)
+          catch {
+            case e: Throwable => throw new IllegalArgumentException(
+              "WHERE subquery failed to evaluate (note: only " +
+                "UNCORRELATED subqueries are supported — outer-column " +
+                s"references must go through the join graph): $inner",
+              e)
+          }
+        val view = s"graft_ql_subq_${LsdQL.viewCounter.incrementAndGet()}"
+        sub.createOrReplaceTempView(view)
+        views += view
+        out ++= w.substring(pos, start)
+        out ++= s"(SELECT * FROM $view)"
+        pos = j
+        from = j
+      }
+    }
+    out ++= w.substring(pos)
+    (out.toString, views.result())
   }
 
   /** Peel a leading `WITH n1 AS (q1), n2 AS (q2)` prefix. Returns the
@@ -381,7 +441,29 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       }
       joined += item.table
     }
-    whereOpt.foreach(w => df = df.filter(w))
+    whereOpt.foreach { w0 =>
+      // UNCORRELATED subqueries in WHERE — `x IN (SELECT …)`,
+      // [NOT] EXISTS (SELECT …), scalar (SELECT max(…) …) — each
+      // inner text is a full QL query evaluated at the current CTE
+      // scope and spliced back as a temp view, so the outer predicate
+      // runs through Spark SQL's real subquery planner (which turns
+      // IN into a semi-join and a scalar subquery into a broadcast
+      // one-row join — the scale-right plans). Correlated references
+      // to outer columns are NOT supported (they fail analysis inside
+      // the inner query) — express those through the declared join
+      // graph instead, which is the reference's own model.
+      val (w, views) = rewriteWhereSubqueries(w0, scope)
+      if (views.isEmpty) df = df.filter(w0)
+      else {
+        val view = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        try df = df.sparkSession.sql(s"SELECT * FROM $view WHERE $w")
+        finally {
+          df.sparkSession.catalog.dropTempView(view)
+          views.foreach(df.sparkSession.catalog.dropTempView)
+        }
+      }
+    }
     if (groupOpt.isDefined || havingOpt.isDefined || orderOpt.isDefined) {
       // Aggregation surface: hand the joined+filtered relation to
       // Catalyst as SQL over a temp view — the reference routed

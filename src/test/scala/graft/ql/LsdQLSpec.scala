@@ -666,6 +666,62 @@ class LsdQLSpec extends SpecBase {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("WHERE IN (SELECT ...) subquery plans as a semi-join") {
+    val df = ql.query(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 5000)
+        |ORDER BY o_orderkey""".stripMargin)
+    val rich = db.table("customer").filter("c_acctbal > 5000")
+      .select("c_custkey")
+    val orders = db.table("orders")
+    val twin = orders
+      .join(rich, orders("o_custkey") === rich("c_custkey"), "left_semi")
+    assert(df.count() == twin.count() && twin.count() > 0)
+    // the planner must produce a semi-join, not a distinct+inner
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join:\n$plan")
+  }
+
+  test("WHERE NOT EXISTS and scalar subquery") {
+    val noOrders = ql.query(
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT o_orderkey FROM orders
+        |                  WHERE o_totalprice > 100000)""".stripMargin)
+    // uncorrelated: inner is non-empty, so NOT EXISTS kills all rows
+    assert(noOrders.count() == 0)
+    val scalar = ql.query(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders)""".stripMargin)
+    assert(scalar.count() >= 1)
+    val mx = db.table("orders").agg(org.apache.spark.sql.functions
+      .max("o_totalprice")).head.getDouble(0)
+    assert(scalar.count() ==
+      db.table("orders").filter(s"o_totalprice >= $mx").count())
+  }
+
+  test("WHERE subquery sees the CTE scope; correlated is rejected") {
+    val df = ql.query(
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM rich)""".stripMargin)
+    assert(df.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      ql.query(
+        """SELECT o_orderkey FROM orders
+          |WHERE EXISTS (SELECT c_custkey FROM customer
+          |              WHERE c_custkey = o_custkey)""".stripMargin)
+        .count()
+    }
+    assert(e.getMessage.contains("UNCORRELATED"))
+  }
+
+  test("IN-list with a quoted '(SELECT' literal is not rewritten") {
+    val df = ql.query(
+      "SELECT c_custkey FROM customer WHERE c_name <> '(SELECT x)'")
+    assert(df.count() == db.table("customer").count())
+  }
+
   test("set-op precedence: INTERSECT binds tighter than UNION") {
     // custkeys: t1 = {0,1}, t2 = {1,2}, t3 = {2,3}
     // SQL precedence: t1 UNION (t2 INTERSECT t3) = {0,1} ∪ {2} = {0,1,2}
