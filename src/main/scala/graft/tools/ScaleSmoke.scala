@@ -121,6 +121,71 @@ object ScaleSmoke {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5).count().toString + " results"
     }
+    // q_cluster_kmeans' execution shape at 1M vectors: centroids are
+    // O(k·d) driver literals folded into the codegen'd dot kernel, so
+    // one Lloyd round = ONE map-only assignment pass + ONE
+    // partial-aggregated groupBy((cid,dim)) for the decimal(18,6)
+    // per-dim means — the d× explode multiplies map-side CPU but the
+    // shuffle carries only k·d·partitions partial rows.
+    t("kmeans one Lloyd round 1M x 64-d, k=8 (literal-centroid assign)") {
+      val cents = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("v").cast("array<double>"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+          r.getDouble(2)))
+      val assignCol = array_min(array(cents.map { case (cid, cv, cn) =>
+        struct(graft.functions.Det.d6(col("nrm") + lit(cn) - lit(2.0) *
+          graft.functions.VectorKernels.dot(col("v"),
+            array(cv.toSeq.map(lit): _*))).as("dd"),
+          lit(cid).as("cid"))
+      }: _*))
+      val means = corpus.withColumn("a", assignCol)
+        .select(col("a.cid").as("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg((sum(col("x").cast("double").cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("m"))
+        .collect()
+      require(means.length == 8 * 64, s"expected 512 means, ${means.length}")
+      s"${means.length} (cid,dim) means"
+    }
+
+    // deletion-neighborhood fuzzy join (q_join_fuzzy's blocker) at 1M
+    // keys: the index is (len+1)× rows of 8-byte hashes, pair
+    // generation is bucket-local. Sparse keyspace (id·997 over 9
+    // digits) — the realistic record-linkage regime where most keys
+    // have no ed-1 neighbor and the blocker's job is to prove it
+    // cheaply.
+    t("deletion-neighborhood ed<=1 join 1M keys (10M variant index)") {
+      val base = spark.range(1000000).select(col("id").as("k"),
+        concat(lit("u"), lpad((col("id") * 997).cast("string"), 9, "0"))
+          .as("name"))
+      // plant 1000 known near-dups (last char substituted) so the
+      // block asserts recall, not just cheap absence
+      val planted = spark.range(1000).select(
+        (col("id") + 2000000L).as("k"),
+        concat(lit("u"), substring(
+          lpad((col("id") * 997000).cast("string"), 9, "0"), 1, 8),
+          lit("x")).as("name"))
+      val names = base.union(planted)
+      val dv = names.select(col("k"), explode(expr(
+        "transform(sequence(0, length(name)), i -> CASE WHEN i = 0 " +
+          "THEN name ELSE concat(substring(name, 1, i - 1), " +
+          "substring(name, i + 1, length(name) - i)) END)")).as("vv"))
+        .select(col("k"), xxhash64(col("vv")).as("h"))
+      val cand = dv.groupBy("h").agg(collect_list(col("k")).as("ks"))
+        .filter(size(col("ks")).between(2, 65536))
+        .select(explode(col("ks")).as("ka"), col("ks"))
+        .select(col("ka"), explode(col("ks")).as("kb"))
+        .filter(col("ka") < col("kb"))
+        .distinct()
+      val na = names.select(col("k").as("ka"), col("name").as("na"))
+      val nb = names.select(col("k").as("kb"), col("name").as("nb"))
+      val verified = cand.join(na, "ka").join(nb, "kb")
+        .filter(levenshtein(col("na"), col("nb")) <= 1)
+        .count()
+      s"$verified ed<=1 pairs"
+    }
+
     // hyperplane-LSH cosine dedup at 1M vectors. Two scale rules on
     // display: (1) this corpus is all-positive (rand + i*0.001), and
     // sign-random-projection on UNCENTERED data collapses signatures
