@@ -998,9 +998,93 @@ object Joins {
       .orderBy("a_id")
   }
 
+  /** J5b — INTERVAL OVERLAP join (temporal): which user sessions
+    * intersect which maintenance windows, with the exact overlap
+    * duration. The second classic non-equi shape next to the banded
+    * scalar-in-interval join (q_join_range): interval × interval,
+    * `w_start < s_end AND s_start < w_end`.
+    *
+    * Relations: sessions from the native session_window gap logic
+    * (the q_window_session machinery, 30-min gap, end = last + gap);
+    * maintenance windows synthesized deterministically from order
+    * keys (start minute = key·9973 mod 30 days, length 30–389 min) —
+    * integer-minute timestamp arithmetic, exact on both engines.
+    *
+    * Scale shape: NO theta join. Windows are ≤ 390 min < 1 day, so
+    * each window registers in ONE day bucket and each session probes
+    * its covered days plus one predecessor — any overlapping pair
+    * provably shares a probed bucket (w_start ∈ (s_start − len,
+    * s_end) ⊆ the probed day span), each pair meets at most once (a
+    * window lives in exactly one bucket — no post-join distinct),
+    * and candidates scale with windows-per-day × session-days, not
+    * |sessions|×|windows|. The overlap length is pure BIGINT µs
+    * arithmetic — no float anywhere. */
+  val qJoinInterval: QuerySpec = QuerySpec(
+    "q_join_interval",
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+       |                   OR tsu - lag(tsu) OVER w >= INTERVAL 30 MINUTE
+       |            THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+       |numbered AS (
+       |  SELECT *, sum(new_session)
+       |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged),
+       |sessions AS (
+       |  SELECT user_id, min(tsu) AS s_start,
+       |    max(tsu) + INTERVAL 30 MINUTE AS s_end
+       |  FROM numbered GROUP BY user_id, sid),
+       |win AS (
+       |  SELECT o_orderkey AS w_id,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + (o_orderkey * 9973 % 43200) * INTERVAL '1 minute' AS w_start,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + (o_orderkey * 9973 % 43200 + o_orderkey % 360 + 30)
+       |        * INTERVAL '1 minute' AS w_end
+       |  FROM orders WHERE o_orderkey <= 500)
+       |SELECT s.user_id, s.s_start AS session_start, w.w_id,
+       |  epoch_us(least(s.s_end, w.w_end))
+       |    - epoch_us(greatest(s.s_start, w.w_start)) AS overlap_us
+       |FROM sessions s JOIN win w
+       |  ON w.w_start < s.s_end AND s.s_start < w.w_end
+       |ORDER BY user_id, session_start, w_id""".stripMargin) { (s, dir) =>
+    val dayUs = 86400000000L
+    val sess = LsdDb.table(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"))
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val win = LsdDb.table(s, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey").as("w_id"),
+        timestamp_add("MINUTE",
+          ((col("o_orderkey") * 9973) % 43200).cast("int"), t0).as("w_start"),
+        timestamp_add("MINUTE",
+          ((col("o_orderkey") * 9973) % 43200 + col("o_orderkey") % 360
+            + 30).cast("int"), t0).as("w_end"))
+      .withColumn("bucket", floor(unix_micros(col("w_start")) / dayUs))
+    val sb = sess.withColumn("bucket", explode(sequence(
+      floor(unix_micros(col("s_start")) / dayUs) - 1,
+      floor(unix_micros(col("s_end")) / dayUs))))
+    sb.join(win, "bucket")
+      .filter(col("w_start") < col("s_end") &&
+        col("s_start") < col("w_end"))
+      .select(col("user_id"), col("s_start").as("session_start"),
+        col("w_id"),
+        (unix_micros(least(col("s_end"), col("w_end"))) -
+          unix_micros(greatest(col("s_start"), col("w_start"))))
+          .as("overlap_us"))
+      .orderBy("user_id", "session_start", "w_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qJoinInner, qJoinLeft, qJoinMulti,
-    qJoinSemi, qJoinAnti, qJoinBloom, qJoinRange, qAsofNearest, qAsofJoin,
-    qJoinSelf,
+    qJoinSemi, qJoinAnti, qJoinBloom, qJoinRange, qJoinInterval,
+    qAsofNearest, qAsofJoin, qJoinSelf,
     qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchOuter,
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect)

@@ -381,6 +381,17 @@ class PlanQualitySpec extends SpecBase {
     assert(plan.contains("partial_count"), "key counts must partial-agg")
   }
 
+  test("q_join_interval: bucketed equi-join, never a theta join") {
+    val df = Joins.qJoinInterval.fn(spark, sfDir)
+    val plan = planOf(df)
+    // interval × interval overlap must ride the day-bucket equi-join;
+    // a BroadcastNestedLoopJoin would be the quadratic theta plan
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must not plan all-pairs:\n$plan")
+    assert(plan.contains("bucket"), s"expected bucket join key:\n$plan")
+  }
+
   test("q_cluster_kmeans: assignment is map-only — no join, centroids folded") {
     val df = VectorOps.qClusterKmeans.fn(spark, sfDir)
     val plan = planOf(df)
