@@ -11,7 +11,7 @@ object Registry {
       Windows.specs ++ TimeWindows.specs ++ TextOps.specs ++
       VectorOps.specs ++ MiscOps.specs ++ PipelineOps.specs ++
       SurveyOps.specs ++ MediaOps.specs ++ CurationOps.specs ++
-      GraphOps.specs
+      GraphOps.specs ++ EventOps.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{LsdDb, QuerySpec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Product-analytics classics over the `events` stream — the funnel /
+  * retention / transition-matrix trio every clickstream warehouse
+  * ships. All three are one-or-two-shuffle shapes on `user_id` (the
+  * natural event partitioning key), so at 100 TB they ride a single
+  * hash partitioning end to end: the first groupBy shuffles, every
+  * later per-user step reuses the exchange. Nothing here is float —
+  * timestamps are exact µs BIGINTs and probabilities are single
+  * BIGINT-ratio divisions, identical on both engines. */
+object EventOps {
+
+  /** E1 — conversion FUNNEL view → click → purchase: per user, the
+    * first 'view', the first 'click' strictly after it, the first
+    * 'purchase' strictly after that, and the stage reached (0–3).
+    * Strict-sequence first-occurrence semantics — the standard
+    * product-funnel definition. Three keyed aggregates joined on
+    * user_id: left joins keep users who never converted (stage
+    * counts need them), and every join key is the same user_id hash
+    * partitioning. */
+  val qFunnel: QuerySpec = QuerySpec(
+    "q_funnel",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+      |    event_type FROM events),
+      |v AS (SELECT user_id, min(tsu) AS t_view FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.tsu) AS t_click
+      |  FROM e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.tsu > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.tsu) AS t_purchase
+      |  FROM e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tsu > c.t_click
+      |  GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CASE WHEN p.user_id IS NOT NULL THEN 3
+      |       WHEN c.user_id IS NOT NULL THEN 2
+      |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |  LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val e = LsdDb.table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    e.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0)
+          .cast("int").as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** E2 — cohort RETENTION matrix: users grouped by first-activity
+    * week (Monday-truncated on both engines), counted in each later
+    * active week as an integer week offset. Two keyed aggregates on
+    * user_id + one dimension-scale groupBy — the matrix is
+    * O(weeks²) rows regardless of corpus size. Offsets are exact µs
+    * arithmetic (epoch difference / 604800e6 is an exact integer for
+    * week-truncated timestamps). */
+  val qRetention: QuerySpec = QuerySpec(
+    "q_retention",
+    """WITH e AS (SELECT user_id,
+      |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+      |cohort AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT c.cw AS cohort_week,
+      |  CAST((epoch_us(a.wk) - epoch_us(c.cw)) / 604800000000 AS BIGINT)
+      |    AS week_offset,
+      |  count(*) AS n_users
+      |FROM cohort c JOIN active a USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val e = LsdDb.table(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = e.groupBy("user_id").agg(min(col("wk")).as("cw"))
+    val active = e.distinct()
+    cohort.join(active, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        ((unix_micros(col("wk")) - unix_micros(col("cw")))
+          / 604800000000L).cast(LongType).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** E3 — event TRANSITION matrix (first-order Markov): consecutive
+    * event-type pairs per user (ordered by ts with event_id
+    * tie-break), with the empirical transition probability. One lag
+    * window + one groupBy; the per-from normalizer is a window over
+    * the 25-row matrix, not the corpus. p is one BIGINT-ratio
+    * division — engine-identical, no snap. */
+  val qTransition: QuerySpec = QuerySpec(
+    "q_transition",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+      |    event_type FROM events),
+      |pairs AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS to_type
+      |  FROM e),
+      |m AS (SELECT from_type, to_type, count(*) AS n FROM pairs
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+      |FROM m ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val nw = Window.partitionBy("from_type")
+    LsdDb.table(s, dir, "events")
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(nw))
+      .orderBy("from_type", "to_type")
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qFunnel, qRetention, qTransition)
+}
