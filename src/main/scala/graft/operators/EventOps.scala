@@ -132,5 +132,58 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qFunnel, qRetention, qTransition)
+  /** E4 — market-basket CO-OCCURRENCE with lift: part pairs bought in
+    * the same order, ranked by support, with
+    * lift = n_ab·N / (n_a·n_b). The self-join key is the order — a
+    * bounded-cardinality basket (≤7 lineitems in TPC-H shape), so
+    * pair fan-out is ≤ C(7,2) per order and the join scales with
+    * orders, never parts² (the same bounded-bucket argument as the
+    * LSH band joins; a skewed mega-basket corpus would cap basket
+    * size first). Per-part order counts attach by broadcast (the
+    * part dimension is corpus-sublinear). Lift is one double
+    * division of exact integer products — no snap needed. */
+  val qCooccur: QuerySpec = QuerySpec(
+    "q_cooccur",
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+      |pc AS (SELECT l_partkey, count(*) AS n_part FROM b GROUP BY 1),
+      |pairs AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+      |    count(*) AS n_ab
+      |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+      |    AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, n_ab,
+      |  CAST(n_ab * n.n_orders AS DOUBLE)
+      |    / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+      |FROM pairs JOIN pc pa ON pa.l_partkey = part_a
+      |  JOIN pc pb ON pb.l_partkey = part_b, n
+      |WHERE n_ab >= 2
+      |ORDER BY n_ab DESC, part_a, part_b LIMIT 100""".stripMargin) {
+    (s, dir) =>
+    val b = LsdDb.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = b.select(col("l_orderkey")).distinct().count()
+    val pc = b.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val pairs = b.as("a")
+      .join(b.as("c"), col("a.l_orderkey") === col("c.l_orderkey") &&
+        col("a.l_partkey") < col("c.l_partkey"))
+      .select(col("a.l_partkey").as("part_a"),
+        col("c.l_partkey").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(broadcast(pc.select(col("l_partkey").as("part_a"),
+        col("n_part").as("na"))), "part_a")
+      .join(broadcast(pc.select(col("l_partkey").as("part_b"),
+        col("n_part").as("nb"))), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        ((col("n_ab") * nOrders).cast("double") /
+          (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qFunnel, qRetention, qTransition,
+    qCooccur)
 }
