@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions.{col, row_number}
   * [NOT] EXISTS (SELECT …), scalar `(SELECT max(…) …)` — each inner
   * text a full QL query (CTE scope visible). Correlated outer-column
   * references are rejected; express those through the join graph.
+  * GROUP BY text passes through to Spark SQL verbatim, so
+  * ROLLUP/CUBE/GROUPING SETS work unmodified (spec-pinned).
   *
   * WITH introduces named subqueries (CTEs): each body is a full query
   * (set operators and nested WITH included), later CTEs and the main

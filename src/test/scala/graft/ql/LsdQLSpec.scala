@@ -666,6 +666,20 @@ class LsdQLSpec extends SpecBase {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("GROUP BY ROLLUP passes through to Spark SQL") {
+    val df = ql.query(
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY ROLLUP(o_orderstatus)
+        |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
+    val rows = df.collect()
+    // grand-total row (NULL key) + one row per status
+    val statuses = db.table("orders").select("o_orderstatus")
+      .distinct().count()
+    assert(rows.length == statuses + 1)
+    assert(rows.head.isNullAt(0) &&
+      rows.head.getLong(1) == db.table("orders").count())
+  }
+
   test("WHERE IN (SELECT ...) subquery plans as a semi-join") {
     val df = ql.query(
       """SELECT o_orderkey, o_totalprice FROM orders
