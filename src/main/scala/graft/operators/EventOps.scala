@@ -184,6 +184,69 @@ object EventOps {
       .limit(100)
   }
 
+  /** E5 — AUTOCORRELATION function of the daily event-count series
+    * (lags 1–7): the weekly-seasonality detector a pipeline runs
+    * before choosing resampling windows. The heavy part is the daily
+    * count — one partial-aggregated groupBy over the corpus; the
+    * series itself is calendar-scale (30 rows here, always
+    * #days-bounded), so the lag self-join and the window that indexes
+    * it are dimension-side no-ops at any corpus size.
+    *
+    * Exactness: the ACF is computed WITHOUT the rational mean —
+    * multiply the centered form through by n²:
+    *   r_k = (n²·C_k − n·S·(H_k+T_k) + (n−k)·S²) / (n²·Q − n·S²)
+    * with C_k = Σ x_t·x_{t+k}, H/T the head/tail sums, S = Σx,
+    * Q = Σx². Every term is exact DECIMAL arithmetic on integer
+    * daily counts (decimal, not BIGINT, so the identity survives
+    * counts up to ~1e9/day where n²·C would overflow INT64), and the
+    * single double division at the end is engine-identical. */
+  val qAcf: QuerySpec = QuerySpec(
+    "q_acf",
+    """WITH s0 AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    count(*) AS x0 FROM events GROUP BY 1),
+      |s AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t,
+      |    CAST(x0 AS DECIMAL(19,0)) AS x FROM s0),
+      |tot AS (SELECT CAST(count(*) AS DECIMAL(19,0)) AS n,
+      |    sum(x) AS sv, sum(x * x) AS q FROM s),
+      |lagd AS (SELECT g.k, sum(a.x * b.x) AS c,
+      |    sum(a.x) AS h, sum(b.x) AS tl
+      |  FROM s a, generate_series(1, 7) g(k), s b
+      |  WHERE b.t = a.t + g.k GROUP BY g.k)
+      |SELECT k AS lag,
+      |  CAST(n * n * c - n * sv * (h + tl) + (n - k) * sv * sv AS DOUBLE)
+      |    / CAST(n * n * q - n * sv * sv AS DOUBLE) AS acf
+      |FROM lagd, tot ORDER BY lag""".stripMargin) { (s, dir) =>
+    val ss = s
+    val s0 = LsdDb.table(ss, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x0"))
+    // global row_number: single-partition window over a #days-sized
+    // relation — the documented dimension-side exception
+    val series = s0.select(
+      (row_number().over(Window.orderBy(col("day"))) - 1)
+        .cast(LongType).as("t"),
+      col("x0").cast("decimal(19,0)").as("x"))
+    val tot = series.agg(
+      count(lit(1)).cast("decimal(19,0)").as("n"),
+      sum(col("x")).as("sv"),
+      sum(col("x") * col("x")).as("q"))
+    val ks = ss.range(1, 8).select(col("id").as("k"))
+    val lagd = series.as("a")
+      .crossJoin(broadcast(ks))
+      .join(series.as("b"), col("b.t") === col("a.t") + col("k"))
+      .groupBy("k")
+      .agg(sum(col("a.x") * col("b.x")).as("c"),
+        sum(col("a.x")).as("h"), sum(col("b.x")).as("tl"))
+    lagd.crossJoin(broadcast(tot))
+      .select(col("k").as("lag"),
+        ((col("n") * col("n") * col("c")
+          - col("n") * col("sv") * (col("h") + col("tl"))
+          + (col("n") - col("k")) * col("sv") * col("sv")).cast("double")
+          / (col("n") * col("n") * col("q")
+            - col("n") * col("sv") * col("sv")).cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qFunnel, qRetention, qTransition,
-    qCooccur)
+    qCooccur, qAcf)
 }
