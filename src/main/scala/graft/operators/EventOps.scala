@@ -247,6 +247,51 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** E6 — CUSUM changepoint scan over the daily event-count series:
+    * where did the level shift? The statistic is the cumulative sum
+    * of deviations from the global mean, scaled by n to stay
+    * integer:  n·c_t = n·Σ_{i≤t} x_i − t·S  (same argmax as c_t, no
+    * rational mean anywhere). The flagged day maximizes |n·c_t| with
+    * earliest-day tie-break — the classic single-changepoint CUSUM
+    * estimate. Corpus-scale work is the daily count; the prefix sum,
+    * the argmax rank, everything after is calendar-bounded
+    * dimension-side (single-partition windows over #days rows). Pure
+    * BIGINT end to end — nothing to snap. */
+  val qChangepoint: QuerySpec = QuerySpec(
+    "q_changepoint",
+    """WITH s0 AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    count(*) AS x FROM events GROUP BY 1),
+      |s AS (SELECT day, x,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    sum(x) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px
+      |  FROM s0),
+      |tot AS (SELECT count(*) AS n, sum(x) AS sv FROM s0),
+      |c AS (SELECT day, x, t, n * px - t * sv AS nc FROM s, tot),
+      |r AS (SELECT *, row_number() OVER (ORDER BY abs(nc) DESC, day)
+      |    AS rk FROM c)
+      |SELECT day, CAST(x AS BIGINT) AS n_events, CAST(nc AS BIGINT)
+      |    AS cusum_n, rk = 1 AS is_changepoint
+      |FROM r ORDER BY day""".stripMargin) { (s, dir) =>
+    val s0 = LsdDb.table(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.orderBy(col("day"))
+    val ser = s0.select(col("day"), col("x"),
+      row_number().over(wOrd).cast(LongType).as("t"),
+      sum(col("x")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("px"))
+    val tot = s0.agg(count(lit(1)).as("n"), sum(col("x")).as("sv"))
+    val c = ser.crossJoin(broadcast(tot))
+      .withColumn("nc", col("n") * col("px") - col("t") * col("sv"))
+    c.withColumn("rk",
+        row_number().over(Window.orderBy(abs(col("nc")).desc, col("day"))))
+      .select(col("day"), col("x").cast(LongType).as("n_events"),
+        col("nc").cast(LongType).as("cusum_n"),
+        (col("rk") === 1).as("is_changepoint"))
+      .orderBy("day")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qFunnel, qRetention, qTransition,
-    qCooccur, qAcf)
+    qCooccur, qAcf, qChangepoint)
 }
