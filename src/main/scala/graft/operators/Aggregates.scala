@@ -25,7 +25,12 @@ object Aggregates {
     * split `p = a·2^40 + b·2^20 + c` into three INT64 sums (headroom
     * n < 2^43 rows, well past 100 TB of lineitem; beyond that fall
     * back to decimal sums) and recombined in double with power-of-two
-    * multipliers, which both engines evaluate identically. */
+    * multipliers, which both engines evaluate identically.
+    *
+    * NON-NEGATIVE terms only: Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, so the split identity diverges below
+    * zero. Every current term is a product of cent-scaled TPC-H
+    * measures (all ≥ 0); a signed reuse must offset first. */
   private object SplitSums {
     val hiDiv: Long = 1L << 40
     val midDiv: Long = 1L << 20

@@ -108,6 +108,10 @@ object CurationOps {
     val g = docs.select(col("doc_id"),
       explode(spans5(col("text"))).as("sp"))
       .select(col("doc_id"), xxhash64(col("sp")).as("h"))
+      // materialize ONCE: g feeds both the document-frequency side
+      // and the hit-count join; without the checkpoint the span
+      // explode evaluates twice (the dedup prefix/containment lever)
+      .localCheckpoint()
     val dup = g.distinct().groupBy("h")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= dupDocThreshold)
