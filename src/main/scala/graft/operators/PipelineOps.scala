@@ -342,6 +342,10 @@ object PipelineOps {
       .select(col("doc_id"), col("w").as("term"),
         Det.d6(col("tf").cast(DoubleType) *
           log(col("n_docs").cast(DoubleType) / col("df"))).as("wt"))
+      // materialize ONCE: wt feeds the norm pass, the probe slice and
+      // the postings side of the dot join — three consumers that each
+      // re-ran the tokenize + tf⋈df lineage (the dedup-family lever)
+      .localCheckpoint()
     val nrm = wt.groupBy("doc_id")
       .agg(sqrt(sum((col("wt") * col("wt")).cast(dec12))
         .cast(DoubleType)).as("nm"))
