@@ -136,10 +136,11 @@ object VectorOps {
     * instead of a cross product — the same blocking idea as the
     * spatial xmatch, in embedding space. At 100 TB the centroid count
     * grows to √N and the assignment becomes the partition key. */
-  val qAnnIvf: QuerySpec = QuerySpec(
-    "q_ann_ivf",
-    s"""$vvCte,
-       |cent AS (SELECT vec_id AS cent_id, vv, nrm FROM n WHERE vec_id < 8),
+  /** IVF CTE chain shared by q_ann_ivf and q_ann_recall (ends in
+    * `scored(probe_id, vec_id, cos)`) — one definition so the two
+    * oracles cannot drift. */
+  private val ivfSqlCtes: String =
+    s"""cent AS (SELECT vec_id AS cent_id, vv, nrm FROM n WHERE vec_id < 8),
        |corp AS (SELECT vec_id, vv, nrm FROM n WHERE vec_id >= 18),
        |probe AS (SELECT vec_id, vv, nrm FROM n
        |          WHERE vec_id >= 8 AND vec_id < 18),
@@ -158,13 +159,11 @@ object VectorOps {
        |    list_reduce(list_transform(list_zip(pb.pvv, a.vv),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
        |      (q, b) -> q + b) / (sqrt(pb.pnrm) * sqrt(a.nrm)) AS cos
-       |  FROM pbuckets pb JOIN assign a ON a.cent_id = pb.cent_id)
-       |SELECT probe_id, vec_id, cos, rn FROM (
-       |  SELECT probe_id, vec_id, cos,
-       |    CAST(row_number() OVER (PARTITION BY probe_id
-       |      ORDER BY cos DESC, vec_id) AS INT) AS rn
-       |  FROM scored)
-       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
+       |  FROM pbuckets pb JOIN assign a ON a.cent_id = pb.cent_id)""".stripMargin
+
+  /** The IVF-scored candidates (probe_id, vec_id, cos) — the Spark
+    * twin of [[ivfSqlCtes]], shared by q_ann_ivf and q_ann_recall. */
+  private def ivfScored(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
     val cent = broadcast(emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
@@ -186,14 +185,86 @@ object VectorOps {
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= 2)
       .select("probe_id", "pv", "pn", "cent_id")
+    broadcast(pbuckets).join(assign, "cent_id")
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+  }
+
+  val qAnnIvf: QuerySpec = QuerySpec(
+    "q_ann_ivf",
+    s"""$vvCte,
+       |$ivfSqlCtes
+       |SELECT probe_id, vec_id, cos, rn FROM (
+       |  SELECT probe_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
     val fw = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    broadcast(pbuckets).join(assign, "cent_id")
+    ivfScored(s, dir)
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= 3)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** X1e — ANN RECALL evaluation: recall@3 of the IVF search against
+    * exact brute force, per probe — the index-quality gate a pipeline
+    * runs before trusting an approximate index at scale. Both arms
+    * are the existing machinery (the IVF chain shared with q_ann_ivf;
+    * brute force is the broadcast-probe map-only corpus pass), the
+    * intersection is an equi-join on (probe_id, vec_id), and recall
+    * is one exact BIGINT/3 division. The brute-force arm IS the
+    * expensive one by design — that is why it is an audit query over
+    * a probe sample, not the serving path. */
+  val qAnnRecall: QuerySpec = QuerySpec(
+    "q_ann_recall",
+    s"""$vvCte,
+       |$ivfSqlCtes,
+       |ivf3 AS (SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS rn FROM scored) WHERE rn <= 3),
+       |bf3 AS (SELECT probe_id, vec_id FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${cosineSql("p", "c")} DESC, c.vec_id) AS rn
+       |  FROM probe p CROSS JOIN corp c) WHERE rn <= 3),
+       |hit AS (SELECT i.probe_id, count(*) AS n_hit
+       |  FROM ivf3 i JOIN bf3 b
+       |    ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
+       |  GROUP BY i.probe_id)
+       |SELECT p.vec_id AS probe_id,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall
+       |FROM probe p LEFT JOIN hit h ON h.probe_id = p.vec_id
+       |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ivf3 = ivfScored(s, dir)
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= 3)
+      .select("probe_id", "vec_id")
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val probes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val bf3 = broadcast(probes)
+      .crossJoin(emb.filter(col("vec_id") >= 18)
+        .select(col("vec_id"), col("v"), col("nrm")))
       .select(col("probe_id"), col("vec_id"),
         cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
       .withColumn("rn", row_number().over(fw))
       .filter(col("rn") <= 3)
-      .orderBy("probe_id", "rn")
+      .select("probe_id", "vec_id")
+    val hit = ivf3.join(bf3, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probes.select(col("probe_id"))
+      .join(hit, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / 3.0)
+          .as("recall"))
+      .orderBy("probe_id")
   }
 
   /** X1c — int8 scalar-quantized similarity search: per-vector scale
@@ -831,5 +902,6 @@ object VectorOps {
 
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
-      qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans)
+      qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans,
+      qAnnRecall)
 }
