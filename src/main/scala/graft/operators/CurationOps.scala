@@ -431,7 +431,68 @@ object CurationOps {
       .orderBy(col("n").desc, col("user_id"))
   }
 
+  /** Ext — distribution DRIFT between corpus sources via the
+    * Population Stability Index: reference population = even-numbered
+    * sources, candidate = odd, binned by document length (50-char
+    * bins). Per bin, psi = (p−q)·ln(p/q); the grand total rides every
+    * row (the analyst's single drift number; >0.2 is the classic
+    * "significant shift" line).
+    *
+    * Determinism: counts are integers; p, q and p/q are single exact-
+    * integer-ratio divisions (ln(p/q) computed from n_a·tot_b /
+    * n_b·tot_a — one division, not a quotient of quotients); the
+    * (p−q)·ln term is a mul chain → d6-snapped; and the TOTAL is a
+    * decimal(18,6)-exact sum of the snapped on-grid terms (a float
+    * window sum would be order-dependent). Bins missing from either
+    * population drop (the standard sparse-bin practice — merge or
+    * epsilon-smooth upstream if they matter). One partial-aggregated
+    * groupBy over the corpus; everything after is bin-scale. */
+  val qDriftPsi: QuerySpec = QuerySpec(
+    "q_drift_psi",
+    s"""WITH d AS (SELECT CAST(substr(source, 4) AS INT) % 2 AS pop,
+       |    n_chars // 50 AS bin FROM documents),
+       |a AS (SELECT bin, count(*) AS n_ref FROM d WHERE pop = 0
+       |  GROUP BY bin),
+       |b AS (SELECT bin, count(*) AS n_new FROM d WHERE pop = 1
+       |  GROUP BY bin),
+       |tot AS (SELECT (SELECT count(*) FROM d WHERE pop = 0) AS ta,
+       |  (SELECT count(*) FROM d WHERE pop = 1) AS tb),
+       |terms AS (SELECT a.bin, a.n_ref, b.n_new,
+       |    ${D.sql.d6(
+          "(CAST(a.n_ref AS DOUBLE) / ta - CAST(b.n_new AS DOUBLE) / tb)" +
+            " * ln(CAST(a.n_ref * tb AS DOUBLE)" +
+            " / CAST(b.n_new * ta AS DOUBLE))")} AS psi_term
+       |  FROM a JOIN b USING (bin), tot)
+       |SELECT bin, n_ref, n_new, psi_term,
+       |  CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+       |    AS psi_total
+       |FROM terms ORDER BY bin""".stripMargin) { (s, dir) =>
+    val d = LsdDb.table(s, dir, "documents")
+      .select((regexp_extract(col("source"), "\\d+", 0).cast("int") % 2)
+        .as("pop"), expr("n_chars div 50").as("bin"))
+    val a = d.filter(col("pop") === 0).groupBy("bin")
+      .agg(count(lit(1)).as("n_ref"))
+    val b = d.filter(col("pop") === 1).groupBy("bin")
+      .agg(count(lit(1)).as("n_new"))
+    val tot = d.agg(
+      sum(when(col("pop") === 0, 1L).otherwise(0L)).as("ta"),
+      sum(when(col("pop") === 1, 1L).otherwise(0L)).as("tb"))
+    val term = D.d6(
+      (col("n_ref").cast(DoubleType) / col("ta")
+        - col("n_new").cast(DoubleType) / col("tb"))
+        * log((col("n_ref") * col("tb")).cast(DoubleType)
+          / (col("n_new") * col("ta")).cast(DoubleType)))
+    a.join(b, "bin").crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_new"),
+        term.as("psi_term"))
+      .withColumn("psi_total",
+        sum(col("psi_term").cast(org.apache.spark.sql.types
+          .DecimalType(18, 6)))
+          .over(Window.partitionBy()).cast(DoubleType))
+      .orderBy("bin")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDedupSubstring, qBoilerplateTopk, qDsirWeight, qChunkOverlap, qKanon,
-    qSkewProfile, qJoinFuzzy)
+    qSkewProfile, qJoinFuzzy, qDriftPsi)
 }
