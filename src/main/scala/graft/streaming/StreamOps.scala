@@ -216,6 +216,66 @@ object StreamOps {
       }
   }
 
+  case class Alert(obj: Long, ts: java.sql.Timestamp, flux: Double,
+                   baseline_mean: Double, dev_milli: Long, n_baseline: Long)
+
+  /** S11 — streaming TRANSIENT ALERTS via `flatMapGroupsWithState`:
+    * the alert-broker shape of a survey pipeline — emit a row ONLY
+    * when a detection deviates from the object's running baseline,
+    * not one per input (mapGroupsWithState emits exactly one per
+    * group per batch; alerts need 0..k, hence the flatMap form).
+    *
+    * Rule: with a baseline of ≥ `minBaseline` prior epochs, a
+    * detection whose |flux − mean| exceeds `threshMilli` integer
+    * milli-flux units fires an alert carrying the pre-detection
+    * baseline; every detection then joins the baseline (alerts don't
+    * poison the mean — a flaring object keeps alerting against its
+    * quiescent history until the state evicts). Within a micro-batch
+    * the iterator is processed in event-time order (sorted here —
+    * arrival order inside a batch is not guaranteed), so the emitted
+    * alert set is replay-deterministic; the baseline sum is exact
+    * integer millis (the S10 rule). State evicts on event-time
+    * timeout like S10, so state size tracks ACTIVE objects. */
+  def transientAlerts(dets: org.apache.spark.sql.Dataset[Det],
+                      watermark: String, idleMs: Long,
+                      minBaseline: Int = 5,
+                      threshMilli: Long = 3000)
+      : org.apache.spark.sql.Dataset[Alert] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = dets.sparkSession
+    import spark.implicits._
+    dets
+      .withWatermark("ts", watermark)
+      .groupByKey(_.obj)
+      .flatMapGroupsWithState[ObjState, Alert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (obj: Long, it: Iterator[Det], state: GroupState[ObjState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(ObjState(0L, 0L, 0L))
+            var n = prev.n
+            var sum = prev.sumMilli
+            var last = prev.lastMs
+            val alerts = Seq.newBuilder[Alert]
+            it.toSeq.sortBy(d => (d.ts.getTime, d.flux)).foreach { d =>
+              val milli = math.round(d.flux * 1000)
+              if (n >= minBaseline) {
+                val dev = milli - sum / n // integer mean, exact
+                if (math.abs(dev) > threshMilli)
+                  alerts += Alert(obj, d.ts, d.flux,
+                    sum / 1000.0 / n, dev, n)
+              }
+              n += 1
+              sum += milli
+              last = math.max(last, d.ts.getTime)
+            }
+            state.update(ObjState(n, sum, last))
+            state.setTimeoutTimestamp(last + idleMs)
+            alerts.result().iterator
+          }
+      }
+  }
+
   /** S9 — streaming sky density map: per-cell detection counts over
     * tumbling event-time windows — the live form of q_skymap (coverage
     * / alert-rate monitoring as detections arrive). State is one

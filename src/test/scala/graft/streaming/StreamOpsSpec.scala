@@ -54,6 +54,45 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState transient alerts: baseline, fire, no poison") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{Det => SDet, Alert}
+    val input = MemoryStream[SDet]
+    val alerts = StreamOps.transientAlerts(input.toDS(),
+      watermark = "0 seconds", idleMs = 24 * 3600 * 1000L,
+      minBaseline = 3, threshMilli = 3000)
+    val q = alerts.writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def rows(): Seq[Alert] = spark.table("alerts")
+        .as[Alert].collect().toSeq
+      // quiescent baseline: 3 epochs at flux 2.0 — below minBaseline,
+      // nothing may fire even though the very first points "deviate"
+      input.addData(SDet(ts("2024-01-01 00:00:00"), 1L, 2.0),
+        SDet(ts("2024-01-01 00:10:00"), 1L, 2.0),
+        SDet(ts("2024-01-01 00:20:00"), 1L, 2.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"no alert before the baseline: ${rows()}")
+      // flare: +6.0 over the mean → fires with the PRE-flare baseline
+      input.addData(SDet(ts("2024-01-01 00:30:00"), 1L, 8.0))
+      q.processAllAvailable()
+      val a = rows()
+      assert(a.length == 1 && a.head.obj == 1 &&
+        a.head.baseline_mean == 2.0 && a.head.dev_milli == 6000 &&
+        a.head.n_baseline == 3, s"unexpected alerts: $a")
+      // the flare joined the baseline (mean now 3.5 over 4 epochs) but
+      // a SECOND flare at 8.0 still deviates 4.5 > 3.0 → fires again:
+      // alerts must not suppress while the object stays bright
+      input.addData(SDet(ts("2024-01-01 00:40:00"), 1L, 8.0))
+      q.processAllAvailable()
+      assert(rows().length == 2 && rows().map(_.n_baseline).max == 4)
+      // return to quiescence: within threshold, no new alert
+      input.addData(SDet(ts("2024-01-01 00:50:00"), 1L, 3.0))
+      q.processAllAvailable()
+      assert(rows().length == 2, s"quiescent point must not alert")
+    } finally q.stop()
+  }
+
   case class SkyDet(ts: Timestamp, lon: Double, lat: Double)
 
   test("streaming skymap matches the batch per-cell counts") {
