@@ -1460,8 +1460,11 @@ object SurveyOps {
             (x4 % 3600000L).cast(DoubleType)./(10000.0).as("lon"),
             ((x6 % 600000L).cast(DoubleType) / 10000.0 - 30.0).as("lat"))
       }
-      val d = cat(2654435761L)
-      val r = cat(7919L)
+      // materialize the two 30k-row catalogs once: each feeds two
+      // pair joins plus the normalizer count (4 re-derivations of the
+      // scan + scramble otherwise — the dedup-family lineage lever)
+      val d = cat(2654435761L).localCheckpoint()
+      val r = cat(7919L).localCheckpoint()
       def pairBins(a: org.apache.spark.sql.DataFrame,
                    b: org.apache.spark.sql.DataFrame,
                    dedup: Boolean, cnt: String) = {
