@@ -492,7 +492,66 @@ object CurationOps {
       .orderBy("bin")
   }
 
+  /** Ext — two-sample KOLMOGOROV–SMIRNOV drift statistic between the
+    * same source populations as q_drift_psi: D = max_x |F_a(x) −
+    * F_b(x)| over the document-length distribution — the rank-based
+    * drift test that needs no binning choice (PSI's weakness).
+    *
+    * Exact integer form: at every distinct length value,
+    * |cum_a·tot_b − cum_b·tot_a| is an exact BIGINT; the max and its
+    * argmax location (smallest length on ties) are integer
+    * comparisons, and D itself is ONE final division by tot_a·tot_b.
+    * The corpus-scale work is one groupBy(length, pop) count; the
+    * cumulative window runs over the ≤#distinct-lengths relation
+    * (value-domain-bounded, not corpus-bounded). */
+  val qDriftKs: QuerySpec = QuerySpec(
+    "q_drift_ks",
+    """WITH d AS (SELECT CAST(substr(source, 4) AS INT) % 2 AS pop,
+      |    n_chars FROM documents),
+      |g AS (SELECT n_chars, count(*) FILTER (WHERE pop = 0) AS c_a,
+      |    count(*) FILTER (WHERE pop = 1) AS c_b
+      |  FROM d GROUP BY n_chars),
+      |cum AS (SELECT n_chars,
+      |    sum(c_a) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |    sum(c_b) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      |  FROM g),
+      |tot AS (SELECT sum(c_a) AS ta, sum(c_b) AS tb FROM g),
+      |dev AS (SELECT n_chars, abs(ca * tb - cb * ta) AS num FROM cum, tot),
+      |best AS (SELECT n_chars, num,
+      |    row_number() OVER (ORDER BY num DESC, n_chars) AS rk FROM dev)
+      |SELECT b.n_chars AS ks_at, CAST(b.num AS BIGINT) AS ks_num,
+      |  CAST(t.ta * t.tb AS BIGINT) AS ks_den,
+      |  CAST(b.num AS DOUBLE) / CAST(t.ta * t.tb AS DOUBLE) AS ks_d
+      |FROM best b, tot t WHERE b.rk = 1""".stripMargin) { (s, dir) =>
+    val d = LsdDb.table(s, dir, "documents")
+      .select((regexp_extract(col("source"), "\\d+", 0).cast("int") % 2)
+        .as("pop"), col("n_chars"))
+    val g = d.groupBy("n_chars")
+      .agg(sum(when(col("pop") === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("pop") === 1, 1L).otherwise(0L)).as("c_b"))
+    val wc = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("n_chars"),
+      sum(col("c_a")).over(wc).as("ca"),
+      sum(col("c_b")).over(wc).as("cb"))
+    val tot = g.agg(sum(col("c_a")).as("ta"), sum(col("c_b")).as("tb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_chars"),
+        abs(col("ca") * col("tb") - col("cb") * col("ta")).as("num"),
+        (col("ta") * col("tb")).as("den"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("num").desc, col("n_chars"))))
+      .filter(col("rk") === 1)
+      .select(col("n_chars").as("ks_at"),
+        col("num").cast(LongType).as("ks_num"),
+        col("den").cast(LongType).as("ks_den"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("ks_d"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDedupSubstring, qBoilerplateTopk, qDsirWeight, qChunkOverlap, qKanon,
-    qSkewProfile, qJoinFuzzy, qDriftPsi)
+    qSkewProfile, qJoinFuzzy, qDriftPsi, qDriftKs)
 }
