@@ -551,7 +551,58 @@ object CurationOps {
           .as("ks_d"))
   }
 
+  /** Ext — GINI coefficient of the document-length distribution: the
+    * single inequality number behind a token-budget audit (is the
+    * corpus mass concentrated in a few giant documents?).
+    *
+    * Exact value-domain form of the sorted-positions identity
+    * Gini = Σ_i (2i − n − 1)·x_(i) / (n·Σx): positions of a tied
+    * value v (count c, predecessors cp) contribute
+    * v·(2·c·cp + c·(c+1) − c·(n+1)) — every term exact DECIMAL, so
+    * no corpus-scale sort and no per-row rank exist anywhere: the
+    * corpus-scale work is one groupBy(length) count, the cumulative
+    * window runs over the value domain (≤ max length rows), and Gini
+    * is one final double division. */
+  val qGini: QuerySpec = QuerySpec(
+    "q_gini",
+    """WITH g AS (SELECT n_chars AS v, count(*) AS c FROM documents
+      |  GROUP BY 1),
+      |cum AS (SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+      |  FROM g),
+      |tot AS (SELECT sum(c) AS n,
+      |    sum(CAST(v AS DECIMAL(38,0)) * c) AS s FROM g),
+      |agg AS (SELECT sum(CAST(v AS DECIMAL(38,0)) *
+      |      (2 * CAST(c AS DECIMAL(38,0)) * cp
+      |       + CAST(c AS DECIMAL(38,0)) * (c + 1)
+      |       - CAST(c AS DECIMAL(38,0)) * (n + 1))) AS num
+      |  FROM cum, tot)
+      |SELECT CAST(n AS BIGINT) AS n_docs, CAST(s AS BIGINT) AS total_chars,
+      |  CAST(num AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * s AS DOUBLE)
+      |    AS gini
+      |FROM agg, tot""".stripMargin) { (s, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = LsdDb.table(s, dir, "documents")
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = g.select(col("v"), col("c"),
+      coalesce(sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cp"))
+    val tot = g.agg(sum(col("c")).as("n"),
+      sum(col("v").cast(dec) * col("c")).as("s"))
+    val agg = cum.crossJoin(broadcast(tot))
+      .agg(sum(col("v").cast(dec) *
+        (lit(2) * col("c").cast(dec) * col("cp")
+          + col("c").cast(dec) * (col("c") + 1)
+          - col("c").cast(dec) * (col("n") + 1))).as("num"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n").cast(LongType).as("n_docs"),
+        col("s").cast(LongType).as("total_chars"),
+        (col("num").cast(DoubleType) /
+          (col("n").cast(dec) * col("s")).cast(DoubleType)).as("gini"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDedupSubstring, qBoilerplateTopk, qDsirWeight, qChunkOverlap, qKanon,
-    qSkewProfile, qJoinFuzzy, qDriftPsi, qDriftKs)
+    qSkewProfile, qJoinFuzzy, qDriftPsi, qDriftKs, qGini)
 }
