@@ -381,6 +381,26 @@ class PlanQualitySpec extends SpecBase {
     assert(plan.contains("partial_count"), "key counts must partial-agg")
   }
 
+  test("q_gini / q_drift_ks: corpus scan pruned to the value columns") {
+    // both diagnostics reduce the corpus to value-domain counts — the
+    // scan must read ONLY the involved columns, and no corpus-wide
+    // rank/sort may exist (the windows run post-aggregation on the
+    // value domain)
+    val gini = planOf(CurationOps.qGini.fn(spark, sfDir))
+    val giniScan = gini.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(giniScan.contains("n_chars") && !giniScan.contains("text"),
+      s"q_gini must scan only n_chars:\n$giniScan")
+    val ks = planOf(CurationOps.qDriftKs.fn(spark, sfDir))
+    val ksScan = ks.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(ksScan.contains("n_chars") && ksScan.contains("source") &&
+      !ksScan.contains("text"),
+      s"q_drift_ks must scan only (source, n_chars):\n$ksScan")
+    assert(gini.contains("partial_count") && ks.contains("partial_sum"),
+      "value-domain counts must partial-aggregate map-side")
+  }
+
   test("q_join_interval: bucketed equi-join, never a theta join") {
     val df = Joins.qJoinInterval.fn(spark, sfDir)
     val plan = planOf(df)
