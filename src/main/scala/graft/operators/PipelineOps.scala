@@ -1501,6 +1501,54 @@ object PipelineOps {
       .orderBy("bin")
   }
 
+  /** Ext — per-document NOVELTY: what fraction of a document's
+    * 3-gram shingles first appear in THIS document under the
+    * canonical doc_id order? The marginal-contribution curve a
+    * curation pipeline reads before corpus ordering / pruning: a
+    * late document whose shingles all appeared earlier adds nothing.
+    *
+    * Two partial-aggregating shuffles, both shingle-keyed: global
+    * first-occurrence = min(doc_id) per shingle, then per-doc counts
+    * of (shingles, first-here shingles). Shingle STRINGS ride this
+    * one (the counts are output-visible, so the xxhash64 trick's
+    * collision caveat would touch the answer — the dedup-verify
+    * precedent); novelty is one exact BIGINT ratio. Shingle-less
+    * docs (< 3 words) report 0/0 → novelty 0.0 on both engines. */
+  val qNovelty: QuerySpec = QuerySpec(
+    "q_novelty",
+    s"""WITH toks AS (SELECT doc_id, unnest($shingles3Sql) AS s
+       |  FROM documents),
+       |firsts AS (SELECT s, min(doc_id) AS first_doc FROM toks GROUP BY s),
+       |per AS (SELECT t.doc_id, count(*) AS n_sh,
+       |    count(*) FILTER (WHERE f.first_doc = t.doc_id) AS n_first
+       |  FROM toks t JOIN firsts f USING (s) GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_sh, 0) AS BIGINT) AS n_sh,
+       |  CAST(coalesce(p.n_first, 0) AS BIGINT) AS n_first,
+       |  CASE WHEN coalesce(p.n_sh, 0) > 0 THEN
+       |    CAST(p.n_first AS DOUBLE) / p.n_sh ELSE 0.0 END AS novelty
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(shingles3(col("text"))).as("s"))
+    val firsts = toks.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    val per = toks.join(firsts, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).cast(LongType).as("n_sh"),
+        coalesce(col("n_first"), lit(0L)).cast(LongType).as("n_first"),
+        when(coalesce(col("n_sh"), lit(0L)) > 0,
+          col("n_first").cast(DoubleType) / col("n_sh"))
+          .otherwise(lit(0.0)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,
     qSparseKnn, qInvertedIndex,
@@ -1508,5 +1556,5 @@ object PipelineOps {
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
     qDedupContainment, qCharEntropy, qDupCrossSource, qUnigramLm,
     qDedupKeepBest,
-    qCollapseRepeats, qBigramLm, qQualityFunnel, qTokenBudget)
+    qCollapseRepeats, qBigramLm, qQualityFunnel, qTokenBudget, qNovelty)
 }
