@@ -1549,6 +1549,50 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — VOCABULARY COVERAGE curve: what fraction of all token
+    * occurrences do the top-3 / top-10 / top-30 most frequent
+    * types cover (report points sized to the fixture's 31-type
+    * vocabulary; the machinery is k-agnostic)? The Zipf diagnostic behind tokenizer-vocab sizing.
+    * Corpus-scale work is one partial-aggregated type count; the
+    * top-1000 come back through TakeOrderedAndProject (a bounded
+    * top-k, never a full vocab sort on one node — plan-pinned), and
+    * the cumulative window runs over those 1000 rows. Counts are
+    * BIGINT; coverage is one exact-ratio division per row. Ties rank
+    * by (count DESC, token) on both engines. */
+  val qVocabCoverage: QuerySpec = QuerySpec(
+    "q_vocab_coverage",
+    s"""WITH toks AS (SELECT unnest($wordsSql) AS w FROM documents),
+       |tf AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+       |tot AS (SELECT sum(c) AS total FROM tf),
+       |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+       |  FROM tf),
+       |cum AS (SELECT rk, sum(c) OVER (ORDER BY rk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+       |  FROM top WHERE rk <= 1000)
+       |SELECT cum.rk AS top_k, CAST(cum.cov AS BIGINT) AS covered,
+       |  CAST(tot.total AS BIGINT) AS total,
+       |  CAST(cum.cov AS DOUBLE) / tot.total AS coverage
+       |FROM cum, tot WHERE cum.rk IN (3, 10, 30)
+       |ORDER BY top_k""".stripMargin) { (s, dir) =>
+    val tf = LsdDb.table(s, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).as("total"))
+    val top = tf.orderBy(col("c").desc, col("w")).limit(1000)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+    val cum = top.withColumn("cov",
+      sum(col("c")).over(Window.orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.filter(col("rk").isin(3, 10, 30))
+      .crossJoin(broadcast(tot))
+      .select(col("rk").cast(LongType).as("top_k"),
+        col("cov").cast(LongType).as("covered"),
+        col("total").cast(LongType).as("total"),
+        (col("cov").cast(DoubleType) / col("total")).as("coverage"))
+      .orderBy("top_k")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,
     qSparseKnn, qInvertedIndex,
@@ -1556,5 +1600,6 @@ object PipelineOps {
     qMixtureWeights, qResample, qPhaseFold, qUrlNormalize, qDedupPrefix,
     qDedupContainment, qCharEntropy, qDupCrossSource, qUnigramLm,
     qDedupKeepBest,
-    qCollapseRepeats, qBigramLm, qQualityFunnel, qTokenBudget, qNovelty)
+    qCollapseRepeats, qBigramLm, qQualityFunnel, qTokenBudget, qNovelty,
+    qVocabCoverage)
 }
