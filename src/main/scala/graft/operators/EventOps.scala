@@ -3,7 +3,7 @@ package graft.operators
 import graft.{LsdDb, QuerySpec}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Product-analytics classics over the `events` stream — the funnel /
   * retention / transition-matrix trio every clickstream warehouse
@@ -292,6 +292,40 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** E7 — day-of-week SEASONAL decomposition of the daily series:
+    * each day's count against its weekday mean, the residual being
+    * the deseasonalized signal (the companion read to q_acf's lag-7
+    * spike). Weekday means are exact BIGINT ratios (one division —
+    * engine-identical), residual is one subtraction of identical
+    * doubles; corpus work is the one daily count, everything after
+    * is calendar-scale. ISO weekday on both engines (DuckDB isodow,
+    * Spark dayofweek remapped). */
+  val qSeasonal: QuerySpec = QuerySpec(
+    "q_seasonal",
+    """WITH s AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    count(*) AS x FROM events GROUP BY 1),
+      |w AS (SELECT day, x, CAST(isodow(day) AS BIGINT) AS dow FROM s),
+      |m AS (SELECT dow, sum(x) AS sx, count(*) AS nd FROM w GROUP BY dow)
+      |SELECT day, CAST(x AS BIGINT) AS n_events, w.dow,
+      |  CAST(m.sx AS DOUBLE) / m.nd AS dow_mean,
+      |  x - CAST(m.sx AS DOUBLE) / m.nd AS residual
+      |FROM w JOIN m USING (dow) ORDER BY day""".stripMargin) { (s, dir) =>
+    val ser = LsdDb.table(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    // Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+    val w = ser.withColumn("dow",
+      (pmod(dayofweek(col("day")) + 5, lit(7)) + 1).cast(LongType))
+    val m = w.groupBy("dow")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+    val mean = col("sx").cast(DoubleType) / col("nd")
+    w.join(broadcast(m), "dow")
+      .select(col("day"), col("x").cast(LongType).as("n_events"),
+        col("dow"), mean.as("dow_mean"),
+        (col("x") - mean).as("residual"))
+      .orderBy("day")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qFunnel, qRetention, qTransition,
-    qCooccur, qAcf, qChangepoint)
+    qCooccur, qAcf, qChangepoint, qSeasonal)
 }
