@@ -722,35 +722,89 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  /** The SemDeDup centroid-count dial: k = max(8, ceil(√N)). √N is
+    * the IVF sweet spot — assignment work is N·k = N^1.5 and in-cell
+    * pair work is Σ cell² ≈ N²/k = N^1.5, so neither side ever goes
+    * corpus-quadratic as N grows. At sf0.001/0.01 (500 rows) k = 23;
+    * at sf0.1 (2000 rows) k = 45; at the 1M-vector ScaleSmoke
+    * k = 1000. Pure arithmetic on the corpus count, so the DuckDB
+    * oracle computes the identical k from its own count(*). */
+  private[graft] def semdedupK(n: Long): Int =
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** Hot-cell cap, part of the operator algebra (both engines): a
+    * cell with population > maxCell contributes NO dedup pairs, so
+    * total pair fan-out is provably ≤ k·maxCell²/2 regardless of how
+    * skewed the assignment lands — the same cap-as-algebra guard as
+    * TextOps minhash maxBucket and PPJoin maxPrefixBucket. Never
+    * binds at bench SFs (max cell ≲ 10² « 4096); the 1M ScaleSmoke
+    * asserts both that cells stay far under it on a uniform corpus
+    * and that it bounds the worst case. */
+  private[graft] val semdedupMaxCell = 4096
+
+  /** Nearest-centroid assignment shared by q_semdedup and the 1M
+    * ScaleSmoke: broadcast-nested-loop the (small, O(√N)) centroid
+    * relation against the corpus and take the per-vector best cell
+    * with a PARTIAL-aggregated min(struct(-cos, cell)) — equivalent
+    * to the oracle's row_number() ORDER BY cos DESC, cell, but the
+    * map-side combine collapses the N·k blown-up rows back to N
+    * BEFORE any shuffle (the window form would shuffle all N·k).
+    * -cos on finite doubles orders exactly like cos DESC, and the
+    * cosine fold is the bit-identical sequential fold DuckDB runs,
+    * so ties break identically in both engines.
+    *
+    * @param emb  (vec_id, v, nrm) corpus rows to assign
+    * @param cent (cell, cv, cn) centroid relation, broadcast here
+    * @return (vec_id, v, nrm, cell) */
+  private[graft] def semdedupAssign(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cent))
+      .withColumn("acos", cosine(col("cv"), col("v"), col("cn"), col("nrm")))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min(struct(negate(col("acos")).as("nc"), col("cell").as("cell")))
+          .as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
+
   /** X1e — SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space coarsely, then
     * look for near-duplicates ONLY inside each cluster — the
     * IVF-blocking idea applied to dedup instead of search, which
-    * turns corpus×corpus into Σ cell². Like q_ann_ivf, the cells
-    * come from fixed deterministic centroids (vec_id < 8) so the
-    * query stays oracle-checkable; the trained path would use
-    * AnnIndex/PqIndex codebooks.
+    * turns corpus×corpus into Σ cell². The cell count is a REAL
+    * scale dial: k = [[semdedupK]] = max(8, ceil(√N)) centroids
+    * (seeds = the first k vec_ids, the q_ann_ivf first-k convention
+    * kept oracle-checkable — the trained path would take the cells
+    * from an AnnIndex/PqIndex codebook instead), so the in-cell pair
+    * join is Σ cell² ≈ N²/k = N^1.5, never corpus². A [[semdedupMaxCell]]
+    * hot-cell cap (in BOTH engines) bounds residual skew:
+    * pair fan-out ≤ k·maxCell²/2 by construction. The 1M×64-d
+    * ScaleSmoke block runs this exact assignment at k = 1000 and
+    * asserts the per-cell population bound.
     *
     * Dedup rule (deterministic, the keep-lowest-id policy of the
     * exact-dedup family): a vector is a duplicate iff some LOWER-id
-    * vector in the SAME cell has cosine ≥ 0.4 with it; `dup_of` is
-    * the smallest such id. One broadcast pass for assignment, one
-    * cell equi-join for pairs (never cross-cell, never corpus²), one
-    * aggregation. At 100 TB the centroid count grows ~√N, so cell
-    * populations — and the in-cell pair fan-out — stay bounded, the
-    * same dial as nprobe/k in the search path. */
+    * vector in the SAME (uncapped) cell has cosine ≥ 0.4 with it;
+    * `dup_of` is the smallest such id. The corpus count feeding k is
+    * a parquet-metadata count (bounded driver scalar, same class as
+    * the zorder bounds / ExactQuantiles cuts). */
   val qSemdedup: QuerySpec = QuerySpec(
     "q_semdedup",
     s"""$vvCte,
-       |cent AS (SELECT vec_id AS cell, vv, nrm FROM n WHERE vec_id < 8),
-       |corp AS (SELECT vec_id, vv, nrm FROM n WHERE vec_id >= 8),
+       |prm AS (SELECT GREATEST(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM n),
+       |cent AS (SELECT vec_id AS cell, vv, nrm FROM n
+       |  WHERE vec_id < (SELECT k FROM prm)),
+       |corp AS (SELECT vec_id, vv, nrm FROM n
+       |  WHERE vec_id >= (SELECT k FROM prm)),
        |asgn AS (SELECT vec_id, vv, nrm, cell FROM (
        |  SELECT c.vec_id, c.vv, c.nrm, k.cell,
        |    row_number() OVER (PARTITION BY c.vec_id
        |      ORDER BY ${cosineSql("k", "c")} DESC, k.cell) AS arn
        |  FROM corp c CROSS JOIN cent k) WHERE arn = 1),
+       |ok AS (SELECT cell FROM asgn GROUP BY cell
+       |  HAVING count(*) <= $semdedupMaxCell),
        |dups AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
-       |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  FROM asgn a JOIN ok ON ok.cell = a.cell
+       |  JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE ${cosineSql("a", "b")} >= 0.4
        |  GROUP BY b.vec_id)
        |SELECT s.vec_id, s.cell, d.dup_of,
@@ -758,18 +812,16 @@ object VectorOps {
        |FROM asgn s LEFT JOIN dups d USING (vec_id)
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
-    val cent = broadcast(emb.filter(col("vec_id") < 8)
+    val k = semdedupK(emb.count())
+    val cent = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
-        col("nrm").as("cn")))
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(col("acos").desc, col("cell").asc)
-    val asgn = emb.filter(col("vec_id") >= 8).crossJoin(cent)
-      .withColumn("acos", cosine(col("cv"), col("v"), col("cn"), col("nrm")))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select("vec_id", "v", "nrm", "cell")
-    val a = asgn.select(col("cell"), col("vec_id").as("a_id"),
-      col("v").as("av"), col("nrm").as("an"))
+        col("nrm").as("cn"))
+    val asgn = semdedupAssign(emb.filter(col("vec_id") >= k), cent)
+    val ok = asgn.groupBy("cell").agg(count(lit(1)).as("cn_"))
+      .filter(col("cn_") <= semdedupMaxCell).select("cell")
+    val a = asgn.join(ok, "cell")
+      .select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("an"))
     val b = asgn.select(col("cell"), col("vec_id").as("vec_id"),
       col("v").as("bv"), col("nrm").as("bn"))
     val dups = a.join(b, "cell")

@@ -218,6 +218,43 @@ object ScaleSmoke {
         .count().toString + " candidate pairs"
     }
 
+    // SemDeDup at 1M x 64-d with the REAL centroid dial: k =
+    // semdedupK(1M) = 1000 cells (k ∝ √N — assignment N·k and
+    // in-cell pairs N²/k both stay at N^1.5, never corpus²). Runs
+    // the exact production assignment path (semdedupAssign: BNLJ
+    // broadcast centroids + partial-agg min(struct)) and asserts the
+    // post-cap pair fan-out is bounded: every cell over
+    // semdedupMaxCell contributes zero pairs (cap-as-algebra, both
+    // engines), so pairs ≤ k·cap²/2 in the worst case; on this
+    // uniform corpus the measured fan-out must also land orders of
+    // magnitude under the old fixed-k=8 design's N²/8.
+    t("semdedup assignment 1M x 64-d, k=1000 (sqrt-N dial, capped fan-out)") {
+      val k = graft.operators.VectorOps.semdedupK(1000000)
+      require(k == 1000, s"sqrt-N dial expected 1000, got $k")
+      val cent = corpus.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cell"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val asgn = graft.operators.VectorOps
+        .semdedupAssign(corpus.filter(col("vec_id") >= k), cent)
+      val cap = graft.operators.VectorOps.semdedupMaxCell
+      val cells = asgn.groupBy("cell").agg(count(lit(1)).as("n"))
+        .select(col("n"),
+          when(col("n") <= cap,
+            (col("n") * (col("n") - 1) / 2).cast("long"))
+            .otherwise(lit(0L)).as("pairs"))
+        .agg(count(lit(1)).as("ncells"), max(col("n")).as("maxcell"),
+          sum(col("pairs")).as("cappedPairs"))
+        .head()
+      val (ncells, maxcell, pairs) =
+        (cells.getLong(0), cells.getLong(1), cells.getLong(2))
+      val oldFanout = 1000000L * 1000000L / 8 // fixed-k=8 design
+      require(pairs < oldFanout / 20,
+        s"capped fan-out $pairs not << old N^2/8 = $oldFanout")
+      require(pairs <= k.toLong * cap * cap / 2,
+        s"cap bound violated: $pairs > k*cap^2/2")
+      s"$ncells cells, max cell $maxcell, capped pair fan-out $pairs"
+    }
+
     // text-pipeline shapes at 10M docs: synthesize a zipf-ish corpus
     // (~20 tokens/doc from a 50k vocabulary, seeded), then run the two
     // corpus-pass operators whose claim is "the corpus never
