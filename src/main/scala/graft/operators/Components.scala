@@ -71,7 +71,13 @@ object Components {
                          smallGraphEdges: Long = defaultSmallGraphEdges)
       : (DataFrame, Int) = {
     val n = nodes.select(col(idCol).as("__cc_id"))
+    // null-keyed edges connect nothing in the iterative path (equi-
+    // joins never match null) — drop them up front so the small-graph
+    // fast path sees the same graph instead of NPEing in its typed
+    // collect (paths must stay bit-identical on BOTH sides of the
+    // edge-count gate)
     val e1 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val sym = e1.unionByName(
       e1.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .persist()

@@ -75,16 +75,22 @@ object CurationOps {
     * (a doc that is 80% cross-corpus spans is boilerplate even when
     * no single whole-doc duplicate exists).
     *
-    * Scale shape: explode → distinct(doc, span-hash) → count = span
-    * document frequency (two shuffles on the well-distributed 64-bit
-    * span hash, partial aggregation absorbs the fan-out map-side);
-    * the duplicated-span set joins back to the positional explode on
-    * the same hash (equi-join, no pairs, no corpus×corpus anywhere);
-    * per-doc hit counts aggregate map-side. The span STRINGS never
-    * shuffle — only (doc_id, xxhash64(span)) pairs do; the hash is
-    * Spark-internal (outputs are counts), the oracle twin groups the
-    * strings themselves. At 100 TB every stage is linear in token
-    * count on a key with corpus-scale cardinality. */
+    * Scale shape, the PPJoin candidate/verify discipline
+    * (PipelineOps q_dedup_prefix): the xxhash64(span) is ONLY a
+    * candidate gate, never an output-visible count key. Phase 1
+    * (candidates): explode → distinct(doc, span-hash) → hash df ≥
+    * threshold (two shuffles on the well-distributed 64-bit hash,
+    * partial aggregation absorbs the fan-out map-side; strings never
+    * shuffle here). Hash-df overcounts under collision, so this set
+    * is a SUPERSET of the true dups — no false negatives. Phase 2
+    * (exact verify): re-explode with the span STRING, equi-join the
+    * candidate hashes (only candidate occurrences survive), recount
+    * df and per-doc hits on the REAL strings — a 64-bit collision,
+    * expected at the ~1e10-span corpus scale, can now only cost a
+    * few extra verify rows, never a wrong count. Only candidate
+    * spans' strings ever shuffle (the boilerplate subset, the same
+    * bytes PPJoin's verify moves). At 100 TB every stage is linear
+    * in token count on a corpus-cardinality key. */
   val qDedupSubstring: QuerySpec = QuerySpec(
     "q_dedup_substring",
     s"""WITH base AS (SELECT doc_id, $wordsSql AS w FROM documents),
@@ -104,19 +110,30 @@ object CurationOps {
        |FROM base b LEFT JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = LsdDb.table(s, dir, "documents")
-    // positional spans, hashed for the shuffles (strings stay put)
+    // phase 1 — candidate gate on hashes only (strings stay put);
+    // materialized ONCE: the hash-df aggregate is the only consumer
+    // of the full explode, the verify phase re-derives map-side
     val g = docs.select(col("doc_id"),
       explode(spans5(col("text"))).as("sp"))
       .select(col("doc_id"), xxhash64(col("sp")).as("h"))
-      // materialize ONCE: g feeds both the document-frequency side
-      // and the hit-count join; without the checkpoint the span
-      // explode evaluates twice (the dedup prefix/containment lever)
       .localCheckpoint()
-    val dup = g.distinct().groupBy("h")
+    val cand = g.distinct().groupBy("h")
+      .agg(count(lit(1)).as("dfh"))
+      .filter(col("dfh") >= dupDocThreshold)
+      .select("h")
+    // phase 2 — exact verify: candidate occurrences WITH strings,
+    // then df and per-doc hits recounted on the real span text
+    val gs = docs.select(col("doc_id"),
+      explode(spans5(col("text"))).as("sp"))
+      .withColumn("h", xxhash64(col("sp")))
+      .join(cand, "h")
+      .select("doc_id", "sp")
+      .localCheckpoint()
+    val dup = gs.distinct().groupBy("sp")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= dupDocThreshold)
-      .select("h")
-    val hits = g.join(dup, "h")
+      .select("sp")
+    val hits = gs.join(dup, "sp")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     val nSpans = greatest(size(words(col("text"))) - 4, lit(0))
     docs.select(col("doc_id"), nSpans.as("n_spans"))

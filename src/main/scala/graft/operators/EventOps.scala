@@ -132,24 +132,38 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Hot-basket cap for [[qCooccur]], part of the operator algebra
+    * (both engines): an order with more than this many distinct parts
+    * contributes NO pairs — so per-order pair fan-out is provably ≤
+    * C(cap,2) and the join scales with orders even on a pathological
+    * mega-basket corpus (the TextOps minhash maxBucket / PPJoin
+    * maxPrefixBucket pattern). TPC-H baskets are ≤7 lineitems, so the
+    * cap never binds at any bench SF; capped baskets still count in
+    * n_orders and the per-part totals (they exist, they just aren't
+    * pair-enumerated — exactly how minhash keeps capped-bucket docs
+    * in the corpus). */
+  private val maxBasket = 64
+
   /** E4 — market-basket CO-OCCURRENCE with lift: part pairs bought in
     * the same order, ranked by support, with
     * lift = n_ab·N / (n_a·n_b). The self-join key is the order — a
-    * bounded-cardinality basket (≤7 lineitems in TPC-H shape), so
-    * pair fan-out is ≤ C(7,2) per order and the join scales with
-    * orders, never parts² (the same bounded-bucket argument as the
-    * LSH band joins; a skewed mega-basket corpus would cap basket
-    * size first). Per-part order counts attach by broadcast (the
+    * bounded-cardinality basket (≤7 lineitems in TPC-H shape, and
+    * hard-bounded by [[maxBasket]] in the algebra), so pair fan-out
+    * is ≤ C(maxBasket,2) per order and the join scales with orders,
+    * never parts². Per-part order counts attach by broadcast (the
     * part dimension is corpus-sublinear). Lift is one double
     * division of exact integer products — no snap needed. */
   val qCooccur: QuerySpec = QuerySpec(
     "q_cooccur",
-    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
       |pc AS (SELECT l_partkey, count(*) AS n_part FROM b GROUP BY 1),
+      |ok AS (SELECT l_orderkey FROM b GROUP BY 1
+      |  HAVING count(*) <= $maxBasket),
       |pairs AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
       |    count(*) AS n_ab
-      |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+      |  FROM b a JOIN ok USING (l_orderkey)
+      |    JOIN b c ON a.l_orderkey = c.l_orderkey
       |    AND a.l_partkey < c.l_partkey
       |  GROUP BY 1, 2)
       |SELECT part_a, part_b, n_ab,
@@ -164,7 +178,9 @@ object EventOps {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val nOrders = b.select(col("l_orderkey")).distinct().count()
     val pc = b.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
-    val pairs = b.as("a")
+    val ok = b.groupBy("l_orderkey").agg(count(lit(1)).as("bn_"))
+      .filter(col("bn_") <= maxBasket).select("l_orderkey")
+    val pairs = b.join(ok, "l_orderkey").as("a")
       .join(b.as("c"), col("a.l_orderkey") === col("c.l_orderkey") &&
         col("a.l_partkey") < col("c.l_partkey"))
       .select(col("a.l_partkey").as("part_a"),

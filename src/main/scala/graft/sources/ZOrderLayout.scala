@@ -54,7 +54,10 @@ object ZOrderLayout {
   }
 
   /** Z-value of (x, y) given global bounds (NULL if either is NULL —
-    * such rows sort last and land in the final file). */
+    * ascending range-partition/sort default to NULLS FIRST in Spark,
+    * so null-z rows land in the FIRST file; selectFiles keeps files
+    * whose box stats are null, so pruning stays correct either
+    * way — do not rely on nulls being isolated in the last file). */
   def zvalue(x: Column, y: Column, xLo: Double, xHi: Double,
              yLo: Double, yHi: Double): Column =
     interleave(rank(x, xLo, xHi), rank(y, yLo, yHi))

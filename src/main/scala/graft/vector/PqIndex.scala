@@ -57,7 +57,11 @@ object PqIndex {
     * Deterministic: seeds are the subvectors of the `ksub` corpus
     * rows first in xxhash64(id) order (scattered, no RNG — the
     * AnnIndex seeding), and every later step is exact arithmetic on
-    * deterministic groupings. */
+    * deterministic groupings — the centroid mean is a decimal(18,6)
+    * sum (order-independent under any partitioning, the repo-standard
+    * exact-sum route; a plain double avg would drift by ulps with
+    * cluster layout and flip nearest-codeword ties) over an exact
+    * count, divided once in double. */
   def train(vectors: DataFrame, idCol: String, vecCol: String,
             m: Int, ksub: Int, iters: Int = 4): Codebooks = {
     val spark = vectors.sparkSession
@@ -81,7 +85,8 @@ object PqIndex {
           posexplode(slice(col("v"), col("j") * dsub + 1, lit(dsub)))
             .as(Seq("pos", "x")))
       val updated = assigned.groupBy("j", "code", "pos")
-        .agg(avg(col("x")).as("mu"))
+        .agg((sum(col("x").cast("double").cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("mu"))
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
           r.getDouble(3).toFloat)).toMap

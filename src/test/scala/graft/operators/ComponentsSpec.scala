@@ -92,6 +92,24 @@ class ComponentsSpec extends SpecBase {
     assert(iter == want)
   }
 
+  test("null-keyed edges connect nothing — identical on both paths") {
+    // the iterative path's equi-joins silently drop null src/dst; the
+    // fast path's typed collect used to NPE on them, diverging the
+    // two sides of the edge-count gate (round-13 advice fix)
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)),
+      (Some(3L), None), (None: Option[Long], None: Option[Long]))
+      .toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    val fast = Components.minLabel(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
+    val iter = Components.minLabel(nodes, "id", edges, "a", "b",
+      smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iter == want)
+  }
+
   test("large-star/small-star alone finds exact components on a random graph") {
     val rnd = new scala.util.Random(23)
     val n = 300
