@@ -261,7 +261,14 @@ object TextOps {
     * across engines, unlike engine-native hash functions). 8 hashes ×
     * 4 bands of 2; candidate pairs = docs sharing any band bucket.
     * Scale path: the band join keys are 64-hex strings — only true
-    * near-dups collide, so the self-join explodes nothing. */
+    * near-dups collide, so the self-join explodes nothing.
+    *
+    * Bench floor (r13 A/B, QueryProfile sf0.1 ×3 reps): warm
+    * 1.10–1.37 s on current code vs 1.56–2.25 s at the r11 commit
+    * e912010 — the r11→r12 bench-line move (0.89→1.95 s) was
+    * sibling-load variance in the 193-query bench JVM, not a plan
+    * change; isolated A/B shows current ≤ old. Expect ±1 s on this
+    * line in full-bench context. */
   val qDedupMinhash: QuerySpec = QuerySpec(
     "q_dedup_minhash",
     s"""WITH $minhashCandCtes
@@ -481,7 +488,13 @@ object TextOps {
     * Bigrams keep the shared-shingle join sparse (true near-dups sit
     * ≈0.97 vs ≈0.12 background on this corpus), and the shingle-df cap
     * bounds the per-shingle join fan-out even when the corpus carries
-    * boilerplate (headers, license text) shared by thousands of docs. */
+    * boilerplate (headers, license text) shared by thousands of docs.
+    *
+    * Bench floor (r13 A/B, QueryProfile sf0.1 ×3 reps): warm
+    * 1.32–1.75 s on current code vs 1.39–1.95 s at the r11 commit
+    * e912010 — the r11→r12 bench-line move (1.27→2.00 s) was
+    * bench-context variance, not a plan change. Expect ±0.7 s on
+    * this line in full-bench context. */
   val qDedupNgram: QuerySpec = QuerySpec(
     "q_dedup_ngram",
     s"""WITH base AS (
