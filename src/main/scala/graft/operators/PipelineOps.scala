@@ -1593,7 +1593,146 @@ object PipelineOps {
       .orderBy("top_k")
   }
 
+  /** Ext — retrieval SCORE FUSION (reciprocal-rank fusion, Cormack &
+    * Clarke SIGIR'09): combine a sparse channel (TF-IDF cosine
+    * top-20, the q_sparse_knn retriever) and a dense channel
+    * (embedding cosine top-20, the q_cosine_topk retriever — doc_id
+    * and vec_id share the 0..N id space in this corpus) into one
+    * fused ranking per probe: rrf = Σ_channels 1/(60 + rank), the
+    * rank-only fusion that needs NO score calibration between
+    * channels (exactly why production rerank stacks use it in front
+    * of the cross-encoder stage).
+    *
+    * Scale shape: each channel is already a bounded top-k retrieval
+    * with its own 100-TB path (sparse: postings-bounded df join;
+    * dense: the ANN IVF index — both brute-force-twinned here to stay
+    * oracle-checkable), so fusion itself joins two (probes × k)-row
+    * relations — dimension-sized at ANY corpus scale — full-outer on
+    * (probe, doc) so a doc surfaced by only one channel still scores.
+    * Determinism: ranks are integers, 1/(60+r) is one double divide,
+    * the two-term sum is fixed-order, and the final rrf is d6-snapped
+    * before the fused row_number — ties break by doc_id identically
+    * in both engines. */
+  val qRerankFusion: QuerySpec = QuerySpec(
+    "q_rerank_fusion",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       |dfq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tok GROUP BY w),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |wt AS (SELECT tf.doc_id, tf.w AS term,
+       |    ${D.sql.d6("CAST(tf.tf AS DOUBLE) * " +
+                       "ln(CAST(nd.n_docs AS DOUBLE) / dfq.df)")} AS wt
+       |  FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN nd),
+       |nrm AS (SELECT doc_id,
+       |    sqrt(CAST(sum(CAST(wt * wt AS DECIMAL(38,12))) AS DOUBLE))
+       |      AS nm
+       |  FROM wt GROUP BY doc_id),
+       |p AS (SELECT * FROM wt WHERE doc_id IN (0, 1, 2, 3, 4)),
+       |dot AS (SELECT p.doc_id AS probe_id, wt.doc_id AS doc_id,
+       |    CAST(sum(CAST(p.wt * wt.wt AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS dp
+       |  FROM p JOIN wt ON p.term = wt.term AND wt.doc_id <> p.doc_id
+       |  GROUP BY 1, 2),
+       |ssc AS (SELECT probe_id, dot.doc_id,
+       |    ${D.sql.d6("dot.dp / (na.nm * nb.nm)")} AS cosine
+       |  FROM dot JOIN nrm na ON na.doc_id = dot.probe_id
+       |    JOIN nrm nb ON nb.doc_id = dot.doc_id),
+       |srk AS (SELECT probe_id, doc_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, doc_id) AS rs
+       |  FROM ssc QUALIFY rs <= 20),
+       |ev AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, vv, ${VectorOps.normSql} AS nrm FROM ev),
+       |dsc AS (SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+       |    ${VectorOps.cosineSql("p", "c")} AS cos
+       |  FROM en p JOIN en c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 5),
+       |drk AS (SELECT probe_id, doc_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, doc_id) AS rd
+       |  FROM dsc QUALIFY rd <= 20),
+       |fused AS (SELECT coalesce(s.probe_id, d.probe_id) AS probe_id,
+       |    coalesce(s.doc_id, d.doc_id) AS doc_id, s.rs, d.rd,
+       |    ${D.sql.d6("coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rs), " +
+                       "CAST(0.0 AS DOUBLE)) " +
+                       "+ coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rd), " +
+                       "CAST(0.0 AS DOUBLE))")} AS rrf
+       |  FROM srk s FULL JOIN drk d
+       |    ON s.probe_id = d.probe_id AND s.doc_id = d.doc_id)
+       |SELECT probe_id, doc_id, rs, rd, rrf,
+       |  row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY rrf DESC, doc_id) AS fused_rank
+       |FROM fused QUALIFY fused_rank <= 10
+       |ORDER BY probe_id, fused_rank""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("w")
+      .agg(countDistinct(col("doc_id")).cast(LongType).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val wt = tf.join(df, "w").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w").as("term"),
+        Det.d6(col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df"))).as("wt"))
+      .localCheckpoint()
+    val nrm = wt.groupBy("doc_id")
+      .agg(sqrt(sum((col("wt") * col("wt")).cast(dec12))
+        .cast(DoubleType)).as("nm"))
+    val p = wt.filter(col("doc_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("doc_id").as("probe_id"), col("term"),
+        col("wt").as("pwt"))
+    val dot = p.as("p").join(wt.as("c"),
+        col("p.term") === col("c.term") &&
+          col("c.doc_id") =!= col("p.probe_id"))
+      .groupBy(col("p.probe_id").as("probe_id"),
+        col("c.doc_id").as("doc_id"))
+      .agg(sum((col("p.pwt") * col("c.wt")).cast(dec12))
+        .cast(DoubleType).as("dp"))
+    val na = nrm.select(col("doc_id").as("probe_id"), col("nm").as("na"))
+    val nb = nrm.select(col("doc_id").as("doc_id"), col("nm").as("nb"))
+    val srw = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val sparse = dot.join(na, "probe_id").join(nb, "doc_id")
+      .select(col("probe_id"), col("doc_id"),
+        Det.d6(col("dp") / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rs", row_number().over(srw).cast(LongType))
+      .filter(col("rs") <= 20)
+      .select("probe_id", "doc_id", "rs")
+    val vk = graft.functions.VectorKernels
+    val emb = LsdDb.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", vk.norm2(col("v")))
+    val probes = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn")))
+    val drw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = probes.join(emb, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        vk.cosine(vk.dot(col("pv"), col("v")),
+          col("pn"), col("nrm")).as("cos"))
+      .withColumn("rd", row_number().over(drw).cast(LongType))
+      .filter(col("rd") <= 20)
+      .select("probe_id", "doc_id", "rd")
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sparse.join(dense, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"), col("rs"), col("rd"),
+        Det.d6(
+          coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0))).as("rrf"))
+      .withColumn("fused_rank", row_number().over(fw).cast(LongType))
+      .filter(col("fused_rank") <= 10)
+      .orderBy("probe_id", "fused_rank")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    qRerankFusion,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,
     qSparseKnn, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,

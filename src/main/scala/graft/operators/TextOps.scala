@@ -613,8 +613,101 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — FUSED dedup policy: canonical-URL duplicates OR MinHash
+    * near-dup content, the two-signal "soft" rule crawl pipelines
+    * actually ship (exact-URL dedup alone misses mirrors and
+    * re-posts; content-only dedup alone re-crawls the same page
+    * through tracking-parameter variants). URLs are the synthetic
+    * doc_id-derived grid of q_url_normalize (documents carry no URL
+    * column), canonicalized the same way (lowercase, strip scheme /
+    * www. / query / trailing slash); content candidates are the
+    * capped MinHash band pairs shared with q_dedup_minhash /
+    * q_dedup_clusters.
+    *
+    * Scale shape: the URL channel is groupBy(canon) min + one join
+    * back — NO pair join at all, linear at any corpus size; the
+    * content channel inherits minhash's band-bucket cap. `dup_of` =
+    * the smaller of the two channel representatives (keep-lowest-id
+    * policy), `reason` says which signal fired. Null-safe least via
+    * the symmetric-coalesce form — DuckDB's least() and Spark's
+    * least() disagree on NULL handling across versions, so neither
+    * engine's native null rule is relied on. */
+  val qDedupUrlSoft: QuerySpec = {
+    val urlSql =
+      "'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END" +
+        " || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM/p/'" +
+        " || CAST(doc_id % 50 AS VARCHAR)" +
+        " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END" +
+        " || CASE WHEN doc_id % 2 = 0" +
+        "      THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)" +
+        "      ELSE '' END"
+    val canonSql =
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "lower(url), '^https?://', ''), '^www\\.', ''), '\\?.*$', '')," +
+        " '/+$', '')"
+    QuerySpec(
+      "q_dedup_url_soft",
+      s"""WITH $minhashCandCtes,
+         |u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |cu AS (SELECT doc_id, $canonSql AS canon FROM u),
+         |ug AS (SELECT canon, min(doc_id) AS mn FROM cu GROUP BY canon),
+         |ud AS (SELECT cu.doc_id,
+         |    CASE WHEN g.mn < cu.doc_id THEN g.mn END AS url_dup_of
+         |  FROM cu JOIN ug g USING (canon)),
+         |cd AS (SELECT doc_b AS doc_id, min(doc_a) AS content_dup_of
+         |  FROM cand GROUP BY doc_b)
+         |SELECT d.doc_id, ud.url_dup_of, cd.content_dup_of,
+         |  least(coalesce(url_dup_of, content_dup_of),
+         |        coalesce(content_dup_of, url_dup_of)) AS dup_of,
+         |  (url_dup_of IS NOT NULL OR content_dup_of IS NOT NULL)
+         |    AS is_dup,
+         |  CASE WHEN url_dup_of IS NOT NULL
+         |         AND content_dup_of IS NOT NULL THEN 'both'
+         |       WHEN url_dup_of IS NOT NULL THEN 'url'
+         |       WHEN content_dup_of IS NOT NULL THEN 'content'
+         |  END AS reason
+         |FROM documents d LEFT JOIN ud USING (doc_id)
+         |  LEFT JOIN cd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = LsdDb.table(s, dir, "documents")
+      val url = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        lit("Site"), (col("doc_id") % 20).cast("string"),
+        lit(".Example.COM/p/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&ref="),
+            col("doc_id").cast("string")))
+          .otherwise(""))
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("url")), "^https?://", ""),
+        "^www\\.", ""), "\\?.*$", ""), "/+$", "")
+      val cu = docs.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), canon.as("canon"))
+      val ug = cu.groupBy("canon").agg(min(col("doc_id")).as("mn"))
+      val ud = cu.join(ug, "canon")
+        .select(col("doc_id"),
+          when(col("mn") < col("doc_id"), col("mn")).as("url_dup_of"))
+      val cd = minhashCandPairs(s, dir)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(min(col("doc_a")).as("content_dup_of"))
+      val u = col("url_dup_of"); val c = col("content_dup_of")
+      docs.select("doc_id")
+        .join(ud, Seq("doc_id"), "left")
+        .join(cd, Seq("doc_id"), "left")
+        .select(col("doc_id"), u, c,
+          least(coalesce(u, c), coalesce(c, u)).as("dup_of"),
+          (u.isNotNull || c.isNotNull).as("is_dup"),
+          when(u.isNotNull && c.isNotNull, "both")
+            .when(u.isNotNull, "url")
+            .when(c.isNotNull, "content").as("reason"))
+        .orderBy("doc_id")
+    }
+  }
+
   def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
     qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
     qDedupSimhash, qDedupSimhash64, qDedupNgram, qDedupClusters,
-    qSplitAssign, qPackSequences)
+    qDedupUrlSoft, qSplitAssign, qPackSequences)
 }

@@ -34,9 +34,9 @@ object VectorOps {
   private def cosine(pv: Column, cv: Column, pn: Column, cn: Column): Column =
     VectorKernels.cosine(VectorKernels.dot(pv, cv), pn, cn)
 
-  private val normSql =
+  private[operators] val normSql =
     "list_reduce(list_transform(vv, x -> x * x), (a, b) -> a + b)"
-  private def cosineSql(p: String, c: String): String =
+  private[operators] def cosineSql(p: String, c: String): String =
     s"list_reduce(list_transform(list_zip($p.vv, $c.vv), " +
       s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)" +
       s" / (sqrt($p.nrm) * sqrt($c.nrm))"
