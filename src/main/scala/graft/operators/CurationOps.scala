@@ -110,23 +110,25 @@ object CurationOps {
        |FROM base b LEFT JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = LsdDb.table(s, dir, "documents")
-    // phase 1 — candidate gate on hashes only (strings stay put);
-    // materialized ONCE: the hash-df aggregate is the only consumer
-    // of the full explode, the verify phase re-derives map-side
+    // ONE explode, materialized once with the span strings aboard
+    // (A/B r13: re-deriving the explode for the verify phase to keep
+    // the checkpoint hash-only measured 3.4 s warm vs 2.4 s for this
+    // form at sf0.1 — the second tokenize pass costs more than the
+    // string bytes; both are linear at 100 TB, this one trades one
+    // corpus re-read for ~5× checkpoint bytes)
     val g = docs.select(col("doc_id"),
       explode(spans5(col("text"))).as("sp"))
-      .select(col("doc_id"), xxhash64(col("sp")).as("h"))
+      .withColumn("h", xxhash64(col("sp")))
       .localCheckpoint()
-    val cand = g.distinct().groupBy("h")
+    // phase 1 — candidate gate on the 64-bit hash only (the span
+    // strings do not shuffle through the df aggregate)
+    val cand = g.select("doc_id", "h").distinct().groupBy("h")
       .agg(count(lit(1)).as("dfh"))
       .filter(col("dfh") >= dupDocThreshold)
       .select("h")
-    // phase 2 — exact verify: candidate occurrences WITH strings,
-    // then df and per-doc hits recounted on the real span text
-    val gs = docs.select(col("doc_id"),
-      explode(spans5(col("text"))).as("sp"))
-      .withColumn("h", xxhash64(col("sp")))
-      .join(cand, "h")
+    // phase 2 — exact verify: candidate occurrences keep their
+    // strings; df and per-doc hits recount on the real span text
+    val gs = g.join(cand, "h")
       .select("doc_id", "sp")
       .localCheckpoint()
     val dup = gs.distinct().groupBy("sp")
