@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{LsdDb, QuerySpec}
+import graft.functions.Det
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -228,13 +229,24 @@ object TextOps {
 
   /** Capped MinHash+LSH candidate pairs (doc_a < doc_b) — the Spark
     * plan both q_dedup_minhash and q_dedup_clusters consume. */
-  private def minhashCandPairs(s: org.apache.spark.sql.SparkSession,
-                               dir: String): org.apache.spark.sql.DataFrame = {
-    val wrds = LsdDb.table(s, dir, "documents")
+  /** Per-doc distinct tokens — the MinHash universe (shared by the
+    * signature builder and q_minhash_fidelity's exact Jaccard). */
+  private def minhashWrds(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
+
+  /** Per-doc MinHash signatures (s0..s7 hex-string minima). */
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
     val sigAggs = (0 until nHashes)
       .map(i => min(md5(concat(lit(s"$i:"), col("w")).cast("binary"))).as(s"s$i"))
-    val sigs = wrds.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    minhashWrds(s, dir).groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  private def minhashCandPairs(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val sigs = minhashSigs(s, dir)
     val bandStructs = (0 until nBands).map(j =>
       struct(lit(j).as("k"),
         concat(col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("bv")))
@@ -706,8 +718,79 @@ object TextOps {
     }
   }
 
+  /** Ext — MinHash ESTIMATOR-FIDELITY audit (the q_ann_recall of the
+    * dedup family): for every capped band-candidate pair, the
+    * signature-estimated Jaccard (matching fraction of the 8 hash
+    * minima — the textbook unbiased estimator) next to the EXACT
+    * token-set Jaccard, with the absolute error. This is the
+    * calibration table a pipeline reads before trusting the sketch
+    * at a new corpus: if est and true diverge, nHashes is too small
+    * for the similarity regime being cut on.
+    *
+    * Scale shape: candidates are the already-capped band pairs
+    * (never corpus²); the exact intersection joins the token lists
+    * of CANDIDATE docs only (the PPJoin verify shape — fan-out
+    * bounded by candidate count × doc length); set sizes ride the
+    * same wrds relation. Determinism: est is an exact small-integer
+    * ratio k/8, true is an exact BIGINT ratio divided once, the
+    * error is d6-snapped. A left join + coalesce guards the
+    * (md5-collision-only) case of a candidate pair with zero shared
+    * tokens. */
+  val qMinhashFidelity: QuerySpec = QuerySpec(
+    "q_minhash_fidelity",
+    s"""WITH $minhashCandCtes,
+       |sz AS (SELECT doc_id, count(*) AS n FROM wrds GROUP BY doc_id),
+       |it AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c JOIN wrds a ON a.doc_id = c.doc_a
+       |    JOIN wrds b ON b.doc_id = c.doc_b AND b.w = a.w
+       |  GROUP BY c.doc_a, c.doc_b),
+       |est AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(${(0 until nHashes).map(i =>
+             s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS DOUBLE) / $nHashes.0 AS est_j
+       |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+       |    JOIN sigs sb ON sb.doc_id = c.doc_b)
+       |SELECT e.doc_a, e.doc_b, e.est_j,
+       |  CAST(coalesce(i.inter, 0) AS DOUBLE)
+       |    / (za.n + zb.n - coalesce(i.inter, 0)) AS true_j,
+       |  ${Det.sql.d6("abs(e.est_j - CAST(coalesce(i.inter, 0) AS DOUBLE)" +
+                " / (za.n + zb.n - coalesce(i.inter, 0)))")} AS abs_err
+       |FROM est e LEFT JOIN it i
+       |    ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |  JOIN sz za ON za.doc_id = e.doc_a
+       |  JOIN sz zb ON zb.doc_id = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, dir) =>
+    val cand = minhashCandPairs(s, dir).localCheckpoint()
+    val wrds = minhashWrds(s, dir)
+    val sz = wrds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val it = cand
+      .join(wrds.select(col("doc_id").as("doc_a"), col("w")), "doc_a")
+      .join(wrds.select(col("doc_id").as("doc_b"), col("w")),
+        Seq("doc_b", "w"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sigs = minhashSigs(s, dir)
+    val matches = (0 until nHashes)
+      .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigs.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sigs.as("b"), col("b.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast(DoubleType) / nHashes.toDouble).as("est_j"))
+    val trueJ = coalesce(col("inter"), lit(0L)).cast(DoubleType) /
+      (col("za") + col("zb") - coalesce(col("inter"), lit(0L)))
+    est
+      .join(it, Seq("doc_a", "doc_b"), "left")
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("za")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("zb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_j"),
+        trueJ.as("true_j"),
+        Det.d6(abs(col("est_j") - trueJ)).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
     qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
     qDedupSimhash, qDedupSimhash64, qDedupNgram, qDedupClusters,
-    qDedupUrlSoft, qSplitAssign, qPackSequences)
+    qDedupUrlSoft, qMinhashFidelity, qSplitAssign, qPackSequences)
 }

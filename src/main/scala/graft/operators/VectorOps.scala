@@ -952,8 +952,96 @@ object VectorOps {
     }
   }
 
+  /** Ext — LABEL-STRUCTURE diagnostic: nearest-centroid
+    * self-classification confusion matrix over the embeddings'
+    * `label` column. Per label: the mean embedding (decimal-exact
+    * per-dim sums — the q_cluster_kmeans grid); every vector is then
+    * assigned to its nearest label centroid (snapped L2, label-asc
+    * tie-break) and the (true_label, pred_label) counts + row
+    * fractions come out. This is the "are my class/topic labels
+    * actually separable in embedding space?" audit a curation
+    * pipeline runs before trusting label-stratified sampling or
+    * label-balanced dedup — an off-diagonal-heavy row means that
+    * label's samples are indistinguishable from another's.
+    *
+    * Shape (the MLlib/kmeans one): label centroids are O(k·d)
+    * driver state from ONE partial-aggregated pass (bounded collect:
+    * 10×64 doubles); assignment is a map-only pass with the
+    * centroids constant-folded into the codegen'd dot kernel — no
+    * join, no shuffle except the final k² confusion aggregate. */
+  val qLabelConfusion: QuerySpec = {
+    def normSqlOf(e: String): String =
+      s"list_reduce(list_transform($e, x -> x * x), (a, b) -> a + b)"
+    def kdistSql(p: String, c: String): String = D.d6(
+      s"$p.nrm + $c.cnn - 2.0 * list_reduce(list_transform(" +
+        s"list_zip($p.vv, $c.cv), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), " +
+        "(a, b) -> a + b)")
+    QuerySpec(
+      "q_label_confusion",
+      s"""WITH v AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, vv, ${normSqlOf("vv")} AS nrm FROM v),
+         |m AS (SELECT label, d,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT label, unnest(vv) AS x,
+         |        generate_subscripts(vv, 1) AS d FROM n)
+         |  GROUP BY label, d),
+         |c AS (SELECT label AS clabel, list(m ORDER BY d) AS cv FROM m
+         |  GROUP BY label),
+         |cn AS (SELECT clabel, cv, ${normSqlOf("cv")} AS cnn FROM c),
+         |asgn AS (SELECT vec_id, label, pred FROM (
+         |  SELECT p.vec_id, p.label, k.clabel AS pred,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${kdistSql("p", "k")}, k.clabel) AS rn
+         |  FROM n p CROSS JOIN cn k) WHERE rn = 1)
+         |SELECT label AS true_label, pred AS pred_label,
+         |  count(*) AS n,
+         |  CAST(count(*) AS DOUBLE)
+         |    / sum(count(*)) OVER (PARTITION BY label) AS frac
+         |FROM asgn GROUP BY label, pred
+         |ORDER BY true_label, pred_label""".stripMargin) { (s, dir) =>
+      val emb = LsdDb.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").as("v"))
+        .withColumn("nrm", VectorKernels.norm2(col("v")))
+      // one partial-aggregated pass -> k x d driver means (bounded
+      // collect, the kmeans class), reassembled as literal arrays
+      val means = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("label", "d")
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (lbl, rows) =>
+          val cv = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          var cnn = 0.0; var i = 0
+          while (i < cv.length) { cnn += cv(i) * cv(i); i += 1 }
+          (lbl, cv, cnn)
+        }.toSeq.sortBy(_._1)
+      // (snapped L2, label) struct-min == the oracle's row_number
+      val assignCol = array_min(array(means.map { case (lbl, cv, cnn) =>
+        struct(
+          Det.d6(col("nrm") + lit(cnn) - lit(2.0) *
+            VectorKernels.dot(col("v"),
+              array(cv.toSeq.map(lit): _*))).as("dd"),
+          lit(lbl).as("pred"))
+      }: _*))
+      val fw = Window.partitionBy("true_label")
+      emb.withColumn("a", assignCol)
+        .groupBy(col("label").as("true_label"),
+          col("a.pred").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac",
+          col("n").cast(DoubleType) / sum(col("n")).over(fw))
+        .orderBy("true_label", "pred_label")
+    }
+  }
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
       qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans,
-      qAnnRecall)
+      qAnnRecall, qLabelConfusion)
 }
