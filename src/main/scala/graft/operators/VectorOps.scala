@@ -1040,8 +1040,92 @@ object VectorOps {
     }
   }
 
+  /** Ext — TRAIN→EVAL LEAKAGE audit in embedding space: for every
+    * eval-split document, the most-similar train-split document
+    * inside the same semantic cell, flagged when cosine ≥ 0.4 — the
+    * contamination check n-gram decontamination (q_decontaminate)
+    * cannot do, because paraphrased or translated leaks share no
+    * shingles but sit next to each other in embedding space (the
+    * SemDeDup observation applied across the split boundary).
+    *
+    * Reuses the whole q_semdedup scale algebra verbatim: k =
+    * [[semdedupK]] = √N cells from the first-k seeds ([[semdedupAssign]]
+    * broadcast pass over ALL vectors — seeds self-assign at cos 1),
+    * the [[semdedupMaxCell]] hot-cell cap on pair generation, and the
+    * keep-best rule (max cosine, train-id tie-break). Split is the
+    * q_split_assign LCG on vec_id (train <90 / eval ≥90), so the
+    * audit needs no side table. Train×eval pairs never cross cells —
+    * N^1.5, never corpus². */
+  val qSplitLeakage: QuerySpec = QuerySpec(
+    "q_split_leakage",
+    s"""$vvCte,
+       |prm AS (SELECT GREATEST(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM n),
+       |cent AS (SELECT vec_id AS cell, vv, nrm FROM n
+       |  WHERE vec_id < (SELECT k FROM prm)),
+       |asgn AS (SELECT vec_id, vv, nrm, cell FROM (
+       |  SELECT c.vec_id, c.vv, c.nrm, k.cell,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosineSql("k", "c")} DESC, k.cell) AS arn
+       |  FROM n c CROSS JOIN cent k) WHERE arn = 1),
+       |ok AS (SELECT cell FROM asgn GROUP BY cell
+       |  HAVING count(*) <= $semdedupMaxCell),
+       |sp AS (SELECT vec_id,
+       |    ((vec_id % 2147483647) * 1103515245 + 12345) % 100 AS bucket
+       |  FROM n),
+       |tr AS (SELECT a.* FROM asgn a
+       |  JOIN sp ON sp.vec_id = a.vec_id AND sp.bucket < 90
+       |  JOIN ok ON ok.cell = a.cell),
+       |ev AS (SELECT a.* FROM asgn a
+       |  JOIN sp ON sp.vec_id = a.vec_id AND sp.bucket >= 90),
+       |best AS (SELECT vec_id, leak_of, cos FROM (
+       |  SELECT e.vec_id, t.vec_id AS leak_of,
+       |    ${cosineSql("t", "e")} AS cos,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("t", "e")} DESC, t.vec_id) AS brn
+       |  FROM ev e JOIN tr t ON t.cell = e.cell
+       |  WHERE ${cosineSql("t", "e")} >= 0.4) WHERE brn = 1)
+       |SELECT e.vec_id, b.leak_of,
+       |  ${D.d6("b.cos")} AS leak_cos,
+       |  b.leak_of IS NOT NULL AS is_leaked
+       |FROM ev e LEFT JOIN best b ON b.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val k = semdedupK(emb.count())
+    val cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val asgn = semdedupAssign(emb, cent)
+    val ok = asgn.groupBy("cell").agg(count(lit(1)).as("cn_"))
+      .filter(col("cn_") <= semdedupMaxCell).select("cell")
+    val bucket =
+      ((col("vec_id") % 2147483647L) * 1103515245L + 12345L) % 100
+    val withB = asgn.withColumn("bucket", bucket)
+    val tr = withB.filter(col("bucket") < 90).join(ok, "cell")
+      .select(col("cell"), col("vec_id").as("t_id"),
+        col("v").as("tv"), col("nrm").as("tn"))
+    val ev = withB.filter(col("bucket") >= 90)
+      .select(col("cell"), col("vec_id"),
+        col("v").as("ev_"), col("nrm").as("en"))
+    val bw = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("leak_of").asc)
+    val best = ev.join(tr, "cell")
+      .withColumn("cos", cosine(col("tv"), col("ev_"), col("tn"), col("en")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_id"), col("t_id").as("leak_of"), col("cos"))
+      .withColumn("brn", row_number().over(bw))
+      .filter(col("brn") === 1)
+      .select("vec_id", "leak_of", "cos")
+    ev.select("vec_id")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("leak_of"),
+        Det.d6(col("cos")).as("leak_cos"),
+        col("leak_of").isNotNull.as("is_leaked"))
+      .orderBy("vec_id")
+  }
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
       qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans,
-      qAnnRecall, qLabelConfusion)
+      qAnnRecall, qLabelConfusion, qSplitLeakage)
 }
