@@ -816,7 +816,11 @@ object VectorOps {
     val cent = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
         col("nrm").as("cn"))
+    // materialize ONCE: asgn feeds the cell-size gate, both pair-join
+    // sides and the final projection (4 consumers; without this the
+    // broadcast-assign pass re-runs per consumer)
     val asgn = semdedupAssign(emb.filter(col("vec_id") >= k), cent)
+      .localCheckpoint()
     val ok = asgn.groupBy("cell").agg(count(lit(1)).as("cn_"))
       .filter(col("cn_") <= semdedupMaxCell).select("cell")
     val a = asgn.join(ok, "cell")
@@ -1095,7 +1099,8 @@ object VectorOps {
     val cent = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
         col("nrm").as("cn"))
-    val asgn = semdedupAssign(emb, cent)
+    // same one-materialization rule as q_semdedup (4 consumers)
+    val asgn = semdedupAssign(emb, cent).localCheckpoint()
     val ok = asgn.groupBy("cell").agg(count(lit(1)).as("cn_"))
       .filter(col("cn_") <= semdedupMaxCell).select("cell")
     val bucket =
