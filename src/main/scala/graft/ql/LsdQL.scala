@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions.{col, row_number}
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
   *   query {UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL]} query ...
   *
-  * WHERE may embed UNCORRELATED subqueries — `x IN (SELECT …)`,
-  * [NOT] EXISTS (SELECT …), scalar `(SELECT max(…) …)` — each inner
-  * text a full QL query (CTE scope visible). Correlated outer-column
-  * references are rejected; express those through the join graph.
+  * WHERE may embed subqueries — `x IN (SELECT …)`, [NOT] EXISTS
+  * (SELECT …), scalar `(SELECT max(…) …)`. An UNCORRELATED inner is
+  * a full QL query (CTE scope visible, spatial joins and all); a
+  * CORRELATED inner (outer-column references) is plain-SQL surface
+  * bound by Spark's analyzer and decorrelated by Catalyst into
+  * semi/anti/aggregated joins.
   * GROUP BY text passes through to Spark SQL verbatim, so
   * ROLLUP/CUBE/GROUPING SETS work unmodified (spec-pinned).
   *
@@ -199,20 +201,33 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
   }
 
   /** Find every parenthesized `(SELECT …)` span in a WHERE clause
-    * (string-literal aware, properly paren-matched), evaluate each
-    * inner text as a full QL query at `scope`, register it as a temp
-    * view, and return the WHERE with each span replaced by
-    * `(SELECT * FROM view)` plus the created view names (caller
-    * drops them after the outer plan is analyzed). */
+    * (string-literal aware, properly paren-matched). UNCORRELATED
+    * spans are evaluated as full QL queries at `scope`, registered as
+    * temp views, and replaced by `(SELECT * FROM view)`. A span that
+    * fails QL evaluation (the correlated case — outer-column
+    * references cannot resolve inside a standalone inner query) falls
+    * back to CORRELATED mode: its text is left in place verbatim,
+    * every table it references is registered as a temp view under its
+    * own name, and Spark SQL's analyzer binds the outer references
+    * when the caller runs the assembled `SELECT * FROM rel WHERE …` —
+    * Catalyst decorrelates EXISTS/IN into semi/anti joins and
+    * correlated scalars into aggregated joins (the scale-right
+    * plans). Correlated inners are plain-SQL surface only (no spatial
+    * join syntax / pseudo-columns inside them — those need the QL
+    * evaluator, which is exactly what correlation bypasses).
+    *
+    * @return (rewritten WHERE, temp views to drop after analysis,
+    *   whether any subquery span — replaced or in-place — was seen) */
   private def rewriteWhereSubqueries(w: String,
                                      scope: Map[String, DataFrame])
-      : (String, Seq[String]) = {
+      : (String, Seq[String], Boolean) = {
     val quoted = quotedSpans(w)
     val open = java.util.regex.Pattern
       .compile("\\(\\s*SELECT\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
     val m = open.matcher(w)
     val out = new StringBuilder
     val views = Seq.newBuilder[String]
+    var any = false
     var pos = 0
     var from = 0
     while (m.find(from)) {
@@ -231,26 +246,40 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           j += 1
         }
         val inner = w.substring(start + 1, j - 1)
-        val sub =
-          try evalQuery(inner, scope)
-          catch {
-            case e: Throwable => throw new IllegalArgumentException(
-              "WHERE subquery failed to evaluate (note: only " +
-                "UNCORRELATED subqueries are supported — outer-column " +
-                s"references must go through the join graph): $inner",
-              e)
-          }
-        val view = s"graft_ql_subq_${LsdQL.viewCounter.incrementAndGet()}"
-        sub.createOrReplaceTempView(view)
-        views += view
+        any = true
         out ++= w.substring(pos, start)
-        out ++= s"(SELECT * FROM $view)"
+        try {
+          val sub = evalQuery(inner, scope)
+          val view = s"graft_ql_subq_${LsdQL.viewCounter.incrementAndGet()}"
+          sub.createOrReplaceTempView(view)
+          views += view
+          out ++= s"(SELECT * FROM $view)"
+        } catch {
+          case e: Throwable =>
+            // correlated fallback: leave the span verbatim, expose the
+            // inner's tables by name, let the outer sql() bind outer
+            // columns. If a referenced table resolves nowhere, the
+            // inner really is broken — rethrow with context.
+            val names = "(?i)\\b(?:FROM|JOIN)\\s+([A-Za-z_]\\w*)".r
+              .findAllMatchIn(inner).map(_.group(1)).toSeq.distinct
+            val rels = names.flatMap { n =>
+              scope.get(n)
+                .orElse(scala.util.Try(db.table(n, None)).toOption)
+                .map(n -> _)
+            }
+            if (rels.isEmpty) throw new IllegalArgumentException(
+              "WHERE subquery failed to evaluate and references no " +
+                s"resolvable table (inner QL error below): $inner", e)
+            rels.foreach { case (n, rel) => rel.createOrReplaceTempView(n) }
+            views ++= rels.map(_._1)
+            out ++= w.substring(start, j)
+        }
         pos = j
         from = j
       }
     }
     out ++= w.substring(pos)
-    (out.toString, views.result())
+    (out.toString, views.result(), any)
   }
 
   /** Peel a leading `WITH n1 AS (q1), n2 AS (q2)` prefix. Returns the
@@ -444,18 +473,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       joined += item.table
     }
     whereOpt.foreach { w0 =>
-      // UNCORRELATED subqueries in WHERE — `x IN (SELECT …)`,
-      // [NOT] EXISTS (SELECT …), scalar (SELECT max(…) …) — each
-      // inner text is a full QL query evaluated at the current CTE
-      // scope and spliced back as a temp view, so the outer predicate
-      // runs through Spark SQL's real subquery planner (which turns
-      // IN into a semi-join and a scalar subquery into a broadcast
-      // one-row join — the scale-right plans). Correlated references
-      // to outer columns are NOT supported (they fail analysis inside
-      // the inner query) — express those through the declared join
-      // graph instead, which is the reference's own model.
-      val (w, views) = rewriteWhereSubqueries(w0, scope)
-      if (views.isEmpty) df = df.filter(w0)
+      // Subqueries in WHERE — `x IN (SELECT …)`, [NOT] EXISTS
+      // (SELECT …), scalar (SELECT max(…) …). UNCORRELATED inners
+      // are full QL queries evaluated at the current CTE scope and
+      // spliced back as temp views; CORRELATED inners (plain-SQL
+      // surface) stay in place with their tables exposed by name —
+      // either way the outer predicate runs through Spark SQL's real
+      // subquery planner, which decorrelates into semi/anti joins
+      // and broadcast one-row joins (the scale-right plans).
+      val (w, views, hadSubquery) = rewriteWhereSubqueries(w0, scope)
+      if (!hadSubquery) df = df.filter(w0)
       else {
         val view = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)

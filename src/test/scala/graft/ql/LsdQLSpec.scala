@@ -714,20 +714,55 @@ class LsdQLSpec extends SpecBase {
       db.table("orders").filter(s"o_totalprice >= $mx").count())
   }
 
-  test("WHERE subquery sees the CTE scope; correlated is rejected") {
+  test("WHERE subquery sees the CTE scope") {
     val df = ql.query(
       """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
         |SELECT o_orderkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM rich)""".stripMargin)
     assert(df.count() > 0)
-    val e = intercept[IllegalArgumentException] {
-      ql.query(
-        """SELECT o_orderkey FROM orders
-          |WHERE EXISTS (SELECT c_custkey FROM customer
-          |              WHERE c_custkey = o_custkey)""".stripMargin)
-        .count()
-    }
-    assert(e.getMessage.contains("UNCORRELATED"))
+  }
+
+  test("correlated EXISTS decorrelates to a semi-join") {
+    val df = ql.query(
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT c_custkey FROM customer
+        |              WHERE c_custkey = o_custkey
+        |                AND c_acctbal > 5000)""".stripMargin)
+    val rich = db.table("customer").filter("c_acctbal > 5000")
+      .select("c_custkey")
+    val orders = db.table("orders")
+    val twin = orders
+      .join(rich, orders("o_custkey") === rich("c_custkey"), "left_semi")
+    assert(df.count() == twin.count() && twin.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join:\n$plan")
+  }
+
+  test("correlated NOT EXISTS decorrelates to an anti-join") {
+    val df = ql.query(
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT o_orderkey FROM orders
+        |                  WHERE o_custkey = c_custkey)""".stripMargin)
+    val cust = db.table("customer")
+    val ords = db.table("orders").select("o_custkey")
+    val twin = cust
+      .join(ords, cust("c_custkey") === ords("o_custkey"), "left_anti")
+    assert(df.count() == twin.count())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
+  }
+
+  test("correlated scalar subquery binds the outer row") {
+    // each order compared against ITS customer's account balance
+    val df = ql.query(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > (SELECT c_acctbal FROM customer
+        |                      WHERE c_custkey = o_custkey)""".stripMargin)
+    val twin = db.table("orders").as("o")
+      .join(db.table("customer").as("c"),
+        org.apache.spark.sql.functions.expr("c_custkey = o_custkey"))
+      .filter("o_totalprice > c_acctbal")
+    assert(df.count() == twin.count() && df.count() > 0)
   }
 
   test("IN-list with a quoted '(SELECT' literal is not rewritten") {
