@@ -1129,8 +1129,56 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Ext — DIVERSITY-BALANCED sampling: at most m = 5 vectors per
+    * semantic cell, chosen by a deterministic per-cell hash order —
+    * the cluster-balanced subset selection step the clustering
+    * family exists to feed (SemDeDup/DoReMi-style pipelines sample
+    * per topic cell, not uniformly, so rare regions of embedding
+    * space survive a 100× downsample that uniform sampling would
+    * wash out). Cells are the q_semdedup √N Voronoi cells
+    * ([[semdedupK]]/[[semdedupAssign]]); within a cell the order is
+    * md5(vec_id) (engine-identical hex ordering — the MinHash trick;
+    * xxhash64 is Spark-only) with vec_id tie-break, so the sample is
+    * reproducible and uniform-ish within every cell.
+    *
+    * Shape: one broadcast assignment pass + ONE window per cell —
+    * no corpus sort, no pair join; output is ≤ k·m rows. */
+  val qDiverseSample: QuerySpec = QuerySpec(
+    "q_diverse_sample",
+    s"""$vvCte,
+       |prm AS (SELECT GREATEST(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM n),
+       |cent AS (SELECT vec_id AS cell, vv, nrm FROM n
+       |  WHERE vec_id < (SELECT k FROM prm)),
+       |asgn AS (SELECT vec_id, cell FROM (
+       |  SELECT c.vec_id, k.cell,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosineSql("k", "c")} DESC, k.cell) AS arn
+       |  FROM n c CROSS JOIN cent k) WHERE arn = 1)
+       |SELECT vec_id, cell, pick FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+       |  FROM asgn) WHERE pick <= 5
+       |ORDER BY cell, pick""".stripMargin) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val k = semdedupK(emb.count())
+    val cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val asgn = semdedupAssign(emb, cent).select("vec_id", "cell")
+    val pw = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+        col("vec_id"))
+    asgn.withColumn("pick", row_number().over(pw))
+      .filter(col("pick") <= 5)
+      .select(col("vec_id"), col("cell"),
+        col("pick").cast(org.apache.spark.sql.types.LongType).as("pick"))
+      .orderBy("cell", "pick")
+  }
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
       qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans,
-      qAnnRecall, qLabelConfusion, qSplitLeakage)
+      qAnnRecall, qLabelConfusion, qSplitLeakage, qDiverseSample)
 }
