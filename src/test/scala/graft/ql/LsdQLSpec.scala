@@ -752,6 +752,37 @@ class LsdQLSpec extends SpecBase {
     assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
   }
 
+  test("mixed WHERE: uncorrelated IN + correlated EXISTS in one clause") {
+    val df = ql.query(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 5000)
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey)""".stripMargin)
+    val rich = db.table("customer").filter("c_acctbal > 5000")
+      .select("c_custkey")
+    val li = db.table("lineitem").select("l_orderkey")
+    val o = db.table("orders")
+    val twin = o
+      .join(rich, o("o_custkey") === rich("c_custkey"), "left_semi")
+      .join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+    assert(df.count() == twin.count() && twin.count() > 0)
+  }
+
+  test("correlated EXISTS over a CTE-scoped inner table") {
+    val df = ql.query(
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM rich
+        |              WHERE c_custkey = o_custkey)""".stripMargin)
+    val rich = db.table("customer").filter("c_acctbal > 5000")
+      .select("c_custkey")
+    val o = db.table("orders")
+    val twin = o.join(rich, o("o_custkey") === rich("c_custkey"),
+      "left_semi")
+    assert(df.count() == twin.count() && twin.count() > 0)
+  }
+
   test("correlated scalar subquery binds the outer row") {
     // each order compared against ITS customer's account balance
     val df = ql.query(
