@@ -748,7 +748,12 @@ object VectorOps {
     * with a PARTIAL-aggregated min(struct(-cos, cell)) — equivalent
     * to the oracle's row_number() ORDER BY cos DESC, cell, but the
     * map-side combine collapses the N·k blown-up rows back to N
-    * BEFORE any shuffle (the window form would shuffle all N·k).
+    * BEFORE any shuffle. (Plan note: a struct-typed min buffer is not
+    * hash-aggregable, so the partial plans as SortAggregate — an
+    * in-partition sort of the N·k stream, the same map-side sort the
+    * Spark-3.5+ window form pays in its WindowGroupLimit-Partial; the
+    * two forms are equivalent shapes, and either way only ~N rows
+    * cross the wire.)
     * -cos on finite doubles orders exactly like cos DESC, and the
     * cosine fold is the bit-identical sequential fold DuckDB runs,
     * so ties break identically in both engines.
