@@ -3,7 +3,7 @@ package graft.operators
 import graft.{LsdDb, QuerySpec}
 import graft.functions.Det
 import graft.functions.{Det => D}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -299,9 +299,14 @@ object PipelineOps {
     * dominate Σ postings — a production deployment prunes or
     * impact-orders them (public WAND/BM25 practice); kept exact here
     * because the oracle is exact. */
-  val qSparseKnn: QuerySpec = QuerySpec(
-    "q_sparse_knn",
-    s"""WITH tok AS (
+  /** Shared TF-IDF cosine retrieval core — the CTE chain ending at
+    * `rk(probe_id, doc_id, cosine, rn)` (rn unfiltered; callers cut
+    * at their own k). ONE definition serves q_sparse_knn and
+    * q_rerank_fusion's sparse channel, so the scorer cannot drift
+    * between the retriever and the fusion query (the
+    * minhashCandCtes rule). */
+  private def tfidfKnnCtes: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
        |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
@@ -328,9 +333,11 @@ object PipelineOps {
        |rk AS (SELECT probe_id, doc_id, cosine,
        |    row_number() OVER (PARTITION BY probe_id
        |      ORDER BY cosine DESC, doc_id) AS rn
-       |  FROM sc)
-       |SELECT probe_id, doc_id, cosine FROM rk WHERE rn <= 5
-       |ORDER BY probe_id, doc_id""".stripMargin) { (s, dir) =>
+       |  FROM sc)""".stripMargin
+
+  /** Spark twin of [[tfidfKnnCtes]]: ranked (probe_id, doc_id,
+    * cosine, rn), rn unfiltered. */
+  private def tfidfKnnRanked(s: SparkSession, dir: String): DataFrame = {
     val docs = LsdDb.table(s, dir, "documents")
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -367,6 +374,14 @@ object PipelineOps {
       .select(col("probe_id"), col("doc_id"),
         Det.d6(col("dp") / (col("na") * col("nb"))).as("cosine"))
       .withColumn("rn", row_number().over(rkw))
+  }
+
+  val qSparseKnn: QuerySpec = QuerySpec(
+    "q_sparse_knn",
+    s"""WITH $tfidfKnnCtes
+       |SELECT probe_id, doc_id, cosine FROM rk WHERE rn <= 5
+       |ORDER BY probe_id, doc_id""".stripMargin) { (s, dir) =>
+    tfidfKnnRanked(s, dir)
       .filter(col("rn") <= 5)
       .select("probe_id", "doc_id", "cosine")
       .orderBy("probe_id", "doc_id")
@@ -817,18 +832,8 @@ object PipelineOps {
     * replace-all and DuckDB's replace-first agree) + one
     * partial-aggregated groupBy on the domain. */
   val qUrlNormalize: QuerySpec = {
-    val urlSql =
-      "'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END" +
-        " || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM/p/'" +
-        " || CAST(doc_id % 50 AS VARCHAR)" +
-        " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END" +
-        " || CASE WHEN doc_id % 2 = 0" +
-        "      THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)" +
-        "      ELSE '' END"
-    val canonSql =
-      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-        "lower(url), '^https?://', ''), '^www\\.', ''), '\\?.*$', '')," +
-        " '/+$', '')"
+    val urlSql = SyntheticUrls.urlSql
+    val canonSql = SyntheticUrls.canonSql
     QuerySpec(
       "q_url_normalize",
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
@@ -840,18 +845,8 @@ object PipelineOps {
          |  count(DISTINCT url) AS n_raw_distinct,
          |  count(DISTINCT canon) AS n_canonical
          |FROM d GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
-      val url = concat(
-        lit("HTTPS://"),
-        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
-        lit("Site"), (col("doc_id") % 20).cast("string"),
-        lit(".Example.COM/p/"), (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 5 === 0, "/").otherwise(""),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
-          .otherwise(""))
-      val canon = regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(lower(col("url")), "^https?://", ""),
-        "^www\\.", ""), "\\?.*$", ""), "/+$", "")
+      val url = SyntheticUrls.urlCol
+      val canon = SyntheticUrls.canonCol(col("url"))
       // Two distinct-aggregates over different columns would plan an
       // Expand (×3 rows through the first aggregate — the 100 TB
       // anti-shape). canon is a FUNCTION of url, so distinct-counting
@@ -1615,34 +1610,9 @@ object PipelineOps {
     * in both engines. */
   val qRerankFusion: QuerySpec = QuerySpec(
     "q_rerank_fusion",
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
-       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
-       |dfq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-       |  FROM tok GROUP BY w),
-       |nd AS (SELECT count(*) AS n_docs FROM documents),
-       |wt AS (SELECT tf.doc_id, tf.w AS term,
-       |    ${D.sql.d6("CAST(tf.tf AS DOUBLE) * " +
-                       "ln(CAST(nd.n_docs AS DOUBLE) / dfq.df)")} AS wt
-       |  FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN nd),
-       |nrm AS (SELECT doc_id,
-       |    sqrt(CAST(sum(CAST(wt * wt AS DECIMAL(38,12))) AS DOUBLE))
-       |      AS nm
-       |  FROM wt GROUP BY doc_id),
-       |p AS (SELECT * FROM wt WHERE doc_id IN (0, 1, 2, 3, 4)),
-       |dot AS (SELECT p.doc_id AS probe_id, wt.doc_id AS doc_id,
-       |    CAST(sum(CAST(p.wt * wt.wt AS DECIMAL(38,12))) AS DOUBLE)
-       |      AS dp
-       |  FROM p JOIN wt ON p.term = wt.term AND wt.doc_id <> p.doc_id
-       |  GROUP BY 1, 2),
-       |ssc AS (SELECT probe_id, dot.doc_id,
-       |    ${D.sql.d6("dot.dp / (na.nm * nb.nm)")} AS cosine
-       |  FROM dot JOIN nrm na ON na.doc_id = dot.probe_id
-       |    JOIN nrm nb ON nb.doc_id = dot.doc_id),
-       |srk AS (SELECT probe_id, doc_id,
-       |    row_number() OVER (PARTITION BY probe_id
-       |      ORDER BY cosine DESC, doc_id) AS rs
-       |  FROM ssc QUALIFY rs <= 20),
+    s"""WITH $tfidfKnnCtes,
+       |srk AS (SELECT probe_id, doc_id, rn AS rs FROM rk
+       |  WHERE rn <= 20),
        |ev AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
        |  FROM embeddings),
@@ -1668,41 +1638,10 @@ object PipelineOps {
        |    ORDER BY rrf DESC, doc_id) AS fused_rank
        |FROM fused QUALIFY fused_rank <= 10
        |ORDER BY probe_id, fused_rank""".stripMargin) { (s, dir) =>
-    val docs = LsdDb.table(s, dir, "documents")
-    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
-    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("w")
-      .agg(countDistinct(col("doc_id")).cast(LongType).as("df"))
-    val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
-    val wt = tf.join(df, "w").crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("w").as("term"),
-        Det.d6(col("tf").cast(DoubleType) *
-          log(col("n_docs").cast(DoubleType) / col("df"))).as("wt"))
-      .localCheckpoint()
-    val nrm = wt.groupBy("doc_id")
-      .agg(sqrt(sum((col("wt") * col("wt")).cast(dec12))
-        .cast(DoubleType)).as("nm"))
-    val p = wt.filter(col("doc_id").isin(0L, 1L, 2L, 3L, 4L))
-      .select(col("doc_id").as("probe_id"), col("term"),
-        col("wt").as("pwt"))
-    val dot = p.as("p").join(wt.as("c"),
-        col("p.term") === col("c.term") &&
-          col("c.doc_id") =!= col("p.probe_id"))
-      .groupBy(col("p.probe_id").as("probe_id"),
-        col("c.doc_id").as("doc_id"))
-      .agg(sum((col("p.pwt") * col("c.wt")).cast(dec12))
-        .cast(DoubleType).as("dp"))
-    val na = nrm.select(col("doc_id").as("probe_id"), col("nm").as("na"))
-    val nb = nrm.select(col("doc_id").as("doc_id"), col("nm").as("nb"))
-    val srw = Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("doc_id"))
-    val sparse = dot.join(na, "probe_id").join(nb, "doc_id")
+    val sparse = tfidfKnnRanked(s, dir)
+      .filter(col("rn") <= 20)
       .select(col("probe_id"), col("doc_id"),
-        Det.d6(col("dp") / (col("na") * col("nb"))).as("cosine"))
-      .withColumn("rs", row_number().over(srw).cast(LongType))
-      .filter(col("rs") <= 20)
-      .select("probe_id", "doc_id", "rs")
+        col("rn").cast(LongType).as("rs"))
     val vk = graft.functions.VectorKernels
     val emb = LsdDb.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
@@ -1741,4 +1680,43 @@ object PipelineOps {
     qDedupKeepBest,
     qCollapseRepeats, qBigramLm, qQualityFunnel, qTokenBudget, qNovelty,
     qVocabCoverage)
+}
+
+/** Shared synthetic-URL derivation + canonicalizer — ONE definition
+  * (SQL text and Column twins) serving q_url_normalize and
+  * q_dedup_url_soft, so the URL grid and the 4-regex canonicalizer
+  * cannot drift between the two queries. The corpus carries no URL
+  * column; URLs derive deterministically from doc_id (the
+  * q_redact_pii derivation discipline) with paths on a doc_id%50
+  * grid so distinct raw URLs genuinely collapse under
+  * canonicalization. Regexes are anchored, single-match members of
+  * the Java∩RE2 common subset (Spark replace-all ≡ DuckDB
+  * replace-first). */
+private[operators] object SyntheticUrls {
+  val urlSql: String =
+    "'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END" +
+      " || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM/p/'" +
+      " || CAST(doc_id % 50 AS VARCHAR)" +
+      " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END" +
+      " || CASE WHEN doc_id % 2 = 0" +
+      "      THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)" +
+      "      ELSE '' END"
+  /** canonicalizer over a column literally named `url`. */
+  val canonSql: String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(url), '^https?://', ''), '^www\\.', ''), '\\?.*$', '')," +
+      " '/+$', '')"
+  def urlCol: Column = concat(
+    lit("HTTPS://"),
+    when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+    lit("Site"), (col("doc_id") % 20).cast("string"),
+    lit(".Example.COM/p/"), (col("doc_id") % 50).cast("string"),
+    when(col("doc_id") % 5 === 0, "/").otherwise(""),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+      .otherwise(""))
+  def canonCol(url: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lower(url), "^https?://", ""),
+      "^www\\.", ""), "\\?.*$", ""), "/+$", "")
 }

@@ -236,13 +236,21 @@ object TextOps {
     LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
 
-  /** Per-doc MinHash signatures (s0..s7 hex-string minima). */
-  private def minhashSigs(s: org.apache.spark.sql.SparkSession,
-                          dir: String): org.apache.spark.sql.DataFrame = {
+  /** Per-doc MinHash signatures (s0..s7 hex-string minima) from an
+    * already-built token relation — lets a caller that also consumes
+    * the tokens directly (q_minhash_fidelity) share ONE
+    * materialization instead of re-tokenizing. */
+  private def minhashSigsFrom(wrds: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val sigAggs = (0 until nHashes)
       .map(i => min(md5(concat(lit(s"$i:"), col("w")).cast("binary"))).as(s"s$i"))
-    minhashWrds(s, dir).groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    wrds.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
   }
+
+  /** Per-doc MinHash signatures (s0..s7 hex-string minima). */
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    minhashSigsFrom(minhashWrds(s, dir))
 
   private def minhashCandPairs(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
@@ -645,18 +653,8 @@ object TextOps {
     * least() disagree on NULL handling across versions, so neither
     * engine's native null rule is relied on. */
   val qDedupUrlSoft: QuerySpec = {
-    val urlSql =
-      "'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END" +
-        " || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM/p/'" +
-        " || CAST(doc_id % 50 AS VARCHAR)" +
-        " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END" +
-        " || CASE WHEN doc_id % 2 = 0" +
-        "      THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)" +
-        "      ELSE '' END"
-    val canonSql =
-      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-        "lower(url), '^https?://', ''), '^www\\.', ''), '\\?.*$', '')," +
-        " '/+$', '')"
+    val urlSql = SyntheticUrls.urlSql
+    val canonSql = SyntheticUrls.canonSql
     QuerySpec(
       "q_dedup_url_soft",
       s"""WITH $minhashCandCtes,
@@ -682,21 +680,9 @@ object TextOps {
          |  LEFT JOIN cd USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = LsdDb.table(s, dir, "documents")
-      val url = concat(
-        lit("HTTPS://"),
-        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
-        lit("Site"), (col("doc_id") % 20).cast("string"),
-        lit(".Example.COM/p/"), (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 5 === 0, "/").otherwise(""),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("?utm_source=feed&ref="),
-            col("doc_id").cast("string")))
-          .otherwise(""))
-      val canon = regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(lower(col("url")), "^https?://", ""),
-        "^www\\.", ""), "\\?.*$", ""), "/+$", "")
-      val cu = docs.select(col("doc_id"), url.as("url"))
-        .select(col("doc_id"), canon.as("canon"))
+      val cu = docs.select(col("doc_id"), SyntheticUrls.urlCol.as("url"))
+        .select(col("doc_id"),
+          SyntheticUrls.canonCol(col("url")).as("canon"))
       val ug = cu.groupBy("canon").agg(min(col("doc_id")).as("mn"))
       val ud = cu.join(ug, "canon")
         .select(col("doc_id"),
@@ -761,14 +747,18 @@ object TextOps {
        |  JOIN sz zb ON zb.doc_id = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, dir) =>
     val cand = minhashCandPairs(s, dir).localCheckpoint()
-    val wrds = minhashWrds(s, dir)
+    // ONE tokenize: wrds feeds the size aggregate, BOTH sides of the
+    // exact-intersection join, and the signature rebuild — four
+    // consumers that would each re-explode documents otherwise (the
+    // materialize-ONCE rule of the dedup family)
+    val wrds = minhashWrds(s, dir).localCheckpoint()
     val sz = wrds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val it = cand
       .join(wrds.select(col("doc_id").as("doc_a"), col("w")), "doc_a")
       .join(wrds.select(col("doc_id").as("doc_b"), col("w")),
         Seq("doc_b", "w"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val sigs = minhashSigs(s, dir)
+    val sigs = minhashSigsFrom(wrds)
     val matches = (0 until nHashes)
       .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
       .reduce(_ + _)

@@ -756,7 +756,11 @@ object VectorOps {
     * cross the wire.)
     * -cos on finite doubles orders exactly like cos DESC, and the
     * cosine fold is the bit-identical sequential fold DuckDB runs,
-    * so ties break identically in both engines.
+    * so ties break identically in both engines. A zero-norm vector
+    * makes cosine NaN — DuckDB's DESC sort puts NaN FIRST (NaN
+    * compares greatest), so the nanvl maps NaN → −∞ to keep the
+    * struct-min picking the same cell (−∞ cannot collide with a real
+    * −cos: cosine is in [−1, 1] or NaN).
     *
     * @param emb  (vec_id, v, nrm) corpus rows to assign
     * @param cent (cell, cv, cn) centroid relation, broadcast here
@@ -766,8 +770,9 @@ object VectorOps {
       .withColumn("acos", cosine(col("cv"), col("v"), col("cn"), col("nrm")))
       .groupBy("vec_id")
       .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        min(struct(negate(col("acos")).as("nc"), col("cell").as("cell")))
-          .as("best"))
+        min(struct(
+          nanvl(negate(col("acos")), lit(Double.NegativeInfinity)).as("nc"),
+          col("cell").as("cell"))).as("best"))
       .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
 
   /** X1e — SemDeDup-style semantic dedup (Abbas et al. 2023,

@@ -200,6 +200,21 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     df
   }
 
+  /** Does this failure chain contain an analysis error (the
+    * correlated-subquery signature: unresolved outer column inside a
+    * standalone inner eval)? Parse errors, missing tables thrown by
+    * LsdDb, and runtime faults do NOT qualify — those rethrow. */
+  private def isAnalysisFailure(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 10) {
+      if (c.isInstanceOf[org.apache.spark.sql.AnalysisException]) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** Find every parenthesized `(SELECT …)` span in a WHERE clause
     * (string-literal aware, properly paren-matched). UNCORRELATED
     * spans are evaluated as full QL queries at `scope`, registered as
@@ -255,13 +270,24 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           views += view
           out ++= s"(SELECT * FROM $view)"
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e)
+              if isAnalysisFailure(e) =>
             // correlated fallback: leave the span verbatim, expose the
             // inner's tables by name, let the outer sql() bind outer
-            // columns. If a referenced table resolves nowhere, the
-            // inner really is broken — rethrow with context.
-            val names = "(?i)\\b(?:FROM|JOIN)\\s+([A-Za-z_]\\w*)".r
-              .findAllMatchIn(inner).map(_.group(1)).toSeq.distinct
+            // columns (standard SQL scoping: names unresolved in the
+            // inner bind to the enclosing query). Only an ANALYSIS
+            // failure routes here — a genuinely broken inner (parse
+            // error, bad table, fatal error) still fails loudly.
+            //
+            // FROM lists may be comma-separated; the comma branch
+            // over-matches commas inside function args, but a captured
+            // name only has effect if it resolves to a known table,
+            // so spurious captures are inert.
+            val names =
+              ("(?i)\\b(?:FROM|JOIN)\\s+([A-Za-z_]\\w*)".r
+                .findAllMatchIn(inner).map(_.group(1)) ++
+                ",\\s*([A-Za-z_]\\w*)".r
+                  .findAllMatchIn(inner).map(_.group(1))).toSeq.distinct
             val rels = names.flatMap { n =>
               scope.get(n)
                 .orElse(scala.util.Try(db.table(n, None)).toOption)
@@ -270,8 +296,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             if (rels.isEmpty) throw new IllegalArgumentException(
               "WHERE subquery failed to evaluate and references no " +
                 s"resolvable table (inner QL error below): $inner", e)
-            rels.foreach { case (n, rel) => rel.createOrReplaceTempView(n) }
-            views ++= rels.map(_._1)
+            // Register ONLY names with no existing temp view: a
+            // pre-registered same-name view (e.g. LsdDb.registerAll)
+            // already resolves — clobbering and then dropping it
+            // would destroy session state the caller owns. Only
+            // views this fallback itself creates are dropped later.
+            val fresh = rels.filterNot { case (n, _) =>
+              db.spark.catalog.tableExists(n)
+            }
+            fresh.foreach { case (n, rel) => rel.createOrReplaceTempView(n) }
+            views ++= fresh.map(_._1)
             out ++= w.substring(start, j)
         }
         pos = j

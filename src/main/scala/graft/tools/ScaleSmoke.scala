@@ -323,34 +323,41 @@ object ScaleSmoke {
     // the 40M-row index), never corpus×corpus: probe vectors
     // broadcast, postings join map-side, one partial agg per
     // (probe, doc).
-    val wtIdx = {
-      val tok = corpus10m.filter(col("doc_id") < 2000000)
-        .select(col("doc_id"), explode(col("w")).as("t"))
-      val tf = tok.groupBy("doc_id", "t")
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val dfr = tok.groupBy("t")
-        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      tf.join(broadcast(dfr), "t")
-        .select(col("doc_id"), col("t"),
-          (col("tf") * log(lit(2000000.0) / col("df"))).as("wt"))
-        .persist()
+    val sparseLabel =
+      "sparse tf-idf retrieval, 2M-doc index, 5 probes (postings-bounded)"
+    // the index build is minutes of shuffle — skip it entirely when a
+    // block filter excludes this label (setup must respect the same
+    // predicate t() applies)
+    if (args.isEmpty || args.exists(sparseLabel.contains(_))) {
+      val wtIdx = {
+        val tok = corpus10m.filter(col("doc_id") < 2000000)
+          .select(col("doc_id"), explode(col("w")).as("t"))
+        val tf = tok.groupBy("doc_id", "t")
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val dfr = tok.groupBy("t")
+          .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+        tf.join(broadcast(dfr), "t")
+          .select(col("doc_id"), col("t"),
+            (col("tf") * log(lit(2000000.0) / col("df"))).as("wt"))
+          .persist()
+      }
+      wtIdx.count() // materialize the index: measure retrieval, not build
+      t(sparseLabel) {
+        val probes = broadcast(wtIdx.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("probe_id"), col("t"),
+            col("wt").as("pwt")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("dp").desc, col("doc_id"))
+        probes.join(wtIdx, Seq("t"))
+          .filter(col("doc_id") =!= col("probe_id"))
+          .groupBy("probe_id", "doc_id")
+          .agg(sum(col("pwt") * col("wt")).as("dp"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .count().toString + " fused-channel results"
+      }
+      wtIdx.unpersist()
     }
-    wtIdx.count() // materialize the index: measure retrieval, not build
-    t("sparse tf-idf retrieval, 2M-doc index, 5 probes (postings-bounded)") {
-      val probes = broadcast(wtIdx.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("probe_id"), col("t"),
-          col("wt").as("pwt")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("probe_id").orderBy(col("dp").desc, col("doc_id"))
-      probes.join(wtIdx, Seq("t"))
-        .filter(col("doc_id") =!= col("probe_id"))
-        .groupBy("probe_id", "doc_id")
-        .agg(sum(col("pwt") * col("wt")).as("dp"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .count().toString + " fused-channel results"
-    }
-    wtIdx.unpersist()
     corpus10m.unpersist()
 
     // text-dedup family at 5M docs: the two shapes whose 100-TB claim

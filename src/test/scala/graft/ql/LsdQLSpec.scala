@@ -783,6 +783,35 @@ class LsdQLSpec extends SpecBase {
     assert(df.count() == twin.count() && twin.count() > 0)
   }
 
+  test("correlated fallback does not clobber pre-existing temp views") {
+    // simulate LsdDb.registerAll: the session owns a temp view named
+    // like a base table; a correlated query over that table must not
+    // drop it (round-13 review fix)
+    db.table("customer").createOrReplaceTempView("customer")
+    try {
+      val df = ql.query(
+        """SELECT o_orderkey FROM orders
+          |WHERE EXISTS (SELECT 1 FROM customer
+          |              WHERE c_custkey = o_custkey)""".stripMargin)
+      assert(df.count() > 0)
+      // the caller's view must still be registered afterwards
+      assert(spark.catalog.tableExists("customer"),
+        "correlated fallback dropped the session's pre-existing view")
+    } finally spark.catalog.dropTempView("customer")
+  }
+
+  test("broken uncorrelated subquery still fails loudly") {
+    // a nonexistent inner table is NOT an analysis failure of the
+    // correlated kind — it must rethrow, not silently fall back
+    val e = intercept[Exception] {
+      ql.query(
+        """SELECT o_orderkey FROM orders
+          |WHERE o_custkey IN (SELECT x FROM no_such_table)""".stripMargin)
+        .count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("correlated scalar subquery binds the outer row") {
     // each order compared against ITS customer's account balance
     val df = ql.query(

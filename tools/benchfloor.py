@@ -50,6 +50,10 @@ def gen():
 def check():
     bench = json.load(open(BENCH))
     floors = json.load(open(FLOORS))
+    # thresholds come from the floors file (its metadata must describe
+    # the gate actually applied); module constants only seed gen()
+    ratio = floors.get("flag_ratio", FLAG_RATIO)
+    slack = floors.get("abs_slack_sec", ABS_SLACK)
     fq, bq = floors["queries"], bench["queries"]
     flagged, improved, missing = [], [], []
     for q, floor in sorted(fq.items()):
@@ -57,9 +61,9 @@ def check():
             missing.append(q)
             continue
         best = bq[q]["best"]
-        if best > FLAG_RATIO * floor + ABS_SLACK:
+        if best > ratio * floor + slack:
             flagged.append((q, floor, best))
-        elif floor > FLAG_RATIO * best + ABS_SLACK:
+        elif floor > ratio * best + slack:
             improved.append((q, floor, best))
     new = sorted(set(bq) - set(fq))
     for q, floor, best in flagged:
@@ -83,4 +87,7 @@ def check():
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if mode not in ("gen", "check"):
+        print(f"unknown mode {mode!r}: use 'gen' or 'check'")
+        sys.exit(2)
     sys.exit(gen() if mode == "gen" else check())
