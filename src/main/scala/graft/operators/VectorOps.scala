@@ -1021,13 +1021,26 @@ object VectorOps {
           col("embedding").as("v"))
         .withColumn("nrm", VectorKernels.norm2(col("v")))
       // one partial-aggregated pass -> k x d driver means (bounded
-      // collect, the kmeans class), reassembled as literal arrays
-      val means = emb
+      // collect, the kmeans class), reassembled as literal arrays.
+      // STRUCTURAL GUARD (the ExactQuantiles rule): the collect is
+      // bounded by label cardinality, which is data — limit() caps
+      // the driver transfer BEFORE it happens and fails loud past
+      // 1024 labels x 64 dims, where the literal-folded assignment
+      // (and codegen itself) is the wrong regime; a high-cardinality
+      // label space needs the AnnIndex broadcast-kernel path instead
+      val maxMeanRows = 1024 * 64
+      val meanRows = emb
         .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("label", "d")
         .agg((sum(col("x").cast(DoubleType).cast(DecimalType(18, 6)))
           .cast(DoubleType) / count(lit(1))).as("m"))
+        .limit(maxMeanRows + 1)
         .collect()
+      require(meanRows.length <= maxMeanRows,
+        s"q_label_confusion: >${maxMeanRows} (label,dim) means — label " +
+          "cardinality too high for literal-folded centroids; use a " +
+          "broadcast assignment kernel (AnnIndex.assign) instead")
+      val means = meanRows
         .groupBy(_.getInt(0))
         .map { case (lbl, rows) =>
           val cv = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
