@@ -779,8 +779,67 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Ext — DEDUP-SIGNAL AGREEMENT audit: per document, whether each
+    * of the three dedup families would flag it — exact content
+    * (md5(text) shared with a lower doc_id), MinHash near-dup (a
+    * capped band partner with a lower doc_id), canonical URL (canon
+    * shared with a lower doc_id) — in one row, so the corpus-level
+    * agreement/disagreement structure is one GROUP BY away. This is
+    * the sanity table a pipeline reads before ordering its dedup
+    * stages: exact ⊆ minhash should hold almost everywhere
+    * (identical text shares every band), and url-only rows measure
+    * how much mirror/tracking-URL dedup adds beyond content dedup.
+    *
+    * Scale shape: each flag is a groupBy-min + join-back or a
+    * semi-join on the already-capped candidate pairs — linear
+    * passes, no new pair joins anywhere. */
+  val qDedupFamilyCompare: QuerySpec = QuerySpec(
+    "q_dedup_family_compare",
+    s"""WITH $minhashCandCtes,
+       |ex AS (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS ex0
+       |  FROM documents),
+       |mh AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
+       |u AS (SELECT doc_id, ${SyntheticUrls.urlSql} AS url
+       |  FROM documents),
+       |cu AS (SELECT doc_id, ${SyntheticUrls.canonSql} AS canon FROM u),
+       |ur AS (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY canon) AS ur0
+       |  FROM cu)
+       |SELECT d.doc_id,
+       |  ex.ex0 < d.doc_id AS exact_dup,
+       |  mh.doc_id IS NOT NULL AS minhash_dup,
+       |  ur.ur0 < d.doc_id AS url_dup
+       |FROM documents d
+       |  JOIN ex ON ex.doc_id = d.doc_id
+       |  LEFT JOIN mh ON mh.doc_id = d.doc_id
+       |  JOIN ur ON ur.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val exw = Window.partitionBy(md5(col("text").cast("binary")))
+    val ex = docs.select(col("doc_id"),
+      (min(col("doc_id")).over(exw) < col("doc_id")).as("exact_dup"))
+    val mh = minhashCandPairs(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("minhash_dup", lit(true))
+    val urw = Window.partitionBy("canon")
+    val ur = docs.select(col("doc_id"), SyntheticUrls.urlCol.as("url"))
+      .select(col("doc_id"), SyntheticUrls.canonCol(col("url")).as("canon"))
+      .select(col("doc_id"),
+        (min(col("doc_id")).over(urw) < col("doc_id")).as("url_dup"))
+    docs.select("doc_id")
+      .join(ex, "doc_id")
+      .join(mh, Seq("doc_id"), "left")
+      .join(ur, "doc_id")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("minhash_dup"), lit(false)).as("minhash_dup"),
+        col("url_dup"))
+      .orderBy("doc_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
     qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
     qDedupSimhash, qDedupSimhash64, qDedupNgram, qDedupClusters,
-    qDedupUrlSoft, qMinhashFidelity, qSplitAssign, qPackSequences)
+    qDedupUrlSoft, qMinhashFidelity, qDedupFamilyCompare,
+    qSplitAssign, qPackSequences)
 }
