@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{LsdDb, QuerySpec}
+import graft.functions.Det
+import graft.functions.{Det => D}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -342,6 +344,69 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** E6 — trailing-window RATE ANOMALY detection: per (event_type,
+    * day), the z-score of the daily count against the preceding
+    * 7 days' mean/σ — the ops alarm ("did sign-ups crater today?" /
+    * "is this a bot spike?") that a pipeline runs per ingest batch.
+    * Only days with a FULL 7-day trailing window score (np = 7), so
+    * the series' first week never produces half-baked alarms.
+    *
+    * Exactness: the trailing sums s1 = Σx and s2 = Σx² are BIGINT
+    * window sums over integer daily counts — exact in both engines;
+    * μ = s1/7 and the sample variance (s2 − s1²/7)/6 are then fixed
+    * double expressions, σ is one sqrt, z one subtract-divide, all
+    * d6-snapped at the output. The corpus-scale work is ONE daily
+    * partial-aggregated count; everything after runs on the
+    * calendar-×-types grid (dimension-sized at any corpus size). */
+  val qRateAnomaly: QuerySpec = QuerySpec(
+    "q_rate_anomaly",
+    s"""WITH daily AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP))
+       |    AS day, event_type, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |w AS (SELECT day, event_type, cnt,
+       |    count(*) OVER win AS np,
+       |    sum(cnt) OVER win AS s1,
+       |    sum(cnt * cnt) OVER win AS s2
+       |  FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |sc AS (SELECT day, event_type, cnt,
+       |    CAST(s1 AS DOUBLE) / 7.0 AS mu,
+       |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+       |      * CAST(s1 AS DOUBLE) / 7.0) / 6.0) AS sigma
+       |  FROM w WHERE np = 7)
+       |SELECT day, event_type, CAST(cnt AS BIGINT) AS cnt,
+       |  ${D.sql.d6("mu")} AS mu, ${D.sql.d6("sigma")} AS sigma,
+       |  CASE WHEN sigma > 0.0
+       |    THEN ${D.sql.d6("(cnt - mu) / sigma")} END AS z,
+       |  CASE WHEN sigma > 0.0
+       |    THEN abs((cnt - mu) / sigma) >= 3.0 ELSE false END
+       |    AS is_anomaly
+       |FROM sc ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val win = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val daily = LsdDb.table(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val mu = col("s1").cast(DoubleType) / 7.0
+    val sigma = sqrt((col("s2").cast(DoubleType) -
+      col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / 7.0) / 6.0)
+    daily
+      .withColumn("np", count(lit(1)).over(win))
+      .withColumn("s1", sum(col("cnt")).over(win))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(win))
+      .filter(col("np") === 7)
+      .select(col("day"), col("event_type"), col("cnt"),
+        mu.as("mu_"), sigma.as("sigma_"))
+      .select(col("day"), col("event_type"), col("cnt"),
+        Det.d6(col("mu_")).as("mu"), Det.d6(col("sigma_")).as("sigma"),
+        when(col("sigma_") > 0.0,
+          Det.d6((col("cnt") - col("mu_")) / col("sigma_"))).as("z"),
+        when(col("sigma_") > 0.0,
+          abs((col("cnt") - col("mu_")) / col("sigma_")) >= 3.0)
+          .otherwise(lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qFunnel, qRetention, qTransition,
-    qCooccur, qAcf, qChangepoint, qSeasonal)
+    qCooccur, qAcf, qChangepoint, qSeasonal, qRateAnomaly)
 }

@@ -1670,8 +1670,63 @@ object PipelineOps {
       .orderBy("probe_id", "fused_rank")
   }
 
+  /** Ext — ZIPF-LAW fit of the term-frequency distribution: OLS of
+    * ln(freq) on ln(rank) over the top-1000 terms, reporting the
+    * exponent α = −slope (English corpora sit near α ≈ 1; a fitted α
+    * far off signals boilerplate floods or tokenizer breakage) —
+    * the quantitative companion to q_vocab_coverage's coverage
+    * curve, and the diagnostic behind tokenizer-vocab sizing.
+    *
+    * Shape: one corpus term count (partial-aggregated), a top-1000
+    * cut via TakeOrderedAndProject (no vocab-scale sort
+    * materializes), ranks from a window over the 1000 surviving
+    * rows, then four decimal-exact sums and the closed-form slope.
+    * Determinism: x = d6(ln rank), y = d6(ln freq) snap the libm
+    * values; Σx, Σy, Σx², Σxy are decimal-exact; slope/intercept are
+    * fixed mul/div chains on those exact doubles, d6-snapped at
+    * output. */
+  val qZipfFit: QuerySpec = QuerySpec(
+    "q_zipf_fit",
+    s"""WITH tok AS (SELECT unnest($wordsSql) AS w FROM documents),
+       |tf AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+       |rk AS (SELECT freq,
+       |    row_number() OVER (ORDER BY freq DESC, w) AS r
+       |  FROM tf QUALIFY r <= 1000),
+       |xy AS (SELECT ${D.sql.d6("ln(CAST(r AS DOUBLE))")} AS x,
+       |    ${D.sql.d6("ln(CAST(freq AS DOUBLE))")} AS y FROM rk),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    ${D.sql.dsum("x")} AS sx, ${D.sql.dsum("y")} AS sy,
+       |    ${D.sql.dsum("x * x")} AS sxx, ${D.sql.dsum("x * y")} AS sxy
+       |  FROM xy),
+       |f AS (SELECT n, sx, sy,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM s)
+       |SELECT CAST(n AS BIGINT) AS n_terms,
+       |  ${D.sql.d6("-slope")} AS alpha,
+       |  ${D.sql.d6("(sy - slope * sx) / n")} AS intercept
+       |FROM f""".stripMargin) { (s, dir) =>
+    val tf = LsdDb.table(s, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(1000)
+    val rw = Window.orderBy(col("freq").desc, col("w"))
+    val xy = tf.withColumn("r", row_number().over(rw))
+      .select(Det.d6(log(col("r").cast(DoubleType))).as("x"),
+        Det.d6(log(col("freq").cast(DoubleType))).as("y"))
+    val st = xy.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+      Det.dsum(col("x") * col("x")).as("sxx"),
+      Det.dsum(col("x") * col("y")).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    st.select(col("n").cast(LongType).as("n_terms"),
+        Det.d6(negate(slope)).as("alpha"),
+        Det.d6((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
-    qRerankFusion,
+    qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,
     qSparseKnn, qInvertedIndex,
     qTfidf, qLightcurve, qBm25, qRedactPii, qQualityRepetition,
