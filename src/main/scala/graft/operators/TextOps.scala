@@ -334,6 +334,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — near-dup CLUSTER-SIZE distribution: for each family size
+    * n_members, how many clusters have exactly that size (and how
+    * many docs they hold). This is the dedup QA view pipelines read
+    * before choosing a keep policy — a corpus whose mass sits in
+    * 2-member families dedups cheaply; a heavy tail of 1000-member
+    * families means boilerplate mirrors and calls for the capped
+    * representative-keep instead of pairwise review.
+    *
+    * Scale shape: everything past the shared CC engine
+    * ([[qDedupClusters]]'s min-label propagation) is two
+    * partial-aggregated groupBys with collapsing keys — cluster_id
+    * (≤ docs) then n_members (≤ log-many distinct sizes in practice)
+    * — so the distribution costs one extra shuffle of one row per
+    * cluster, then one row per size. Output cardinality is bounded by
+    * the largest family size, never corpus-scale. Singleton docs
+    * count as 1-member families (every doc gets a component label),
+    * so the n_members=1 row is the "untouched by dedup" mass. */
+  val qClusterSizeDist: QuerySpec = QuerySpec(
+    "q_cluster_size_dist",
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |comp(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, c.lbl FROM comp c JOIN edges e ON e.a = c.doc_id),
+       |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM comp
+       |        GROUP BY doc_id),
+       |sz AS (SELECT cluster_id, count(*) AS n_members FROM lab
+       |       GROUP BY cluster_id)
+       |SELECT n_members, count(*) AS n_clusters,
+       |  n_members * count(*) AS n_docs
+       |FROM sz GROUP BY n_members
+       |ORDER BY n_members""".stripMargin) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents").select("doc_id")
+    val lab = Components
+      .minLabel(docs, "doc_id", minhashCandPairs(s, dir), "doc_a", "doc_b")
+    val sz = lab.groupBy("component").agg(count(lit(1)).as("n_members"))
+    sz.groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+      .select(col("n_members"), col("n_clusters"),
+        (col("n_members") * col("n_clusters")).as("n_docs"))
+      .orderBy("n_members")
+  }
+
   /** Ext — 16-bit SimHash over the token multiset: bit j is the sign
     * of Σ(±1) where the vote is the high bit of md5 nibble j. Docs
     * with equal simhash are near-dup candidates (n_similar reports
@@ -840,6 +884,6 @@ object TextOps {
   def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
     qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
     qDedupSimhash, qDedupSimhash64, qDedupNgram, qDedupClusters,
-    qDedupUrlSoft, qMinhashFidelity, qDedupFamilyCompare,
+    qClusterSizeDist, qDedupUrlSoft, qMinhashFidelity, qDedupFamilyCompare,
     qSplitAssign, qPackSequences)
 }
