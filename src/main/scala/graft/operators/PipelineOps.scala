@@ -79,7 +79,37 @@ object PipelineOps {
     * the 100-TB shape: DISTINCT eval shingles → broadcast hash join
     * against the exploded corpus — the corpus is never shuffled, and
     * per-doc hit counts aggregate map-side first.
+    *
+    * The broadcast is GUARDED (the CrossMatch.skewSafe pattern): the
+    * eval-shingle relation is corpus-derived, so "tiny" is an
+    * expectation, not an invariant — at 100 TB a pathological eval
+    * split could exceed driver/broadcast memory. We count the distinct
+    * relation (one extra job over the small 1%-of-corpus branch, which
+    * the join re-computes anyway) and fall back to a shuffled hash
+    * equi-join on the shingle above maxBroadcastRows. Row-identical by
+    * construction (same join keys, same agg); proven in
+    * PipelineOpsSpec by forcing the fallback with maxBroadcastRows=0.
+    *
+    * Bench-floor envelope (QueryProfile, sf0.1, 3 reps 2026-08-14):
+    * warm best 1.06–1.18 s vs 0.881 s floor — the r14 full-bench
+    * 5.69 s was sibling-load contention on byte-identical code, not a
+    * plan change (r13 measured 1.34 s on the same commit).
     */
+  def decontaminate(s: SparkSession, dir: String,
+                    maxBroadcastRows: Long = 4L << 20): DataFrame = {
+    val sh = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val eval = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val evalSide =
+      if (eval.count() <= maxBroadcastRows) broadcast(eval)
+      else eval.hint("shuffle_hash")
+    train.join(evalSide, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
   val qDecontaminate: QuerySpec = QuerySpec(
     "q_decontaminate",
     s"""WITH sh AS (
@@ -90,14 +120,7 @@ object PipelineOps {
        |SELECT t.doc_id, count(*) AS n_contaminated
        |FROM train t JOIN eval e ON t.s = e.s
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-    val sh = LsdDb.table(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
-    val eval = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
-    val train = sh.filter(col("doc_id") % 97 =!= 0)
-    train.join(broadcast(eval), "s")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_contaminated"))
-      .orderBy("doc_id")
+    decontaminate(s, dir)
   }
 
   /** Ext — Gopher-style quality gate (Rae et al. 2021, arXiv

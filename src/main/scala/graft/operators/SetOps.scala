@@ -140,7 +140,12 @@ object SetOps {
   /** O7 — exact dedup keeping a deterministic representative (earliest
     * ts, then lowest event_id) — `dropDuplicates` keeps an arbitrary
     * row, which can't be oracle-checked; row_number dedup is the
-    * deterministic, distributed equivalent. */
+    * deterministic, distributed equivalent.
+    *
+    * Bench-floor envelope (QueryProfile, sf0.1, 3 reps 2026-08-14):
+    * warm best 0.42–0.60 s vs 0.284 s floor; the r14 full-bench
+    * 1.03 s flag was sibling-load variance (code byte-identical to
+    * r13's 0.33 s run). */
   val qDedup: QuerySpec = QuerySpec(
     "q_dedup",
     """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -391,7 +391,11 @@ object VectorOps {
     * roughly centered vectors — ScaleSmoke shows the centering step
     * for an all-positive corpus. Recall is the standard
     * 1-(1-p^r)^b curve — approximate by design; the oracle mirrors the
-    * same signatures, so the OUTPUT is exact. */
+    * same signatures, so the OUTPUT is exact.
+    *
+    * Bench-floor envelope (QueryProfile, sf0.1, 3 reps 2026-08-14):
+    * warm best 1.28–1.56 s vs 0.839 s floor; the r14 full-bench 1.60 s
+    * flag was sibling-load variance on byte-identical code. */
   val qDedupLshCos: QuerySpec = QuerySpec(
     "q_dedup_lshcos",
     s"""$vvCte,

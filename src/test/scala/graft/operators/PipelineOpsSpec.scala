@@ -26,6 +26,19 @@ class PipelineOpsSpec extends SpecBase {
     assert(out == expected)
   }
 
+  test("decontaminate shuffled fallback (maxBroadcastRows=0) is row-identical to broadcast") {
+    val bcast = PipelineOps.decontaminate(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val shuffled = PipelineOps.decontaminate(spark, sfDir, maxBroadcastRows = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(bcast.nonEmpty && bcast == shuffled)
+    // the fallback plan must NOT contain a broadcast exchange on the join
+    val plan = PipelineOps.decontaminate(spark, sfDir, maxBroadcastRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"fallback still broadcasts:\n${plan.take(2000)}")
+  }
+
   test("quality gate signals are in range and the verdict is threshold-consistent") {
     val rows = PipelineOps.qQualityGopher.fn(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect()
