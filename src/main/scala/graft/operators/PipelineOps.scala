@@ -1748,7 +1748,96 @@ object PipelineOps {
         Det.d6((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
   }
 
+  /** BPE merge-round count — unrolled into the plan (and the oracle's
+    * chained CTEs), the q_pagerank round pattern. */
+  private val bpeRounds = 8
+  private val bpeSep = "\u0001"
+
+  /** Ext — deterministic BPE-merge training (q_bpe_train): the
+    * tokenizer-side primitive of an LLM data pipeline. Sennrich et al.
+    * 2016 (arXiv 1508.07909, public): start from the corpus word-
+    * frequency table with words as character sequences; each round
+    * counts adjacent symbol pairs (weighted by word frequency), picks
+    * the most frequent pair — exact BIGINT counts, (count DESC, lhs,
+    * rhs) tie-break — and merges it greedily left-to-right in every
+    * word. Output: the [[bpeRounds]] merge rules with their counts.
+    *
+    * Engine-portable representation: a word's symbol sequence is the
+    * chr(1)-joined string "␁s1␁s2␁…␁", so "merge pair (l,r)" IS
+    * `replace(w, ␁l␁r␁ → ␁lr␁)` — both engines' replace() scans
+    * left-to-right non-overlapping, which is exactly BPE's greedy
+    * merge (verified on the ␁a␁a␁a␁ overlap case), and no fold/UDF
+    * is needed.
+    *
+    * 100-TB shape: the corpus is touched ONCE (word-count shuffle with
+    * map-side partial agg), then localCheckpoint truncates lineage so
+    * the unrolled rounds never re-scan it; every round's work is
+    * vocab-sized, the per-round argmax is a TakeOrderedAndProject
+    * (top-1, no full sort), and the winning rule re-enters the plan as
+    * a 1-row broadcast. Rounds are inherently sequential (each merge
+    * changes the next round's pair counts) — k passes over the vocab
+    * relation is the algorithm, not a plan defect. */
+  val qBpeTrain: QuerySpec = QuerySpec(
+    "q_bpe_train", {
+      val sep = "chr(1)"
+      val ctes = new StringBuilder(
+        s"""WITH raw AS (SELECT unnest($wordsSql) AS word FROM documents),
+           |w0 AS (SELECT $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g')
+           |    AS w, count(*) AS cnt
+           |  FROM raw GROUP BY 1)""".stripMargin)
+      for (r <- 1 to bpeRounds) {
+        ctes.append(s""",
+           |p$r AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           |  SELECT unnest(syms[1:len(syms)-1]) AS l,
+           |    unnest(syms[2:len(syms)]) AS r, cnt
+           |  FROM (SELECT list_filter(string_split(w, $sep), x -> x <> '')
+           |      AS syms, cnt FROM w${r - 1}))
+           |  GROUP BY l, r),
+           |m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+           |w$r AS (SELECT replace(t.w, $sep || m.l || $sep || m.r || $sep,
+           |    $sep || m.l || m.r || $sep) AS w, t.cnt
+           |  FROM w${r - 1} t CROSS JOIN m$r m)""".stripMargin)
+      }
+      val union = (1 to bpeRounds).map(r =>
+        s"SELECT $r AS merge_round, l AS lhs, r AS rhs, c AS pair_count " +
+          s"FROM m$r").mkString("\n", "\nUNION ALL\n", "")
+      ctes.toString + union + "\nORDER BY merge_round"
+    }) { (s, dir) =>
+    var w = LsdDb.table(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(bpeSep),
+        regexp_replace(col("word"), "(.)", "$1" + bpeSep)).as("w"),
+        col("cnt"))
+      // one corpus pass, materialized: the unrolled round chain below
+      // must never reach back through this shuffle (pagerank idiom)
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to bpeRounds) {
+      val syms = filter(split(col("w"), bpeSep), x => x =!= "")
+      val n1 = size(col("syms")) - 1
+      val pairs = w.select(syms.as("syms"), col("cnt"))
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), n1), slice(col("syms"), lit(2), n1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("cnt"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
+        .groupBy("l", "r")
+        .agg(sum(col("cnt")).cast(LongType).as("c"))
+      val best = pairs
+        .orderBy(col("c").desc, col("l").asc, col("r").asc).limit(1)
+      rules += best.select(lit(r).as("merge_round"), col("l").as("lhs"),
+        col("r").as("rhs"), col("c").as("pair_count"))
+      w = w.crossJoin(broadcast(best.select(col("l"), col("r"))))
+        .select(replace(col("w"),
+          concat(lit(bpeSep), col("l"), lit(bpeSep), col("r"), lit(bpeSep)),
+          concat(lit(bpeSep), col("l"), col("r"), lit(bpeSep))).as("w"),
+          col("cnt"))
+    }
+    rules.reduce(_.unionAll(_)).orderBy("merge_round")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    qBpeTrain,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,
     qSparseKnn, qInvertedIndex,

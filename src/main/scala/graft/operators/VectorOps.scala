@@ -588,6 +588,54 @@ object VectorOps {
   private val pqRerank = 8
   private val pqTopK = 3
 
+  /** Shared PQ SQL CTE chain through `rer` (exact-rescored top
+    * candidates) — consumed by q_ann_pq (the serving top-k) and
+    * q_pq_recall (the index-quality audit). */
+  private val pqSqlCtes: String = {
+    val sl = s"list_slice(c.vv, s.j * $pqDsub + 1, s.j * $pqDsub + $pqDsub)"
+    val psl =
+      s"list_slice(p.pvv, c.j * $pqDsub + 1, c.j * $pqDsub + $pqDsub)"
+    s"""$vvCte,
+       |sub AS (SELECT j FROM generate_series(0, ${pqM - 1}) t(j)),
+       |cb AS (SELECT s.j, c.vec_id AS code, $sl AS cw,
+       |    list_reduce(list_transform($sl, x -> x * x), (a, b) -> a + b)
+       |      AS cwn2
+       |  FROM sub s CROSS JOIN (SELECT vec_id, vv FROM n
+       |    WHERE vec_id < $pqKsub) c),
+       |corp AS (SELECT vec_id, vv, nrm FROM n WHERE vec_id >= 32),
+       |csub AS (SELECT c.vec_id, s.j, $sl AS sv
+       |  FROM corp c CROSS JOIN sub s),
+       |enc AS (SELECT vec_id, j, code, cwn2 FROM (
+       |  SELECT t.vec_id, t.j, b.code, b.cwn2,
+       |    row_number() OVER (PARTITION BY t.vec_id, t.j ORDER BY
+       |      list_reduce(list_transform(list_zip(t.sv, b.cw),
+       |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+       |        (a, b) -> a + b), b.code) AS ern
+       |  FROM csub t JOIN cb b USING (j)) WHERE ern = 1),
+       |probe AS (SELECT vec_id AS probe_id, vv AS pvv, nrm AS pnrm
+       |  FROM n WHERE vec_id >= $pqKsub AND vec_id < 32),
+       |lut AS (SELECT p.probe_id, c.j, c.code, p.pnrm,
+       |    list_reduce(list_transform(list_zip($psl, c.cw),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+       |      (a, b) -> a + b) AS pdot
+       |  FROM probe p CROSS JOIN cb c),
+       |adc AS (SELECT l.probe_id, k.vec_id,
+       |    ${D.dsum("l.pdot")} AS adot, ${D.dsum("k.cwn2")} AS vn2
+       |  FROM enc k JOIN lut l ON l.j = k.j AND l.code = k.code
+       |  GROUP BY l.probe_id, k.vec_id),
+       |cand AS (SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adot / sqrt(vn2) DESC, vec_id) AS crn
+       |  FROM adc) WHERE crn <= $pqRerank),
+       |rer AS (SELECT t.probe_id, t.vec_id,
+       |    list_reduce(list_transform(list_zip(p.pvv, c.vv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+       |      (a, b) -> a + b) / (sqrt(p.pnrm) * sqrt(c.nrm)) AS cos
+       |  FROM cand t JOIN probe p USING (probe_id)
+       |  JOIN corp c USING (vec_id))""".stripMargin
+  }
+
   /** X1d — product-quantized ANN with asymmetric-distance (ADC)
     * scoring and exact re-rank: the memory-scale path past int8
     * (q_quantize_embed) — 64 float dims compress to [[pqM]] byte
@@ -620,56 +668,26 @@ object VectorOps {
     * re-rank lookups: the standard IVF-PQ memory story, minus the
     * coarse cells q_ann_ivf already demonstrates. */
   val qAnnPq: QuerySpec = QuerySpec(
-    "q_ann_pq", {
-      val sl = s"list_slice(c.vv, s.j * $pqDsub + 1, s.j * $pqDsub + $pqDsub)"
-      val psl =
-        s"list_slice(p.pvv, c.j * $pqDsub + 1, c.j * $pqDsub + $pqDsub)"
-      s"""$vvCte,
-         |sub AS (SELECT j FROM generate_series(0, ${pqM - 1}) t(j)),
-         |cb AS (SELECT s.j, c.vec_id AS code, $sl AS cw,
-         |    list_reduce(list_transform($sl, x -> x * x), (a, b) -> a + b)
-         |      AS cwn2
-         |  FROM sub s CROSS JOIN (SELECT vec_id, vv FROM n
-         |    WHERE vec_id < $pqKsub) c),
-         |corp AS (SELECT vec_id, vv, nrm FROM n WHERE vec_id >= 32),
-         |csub AS (SELECT c.vec_id, s.j, $sl AS sv
-         |  FROM corp c CROSS JOIN sub s),
-         |enc AS (SELECT vec_id, j, code, cwn2 FROM (
-         |  SELECT t.vec_id, t.j, b.code, b.cwn2,
-         |    row_number() OVER (PARTITION BY t.vec_id, t.j ORDER BY
-         |      list_reduce(list_transform(list_zip(t.sv, b.cw),
-         |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-         |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-         |        (a, b) -> a + b), b.code) AS ern
-         |  FROM csub t JOIN cb b USING (j)) WHERE ern = 1),
-         |probe AS (SELECT vec_id AS probe_id, vv AS pvv, nrm AS pnrm
-         |  FROM n WHERE vec_id >= $pqKsub AND vec_id < 32),
-         |lut AS (SELECT p.probe_id, c.j, c.code, p.pnrm,
-         |    list_reduce(list_transform(list_zip($psl, c.cw),
-         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-         |      (a, b) -> a + b) AS pdot
-         |  FROM probe p CROSS JOIN cb c),
-         |adc AS (SELECT l.probe_id, k.vec_id,
-         |    ${D.dsum("l.pdot")} AS adot, ${D.dsum("k.cwn2")} AS vn2
-         |  FROM enc k JOIN lut l ON l.j = k.j AND l.code = k.code
-         |  GROUP BY l.probe_id, k.vec_id),
-         |cand AS (SELECT probe_id, vec_id FROM (
-         |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY adot / sqrt(vn2) DESC, vec_id) AS crn
-         |  FROM adc) WHERE crn <= $pqRerank),
-         |rer AS (SELECT t.probe_id, t.vec_id,
-         |    list_reduce(list_transform(list_zip(p.pvv, c.vv),
-         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-         |      (a, b) -> a + b) / (sqrt(p.pnrm) * sqrt(c.nrm)) AS cos
-         |  FROM cand t JOIN probe p USING (probe_id)
-         |  JOIN corp c USING (vec_id))
-         |SELECT probe_id, vec_id, cos, rn FROM (
-         |  SELECT probe_id, vec_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cos DESC, vec_id) AS INT) AS rn
-         |  FROM rer)
-         |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin
-    }) { (s, dir) =>
+    "q_ann_pq",
+    s"""$pqSqlCtes
+       |SELECT probe_id, vec_id, cos, rn FROM (
+       |  SELECT probe_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rn
+       |  FROM rer)
+       |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    pqReranked(s, dir)
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= pqTopK)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Exact-rescored PQ candidates (probe_id, vec_id, cos) — the Scala
+    * twin of [[pqSqlCtes]]'s `rer` CTE; shared by q_ann_pq (top-k
+    * serve) and q_pq_recall (audit). */
+  private def pqReranked(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
       .withColumn("vv", transform(col("v"), x => x.cast(DoubleType)))
     val subs = explode(sequence(lit(0), lit(pqM - 1))).as("j")
@@ -710,8 +728,6 @@ object VectorOps {
     val cand = adc.withColumn("crn", row_number().over(cw2))
       .filter(col("crn") <= pqRerank)
       .select("probe_id", "vec_id")
-    val fw = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(cand)
       .join(probe, "probe_id")
       .join(emb.filter(col("vec_id") >= 32)
@@ -721,9 +737,68 @@ object VectorOps {
         (aggregate(zip_with(col("pvv"), col("cv"), (x, y) => x * y),
           lit(0.0), (a, b) => a + b) /
           (sqrt(col("pnrm")) * sqrt(col("cn")))).as("cos"))
+  }
+
+  /** X1f — PQ RECALL audit: recall@[[pqTopK]] of the ADC+rerank search
+    * against exact brute force, per probe — the q_ann_recall pattern
+    * (VectorOps qAnnRecall) applied to the PQ index, closing the gap
+    * where PQ/ADC fidelity was only spec-gated (PqIndexSpec) with no
+    * oracle entry. Both arms reuse existing machinery: the PQ arm is
+    * [[pqReranked]] (shared with q_ann_pq), brute force is the
+    * broadcast-probe map-only corpus pass; the intersection is an
+    * equi-join on (probe_id, vec_id) and recall one exact BIGINT/k
+    * division. Brute force is the expensive arm BY DESIGN — this is
+    * an audit over a probe sample, not the serving path. */
+  val qPqRecall: QuerySpec = QuerySpec(
+    "q_pq_recall",
+    s"""$pqSqlCtes,
+       |pq3 AS (SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS rn FROM rer) WHERE rn <= $pqTopK),
+       |bf3 AS (SELECT probe_id, vec_id FROM (
+       |  SELECT p.probe_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY list_reduce(list_transform(list_zip(p.pvv, c.vv),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+       |        (a, b) -> a + b) / (sqrt(p.pnrm) * sqrt(c.nrm)) DESC,
+       |      c.vec_id) AS rn
+       |  FROM probe p CROSS JOIN corp c) WHERE rn <= $pqTopK),
+       |hit AS (SELECT q.probe_id, count(*) AS n_hit
+       |  FROM pq3 q JOIN bf3 b
+       |    ON b.probe_id = q.probe_id AND b.vec_id = q.vec_id
+       |  GROUP BY q.probe_id)
+       |SELECT p.probe_id,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $pqTopK.0 AS recall
+       |FROM probe p LEFT JOIN hit h ON h.probe_id = p.probe_id
+       |ORDER BY p.probe_id""".stripMargin) { (s, dir) =>
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val pq3 = pqReranked(s, dir)
       .withColumn("rn", row_number().over(fw))
       .filter(col("rn") <= pqTopK)
-      .orderBy("probe_id", "rn")
+      .select("probe_id", "vec_id")
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val probes = emb.filter(col("vec_id") >= pqKsub && col("vec_id") < 32)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val bf3 = broadcast(probes)
+      .crossJoin(emb.filter(col("vec_id") >= 32)
+        .select(col("vec_id"), col("v"), col("nrm")))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= pqTopK)
+      .select("probe_id", "vec_id")
+    val hit = pq3.join(bf3, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probes.select(col("probe_id"))
+      .join(hit, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / pqTopK)
+          .as("recall"))
+      .orderBy("probe_id")
   }
 
   /** The SemDeDup centroid-count dial: k = max(8, ceil(√N)). √N is
@@ -1207,5 +1282,5 @@ object VectorOps {
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
       qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans,
-      qAnnRecall, qLabelConfusion, qSplitLeakage, qDiverseSample)
+      qAnnRecall, qLabelConfusion, qSplitLeakage, qDiverseSample, qPqRecall)
 }

@@ -148,6 +148,34 @@ class PlanQualitySpec extends SpecBase {
       "cluster assignment must stay equi-join shaped")
   }
 
+  test("q_bpe_train: corpus read once, rounds reuse the pair-agg exchange, top-1 is TakeOrdered") {
+    val df = PipelineOps.qBpeTrain.fn(spark, sfDir)
+    df.collect() // finalize AQE: ReusedExchange only exists at runtime
+    val plan = planOf(df)
+    // the corpus parquet never appears: the word-frequency table is
+    // localCheckpointed once and every round scans the RDD
+    assert(!plan.contains("FileScan") && plan.contains("Scan ExistingRDD"),
+      "rounds must scan the checkpointed vocab, not re-read the corpus")
+    assert(plan.contains("TakeOrderedAndProject(limit=1"),
+      "per-round argmax must be top-1, not a full sort")
+    assert(plan.contains("partial_sum"),
+      "pair counts must partial-aggregate map-side")
+    assert(plan.contains("ReusedExchange"),
+      "the merges branch and the w-chain must share the pair-agg exchange")
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row rule join must broadcast")
+  }
+
+  test("q_pq_recall: both arms broadcast the probe side — corpus never shuffles pre-window") {
+    val df = VectorOps.qPqRecall.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "probe/candidate sides must broadcast against the corpus")
+    assert(!plan.contains("CartesianProduct"),
+      "brute-force arm must be a broadcast pass, not a shuffled cartesian")
+  }
+
   test("q_decontaminate broadcasts the eval shingles — corpus side never shuffles pre-agg") {
     val df = PipelineOps.qDecontaminate.fn(spark, sfDir)
     val plan = planOf(df)

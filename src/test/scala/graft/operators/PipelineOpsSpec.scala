@@ -39,6 +39,38 @@ class PipelineOpsSpec extends SpecBase {
       s"fallback still broadcasts:\n${plan.take(2000)}")
   }
 
+  test("bpe_train matches a from-scratch sequential BPE trainer") {
+    val out = PipelineOps.qBpeTrain.fn(spark, sfDir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // brute force: word-frequency table, then 8 greedy merge rounds
+    var vocab: Map[Vector[String], Long] = docs.select("text").as[String]
+      .collect()
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.length.toLong
+      }
+    val expected = (1 to 8).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+      val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      def merge(syms: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+            out += (l + rr); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      vocab = vocab.groupMapReduce { case (sy, _) => merge(sy) }(_._2)(_ + _)
+      (r, l, rr, c)
+    }
+    assert(out == expected)
+  }
+
   test("quality gate signals are in range and the verdict is threshold-consistent") {
     val rows = PipelineOps.qQualityGopher.fn(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect()

@@ -66,6 +66,22 @@ class PqIndexSpec extends SpecBase {
       "rerank = corpus must equal brute force")
   }
 
+  test("q_pq_recall audit covers all 16 probes with usable recall") {
+    val rows = graft.operators.VectorOps.qPqRecall.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 16)
+    rows.foreach { case (_, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 3 && recall == nHit / 3.0)
+    }
+    // The query's codebook is the DETERMINISTIC demo one (first-16
+    // corpus slices, chosen for oracle-checkability, not quality) —
+    // measured mean recall ~0.25 here vs ~0.006 random chance
+    // (3/|corpus|). Gate well above chance but below the k-means
+    // library recall that the first test in this suite gates.
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 0.1, s"mean PQ recall@3 at noise level: $mean")
+  }
+
   test("training is deterministic and codes stay within ksub") {
     val cb1 = PqIndex.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val cb2 = PqIndex.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
