@@ -960,6 +960,14 @@ object PipelineOps {
     // df as a window count (not groupBy+join-back): same shuffle key,
     // one pass, and the expensive shingle explode appears ONCE in this
     // branch instead of twice
+    // Round-15 negative A/B: serving this prefix selection through
+    // TopKPerGroup.varK (per-doc bound pk = 0.4·sz+1, heap instead of
+    // the doc_id window sort, survivors-only shuffle) measured
+    // 6.03–8.45 s warm vs 5.82–6.56 s for this window form (3
+    // QueryProfile reps each, sf0.1) — parity-to-slower locally, where
+    // shuffle volume is memcpy-cheap. The varK operator stays in
+    // plans/TopKPerGroup (spec-proven vs the window twin) as the
+    // network-bound-cluster alternative; the window form stands here.
     val ws = th
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .withColumn("rn", row_number().over(

@@ -61,6 +61,23 @@ object TopKPerGroup {
   def apply(df: DataFrame, groupCols: Seq[String],
             order: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    build(df, groupCols, order, k, None)
+  }
+
+  /** Variable-k variant: each group's bound comes from `kCol`, an
+    * integer column of `df` that must be CONSTANT within a group (the
+    * per-doc prefix length in a PPJoin, a per-tenant quota, …) — the
+    * first-seen value wins, mirroring the heap's first-arrival tie
+    * rule. Rows in groups with k ≤ 0 are dropped. Same partial/final
+    * contract as the fixed-k form: shuffle volume is Σ min(k_g, |g|)
+    * instead of |input|. */
+  def varK(df: DataFrame, groupCols: Seq[String],
+           order: Seq[(String, Boolean)], kCol: String): DataFrame =
+    build(df, groupCols, order, 0, Some(kCol))
+
+  private def build(df: DataFrame, groupCols: Seq[String],
+                    order: Seq[(String, Boolean)], k: Int,
+                    kCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
@@ -71,18 +88,26 @@ object TopKPerGroup {
       .find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"column '$name' not in ${out.map(_.name).mkString(",")}"))
+    val kAttr = kCol.map { name =>
+      val a = attr(name)
+      require(a.dataType == org.apache.spark.sql.types.IntegerType ||
+        a.dataType == org.apache.spark.sql.types.LongType,
+        s"k column '$name' must be int/bigint, got ${a.dataType}")
+      a
+    }
     val sortOrders = order.map { case (name, desc) =>
       SortOrder(attr(name),
         if (desc) org.apache.spark.sql.catalyst.expressions.Descending
         else org.apache.spark.sql.catalyst.expressions.Ascending)
     }
     GraftShims.ofRows(spark,
-      TopKPerGroupNode(groupCols.map(attr), sortOrders, k, child))
+      TopKPerGroupNode(groupCols.map(attr), sortOrders, k, kAttr, child))
   }
 }
 
 case class TopKPerGroupNode(groupExprs: Seq[Expression],
                             order: Seq[SortOrder], k: Int,
+                            kAttr: Option[Attribute],
                             child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -92,15 +117,17 @@ case class TopKPerGroupNode(groupExprs: Seq[Expression],
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case TopKPerGroupNode(g, o, k, kAttr, child) =>
+      TopKPerGroupExec(g, o, k, kAttr, partial = false,
+        TopKPerGroupExec(g, o, k, kAttr, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(groupExprs: Seq[Expression],
-                            order: Seq[SortOrder], k: Int, partial: Boolean,
+                            order: Seq[SortOrder], k: Int,
+                            kAttr: Option[Attribute], partial: Boolean,
                             child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def nodeName: String =
@@ -126,28 +153,48 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     val groupE = normalizedGroupExprs
     val orderE = order
     val kk = k
+    val kE = kAttr // group-constant per-row bound (varK form)
     val childOut = output
     child.execute().mapPartitions { it =>
       val toUnsafe = UnsafeProjection.create(childOut, childOut)
       val grp = UnsafeProjection.create(groupE, childOut)
       val ord = RowOrdering.create(orderE, childOut)
+      val kBound = kE.map(a => org.apache.spark.sql.catalyst.expressions
+        .BindReferences.bindReference(a: Expression, childOut))
       val rev = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int =
           ord.compare(b, a) // head = worst kept row
       }
-      val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      // varK: each group's heap carries its own bound (from the first
+      // row seen — kCol is group-constant by contract); k <= 0 groups
+      // map to a tombstone so later rows of the group stay dropped
+      // without re-evaluating the bound.
+      final class Heap(val bound: Int) extends
+        java.util.PriorityQueue[UnsafeRow](math.max(1, bound), rev)
+      val dropped = new Heap(0)
+      val heaps = new java.util.HashMap[UnsafeRow, Heap]()
       while (it.hasNext) {
         val row = toUnsafe(it.next())
         val key = grp(row)
         var h = heaps.get(key)
         if (h == null) {
-          h = new java.util.PriorityQueue[UnsafeRow](kk, rev)
+          val bound = kBound match {
+            case None => kk
+            case Some(e) => e.eval(row) match {
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long => math.min(l.longValue(),
+                Int.MaxValue.toLong).toInt
+              case null => 0
+            }
+          }
+          h = if (bound > 0) new Heap(bound) else dropped
           heaps.put(key.copy(), h)
         }
-        if (h.size < kk) h.add(row.copy())
-        else if (ord.compare(row, h.peek()) < 0) {
-          h.poll(); h.add(row.copy())
+        if (h.bound > 0) {
+          if (h.size < h.bound) h.add(row.copy())
+          else if (ord.compare(row, h.peek()) < 0) {
+            h.poll(); h.add(row.copy())
+          }
         }
       }
       heaps.values().iterator().asScala

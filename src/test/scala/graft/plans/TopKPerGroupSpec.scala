@@ -68,6 +68,25 @@ class TopKPerGroupSpec extends SpecBase {
       s"-0.0/0.0 must share one heap, got ids $got")
   }
 
+  test("varK matches a per-group-k window form; k<=0 groups drop") {
+    val df = spark.range(4000).select(
+      col("id"), (col("id") % 53).as("g"),
+      (xxhash64(col("id")) % 1000).cast("double").as("v"))
+      // per-group bound: g%7 - 1 in [-1, 5]; group-constant, some <= 0
+      .withColumn("kb", ((col("g") % 7) - 1).cast("int"))
+    val fast = TopKPerGroup.varK(df, Seq("g"),
+      Seq("v" -> true, "id" -> false), "kb")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val twin = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("kb")).drop("rn")
+    assert(canon(fast) == canon(twin))
+    // invariance under partitioning (partial heaps see different rows)
+    assert(canon(TopKPerGroup.varK(df.repartition(1), Seq("g"),
+      Seq("v" -> true, "id" -> false), "kb")) ==
+      canon(TopKPerGroup.varK(df.repartition(17), Seq("g"),
+        Seq("v" -> true, "id" -> false), "kb")))
+  }
+
   test("partitioning-invariant results") {
     val df = spark.range(3000).select(
       col("id"), (col("id") % 31).as("g"),
