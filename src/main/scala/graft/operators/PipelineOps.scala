@@ -1785,32 +1785,42 @@ object PipelineOps {
     * a 1-row broadcast. Rounds are inherently sequential (each merge
     * changes the next round's pair counts) — k passes over the vocab
     * relation is the algorithm, not a plan defect. */
-  val qBpeTrain: QuerySpec = QuerySpec(
-    "q_bpe_train", {
-      val sep = "chr(1)"
-      val ctes = new StringBuilder(
-        s"""WITH raw AS (SELECT unnest($wordsSql) AS word FROM documents),
-           |w0 AS (SELECT $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g')
-           |    AS w, count(*) AS cnt
-           |  FROM raw GROUP BY 1)""".stripMargin)
-      for (r <- 1 to bpeRounds) {
-        ctes.append(s""",
-           |p$r AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
-           |  SELECT unnest(syms[1:len(syms)-1]) AS l,
-           |    unnest(syms[2:len(syms)]) AS r, cnt
-           |  FROM (SELECT list_filter(string_split(w, $sep), x -> x <> '')
-           |      AS syms, cnt FROM w${r - 1}))
-           |  GROUP BY l, r),
-           |m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-           |w$r AS (SELECT replace(t.w, $sep || m.l || $sep || m.r || $sep,
-           |    $sep || m.l || m.r || $sep) AS w, t.cnt
-           |  FROM w${r - 1} t CROSS JOIN m$r m)""".stripMargin)
-      }
-      val union = (1 to bpeRounds).map(r =>
-        s"SELECT $r AS merge_round, l AS lhs, r AS rhs, c AS pair_count " +
-          s"FROM m$r").mkString("\n", "\nUNION ALL\n", "")
-      ctes.toString + union + "\nORDER BY merge_round"
-    }) { (s, dir) =>
+  /** Shared SQL CTE prefix for the BPE family: raw word stream (with
+    * doc_id for the encode side), the w0 word-frequency table, and the
+    * unrolled p/m/w round chain through w[[bpeRounds]]. Consumed by
+    * q_bpe_train, q_bpe_encode, q_bpe_vocab. */
+  private val bpeSqlCtes: String = {
+    val sep = "chr(1)"
+    val ctes = new StringBuilder(
+      s"""WITH raw AS (SELECT doc_id, unnest($wordsSql) AS word
+         |  FROM documents),
+         |w0 AS (SELECT $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g')
+         |    AS w, count(*) AS cnt
+         |  FROM raw GROUP BY 1)""".stripMargin)
+    for (r <- 1 to bpeRounds) {
+      ctes.append(s""",
+         |p$r AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |  SELECT unnest(syms[1:len(syms)-1]) AS l,
+         |    unnest(syms[2:len(syms)]) AS r, cnt
+         |  FROM (SELECT list_filter(string_split(w, $sep), x -> x <> '')
+         |      AS syms, cnt FROM w${r - 1}))
+         |  GROUP BY l, r),
+         |m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS (SELECT replace(t.w, $sep || m.l || $sep || m.r || $sep,
+         |    $sep || m.l || m.r || $sep) AS w, t.cnt
+         |  FROM w${r - 1} t CROSS JOIN m$r m)""".stripMargin)
+    }
+    ctes.toString
+  }
+
+  /** Scala twin of [[bpeSqlCtes]]: the checkpointed word-frequency
+    * table is folded through [[bpeRounds]] merge rounds; returns the
+    * per-round winning rules (1-row DataFrames of l, r, c) and the
+    * final merged vocabulary relation (w, cnt). The corpus is read
+    * exactly once (the localCheckpoint); every returned frame chains
+    * off vocab-sized work only. */
+  private def bpeChain(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     var w = LsdDb.table(s, dir, "documents")
       .select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -1821,7 +1831,7 @@ object PipelineOps {
       // must never reach back through this shuffle (pagerank idiom)
       .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (r <- 1 to bpeRounds) {
+    for (_ <- 1 to bpeRounds) {
       val syms = filter(split(col("w"), bpeSep), x => x =!= "")
       val n1 = size(col("syms")) - 1
       val pairs = w.select(syms.as("syms"), col("cnt"))
@@ -1833,19 +1843,111 @@ object PipelineOps {
         .agg(sum(col("cnt")).cast(LongType).as("c"))
       val best = pairs
         .orderBy(col("c").desc, col("l").asc, col("r").asc).limit(1)
-      rules += best.select(lit(r).as("merge_round"), col("l").as("lhs"),
-        col("r").as("rhs"), col("c").as("pair_count"))
+      rules += best
       w = w.crossJoin(broadcast(best.select(col("l"), col("r"))))
         .select(replace(col("w"),
           concat(lit(bpeSep), col("l"), lit(bpeSep), col("r"), lit(bpeSep)),
           concat(lit(bpeSep), col("l"), col("r"), lit(bpeSep))).as("w"),
           col("cnt"))
     }
-    rules.reduce(_.unionAll(_)).orderBy("merge_round")
+    (rules.toSeq, w)
+  }
+
+  val qBpeTrain: QuerySpec = QuerySpec(
+    "q_bpe_train",
+    bpeSqlCtes + (1 to bpeRounds).map(r =>
+      s"SELECT $r AS merge_round, l AS lhs, r AS rhs, c AS pair_count " +
+        s"FROM m$r").mkString("\n", "\nUNION ALL\n", "") +
+      "\nORDER BY merge_round") { (s, dir) =>
+    val (rules, _) = bpeChain(s, dir)
+    rules.zipWithIndex.map { case (best, i) =>
+      best.select(lit(i + 1).as("merge_round"), col("l").as("lhs"),
+        col("r").as("rhs"), col("c").as("pair_count"))
+    }.reduce(_.unionAll(_)).orderBy("merge_round")
+  }
+
+  /** Ext — BPE ENCODE (q_bpe_encode): apply the trained merge table to
+    * the corpus — the serving-side twin of q_bpe_train and the real
+    * token counter (vs q_token_budget's whitespace/regex proxies).
+    * Each doc's words become symbol strings, the [[bpeRounds]] rules
+    * apply IN TRAINING ORDER as chained replace()s, and the output is
+    * per-doc word/token counts plus the d6 tokens-per-word fertility —
+    * the signal tokenizer evaluations gate on.
+    *
+    * 100-TB shape: the corpus side is MAP-ONLY — explode + 8 chained
+    * replaces, each against a 1-row broadcast rule (whose lineage is
+    * vocab-sized off the checkpoint) — then one per-doc partial+final
+    * agg. No corpus shuffle before the aggregate. */
+  val qBpeEncode: QuerySpec = QuerySpec(
+    "q_bpe_encode", {
+      val sep = "chr(1)"
+      val enc = (1 to bpeRounds).map { r =>
+        s"""enc$r AS (SELECT doc_id,
+           |  replace(e.w, $sep || m.l || $sep || m.r || $sep,
+           |    $sep || m.l || m.r || $sep) AS w
+           |  FROM enc${r - 1} e CROSS JOIN m$r m)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"""$bpeSqlCtes,
+         |enc0 AS (SELECT doc_id,
+         |  $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') AS w
+         |  FROM raw)$enc
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(list_filter(string_split(w, $sep), x -> x <> '')))
+         |    AS BIGINT) AS n_tokens,
+         |  ${D.sql.d6(s"CAST(sum(len(list_filter(string_split(w, $sep)," +
+           " x -> x <> ''))) AS DOUBLE) / count(*)")} AS tok_per_word
+         |FROM enc$bpeRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val (rules, _) = bpeChain(s, dir)
+    var enc = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), concat(lit(bpeSep),
+        regexp_replace(col("word"), "(.)", "$1" + bpeSep)).as("w"))
+    for (best <- rules)
+      enc = enc.crossJoin(broadcast(best.select(col("l"), col("r"))))
+        .select(col("doc_id"), replace(col("w"),
+          concat(lit(bpeSep), col("l"), lit(bpeSep), col("r"), lit(bpeSep)),
+          concat(lit(bpeSep), col("l"), col("r"), lit(bpeSep))).as("w"))
+    val nTok = size(filter(split(col("w"), bpeSep), x => x =!= ""))
+    enc.select(col("doc_id"), nTok.as("nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).cast(LongType).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        Det.d6(col("n_tokens").cast(DoubleType) / col("n_words"))
+          .as("tok_per_word"))
+      .orderBy("doc_id")
+  }
+
+  /** Ext — BPE VOCABULARY (q_bpe_vocab): the post-merge symbol
+    * inventory with corpus frequencies — the artifact a tokenizer
+    * pipeline actually ships. Top 50 symbols by (frequency DESC,
+    * symbol): base characters that survived plus the merged units.
+    * Runs entirely on the checkpointed vocab chain — the corpus
+    * parquet is never re-read, and the top-k is a
+    * TakeOrderedAndProject. */
+  val qBpeVocab: QuerySpec = QuerySpec(
+    "q_bpe_vocab", {
+      val sep = "chr(1)"
+      s"""$bpeSqlCtes
+         |SELECT sym, freq FROM (
+         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(w, $sep),
+         |      x -> x <> '')) AS sym, cnt FROM w$bpeRounds)
+         |  GROUP BY sym)
+         |ORDER BY freq DESC, sym LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+    val (_, vocab) = bpeChain(s, dir)
+    vocab
+      .select(explode(filter(split(col("w"), bpeSep),
+        x => x =!= "")).as("sym"), col("cnt"))
+      .groupBy("sym").agg(sum(col("cnt")).cast(LongType).as("freq"))
+      .orderBy(col("freq").desc, col("sym").asc)
+      .limit(50)
   }
 
   def specs: Seq[QuerySpec] = Seq(
-    qBpeTrain,
+    qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,
     qSparseKnn, qInvertedIndex,

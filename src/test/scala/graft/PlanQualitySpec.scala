@@ -166,6 +166,33 @@ class PlanQualitySpec extends SpecBase {
       "the 1-row rule join must broadcast")
   }
 
+  test("q_bpe_encode: corpus side is map-only — one FileScan, rules broadcast, partial agg") {
+    val df = PipelineOps.qBpeEncode.fn(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    // exactly one corpus read: the encode stream (the vocab chain runs
+    // off the checkpoint and must not re-read parquet); count in the
+    // FINAL plan only — AQE's toString repeats the tree as
+    // "== Initial Plan ==" below it
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(finalPlan).size == 1,
+      s"expected exactly 1 FileScan:\n${finalPlan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "per-doc counts must partial-aggregate map-side")
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row rule joins must broadcast")
+  }
+
+  test("q_bpe_vocab: no corpus re-read at all, top-50 is TakeOrdered") {
+    val df = PipelineOps.qBpeVocab.fn(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("FileScan"),
+      "vocab runs entirely off the checkpointed word table")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must be TakeOrdered, not a full sort")
+  }
+
   test("q_pq_recall: both arms broadcast the probe side — corpus never shuffles pre-window") {
     val df = VectorOps.qPqRecall.fn(spark, sfDir)
     val plan = planOf(df)

@@ -39,36 +39,76 @@ class PipelineOpsSpec extends SpecBase {
       s"fallback still broadcasts:\n${plan.take(2000)}")
   }
 
-  test("bpe_train matches a from-scratch sequential BPE trainer") {
-    val out = PipelineOps.qBpeTrain.fn(spark, sfDir)
-      .as[(Int, String, String, Long)].collect().toSeq
-    // brute force: word-frequency table, then 8 greedy merge rounds
+  /** Greedy left-to-right merge of one rule in a symbol sequence. */
+  private def bpeMerge(l: String, r: String)(
+      syms: Vector[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** From-scratch sequential BPE trainer over the sf docs: 8 rounds of
+    * (count adjacent pairs, take (count DESC, pair) argmax, merge). */
+  private def bruteBpeRules(): Seq[(Int, String, String, Long)] = {
     var vocab: Map[Vector[String], Long] = docs.select("text").as[String]
       .collect()
       .flatMap(_.split("\\s+").filter(_.nonEmpty))
       .groupBy(identity).map { case (w, g) =>
         w.map(_.toString).toVector -> g.length.toLong
       }
-    val expected = (1 to 8).map { r =>
+    (1 to 8).map { r =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((syms, cnt) <- vocab; i <- 0 until syms.length - 1)
         counts((syms(i), syms(i + 1))) =
           counts.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
       val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
-      def merge(syms: Vector[String]): Vector[String] = {
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
-            out += (l + rr); i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        out.result()
-      }
-      vocab = vocab.groupMapReduce { case (sy, _) => merge(sy) }(_._2)(_ + _)
+      vocab = vocab.groupMapReduce { case (sy, _) =>
+        bpeMerge(l, rr)(sy) }(_._2)(_ + _)
       (r, l, rr, c)
     }
-    assert(out == expected)
+  }
+
+  test("bpe_train matches a from-scratch sequential BPE trainer") {
+    val out = PipelineOps.qBpeTrain.fn(spark, sfDir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out == bruteBpeRules())
+  }
+
+  test("bpe_encode token counts equal applying the brute rules per document") {
+    val rules = bruteBpeRules()
+    val expected = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().map { case (id, text) =>
+        val tokens = text.split("\\s+").filter(_.nonEmpty).map { w =>
+          rules.foldLeft(w.map(_.toString).toVector) {
+            case (syms, (_, l, r, _)) => bpeMerge(l, r)(syms)
+          }.length.toLong
+        }
+        id -> ((tokens.length.toLong, tokens.sum))
+      }.toMap
+    val got = PipelineOps.qBpeEncode.fn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, nWords, nTokens, fert) =>
+      assert((nWords, nTokens) == expected(id), s"doc $id")
+      // merges only ever shrink a word's token count into [1, |word|]
+      assert(nTokens >= nWords && math.abs(
+        fert - nTokens.toDouble / nWords) < 2e-6)
+    }
+  }
+
+  test("bpe_vocab frequencies conserve the corpus symbol mass") {
+    val rows = PipelineOps.qBpeVocab.fn(spark, sfDir)
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // sorted by freq desc, sym asc; merged symbols are present
+    assert(rows.sortBy { case (s, f) => (-f, s) }.toSeq == rows.toSeq)
+    assert(rows.exists(_._1.length > 1),
+      "top-50 must contain at least one merged multi-char symbol")
   }
 
   test("quality gate signals are in range and the verdict is threshold-consistent") {
