@@ -1761,6 +1761,22 @@ object PipelineOps {
   private val bpeRounds = 8
   private val bpeSep = "\u0001"
 
+  /** DOUBLE separator between symbols: word = sep2+s1+sep2+...+sn+sep2.
+    * The merge needle is sep+l+sep2+r+sep (single outer seps, double
+    * inner). With a SINGLE separator, replace() misses an occurrence
+    * whose leading sep was consumed by the previous match's trailing
+    * sep (an l,r,l,r chain inside one word), so the pass is not
+    * exactly greedy. With the double form, adjacent occurrences each
+    * take one sep of the shared double boundary — every occurrence
+    * has a DISJOINT character footprint, so one left-to-right
+    * replace() pass merges exactly the greedy non-overlapping
+    * occurrence set for every pattern, including self-runs
+    * (a,a,a,a -> aa,aa) — the 1M ScaleSmoke conservation check
+    * exposed the single-sep form. The needle can only match at a true
+    * symbol boundary: its first sep must be the second sep of a
+    * boundary pair, since symbols contain no separator char. */
+  private val bpeSep2 = bpeSep + bpeSep
+
   /** Ext — deterministic BPE-merge training (q_bpe_train): the
     * tokenizer-side primitive of an LLM data pipeline. Sennrich et al.
     * 2016 (arXiv 1508.07909, public): start from the corpus word-
@@ -1771,11 +1787,12 @@ object PipelineOps {
     * word. Output: the [[bpeRounds]] merge rules with their counts.
     *
     * Engine-portable representation: a word's symbol sequence is the
-    * chr(1)-joined string "␁s1␁s2␁…␁", so "merge pair (l,r)" IS
-    * `replace(w, ␁l␁r␁ → ␁lr␁)` — both engines' replace() scans
-    * left-to-right non-overlapping, which is exactly BPE's greedy
-    * merge (verified on the ␁a␁a␁a␁ overlap case), and no fold/UDF
-    * is needed.
+    * DOUBLE-chr(1)-joined string (see [[bpeSep2]]), so "merge pair
+    * (l,r)" IS `replace(w, sep+l+sep2+r+sep -> sep+lr+sep)` — one
+    * left-to-right replace() pass is provably EXACTLY BPE's greedy
+    * non-overlapping merge in both engines (the double boundary gives
+    * every occurrence a disjoint character footprint), and no
+    * fold/UDF is needed.
     *
     * 100-TB shape: the corpus is touched ONCE (word-count shuffle with
     * map-side partial agg), then localCheckpoint truncates lineage so
@@ -1791,10 +1808,11 @@ object PipelineOps {
     * q_bpe_train, q_bpe_encode, q_bpe_vocab. */
   private val bpeSqlCtes: String = {
     val sep = "chr(1)"
+    val sepd = s"$sep || $sep"
     val ctes = new StringBuilder(
       s"""WITH raw AS (SELECT doc_id, unnest($wordsSql) AS word
          |  FROM documents),
-         |w0 AS (SELECT $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g')
+         |w0 AS (SELECT $sepd || regexp_replace(word, '(.)', '\\1' || $sepd, 'g')
          |    AS w, count(*) AS cnt
          |  FROM raw GROUP BY 1)""".stripMargin)
     for (r <- 1 to bpeRounds) {
@@ -1802,11 +1820,11 @@ object PipelineOps {
          |p$r AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
          |  SELECT unnest(syms[1:len(syms)-1]) AS l,
          |    unnest(syms[2:len(syms)]) AS r, cnt
-         |  FROM (SELECT list_filter(string_split(w, $sep), x -> x <> '')
+         |  FROM (SELECT list_filter(string_split(w, $sepd), x -> x <> '')
          |      AS syms, cnt FROM w${r - 1}))
          |  GROUP BY l, r),
          |m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-         |w$r AS (SELECT replace(t.w, $sep || m.l || $sep || m.r || $sep,
+         |w$r AS (SELECT replace(t.w, $sep || m.l || $sepd || m.r || $sep,
          |    $sep || m.l || m.r || $sep) AS w, t.cnt
          |  FROM w${r - 1} t CROSS JOIN m$r m)""".stripMargin)
     }
@@ -1824,15 +1842,15 @@ object PipelineOps {
     var w = LsdDb.table(s, dir, "documents")
       .select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(bpeSep),
-        regexp_replace(col("word"), "(.)", "$1" + bpeSep)).as("w"),
+      .select(concat(lit(bpeSep2),
+        regexp_replace(col("word"), "(.)", "$1" + bpeSep2)).as("w"),
         col("cnt"))
       // one corpus pass, materialized: the unrolled round chain below
       // must never reach back through this shuffle (pagerank idiom)
       .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to bpeRounds) {
-      val syms = filter(split(col("w"), bpeSep), x => x =!= "")
+      val syms = filter(split(col("w"), bpeSep2), x => x =!= "")
       val n1 = size(col("syms")) - 1
       val pairs = w.select(syms.as("syms"), col("cnt"))
         .select(explode(zip_with(
@@ -1846,7 +1864,7 @@ object PipelineOps {
       rules += best
       w = w.crossJoin(broadcast(best.select(col("l"), col("r"))))
         .select(replace(col("w"),
-          concat(lit(bpeSep), col("l"), lit(bpeSep), col("r"), lit(bpeSep)),
+          concat(lit(bpeSep), col("l"), lit(bpeSep2), col("r"), lit(bpeSep)),
           concat(lit(bpeSep), col("l"), col("r"), lit(bpeSep))).as("w"),
           col("cnt"))
     }
@@ -1881,34 +1899,35 @@ object PipelineOps {
   val qBpeEncode: QuerySpec = QuerySpec(
     "q_bpe_encode", {
       val sep = "chr(1)"
+      val sepd = s"$sep || $sep"
       val enc = (1 to bpeRounds).map { r =>
         s"""enc$r AS (SELECT doc_id,
-           |  replace(e.w, $sep || m.l || $sep || m.r || $sep,
+           |  replace(e.w, $sep || m.l || $sepd || m.r || $sep,
            |    $sep || m.l || m.r || $sep) AS w
            |  FROM enc${r - 1} e CROSS JOIN m$r m)""".stripMargin
       }.mkString(",\n", ",\n", "")
       s"""$bpeSqlCtes,
          |enc0 AS (SELECT doc_id,
-         |  $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') AS w
+         |  $sepd || regexp_replace(word, '(.)', '\\1' || $sepd, 'g') AS w
          |  FROM raw)$enc
          |SELECT doc_id, count(*) AS n_words,
-         |  CAST(sum(len(list_filter(string_split(w, $sep), x -> x <> '')))
+         |  CAST(sum(len(list_filter(string_split(w, $sepd), x -> x <> '')))
          |    AS BIGINT) AS n_tokens,
-         |  ${D.sql.d6(s"CAST(sum(len(list_filter(string_split(w, $sep)," +
+         |  ${D.sql.d6(s"CAST(sum(len(list_filter(string_split(w, $sepd)," +
            " x -> x <> ''))) AS DOUBLE) / count(*)")} AS tok_per_word
          |FROM enc$bpeRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
     val (rules, _) = bpeChain(s, dir)
     var enc = LsdDb.table(s, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .select(col("doc_id"), concat(lit(bpeSep),
-        regexp_replace(col("word"), "(.)", "$1" + bpeSep)).as("w"))
+      .select(col("doc_id"), concat(lit(bpeSep2),
+        regexp_replace(col("word"), "(.)", "$1" + bpeSep2)).as("w"))
     for (best <- rules)
       enc = enc.crossJoin(broadcast(best.select(col("l"), col("r"))))
         .select(col("doc_id"), replace(col("w"),
-          concat(lit(bpeSep), col("l"), lit(bpeSep), col("r"), lit(bpeSep)),
+          concat(lit(bpeSep), col("l"), lit(bpeSep2), col("r"), lit(bpeSep)),
           concat(lit(bpeSep), col("l"), col("r"), lit(bpeSep))).as("w"))
-    val nTok = size(filter(split(col("w"), bpeSep), x => x =!= ""))
+    val nTok = size(filter(split(col("w"), bpeSep2), x => x =!= ""))
     enc.select(col("doc_id"), nTok.as("nt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
@@ -1929,17 +1948,18 @@ object PipelineOps {
   val qBpeVocab: QuerySpec = QuerySpec(
     "q_bpe_vocab", {
       val sep = "chr(1)"
+      val sepd = s"$sep || $sep"
       s"""$bpeSqlCtes
          |SELECT sym, freq FROM (
          |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(list_filter(string_split(w, $sep),
+         |    SELECT unnest(list_filter(string_split(w, $sepd),
          |      x -> x <> '')) AS sym, cnt FROM w$bpeRounds)
          |  GROUP BY sym)
          |ORDER BY freq DESC, sym LIMIT 50""".stripMargin
     }) { (s, dir) =>
     val (_, vocab) = bpeChain(s, dir)
     vocab
-      .select(explode(filter(split(col("w"), bpeSep),
+      .select(explode(filter(split(col("w"), bpeSep2),
         x => x =!= "")).as("sym"), col("cnt"))
       .groupBy("sym").agg(sum(col("cnt")).cast(LongType).as("freq"))
       .orderBy(col("freq").desc, col("sym").asc)

@@ -955,27 +955,32 @@ object VectorOps {
     * double. Centroid norms re-fold left-to-right in dim order on
     * the driver — the same sequential fold [[DotFold]] and DuckDB's
     * list_reduce run. */
-  val qClusterKmeans: QuerySpec = {
-    val K = 8
-    val Iters = 3
+  private val kmeansK = 8
+  private val kmeansIters = 3
+  private def kmeansKdistSql(p: String, c: String): String = D.d6(
+    s"$p.nrm + $c.cn - 2.0 * list_reduce(list_transform(" +
+      s"list_zip($p.vv, $c.cv), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), " +
+      "(a, b) -> a + b)")
+
+  /** Shared SQL CTE chain for the kmeans family: vv/n, seed centroids
+    * k0, and [[kmeansIters]] unrolled Lloyd rounds ending at centroid
+    * relation k[[kmeansIters]]. Consumed by q_cluster_kmeans and
+    * q_silhouette. */
+  private val kmeansSqlCtes: String = {
     def normSqlOf(e: String): String =
       s"list_reduce(list_transform($e, x -> x * x), (a, b) -> a + b)"
-    def kdistSql(p: String, c: String): String = D.d6(
-      s"$p.nrm + $c.cn - 2.0 * list_reduce(list_transform(" +
-        s"list_zip($p.vv, $c.cv), " +
-        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), " +
-        "(a, b) -> a + b)")
     val sb = new StringBuilder
     sb ++= s"""$vvCte,
        |k0 AS (SELECT vec_id AS cid, vv AS cv, nrm AS cn FROM n
-       |  WHERE vec_id < $K)""".stripMargin
-    for (i <- 1 to Iters) {
+       |  WHERE vec_id < $kmeansK)""".stripMargin
+    for (i <- 1 to kmeansIters) {
       val prev = s"k${i - 1}"
       sb ++= s""",
        |a$i AS (SELECT vec_id, vv, cid FROM (
        |  SELECT p.vec_id, p.vv, c.cid,
        |    row_number() OVER (PARTITION BY p.vec_id
-       |      ORDER BY ${kdistSql("p", "c")}, c.cid) AS rn
+       |      ORDER BY ${kmeansKdistSql("p", "c")}, c.cid) AS rn
        |  FROM n p CROSS JOIN $prev c) WHERE rn = 1),
        |m$i AS (SELECT cid, d,
        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
@@ -989,60 +994,129 @@ object VectorOps {
        |      SELECT cid, list(m ORDER BY d) AS cv FROM m$i
        |      GROUP BY cid)) t USING (cid))""".stripMargin
     }
-    sb ++= s"""
-       |SELECT vec_id, cid AS cluster, dd AS dist FROM (
-       |  SELECT p.vec_id, c.cid, ${kdistSql("p", "c")} AS dd,
-       |    row_number() OVER (PARTITION BY p.vec_id
-       |      ORDER BY ${kdistSql("p", "c")}, c.cid) AS rn
-       |  FROM n p CROSS JOIN k$Iters c) WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
-    QuerySpec("q_cluster_kmeans", sb.toString) { (s, dir) =>
-      val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
-      var cents: Seq[(Long, Array[Double], Double)] =
-        emb.filter(col("vec_id") < K)
-          .select(col("vec_id"),
-            col("v").cast(ArrayType(DoubleType)).as("cv"), col("nrm"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-            r.getDouble(2)))
-          .sortBy(_._1).toSeq
-      // (snapped distance, cid) struct-min = the oracle's row_number
-      // tie-break; centroid arrays are foldable literals, so codegen
-      // sees k constant arrays, not per-row construction
-      def assignCol: Column = array_min(array(cents.map {
-        case (cid, cv, cn) =>
-          struct(
-            Det.d6(col("nrm") + lit(cn) - lit(2.0) *
-              VectorKernels.dot(col("v"),
-                array(cv.toSeq.map(lit): _*))).as("dd"),
-            lit(cid).as("cid"))
-      }: _*))
-      for (_ <- 1 to Iters) {
-        val means = emb.withColumn("a", assignCol)
-          .select(col("a.cid").as("cid"),
-            posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy("cid", "d")
-          .agg((sum(col("x").cast(DoubleType).cast(DecimalType(18, 6)))
-            .cast(DoubleType) / count(lit(1))).as("m"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
-        cents = cents.map { case (cid, cv, cn) =>
-          means.get(cid) match {
-            case Some(m) =>
-              var acc = 0.0; var i = 0
-              while (i < m.length) { acc += m(i) * m(i); i += 1 }
-              (cid, m, acc)
-            case None => (cid, cv, cn)
-          }
+    sb.toString
+  }
+
+  /** Scala twin: runs the [[kmeansIters]] Lloyd rounds (O(k·d) driver
+    * centroids from bounded collects — the MLlib shape) and returns
+    * the final centroids as (cid, vector, squared-norm). */
+  private def kmeansCentroids(s: SparkSession, dir: String)
+      : Seq[(Long, Array[Double], Double)] = {
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    var cents: Seq[(Long, Array[Double], Double)] =
+      emb.filter(col("vec_id") < kmeansK)
+        .select(col("vec_id"),
+          col("v").cast(ArrayType(DoubleType)).as("cv"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+          r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    for (_ <- 1 to kmeansIters) {
+      val means = emb.withColumn("a", kmeansAssignCol(cents))
+        .select(col("a.cid").as("cid"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+      cents = cents.map { case (cid, cv, cn) =>
+        means.get(cid) match {
+          case Some(m) =>
+            var acc = 0.0; var i = 0
+            while (i < m.length) { acc += m(i) * m(i); i += 1 }
+            (cid, m, acc)
+          case None => (cid, cv, cn)
         }
       }
-      emb.withColumn("a", assignCol)
-        .select(col("vec_id"), col("a.cid").as("cluster"),
-          col("a.dd").as("dist"))
-        .orderBy("vec_id")
     }
+    cents
+  }
+
+  /** (snapped distance, cid) struct-min = the oracle's row_number
+    * tie-break; centroid arrays are foldable literals, so codegen
+    * sees k constant arrays, not per-row construction. */
+  private def kmeansAssignCol(
+      cents: Seq[(Long, Array[Double], Double)]): Column =
+    array_min(kmeansDistArr(cents))
+
+  /** The full per-centroid (snapped dist, cid) struct array — sorted
+    * ascending it yields assignment (1st) and the silhouette
+    * neighbor distance (2nd). */
+  private def kmeansDistArr(
+      cents: Seq[(Long, Array[Double], Double)]): Column =
+    array(cents.map { case (cid, cv, cn) =>
+      struct(
+        Det.d6(col("nrm") + lit(cn) - lit(2.0) *
+          VectorKernels.dot(col("v"),
+            array(cv.toSeq.map(lit): _*))).as("dd"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  val qClusterKmeans: QuerySpec = QuerySpec(
+    "q_cluster_kmeans",
+    s"""$kmeansSqlCtes
+       |SELECT vec_id, cid AS cluster, dd AS dist FROM (
+       |  SELECT p.vec_id, c.cid, ${kmeansKdistSql("p", "c")} AS dd,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${kmeansKdistSql("p", "c")}, c.cid) AS rn
+       |  FROM n p CROSS JOIN k$kmeansIters c) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    emb.withColumn("a", kmeansAssignCol(kmeansCentroids(s, dir)))
+      .select(col("vec_id"), col("a.cid").as("cluster"),
+        col("a.dd").as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** Ext — SIMPLIFIED SILHOUETTE (q_silhouette): the clustering-
+    * quality audit over the kmeans assignment — per point, a = dist
+    * to its OWN (nearest) centroid, b = dist to the SECOND-nearest,
+    * sil = (b − a) / max(a, b) ∈ [0, 1] here (a ≤ b by construction;
+    * ~0 means the point sits on a cluster boundary). This is the
+    * centroid-based "simplified silhouette" (Hruschka et al. 2004,
+    * public) that drops the O(N²) pairwise form — the variant anyone
+    * runs at scale.
+    *
+    * Shape: the Lloyd rounds are the q_cluster_kmeans machinery
+    * (shared kmeansSqlCtes / kmeansCentroids — one definition); the
+    * scoring pass is MAP-ONLY (k constant-folded centroid structs,
+    * array_sort, take 1st and 2nd) + the output sort. Distances are
+    * sqrt of the d6-snapped squared form; sil re-snaps at the end. */
+  val qSilhouette: QuerySpec = QuerySpec(
+    "q_silhouette",
+    s"""$kmeansSqlCtes,
+       |ranked AS (
+       |  SELECT p.vec_id, c.cid, sqrt(${kmeansKdistSql("p", "c")}) AS dist,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${kmeansKdistSql("p", "c")}, c.cid) AS rn
+       |  FROM n p CROSS JOIN k$kmeansIters c),
+       |r1 AS (SELECT vec_id, cid AS cluster, dist AS a_raw
+       |  FROM ranked WHERE rn = 1),
+       |r2 AS (SELECT vec_id, dist AS b_raw FROM ranked WHERE rn = 2)
+       |SELECT r1.vec_id, cluster,
+       |  ${D.d6("a_raw")} AS a_dist, ${D.d6("b_raw")} AS b_dist,
+       |  ${D.d6(
+             "CASE WHEN b_raw > 0 THEN (b_raw - a_raw) / b_raw ELSE 0.0 END")}
+       |    AS sil
+       |FROM r1 JOIN r2 USING (vec_id) ORDER BY r1.vec_id""".stripMargin
+    ) { (s, dir) =>
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val sorted = array_sort(kmeansDistArr(kmeansCentroids(s, dir)))
+    val aRaw = sqrt(element_at(sorted, 1).getField("dd"))
+    val bRaw = sqrt(element_at(sorted, 2).getField("dd"))
+    emb
+      .select(col("vec_id"),
+        element_at(sorted, 1).getField("cid").as("cluster"),
+        aRaw.as("a_raw"), bRaw.as("b_raw"))
+      .select(col("vec_id"), col("cluster"),
+        Det.d6(col("a_raw")).as("a_dist"), Det.d6(col("b_raw")).as("b_dist"),
+        Det.d6(when(col("b_raw") > 0,
+          (col("b_raw") - col("a_raw")) / col("b_raw"))
+          .otherwise(lit(0.0))).as("sil"))
+      .orderBy("vec_id")
   }
 
   /** Ext — LABEL-STRUCTURE diagnostic: nearest-centroid
@@ -1282,5 +1356,6 @@ object VectorOps {
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
       qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans,
-      qAnnRecall, qLabelConfusion, qSplitLeakage, qDiverseSample, qPqRecall)
+      qAnnRecall, qLabelConfusion, qSplitLeakage, qDiverseSample, qPqRecall,
+      qSilhouette)
 }

@@ -1017,6 +1017,67 @@ object ScaleSmoke {
       }
     }
 
+    // BPE merge-chain scaling: the q_bpe_train round algebra on a
+    // 1M-word synthetic vocabulary (corpus-independent — the chain
+    // only ever sees the word-frequency table, so this IS the 100-TB
+    // regime where vocab ≪ corpus). Words are 8-char base-20 codes →
+    // ~8M symbol occurrences per round pass; asserts the argmax is
+    // exact and each round strictly shrinks total symbol mass by the
+    // winning pair count (the BPE conservation law: every merged
+    // occurrence removes exactly one symbol).
+    {
+      val sep = "\u0001"
+      val sepd = sep + sep
+      val letters = array(('a' to 't').map(ch => lit(ch.toString)): _*)
+      val vocab1m = spark.range(1000000).select(
+        concat(lit(sepd), concat_ws(sepd, (0 until 8).map(i =>
+          element_at(letters,
+            (pmod(xxhash64(col("id") + lit(i * 7)), lit(20)) + 1)
+              .cast("int"))): _*), lit(sepd)).as("w"),
+        (pmod(xxhash64(col("id") + 99), lit(1000)) + 1).as("cnt"))
+        .localCheckpoint()
+      t("bpe merge chain on 1M-word vocab, 3 rounds") {
+        def mass(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(sum(size(filter(split(col("w"), sepd),
+            x => x =!= "")) * col("cnt"))).head().getLong(0)
+        var w = vocab1m
+        var m0 = mass(w)
+        val first = m0
+        for (_ <- 1 to 3) {
+          val syms = filter(split(col("w"), sepd), x => x =!= "")
+          val n1 = size(col("syms")) - 1
+          val best = w.select(syms.as("syms"), col("cnt"))
+            .select(explode(zip_with(
+              slice(col("syms"), lit(1), n1), slice(col("syms"), lit(2), n1),
+              (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("cnt"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+          val bestRow = best.head()
+          val (bl, br, c) = (bestRow.getString(0), bestRow.getString(1),
+            bestRow.getLong(2))
+          w = w.crossJoin(broadcast(best.select(col("l"), col("r"))))
+            .select(org.apache.spark.sql.functions.replace(col("w"),
+              concat(lit(sep), col("l"), lit(sepd), col("r"), lit(sep)),
+              concat(lit(sep), col("l"), col("r"), lit(sep))).as("w"),
+              col("cnt")).localCheckpoint()
+          val m1 = mass(w)
+          // conservation: each merge removes one symbol. For l != r,
+          // occurrences can't overlap → mass drops by EXACTLY the
+          // pair count; for l == r, a run of length m counts m-1
+          // pairs but merges floor(m/2) times → drop in [c/2, c].
+          val removed = m0 - m1
+          if (bl != br)
+            assert(removed == c, s"mass $m0 - $c != $m1 for ($bl,$br)")
+          else
+            assert(removed >= (c + 1) / 2 && removed <= c,
+              s"self-pair ($bl,$bl): removed $removed outside [${(c + 1) / 2}, $c]")
+          m0 = m1
+        }
+        s"symbol mass $first -> $m0 over 3 rounds (conservation exact)"
+      }
+    }
+
     spark.stop()
   }
 }

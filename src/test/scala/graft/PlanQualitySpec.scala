@@ -481,4 +481,14 @@ class PlanQualitySpec extends SpecBase {
     // one range-partition exchange for the output sort, nothing else
     assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
   }
+
+  test("q_silhouette: scoring pass is map-only like the kmeans assignment") {
+    val df = VectorOps.qSilhouette.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"),
+      s"silhouette scoring must not join centroids:\n$plan")
+    assert(plan.contains("dot_fold"),
+      "distances must use the codegen'd dot kernel")
+    assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
+  }
 }
