@@ -532,8 +532,13 @@ object VectorOps {
     * integer millionths, so partial-merge order cannot move a cell;
     * finish performs the oracle's identical decimal→double cast.
     * The oracle pays the honest 4096× unnest price. */
-  val qEmbedGram: QuerySpec = {
-    val d = 64
+  private val gramD = 64
+
+  /** Full mirrored d×d Gram relation (i, j, gram), unordered — the
+    * Scala engine side of q_embed_gram, shared with q_pca_power.
+    * One typed-Aggregator corpus pass; see [[qEmbedGram]] docs. */
+  private def gramFull(s: SparkSession, dir: String): DataFrame = {
+    val d = gramD
     // Symmetry: only the d(d+1)/2 upper-triangle terms are computed
     // and aggregated (the snap is the per-row cost; XᵀX is symmetric,
     // so paying it twice is pure waste) — the lower triangle is
@@ -542,6 +547,33 @@ object VectorOps {
     // (i, j), identically at plan-build time and in the output join.
     val tri: Array[Long] =
       (for (i <- 0 until d; j <- i until d) yield (i * d + j).toLong).toArray
+    // raw vector straight into the typed Aggregator — products,
+    // d6 snap and accumulation are one codegen-free-but-JVM-tight
+    // loop per row (see GramUpperTri: the former Catalyst
+    // transform(filter(sequence)) shape evaluated interpreted at
+    // ~1 µs/element and dominated the query's runtime)
+    val gramSum = udaf(new graft.functions.Aggregators.GramUpperTri(d))
+    val upper = LsdDb.table(s, dir, "embeddings")
+      .select(col("embedding").as("v"))
+      // spread rows across cores before the O(d²)-per-row reduce: the
+      // corpus parquet is one split locally, which would serialize the
+      // whole Gram pass on one thread; the partials merge as fixed
+      // O(d²) vectors, so the tiny round-robin shuffle buys full
+      // parallelism (at cluster scale input arrives pre-split and
+      // this is a no-op-sized exchange)
+      .repartition(s.sparkContext.defaultParallelism)
+      .agg(gramSum(col("v")).as("g"))
+      .select(posexplode(col("g")).as(Seq("p", "gram")))
+      .select(element_at(lit(tri), col("p").cast("int") + 1).as("k"),
+        col("gram"))
+      .select((col("k") / d).cast("int").as("i"),
+        pmod(col("k"), lit(d)).cast("int").as("j"), col("gram"))
+    upper.unionAll(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("gram")))
+  }
+
+  val qEmbedGram: QuerySpec = {
+    val d = gramD
     QuerySpec(
       "q_embed_gram",
       s"""WITH e AS (SELECT embedding AS v FROM embeddings),
@@ -553,31 +585,91 @@ object VectorOps {
          |SELECT CAST(k // $d AS INT) AS i, CAST(k % $d AS INT) AS j,
          |  ${D.dsum("term")} AS gram
          |FROM t GROUP BY k ORDER BY i, j""".stripMargin) { (s, dir) =>
-      // raw vector straight into the typed Aggregator — products,
-      // d6 snap and accumulation are one codegen-free-but-JVM-tight
-      // loop per row (see GramUpperTri: the former Catalyst
-      // transform(filter(sequence)) shape evaluated interpreted at
-      // ~1 µs/element and dominated the query's runtime)
-      val gramSum = udaf(new graft.functions.Aggregators.GramUpperTri(d))
-      val upper = LsdDb.table(s, dir, "embeddings")
-        .select(col("embedding").as("v"))
-        // spread rows across cores before the O(d²)-per-row reduce: the
-        // corpus parquet is one split locally, which would serialize the
-        // whole Gram pass on one thread; the partials merge as fixed
-        // O(d²) vectors, so the tiny round-robin shuffle buys full
-        // parallelism (at cluster scale input arrives pre-split and
-        // this is a no-op-sized exchange)
-        .repartition(s.sparkContext.defaultParallelism)
-        .agg(gramSum(col("v")).as("g"))
-        .select(posexplode(col("g")).as(Seq("p", "gram")))
-        .select(element_at(lit(tri), col("p").cast("int") + 1).as("k"),
-          col("gram"))
-        .select((col("k") / d).cast("int").as("i"),
-          pmod(col("k"), lit(d)).cast("int").as("j"), col("gram"))
-      upper.unionAll(upper.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("gram")))
-        .orderBy("i", "j")
+      gramFull(s, dir).orderBy("i", "j")
     }
+  }
+
+  private val pcaIters = 6
+
+  /** Ext — PCA VIA POWER ITERATION (q_pca_power): dominant principal
+    * direction of the embedding corpus from the (uncentered) Gram
+    * matrix G = XᵀX, then a map-only projection of every vector onto
+    * it — the dimensionality-reduction primitive (visualization,
+    * whitening, spectral dedup) of an embedding pipeline.
+    *
+    * Algorithm (classic power method, fixed [[pcaIters]] rounds from
+    * the all-ones start): u ← G·v; v ← u / ‖u‖. All corpus-scale work
+    * is the ONE Gram pass (shared [[gramFull]], O(d²) aggregator
+    * state, zero row blowup); every iteration is d²-sized (4096 rows)
+    * — constant cost at any corpus size, the pagerank idiom with a
+    * localCheckpoint truncating lineage above the rounds. The final
+    * projection collects the d-vector (bounded O(d) driver state, the
+    * kmeans-centroid pattern) and constant-folds it into a codegen'd
+    * sequential dot — map-only, no shuffle, one FileScan.
+    *
+    * Determinism: G is the d6-snapped decimal-exact Gram (hash-green
+    * in q_embed_gram); each matvec sums gram·x products through
+    * DECIMAL(38,8) (order-independent, [[Det.dsumProd]] semantics);
+    * the normalized components are d6-snapped per round; the final
+    * dot is the sequential left-to-right fold both engines share
+    * (VectorKernels.dot ≡ DuckDB list_reduce). Sign is pinned by the
+    * deterministic all-ones start. */
+  val qPcaPower: QuerySpec = QuerySpec(
+    "q_pca_power", {
+      val d = gramD
+      val sb = new StringBuilder(
+        s"""$vvCte,
+           |ks AS (SELECT unnest(range(0, ${d * d})) AS k),
+           |gt AS (SELECT ks.k, ${D.d6(
+              s"vv[ks.k // $d + 1] * vv[ks.k % $d + 1]")} AS term
+           |  FROM n CROSS JOIN ks),
+           |g AS (SELECT CAST(k // $d AS INT) AS i, CAST(k % $d AS INT) AS j,
+           |  ${D.dsum("term")} AS gram FROM gt GROUP BY k),
+           |pv0 AS (SELECT CAST(unnest(range(0, $d)) AS INT) AS j,
+           |  1.0 AS x)""".stripMargin)
+      for (r <- 1 to pcaIters) {
+        sb ++= s""",
+           |pu$r AS (SELECT g.i AS j,
+           |    CAST(sum(CAST(g.gram * v.x AS DECIMAL(38,8))) AS DOUBLE) AS x
+           |  FROM g JOIN pv${r - 1} v ON g.j = v.j GROUP BY g.i),
+           |pn$r AS (SELECT sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,8)))
+           |    AS DOUBLE)) AS nm FROM pu$r),
+           |pv$r AS (SELECT j, ${D.d6("u.x / nr.nm")} AS x
+           |  FROM pu$r u CROSS JOIN pn$r nr)""".stripMargin
+      }
+      sb ++= s"""
+         |SELECT n.vec_id, ${D.d6(
+            "list_reduce(list_transform(list_zip(n.vv, pl.pv), " +
+              "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), " +
+              "(a, b) -> a + b)")} AS pc1
+         |FROM n CROSS JOIN
+         |  (SELECT list(x ORDER BY j) AS pv FROM pv$pcaIters) pl
+         |ORDER BY n.vec_id""".stripMargin
+      sb.toString
+    }) { (s, dir) =>
+    val g = gramFull(s, dir).localCheckpoint()
+    var v: DataFrame = s.range(gramD)
+      .select(col("id").cast("int").as("j"), lit(1.0).as("x"))
+    for (_ <- 1 to pcaIters) {
+      val u = g.join(broadcast(v), "j")
+        .groupBy(col("i"))
+        .agg(sum((col("gram") * col("x")).cast(Det.M38))
+          .cast(DoubleType).as("x"))
+        .select(col("i").as("j"), col("x"))
+      val nm = u.agg(sqrt(sum((col("x") * col("x")).cast(Det.M38))
+        .cast(DoubleType)).as("nm"))
+      v = u.crossJoin(broadcast(nm))
+        .select(col("j"), Det.d6(col("x") / col("nm")).as("x"))
+    }
+    // bounded O(d) driver collect (kmeans-centroid pattern): the
+    // eigenvector becomes a foldable literal array, so the projection
+    // pass is map-only whole-stage codegen over the corpus scan
+    val pv = v.orderBy("j").collect().map(_.getDouble(1))
+    LsdDb.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        Det.d6(VectorKernels.dot(col("embedding"),
+          array(pv.toSeq.map(lit): _*))).as("pc1"))
+      .orderBy("vec_id")
   }
 
   /** PQ geometry: 64-dim vectors cut into [[pqM]] subspaces of
@@ -1357,5 +1449,5 @@ object VectorOps {
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
       qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans,
       qAnnRecall, qLabelConfusion, qSplitLeakage, qDiverseSample, qPqRecall,
-      qSilhouette)
+      qSilhouette, qPcaPower)
 }

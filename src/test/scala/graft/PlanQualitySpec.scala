@@ -491,4 +491,20 @@ class PlanQualitySpec extends SpecBase {
       "distances must use the codegen'd dot kernel")
     assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
   }
+
+  test("q_pca_power: projection pass is map-only over one corpus scan") {
+    // the Gram pass + d²-sized iterations run eagerly at build time
+    // (bounded O(d) collect); the RETURNED plan must be just
+    // scan → constant-folded dot → output sort
+    val df = VectorOps.qPcaPower.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"expected exactly 1 FileScan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"projection must not join the eigenvector:\n$plan")
+    assert(plan.contains("dot_fold"),
+      "projection must use the codegen'd dot kernel")
+    // one range-partition exchange for the output sort, nothing else
+    assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
+  }
 }

@@ -30,4 +30,25 @@ class VectorOpsSpec extends SpecBase {
     assert(scores.max > scores.min + 0.01 && scores.max > 0.05,
       s"degenerate silhouette range [${scores.min}, ${scores.max}]")
   }
+
+  test("pca_power captures more second moment than any coordinate axis") {
+    // Rayleigh optimality proxy: after the power rounds, the energy
+    // of the PC1 projection Σ(x·v)² must dominate the best single
+    // axis Σx_j² = G_jj (the trivial competitor a broken iteration
+    // would lose to), and be bounded by the total trace.
+    val proj = VectorOps.qPcaPower.fn(spark, sfDir)
+      .as[(Long, Double)].collect()
+    val gram = VectorOps.qEmbedGram.fn(spark, sfDir)
+      .as[(Int, Int, Double)].collect()
+    val diag = gram.collect { case (i, j, g) if i == j => g }
+    val trace = diag.sum
+    val energy = proj.map(p => p._2 * p._2).sum
+    assert(energy >= diag.max * 0.999,
+      s"PC1 energy $energy below best axis ${diag.max}")
+    assert(energy <= trace * 1.001,
+      s"PC1 energy $energy exceeds trace $trace")
+    // and the direction is genuinely mixed, not a unit axis
+    assert(proj.map(_._2).distinct.length > 100,
+      "projection collapsed to few distinct values")
+  }
 }
