@@ -6,7 +6,7 @@ import graft.functions.{Det => D}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** North-star extension, round 5 — the remaining operations a
   * large-scale LLM-training-data pipeline runs between raw crawl and
@@ -1966,7 +1966,440 @@ object PipelineOps {
       .limit(50)
   }
 
+  private val lrIters = 24
+  private val lrEta = 2.0
+  private val lrFeats = Seq("f1", "f2", "f3", "f4")
+
+  /** The four surface features of the trainable-classifier family —
+    * ONE definition (SQL text + Column twins, the SyntheticUrls
+    * discipline) shared by q_logreg / q_feature_auc. All d6-snapped
+    * ratios of integer counts, so both engines carry identical
+    * doubles on a bounded grid. */
+  private val lrFeatSqls: Seq[(String, String)] = {
+    val d6 = D.sql.d6 _
+    Seq(
+      "f1" -> d6(s"least(CAST(len($wordsSql) AS DOUBLE) / 50.0, 1.0)"),
+      "f2" -> d6(s"CAST(len($wordSetSql) AS DOUBLE) / len($wordsSql)"),
+      "f3" -> d6(s"CAST(len(list_filter($wordsSql," +
+        " w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
+        s" / len($wordsSql)"),
+      "f4" -> d6(s"CAST(length(text) AS DOUBLE) / len($wordsSql) / 10.0"))
+  }
+  private def lrFeatCols: Seq[(String, Column)] = {
+    val w = words(col("text"))
+    val nw = size(w)
+    Seq(
+      "f1" -> Det.d6(least(nw.cast(DoubleType) / 50.0, lit(1.0))),
+      "f2" -> Det.d6(size(wordSet(col("text"))).cast(DoubleType) / nw),
+      "f3" -> Det.d6(size(filter(w, x =>
+        x.isin("the", "a", "of", "and", "in"))).cast(DoubleType) / nw),
+      "f4" -> Det.d6(length(col("text")).cast(DoubleType) / nw / 10.0))
+  }
+
+  /** Ext — TRAINABLE QUALITY/LANG CLASSIFIER (q_logreg): batch
+    * gradient-descent logistic regression predicting `lang = 'en'`
+    * from surface features — the fastText-style filter-model training
+    * loop (Joulin et al. 2016, public) every curation pipeline runs,
+    * reduced to its distributed-GD essence.
+    *
+    * Features (all d6-snapped ratios of integer counts): length cap
+    * f1 = min(n_words/50, 1), distinct-word ratio f2, English
+    * stopword ratio f3 (the informative one), chars-per-word/10 f4;
+    * bias w0. [[lrIters]] full-batch rounds from w = 0 with
+    * η = [[lrEta]]: w ← d6(w + η·Σ(y−p)·x / n).
+    *
+    * 100-TB shape: the feature relation is extracted in ONE corpus
+    * pass and localCheckpointed (it is the N×d matrix a training
+    * pipeline materializes anyway); each GD round is a map-side
+    * partial agg with O(d) state — k rounds of the canonical
+    * distributed full-batch GD, nothing corpus-sized ever shuffles.
+    * The final weights collect as bounded O(d) driver state and
+    * constant-fold into a MAP-ONLY scoring pass (one FileScan, the
+    * kmeans/pca pattern).
+    *
+    * Determinism: z is a mul-add chain → d6-snapped before exp (Det
+    * FMA rule); p = d6(sigmoid) stabilizes the transcendental;
+    * gradient sums go through DECIMAL(38,8) (order-independent);
+    * each weight is d6-snapped per round. Oracle = unrolled CTE
+    * chain of the identical arithmetic. */
+  val qLogreg: QuerySpec = QuerySpec(
+    "q_logreg", {
+      val d6 = D.sql.d6 _
+      val featSql =
+        s"""lfeat AS (SELECT doc_id,
+           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           |    ${lrFeatSqls.map { case (n, e) => s"$e AS $n" }
+              .mkString(",\n    ")}
+           |  FROM documents WHERE len($wordsSql) > 0)""".stripMargin
+      def zSql(w: String, f: String): String = d6(
+        s"$w.w0 + $w.w1 * $f.f1 + $w.w2 * $f.f2" +
+          s" + $w.w3 * $f.f3 + $w.w4 * $f.f4")
+      def pSql(w: String, f: String): String =
+        d6(s"1.0 / (1.0 + exp(-(${zSql(w, f)})))")
+      val sb = new StringBuilder(
+        s"""WITH $featSql,
+           |lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+           |  0.0 AS w3, 0.0 AS w4)""".stripMargin)
+      // Every CTE is referenced EXACTLY ONCE (weights ride along in
+      // lp$r; gradient + update fold into one agg) — a w-chain
+      // referenced twice per round inlines 2^k ways under DuckDB's
+      // CTE expansion and exhausts file handles at k=24.
+      for (r <- 1 to lrIters) {
+        val xs = "1.0" +: lrFeats.map(f => s"f.$f")
+        sb ++= s""",
+           |lp$r AS (SELECT f.y, f.f1, f.f2, f.f3, f.f4,
+           |    w.w0, w.w1, w.w2, w.w3, w.w4,
+           |    ${pSql("w", "f")} AS p
+           |  FROM lfeat f CROSS JOIN lw${r - 1} w),
+           |lw$r AS (SELECT${xs.zipWithIndex.map { case (x, i) =>
+              s"\n    ${d6(s"min(f.w$i) + $lrEta" +
+                s" * CAST(sum(CAST((f.y - f.p) * $x AS DECIMAL(38,8)))" +
+                " AS DOUBLE) / count(*)")} AS w$i" }.mkString(",")}
+           |  FROM lp$r f)""".stripMargin
+      }
+      sb ++= s"""
+         |SELECT f.doc_id, ${pSql("w", "f")} AS score,
+         |  CASE WHEN ${pSql("w", "f")} >= 0.5 THEN 1 ELSE 0 END AS pred,
+         |  f.y AS label
+         |FROM lfeat f CROSS JOIN lw$lrIters w
+         |ORDER BY f.doc_id""".stripMargin
+      sb.toString
+    }) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val feat = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("doc_id") +:
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y") +:
+        lrFeatCols.map { case (n, c) => c.as(n) }: _*)
+      .localCheckpoint()
+    def zCol(ws: Seq[Double]): Column = Det.d6(
+      lit(ws(0)) + lit(ws(1)) * col("f1") + lit(ws(2)) * col("f2") +
+        lit(ws(3)) * col("f3") + lit(ws(4)) * col("f4"))
+    def pCol(ws: Seq[Double]): Column =
+      Det.d6(lit(1.0) / (lit(1.0) + exp(-zCol(ws))))
+    // the GD rounds run eagerly: each is one O(d)-state agg over the
+    // checkpointed features, weights are bounded O(d) driver values
+    var ws: Seq[Double] = Seq.fill(5)(0.0)
+    for (_ <- 1 to lrIters) {
+      val gradTerms = lit(1.0) +: lrFeats.map(col)
+      val g = feat.withColumn("p", pCol(ws))
+        .agg(count(lit(1)).as("n"),
+          gradTerms.zipWithIndex.map { case (x, i) =>
+            sum(((col("y") - col("p")) * x).cast(Det.M38))
+              .cast(DoubleType).as(s"g$i") }: _*)
+        .head()
+      val n = g.getLong(0)
+      // driver twin of the oracle's d6(w + eta*g/n): identical IEEE
+      // mul/div/add chain (division blocks FMA contraction), then the
+      // exact SnapDecimal6 snap both engines share
+      ws = ws.zipWithIndex.map { case (wv, i) =>
+        graft.functions.SnapDecimal6.snap(wv + lrEta * g.getDouble(i + 1) / n) }
+    }
+    feat.select(col("doc_id"), pCol(ws).as("score"),
+      when(pCol(ws) >= 0.5, 1).otherwise(0).as("pred"),
+      col("y").as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared heuristic quality score for the model-eval family
+    * (q_auc / q_calibration): the q_token_budget composite
+    * (0.4·length-cap + 0.3·distinct-ratio + 0.3·stopword-ratio),
+    * d6-SNAPPED so (a) both engines group on identical values and
+    * (b) the score's value domain is bounded (≤1e6+1 distinct grid
+    * points on [0,1]) — the value-domain compression every
+    * rank-based audit below relies on. ONE definition, SQL text and
+    * Column twin (the SyntheticUrls discipline). */
+  private val qualScoreSql: String = D.sql.d6(
+    s"""(0.4 * least(CAST(len($wordsSql) AS DOUBLE) / 50.0, 1.0))
+       |    + (0.3 * (CAST(len($wordSetSql) AS DOUBLE) / len($wordsSql)))
+       |    + (0.3 * (CAST(len(list_filter($wordsSql,
+       |          w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+       |        / len($wordsSql)))""".stripMargin)
+  private def qualScore: Column = {
+    val w = words(col("text"))
+    val stop = size(filter(w, x => x.isin("the", "a", "of", "and", "in")))
+    Det.d6(
+      (lit(0.4) * least(size(w).cast(DoubleType) / 50.0, lit(1.0))) +
+        (lit(0.3) * (size(wordSet(col("text"))).cast(DoubleType)
+          / size(w))) +
+        (lit(0.3) * (stop.cast(DoubleType) / size(w))))
+  }
+
+  /** Ext — MODEL EVALUATION, ranking: exact ROC AUC of the heuristic
+    * quality score predicting `lang = 'en'` (the Mann-Whitney
+    * rank-sum identity, tie-corrected). The audit a filter-model
+    * pipeline runs before trusting any scorer: "does this score
+    * actually rank English above non-English?"
+    *
+    * 100-TB shape: the naive form ranks the CORPUS (a global sort).
+    * This form is VALUE-DOMAIN: group by the d6-snapped score
+    * (map-side partial, ≤1e6+1 grid points on [0,1]), then one
+    * window + one agg over that bounded relation — the corpus is
+    * touched in exactly ONE map-only pass regardless of N.
+    *
+    * Determinism: per-score pos/neg are exact BIGINTs; the
+    * tie-corrected numerator Σ pos·(2·cum_neg_below + neg) stays in
+    * INTEGER arithmetic (DECIMAL(38,0) sums — at 1e12 docs the
+    * product tops 1e24, past BIGINT), so AUC is ONE double division
+    * of two exact integers, d6-snapped. AUC 0.5 exactly = chance;
+    * gini = 2·AUC − 1 derives from the snapped value. */
+  val qAuc: QuerySpec = QuerySpec(
+    "q_auc",
+    s"""WITH q AS (SELECT
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    $qualScoreSql AS score
+       |  FROM documents WHERE len($wordsSql) > 0),
+       |s AS (SELECT score,
+       |    CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS pos,
+       |    CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS neg
+       |  FROM q GROUP BY score),
+       |r AS (SELECT pos, neg,
+       |    coalesce(sum(neg) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cum_neg
+       |  FROM s),
+       |a AS (SELECT
+       |    ${D.sql.d6("CAST(sum(CAST(pos AS DECIMAL(19,0))" +
+         " * CAST(2 * cum_neg + neg AS DECIMAL(19,0))) AS DOUBLE)" +
+         " / ((2.0 *" +
+         " CAST(sum(pos) AS DOUBLE)) * CAST(sum(neg) AS DOUBLE))")}
+       |      AS auc,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg) AS BIGINT) AS n_neg,
+       |    CAST(count(*) AS BIGINT) AS n_scores
+       |  FROM r)
+       |SELECT auc, ${D.sql.d6("2.0 * auc - 1.0")} AS gini,
+       |  n_pos, n_neg, n_scores FROM a""".stripMargin) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val q = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        qualScore.as("score"))
+      .groupBy("score")
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val wBelow = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val a = q
+      .withColumn("cum_neg", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      .agg(
+        Det.d6(sum(col("pos").cast(DecimalType(19, 0)) *
+          (lit(2L) * col("cum_neg") + col("neg")).cast(DecimalType(19, 0)))
+          .cast(DoubleType) /
+          ((lit(2.0) * sum(col("pos")).cast(DoubleType)) *
+            sum(col("neg")).cast(DoubleType))).as("auc"),
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"))
+    a.select(col("auc"), Det.d6(lit(2.0) * col("auc") - 1.0).as("gini"),
+      col("n_pos"), col("n_neg"), col("n_scores"))
+  }
+
+  /** Ext — MODEL EVALUATION, calibration: the reliability table of
+    * the heuristic quality score read as P(lang = 'en') — 10
+    * equal-width score bins, each reporting exact population, mean
+    * predicted score, and empirical positive rate; `gap` is the
+    * per-bin calibration error (the ECE integrand). Honest finding
+    * baked into the spec: the heuristic is NOT calibrated — which is
+    * exactly what this audit exists to reveal before a score is used
+    * as a sampling probability.
+    *
+    * 100-TB shape: one map-only corpus pass into a 10-row groupBy
+    * (map-side partial, O(bins) state) — the q_token_budget shape.
+    * Determinism: populations are exact BIGINTs; mean score goes
+    * through the DECIMAL(18,8) order-independent sum; both reported
+    * ratios d6-snap, and `gap` derives from the two SNAPPED values
+    * so it cannot straddle a grid midpoint differently per engine. */
+  val qCalibration: QuerySpec = QuerySpec(
+    "q_calibration",
+    s"""WITH q AS (SELECT
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    $qualScoreSql AS score
+       |  FROM documents WHERE len($wordsSql) > 0),
+       |b AS (SELECT
+       |    least(greatest(CAST(floor(score * 10) AS BIGINT), 0), 9)
+       |      AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    ${D.sql.d6(D.sql.dsum("score") + " / count(*)")} AS mean_score,
+       |    ${D.sql.d6("CAST(sum(y) AS DOUBLE) / count(*)")} AS frac_pos
+       |  FROM q GROUP BY 1)
+       |SELECT bin, n, n_pos, mean_score, frac_pos,
+       |  ${D.sql.d6("abs(mean_score - frac_pos)")} AS gap
+       |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val b = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        qualScore.as("score"))
+      .groupBy(least(greatest(floor(col("score") * 10).cast(LongType),
+        lit(0L)), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        Det.d6(Det.dsum(col("score")) / count(lit(1))).as("mean_score"),
+        Det.d6(sum(col("y")).cast(DoubleType) / count(lit(1)))
+          .as("frac_pos"))
+    b.select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+      col("frac_pos"),
+      Det.d6(abs(col("mean_score") - col("frac_pos"))).as("gap"))
+      .orderBy("bin")
+  }
+
+  /** Ext — MODEL EVALUATION, thresholded: the binary confusion
+    * matrix plus the derived scores (accuracy / precision / recall /
+    * F1 / MCC) of "quality score ≥ 0.5 predicts lang = 'en'". The
+    * third leg of the eval family: q_auc grades the RANKING,
+    * q_calibration the PROBABILITIES, this the DECISIONS at the
+    * operating point.
+    *
+    * 100-TB shape: one map-only corpus pass into a single O(1)-state
+    * agg (four FILTER'd counts) — nothing shuffles but four longs.
+    * Determinism: cells are exact BIGINTs; every derived ratio is
+    * ONE double division of exact integers (fixed parenthesization),
+    * d6-snapped; F1 derives from the SNAPPED precision/recall; MCC's
+    * products run in DOUBLE (at 1e12 docs tp·tn tops 1e24 — past
+    * BIGINT, and exactness is irrelevant under the d6 snap); empty
+    * margins report 0.0 via integer-compared guards. */
+  val qConfusion: QuerySpec = QuerySpec(
+    "q_confusion", {
+      val mccNum = "(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE))" +
+        " - (CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+      val mccDen = "sqrt(((CAST(tp AS DOUBLE) + fp)" +
+        " * (CAST(tp AS DOUBLE) + fn))" +
+        " * ((CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)))"
+      s"""WITH q AS (SELECT
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN $qualScoreSql >= 0.5 THEN 1 ELSE 0 END AS pred
+         |  FROM documents WHERE len($wordsSql) > 0),
+         |c AS (SELECT
+         |    CAST(count(*) FILTER (WHERE pred = 1 AND y = 1) AS BIGINT)
+         |      AS tp,
+         |    CAST(count(*) FILTER (WHERE pred = 1 AND y = 0) AS BIGINT)
+         |      AS fp,
+         |    CAST(count(*) FILTER (WHERE pred = 0 AND y = 0) AS BIGINT)
+         |      AS tn,
+         |    CAST(count(*) FILTER (WHERE pred = 0 AND y = 1) AS BIGINT)
+         |      AS fn
+         |  FROM q),
+         |m AS (SELECT tp, fp, tn, fn,
+         |    ${D.sql.d6("(CAST(tp AS DOUBLE) + tn)" +
+           " / (((tp + fp) + tn) + fn)")} AS acc,
+         |    CASE WHEN tp + fp > 0 THEN
+         |      ${D.sql.d6("CAST(tp AS DOUBLE) / (tp + fp)")}
+         |      ELSE 0.0 END AS prec,
+         |    CASE WHEN tp + fn > 0 THEN
+         |      ${D.sql.d6("CAST(tp AS DOUBLE) / (tp + fn)")}
+         |      ELSE 0.0 END AS rec,
+         |    CASE WHEN tp + fp > 0 AND tp + fn > 0
+         |        AND tn + fp > 0 AND tn + fn > 0 THEN
+         |      ${D.sql.d6(s"($mccNum) / ($mccDen)")}
+         |      ELSE 0.0 END AS mcc
+         |  FROM c)
+         |SELECT tp, fp, tn, fn, acc, prec, rec,
+         |  CASE WHEN prec + rec > 0.0 THEN
+         |    ${D.sql.d6("(2.0 * prec * rec) / (prec + rec)")}
+         |    ELSE 0.0 END AS f1_score,
+         |  mcc FROM m""".stripMargin
+    }) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val c = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(when(col("lang") === "en", 1).otherwise(0).as("y"),
+        when(qualScore >= 0.5, 1).otherwise(0).as("pred"))
+      .agg(
+        count(when(col("pred") === 1 && col("y") === 1, 1)).as("tp"),
+        count(when(col("pred") === 1 && col("y") === 0, 1)).as("fp"),
+        count(when(col("pred") === 0 && col("y") === 0, 1)).as("tn"),
+        count(when(col("pred") === 0 && col("y") === 1, 1)).as("fn"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val tp = col("tp"); val fp = col("fp")
+    val tn = col("tn"); val fn = col("fn")
+    val m = c.select(tp, fp, tn, fn,
+      Det.d6((d(tp) + tn) / (((tp + fp) + tn) + fn)).as("acc"),
+      when(tp + fp > 0, Det.d6(d(tp) / (tp + fp)))
+        .otherwise(0.0).as("prec"),
+      when(tp + fn > 0, Det.d6(d(tp) / (tp + fn)))
+        .otherwise(0.0).as("rec"),
+      when(tp + fp > 0 && tp + fn > 0 && tn + fp > 0 && tn + fn > 0,
+        Det.d6(((d(tp) * d(tn)) - (d(fp) * d(fn))) /
+          sqrt(((d(tp) + fp) * (d(tp) + fn)) *
+            ((d(tn) + fp) * (d(tn) + fn)))))
+        .otherwise(0.0).as("mcc"))
+    m.select(tp, fp, tn, fn, col("acc"), col("prec"), col("rec"),
+      when(col("prec") + col("rec") > 0.0,
+        Det.d6((lit(2.0) * col("prec") * col("rec")) /
+          (col("prec") + col("rec"))))
+        .otherwise(0.0).as("f1_score"),
+      col("mcc"))
+  }
+
+  /** Ext — FEATURE-IMPORTANCE audit (q_feature_auc): per-feature ROC
+    * AUC — each of the classifier family's four surface features
+    * scored standalone as a ranker of `lang = 'en'`. The screening
+    * report a pipeline reads BEFORE training: which columns carry
+    * signal (|gini| ≫ 0) and which are noise. Shares the feature
+    * definitions with q_logreg ([[lrFeatSqls]]/[[lrFeatCols]] — one
+    * definition) and the value-domain AUC algebra with [[qAuc]].
+    *
+    * 100-TB shape: ONE corpus pass explodes each doc into d=4
+    * (feature, score) rows — map-only, fan-out is the constant d —
+    * then the value-domain compression: group by (feat, score)
+    * (map-side partial, ≤ d·1e6 grid points), per-feat window +
+    * final agg over that bounded relation. The corpus never sorts,
+    * and adding a feature costs one array element, not a pass. */
+  val qFeatureAuc: QuerySpec = QuerySpec(
+    "q_feature_auc",
+    s"""WITH q AS (SELECT u.f AS feat, u.s AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, unnest([${lrFeatSqls.map { case (n, e) =>
+         s"{'f': '$n', 's': $e}" }.mkString(",\n      ")}]) AS u
+       |    FROM documents WHERE len($wordsSql) > 0)),
+       |s AS (SELECT feat, score,
+       |    CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS pos,
+       |    CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS neg
+       |  FROM q GROUP BY feat, score),
+       |r AS (SELECT feat, pos, neg,
+       |    coalesce(sum(neg) OVER (PARTITION BY feat ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cum_neg
+       |  FROM s),
+       |a AS (SELECT feat,
+       |    ${D.sql.d6("CAST(sum(CAST(pos AS DECIMAL(19,0))" +
+         " * CAST(2 * cum_neg + neg AS DECIMAL(19,0))) AS DOUBLE)" +
+         " / ((2.0 *" +
+         " CAST(sum(pos) AS DOUBLE)) * CAST(sum(neg) AS DOUBLE))")}
+       |      AS auc,
+       |    CAST(count(*) AS BIGINT) AS n_scores
+       |  FROM r GROUP BY feat)
+       |SELECT feat, auc, ${D.sql.d6("2.0 * auc - 1.0")} AS gini,
+       |  n_scores FROM a ORDER BY feat""".stripMargin) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val q = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("lang"), explode(array(lrFeatCols.map { case (n, c) =>
+        struct(lit(n).as("f"), c.as("s")) }: _*)).as("u"))
+      .select(col("u.f").as("feat"), col("u.s").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("feat", "score")
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val wBelow = Window.partitionBy("feat").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val a = q
+      .withColumn("cum_neg", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      .groupBy("feat")
+      .agg(
+        Det.d6(sum(col("pos").cast(DecimalType(19, 0)) *
+          (lit(2L) * col("cum_neg") + col("neg")).cast(DecimalType(19, 0)))
+          .cast(DoubleType) /
+          ((lit(2.0) * sum(col("pos")).cast(DoubleType)) *
+            sum(col("neg")).cast(DoubleType))).as("auc"),
+        count(lit(1)).as("n_scores"))
+    a.select(col("feat"), col("auc"),
+      Det.d6(lit(2.0) * col("auc") - 1.0).as("gini"), col("n_scores"))
+      .orderBy("feat")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

@@ -492,6 +492,57 @@ class PlanQualitySpec extends SpecBase {
     assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
   }
 
+  test("q_logreg: scoring pass is map-only off the checkpointed features") {
+    // GD rounds run eagerly at build (O(d) collects); the returned
+    // plan is scan → constant-folded sigmoid → output sort
+    val df = PipelineOps.qLogreg.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"),
+      s"scoring must not join the weight row:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      "scoring must run off the checkpointed feature relation")
+    assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
+  }
+
+  test("q_auc: value-domain form — one corpus scan, no join") {
+    // corpus touched once (map-only into the score groupBy); the
+    // window + final agg run over the bounded distinct-score relation
+    val df = PipelineOps.qAuc.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"AUC must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+    assert(countShuffles(df) <= 3, s"too many shuffles:\n$plan")
+  }
+
+  test("q_calibration: one scan into an O(bins) agg") {
+    val df = PipelineOps.qCalibration.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"calibration must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+    assert(countShuffles(df) <= 2, // bin agg exchange + output sort
+      s"too many shuffles:\n$plan")
+  }
+
+  test("q_confusion: one scan into an O(1) agg, no join") {
+    val df = PipelineOps.qConfusion.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"confusion must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+    assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
+  }
+
+  test("q_feature_auc: one scan, d-way explode, value-domain AUC per feature") {
+    val df = PipelineOps.qFeatureAuc.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"feature AUC must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+    assert(countShuffles(df) <= 4, s"too many shuffles:\n$plan")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

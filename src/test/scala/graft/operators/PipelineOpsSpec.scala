@@ -181,6 +181,147 @@ class PipelineOpsSpec extends SpecBase {
     assert(dfMap.values.forall(_ >= 1))
   }
 
+  test("logreg training beats the p=0.5 baseline and scores are sane") {
+    val out = PipelineOps.qLogreg.fn(spark, sfDir)
+      .as[(Long, Double, Int, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, score, pred, label) =>
+      assert(score > 0.0 && score < 1.0, s"score $score out of (0,1)")
+      assert(pred == (if (score >= 0.5) 1 else 0))
+      assert(label == 0.0 || label == 1.0)
+    }
+    // 8 GD rounds must reduce mean log-loss below the untrained
+    // w=0 model (p=0.5 for every doc → loss = ln 2)
+    val logloss = out.map { case (_, p, _, y) =>
+      -(y * math.log(p) + (1 - y) * math.log(1 - p)) }.sum / out.length
+    assert(logloss < math.log(2.0) - 0.01,
+      s"training did not beat the 0.5 baseline: logloss $logloss")
+    // and the model genuinely separates: score spread is real
+    val scores = out.map(_._2)
+    assert(scores.max - scores.min > 0.05, "degenerate score range")
+  }
+
+  test("q_auc matches the brute-force pairwise AUC") {
+    // independent twin: recompute doc-level (score, y) in plain Scala
+    // (same formula, same left-assoc double chain, same d6 snap) and
+    // evaluate the Mann-Whitney definition over ALL pos×neg pairs
+    val rows = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
+          val raw = (0.4 * math.min(nw / 50.0, 1.0)) +
+            (0.3 * (w.distinct.length.toDouble / nw)) +
+            (0.3 * (stop / nw))
+          Some((graft.functions.SnapDecimal6.snap(raw), lang == "en"))
+        }
+      }
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = wins / (pos.length.toDouble * neg.length)
+    val got = PipelineOps.qAuc.fn(spark, sfDir)
+      .as[(Double, Double, Long, Long, Long)].head()
+    assert(got._3 == pos.length && got._4 == neg.length)
+    assert(math.abs(got._1 - expected) < 1e-6,
+      s"auc ${got._1} != brute $expected")
+    assert(math.abs(got._2 - (2.0 * got._1 - 1.0)) < 1e-6)
+    assert(got._5 > 1, "degenerate score domain")
+  }
+
+  test("q_confusion matches brute-force cells and derived scores") {
+    val rows = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
+          val raw = (0.4 * math.min(nw / 50.0, 1.0)) +
+            (0.3 * (w.distinct.length.toDouble / nw)) +
+            (0.3 * (stop / nw))
+          Some((graft.functions.SnapDecimal6.snap(raw) >= 0.5, lang == "en"))
+        }
+      }
+    val tp = rows.count(r => r._1 && r._2).toLong
+    val fp = rows.count(r => r._1 && !r._2).toLong
+    val tn = rows.count(r => !r._1 && !r._2).toLong
+    val fn = rows.count(r => !r._1 && r._2).toLong
+    val got = PipelineOps.qConfusion.fn(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Double)]
+      .head()
+    assert((got._1, got._2, got._3, got._4) == ((tp, fp, tn, fn)))
+    val n = (tp + fp + tn + fn).toDouble
+    assert(math.abs(got._5 - (tp + tn) / n) < 1e-6)
+    if (tp + fp > 0) assert(math.abs(got._6 - tp.toDouble / (tp + fp)) < 1e-6)
+    if (tp + fn > 0) assert(math.abs(got._7 - tp.toDouble / (tp + fn)) < 1e-6)
+    if (got._6 + got._7 > 0)
+      assert(math.abs(got._8 -
+        2.0 * got._6 * got._7 / (got._6 + got._7)) < 1e-6)
+    assert(got._9 >= -1.0 - 1e-9 && got._9 <= 1.0 + 1e-9)
+  }
+
+  test("q_feature_auc: per-feature AUCs match brute force; f3 carries signal") {
+    val feats = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val snap = graft.functions.SnapDecimal6.snap _
+          Some((Map(
+            "f1" -> snap(math.min(nw / 50.0, 1.0)),
+            "f2" -> snap(w.distinct.length.toDouble / nw),
+            "f3" -> snap(
+              w.count(Set("the", "a", "of", "and", "in")).toDouble / nw),
+            "f4" -> snap(text.length.toDouble / nw / 10.0)),
+            lang == "en"))
+        }
+      }
+    val got = PipelineOps.qFeatureAuc.fn(spark, sfDir)
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got.keySet == Set("f1", "f2", "f3", "f4"))
+    for (f <- got.keySet) {
+      val pos = feats.filter(_._2).map(_._1(f))
+      val neg = feats.filterNot(_._2).map(_._1(f))
+      val wins = (for (p <- pos; n <- neg) yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val expected = wins / (pos.length.toDouble * neg.length)
+      assert(math.abs(got(f) - expected) < 1e-6,
+        s"$f: auc ${got(f)} != brute $expected")
+    }
+    // at least one feature must carry real ranking signal — in
+    // EITHER direction (honest finding: on the synthetic corpus the
+    // stopword ratio ranks en BELOW non-en, AUC ~0.44 at sf0.001 —
+    // an inverted but real signal, which is exactly what this audit
+    // exists to reveal)
+    assert(got.values.exists(v => math.abs(v - 0.5) > 0.01),
+      s"all features rank at chance: $got")
+  }
+
+  test("q_calibration bins partition the corpus and ratios are exact") {
+    val out = PipelineOps.qCalibration.fn(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+    assert(out.forall { case (bin, n, np, ms, fp, gap) =>
+      bin >= 0 && bin <= 9 && np <= n &&
+        ms >= 0.0 && ms <= 1.0 && fp >= 0.0 && fp <= 1.0 &&
+        math.abs(gap - math.abs(ms - fp)) < 1e-6
+    })
+    // bin populations sum to the docs-with-words count
+    val nDocs = docs.filter(size(split(trim(col("text")), "\\s+")) > 0)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(out.map(_._2).sum == nDocs)
+    // mean score must actually lie inside its bin (width-0.1 bins,
+    // except clamping at the edges)
+    out.foreach { case (bin, _, _, ms, _, _) =>
+      assert(ms >= bin / 10.0 - 1e-6 && ms <= (bin + 1) / 10.0 + 1e-6) }
+  }
+
   test("lightcurve stats are internally consistent") {
     val out = PipelineOps.qLightcurve.fn(spark, sfDir)
       .selectExpr("object_id", "n_obs", "span_s", "mean_flux",
