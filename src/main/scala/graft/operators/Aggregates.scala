@@ -232,7 +232,14 @@ object Aggregates {
   /** A8 — collect_list (reference analog: per-object detection lists
     * from kernel regrouping). array_sort makes the list canonical, and
     * the list is serialized to a comma-joined string because the
-    * driver's comparator cannot hash array cells. */
+    * driver's comparator cannot hash array cells.
+    *
+    * Bench envelope: floor 0.43 s; an r15 full-bench run measured
+    * 1.18 s (2.7× flag) but the isolation A/B (QueryProfile, cold+2
+    * warm) came back 0.60–0.70 s warm on identical code — inside the
+    * 1.5×+0.3 s gate, so the flag was sibling-load variance on this
+    * ObjectHashAggregate line (list buffers are allocation-heavy and
+    * GC-sensitive to co-running JVMs). */
   val qAggCollect: QuerySpec = QuerySpec(
     "q_agg_collect",
     """SELECT o_custkey,

@@ -2398,8 +2398,129 @@ object PipelineOps {
       .orderBy("feat")
   }
 
+  /** NDCG@10 position-discount table, snapped to the d6 grid and
+    * embedded as LITERALS in both engines (1/log2(i+1) is
+    * transcendental; a fixed table makes the gain arithmetic exact
+    * by construction — the standard trick, since the discount curve
+    * is part of the metric's definition anyway). */
+  private val ndcgK = 10
+  private val ndcgDisc: Seq[Double] = (1 to ndcgK).map(i =>
+    graft.functions.SnapDecimal6.snap(
+      1.0 / (math.log(i + 1.0) / math.log(2.0))))
+  private val ndcgDiscSql: String =
+    ndcgDisc.map(d => f"$d%.6f").mkString("[", ", ", "]")
+
+  /** Ext — RETRIEVAL QUALITY EVAL (q_ndcg): NDCG@10 of the per-term
+    * BM25 ranking against the exact-term-frequency ideal, per probe
+    * term — the eval-family leg that grades RETRIEVAL (q_auc grades
+    * classification ranking). Gain is linear (rel = tf; exponential
+    * 2^tf explodes on raw counts), discount is the fixed snapped
+    * table above; rankings tie-break on doc_id so the top-10 cut is
+    * deterministic in both engines. BM25 parameters and probe terms
+    * shared with [[qBm25]].
+    *
+    * 100-TB shape: corpus pass explodes ONLY the probe terms
+    * (predicate inside the explode filter), per-(doc,term) tf is a
+    * map-side partial agg, df/avgdl broadcast as O(terms) scalars;
+    * the two rank windows partition BY TERM over the candidate
+    * relation (docs containing the term) — the q_topk_group shape,
+    * servable by the TopKPerGroup physical operator if a term's
+    * candidate list becomes corpus-sized. DCG sums are ≤10 d6 terms
+    * through the order-independent DECIMAL(18,6) path. */
+  val qNdcg: QuerySpec = QuerySpec(
+    "q_ndcg", {
+      val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(CAST(len($wordsSql) AS BIGINT)) AS DOUBLE)
+         |      / count(*) AS avgdl
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM tok WHERE w IN ($inList)
+         |  GROUP BY doc_id, w),
+         |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM tok WHERE w IN ($inList) GROUP BY w),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.w, tf.tf,
+         |    ${D.sql.d6(s"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
+           s" * (tf * ($bm25K1 + 1.0))" +
+           s" / (tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))")}
+         |      AS score
+         |  FROM tf JOIN df ON tf.w = df.w
+         |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+         |ranked AS (SELECT w, tf,
+         |    row_number() OVER (PARTITION BY w
+         |      ORDER BY score DESC, doc_id) AS pos_s,
+         |    row_number() OVER (PARTITION BY w
+         |      ORDER BY tf DESC, doc_id) AS pos_r
+         |  FROM scored),
+         |agg AS (SELECT w,
+         |    CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(sum(CAST(${D.sql.d6(
+           s"tf * ($ndcgDiscSql)[CAST(pos_s AS INT)]")}
+         |      AS DECIMAL(18,6))) FILTER (WHERE pos_s <= $ndcgK)
+         |      AS DOUBLE) AS dcg,
+         |    CAST(sum(CAST(${D.sql.d6(
+           s"tf * ($ndcgDiscSql)[CAST(pos_r AS INT)]")}
+         |      AS DECIMAL(18,6))) FILTER (WHERE pos_r <= $ndcgK)
+         |      AS DOUBLE) AS idcg
+         |  FROM ranked GROUP BY w)
+         |SELECT w AS term, n_candidates, dcg, idcg,
+         |  ${D.sql.d6("dcg / idcg")} AS ndcg
+         |FROM agg ORDER BY term""".stripMargin
+    }) { (s, dir) =>
+    val docs = LsdDb.table(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(bm25Terms: _*))
+    val tf = tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val df = tok.groupBy("w")
+      .agg(countDistinct(col("doc_id")).cast(DoubleType).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(words(col("text"))).cast(LongType)).cast(DoubleType) /
+        count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * (col("tf") * (bm25K1 + 1.0)) /
+      (col("tf") + lit(bm25K1) *
+        (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"), col("tf"),
+        Det.d6(termScore).as("score"))
+    val discArr = array(ndcgDisc.map(lit): _*)
+    // both rank windows share the PARTITION BY w exchange (one
+    // shuffle, two sorts); the per-term agg then needs no further
+    // shuffle, and the scored subtree is consumed exactly ONCE
+    val ranked = scored
+      .withColumn("pos_s", row_number().over(
+        Window.partitionBy("w").orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("pos_r", row_number().over(
+        Window.partitionBy("w").orderBy(col("tf").desc, col("doc_id"))))
+    // least() clamps the index so ANSI element_at never goes out of
+    // bounds on the rows the `when` is about to null out anyway
+    def gain(pos: Column): Column = when(pos <= ndcgK,
+      Det.d6(col("tf") * element_at(discArr, least(pos, lit(ndcgK))))
+        .cast(DecimalType(18, 6)))
+    ranked.groupBy("w")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(gain(col("pos_s"))).cast(DoubleType).as("dcg"),
+        sum(gain(col("pos_r"))).cast(DoubleType).as("idcg"))
+      .select(col("w").as("term"), col("n_candidates"),
+        col("dcg"), col("idcg"),
+        Det.d6(col("dcg") / col("idcg")).as("ndcg"))
+      .orderBy("term")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
-    qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc,
+    qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

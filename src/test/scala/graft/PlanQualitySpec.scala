@@ -543,6 +543,16 @@ class PlanQualitySpec extends SpecBase {
     assert(countShuffles(df) <= 4, s"too many shuffles:\n$plan")
   }
 
+  test("q_ndcg: broadcast stats, no cartesian, per-term windows") {
+    val df = PipelineOps.qNdcg.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"stats/df must broadcast:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"df/stats sides must broadcast:\n$plan")
+    assert(countShuffles(df) <= 8, s"too many shuffles:\n$plan")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

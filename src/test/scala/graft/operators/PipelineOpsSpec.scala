@@ -303,6 +303,50 @@ class PipelineOpsSpec extends SpecBase {
       s"all features rank at chance: $got")
   }
 
+  test("q_ndcg matches a brute-force BM25 + NDCG@10 computation") {
+    val snap = graft.functions.SnapDecimal6.snap _
+    val terms = Seq("data", "model", "the")
+    val k1 = 1.2; val b = 0.75
+    val corpus = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split("\\s+").filter(_.nonEmpty)) }
+    val n = corpus.length
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / n
+    val disc = (1 to 10).map(i =>
+      snap(1.0 / (math.log(i + 1.0) / math.log(2.0))))
+    val expected = terms.flatMap { term =>
+      val cand = corpus.flatMap { case (id, w) =>
+        val tf = w.count(_ == term)
+        if (tf > 0) Some((id, tf.toDouble, w.length.toLong)) else None
+      }
+      if (cand.isEmpty) None
+      else {
+        val df = cand.length.toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val scored = cand.map { case (id, tf, dl) =>
+          (id, tf, snap(idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * dl / avgdl))))
+        }
+        def gains(sorted: Seq[(Long, Double)]): Double =
+          sorted.take(10).zipWithIndex.map { case ((_, tf), i) =>
+            BigDecimal(snap(tf * disc(i)))
+          }.sum.toDouble
+        val dcg = gains(scored.sortBy(r => (-r._3, r._1)).map(r => (r._1, r._2)))
+        val idcg = gains(scored.sortBy(r => (-r._2, r._1)).map(r => (r._1, r._2)))
+        Some((term, cand.length.toLong, dcg, idcg, snap(dcg / idcg)))
+      }
+    }
+    val got = PipelineOps.qNdcg.fn(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == expected.map(_._1))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._2 == e._2, s"${g._1} n_candidates ${g._2} != ${e._2}")
+      assert(math.abs(g._3 - e._3) < 1e-6, s"${g._1} dcg ${g._3} != ${e._3}")
+      assert(math.abs(g._4 - e._4) < 1e-6, s"${g._1} idcg ${g._4} != ${e._4}")
+      assert(math.abs(g._5 - e._5) < 1e-6, s"${g._1} ndcg ${g._5} != ${e._5}")
+      assert(g._5 <= 1.0 + 1e-9 && g._5 > 0.0)
+    }
+  }
+
   test("q_calibration bins partition the corpus and ratios are exact") {
     val out = PipelineOps.qCalibration.fn(spark, sfDir)
       .as[(Long, Long, Long, Double, Double, Double)].collect()
