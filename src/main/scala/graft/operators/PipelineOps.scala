@@ -2519,8 +2519,176 @@ object PipelineOps {
       .orderBy("term")
   }
 
+  /** Ext — PRECISION-RECALL CURVE (q_pr_curve): the operating-point
+    * table for "quality score ≥ t predicts lang = 'en'" at 100
+    * thresholds on the 0.01 grid — how a pipeline picks the
+    * filter threshold q_confusion then audits. Completes the eval
+    * family: AUC (ranking) → calibration (probabilities) →
+    * PR curve (threshold selection) → confusion (the chosen point).
+    *
+    * 100-TB shape: one map-only corpus pass into an O(bins) groupBy
+    * (map-side partial, ≤100 rows), then cumulative windows over the
+    * BINS — the q_token_budget discipline; the corpus never sorts.
+    * Determinism: per-bin pos/neg are exact BIGINTs, cumulative
+    * counts are exact BIGINT window sums from the best bin down,
+    * every ratio is one double division d6-snapped, F1 derives from
+    * the SNAPPED precision/recall. */
+  val qPrCurve: QuerySpec = QuerySpec(
+    "q_pr_curve",
+    s"""WITH q AS (SELECT
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    $qualScoreSql AS score
+       |  FROM documents WHERE len($wordsSql) > 0),
+       |b AS (SELECT
+       |    least(greatest(CAST(floor(score * 100) AS BIGINT), 0), 99)
+       |      AS bin,
+       |    CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+       |  FROM q GROUP BY 1),
+       |c AS (SELECT bin,
+       |    CAST(sum(pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos,
+       |    CAST(sum(neg) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_neg,
+       |    CAST(sum(pos) OVER () AS BIGINT) AS n_pos
+       |  FROM b),
+       |m AS (SELECT
+       |    ${D.sql.d6("CAST(bin AS DOUBLE) / 100.0")} AS threshold,
+       |    cum_pos, cum_neg,
+       |    ${D.sql.d6(
+           "CAST(cum_pos AS DOUBLE) / (cum_pos + cum_neg)")} AS prec,
+       |    ${D.sql.d6("CAST(cum_pos AS DOUBLE) / n_pos")} AS rec
+       |  FROM c)
+       |SELECT threshold, cum_pos, cum_neg, prec, rec,
+       |  CASE WHEN prec + rec > 0.0 THEN
+       |    ${D.sql.d6("(2.0 * prec * rec) / (prec + rec)")}
+       |    ELSE 0.0 END AS f1_score
+       |FROM m ORDER BY threshold""".stripMargin) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val b = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        qualScore.as("score"))
+      .groupBy(least(greatest(floor(col("score") * 100).cast(LongType),
+        lit(0L)), lit(99L)).as("bin"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val wDesc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val m = b.select(col("bin"),
+      sum(col("pos")).over(wDesc).as("cum_pos"),
+      sum(col("neg")).over(wDesc).as("cum_neg"),
+      sum(col("pos")).over(wAll).as("n_pos"))
+      .select(
+        Det.d6(col("bin").cast(DoubleType) / 100.0).as("threshold"),
+        col("cum_pos"), col("cum_neg"),
+        Det.d6(col("cum_pos").cast(DoubleType) /
+          (col("cum_pos") + col("cum_neg"))).as("prec"),
+        Det.d6(col("cum_pos").cast(DoubleType) / col("n_pos")).as("rec"))
+    m.select(col("threshold"), col("cum_pos"), col("cum_neg"),
+      col("prec"), col("rec"),
+      when(col("prec") + col("rec") > 0.0,
+        Det.d6((lit(2.0) * col("prec") * col("rec")) /
+          (col("prec") + col("rec"))))
+        .otherwise(0.0).as("f1_score"))
+      .orderBy("threshold")
+  }
+
+  /** Ext — FEATURE–LABEL MUTUAL INFORMATION (q_mutual_info): binned
+    * MI (and normalized MI) between each classifier-family feature
+    * and `lang = 'en'` — the screening complement to
+    * [[qFeatureAuc]]: AUC only sees MONOTONE signal, MI also scores
+    * a feature whose middle bins separate (AUC ≈ 0.5, MI ≫ 0).
+    * Entropies fall out of the same cell relation via
+    * Σ_xy p_xy·log2(p_x) = Σ_x p_x·log2(p_x) — no second pass.
+    *
+    * 100-TB shape: ONE corpus pass (d-way feature explode, the
+    * q_feature_auc shape) into a groupBy on (feat, bin, y) — map-side
+    * partial agg onto ≤ d·10·2 cells — then windows + agg over that
+    * O(1)-sized relation. Determinism: cell counts exact BIGINTs;
+    * probabilities are double divisions of exact integers with the
+    * count products in DOUBLE (1e12² > BIGINT); each log2 term is
+    * d6-snapped then DECIMAL(18,8)-summed; NMI derives from the
+    * SNAPPED mi/h values. */
+  val qMutualInfo: QuerySpec = QuerySpec(
+    "q_mutual_info",
+    s"""WITH q AS (SELECT u.f AS feat,
+       |    least(greatest(CAST(floor(u.s * 10) AS BIGINT), 0), 9)
+       |      AS bin,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, unnest([${lrFeatSqls.map { case (n, e) =>
+         s"{'f': '$n', 's': $e}" }.mkString(",\n      ")}]) AS u
+       |    FROM documents WHERE len($wordsSql) > 0)),
+       |c AS (SELECT feat, bin, y, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM q GROUP BY feat, bin, y),
+       |m AS (SELECT feat, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY feat) AS BIGINT) AS n,
+       |    CAST(sum(cnt) OVER (PARTITION BY feat, bin) AS BIGINT) AS nx,
+       |    CAST(sum(cnt) OVER (PARTITION BY feat, y) AS BIGINT) AS ny
+       |  FROM c),
+       |t AS (SELECT feat,
+       |    ${D.sql.d6("(CAST(cnt AS DOUBLE) / n)" +
+         " * log2((CAST(cnt AS DOUBLE) * n)" +
+         " / (CAST(nx AS DOUBLE) * ny))")} AS mi_t,
+       |    ${D.sql.d6("(CAST(cnt AS DOUBLE) / n)" +
+         " * log2(CAST(nx AS DOUBLE) / n)")} AS hx_t,
+       |    ${D.sql.d6("(CAST(cnt AS DOUBLE) / n)" +
+         " * log2(CAST(ny AS DOUBLE) / n)")} AS hy_t
+       |  FROM m),
+       |a AS (SELECT feat,
+       |    ${D.sql.d6("CAST(sum(CAST(mi_t AS DECIMAL(18,8)))" +
+         " AS DOUBLE)")} AS mi_bits,
+       |    ${D.sql.d6("-CAST(sum(CAST(hx_t AS DECIMAL(18,8)))" +
+         " AS DOUBLE)")} AS h_feat,
+       |    ${D.sql.d6("-CAST(sum(CAST(hy_t AS DECIMAL(18,8)))" +
+         " AS DOUBLE)")} AS h_label
+       |  FROM t GROUP BY feat)
+       |SELECT feat, mi_bits, h_feat, h_label,
+       |  CASE WHEN least(h_feat, h_label) > 0.0 THEN
+       |    ${D.sql.d6("mi_bits / least(h_feat, h_label)")}
+       |    ELSE 0.0 END AS nmi
+       |FROM a ORDER BY feat""".stripMargin) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val c = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("lang"), explode(array(lrFeatCols.map { case (n, cc) =>
+        struct(lit(n).as("f"), cc.as("s")) }: _*)).as("u"))
+      .select(col("u.f").as("feat"),
+        least(greatest(floor(col("u.s") * 10).cast(LongType),
+          lit(0L)), lit(9L)).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("feat", "bin", "y")
+      .agg(count(lit(1)).as("cnt"))
+    val wF = Window.partitionBy("feat")
+    val wFx = Window.partitionBy("feat", "bin")
+    val wFy = Window.partitionBy("feat", "y")
+    val m = c.select(col("feat"), col("cnt"),
+      sum(col("cnt")).over(wF).as("n"),
+      sum(col("cnt")).over(wFx).as("nx"),
+      sum(col("cnt")).over(wFy).as("ny"))
+    def d(cc: Column): Column = cc.cast(DoubleType)
+    val t = m.select(col("feat"),
+      Det.d6((d(col("cnt")) / col("n")) *
+        log2((d(col("cnt")) * col("n")) / (d(col("nx")) * col("ny"))))
+        .as("mi_t"),
+      Det.d6((d(col("cnt")) / col("n")) *
+        log2(d(col("nx")) / col("n"))).as("hx_t"),
+      Det.d6((d(col("cnt")) / col("n")) *
+        log2(d(col("ny")) / col("n"))).as("hy_t"))
+    val a = t.groupBy("feat").agg(
+      Det.d6(sum(col("mi_t").cast(Det.M)).cast(DoubleType)).as("mi_bits"),
+      Det.d6(-sum(col("hx_t").cast(Det.M)).cast(DoubleType)).as("h_feat"),
+      Det.d6(-sum(col("hy_t").cast(Det.M)).cast(DoubleType)).as("h_label"))
+    a.select(col("feat"), col("mi_bits"), col("h_feat"), col("h_label"),
+      when(least(col("h_feat"), col("h_label")) > 0.0,
+        Det.d6(col("mi_bits") / least(col("h_feat"), col("h_label"))))
+        .otherwise(0.0).as("nmi"))
+      .orderBy("feat")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
+    qPrCurve, qMutualInfo,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

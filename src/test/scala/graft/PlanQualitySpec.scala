@@ -553,6 +553,24 @@ class PlanQualitySpec extends SpecBase {
     assert(countShuffles(df) <= 8, s"too many shuffles:\n$plan")
   }
 
+  test("q_pr_curve: one scan into O(bins) windows, no join") {
+    val df = PipelineOps.qPrCurve.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"PR curve must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+    assert(countShuffles(df) <= 3, s"too many shuffles:\n$plan")
+  }
+
+  test("q_mutual_info: one scan into O(cells) windows, no join") {
+    val df = PipelineOps.qMutualInfo.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"MI must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+    assert(countShuffles(df) <= 6, s"too many shuffles:\n$plan")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

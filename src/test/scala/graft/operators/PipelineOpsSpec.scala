@@ -347,6 +347,95 @@ class PipelineOpsSpec extends SpecBase {
     }
   }
 
+  test("q_pr_curve matches brute force and recall is monotone") {
+    val snap = graft.functions.SnapDecimal6.snap _
+    val rows = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
+          val raw = (0.4 * math.min(nw / 50.0, 1.0)) +
+            (0.3 * (w.distinct.length.toDouble / nw)) +
+            (0.3 * (stop / nw))
+          val bin = math.min(math.max(
+            math.floor(snap(raw) * 100).toLong, 0L), 99L)
+          Some((bin, lang == "en"))
+        }
+      }
+    val nPos = rows.count(_._2).toLong
+    val byBin = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+    var cp = 0L; var cn = 0L
+    val expected = byBin.map { case (bin, rs) =>
+      cp += rs.count(_._2); cn += rs.count(!_._2)
+      (snap(bin.toDouble / 100.0), cp, cn,
+        snap(cp.toDouble / (cp + cn)), snap(cp.toDouble / nPos))
+    }.sortBy(_._1)
+    val got = PipelineOps.qPrCurve.fn(spark, sfDir)
+      .as[(Double, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      expected.map(r => (r._1, r._2, r._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-6 && math.abs(g._5 - e._5) < 1e-6)
+      if (g._4 + g._5 > 0)
+        assert(math.abs(g._6 -
+          snap(2.0 * g._4 * g._5 / (g._4 + g._5))) < 1e-6)
+    }
+    // recall from the best threshold down accumulates monotonically
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted.reverse)
+    // the lowest threshold accepts everything: recall exactly 1
+    assert(got.head._5 == 1.0)
+  }
+
+  test("q_mutual_info matches brute force; MI bounded by entropies") {
+    val snap = graft.functions.SnapDecimal6.snap _
+    val feats = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          Some((Map(
+            "f1" -> snap(math.min(nw / 50.0, 1.0)),
+            "f2" -> snap(w.distinct.length.toDouble / nw),
+            "f3" -> snap(
+              w.count(Set("the", "a", "of", "and", "in")).toDouble / nw),
+            "f4" -> snap(text.length.toDouble / nw / 10.0)),
+            if (lang == "en") 1L else 0L))
+        }
+      }
+    val got = PipelineOps.qMutualInfo.fn(spark, sfDir)
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq("f1", "f2", "f3", "f4"))
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    got.foreach { case (f, mi, hx, hy, nmi) =>
+      val cells = feats.groupBy { case (m, y) =>
+        (math.min(math.max(math.floor(m(f) * 10).toLong, 0L), 9L), y)
+      }.map { case (k, v) => (k, v.length.toLong) }
+      val n = cells.values.sum.toDouble
+      val nxm = cells.groupBy(_._1._1).map { case (k, v) =>
+        (k, v.values.sum) }
+      val nym = cells.groupBy(_._1._2).map { case (k, v) =>
+        (k, v.values.sum) }
+      def dsum(ts: Iterable[Double]): Double =
+        ts.map(BigDecimal(_)).sum.toDouble
+      val miB = dsum(cells.map { case ((x, y), c) =>
+        snap((c / n) * log2((c * n) / (nxm(x).toDouble * nym(y)))) })
+      val hxB = -dsum(cells.map { case ((x, _), c) =>
+        snap((c / n) * log2(nxm(x) / n)) })
+      val hyB = -dsum(cells.map { case ((_, y), c) =>
+        snap((c / n) * log2(nym(y) / n)) })
+      assert(math.abs(mi - miB) < 1e-5, s"$f mi $mi != $miB")
+      assert(math.abs(hx - hxB) < 1e-5 && math.abs(hy - hyB) < 1e-5)
+      assert(mi >= -1e-6 && mi <= math.min(hx, hy) + 1e-6)
+      if (math.min(hx, hy) > 0)
+        assert(math.abs(nmi - snap(mi / math.min(hx, hy))) < 1e-6)
+    }
+    // at least one feature shares real information with the label
+    assert(got.map(_._2).max > 1e-3)
+  }
+
   test("q_calibration bins partition the corpus and ratios are exact") {
     val out = PipelineOps.qCalibration.fn(spark, sfDir)
       .as[(Long, Long, Long, Double, Double, Double)].collect()
