@@ -2686,9 +2686,84 @@ object PipelineOps {
       .orderBy("feat")
   }
 
+  /** Ext — CROSS-VALIDATED AUC (q_cv_auc): the [[qAuc]] metric
+    * evaluated independently on 5 deterministic folds (the
+    * q_split_assign LCG bucket, mod 5) — the model-selection
+    * primitive: a metric without fold-to-fold spread is a number
+    * without an error bar. Per-fold AUCs beat a single global AUC
+    * precisely when the spread reveals instability.
+    *
+    * 100-TB shape: identical to q_auc with `fold` prepended to every
+    * key — ONE corpus pass into a (fold, score) value-domain groupBy
+    * (map-side partial, ≤ 5·1e6 grid cells), per-fold window + agg
+    * over that bounded relation. The fold column is a pure integer
+    * LCG expression (overflow-safe per the q_split_assign analysis)
+    * using the Park-Miller multiplier 16807, NOT glibc's 1103515245:
+    * both glibc constants are ≡ 0 (mod 5), so the q_split_assign
+    * form collapses every doc to fold 0 under `% 5` — 16807 ≡ 2
+    * (mod 5) keeps the folds exactly balanced. */
+  val qCvAuc: QuerySpec = QuerySpec(
+    "q_cv_auc",
+    s"""WITH q AS (SELECT
+       |    ((doc_id % 2147483647) * 16807 + 12345) % 5 AS fold,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    $qualScoreSql AS score
+       |  FROM documents WHERE len($wordsSql) > 0),
+       |s AS (SELECT fold, score,
+       |    CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS pos,
+       |    CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS neg
+       |  FROM q GROUP BY fold, score),
+       |r AS (SELECT fold, pos, neg,
+       |    coalesce(sum(neg) OVER (PARTITION BY fold ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cum_neg
+       |  FROM s),
+       |a AS (SELECT fold,
+       |    ${D.sql.d6("CAST(sum(CAST(pos AS DECIMAL(19,0))" +
+         " * CAST(2 * cum_neg + neg AS DECIMAL(19,0))) AS DOUBLE)" +
+         " / ((2.0 *" +
+         " CAST(sum(pos) AS DOUBLE)) * CAST(sum(neg) AS DOUBLE))")}
+       |      AS auc,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg) AS BIGINT) AS n_neg,
+       |    CAST(count(*) AS BIGINT) AS n_scores
+       |  FROM r GROUP BY fold)
+       |SELECT fold, auc, ${D.sql.d6("2.0 * auc - 1.0")} AS gini,
+       |  n_pos, n_neg, n_scores FROM a ORDER BY fold""".stripMargin) {
+    (s, dir) =>
+    val nw = size(words(col("text")))
+    val q = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(
+        (((col("doc_id") % 2147483647L) * 16807L + 12345L) % 5)
+          .as("fold"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        qualScore.as("score"))
+      .groupBy("fold", "score")
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val wBelow = Window.partitionBy("fold").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val a = q
+      .withColumn("cum_neg", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      .groupBy("fold")
+      .agg(
+        Det.d6(sum(col("pos").cast(DecimalType(19, 0)) *
+          (lit(2L) * col("cum_neg") + col("neg")).cast(DecimalType(19, 0)))
+          .cast(DoubleType) /
+          ((lit(2.0) * sum(col("pos")).cast(DoubleType)) *
+            sum(col("neg")).cast(DoubleType))).as("auc"),
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"))
+    a.select(col("fold"), col("auc"),
+      Det.d6(lit(2.0) * col("auc") - 1.0).as("gini"),
+      col("n_pos"), col("n_neg"), col("n_scores"))
+      .orderBy("fold")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
-    qPrCurve, qMutualInfo,
+    qPrCurve, qMutualInfo, qCvAuc,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

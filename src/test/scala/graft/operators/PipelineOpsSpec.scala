@@ -436,6 +436,45 @@ class PipelineOpsSpec extends SpecBase {
     assert(got.map(_._2).max > 1e-3)
   }
 
+  test("q_cv_auc: per-fold AUCs match brute force over balanced folds") {
+    val snap = graft.functions.SnapDecimal6.snap _
+    val rows = docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+      .flatMap { case (id, text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
+          val raw = (0.4 * math.min(nw / 50.0, 1.0)) +
+            (0.3 * (w.distinct.length.toDouble / nw)) +
+            (0.3 * (stop / nw))
+          val fold = ((id % 2147483647L) * 16807L + 12345L) % 5
+          Some((fold, snap(raw), lang == "en"))
+        }
+      }
+    val got = PipelineOps.qCvAuc.fn(spark, sfDir)
+      .as[(Long, Double, Double, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      "all five folds must be populated")
+    got.foreach { case (fold, auc, gini, np, nn, _) =>
+      val inFold = rows.filter(_._1 == fold)
+      val pos = inFold.filter(_._3).map(_._2)
+      val neg = inFold.filterNot(_._3).map(_._2)
+      assert(np == pos.length && nn == neg.length)
+      val wins = (for (p <- pos; n <- neg) yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val expected = wins / (pos.length.toDouble * neg.length)
+      assert(math.abs(auc - expected) < 1e-6,
+        s"fold $fold: auc $auc != brute $expected")
+      assert(math.abs(gini - (2.0 * auc - 1.0)) < 1e-6)
+    }
+    // folds are roughly balanced (LCG with a multiplier coprime to 5)
+    val sizes = got.map(r => r._4 + r._5)
+    assert(sizes.max <= 2L * sizes.min,
+      s"fold sizes badly skewed: ${sizes.toSeq}")
+  }
+
   test("q_calibration bins partition the corpus and ratios are exact") {
     val out = PipelineOps.qCalibration.fn(spark, sfDir)
       .as[(Long, Long, Long, Double, Double, Double)].collect()
