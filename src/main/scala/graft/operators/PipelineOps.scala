@@ -2761,9 +2761,119 @@ object PipelineOps {
       .orderBy("fold")
   }
 
+  /** Ext — DECISION-STUMP SPLIT SEARCH (q_stump_split): for each
+    * classifier-family feature, the Gini-optimal single threshold
+    * separating `lang = 'en'` — the depth-1 CART step, and the
+    * interpretable screening report beside [[qFeatureAuc]] (AUC says
+    * WHETHER a feature ranks; the stump says WHERE to cut it and how
+    * much one cut buys).
+    *
+    * 100-TB shape: the q_mutual_info cell relation — ONE d-way
+    * exploded corpus pass onto ≤ d·10 (feat, bin) cells — then the
+    * split search runs entirely on cumulative windows over the BINS
+    * (9 candidate cuts/feature). Determinism: cell counts exact
+    * BIGINTs; both side impurities are double arithmetic of exact
+    * integers with fixed parenthesization, d6-snapped; the argmax
+    * orders on (snapped gain DESC, bin ASC) so the winning cut is
+    * engine-identical. */
+  val qStumpSplit: QuerySpec = QuerySpec(
+    "q_stump_split", {
+      val giniSide = (np: String, nn: String) =>
+        s"1.0 - ((CAST($np AS DOUBLE) / ($np + $nn))" +
+          s" * (CAST($np AS DOUBLE) / ($np + $nn))" +
+          s" + (CAST($nn AS DOUBLE) / ($np + $nn))" +
+          s" * (CAST($nn AS DOUBLE) / ($np + $nn)))"
+      s"""WITH q AS (SELECT u.f AS feat,
+         |    least(greatest(CAST(floor(u.s * 10) AS BIGINT), 0), 9)
+         |      AS bin,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM (SELECT lang, unnest([${lrFeatSqls.map { case (n, e) =>
+           s"{'f': '$n', 's': $e}" }.mkString(",\n      ")}]) AS u
+         |    FROM documents WHERE len($wordsSql) > 0)),
+         |c AS (SELECT feat, bin,
+         |    CAST(sum(y) AS BIGINT) AS pos,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+         |  FROM q GROUP BY feat, bin),
+         |w AS (SELECT feat, bin,
+         |    CAST(sum(pos) OVER (PARTITION BY feat ORDER BY bin)
+         |      AS BIGINT) AS lpos,
+         |    CAST(sum(neg) OVER (PARTITION BY feat ORDER BY bin)
+         |      AS BIGINT) AS lneg,
+         |    CAST(sum(pos) OVER (PARTITION BY feat) AS BIGINT) AS tpos,
+         |    CAST(sum(neg) OVER (PARTITION BY feat) AS BIGINT) AS tneg
+         |  FROM c),
+         |g AS (SELECT feat, bin, lpos, lneg,
+         |    tpos - lpos AS rpos, tneg - lneg AS rneg, tpos, tneg,
+         |    ${D.sql.d6(
+           s"(${giniSide("tpos", "tneg")})" +
+             s" - ((CAST(lpos + lneg AS DOUBLE) / (tpos + tneg))" +
+             s" * (${giniSide("lpos", "lneg")})" +
+             s" + (CAST((tpos - lpos) + (tneg - lneg) AS DOUBLE) / (tpos + tneg))" +
+             s" * (${giniSide("(tpos - lpos)", "(tneg - lneg)")}))")} AS gain
+         |  FROM w
+         |  WHERE lpos + lneg > 0 AND (tpos - lpos) + (tneg - lneg) > 0),
+         |r AS (SELECT feat, bin, gain, lpos + lneg AS n_left,
+         |    rpos + rneg AS n_right,
+         |    ${D.sql.d6(giniSide("tpos", "tneg"))} AS gini_root,
+         |    row_number() OVER (PARTITION BY feat
+         |      ORDER BY gain DESC, bin) AS rk
+         |  FROM g)
+         |SELECT feat, bin AS best_bin,
+         |  ${D.sql.d6("CAST(bin + 1 AS DOUBLE) / 10.0")} AS threshold,
+         |  gain, gini_root,
+         |  CAST(n_left AS BIGINT) AS n_left,
+         |  CAST(n_right AS BIGINT) AS n_right
+         |FROM r WHERE rk = 1 ORDER BY feat""".stripMargin
+    }) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val c = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("lang"), explode(array(lrFeatCols.map { case (n, cc) =>
+        struct(lit(n).as("f"), cc.as("s")) }: _*)).as("u"))
+      .select(col("u.f").as("feat"),
+        least(greatest(floor(col("u.s") * 10).cast(LongType),
+          lit(0L)), lit(9L)).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("feat", "bin")
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val wCum = Window.partitionBy("feat").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("feat")
+    val w = c.select(col("feat"), col("bin"),
+      sum(col("pos")).over(wCum).as("lpos"),
+      sum(col("neg")).over(wCum).as("lneg"),
+      sum(col("pos")).over(wF).as("tpos"),
+      sum(col("neg")).over(wF).as("tneg"))
+    def d(cc: Column): Column = cc.cast(DoubleType)
+    def giniSide(np: Column, nn: Column): Column =
+      lit(1.0) - ((d(np) / (np + nn)) * (d(np) / (np + nn)) +
+        (d(nn) / (np + nn)) * (d(nn) / (np + nn)))
+    val lpos = col("lpos"); val lneg = col("lneg")
+    val tpos = col("tpos"); val tneg = col("tneg")
+    val rpos = tpos - lpos; val rneg = tneg - lneg
+    val g = w
+      .filter(lpos + lneg > 0 && rpos + rneg > 0)
+      .select(col("feat"), col("bin"), lpos, lneg,
+        rpos.as("rpos"), rneg.as("rneg"), tpos, tneg,
+        Det.d6(giniSide(tpos, tneg) -
+          ((d(lpos + lneg) / (tpos + tneg)) * giniSide(lpos, lneg) +
+            (d(rpos + rneg) / (tpos + tneg)) * giniSide(rpos, rneg))).as("gain"))
+    val r = g.withColumn("rk", row_number().over(
+      Window.partitionBy("feat").orderBy(col("gain").desc, col("bin"))))
+    r.filter(col("rk") === 1)
+      .select(col("feat"), col("bin").as("best_bin"),
+        Det.d6((col("bin") + 1).cast(DoubleType) / 10.0).as("threshold"),
+        col("gain"),
+        Det.d6(giniSide(tpos, tneg)).as("gini_root"),
+        (col("lpos") + col("lneg")).as("n_left"),
+        (col("rpos") + col("rneg")).as("n_right"))
+      .orderBy("feat")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
-    qPrCurve, qMutualInfo, qCvAuc,
+    qPrCurve, qMutualInfo, qCvAuc, qStumpSplit,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

@@ -580,6 +580,15 @@ class PlanQualitySpec extends SpecBase {
     assert(countShuffles(df) <= 4, s"too many shuffles:\n$plan")
   }
 
+  test("q_stump_split: one scan, split search on bin windows, no join") {
+    val df = PipelineOps.qStumpSplit.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"stump search must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+    assert(countShuffles(df) <= 5, s"too many shuffles:\n$plan")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

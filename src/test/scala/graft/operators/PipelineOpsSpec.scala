@@ -475,6 +475,56 @@ class PipelineOpsSpec extends SpecBase {
       s"fold sizes badly skewed: ${sizes.toSeq}")
   }
 
+  test("q_stump_split finds the brute-force Gini-optimal cut per feature") {
+    val snap = graft.functions.SnapDecimal6.snap _
+    val feats = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          Some((Map(
+            "f1" -> snap(math.min(nw / 50.0, 1.0)),
+            "f2" -> snap(w.distinct.length.toDouble / nw),
+            "f3" -> snap(
+              w.count(Set("the", "a", "of", "and", "in")).toDouble / nw),
+            "f4" -> snap(text.length.toDouble / nw / 10.0)),
+            lang == "en"))
+        }
+      }
+    val got = PipelineOps.qStumpSplit.fn(spark, sfDir)
+      .as[(String, Long, Double, Double, Double, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq("f1", "f2", "f3", "f4"))
+    def gini(p: Long, n: Long): Double = {
+      val t = (p + n).toDouble
+      1.0 - ((p / t) * (p / t) + (n / t) * (n / t))
+    }
+    got.foreach { case (f, bestBin, thr, gain, giniRoot, nl, nr) =>
+      val binned = feats.map { case (m, y) =>
+        (math.min(math.max(math.floor(m(f) * 10).toLong, 0L), 9L), y) }
+      val tp = binned.count(_._2).toLong
+      val tn = binned.length - tp
+      val n = binned.length.toDouble
+      assert(math.abs(giniRoot - snap(gini(tp, tn))) < 1e-6)
+      val cand = (0L to 8L).flatMap { b =>
+        val lposc = binned.count(r => r._1 <= b && r._2).toLong
+        val lnegc = binned.count(r => r._1 <= b && !r._2).toLong
+        val (rposc, rnegc) = (tp - lposc, tn - lnegc)
+        if (lposc + lnegc == 0 || rposc + rnegc == 0) None
+        else Some((b, snap(gini(tp, tn) -
+          (((lposc + lnegc) / n) * gini(lposc, lnegc) +
+            ((rposc + rnegc) / n) * gini(rposc, rnegc))),
+          lposc + lnegc, rposc + rnegc))
+      }
+      val best = cand.minBy(c => (-c._2, c._1))
+      assert(bestBin == best._1, s"$f best bin $bestBin != ${best._1}")
+      assert(math.abs(gain - best._2) < 1e-6)
+      assert(nl == best._3 && nr == best._4)
+      assert(math.abs(thr - (bestBin + 1) / 10.0) < 1e-9)
+      assert(gain >= -1e-9 && gain <= giniRoot + 1e-9)
+    }
+  }
+
   test("q_calibration bins partition the corpus and ratios are exact") {
     val out = PipelineOps.qCalibration.fn(spark, sfDir)
       .as[(Long, Long, Long, Double, Double, Double)].collect()
