@@ -2871,9 +2871,113 @@ object PipelineOps {
       .orderBy("feat")
   }
 
+  /** Poisson(1) CDF thresholds on the d6 grid, shared literals for
+    * the bootstrap weight ladder (w = k where u first drops below
+    * the k-th cumulative; capped at 8 — P(w > 8) < 1e-5). */
+  private val bootB = 20
+  private val poisCdf: Seq[Double] = Seq(
+    0.367879, 0.735759, 0.919699, 0.981012,
+    0.996340, 0.999406, 0.999917, 0.999990)
+
+  /** Ext — POISSON-BOOTSTRAP CI (q_bootstrap_mean): a 90% bootstrap
+    * confidence interval for the corpus mean quality score. THE
+    * distributed bootstrap: classic resampling needs n draws WITH
+    * replacement (a global shuffle per replicate); the Poisson
+    * approximation gives every row an independent Poisson(1)
+    * multiplicity per replicate, so B replicates are ONE map-side
+    * weight column each — no resampling pass, no shuffle beyond the
+    * O(B) per-replicate agg.
+    *
+    * Replicate 0 is the IDENTITY (w = 1 for every row): the full-
+    * sample point estimate rides the same exploded relation, so ONE
+    * corpus scan serves point + all B replicates (the q_ndcg
+    * single-consumer lesson). Weights derive from a Park-Miller step
+    * on doc_id, +b, then TWO more PM steps — all int64-safe integer
+    * arithmetic, engine-identical. The second post-b step is
+    * load-bearing: after one step, consecutive b differ in u by only
+    * 16807/2³¹ ≈ 8e-6, so all 20 replicates drew the SAME resample
+    * (caught by the spec's bracket check: every replicate mean sat
+    * 5σ from the point estimate); the extra step spreads Δb=1 to
+    * ~0.13 in u. Weights go through the fixed Poisson-CDF ladder
+    * above.
+    * lo/hi are the 2nd/19th order statistics of the B = 20 replicate
+    * means (exact rank selection, no percentile interpolation);
+    * boot_se is the sample stddev of the replicate means via the
+    * decimal-exact Det sums. */
+  val qBootstrapMean: QuerySpec = QuerySpec(
+    "q_bootstrap_mean", {
+      val ladder = poisCdf.zipWithIndex.map { case (c, k) =>
+        s"WHEN u < $c THEN $k" }.mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH q AS (SELECT doc_id, $qualScoreSql AS score
+         |  FROM documents WHERE len($wordsSql) > 0),
+         |rep AS (SELECT doc_id, score, unnest(range(0, ${bootB + 1}))
+         |    AS b
+         |  FROM q),
+         |h AS (SELECT b, score,
+         |    (((((doc_id % 2147483647) * 16807) % 2147483647 + b)
+         |      * 16807) % 2147483647) * 16807 % 2147483647 AS h2
+         |  FROM rep),
+         |wt AS (SELECT b, score,
+         |    CASE WHEN b = 0 THEN 1 ELSE $ladder END AS w
+         |  FROM (SELECT b, score,
+         |      CAST(h2 AS DOUBLE) / 2147483647.0 AS u FROM h)),
+         |means AS (SELECT b,
+         |    CASE WHEN sum(w) > 0 THEN ${D.sql.d6(
+           "CAST(sum(CAST(w * score AS DECIMAL(18,8))) AS DOUBLE)" +
+             " / sum(w)")} ELSE 0.0 END AS wmean
+         |  FROM wt GROUP BY b),
+         |r AS (SELECT b, wmean,
+         |    row_number() OVER (ORDER BY wmean, b) AS rk
+         |  FROM means WHERE b > 0)
+         |SELECT
+         |  (SELECT wmean FROM means WHERE b = 0) AS mean,
+         |  (SELECT wmean FROM r WHERE rk = 2) AS boot_lo,
+         |  (SELECT wmean FROM r WHERE rk = ${bootB - 1}) AS boot_hi,
+         |  ${D.sql.d6(s"sqrt(greatest(${D.sql.dvarSamp("wmean")}, 0.0))")}
+         |    AS boot_se,
+         |  CAST(count(*) AS BIGINT) AS n_replicates
+         |FROM r""".stripMargin
+    }) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val rep = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("doc_id"), qualScore.as("score"))
+      .withColumn("b", explode(sequence(lit(0), lit(bootB))))
+    val h2 = (((((col("doc_id") % 2147483647L) * 16807L) % 2147483647L
+      + col("b")) * 16807L) % 2147483647L) * 16807L % 2147483647L
+    val u = h2.cast(DoubleType) / 2147483647.0
+    val ladder = poisCdf.zipWithIndex.foldRight(lit(8): Column) {
+      case ((c, k), rest) => when(u < c, k).otherwise(rest)
+    }
+    val wt = rep.withColumn("w",
+      when(col("b") === 0, 1).otherwise(ladder))
+    val means = wt.groupBy("b")
+      .agg(when(sum(col("w")) > 0,
+        Det.d6(sum((col("w") * col("score")).cast(Det.M))
+          .cast(DoubleType) / sum(col("w"))))
+        .otherwise(0.0).as("wmean"))
+      .localCheckpoint()
+    val r = means.filter(col("b") > 0)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("wmean"), col("b"))))
+    val point = means.filter(col("b") === 0)
+      .select(col("wmean").as("mean"))
+    val lo = r.filter(col("rk") === 2).select(col("wmean").as("boot_lo"))
+    val hi = r.filter(col("rk") === bootB - 1)
+      .select(col("wmean").as("boot_hi"))
+    // variance of 20 near-identical snapped means can cancel to a
+    // tiny NEGATIVE epsilon — clamp before sqrt (DuckDB errors on
+    // sqrt(<0), Spark returns NaN; both clamps are identical)
+    val sd = r.agg(
+      Det.d6(sqrt(greatest(Det.dvarSamp(col("wmean")), lit(0.0))))
+        .as("boot_se"),
+      count(lit(1)).as("n_replicates"))
+    point.crossJoin(lo).crossJoin(hi).crossJoin(sd)
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
-    qPrCurve, qMutualInfo, qCvAuc, qStumpSplit,
+    qPrCurve, qMutualInfo, qCvAuc, qStumpSplit, qBootstrapMean,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

@@ -589,6 +589,18 @@ class PlanQualitySpec extends SpecBase {
     assert(countShuffles(df) <= 5, s"too many shuffles:\n$plan")
   }
 
+  test("q_bootstrap_mean: replicate means checkpoint; no corpus rescan") {
+    // the exploded corpus pass runs ONCE at build (localCheckpoint of
+    // the 21-row means relation); the returned plan assembles the CI
+    // from that tiny relation only
+    val df = PipelineOps.qBootstrapMean.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Scan parquet"),
+      s"CI assembly must not rescan the corpus:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      "CI assembly must run off the checkpointed replicate means")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

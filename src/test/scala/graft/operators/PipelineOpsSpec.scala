@@ -525,6 +525,50 @@ class PipelineOpsSpec extends SpecBase {
     }
   }
 
+  test("q_bootstrap_mean matches the brute-force Poisson bootstrap") {
+    val snap = graft.functions.SnapDecimal6.snap _
+    val cdf = Seq(0.367879, 0.735759, 0.919699, 0.981012,
+      0.996340, 0.999406, 0.999917, 0.999990)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
+          Some((id, snap((0.4 * math.min(nw / 50.0, 1.0)) +
+            (0.3 * (w.distinct.length.toDouble / nw)) +
+            (0.3 * (stop / nw)))))
+        }
+      }
+    def weight(id: Long, b: Long): Long = {
+      val h2 = (((((id % 2147483647L) * 16807L) % 2147483647L + b)
+        * 16807L) % 2147483647L) * 16807L % 2147483647L
+      val u = h2.toDouble / 2147483647.0
+      val k = cdf.indexWhere(u < _)
+      if (k < 0) 8L else k.toLong
+    }
+    def wmean(b: Long): Double = {
+      val ws = rows.map { case (id, s) =>
+        (if (b == 0) 1L else weight(id, b), s) }
+      val tot = ws.map(_._1).sum
+      snap(ws.map { case (w, s) => BigDecimal(w * s) }.sum.toDouble / tot)
+    }
+    val reps = (1L to 20L).map(b => (b, wmean(b)))
+    val sorted = reps.sortBy(r => (r._2, r._1)).map(_._2)
+    val got = PipelineOps.qBootstrapMean.fn(spark, sfDir)
+      .as[(Double, Double, Double, Double, Long)].head()
+    assert(math.abs(got._1 - wmean(0L)) < 1e-6)
+    assert(math.abs(got._2 - sorted(1)) < 1e-6, "boot_lo is the 2nd order stat")
+    assert(math.abs(got._3 - sorted(18)) < 1e-6, "boot_hi is the 19th")
+    assert(got._5 == 20L)
+    assert(got._2 <= got._3 && got._4 >= 0.0)
+    // the interval should bracket the point estimate (Poisson(1)
+    // weights are mean-1, so replicate means scatter around it)
+    assert(got._2 <= got._1 + 5 * math.max(got._4, 1e-6) &&
+      got._3 >= got._1 - 5 * math.max(got._4, 1e-6))
+  }
+
   test("q_calibration bins partition the corpus and ratios are exact") {
     val out = PipelineOps.qCalibration.fn(spark, sfDir)
       .as[(Long, Long, Long, Double, Double, Double)].collect()
