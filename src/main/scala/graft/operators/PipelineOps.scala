@@ -1938,6 +1938,61 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — TOKENIZER-EQUITY AUDIT (q_bpe_fertility): per-language
+    * BPE fertility (tokens per word) under the trained merge table —
+    * the disparity report tokenizer evaluations publish: a language
+    * whose words fragment into many tokens pays more context budget
+    * per sentence, and a corpus-trained BPE systematically favors
+    * its majority language. Shares the merge algebra with
+    * q_bpe_train/encode/vocab ([[bpeSqlCtes]]/[[bpeChain]] — one
+    * definition).
+    *
+    * 100-TB shape: identical to q_bpe_encode's map-only corpus side
+    * (explode + chained replaces against 1-row broadcast rules) with
+    * `lang` riding along, reduced map-side into an O(langs) agg —
+    * no per-doc relation is ever materialized. */
+  val qBpeFertility: QuerySpec = QuerySpec(
+    "q_bpe_fertility", {
+      val sep = "chr(1)"
+      val sepd = s"$sep || $sep"
+      val enc = (1 to bpeRounds).map { r =>
+        s"""fenc$r AS (SELECT lang,
+           |  replace(e.w, $sep || m.l || $sepd || m.r || $sep,
+           |    $sep || m.l || m.r || $sep) AS w
+           |  FROM fenc${r - 1} e CROSS JOIN m$r m)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"""$bpeSqlCtes,
+         |fenc0 AS (SELECT lang,
+         |  $sepd || regexp_replace(word, '(.)', '\\1' || $sepd, 'g') AS w
+         |  FROM (SELECT lang, unnest($wordsSql) AS word FROM documents))$enc
+         |SELECT lang, count(*) AS n_words,
+         |  CAST(sum(len(list_filter(string_split(w, $sepd), x -> x <> '')))
+         |    AS BIGINT) AS n_tokens,
+         |  ${D.sql.d6(s"CAST(sum(len(list_filter(string_split(w, $sepd)," +
+           " x -> x <> ''))) AS DOUBLE) / count(*)")} AS tok_per_word
+         |FROM fenc$bpeRounds GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+    val (rules, _) = bpeChain(s, dir)
+    var enc = LsdDb.table(s, dir, "documents")
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .select(col("lang"), concat(lit(bpeSep2),
+        regexp_replace(col("word"), "(.)", "$1" + bpeSep2)).as("w"))
+    for (best <- rules)
+      enc = enc.crossJoin(broadcast(best.select(col("l"), col("r"))))
+        .select(col("lang"), replace(col("w"),
+          concat(lit(bpeSep), col("l"), lit(bpeSep2), col("r"), lit(bpeSep)),
+          concat(lit(bpeSep), col("l"), col("r"), lit(bpeSep))).as("w"))
+    val nTok = size(filter(split(col("w"), bpeSep2), x => x =!= ""))
+    enc.select(col("lang"), nTok.as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).cast(LongType).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        Det.d6(col("n_tokens").cast(DoubleType) / col("n_words"))
+          .as("tok_per_word"))
+      .orderBy("lang")
+  }
+
   /** Ext — BPE VOCABULARY (q_bpe_vocab): the post-merge symbol
     * inventory with corpus frequencies — the artifact a tokenizer
     * pipeline actually ships. Top 50 symbols by (frequency DESC,
@@ -2978,6 +3033,7 @@ object PipelineOps {
   def specs: Seq[QuerySpec] = Seq(
     qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
     qPrCurve, qMutualInfo, qCvAuc, qStumpSplit, qBootstrapMean,
+    qBpeFertility,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

@@ -601,6 +601,17 @@ class PlanQualitySpec extends SpecBase {
       "CI assembly must run off the checkpointed replicate means")
   }
 
+  test("q_bpe_fertility: corpus side map-only, one FileScan, O(langs) agg") {
+    val df = PipelineOps.qBpeFertility.fn(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(finalPlan).size == 1,
+      s"expected exactly 1 FileScan:\n${finalPlan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "per-lang counts must partial-aggregate map-side")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

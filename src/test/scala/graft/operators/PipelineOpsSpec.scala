@@ -111,6 +111,26 @@ class PipelineOpsSpec extends SpecBase {
       "top-50 must contain at least one merged multi-char symbol")
   }
 
+  test("bpe_fertility per-lang totals equal the per-doc encode sums") {
+    val perDoc = PipelineOps.qBpeEncode.fn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val langOf = docs.select("doc_id", "lang").as[(Long, String)]
+      .collect().toMap
+    val expected = perDoc.toSeq.groupBy { case (id, _) => langOf(id) }
+      .map { case (lang, rs) =>
+        lang -> ((rs.map(_._2._1).sum, rs.map(_._2._2).sum)) }
+    val got = PipelineOps.qBpeFertility.fn(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    // langs with zero words are absent from both sides by contract
+    assert(got.map(_._1).toSet == expected.keySet)
+    got.foreach { case (lang, nw, nt, fert) =>
+      assert((nw, nt) == expected(lang), s"lang $lang")
+      assert(nt >= nw, "merges never split a word")
+      assert(math.abs(fert - nt.toDouble / nw) < 2e-6)
+    }
+  }
+
   test("quality gate signals are in range and the verdict is threshold-consistent") {
     val rows = PipelineOps.qQualityGopher.fn(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect()
