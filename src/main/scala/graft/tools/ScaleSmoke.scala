@@ -2,8 +2,10 @@ package graft.tools
 
 import graft.functions.Det
 import graft.spatial.CrossMatch
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Dev tool: headroom check an order of magnitude past the bench
   * scale — synthesizes multi-million-row inputs (seeded, in-memory)
@@ -1076,6 +1078,69 @@ object ScaleSmoke {
         }
         s"symbol mass $first -> $m0 over 3 rounds (conservation exact)"
       }
+    }
+
+    // ---- model-eval family: the VALUE-DOMAIN claim at 10M rows.
+    // q_auc/q_cv_auc/q_pr_curve group the corpus by the d6-snapped
+    // score; the windows then run over the DISTINCT-score relation.
+    // The claim that makes this 100-TB-safe: that relation is bounded
+    // by the score grid (≤ ~1e6 points on [0,1]), NOT by N.
+    t("value-domain AUC over 10M rows (grid-bounded group count)") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        // score: d6 snap of a dense pseudo-uniform — the worst case
+        // for the grid bound (every grid point populated)
+        Det.d6((col("id") % 1000003L).cast("double") / 1000003.0)
+          .as("score"),
+        (col("id") % 7 === 0).cast("long").as("y"))
+      val grouped = rows.groupBy("score")
+        .agg(sum(col("y")).as("pos"),
+          (count(lit(1)) - sum(col("y"))).as("neg"))
+        .localCheckpoint()
+      val distinctScores = grouped.count()
+      assert(distinctScores <= 1000004L,
+        s"value domain exceeded the grid bound: $distinctScores")
+      val wBelow = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val auc = grouped
+        .withColumn("cum_neg",
+          coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+        .agg((sum(col("pos").cast(DecimalType(19, 0)) *
+          (lit(2L) * col("cum_neg") + col("neg"))
+            .cast(DecimalType(19, 0))).cast("double") /
+          ((lit(2.0) * sum(col("pos")).cast("double")) *
+            sum(col("neg")).cast("double"))).as("auc"))
+        .head().getDouble(0)
+      assert(auc > 0.0 && auc < 1.0, s"degenerate AUC $auc")
+      f"$distinctScores%d distinct scores (grid-bounded), auc $auc%.4f"
+    }
+
+    // ---- Poisson bootstrap: B replicates are map-side WEIGHT
+    // columns, never resampling shuffles — per-replicate state is
+    // O(1), so 10M × 21 explode reduces to exactly 21 rows and the
+    // weight ladder is mean-1 (each replicate ~resamples n rows).
+    t("Poisson bootstrap 10M x 21 replicates, map-side reduce") {
+      val cdf = Seq(0.367879, 0.735759, 0.919699, 0.981012,
+        0.996340, 0.999406, 0.999917, 0.999990)
+      val rep = spark.range(10000000L)
+        .withColumn("b", explode(sequence(lit(0), lit(20))))
+      val h2 = (((((col("id") % 2147483647L) * 16807L) % 2147483647L
+        + col("b")) * 16807L) % 2147483647L) * 16807L % 2147483647L
+      val u = h2.cast("double") / 2147483647.0
+      val ladder = cdf.zipWithIndex.foldRight(lit(8): Column) {
+        case ((c, k), rest) => when(u < c, k).otherwise(rest)
+      }
+      val means = rep
+        .withColumn("w", when(col("b") === 0, 1).otherwise(ladder))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+        .collect()
+      assert(means.length == 21, s"expected 21 replicates: ${means.length}")
+      val ratios = means.filter(_.getInt(0) > 0).map(r =>
+        r.getLong(2).toDouble / r.getLong(1))
+      // Poisson(1) weights: every replicate's total weight ≈ n
+      assert(ratios.forall(r => r > 0.99 && r < 1.01),
+        s"weight mass off unity: ${ratios.min} .. ${ratios.max}")
+      f"21 replicates, weight-mass ratios ${ratios.min}%.4f..${ratios.max}%.4f"
     }
 
     spark.stop()
