@@ -3030,10 +3030,119 @@ object PipelineOps {
     point.crossJoin(lo).crossJoin(hi).crossJoin(sd)
   }
 
+  /** Ext — DUP-SPLIT LEAKAGE AUDIT (q_dup_split_leakage): exact-
+    * duplicate groups whose members span different train/val/test
+    * splits — the leak q_split_assign's ID-keyed split DELIBERATELY
+    * permits (same text, different doc_ids → independent splits; see
+    * the design note there) and that an embedding-space audit
+    * (q_split_leakage) can miss when near-dup ≠ exact-dup. Composes
+    * the q_dedup_exact content key with the q_split_assign bucket —
+    * both algebras referenced, not re-derived.
+    *
+    * 100-TB shape: one corpus pass projecting (md5(text), split) —
+    * no text shuffles, only 16-byte digests — into a two-level
+    * map-side agg: per (digest, split) counts, then per digest
+    * n_splits/n_docs, then ONE O(1) summary row. Exact BIGINTs end
+    * to end. */
+  val qDupSplitLeakage: QuerySpec = QuerySpec(
+    "q_dup_split_leakage",
+    """WITH d AS (SELECT md5(text) AS h,
+      |    CASE WHEN ((doc_id % 2147483647) * 1103515245 + 12345) % 100 < 90
+      |      THEN 'train'
+      |      WHEN ((doc_id % 2147483647) * 1103515245 + 12345) % 100 < 95
+      |      THEN 'val' ELSE 'test' END AS split
+      |  FROM documents),
+      |g AS (SELECT h, count(DISTINCT split) AS n_splits,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM d GROUP BY h)
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(count(*) FILTER (WHERE n_docs > 1) AS BIGINT) AS n_dup_groups,
+      |  CAST(count(*) FILTER (WHERE n_splits > 1) AS BIGINT)
+      |    AS n_leaking_groups,
+      |  CAST(coalesce(sum(n_docs) FILTER (WHERE n_splits > 1), 0)
+      |    AS BIGINT) AS n_leaked_docs
+      |FROM g""".stripMargin) { (s, dir) =>
+    val bucket = ((col("doc_id") % 2147483647L) * 1103515245L + 12345L) % 100
+    val d = LsdDb.table(s, dir, "documents")
+      .select(md5(col("text").cast("binary")).as("h"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+    val g = d.groupBy("h")
+      .agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_docs"))
+    g.agg(count(lit(1)).as("n_groups"),
+      count(when(col("n_docs") > 1, 1)).as("n_dup_groups"),
+      count(when(col("n_splits") > 1, 1)).as("n_leaking_groups"),
+      coalesce(sum(when(col("n_splits") > 1, col("n_docs"))), lit(0L))
+        .as("n_leaked_docs"))
+  }
+
+  /** Ext — PARETO FRONT / skyline (q_pareto_front): the documents no
+    * other document dominates on (quality ↑, token count ↓) — the
+    * multi-criteria selection a curation pipeline runs when "best"
+    * has two axes (keep the highest-quality doc at every length
+    * budget). Classic skyline operator re-expressed for Spark.
+    *
+    * 100-TB shape: the naive skyline is O(N²) dominance tests. This
+    * form is the VALUE-DOMAIN two-pass: (1) reduce the corpus
+    * map-side to the per-token-count quality maximum (≤ distinct
+    * token counts — bounded by the longest doc, not N); (2) one
+    * cumulative-max window ASC over that bounded relation marks the
+    * frontier (a point survives iff its quality strictly exceeds
+    * every shorter length's max); (3) one broadcast-size semi-join
+    * pulls the winning doc per frontier cell (min doc_id among the
+    * cell's max-quality docs breaks ties deterministically).
+    * Determinism: quality is the d6 [[qualScore]]; token counts are
+    * exact BIGINTs; the frontier test compares snapped doubles. */
+  val qParetoFront: QuerySpec = QuerySpec(
+    "q_pareto_front",
+    s"""WITH q AS (SELECT doc_id,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+       |    $qualScoreSql AS quality
+       |  FROM documents WHERE len($wordsSql) > 0),
+       |cell AS (SELECT n_tokens, max(quality) AS q_max
+       |  FROM q GROUP BY n_tokens),
+       |f AS (SELECT n_tokens, q_max,
+       |    max(q_max) OVER (ORDER BY n_tokens
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS best_shorter
+       |  FROM cell),
+       |front AS (SELECT n_tokens, q_max FROM f
+       |  WHERE best_shorter IS NULL OR q_max > best_shorter),
+       |rep AS (SELECT q.n_tokens, q.quality, min(q.doc_id) AS doc_id
+       |  FROM q JOIN front ON q.n_tokens = front.n_tokens
+       |    AND q.quality = front.q_max
+       |  GROUP BY q.n_tokens, q.quality)
+       |SELECT doc_id, n_tokens, quality FROM rep
+       |ORDER BY n_tokens""".stripMargin) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val q = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("doc_id"), nw.cast(LongType).as("n_tokens"),
+        qualScore.as("quality"))
+    val cell = q.groupBy("n_tokens").agg(max(col("quality")).as("q_max"))
+    val wShorter = Window.orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = cell
+      .withColumn("best_shorter", max(col("q_max")).over(wShorter))
+      .filter(col("best_shorter").isNull ||
+        col("q_max") > col("best_shorter"))
+      .select(col("n_tokens"), col("q_max"))
+    q.as("qq").join(broadcast(front.as("fr")),
+        col("qq.n_tokens") === col("fr.n_tokens") &&
+          col("qq.quality") === col("fr.q_max"))
+      .groupBy(col("qq.n_tokens").as("n_tokens"),
+        col("qq.quality").as("quality"))
+      .agg(min(col("qq.doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy("n_tokens")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
     qPrCurve, qMutualInfo, qCvAuc, qStumpSplit, qBootstrapMean,
-    qBpeFertility,
+    qBpeFertility, qDupSplitLeakage, qParetoFront,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

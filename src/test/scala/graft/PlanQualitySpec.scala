@@ -612,6 +612,24 @@ class PlanQualitySpec extends SpecBase {
       "per-lang counts must partial-aggregate map-side")
   }
 
+  test("q_dup_split_leakage: digest-keyed two-level agg, no join") {
+    val df = PipelineOps.qDupSplitLeakage.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"leakage audit must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+  }
+
+  test("q_pareto_front: frontier broadcasts back; no shuffle join") {
+    val df = PipelineOps.qParetoFront.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded frontier must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle for the frontier join:\n$plan")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

@@ -131,6 +131,56 @@ class PipelineOpsSpec extends SpecBase {
     }
   }
 
+  test("dup_split_leakage matches brute-force text-group accounting") {
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def split(id: Long): String = {
+      val b = ((id % 2147483647L) * 1103515245L + 12345L) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val groups = rows.groupBy(_._2).values.map { g =>
+      (g.length.toLong, g.map(r => split(r._1)).distinct.length)
+    }.toSeq
+    val got = PipelineOps.qDupSplitLeakage.fn(spark, sfDir)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 == groups.length.toLong)
+    assert(got._2 == groups.count(_._1 > 1).toLong)
+    assert(got._3 == groups.count(_._2 > 1).toLong)
+    assert(got._4 == groups.filter(_._2 > 1).map(_._1).sum)
+    // structural sanity: leaking groups are a subset of dup groups
+    assert(got._3 <= got._2 && got._4 >= 2 * got._3)
+  }
+
+  test("pareto_front equals the brute-force skyline") {
+    val snap = graft.functions.SnapDecimal6.snap _
+    val pts = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
+          Some((id, w.length.toLong,
+            snap((0.4 * math.min(nw / 50.0, 1.0)) +
+              (0.3 * (w.distinct.length.toDouble / nw)) +
+              (0.3 * (stop / nw)))))
+        }
+      }
+    // skyline: no other point with (tokens <=, quality >=) and one strict
+    val front = pts.filter { case (_, t, q) =>
+      !pts.exists { case (_, t2, q2) =>
+        (t2 <= t && q2 >= q) && (t2 < t || q2 > q) }
+    }
+    val expected = front.groupBy(p => (p._2, p._3))
+      .map { case ((t, q), g) => (g.map(_._1).min, t, q) }
+      .toSeq.sortBy(_._2)
+    val got = PipelineOps.qParetoFront.fn(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected, s"skyline mismatch:\n got $got\n exp $expected")
+    // frontier quality strictly increases with token count
+    assert(got.map(_._3).sliding(2).forall(s =>
+      s.length < 2 || s(1) > s(0)))
+  }
+
   test("quality gate signals are in range and the verdict is threshold-consistent") {
     val rows = PipelineOps.qQualityGopher.fn(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect()
