@@ -292,4 +292,31 @@ object StreamOps {
       .groupBy(col("cell"), window(col("ts"), windowLen))
       .agg(count(lit(1)).as("n_det"))
       .select(col("cell"), col("window.start").as("wstart"), col("n_det"))
+
+  /** S12 — streaming MODEL-QUALITY MONITOR: per tumbling event-time
+    * window, confusion cells + accuracy of a labeled prediction
+    * stream (ts, pred, label) — the live drift alarm between offline
+    * evals (the streaming twin of the batch q_confusion operator).
+    * State is four counters per active window, evicted at the
+    * watermark; late predictions are dropped rather than silently
+    * rewriting a closed window's accuracy — exactly the property a
+    * quality dashboard needs. Accuracy derives from the exact cell
+    * counts per emitted row, so downstream alerting can threshold on
+    * it without a second aggregation. */
+  def qualityMonitorStream(preds: DataFrame, windowLen: String,
+                           watermark: String): DataFrame =
+    preds
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        count(when(col("pred") === 1 && col("label") === 1, 1)).as("tp"),
+        count(when(col("pred") === 1 && col("label") === 0, 1)).as("fp"),
+        count(when(col("pred") === 0 && col("label") === 0, 1)).as("tn"),
+        count(when(col("pred") === 0 && col("label") === 1, 1)).as("fn"))
+      .select(col("window.start").as("wstart"),
+        col("window.end").as("wend"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        ((col("tp") + col("tn")).cast("double") /
+          (((col("tp") + col("fp")) + col("tn")) + col("fn")))
+          .as("accuracy"))
 }

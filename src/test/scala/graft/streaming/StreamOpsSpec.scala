@@ -151,6 +151,46 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  case class Pred(ts: Timestamp, pred: Int, label: Int)
+
+  test("streaming quality monitor: windowed confusion, late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Pred]
+    val mon = StreamOps.qualityMonitorStream(
+      input.toDF(), "10 minutes", "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("quality_mon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window 00:00–00:10: tp, fp, tn, fn one each → accuracy 0.5
+      input.addData(
+        Pred(ts("2024-01-01 00:01:00"), 1, 1),
+        Pred(ts("2024-01-01 00:02:00"), 1, 0),
+        Pred(ts("2024-01-01 00:03:00"), 0, 0),
+        Pred(ts("2024-01-01 00:04:00"), 0, 1))
+      q.processAllAvailable()
+      // advance the watermark past the first window, then send a LATE
+      // all-correct row for it — it must NOT rewrite the accuracy
+      input.addData(Pred(ts("2024-01-01 01:00:00"), 1, 1))
+      q.processAllAvailable()
+      input.addData(Pred(ts("2024-01-01 00:05:00"), 1, 1))
+      q.processAllAvailable()
+      val rows = spark.table("quality_mon")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))
+      val w0 = rows.filter(_._1 == "2024-01-01 00:00:00.0")
+      assert(w0.length == 1 && w0.head == (("2024-01-01 00:00:00.0",
+        1L, 1L, 1L, 1L, 0.5)), s"got ${w0.toSeq}")
+      // the batch twin over the same on-time rows agrees
+      val batch = Seq((1, 1), (1, 0), (0, 0), (0, 1)).toDF("pred", "label")
+      val acc = batch
+        .selectExpr("CAST(count(CASE WHEN pred = label THEN 1 END)" +
+          " AS DOUBLE) / count(*) AS a")
+        .head().getDouble(0)
+      assert(acc == 0.5)
+    } finally q.stop()
+  }
+
   case class Det(det_id: Long, lon: Double, lat: Double)
 
   test("streaming xmatch matches the batch cross-match, batch by batch") {
