@@ -2164,21 +2164,22 @@ object PipelineOps {
     * points on [0,1]) — the value-domain compression every
     * rank-based audit below relies on. ONE definition, SQL text and
     * Column twin (the SyntheticUrls discipline). */
-  private val qualScoreSql: String = D.sql.d6(
+  private val rawQualSql: String =
     s"""(0.4 * least(CAST(len($wordsSql) AS DOUBLE) / 50.0, 1.0))
        |    + (0.3 * (CAST(len($wordSetSql) AS DOUBLE) / len($wordsSql)))
        |    + (0.3 * (CAST(len(list_filter($wordsSql,
        |          w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
-       |        / len($wordsSql)))""".stripMargin)
-  private def qualScore: Column = {
+       |        / len($wordsSql)))""".stripMargin
+  private val qualScoreSql: String = D.sql.d6(rawQualSql)
+  private def rawQual: Column = {
     val w = words(col("text"))
     val stop = size(filter(w, x => x.isin("the", "a", "of", "and", "in")))
-    Det.d6(
-      (lit(0.4) * least(size(w).cast(DoubleType) / 50.0, lit(1.0))) +
-        (lit(0.3) * (size(wordSet(col("text"))).cast(DoubleType)
-          / size(w))) +
-        (lit(0.3) * (stop.cast(DoubleType) / size(w))))
+    (lit(0.4) * least(size(w).cast(DoubleType) / 50.0, lit(1.0))) +
+      (lit(0.3) * (size(wordSet(col("text"))).cast(DoubleType)
+        / size(w))) +
+      (lit(0.3) * (stop.cast(DoubleType) / size(w)))
   }
+  private def qualScore: Column = Det.d6(rawQual)
 
   /** Ext — MODEL EVALUATION, ranking: exact ROC AUC of the heuristic
     * quality score predicting `lang = 'en'` (the Mann-Whitney
@@ -3139,10 +3140,79 @@ object PipelineOps {
       .orderBy("n_tokens")
   }
 
+  /** Ext — PER-LANGUAGE SCORE NORMALIZATION MAP (q_quality_norm):
+    * the score → percentile-rank lookup per language — the fix for
+    * the classic curation bug where one absolute quality threshold
+    * silently filters minority languages harder (their score
+    * distributions sit elsewhere; see q_feature_auc's inverted-f3
+    * finding on this corpus). Midrank percentiles: pct =
+    * (2·cum_below + cnt) / (2n), so equal scores share one exact
+    * percentile and the map is invertible per language.
+    *
+    * 100-TB shape: the output IS value-domain — one corpus pass into
+    * a (lang, score) groupBy (map-side partial, ≤ langs·grid cells),
+    * one per-lang cumulative window over that bounded relation. The
+    * emitted map is the broadcast-sized artifact a pipeline joins
+    * back onto the corpus to re-threshold per language.
+    * Determinism: counts exact BIGINTs — and unlike the
+    * transcendental d6 sites, a RATIO OF INTEGERS can land exactly
+    * on a 5e-7 rounding midpoint (sf0.1 hit pct = 0.5734375: Spark
+    * half-up 0.573438 vs DuckDB half-even 0.573437), so the
+    * percentile is emitted in exact integer MICRO-UNITS via integer
+    * division (floor — no midpoint exists), and the double `pct`
+    * derives from that same integer identically in both engines.
+    * The score key itself is FLOOR-snapped to the micro grid for the
+    * same reason: this query exposes per-cell counts, so the one-doc
+    * d6 midpoint flip the aggregate queries absorb (sf0.1's raw
+    * 0.5734375 rounds half-up in Spark, half-even in DuckDB) would
+    * split a cell here. floor of the IEEE-identical raw double has
+    * no rounding tie to disagree on. */
+  val qQualityNorm: QuerySpec = QuerySpec(
+    "q_quality_norm",
+    s"""WITH q AS (SELECT lang,
+       |    CAST(CAST(floor(($rawQualSql) * 1000000.0) AS BIGINT)
+       |      AS DOUBLE) / 1000000.0 AS score
+       |  FROM documents WHERE len($wordsSql) > 0),
+       |c AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM q GROUP BY lang, score),
+       |w AS (SELECT lang, score, cnt,
+       |    coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cum_below,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM c)
+       |SELECT lang, score, cnt,
+       |  CAST((CAST(2 * cum_below + cnt AS BIGINT) * 1000000) // (2 * n)
+       |    AS BIGINT) AS pct_micro,
+       |  CAST(CAST((CAST(2 * cum_below + cnt AS BIGINT) * 1000000)
+       |    // (2 * n) AS BIGINT) AS DOUBLE) / 1000000.0 AS pct
+       |FROM w ORDER BY lang, score""".stripMargin) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val c = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("lang"),
+        (floor(rawQual * 1000000.0).cast(LongType).cast(DoubleType) /
+          1000000.0).as("score"))
+      .groupBy("lang", "score")
+      .agg(count(lit(1)).as("cnt"))
+    val wBelow = Window.partitionBy("lang").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLang = Window.partitionBy("lang")
+    c.select(col("lang"), col("score"), col("cnt"),
+      coalesce(sum(col("cnt")).over(wBelow), lit(0L)).as("cum_below"),
+      sum(col("cnt")).over(wLang).as("n"))
+      .select(col("lang"), col("score"), col("cnt"),
+        expr("CAST((2 * cum_below + cnt) * 1000000 DIV (2 * n)" +
+          " AS BIGINT)").as("pct_micro"))
+      .select(col("lang"), col("score"), col("cnt"), col("pct_micro"),
+        (col("pct_micro").cast(DoubleType) / 1000000.0).as("pct"))
+      .orderBy("lang", "score")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
     qPrCurve, qMutualInfo, qCvAuc, qStumpSplit, qBootstrapMean,
-    qBpeFertility, qDupSplitLeakage, qParetoFront,
+    qBpeFertility, qDupSplitLeakage, qParetoFront, qQualityNorm,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

@@ -630,6 +630,15 @@ class PlanQualitySpec extends SpecBase {
       s"corpus must not shuffle for the frontier join:\n$plan")
   }
 
+  test("q_quality_norm: one scan into per-lang value-domain windows") {
+    val df = PipelineOps.qQualityNorm.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"norm map must not join:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1, s"exactly one corpus scan:\n$plan")
+    assert(countShuffles(df) <= 3, s"too many shuffles:\n$plan")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

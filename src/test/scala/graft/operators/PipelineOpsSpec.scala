@@ -181,6 +181,42 @@ class PipelineOpsSpec extends SpecBase {
       s.length < 2 || s(1) > s(0)))
   }
 
+  test("quality_norm percentiles match brute-force midranks per language") {
+    val rows = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
+          val raw = (0.4 * math.min(nw / 50.0, 1.0)) +
+            (0.3 * (w.distinct.length.toDouble / nw)) +
+            (0.3 * (stop / nw))
+          Some((lang, math.floor(raw * 1000000.0).toLong / 1000000.0))
+        }
+      }
+    val got = PipelineOps.qQualityNorm.fn(spark, sfDir)
+      .as[(String, Double, Long, Long, Double)].collect()
+    // sorted, and percentiles strictly increase within a language
+    got.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).toSeq == g.map(_._2).toSeq.sorted)
+      assert(g.map(_._5).toSeq == g.map(_._5).toSeq.sorted)
+    }
+    got.foreach { case (lang, score, cnt, pctMicro, pct) =>
+      val inLang = rows.filter(_._1 == lang).map(_._2)
+      val below = inLang.count(_ < score).toLong
+      val at = inLang.count(_ == score).toLong
+      assert(cnt == at, s"$lang/$score cell count")
+      val expMicro = (2 * below + at) * 1000000L / (2 * inLang.length)
+      assert(pctMicro == expMicro, s"$lang/$score pct_micro")
+      assert(pct == pctMicro.toDouble / 1000000.0)
+    }
+    // every language's cells sum back to its doc count
+    val perLang = rows.groupBy(_._1).map { case (l, g) => l -> g.length }
+    got.groupBy(_._1).foreach { case (l, g) =>
+      assert(g.map(_._3).sum == perLang(l).toLong) }
+  }
+
   test("quality gate signals are in range and the verdict is threshold-consistent") {
     val rows = PipelineOps.qQualityGopher.fn(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect()
