@@ -881,9 +881,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — CONTRASTIVE TRIPLET MINING (q_contrastive_pairs): the
+    * (anchor, positive, negative) training triplets an embedding /
+    * reranker model trains on — positives are the capped MinHash
+    * near-dup candidates ([[minhashCandPairs]], one definition), the
+    * negative is a deterministic LCG draw over the id domain, bumped
+    * out of {anchor, positive} (two bumps escape a 2-element
+    * exclusion set by pigeonhole).
+    *
+    * 100-TB shape: the positive side inherits MinHash's hot-bucket
+    * cap (pair count linear in true near-dups); the negative draw is
+    * a MAP-ONLY expression against the one broadcast corpus-count
+    * scalar. The contiguous-id assumption is explicit: at scale the
+    * sampler would draw against an id manifest instead (the same
+    * one-broadcast shape). */
+  val qContrastivePairs: QuerySpec = QuerySpec(
+    "q_contrastive_pairs",
+    s"""WITH $minhashCandCtes,
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |t AS (SELECT doc_a AS anchor, doc_b AS positive,
+       |    ((((doc_a % 2147483647) * 16807 + doc_b) % 2147483647)
+       |      * 16807) % 2147483647 AS h, n
+       |  FROM cand CROSS JOIN nn),
+       |g0 AS (SELECT anchor, positive, h % n AS n0, n FROM t),
+       |g1 AS (SELECT anchor, positive,
+       |    CASE WHEN n0 = anchor OR n0 = positive
+       |      THEN (n0 + 1) % n ELSE n0 END AS n1, n
+       |  FROM g0)
+       |SELECT anchor, positive,
+       |  CAST(CASE WHEN n1 = anchor OR n1 = positive
+       |    THEN (n1 + 1) % n ELSE n1 END AS BIGINT) AS negative
+       |FROM g1 ORDER BY anchor, positive""".stripMargin) { (s, dir) =>
+    val nn = LsdDb.table(s, dir, "documents")
+      .agg(count(lit(1)).as("n"))
+    val h = ((((col("anchor") % 2147483647L) * 16807L + col("positive"))
+      % 2147483647L) * 16807L) % 2147483647L
+    val g0 = minhashCandPairs(s, dir)
+      .select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
+      .crossJoin(broadcast(nn))
+      .withColumn("n0", h % col("n"))
+    val g1 = g0.withColumn("n1",
+      when(col("n0") === col("anchor") || col("n0") === col("positive"),
+        (col("n0") + 1) % col("n")).otherwise(col("n0")))
+    g1.select(col("anchor"), col("positive"),
+      when(col("n1") === col("anchor") || col("n1") === col("positive"),
+        (col("n1") + 1) % col("n")).otherwise(col("n1")).as("negative"))
+      .orderBy("anchor", "positive")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qTextStats, qTermFreq, qLangid,
     qQualityScore, qTokenCount, qFingerprint, qDedupExact, qDedupMinhash,
     qDedupSimhash, qDedupSimhash64, qDedupNgram, qDedupClusters,
     qClusterSizeDist, qDedupUrlSoft, qMinhashFidelity, qDedupFamilyCompare,
-    qSplitAssign, qPackSequences)
+    qSplitAssign, qPackSequences, qContrastivePairs)
 }

@@ -217,6 +217,22 @@ class PipelineOpsSpec extends SpecBase {
       assert(g.map(_._3).sum == perLang(l).toLong) }
   }
 
+  test("contrastive triplets: positives = minhash pairs, negatives clean") {
+    val triplets = TextOps.qContrastivePairs.fn(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val pairs = TextOps.qDedupMinhash.fn(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val n = docs.count()
+    assert(triplets.map(t => (t._1, t._2)).toSet == pairs,
+      "positive side must be exactly the capped MinHash candidates")
+    triplets.foreach { case (a, p, neg) =>
+      assert(neg >= 0 && neg < n, s"negative $neg outside the id domain")
+      assert(neg != a && neg != p, s"negative $neg collides for ($a,$p)")
+    }
+    // the sampler must actually spread (not a constant negative)
+    assert(triplets.map(_._3).distinct.length > triplets.length / 10)
+  }
+
   test("quality gate signals are in range and the verdict is threshold-consistent") {
     val rows = PipelineOps.qQualityGopher.fn(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect()
