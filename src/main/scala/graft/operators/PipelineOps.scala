@@ -3209,10 +3209,93 @@ object PipelineOps {
       .orderBy("lang", "score")
   }
 
+  /** Ext — WEIGHT OF EVIDENCE / INFORMATION VALUE (q_iv): the
+    * per-bin WoE table and per-feature IV for each classifier-family
+    * feature against `lang = 'en'` — the encoding-strength screen
+    * beside [[qFeatureAuc]] (rank), [[qMutualInfo]] (information)
+    * and [[qStumpSplit]] (one-cut gain); WoE is also the binned
+    * encoding a scorecard model consumes directly. Cells are
+    * half-smoothed (+0.5 per cell, +0.5·bins per margin) so empty
+    * bins stay finite — the standard WoE correction, part of the
+    * operator contract.
+    *
+    * 100-TB shape: the q_mutual_info cell relation — one d-way
+    * exploded corpus pass onto ≤ d·10 (feat, bin) cells, windows +
+    * expression over that O(1) relation. Determinism: counts exact
+    * BIGINTs; shares are double divisions of exact halves; ln is
+    * d6-snapped per bin; iv terms derive from the SNAPPED woe and
+    * decimal-sum per feature. */
+  val qIv: QuerySpec = QuerySpec(
+    "q_iv", {
+      val posShare = "(CAST(pos AS DOUBLE) + 0.5)" +
+        " / (CAST(tpos AS DOUBLE) + 0.5 * nb)"
+      val negShare = "(CAST(neg AS DOUBLE) + 0.5)" +
+        " / (CAST(tneg AS DOUBLE) + 0.5 * nb)"
+      s"""WITH q AS (SELECT u.f AS feat,
+         |    least(greatest(CAST(floor(u.s * 10) AS BIGINT), 0), 9)
+         |      AS bin,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM (SELECT lang, unnest([${lrFeatSqls.map { case (n, e) =>
+           s"{'f': '$n', 's': $e}" }.mkString(",\n      ")}]) AS u
+         |    FROM documents WHERE len($wordsSql) > 0)),
+         |c AS (SELECT feat, bin,
+         |    CAST(sum(y) AS BIGINT) AS pos,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+         |  FROM q GROUP BY feat, bin),
+         |m AS (SELECT feat, bin, pos, neg,
+         |    CAST(sum(pos) OVER (PARTITION BY feat) AS BIGINT) AS tpos,
+         |    CAST(sum(neg) OVER (PARTITION BY feat) AS BIGINT) AS tneg,
+         |    CAST(count(*) OVER (PARTITION BY feat) AS BIGINT) AS nb
+         |  FROM c),
+         |t AS (SELECT feat, bin, pos, neg,
+         |    ${D.sql.d6(s"ln(($posShare) / ($negShare))")} AS woe,
+         |    $posShare AS ps, $negShare AS ns
+         |  FROM m),
+         |t2 AS (SELECT feat, bin, pos, neg, woe,
+         |    ${D.sql.d6("(ps - ns) * woe")} AS iv_term
+         |  FROM t)
+         |SELECT feat, bin, pos, neg, woe, iv_term,
+         |  ${D.sql.d6("CAST(sum(CAST(iv_term AS DECIMAL(18,8)))" +
+           " OVER (PARTITION BY feat) AS DOUBLE)")} AS iv
+         |FROM t2 ORDER BY feat, bin""".stripMargin
+    }) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val c = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("lang"), explode(array(lrFeatCols.map { case (n, cc) =>
+        struct(lit(n).as("f"), cc.as("s")) }: _*)).as("u"))
+      .select(col("u.f").as("feat"),
+        least(greatest(floor(col("u.s") * 10).cast(LongType),
+          lit(0L)), lit(9L)).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("feat", "bin")
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val wF = Window.partitionBy("feat")
+    val m = c.select(col("feat"), col("bin"), col("pos"), col("neg"),
+      sum(col("pos")).over(wF).as("tpos"),
+      sum(col("neg")).over(wF).as("tneg"),
+      count(lit(1)).over(wF).as("nb"))
+    val ps = (col("pos").cast(DoubleType) + 0.5) /
+      (col("tpos").cast(DoubleType) + lit(0.5) * col("nb"))
+    val ns = (col("neg").cast(DoubleType) + 0.5) /
+      (col("tneg").cast(DoubleType) + lit(0.5) * col("nb"))
+    val t = m.select(col("feat"), col("bin"), col("pos"), col("neg"),
+      Det.d6(log(ps / ns)).as("woe"), ps.as("ps"), ns.as("ns"))
+    val t2 = t.select(col("feat"), col("bin"), col("pos"), col("neg"),
+      col("woe"),
+      Det.d6((col("ps") - col("ns")) * col("woe")).as("iv_term"))
+    t2.select(col("feat"), col("bin"), col("pos"), col("neg"),
+      col("woe"), col("iv_term"),
+      Det.d6(sum(col("iv_term").cast(Det.M)).over(wF)
+        .cast(DoubleType)).as("iv"))
+      .orderBy("feat", "bin")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
     qPrCurve, qMutualInfo, qCvAuc, qStumpSplit, qBootstrapMean,
-    qBpeFertility, qDupSplitLeakage, qParetoFront, qQualityNorm,
+    qBpeFertility, qDupSplitLeakage, qParetoFront, qQualityNorm, qIv,
     qBpeTrain, qBpeEncode, qBpeVocab,
     qRerankFusion, qZipfFit,
     qDecontaminate, qQualityGopher, qStratifiedSample, qSampleWeighted,

@@ -233,6 +233,51 @@ class PipelineOpsSpec extends SpecBase {
     assert(triplets.map(_._3).distinct.length > triplets.length / 10)
   }
 
+  test("q_iv: WoE/IV match brute force with half-smoothing") {
+    val snap = graft.functions.SnapDecimal6.snap _
+    val feats = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          Some((Map(
+            "f1" -> snap(math.min(nw / 50.0, 1.0)),
+            "f2" -> snap(w.distinct.length.toDouble / nw),
+            "f3" -> snap(
+              w.count(Set("the", "a", "of", "and", "in")).toDouble / nw),
+            "f4" -> snap(text.length.toDouble / nw / 10.0)),
+            lang == "en"))
+        }
+      }
+    val got = PipelineOps.qIv.fn(spark, sfDir)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      val binned = feats.map { case (m, y) =>
+        (math.min(math.max(math.floor(m(f) * 10).toLong, 0L), 9L), y) }
+      val tp = binned.count(_._2).toDouble
+      val tn = binned.length - tp
+      val nb = rows.length.toDouble
+      var ivSum = BigDecimal(0)
+      rows.sortBy(_._2).foreach { case (_, bin, pos, neg, woe, ivT, _) =>
+        val bp = binned.count(r => r._1 == bin && r._2).toLong
+        val bn = binned.count(r => r._1 == bin && !r._2).toLong
+        assert(pos == bp && neg == bn, s"$f/$bin cells")
+        val ps = (bp + 0.5) / (tp + 0.5 * nb)
+        val ns = (bn + 0.5) / (tn + 0.5 * nb)
+        val expWoe = snap(math.log(ps / ns))
+        assert(math.abs(woe - expWoe) < 1e-6, s"$f/$bin woe $woe != $expWoe")
+        assert(math.abs(ivT - snap((ps - ns) * expWoe)) < 1e-6)
+        ivSum += BigDecimal(snap((ps - ns) * expWoe))
+      }
+      val iv = rows.head._7
+      assert(rows.forall(r => math.abs(r._7 - iv) < 1e-9),
+        "per-feat IV must repeat identically on every bin row")
+      assert(math.abs(iv - snap(ivSum.toDouble)) < 1e-5, s"$f iv")
+      assert(iv >= -1e-6, "IV is nonnegative up to snap error")
+    }
+  }
+
   test("quality gate signals are in range and the verdict is threshold-consistent") {
     val rows = PipelineOps.qQualityGopher.fn(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect()
