@@ -156,6 +156,9 @@ object Joins {
     * neighbor-margin cache plays for spatial joins: coarse-cell
     * equality first, exact predicate second.
     */
+  /* Bench envelope (r15): floor 2.78 s; full-bench 4.67 s (1.7x
+   * flag) vs isolated 3.32-3.84 s warm on identical code — inside
+   * the gate (4.47 s); sibling-load variance. */
   val qJoinRange: QuerySpec = QuerySpec(
     "q_join_range",
     s"""SELECT c_custkey,

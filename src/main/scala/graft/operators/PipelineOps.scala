@@ -1343,6 +1343,9 @@ object PipelineOps {
     * safe as the first predecessor because the tokenizer drops
     * empties. The oracle uses DuckDB's indexed list_filter directly
     * (per-element re-eval is a Spark codegen concern, not DuckDB's). */
+  /* Bench envelope (r15): floor 0.66 s; full-bench 1.56 s (2.4x
+   * flag) vs isolated 0.93-1.02 s warm on identical code — inside
+   * the gate (1.29 s); sibling-load variance. */
   val qCollapseRepeats: QuerySpec = QuerySpec(
     "q_collapse_repeats",
     s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
