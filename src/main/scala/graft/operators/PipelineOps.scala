@@ -3295,8 +3295,104 @@ object PipelineOps {
       .orderBy("feat", "bin")
   }
 
+  private val linIters = 24
+  private val linEta = 1.0
+  private val linFeats = Seq("f2", "f3", "f4")
+
+  /** Ext — TRAINABLE LENGTH MODEL (q_linreg): batch gradient-descent
+    * LINEAR regression of log1p(word count) on the length-free
+    * surface features (f2 distinct-ratio, f3 stopword-ratio, f4
+    * chars-per-word) — the second GLM of the family, proving the
+    * distributed-GD loop of [[qLogreg]] generalizes across losses.
+    * Quadratic loss makes fixed-η GD stable for η < 2/λmax(XᵀX/n);
+    * the measured spectrum on this feature set is λmax ≈ 1.56 at BOTH
+    * sf0.001 and sf0.1 (the features are scale-free ratios, so the
+    * Gram barely moves with corpus size) ⇒ η = 1.0 converges with
+    * margin (η = 1.25 already oscillates — verified numerically; and
+    * an exp-link Poisson GD oscillates regardless without Fisher
+    * scoring, which is the negative design call that makes this a
+    * linear model). The Gram is ill-conditioned (λmin ≈ 2e-4: bias
+    * and the near-constant distinct-ratio are collinear), so 24
+    * rounds fit the well-conditioned subspace — R² ≈ 0.4, not the
+    * OLS optimum — which is exactly what k rounds of GD honestly
+    * buys.
+    *
+    * Same 100-TB shape as q_logreg: ONE corpus pass into a
+    * localCheckpointed feature matrix, k O(d)-state partial-agg
+    * rounds, weights constant-fold into a map-only scoring pass.
+    * Determinism: z is d6-snapped (FMA rule); residual sums go
+    * through DECIMAL(38,8); weights d6-snap per round; label
+    * ln(1+y) is d6-snapped; resid is a difference of two 1e-6-grid
+    * values (exact multiple of 1e-6 — no midpoint exists). */
+  val qLinreg: QuerySpec = QuerySpec(
+    "q_linreg", {
+      val d6 = D.sql.d6 _
+      val featSql =
+        s"""lnf AS (SELECT doc_id,
+           |    ${d6(s"ln(1.0 + len($wordsSql))")} AS y,
+           |    ${lrFeatSqls.filter(f => linFeats.contains(f._1))
+              .map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")}
+           |  FROM documents WHERE len($wordsSql) > 0)""".stripMargin
+      def zSql(w: String, f: String): String = d6(
+        s"$w.w0 + $w.w1 * $f.f2 + $w.w2 * $f.f3 + $w.w3 * $f.f4")
+      val sb = new StringBuilder(
+        s"""WITH $featSql,
+           |lrw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+           |  0.0 AS w3)""".stripMargin)
+      // every CTE referenced EXACTLY ONCE (the q_logreg lesson:
+      // a twice-referenced w-chain inlines 2^k ways in DuckDB)
+      for (r <- 1 to linIters) {
+        val xs = "1.0" +: linFeats.map(f => s"f.$f")
+        sb ++= s""",
+           |lrp$r AS (SELECT f.y, f.f2, f.f3, f.f4,
+           |    w.w0, w.w1, w.w2, w.w3,
+           |    ${zSql("w", "f")} AS z
+           |  FROM lnf f CROSS JOIN lrw${r - 1} w),
+           |lrw$r AS (SELECT${xs.zipWithIndex.map { case (x, i) =>
+              s"\n    ${d6(s"min(f.w$i) + $linEta" +
+                s" * CAST(sum(CAST((f.y - f.z) * $x AS DECIMAL(38,8)))" +
+                " AS DOUBLE) / count(*)")} AS w$i" }.mkString(",")}
+           |  FROM lrp$r f)""".stripMargin
+      }
+      sb ++= s"""
+         |SELECT f.doc_id, ${zSql("w", "f")} AS pred, f.y AS label,
+         |  ${d6(s"f.y - (${zSql("w", "f")})")} AS resid
+         |FROM lnf f CROSS JOIN lrw$linIters w
+         |ORDER BY f.doc_id""".stripMargin
+      sb.toString
+    }) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val feat = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(col("doc_id") +:
+        Det.d6(log(lit(1.0) + nw.cast(DoubleType))).as("y") +:
+        lrFeatCols.filter(f => linFeats.contains(f._1))
+          .map { case (n, c) => c.as(n) }: _*)
+      .localCheckpoint()
+    def zCol(ws: Seq[Double]): Column = Det.d6(
+      lit(ws(0)) + lit(ws(1)) * col("f2") + lit(ws(2)) * col("f3") +
+        lit(ws(3)) * col("f4"))
+    var ws: Seq[Double] = Seq.fill(4)(0.0)
+    for (_ <- 1 to linIters) {
+      val gradTerms = lit(1.0) +: linFeats.map(col)
+      val g = feat.withColumn("z", zCol(ws))
+        .agg(count(lit(1)).as("n"),
+          gradTerms.zipWithIndex.map { case (x, i) =>
+            sum(((col("y") - col("z")) * x).cast(Det.M38))
+              .cast(DoubleType).as(s"g$i") }: _*)
+        .head()
+      val n = g.getLong(0)
+      ws = ws.zipWithIndex.map { case (wv, i) =>
+        graft.functions.SnapDecimal6.snap(
+          wv + linEta * g.getDouble(i + 1) / n) }
+    }
+    feat.select(col("doc_id"), zCol(ws).as("pred"), col("y").as("label"),
+      Det.d6(col("y") - zCol(ws)).as("resid"))
+      .orderBy("doc_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
-    qLogreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
+    qLogreg, qLinreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
     qPrCurve, qMutualInfo, qCvAuc, qStumpSplit, qBootstrapMean,
     qBpeFertility, qDupSplitLeakage, qParetoFront, qQualityNorm, qIv,
     qBpeTrain, qBpeEncode, qBpeVocab,

@@ -639,6 +639,16 @@ class PlanQualitySpec extends SpecBase {
     assert(countShuffles(df) <= 3, s"too many shuffles:\n$plan")
   }
 
+  test("q_linreg: scoring pass is map-only off the checkpointed features") {
+    val df = PipelineOps.qLinreg.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"),
+      s"scoring must not join the weight row:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      "scoring must run off the checkpointed feature relation")
+    assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
+  }
+
   test("q_pca_power: projection pass is map-only over one corpus scan") {
     // the Gram pass + d²-sized iterations run eagerly at build time
     // (bounded O(d) collect); the RETURNED plan must be just

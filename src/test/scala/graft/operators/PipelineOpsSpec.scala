@@ -755,6 +755,25 @@ class PipelineOpsSpec extends SpecBase {
       assert(ms >= bin / 10.0 - 1e-6 && ms <= (bin + 1) / 10.0 + 1e-6) }
   }
 
+  test("linreg training reduces variance vs the mean-only baseline") {
+    val out = PipelineOps.qLinreg.fn(spark, sfDir)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, pred, label, resid) =>
+      assert(label > 0.0, "log1p of a positive count")
+      assert(math.abs(resid - (label - pred)) < 2e-6)
+    }
+    val labels = out.map(_._3)
+    val mean = labels.sum / labels.length
+    val ssTot = labels.map(y => (y - mean) * (y - mean)).sum
+    val ssRes = out.map(_._4).map(r => r * r).sum
+    // 24 GD rounds must explain a real share of the variance
+    val r2 = 1.0 - ssRes / ssTot
+    assert(r2 > 0.0, s"training failed to beat the mean baseline: r2 $r2")
+    // and predictions genuinely vary with the features
+    assert(out.map(_._2).distinct.length > 10, "degenerate predictions")
+  }
+
   test("lightcurve stats are internally consistent") {
     val out = PipelineOps.qLightcurve.fn(spark, sfDir)
       .selectExpr("object_id", "n_obs", "span_s", "mean_flux",
