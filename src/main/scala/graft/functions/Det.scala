@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Determinism helpers for DuckDB-oracle hash-matching (SURVEY.md §2
   * determinism rules).
@@ -63,6 +63,20 @@ object Det {
       SnapDecimal6(org.apache.spark.sql.GraftShims.expression(
         c.cast(DoubleType))))
 
+  /** FLOOR-snap to the 1e-6 grid — the snap for values used as
+    * GROUP/BIN KEYS (or feeding exposed per-cell counts) whose raw
+    * form is a RATIO OF INTEGERS. Unlike transcendental outputs, an
+    * integer ratio CAN land exactly on a 5e-7 rounding midpoint,
+    * where Spark's half-up and DuckDB's half-even decimal casts
+    * disagree (observed: raw 0.5734375 at sf0.1) — a one-doc flip
+    * that an aggregate absorbs but a grouping key does not (it
+    * creates/destroys a distinct cell or moves a doc across a bin
+    * edge). floor of the IEEE-identical raw double has no tie to
+    * disagree on. The q_quality_norm discipline, hoisted. */
+  def f6(c: Column): Column =
+    floor(c.cast(DoubleType) * 1000000.0).cast(LongType)
+      .cast(DoubleType) / 1000000.0
+
   /** Exact sum of products (x*y is IEEE-deterministic; the decimal cast
     * makes the subsequent summation order-independent). Uses the wide
     * M38 type: a product of two ≤1e6 values carries up to 12 integer
@@ -104,6 +118,9 @@ object Det {
       s"CAST(sum(CAST(($e) AS DECIMAL(18,8))) AS DOUBLE)"
     def d6(e: String): String =
       s"CAST(CAST(($e) AS DECIMAL(18,6)) AS DOUBLE)"
+    def f6(e: String): String =
+      s"CAST(CAST(floor(($e) * 1000000.0) AS BIGINT) AS DOUBLE)" +
+        " / 1000000.0"
     def davg(e: String): String = s"${dsum(e)} / count($e)"
     def sq(e: String): String =
       s"CAST(sum(CAST((($e) * ($e)) AS DECIMAL(38,8))) AS DOUBLE)"

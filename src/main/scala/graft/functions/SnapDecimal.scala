@@ -95,4 +95,11 @@ object SnapDecimal6 {
         s"snap6: $d cannot be represented as DECIMAL(18,6)")
     bd.doubleValue
   }
+
+  /** Scalar twin of the FLOOR-snap ([[Det.f6]]): floor to the 1e-6
+    * grid. The snap for integer-ratio grouping/bin keys, where a
+    * round-half snap can hit an exact midpoint and the engines'
+    * tie-break rules (Spark half-up, DuckDB half-even) diverge. */
+  def snapFloor(d: Double): Double =
+    math.floor(d * 1000000.0).toLong.toDouble / 1000000.0
 }

@@ -183,6 +183,54 @@ object Core {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Write-once scaled multi-HDU FITS export (same marker discipline
+    * as [[ensureFitsExport]]): a leading IMAGE extension plus a
+    * BINTABLE whose integer columns carry TSCALn/TZEROn — the
+    * heterogeneous external-catalog shape (offset int16, quantized
+    * int32, offset int64; all binary-exact so the round trip is
+    * lossless by construction). */
+  def ensureFitsScaledExport(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String = synchronized {
+    val tmp = graft.sources.CacheKeys.path(
+      "graft_fits_scaled", s"$dir/lineitem.parquet")
+    val marker = new java.io.File(s"$tmp/_FITS_OK")
+    if (!marker.exists()) {
+      graft.sources.Fits.writeScaled(
+        LsdDb.table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_quantity", "l_returnflag"),
+        tmp,
+        Map(
+          // the classic "unsigned short" offset: raw int16 = v − 2^15
+          "l_linenumber" -> graft.sources.Fits.Scaled("I", 1.0, 32768.0),
+          // offset int64 (large-key compaction)
+          "l_partkey" -> graft.sources.Fits.Scaled("K", 1.0, 2147483648.0),
+          // quantized quarter-units: 2^-2 scale is binary-exact
+          "l_quantity" -> graft.sources.Fits.Scaled("J", 0.25, 0.0)))
+      marker.createNewFile()
+    }
+    tmp
+  }
+
+  /** SC3e — FITS import, survey-catalog shape: multi-HDU file (image
+    * extension skipped by data-size arithmetic) with TSCAL/TZERO
+    * scaled-integer columns surfacing as physical values. The scaled
+    * columns are restored to their catalog types, so the oracle is
+    * the plain table — the round trip through int16/int32/int64 raw
+    * storage is exact end to end. */
+  val qImportFitsScaled: QuerySpec = QuerySpec(
+    "q_import_fits_scaled",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |  l_returnflag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    graft.sources.Fits.read(s, ensureFitsScaledExport(s, dir))
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"),
+        col("l_partkey").cast("long").as("l_partkey"),
+        col("l_quantity"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Write-once snapshot table: the events stream landed in THREE
     * committed appends (event_id mod 3 = 0, then 1, then 2) through
     * the Snapshots MVCC-lite layout — so snapshot 2 is a genuine
@@ -717,7 +765,8 @@ object Core {
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
     qZorderBox,
-    qImportCsv, qImportFits, qImportOrc, qImportJson, qTimeTravel,
+    qImportCsv, qImportFits, qImportFitsScaled, qImportOrc, qImportJson,
+    qTimeTravel,
     qSnapshotDelta, qSnapshotMerge, qSnapshotPrune, qSnapshotBloom,
     qProject, qFilter,
     qMath, qCase,

@@ -2030,28 +2030,31 @@ object PipelineOps {
 
   /** The four surface features of the trainable-classifier family —
     * ONE definition (SQL text + Column twins, the SyntheticUrls
-    * discipline) shared by q_logreg / q_feature_auc. All d6-snapped
-    * ratios of integer counts, so both engines carry identical
-    * doubles on a bounded grid. */
+    * discipline) shared by q_logreg / q_feature_auc. All
+    * FLOOR-snapped ([[Det.f6]]) ratios of integer counts: these
+    * values serve as grouping/bin keys downstream (q_feature_auc /
+    * q_mutual_info / q_stump_split / q_iv expose per-cell counts),
+    * and an integer ratio can land exactly on a d6 rounding midpoint
+    * where the engines' tie-break rules diverge — floor has no tie. */
   private val lrFeatSqls: Seq[(String, String)] = {
-    val d6 = D.sql.d6 _
+    val f6 = D.sql.f6 _
     Seq(
-      "f1" -> d6(s"least(CAST(len($wordsSql) AS DOUBLE) / 50.0, 1.0)"),
-      "f2" -> d6(s"CAST(len($wordSetSql) AS DOUBLE) / len($wordsSql)"),
-      "f3" -> d6(s"CAST(len(list_filter($wordsSql," +
+      "f1" -> f6(s"least(CAST(len($wordsSql) AS DOUBLE) / 50.0, 1.0)"),
+      "f2" -> f6(s"CAST(len($wordSetSql) AS DOUBLE) / len($wordsSql)"),
+      "f3" -> f6(s"CAST(len(list_filter($wordsSql," +
         " w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
         s" / len($wordsSql)"),
-      "f4" -> d6(s"CAST(length(text) AS DOUBLE) / len($wordsSql) / 10.0"))
+      "f4" -> f6(s"CAST(length(text) AS DOUBLE) / len($wordsSql) / 10.0"))
   }
   private def lrFeatCols: Seq[(String, Column)] = {
     val w = words(col("text"))
     val nw = size(w)
     Seq(
-      "f1" -> Det.d6(least(nw.cast(DoubleType) / 50.0, lit(1.0))),
-      "f2" -> Det.d6(size(wordSet(col("text"))).cast(DoubleType) / nw),
-      "f3" -> Det.d6(size(filter(w, x =>
+      "f1" -> Det.f6(least(nw.cast(DoubleType) / 50.0, lit(1.0))),
+      "f2" -> Det.f6(size(wordSet(col("text"))).cast(DoubleType) / nw),
+      "f3" -> Det.f6(size(filter(w, x =>
         x.isin("the", "a", "of", "and", "in"))).cast(DoubleType) / nw),
-      "f4" -> Det.d6(length(col("text")).cast(DoubleType) / nw / 10.0))
+      "f4" -> Det.f6(length(col("text")).cast(DoubleType) / nw / 10.0))
   }
 
   /** Ext — TRAINABLE QUALITY/LANG CLASSIFIER (q_logreg): batch
@@ -2084,7 +2087,7 @@ object PipelineOps {
     "q_logreg", {
       val d6 = D.sql.d6 _
       val featSql =
-        s"""lfeat AS (SELECT doc_id,
+        s"""lfeat AS MATERIALIZED (SELECT doc_id,
            |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
            |    ${lrFeatSqls.map { case (n, e) => s"$e AS $n" }
               .mkString(",\n    ")}
@@ -2096,20 +2099,25 @@ object PipelineOps {
         d6(s"1.0 / (1.0 + exp(-(${zSql(w, f)})))")
       val sb = new StringBuilder(
         s"""WITH $featSql,
-           |lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+           |lw0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
            |  0.0 AS w3, 0.0 AS w4)""".stripMargin)
       // Every CTE is referenced EXACTLY ONCE (weights ride along in
       // lp$r; gradient + update fold into one agg) — a w-chain
       // referenced twice per round inlines 2^k ways under DuckDB's
-      // CTE expansion and exhausts file handles at k=24.
+      // CTE expansion and exhausts file handles at k=24. And every
+      // CTE is AS MATERIALIZED: DuckDB 1.0 inlines even once-referenced
+      // CTEs, so without the hint lfeat's regexp feature extraction
+      // re-evaluates once per round (>=14 min at sf0.01) and the
+      // optimizer re-plans a 24-deep inlined tree (~13 s even with
+      // lfeat alone materialized). Full materialization: 0.2 s.
       for (r <- 1 to lrIters) {
         val xs = "1.0" +: lrFeats.map(f => s"f.$f")
         sb ++= s""",
-           |lp$r AS (SELECT f.y, f.f1, f.f2, f.f3, f.f4,
+           |lp$r AS MATERIALIZED (SELECT f.y, f.f1, f.f2, f.f3, f.f4,
            |    w.w0, w.w1, w.w2, w.w3, w.w4,
            |    ${pSql("w", "f")} AS p
            |  FROM lfeat f CROSS JOIN lw${r - 1} w),
-           |lw$r AS (SELECT${xs.zipWithIndex.map { case (x, i) =>
+           |lw$r AS MATERIALIZED (SELECT${xs.zipWithIndex.map { case (x, i) =>
               s"\n    ${d6(s"min(f.w$i) + $lrEta" +
                 s" * CAST(sum(CAST((f.y - f.p) * $x AS DECIMAL(38,8)))" +
                 " AS DOUBLE) / count(*)")} AS w$i" }.mkString(",")}
@@ -2173,7 +2181,12 @@ object PipelineOps {
        |    + (0.3 * (CAST(len(list_filter($wordsSql,
        |          w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
        |        / len($wordsSql)))""".stripMargin
-  private val qualScoreSql: String = D.sql.d6(rawQualSql)
+  // FLOOR-snapped, not d6: the score is a grouping key in the
+  // value-domain queries below (q_auc/q_cv_auc group by score;
+  // q_calibration/q_pr_curve bin on it) and those queries expose
+  // per-cell BIGINT counts — a d6 midpoint flip (raw 0.5734375 at
+  // sf0.1: Spark half-up vs DuckDB half-even) would split a cell.
+  private val qualScoreSql: String = D.sql.f6(rawQualSql)
   private def rawQual: Column = {
     val w = words(col("text"))
     val stop = size(filter(w, x => x.isin("the", "a", "of", "and", "in")))
@@ -2182,7 +2195,7 @@ object PipelineOps {
         / size(w))) +
       (lit(0.3) * (stop.cast(DoubleType) / size(w)))
   }
-  private def qualScore: Column = Det.d6(rawQual)
+  private def qualScore: Column = Det.f6(rawQual)
 
   /** Ext — MODEL EVALUATION, ranking: exact ROC AUC of the heuristic
     * quality score predicting `lang = 'en'` (the Mann-Whitney
@@ -3173,8 +3186,7 @@ object PipelineOps {
   val qQualityNorm: QuerySpec = QuerySpec(
     "q_quality_norm",
     s"""WITH q AS (SELECT lang,
-       |    CAST(CAST(floor(($rawQualSql) * 1000000.0) AS BIGINT)
-       |      AS DOUBLE) / 1000000.0 AS score
+       |    $qualScoreSql AS score
        |  FROM documents WHERE len($wordsSql) > 0),
        |c AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt
        |  FROM q GROUP BY lang, score),
@@ -3193,9 +3205,7 @@ object PipelineOps {
     val nw = size(words(col("text")))
     val c = LsdDb.table(s, dir, "documents")
       .filter(nw > 0)
-      .select(col("lang"),
-        (floor(rawQual * 1000000.0).cast(LongType).cast(DoubleType) /
-          1000000.0).as("score"))
+      .select(col("lang"), qualScore.as("score"))
       .groupBy("lang", "score")
       .agg(count(lit(1)).as("cnt"))
     val wBelow = Window.partitionBy("lang").orderBy("score")
@@ -3328,7 +3338,7 @@ object PipelineOps {
     "q_linreg", {
       val d6 = D.sql.d6 _
       val featSql =
-        s"""lnf AS (SELECT doc_id,
+        s"""lnf AS MATERIALIZED (SELECT doc_id,
            |    ${d6(s"ln(1.0 + len($wordsSql))")} AS y,
            |    ${lrFeatSqls.filter(f => linFeats.contains(f._1))
               .map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")}
@@ -3337,18 +3347,21 @@ object PipelineOps {
         s"$w.w0 + $w.w1 * $f.f2 + $w.w2 * $f.f3 + $w.w3 * $f.f4")
       val sb = new StringBuilder(
         s"""WITH $featSql,
-           |lrw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+           |lrw0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
            |  0.0 AS w3)""".stripMargin)
       // every CTE referenced EXACTLY ONCE (the q_logreg lesson:
-      // a twice-referenced w-chain inlines 2^k ways in DuckDB)
+      // a twice-referenced w-chain inlines 2^k ways in DuckDB) and
+      // AS MATERIALIZED (DuckDB 1.0 inlines once-referenced CTEs;
+      // without the hint lnf's feature regexps re-run per round and
+      // the optimizer chews on a 24-deep inlined tree — see qLogreg)
       for (r <- 1 to linIters) {
         val xs = "1.0" +: linFeats.map(f => s"f.$f")
         sb ++= s""",
-           |lrp$r AS (SELECT f.y, f.f2, f.f3, f.f4,
+           |lrp$r AS MATERIALIZED (SELECT f.y, f.f2, f.f3, f.f4,
            |    w.w0, w.w1, w.w2, w.w3,
            |    ${zSql("w", "f")} AS z
            |  FROM lnf f CROSS JOIN lrw${r - 1} w),
-           |lrw$r AS (SELECT${xs.zipWithIndex.map { case (x, i) =>
+           |lrw$r AS MATERIALIZED (SELECT${xs.zipWithIndex.map { case (x, i) =>
               s"\n    ${d6(s"min(f.w$i) + $linEta" +
                 s" * CAST(sum(CAST((f.y - f.z) * $x AS DECIMAL(38,8)))" +
                 " AS DOUBLE) / count(*)")} AS w$i" }.mkString(",")}

@@ -74,6 +74,133 @@ case class SkyDist(lon1: Expression, lat1: Expression,
       lat2 = newFourth)
 }
 
+/** 9-slot strip-pruned neighbor-cell array as ONE compact expression —
+  * `sky_neighbor_cells(lon, lat)` for a plan-time (level, margin).
+  *
+  * Why an expression and not a raw Catalyst tree: the tree form
+  * (9 CaseWhen slots, each re-inlining the morton interleave and the
+  * four strip predicates — no common-subexpression elimination runs
+  * inside a Generate's generator) codegens to ~19k lines and Janino
+  * dies with "Code grows beyond 64 KB" in generate_doConsume_0, so
+  * the whole stage silently fell back to interpreted eval — an
+  * interpreted-path tax on every probe row of the signature operator.
+  * This form codegens to a single static call.
+  *
+  * Semantics are bit-identical to the old tree: every step mirrors
+  * the Catalyst operator it replaces (Pmod's double path is
+  * `r = a % n; if (r < 0) (r + n) % n else r` — verified against the
+  * compiled class), and the interpreted and codegen paths share
+  * [[NeighborCells.compute]]. Null slots mark pruned neighbors; the
+  * downstream null-rejecting equi-join drops them. A null lon/lat
+  * makes the whole array null (explode emits nothing) where the old
+  * tree emitted 9 null slots — identical after the join. */
+case class NeighborCells(lon: Expression, lat: Expression,
+                         level: Int, marginDeg: Double)
+    extends BinaryExpression {
+  override def left: Expression = lon
+  override def right: Expression = lat
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = lon.nullable || lat.nullable
+  override def prettyName: String = "sky_neighbor_cells"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("sky_neighbor_cells requires DOUBLE lon, lat")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NeighborCells.compute(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      level, marginDeg)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, b) =>
+      s"${ev.value} = graft.plans.NeighborCells.compute(" +
+        s"$l, $b, $level, ${marginDeg}D);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(lon = newLeft, lat = newRight)
+}
+
+object NeighborCells {
+  /** Shared interpreted/codegen kernel. Arithmetic mirrors, op for
+    * op, the Catalyst tree it replaced (ixy / morton / strip
+    * predicates in [[AutoSpatialJoin]]'s comments) so the candidate
+    * set is bit-identical. */
+  def compute(lon: Double, lat: Double, level: Int,
+              marginDeg: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = 1L << level
+    val w = 360.0 / n
+    // Pmod(lon, 360.0) — Spark's exact double path
+    val r0 = lon % 360.0
+    val lonNorm = if (r0 < 0) (r0 + 360.0) % 360.0 else r0
+    val fx = lonNorm / 360.0
+    val fy = (math.sin(math.toRadians(lat)) + 1.0) / 2.0
+    // Greatest(Least(cast(floor(f*n) as long), n-1), 0)
+    def clamp(f: Double): Long =
+      math.max(math.min(math.floor(f * n.toDouble).toLong, n - 1L), 0L)
+    val ix = clamp(fx)
+    val iy = clamp(fy)
+    val cosLat = math.cos(math.toRadians(lat))
+    val sinMargin = math.sin(math.toRadians(math.min(90.0, marginDeg)))
+    val dLonE = (ix + 1L).toDouble * w - lonNorm
+    val dLonW = lonNorm - ix.toDouble * w
+    val eastNear = math.sin(math.toRadians(dLonE)) * cosLat <= sinMargin
+    val westNear = math.sin(math.toRadians(dLonW)) * cosLat <= sinMargin
+    val latEdgeN = math.toDegrees(math.asin(
+      (iy + 1L).toDouble * (2.0 / n) - 1.0))
+    val latEdgeS = math.toDegrees(math.asin(iy.toDouble * (2.0 / n) - 1.0))
+    val northNear = latEdgeN - lat <= marginDeg
+    val southNear = lat - latEdgeS <= marginDeg
+    def morton(x: Long, y: Long): Long = {
+      var acc = 0L
+      var b = 0
+      while (b < level) {
+        acc |= ((x >> b) & 1L) << (2 * b)
+        acc |= ((y >> b) & 1L) << (2 * b + 1)
+        b += 1
+      }
+      acc
+    }
+    val tag = level.toLong << 58
+    val slots = new Array[Any](9)
+    var i = 0
+    var dx = -1
+    while (dx <= 1) {
+      var dy = -1
+      while (dy <= 1) {
+        val strip = (dx, dy) match {
+          case (0, 0)   => true
+          case (-1, 0)  => westNear
+          case (1, 0)   => eastNear
+          case (0, -1)  => southNear
+          case (0, 1)   => northNear
+          case (-1, -1) => westNear && southNear
+          case (-1, 1)  => westNear && northNear
+          case (1, -1)  => eastNear && southNear
+          case _        => eastNear && northNear // (1, 1)
+        }
+        val ny = iy + dy
+        if (strip && ny >= 0 && ny < n) {
+          // Pmod on longs: both operands positive here (ix+dx >= -1,
+          // + n keeps it positive before the mod)
+          val nx = (ix + dx + n) % n
+          slots(i) = java.lang.Long.valueOf(morton(nx, ny) | tag)
+        } // else null slot
+        i += 1
+        dy += 1
+      }
+      dx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(slots)
+  }
+}
+
 /** Optimizer rule: rewrite `Filter(sky_dist(al, aa, bl, bb) <= r,
   * Join(A, B, inner/cross, no condition))` — the plan a user gets from
   * the NAIVE `a.crossJoin(b).where(skyDist(...) <= r)` — into the
@@ -181,51 +308,6 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
     BitwiseOr(morton(ix, iy, level), L(level.toLong << 58))
   }
 
-  /** 9-slot strip-pruned neighbor array — raw form of
-    * SkyPix.neighborCellsWithinRaw (null slots dropped by the
-    * null-rejecting equi-join). */
-  private def neighborArrayExpr(lon: Expression, lat: Expression,
-                                level: Int, marginDeg: Double): Expression = {
-    val n = 1L << level
-    val w = 360.0 / n
-    val (ix, iy) = ixy(lon, lat, level)
-    val lonNorm = Pmod(lon, D(360.0))
-    val cosLat = Cos(ToRadians(lat))
-    val sinMargin = D(math.sin(math.toRadians(math.min(90.0, marginDeg))))
-    val dLonE = Subtract(Multiply(dbl(Add(ix, L(1L))), D(w)), lonNorm)
-    val dLonW = Subtract(lonNorm, Multiply(dbl(ix), D(w)))
-    val eastNear = LessThanOrEqual(
-      Multiply(Sin(ToRadians(dLonE)), cosLat), sinMargin)
-    val westNear = LessThanOrEqual(
-      Multiply(Sin(ToRadians(dLonW)), cosLat), sinMargin)
-    val latEdgeN = ToDegrees(Asin(Subtract(
-      Multiply(dbl(Add(iy, L(1L))), D(2.0 / n)), D(1.0))))
-    val latEdgeS = ToDegrees(Asin(Subtract(
-      Multiply(dbl(iy), D(2.0 / n)), D(1.0))))
-    val northNear = LessThanOrEqual(Subtract(latEdgeN, lat), D(marginDeg))
-    val southNear = LessThanOrEqual(Subtract(lat, latEdgeS), D(marginDeg))
-    val cells = for (dx <- -1 to 1; dy <- -1 to 1) yield {
-      val nx = Pmod(Add(ix, L(dx.toLong)), L(n))
-      val ny = Add(iy, L(dy.toLong))
-      val inRange = And(GreaterThanOrEqual(ny, L(0L)), LessThan(ny, L(n)))
-      val strip: Expression = (dx, dy) match {
-        case (0, 0)   => Literal.TrueLiteral
-        case (-1, 0)  => westNear
-        case (1, 0)   => eastNear
-        case (0, -1)  => southNear
-        case (0, 1)   => northNear
-        case (-1, -1) => And(westNear, southNear)
-        case (-1, 1)  => And(westNear, northNear)
-        case (1, -1)  => And(eastNear, southNear)
-        case (1, 1)   => And(eastNear, northNear)
-        case _        => Literal.TrueLiteral
-      }
-      val cell = BitwiseOr(morton(nx, ny, level), L(level.toLong << 58))
-      CaseWhen(Seq((And(inRange, strip), cell)), None)
-    }
-    CreateArray(cells)
-  }
-
   private def blocked(left: LogicalPlan, right: LogicalPlan,
                       sd: SkyDist, radius: Double): LogicalPlan = {
     // orient: (aLon, aLat) on the left plan, (bLon, bLat) on the right
@@ -235,7 +317,7 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
     val (bLon, bLat) = if (leftFirst) (sd.lon2, sd.lat2) else (sd.lon1, sd.lat1)
 
     val level = CrossMatch.levelFor(radius, CapLat)
-    // neighborArrayExpr emits the raw 9-slot (dx,dy) array with NO
+    // NeighborCells emits the raw 9-slot (dx,dy) array with NO
     // array_distinct: slot distinctness relies on the grid having
     // >= 4 columns and >= 4 rows (at level l the grid is 2^l × 2^l),
     // i.e. level >= 2 — at level <= 1, wraparound aliases east/west
@@ -254,7 +336,7 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
     val aKeyed = Project(left.output :+ cellA, aBelow)
 
     val bBelow = Filter(LessThanOrEqual(Abs(bLat), D(CapLat)), right)
-    val explode = Explode(neighborArrayExpr(bLon, bLat, level, radius))
+    val explode = Explode(NeighborCells(bLon, bLat, level, radius))
     val elemField = explode.elementSchema.fields.head
     val cellB = AttributeReference("_graft_cb", elemField.dataType,
       elemField.nullable)()

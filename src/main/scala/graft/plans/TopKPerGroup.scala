@@ -169,8 +169,13 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
       // row seen — kCol is group-constant by contract); k <= 0 groups
       // map to a tombstone so later rows of the group stay dropped
       // without re-evaluating the bound.
+      // Initial capacity is capped at 64: `bound` can be a per-row k
+      // value (a LongType clamps to Int.MaxValue), and eagerly sizing
+      // the backing array to it would allocate gigabytes for a tiny
+      // group. The heap grows on demand; `bound` stays the size LIMIT.
       final class Heap(val bound: Int) extends
-        java.util.PriorityQueue[UnsafeRow](math.max(1, bound), rev)
+        java.util.PriorityQueue[UnsafeRow](
+          math.max(1, math.min(bound, 64)), rev)
       val dropped = new Heap(0)
       val heaps = new java.util.HashMap[UnsafeRow, Heap]()
       while (it.hasNext) {

@@ -80,16 +80,68 @@ object Fits {
           "(supported: long, int, double, float, string)")
     }
 
+  /** Per-column integer scaling for [[writeScaled]] — the FITS
+    * TSCALn/TZEROn convention (Pence et al. 2010 §7.3.2): the stored
+    * integer `raw` represents physical value `tzero + tscal·raw`.
+    * Survey catalogs use it two ways, both supported:
+    *   - quantized floats: `Scaled("J", 0.25, 0.0)` stores a double
+    *     as int32 quarter-units (binary-exact scales like 2^-k
+    *     round-trip bit-exactly — enforced at write time);
+    *   - offset integers (the "unsigned" trick): `Scaled("I", 1.0,
+    *     32768.0)` stores 0..65535 in a signed int16.
+    * `tform` ∈ I (int16) / J (int32) / K (int64). */
+  final case class Scaled(tform: String, tscal: Double, tzero: Double) {
+    require(Set("I", "J", "K")(tform),
+      s"Scaled TFORM must be I/J/K, got $tform")
+    require(tscal != 0.0, "TSCAL must be nonzero")
+    def bytes: Int = tform match {
+      case "I" => 2; case "J" => 4; case _ => 8
+    }
+  }
+
   /** Export `df` as a directory of FITS BINTABLE files, one per
     * partition. `strWidth` is the fixed ASCII width for string
     * columns (longer values are rejected, not truncated). */
-  def write(df: DataFrame, path: String, strWidth: Int = 24): Unit = {
+  def write(df: DataFrame, path: String, strWidth: Int = 24): Unit =
+    writeScaled(df, path, Map.empty, strWidth)
+
+  /** [[write]] with TSCAL/TZERO integer-scaled columns and a leading
+    * IMAGE extension, the shape heterogeneous external survey
+    * catalogs actually ship in (SURVEY.md §0.5 [H]: multi-HDU files,
+    * scaled-integer photometry):
+    *
+    *   HDU 0  primary, header-only;
+    *   HDU 1  small IMAGE extension (int16 + BSCALE/BZERO — a real
+    *          data block, so [[read]] exercises HDU skipping, and a
+    *          scaled-image header, so the metadata convention is
+    *          present in both its forms);
+    *   HDU 2  the BINTABLE, scaled columns carrying TSCALn/TZEROn.
+    *
+    * Lossless contract: each scaled write asserts
+    * `tzero + tscal·raw == phys` bit-exactly (binary-exact scales
+    * like 2^-k and integral offsets satisfy it; anything lossy throws
+    * rather than silently corrupting a round-trip). */
+  def writeScaled(df: DataFrame, path: String,
+                  scaled: Map[String, Scaled],
+                  strWidth: Int = 24): Unit = {
     val schema = df.schema
-    val forms = schema.fields.map(tform(_, strWidth))
+    scaled.keys.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"Scaled column $c not in df"))
+      require(Set("double", "long", "integer")(f.dataType.typeName),
+        s"Scaled column $c must be numeric, got ${f.dataType.typeName}")
+    }
+    val forms = schema.fields.map { f =>
+      scaled.get(f.name) match {
+        case Some(sc) => (sc.tform, sc.bytes)
+        case None     => tform(f, strWidth)
+      }
+    }
     val rowBytes = forms.map(_._2).sum
     val hadoopConf = new SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val fields = schema.fields.map(f => (f.name, f.dataType.typeName))
+    val fields = schema.fields.map(f =>
+      (f.name, f.dataType.typeName, scaled.get(f.name)))
     // Commit protocol: a previous (possibly killed) run may have left
     // part files behind, and a rerun with fewer partitions would leave
     // stale parts that read()'s glob would ingest as duplicate rows.
@@ -132,6 +184,27 @@ object Fits {
         primary ++= card("EXTEND", "T")
         primary ++= "END".padTo(CardLen, ' ')
         writePadded(out, primary.toString)
+        // scaled exports carry a leading IMAGE extension (a real data
+        // block): the multi-HDU shape external catalogs ship in, and
+        // the skip path read() must handle
+        if (scaled.nonEmpty) {
+          val img = new StringBuilder
+          img ++= strCard("XTENSION", "IMAGE")
+          img ++= card("BITPIX", "16")
+          img ++= card("NAXIS", "2")
+          img ++= card("NAXIS1", "4")
+          img ++= card("NAXIS2", "2")
+          img ++= card("PCOUNT", "0")
+          img ++= card("GCOUNT", "1")
+          img ++= card("BSCALE", "0.5")
+          img ++= card("BZERO", "100.0")
+          img ++= "END".padTo(CardLen, ' ')
+          writePadded(out, img.toString)
+          val ib = ByteBuffer.allocate(16) // 8 int16 pixels
+          (0 until 8).foreach(i => ib.putShort((pid * 8 + i).toShort))
+          out.write(ib.array())
+          out.write(new Array[Byte](pad(16)))
+        }
         // BINTABLE extension header
         val h = new StringBuilder
         h ++= strCard("XTENSION", "BINTABLE")
@@ -143,9 +216,15 @@ object Fits {
         h ++= card("GCOUNT", "1")
         h ++= card("TFIELDS", fields.length.toString)
         fields.zip(forms).zipWithIndex.foreach {
-          case (((name, _), (code, _)), i) =>
+          case (((name, _, sc), (code, _)), i) =>
             h ++= strCard(s"TTYPE${i + 1}", name)
             h ++= strCard(s"TFORM${i + 1}", code)
+            sc.foreach { s =>
+              // Double.toString is shortest-round-trip: the reader's
+              // .toDouble recovers bit-identical scale/offset
+              h ++= card(s"TSCAL${i + 1}", s.tscal.toString)
+              h ++= card(s"TZERO${i + 1}", s.tzero.toString)
+            }
         }
         h ++= "END".padTo(CardLen, ' ')
         writePadded(out, h.toString)
@@ -157,17 +236,43 @@ object Fits {
           while (i < fields.length) {
             if (row.isNullAt(i)) throw new IllegalArgumentException(
               s"FITS export: null in column ${fields(i)._1} (dense only)")
-            fields(i)._2 match {
-              case "long"    => bb.putLong(row.getLong(i))
-              case "integer" => bb.putInt(row.getInt(i))
-              case "double"  => bb.putDouble(row.getDouble(i))
-              case "float"   => bb.putFloat(row.getFloat(i))
-              case "string" =>
+            fields(i) match {
+              case (name, tn, Some(sc)) =>
+                val phys = tn match {
+                  case "double"  => row.getDouble(i)
+                  case "long"    => row.getLong(i).toDouble
+                  case _         => row.getInt(i).toDouble
+                }
+                if (tn == "long")
+                  require(math.abs(row.getLong(i)) < (1L << 53),
+                    s"FITS export: $name long value exceeds exact " +
+                      "double range for scaling")
+                val raw = math.rint((phys - sc.tzero) / sc.tscal).toLong
+                require(sc.tzero + sc.tscal * raw == phys,
+                  s"FITS export: $name value $phys is not losslessly " +
+                    s"representable with TSCAL=${sc.tscal} " +
+                    s"TZERO=${sc.tzero}")
+                sc.tform match {
+                  case "I" =>
+                    require(raw >= Short.MinValue && raw <= Short.MaxValue,
+                      s"FITS export: $name raw $raw overflows int16")
+                    bb.putShort(raw.toShort)
+                  case "J" =>
+                    require(raw >= Int.MinValue && raw <= Int.MaxValue,
+                      s"FITS export: $name raw $raw overflows int32")
+                    bb.putInt(raw.toInt)
+                  case _ => bb.putLong(raw)
+                }
+              case (_, "long", None)    => bb.putLong(row.getLong(i))
+              case (_, "integer", None) => bb.putInt(row.getInt(i))
+              case (_, "double", None)  => bb.putDouble(row.getDouble(i))
+              case (_, "float", None)   => bb.putFloat(row.getFloat(i))
+              case (name, _, None) =>
                 val s = row.getString(i)
                 val b = s.getBytes(StandardCharsets.US_ASCII)
                 require(b.length <= strWidth && b.length == s.length,
-                  s"FITS export: string '$s' exceeds width $strWidth " +
-                    "or is non-ASCII")
+                  s"FITS export: string '$s' in $name exceeds width " +
+                    s"$strWidth or is non-ASCII")
                 bb.put(b)
                 var p = b.length
                 while (p < strWidth) { bb.put(' '.toByte); p += 1 }
@@ -296,9 +401,72 @@ object Fits {
     } finally out.close()
   }
 
-  /** Import a directory of FITS BINTABLE files written by [[write]]
-    * (or any standard single-BINTABLE FITS with supported TFORMs).
-    * One task per file; schema comes from the first file's header. */
+  /** Advance past the current HDU's data block. FITS data size =
+    * |BITPIX|/8 · GCOUNT · (PCOUNT + NAXIS1·…·NAXISn), padded to the
+    * 2880-byte block (Pence et al. 2010 §3.3). */
+  private def skipData(bb: ByteBuffer, h: Map[String, String]): Unit = {
+    val naxis = h.get("NAXIS").map(_.trim.toInt).getOrElse(0)
+    val nElems =
+      if (naxis == 0) 0L
+      else (1 to naxis).map(i => h(s"NAXIS$i").trim.toLong).product
+    val bitpix = math.abs(h.get("BITPIX").map(_.trim.toInt).getOrElse(8))
+    val gcount = h.get("GCOUNT").map(_.trim.toLong).getOrElse(1L)
+    val pcount = h.get("PCOUNT").map(_.trim.toLong).getOrElse(0L)
+    val bytes = bitpix / 8L * gcount * (pcount + nElems)
+    bb.position(bb.position() + bytes.toInt + pad((bytes % Block).toInt))
+  }
+
+  /** Walk HDUs (skipping image/other extensions, data blocks
+    * included) to the first BINTABLE; returns its header with the
+    * buffer positioned at its data. */
+  private def firstBintable(bb: ByteBuffer): Map[String, String] = {
+    val primary = readHeader(bb)
+    skipData(bb, primary)
+    var h = readHeader(bb)
+    while (h.get("XTENSION").map(_.trim).getOrElse("") != "BINTABLE") {
+      skipData(bb, h)
+      if (!bb.hasRemaining) throw new IllegalArgumentException(
+        "FITS import: no BINTABLE HDU in file")
+      h = readHeader(bb)
+    }
+    h
+  }
+
+  /** One BINTABLE column: TTYPE/TFORM plus the TSCAL/TZERO scaling
+    * pair (absent → identity). A scaled integer column surfaces as
+    * DOUBLE with physical value `tzero + tscal·raw`. */
+  private case class ColSpec(name: String, tform: String,
+                             tscal: Double, tzero: Double) {
+    def isScaled: Boolean = tscal != 1.0 || tzero != 0.0
+    def dataType: DataType =
+      if (isScaled) {
+        require(Set("I", "J", "K")(tform),
+          s"FITS import: TSCAL/TZERO on unsupported TFORM $tform")
+        DoubleType
+      } else tform match {
+        case "K" => LongType
+        case "J" => IntegerType
+        case "I" => ShortType
+        case "D" => DoubleType
+        case "E" => FloatType
+        case a if a.endsWith("A") => StringType
+        case t => throw new IllegalArgumentException(
+          s"FITS import: unsupported TFORM $t")
+      }
+  }
+  private def colSpecs(h: Map[String, String]): Seq[ColSpec] =
+    (1 to h("TFIELDS").toInt).map { i =>
+      ColSpec(h(s"TTYPE$i").trim, h(s"TFORM$i").trim,
+        h.get(s"TSCAL$i").map(_.trim.toDouble).getOrElse(1.0),
+        h.get(s"TZERO$i").map(_.trim.toDouble).getOrElse(0.0))
+    }
+
+  /** Import a directory of FITS BINTABLE files written by [[write]] /
+    * [[writeScaled]] (or any standard FITS with supported TFORMs):
+    * the first BINTABLE HDU is read — leading image or other
+    * extensions are skipped — and TSCALn/TZEROn integer columns
+    * surface as physical DOUBLEs. One task per file; schema comes
+    * from the first file's header. */
   def read(spark: SparkSession, path: String): DataFrame = {
     // validate against the write manifest (if present): a killed
     // partial run or a rerun with fewer partitions must fail loudly,
@@ -320,21 +488,30 @@ object Fits {
     val files = spark.sparkContext.binaryFiles(s"$path/part-*.fits")
     val parsed = files.flatMap { case (_, stream) =>
       val bb = ByteBuffer.wrap(stream.toArray())
-      readHeader(bb) // primary (NAXIS=0: no data to skip)
-      val h = readHeader(bb)
+      val h = firstBintable(bb)
       val rowBytes = h("NAXIS1").toInt
       val nRows = h("NAXIS2").toInt
-      val nFields = h("TFIELDS").toInt
-      val cols = (1 to nFields).map { i =>
-        (h(s"TTYPE$i").trim, h(s"TFORM$i").trim)
-      }
+      val cols = colSpecs(h)
+      val nFields = cols.length
       // decoders compiled ONCE per file, not a TFORM string-match (and
       // for strings a regex) per CELL — at 600k rows × 5 columns the
       // per-cell dispatch dominated the parse
-      val decoders: Array[() => Any] = cols.map { case (_, tform) =>
-        tform match {
+      val decoders: Array[() => Any] = cols.map { c =>
+        def rawLong: () => Long = c.tform match {
+          case "I" => () => bb.getShort().toLong
+          case "J" => () => bb.getInt().toLong
+          case "K" => () => bb.getLong()
+          case t => throw new IllegalArgumentException(
+            s"FITS import: TSCAL/TZERO on unsupported TFORM $t")
+        }
+        if (c.isScaled) {
+          val (ts, tz) = (c.tscal, c.tzero)
+          val rl = rawLong
+          () => tz + ts * rl().toDouble
+        } else c.tform match {
           case "K" => () => bb.getLong()
           case "J" => () => bb.getInt()
+          case "I" => () => bb.getShort()
           case "D" => () => bb.getDouble()
           case "E" => () => bb.getFloat()
           case a if a.endsWith("A") =>
@@ -366,20 +543,9 @@ object Fits {
     // schema from the first file's header (all parts share it)
     val one = spark.sparkContext.binaryFiles(s"$path/part-*.fits")
       .first()._2
-    val bb = ByteBuffer.wrap(one.toArray())
-    readHeader(bb)
-    val h = readHeader(bb)
-    val schema = StructType((1 to h("TFIELDS").toInt).map { i =>
-      val t = h(s"TFORM$i").trim match {
-        case "K" => LongType
-        case "J" => IntegerType
-        case "D" => DoubleType
-        case "E" => FloatType
-        case a if a.endsWith("A") => StringType
-        case t => throw new IllegalArgumentException(s"TFORM $t")
-      }
-      StructField(h(s"TTYPE$i").trim, t, nullable = false)
-    })
+    val schema = StructType(
+      colSpecs(firstBintable(ByteBuffer.wrap(one.toArray()))).map(c =>
+        StructField(c.name, c.dataType, nullable = false)))
     spark.createDataFrame(parsed, schema)
   }
 }

@@ -151,7 +151,8 @@ class PipelineOpsSpec extends SpecBase {
   }
 
   test("pareto_front equals the brute-force skyline") {
-    val snap = graft.functions.SnapDecimal6.snap _
+    // quality is the f6 FLOOR-snapped composite (a grouping key)
+    val snap = graft.functions.SnapDecimal6.snapFloor _
     val pts = docs.select("doc_id", "text").as[(Long, String)].collect()
       .flatMap { case (id, text) =>
         val w = text.split("\\s+").filter(_.nonEmpty)
@@ -235,6 +236,8 @@ class PipelineOpsSpec extends SpecBase {
 
   test("q_iv: WoE/IV match brute force with half-smoothing") {
     val snap = graft.functions.SnapDecimal6.snap _
+    // features are FLOOR-snapped (bin keys); woe/iv stay d6
+    val fsnap = graft.functions.SnapDecimal6.snapFloor _
     val feats = docs.select("text", "lang").as[(String, String)].collect()
       .flatMap { case (text, lang) =>
         val w = text.split("\\s+").filter(_.nonEmpty)
@@ -242,11 +245,11 @@ class PipelineOpsSpec extends SpecBase {
         else {
           val nw = w.length.toDouble
           Some((Map(
-            "f1" -> snap(math.min(nw / 50.0, 1.0)),
-            "f2" -> snap(w.distinct.length.toDouble / nw),
-            "f3" -> snap(
+            "f1" -> fsnap(math.min(nw / 50.0, 1.0)),
+            "f2" -> fsnap(w.distinct.length.toDouble / nw),
+            "f3" -> fsnap(
               w.count(Set("the", "a", "of", "and", "in")).toDouble / nw),
-            "f4" -> snap(text.length.toDouble / nw / 10.0)),
+            "f4" -> fsnap(text.length.toDouble / nw / 10.0)),
             lang == "en"))
         }
       }
@@ -382,7 +385,7 @@ class PipelineOpsSpec extends SpecBase {
           val raw = (0.4 * math.min(nw / 50.0, 1.0)) +
             (0.3 * (w.distinct.length.toDouble / nw)) +
             (0.3 * (stop / nw))
-          Some((graft.functions.SnapDecimal6.snap(raw), lang == "en"))
+          Some((graft.functions.SnapDecimal6.snapFloor(raw), lang == "en"))
         }
       }
     val pos = rows.filter(_._2).map(_._1)
@@ -410,7 +413,8 @@ class PipelineOpsSpec extends SpecBase {
           val raw = (0.4 * math.min(nw / 50.0, 1.0)) +
             (0.3 * (w.distinct.length.toDouble / nw)) +
             (0.3 * (stop / nw))
-          Some((graft.functions.SnapDecimal6.snap(raw) >= 0.5, lang == "en"))
+          Some((graft.functions.SnapDecimal6.snapFloor(raw) >= 0.5,
+            lang == "en"))
         }
       }
     val tp = rows.count(r => r._1 && r._2).toLong
@@ -438,7 +442,7 @@ class PipelineOpsSpec extends SpecBase {
         if (w.isEmpty) None
         else {
           val nw = w.length.toDouble
-          val snap = graft.functions.SnapDecimal6.snap _
+          val snap = graft.functions.SnapDecimal6.snapFloor _
           Some((Map(
             "f1" -> snap(math.min(nw / 50.0, 1.0)),
             "f2" -> snap(w.distinct.length.toDouble / nw),
@@ -516,6 +520,7 @@ class PipelineOpsSpec extends SpecBase {
 
   test("q_pr_curve matches brute force and recall is monotone") {
     val snap = graft.functions.SnapDecimal6.snap _
+    val fsnap = graft.functions.SnapDecimal6.snapFloor _
     val rows = docs.select("text", "lang").as[(String, String)].collect()
       .flatMap { case (text, lang) =>
         val w = text.split("\\s+").filter(_.nonEmpty)
@@ -527,7 +532,7 @@ class PipelineOpsSpec extends SpecBase {
             (0.3 * (w.distinct.length.toDouble / nw)) +
             (0.3 * (stop / nw))
           val bin = math.min(math.max(
-            math.floor(snap(raw) * 100).toLong, 0L), 99L)
+            math.floor(fsnap(raw) * 100).toLong, 0L), 99L)
           Some((bin, lang == "en"))
         }
       }
@@ -557,6 +562,8 @@ class PipelineOpsSpec extends SpecBase {
 
   test("q_mutual_info matches brute force; MI bounded by entropies") {
     val snap = graft.functions.SnapDecimal6.snap _
+    // features FLOOR-snapped (bin keys); MI/entropy terms stay d6
+    val fsnap = graft.functions.SnapDecimal6.snapFloor _
     val feats = docs.select("text", "lang").as[(String, String)].collect()
       .flatMap { case (text, lang) =>
         val w = text.split("\\s+").filter(_.nonEmpty)
@@ -564,11 +571,11 @@ class PipelineOpsSpec extends SpecBase {
         else {
           val nw = w.length.toDouble
           Some((Map(
-            "f1" -> snap(math.min(nw / 50.0, 1.0)),
-            "f2" -> snap(w.distinct.length.toDouble / nw),
-            "f3" -> snap(
+            "f1" -> fsnap(math.min(nw / 50.0, 1.0)),
+            "f2" -> fsnap(w.distinct.length.toDouble / nw),
+            "f3" -> fsnap(
               w.count(Set("the", "a", "of", "and", "in")).toDouble / nw),
-            "f4" -> snap(text.length.toDouble / nw / 10.0)),
+            "f4" -> fsnap(text.length.toDouble / nw / 10.0)),
             if (lang == "en") 1L else 0L))
         }
       }
@@ -604,7 +611,8 @@ class PipelineOpsSpec extends SpecBase {
   }
 
   test("q_cv_auc: per-fold AUCs match brute force over balanced folds") {
-    val snap = graft.functions.SnapDecimal6.snap _
+    // score is the f6 FLOOR-snapped composite (a grouping key)
+    val snap = graft.functions.SnapDecimal6.snapFloor _
     val rows = docs.select("doc_id", "text", "lang")
       .as[(Long, String, String)].collect()
       .flatMap { case (id, text, lang) =>
@@ -644,6 +652,8 @@ class PipelineOpsSpec extends SpecBase {
 
   test("q_stump_split finds the brute-force Gini-optimal cut per feature") {
     val snap = graft.functions.SnapDecimal6.snap _
+    // features FLOOR-snapped (bin keys); gini/gain stay d6
+    val fsnap = graft.functions.SnapDecimal6.snapFloor _
     val feats = docs.select("text", "lang").as[(String, String)].collect()
       .flatMap { case (text, lang) =>
         val w = text.split("\\s+").filter(_.nonEmpty)
@@ -651,11 +661,11 @@ class PipelineOpsSpec extends SpecBase {
         else {
           val nw = w.length.toDouble
           Some((Map(
-            "f1" -> snap(math.min(nw / 50.0, 1.0)),
-            "f2" -> snap(w.distinct.length.toDouble / nw),
-            "f3" -> snap(
+            "f1" -> fsnap(math.min(nw / 50.0, 1.0)),
+            "f2" -> fsnap(w.distinct.length.toDouble / nw),
+            "f3" -> fsnap(
               w.count(Set("the", "a", "of", "and", "in")).toDouble / nw),
-            "f4" -> snap(text.length.toDouble / nw / 10.0)),
+            "f4" -> fsnap(text.length.toDouble / nw / 10.0)),
             lang == "en"))
         }
       }
@@ -694,6 +704,8 @@ class PipelineOpsSpec extends SpecBase {
 
   test("q_bootstrap_mean matches the brute-force Poisson bootstrap") {
     val snap = graft.functions.SnapDecimal6.snap _
+    // score FLOOR-snapped (shared f6 composite); wmean stays d6
+    val fsnap = graft.functions.SnapDecimal6.snapFloor _
     val cdf = Seq(0.367879, 0.735759, 0.919699, 0.981012,
       0.996340, 0.999406, 0.999917, 0.999990)
     val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
@@ -703,7 +715,7 @@ class PipelineOpsSpec extends SpecBase {
         else {
           val nw = w.length.toDouble
           val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
-          Some((id, snap((0.4 * math.min(nw / 50.0, 1.0)) +
+          Some((id, fsnap((0.4 * math.min(nw / 50.0, 1.0)) +
             (0.3 * (w.distinct.length.toDouble / nw)) +
             (0.3 * (stop / nw)))))
         }

@@ -54,6 +54,12 @@ class AutoSpatialJoinSpec extends SpecBase {
   test("rule rewrites the cross join away and preserves every row") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ AutoSpatialJoin
+    // Codegen must genuinely compile — fallback=false turns the silent
+    // interpreted-eval fallback (r15: the 9-slot neighbor tree blew
+    // Janino's 64 KB method limit inside generate_doConsume) into a
+    // hard test failure. NeighborCells keeps the generated code to one
+    // static call, so the blocked plan compiles.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       for (r <- Seq(0.05, 0.5)) {
         val df = naive(r)
@@ -80,6 +86,7 @@ class AutoSpatialJoinSpec extends SpecBase {
         big.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
       assert(big.select("a_id", "b_id").collect().length == brute(5.0).size)
     } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == AutoSpatialJoin)
     }

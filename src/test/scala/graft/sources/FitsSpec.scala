@@ -78,4 +78,49 @@ class FitsSpec extends SpecBase {
     val back = Fits.read(spark, path)
     assert(back.count() == 2)
   }
+
+  test("scaled multi-HDU: image extension skipped, TSCAL/TZERO exact") {
+    val path = Files.createTempDirectory("graft_fits6").toString + "/t"
+    // ints via the offset trick, doubles via a binary-exact 2^-2 scale
+    val src = (0L until 500L).map { i =>
+      (i, (i % 60000).toInt, i * 0.25, s"t${i % 9}")
+    }.toDF("id", "cnt", "q", "tag")
+    Fits.writeScaled(src.repartition(3), path, Map(
+      "cnt" -> Fits.Scaled("I", 1.0, 32768.0),
+      "id" -> Fits.Scaled("K", 1.0, 4294967296.0),
+      "q" -> Fits.Scaled("J", 0.25, 0.0)))
+    val back = Fits.read(spark, path)
+    // scaled columns surface as physical DOUBLEs
+    assert(back.schema("cnt").dataType.typeName == "double")
+    assert(back.schema("id").dataType.typeName == "double")
+    assert(back.schema("q").dataType.typeName == "double")
+    assert(back.schema("tag").dataType.typeName == "string")
+    val got = back.select(col("id").cast("long"), col("cnt").cast("int"),
+      col("q"), col("tag")).orderBy("id").collect().map(_.toSeq)
+    val want = src.select("id", "cnt", "q", "tag")
+      .orderBy("id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq) // bit-exact through raw int storage
+  }
+
+  test("scaled write rejects lossy values instead of corrupting") {
+    val path = Files.createTempDirectory("graft_fits7").toString + "/t"
+    // 0.3 is not a multiple of 0.25 — must throw, not round silently
+    val lossy = Seq((1L, 0.3)).toDF("id", "q")
+    intercept[org.apache.spark.SparkException] {
+      Fits.writeScaled(lossy, path, Map("q" -> Fits.Scaled("J", 0.25, 0.0)))
+    }
+    // int16 overflow under the offset must throw too
+    val over = Seq((1L, 99999.0)).toDF("id", "q")
+    intercept[org.apache.spark.SparkException] {
+      Fits.writeScaled(over, path + "2",
+        Map("q" -> Fits.Scaled("I", 1.0, 32768.0)))
+    }
+  }
+
+  test("plain (unscaled) files still read via the HDU walk") {
+    // regression: read() now walks HDUs instead of assuming HDU 2
+    val path = Files.createTempDirectory("graft_fits8").toString + "/t"
+    Fits.write(df.limit(10), path)
+    assert(Fits.read(spark, path).count() == 10)
+  }
 }

@@ -13,9 +13,17 @@ NOT part of the shipped library; uses driver-side python/duckdb only.
 import json
 import math
 import sys
+import time
 
 import duckdb
 import numpy as np
+
+# An oracle that holds DuckDB for longer than this is a build failure:
+# the driver's correctness compare has a finite budget, and one
+# pathological oracle zeroes the whole round's scorecard (round 15:
+# q_logreg's 24-round CTE chain re-inlined its regexp feature CTE and
+# took >=14 min, producing an empty CORRECTNESS_r15.json).
+ORACLE_BUDGET_SEC = 60.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -42,11 +50,19 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    t_start = time.time()
+    slow = []
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            t0 = time.time()
             want = con.execute(sql).fetchdf()
+            dt_oracle = time.time() - t0
+            if dt_oracle > ORACLE_BUDGET_SEC:
+                slow.append((name, dt_oracle))
+                print(f"SLOW {name}: oracle took {dt_oracle:.1f}s "
+                      f"(budget {ORACLE_BUDGET_SEC:.0f}s)")
             gc, wc = sorted(got.columns), sorted(want.columns)
             if gc != wc:
                 print(f"FAIL {name}: columns {gc} != {wc}")
@@ -91,8 +107,13 @@ def main(sf_dir, out_dir):
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
-    return 1 if n_fail else 0
+    wall = time.time() - t_start
+    print(f"== {n_pass} pass, {n_fail} fail, wall {wall:.1f}s ==")
+    if slow:
+        print(f"== BUILD FAILURE: {len(slow)} oracle(s) over "
+              f"{ORACLE_BUDGET_SEC:.0f}s budget: "
+              + ", ".join(f"{n} {t:.1f}s" for n, t in slow) + " ==")
+    return 1 if (n_fail or slow) else 0
 
 
 if __name__ == "__main__":
