@@ -2315,6 +2315,91 @@ object PipelineOps {
       .orderBy("bin")
   }
 
+  /** Ext — ISOTONIC (PAV) CALIBRATION over the q_calibration bins:
+    * the monotone-nondecreasing fit of P(en | bin) — the standard
+    * post-hoc calibrator (Zadrozny & Elkan 2002, public) a pipeline
+    * applies when the raw reliability curve is non-monotone. Computed
+    * via the MINIMAX IDENTITY, not an iterative pooling loop:
+    * iso(i) = max_{j<=i} min_{k>=i} (pos[j..k] / n[j..k]), which
+    * equals the pool-adjacent-violators solution exactly (classic
+    * result; the spec pins it against a brute-force PAV loop).
+    *
+    * 100-TB shape: one map-only corpus pass into <=10 (bin, n, pos)
+    * cells (the q_calibration shape); the minimax runs as two
+    * theta-joins + two aggs over that O(1) value-domain relation —
+    * fully declarative, no driver loop, nothing corpus-sized moves.
+    * Determinism: cells are exact BIGINTs; every range average is
+    * emitted in integer MICRO-UNITS via floor division (the
+    * q_quality_norm rule — a ratio of integers can sit exactly on a
+    * rounding midpoint, floor has no tie), and floor commutes with
+    * min/max (monotone), so iso_micro == floor(1e6 · exact PAV). */
+  val qIsotonic: QuerySpec = QuerySpec(
+    "q_isotonic",
+    s"""WITH q AS (SELECT
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    $qualScoreSql AS score
+       |  FROM documents WHERE len($wordsSql) > 0),
+       |c AS (SELECT
+       |    least(greatest(CAST(floor(score * 10) AS BIGINT), 0), 9)
+       |      AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos
+       |  FROM q GROUP BY 1),
+       |p AS (SELECT bin, n, pos,
+       |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+       |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+       |  FROM c),
+       |pr AS (SELECT j.bin AS jb, k.bin AS kb,
+       |    CAST(((k.cp - (j.cp - j.pos)) * 1000000)
+       |      // (k.cn - (j.cn - j.n)) AS BIGINT) AS avgm
+       |  FROM p j JOIN p k ON j.bin <= k.bin),
+       |mn AS (SELECT i.bin, pr.jb, min(pr.avgm) AS minm
+       |  FROM (SELECT bin FROM c) i JOIN pr
+       |    ON pr.jb <= i.bin AND pr.kb >= i.bin
+       |  GROUP BY i.bin, pr.jb),
+       |iso AS (SELECT bin, CAST(max(minm) AS BIGINT) AS iso_micro
+       |  FROM mn GROUP BY bin)
+       |SELECT c.bin, c.n, c.pos,
+       |  CAST((c.pos * 1000000) // c.n AS BIGINT) AS rate_micro,
+       |  iso.iso_micro,
+       |  CAST(iso.iso_micro AS DOUBLE) / 1000000.0 AS iso_rate
+       |FROM c JOIN iso ON iso.bin = c.bin
+       |ORDER BY c.bin""".stripMargin) { (s, dir) =>
+    val nw = size(words(col("text")))
+    val c = LsdDb.table(s, dir, "documents")
+      .filter(nw > 0)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        qualScore.as("score"))
+      .groupBy(least(greatest(floor(col("score") * 10).cast(LongType),
+        lit(0L)), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint() // consumed 4x below; <=10 rows
+    // unpartitioned window over the <=10-cell value-domain relation
+    val wOrd = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = c.select(col("bin"), col("n"), col("pos"),
+      sum(col("n")).over(wOrd).as("cn"),
+      sum(col("pos")).over(wOrd).as("cp"))
+    val j = p.select(col("bin").as("jb"),
+      (col("cp") - col("pos")).as("cpb"), (col("cn") - col("n")).as("cnb"))
+    val k = p.select(col("bin").as("kb"), col("cp"), col("cn"))
+    // theta-joins over the bounded cell relation: Catalyst broadcasts
+    // them on its own (<=10 x <=10 pairs)
+    val pr = j.join(k, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        expr("((cp - cpb) * 1000000) DIV (cn - cnb)").as("avgm"))
+    val mn = c.select(col("bin"))
+      .join(pr, col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy("bin", "jb").agg(min(col("avgm")).as("minm"))
+    val iso = mn.groupBy("bin").agg(max(col("minm")).as("iso_micro"))
+    c.join(iso, "bin")
+      .select(col("bin"), col("n"), col("pos"),
+        expr("(pos * 1000000) DIV n").as("rate_micro"),
+        col("iso_micro"),
+        (col("iso_micro").cast(DoubleType) / 1000000.0).as("iso_rate"))
+      .orderBy("bin")
+  }
+
   /** Ext — MODEL EVALUATION, thresholded: the binary confusion
     * matrix plus the derived scores (accuracy / precision / recall /
     * F1 / MCC) of "quality score ≥ 0.5 predicts lang = 'en'". The
@@ -3405,7 +3490,8 @@ object PipelineOps {
   }
 
   def specs: Seq[QuerySpec] = Seq(
-    qLogreg, qLinreg, qAuc, qCalibration, qConfusion, qFeatureAuc, qNdcg,
+    qLogreg, qLinreg, qAuc, qCalibration, qIsotonic, qConfusion,
+    qFeatureAuc, qNdcg,
     qPrCurve, qMutualInfo, qCvAuc, qStumpSplit, qBootstrapMean,
     qBpeFertility, qDupSplitLeakage, qParetoFront, qQualityNorm, qIv,
     qBpeTrain, qBpeEncode, qBpeVocab,

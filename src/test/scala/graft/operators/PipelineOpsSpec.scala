@@ -767,6 +767,59 @@ class PipelineOpsSpec extends SpecBase {
       assert(ms >= bin / 10.0 - 1e-6 && ms <= (bin + 1) / 10.0 + 1e-6) }
   }
 
+  test("q_isotonic equals a brute-force PAV loop and is monotone") {
+    val fsnap = graft.functions.SnapDecimal6.snapFloor _
+    // brute-force cells: (bin, n, pos) from the raw corpus
+    val cells = docs.select("text", "lang").as[(String, String)].collect()
+      .flatMap { case (text, lang) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        if (w.isEmpty) None
+        else {
+          val nw = w.length.toDouble
+          val stop = w.count(Set("the", "a", "of", "and", "in")).toDouble
+          val raw = (0.4 * math.min(nw / 50.0, 1.0)) +
+            (0.3 * (w.distinct.length.toDouble / nw)) +
+            (0.3 * (stop / nw))
+          val bin = math.min(math.max(
+            math.floor(fsnap(raw) * 10).toLong, 0L), 9L)
+          Some((bin, if (lang == "en") 1L else 0L))
+        }
+      }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.length.toLong, g.map(_._2).sum) }
+    // classic pool-adjacent-violators: merge while a pool's rate
+    // drops below its predecessor's
+    case class Pool(n: Long, pos: Long)
+    // exact rational comparison (cross-multiplied): a tie-or-violation
+    // merges; double rates could misorder ties
+    def geq(a: Pool, b: Pool): Boolean = a.pos * b.n >= b.pos * a.n
+    val pools = scala.collection.mutable.ArrayBuffer.empty[(Pool, Int)]
+    cells.foreach { case (_, n, pos) =>
+      pools += ((Pool(n, pos), 1))
+      while (pools.length >= 2 &&
+        geq(pools(pools.length - 2)._1, pools.last._1)) {
+        val (a, ca) = pools.remove(pools.length - 1)
+        val (b, cb) = pools.remove(pools.length - 1)
+        pools += ((Pool(a.n + b.n, a.pos + b.pos), ca + cb))
+      }
+    }
+    val pav: Seq[(Long, Long)] = pools.toSeq.flatMap { case (p, c) =>
+      Seq.fill(c)((p.pos, p.n)) } // exact rational per bin
+    val got = PipelineOps.qIsotonic.fn(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == cells.map(_._1))
+    got.zip(cells).zip(pav).foreach {
+      case (((bin, n, pos, rateM, isoM, isoR), (_, en, epos)), (pp, pn)) =>
+        assert(n == en && pos == epos, s"bin $bin cells")
+        assert(rateM == pos * 1000000L / n)
+        // minimax micro == floor(1e6 * exact PAV rational)
+        assert(isoM == pp * 1000000L / pn,
+          s"bin $bin iso $isoM != PAV ${pp * 1000000L / pn}")
+        assert(isoR == isoM.toDouble / 1000000.0)
+    }
+    // the defining property: monotone non-decreasing
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted)
+  }
+
   test("linreg training reduces variance vs the mean-only baseline") {
     val out = PipelineOps.qLinreg.fn(spark, sfDir)
       .as[(Long, Double, Double, Double)].collect()

@@ -5,6 +5,63 @@ import graft.SpecBase
 class VectorOpsSpec extends SpecBase {
   import spark.implicits._
 
+  test("q_ndcg_graded matches a brute-force graded NDCG@10") {
+    // independent twin: exact cosines in plain Scala, IVF candidate
+    // set reproduced from first principles (nearest-centroid
+    // assignment, 2-probe buckets), graded DCG with the same bands
+    val snap = graft.functions.SnapDecimal6.snap _
+    val vecs = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.filter(_._1 < 8)
+    val probes = vecs.filter(v => v._1 >= 8 && v._1 < 18)
+    val corp = vecs.filter(_._1 >= 18)
+    def grade(c: Double): Int =
+      if (c >= 0.30) 3 else if (c >= 0.22) 2 else if (c >= 0.15) 1 else 0
+    def dcgTerm(rel: Int, rn: Int): Double =
+      snap((math.pow(2.0, rel) - 1.0) * math.log(2.0) / math.log(rn + 1.0))
+    val assign = corp.map { case (id, v) =>
+      (id, v, cents.maxBy { case (cid, cv) => (cos(cv, v), -cid) }._1)
+    }
+    val expected = probes.map { case (pid, pv) =>
+      val buckets = cents.sortBy { case (cid, cv) => (-cos(cv, pv), cid) }
+        .take(2).map(_._1).toSet
+      val cand = assign.filter(a => buckets(a._3))
+        .map { case (id, v, _) => (id, cos(pv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+      val rels = corp.map { case (id, v) => (id, grade(cos(pv, v))) }.toMap
+      val dcg = BigDecimal(cand.zipWithIndex.map { case ((id, _), i) =>
+        BigDecimal(dcgTerm(rels(id), i + 1)) }.sum.toDouble).toDouble
+      val ideal = rels.values.toSeq.filter(_ > 0).sorted.reverse.take(10)
+      val idcg = ideal.zipWithIndex.map { case (r, i) =>
+        BigDecimal(dcgTerm(r, i + 1)) }.sum.toDouble
+      (pid, dcg, idcg, ideal.length.toLong,
+        if (ideal.isEmpty) 0.0 else snap(dcg / idcg))
+    }
+    val got = VectorOps.qNdcgGraded.fn(spark, sfDir)
+      .as[(Long, Double, Double, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._2 - e._2) < 1e-5, s"probe ${g._1} dcg")
+      assert(math.abs(g._3 - e._3) < 1e-5, s"probe ${g._1} idcg")
+      assert(g._4 == e._4, s"probe ${g._1} n_ideal")
+      assert(math.abs(g._5 - e._5) < 1e-5, s"probe ${g._1} ndcg")
+      assert(g._5 >= 0.0 && g._5 <= 1.0 + 1e-9)
+    }
+    // the metric must carry signal: some probe ranks imperfectly or
+    // perfectly, but not all-zero
+    assert(got.exists(_._5 > 0.0))
+  }
+
   test("silhouette agrees with the kmeans assignment and bounds hold") {
     val km = VectorOps.qClusterKmeans.fn(spark, sfDir)
       .as[(Long, Long, Double)].collect()
