@@ -231,6 +231,42 @@ object Core {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Write-once VLA FITS export of the embeddings table (same marker
+    * discipline): `embedding` rides the FITS variable-length-array
+    * heap ('PE' descriptors — the format survey lightcurves and
+    * per-object detection lists actually ship in). */
+  def ensureFitsVlaExport(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String = synchronized {
+    val tmp = graft.sources.CacheKeys.path(
+      "graft_fits_vla", s"$dir/embeddings.parquet")
+    val marker = new java.io.File(s"$tmp/_FITS_OK")
+    if (!marker.exists()) {
+      graft.sources.Fits.write(
+        LsdDb.table(s, dir, "embeddings").select("vec_id", "embedding"),
+        tmp)
+      marker.createNewFile()
+    }
+    tmp
+  }
+
+  /** SC3f — FITS import, variable-length arrays: the embeddings
+    * round-trip through the BINTABLE heap ('PE(max)' descriptors,
+    * PCOUNT-sized), then posexplode back to scalar cells so the
+    * compare covers every element bit-exactly (big-endian IEEE floats
+    * are lossless both ways; the driver comparator cannot sort array
+    * cells, so the exploded relation IS the oracle surface). */
+  val qImportFitsVla: QuerySpec = QuerySpec(
+    "q_import_fits_vla",
+    """SELECT vec_id, CAST(u.i AS INT) AS idx, u.v AS val
+      |FROM (SELECT vec_id, unnest(list_transform(embedding,
+      |    (x, i) -> {'i': i - 1, 'v': x})) AS u FROM embeddings)
+      |ORDER BY vec_id, idx""".stripMargin) { (s, dir) =>
+    graft.sources.Fits.read(s, ensureFitsVlaExport(s, dir))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("idx"), col("col").as("val"))
+      .orderBy("vec_id", "idx")
+  }
+
   /** Write-once snapshot table: the events stream landed in THREE
     * committed appends (event_id mod 3 = 0, then 1, then 2) through
     * the Snapshots MVCC-lite layout — so snapshot 2 is a genuine
@@ -765,8 +801,8 @@ object Core {
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
     qZorderBox,
-    qImportCsv, qImportFits, qImportFitsScaled, qImportOrc, qImportJson,
-    qTimeTravel,
+    qImportCsv, qImportFits, qImportFitsScaled, qImportFitsVla,
+    qImportOrc, qImportJson, qTimeTravel,
     qSnapshotDelta, qSnapshotMerge, qSnapshotPrune, qSnapshotBloom,
     qProject, qFilter,
     qMath, qCase,

@@ -93,6 +93,69 @@ object TimeWindows {
       .orderBy("user_id", "session_start")
   }
 
+  /** S4 under the ORACLE — batch-replay of the REAL streaming
+    * pipeline: `readStream(parquet) → withWatermark(1h) → 1h tumbling
+    * window → append-mode memory sink`, Trigger.AvailableNow. This is
+    * not the batch twin of q_window_tumbling — the output is shaped
+    * by WATERMARK FINALIZATION: append mode emits only windows the
+    * final watermark (max event time − 1 h, advanced by the closing
+    * no-data micro-batch) has passed; trailing windows are withheld
+    * as open state. The oracle models exactly that — the streaming
+    * semantics are the thing being hash-checked, upgrading S4 from
+    * spec-only to oracle-gated.
+    *
+    * Determinism: the events table is ONE file → one micro-batch, so
+    * no intra-run late-drop ordering exists; the final watermark is
+    * max(ts) − 1 h exactly; emission is `wend ≤ watermark`
+    * (StateStoreSaveExec's append-mode eviction — pinned empirically
+    * at all three SFs); sums go through the decimal-exact Det path
+    * inside the streaming agg itself.
+    *
+    * 100-TB shape: the identical plan fragments run on a real
+    * unbounded source; state is O(open windows), the memory sink here
+    * is O(closed windows) = value-domain bounded (the audit-replay
+    * harness, not the production sink — production lands in
+    * snapshotSink, StreamOps.scala). */
+  val qStreamReplay: QuerySpec = QuerySpec(
+    "q_stream_replay",
+    s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
+       |wm AS (SELECT max(tsu) - INTERVAL 1 HOUR AS watermark FROM e),
+       |w AS (SELECT date_trunc('hour', tsu) AS wstart,
+       |    date_trunc('hour', tsu) + INTERVAL 1 HOUR AS wend,
+       |    count(*) AS cnt, ${D.dsum("value")} AS sum_value
+       |  FROM e GROUP BY 1, 2)
+       |SELECT w.wstart, w.wend, w.cnt, w.sum_value
+       |FROM w, wm WHERE w.wend <= wm.watermark
+       |ORDER BY w.wstart""".stripMargin) { (s, dir) =>
+    val path = s"$dir/events.parquet"
+    // the LsdDb nanosecond-timestamp discipline, streaming form:
+    // int64 nanos truncate via DIV 1000; TIMESTAMP_NTZ (Spark 4's
+    // native read of ns parquet, µs-truncated) casts value-preserving
+    // under the UTC session — both match DuckDB's CAST(ts AS TIMESTAMP)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(path).schema
+    val tsCol = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    // the file source requires a DIRECTORY basePath; a glob keeps the
+    // base at $dir while matching exactly the single events file
+    val stream = s.readStream.schema(batchSchema)
+      .parquet(s"$dir/{events.parquet}")
+      .select(tsCol.as("ts"), col("value"))
+    val out = graft.streaming.StreamOps.tumblingAggExact(
+      stream, "1 hour", "1 hour")
+    val name = s"graft_stream_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("wstart")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowTumbling, qWindowSliding,
-    qWindowSession)
+    qWindowSession, qStreamReplay)
 }

@@ -67,7 +67,11 @@ object Fits {
   private def pad(n: Int): Int = (Block - n % Block) % Block
 
   /** (TFORM code, row bytes) for a Spark field; strings use the given
-    * fixed width. */
+    * fixed width. Array columns use the variable-length-array P
+    * descriptor (Pence et al. 2010 §7.3.5): the fixed cell is
+    * (count, heap offset) as two int32s, elements live in the heap
+    * after the main table; `(max)` is appended per file at write
+    * time (each part file is its own table). */
   private def tform(f: StructField, strWidth: Int): (String, Int) =
     f.dataType match {
       case LongType    => ("K", 8)
@@ -75,10 +79,26 @@ object Fits {
       case DoubleType  => ("D", 8)
       case FloatType   => ("E", 4)
       case StringType  => (s"${strWidth}A", strWidth)
+      case ArrayType(et, _) => (s"P${vlaCode(et)}", 8) // dense contract:
+      // null ELEMENTS throw at encode time like null cells do
       case t => throw new IllegalArgumentException(
         s"FITS export: unsupported type $t for column ${f.name} " +
-          "(supported: long, int, double, float, string)")
+          "(supported: long, int, double, float, string, " +
+          "array<numeric> without nulls)")
     }
+
+  private def vlaCode(et: DataType): String = et match {
+    case FloatType   => "E"
+    case DoubleType  => "D"
+    case IntegerType => "J"
+    case LongType    => "K"
+    case t => throw new IllegalArgumentException(
+      s"FITS export: unsupported VLA element type $t")
+  }
+  private def vlaElemBytes(c: Char): Int = c match {
+    case 'E' | 'J' => 4
+    case _         => 8 // D, K
+  }
 
   /** Per-column integer scaling for [[writeScaled]] — the FITS
     * TSCALn/TZEROn convention (Pence et al. 2010 §7.3.2): the stored
@@ -205,6 +225,24 @@ object Fits {
           out.write(ib.array())
           out.write(new Array[Byte](pad(16)))
         }
+        // VLA pre-pass: per-file max length (the TFORM "(max)") and
+        // total heap bytes (PCOUNT) must precede the payload
+        val vlaIdx = forms.indices.filter(i => forms(i)._1.startsWith("P"))
+        val vlaMax = new Array[Int](forms.length)
+        var heapBytes = 0L
+        vlaIdx.foreach { i =>
+          val eb = vlaElemBytes(forms(i)._1.charAt(1))
+          buf.foreach { row =>
+            if (!row.isNullAt(i)) {
+              val len = row.getSeq[Any](i).length
+              if (len > vlaMax(i)) vlaMax(i) = len
+              heapBytes += len.toLong * eb
+            }
+          }
+        }
+        require(heapBytes < Int.MaxValue.toLong,
+          s"FITS export: partition heap $heapBytes exceeds the 32-bit " +
+            "VLA offset space; repartition smaller")
         // BINTABLE extension header
         val h = new StringBuilder
         h ++= strCard("XTENSION", "BINTABLE")
@@ -212,13 +250,14 @@ object Fits {
         h ++= card("NAXIS", "2")
         h ++= card("NAXIS1", rowBytes.toString)
         h ++= card("NAXIS2", buf.length.toString)
-        h ++= card("PCOUNT", "0")
+        h ++= card("PCOUNT", heapBytes.toString)
         h ++= card("GCOUNT", "1")
         h ++= card("TFIELDS", fields.length.toString)
         fields.zip(forms).zipWithIndex.foreach {
           case (((name, _, sc), (code, _)), i) =>
             h ++= strCard(s"TTYPE${i + 1}", name)
-            h ++= strCard(s"TFORM${i + 1}", code)
+            h ++= strCard(s"TFORM${i + 1}",
+              if (code.startsWith("P")) s"$code(${vlaMax(i)})" else code)
             sc.foreach { s =>
               // Double.toString is shortest-round-trip: the reader's
               // .toDouble recovers bit-identical scale/offset
@@ -228,6 +267,9 @@ object Fits {
         }
         h ++= "END".padTo(CardLen, ' ')
         writePadded(out, h.toString)
+        // heap accumulates VLA elements in row-major cell order; it
+        // lands immediately after the main table (THEAP default)
+        val heap = ByteBuffer.allocate(heapBytes.toInt)
         // big-endian payload
         val bb = ByteBuffer.allocate(rowBytes) // big-endian by default
         buf.foreach { row =>
@@ -236,6 +278,26 @@ object Fits {
           while (i < fields.length) {
             if (row.isNullAt(i)) throw new IllegalArgumentException(
               s"FITS export: null in column ${fields(i)._1} (dense only)")
+            if (forms(i)._1.startsWith("P")) {
+              // VLA cell = (count, heap byte offset), elements → heap
+              val off = heap.position()
+              val name = fields(i)._1
+              forms(i)._1.charAt(1) match {
+                case 'E' => row.getSeq[Float](i).foreach { v =>
+                  heap.putFloat(v) }
+                case 'D' => row.getSeq[Double](i).foreach { v =>
+                  heap.putDouble(v) }
+                case 'J' => row.getSeq[Int](i).foreach { v =>
+                  heap.putInt(v) }
+                case _ => row.getSeq[Long](i).foreach { v =>
+                  heap.putLong(v) }
+              }
+              val n = (heap.position() - off) / vlaElemBytes(forms(i)._1.charAt(1))
+              require(n <= vlaMax(i), s"FITS export: $name VLA grew")
+              bb.putInt(n)
+              bb.putInt(off)
+              i += 1
+            } else {
             fields(i) match {
               case (name, tn, Some(sc)) =>
                 val phys = tn match {
@@ -278,10 +340,14 @@ object Fits {
                 while (p < strWidth) { bb.put(' '.toByte); p += 1 }
             }
             i += 1
+            }
           }
           out.write(bb.array(), 0, rowBytes)
         }
-        out.write(new Array[Byte](pad(buf.length * rowBytes)))
+        out.write(heap.array(), 0, heap.position())
+        out.write(new Array[Byte](
+          pad(((buf.length.toLong * rowBytes + heap.position()) % Block)
+            .toInt)))
       } finally out.close()
       // commit: first attempt to finish wins; losers' temps are
       // cleaned up here (best-effort) and ignored by read()'s glob
@@ -438,8 +504,22 @@ object Fits {
   private case class ColSpec(name: String, tform: String,
                              tscal: Double, tzero: Double) {
     def isScaled: Boolean = tscal != 1.0 || tzero != 0.0
+    def isVla: Boolean = tform.startsWith("P") || tform.startsWith("1P")
+    /** element code of a P descriptor ('PE(4096)' → 'E'). */
+    def vlaElem: Char = tform.charAt(if (tform.startsWith("1P")) 2 else 1)
     def dataType: DataType =
-      if (isScaled) {
+      if (isVla) {
+        require(!isScaled, "FITS import: TSCAL/TZERO on a VLA column")
+        val et: DataType = vlaElem match {
+          case 'E' => FloatType
+          case 'D' => DoubleType
+          case 'J' => IntegerType
+          case 'K' => LongType
+          case c => throw new IllegalArgumentException(
+            s"FITS import: unsupported VLA element '$c' in $tform")
+        }
+        org.apache.spark.sql.types.ArrayType(et, containsNull = false)
+      } else if (isScaled) {
         require(Set("I", "J", "K")(tform),
           s"FITS import: TSCAL/TZERO on unsupported TFORM $tform")
         DoubleType
@@ -493,6 +573,10 @@ object Fits {
       val nRows = h("NAXIS2").toInt
       val cols = colSpecs(h)
       val nFields = cols.length
+      // VLA heap base: main-table start + THEAP (defaults to the main
+      // table size per the standard)
+      val heapStart = bb.position() + h.get("THEAP").map(_.trim.toInt)
+        .getOrElse(rowBytes * nRows)
       // decoders compiled ONCE per file, not a TFORM string-match (and
       // for strings a regex) per CELL — at 600k rows × 5 columns the
       // per-cell dispatch dominated the parse
@@ -504,7 +588,25 @@ object Fits {
           case t => throw new IllegalArgumentException(
             s"FITS import: TSCAL/TZERO on unsupported TFORM $t")
         }
-        if (c.isScaled) {
+        if (c.isVla) {
+          val elem = c.vlaElem
+          () => {
+            val n = bb.getInt()
+            val off = bb.getInt()
+            val out = new Array[Any](n)
+            var e = 0
+            while (e < n) {
+              out(e) = elem match {
+                case 'E' => bb.getFloat(heapStart + off + 4 * e)
+                case 'D' => bb.getDouble(heapStart + off + 8 * e)
+                case 'J' => bb.getInt(heapStart + off + 4 * e)
+                case _   => bb.getLong(heapStart + off + 8 * e)
+              }
+              e += 1
+            }
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+          }
+        } else if (c.isScaled) {
           val (ts, tz) = (c.tscal, c.tzero)
           val rl = rawLong
           () => tz + ts * rl().toDouble

@@ -32,6 +32,19 @@ object StreamOps {
       .select(col("window.start").as("wstart"), col("window.end").as("wend"),
         col("cnt"), col("sum_value"))
 
+  /** [[tumblingAgg]] with the decimal-exact Det sum — the oracle-gated
+    * replay form (q_stream_replay): partial-agg merge order inside the
+    * state store must not move the emitted double. */
+  def tumblingAggExact(events: DataFrame, windowLen: String,
+                       watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("cnt"), col("sum_value"))
+
   /** S3 (streaming form) — session windows per user with watermark. */
   def sessionAgg(events: DataFrame, gap: String,
                  watermark: String): DataFrame =

@@ -117,6 +117,33 @@ class FitsSpec extends SpecBase {
     }
   }
 
+  test("variable-length arrays round-trip bit-exactly via the heap") {
+    val path = Files.createTempDirectory("graft_fits9").toString + "/t"
+    // ragged lengths incl. empty arrays; float and long elements
+    val src = (0L until 300L).map { i =>
+      (i,
+        (0L until i % 7).map(j => (i * 31 + j).toFloat / 8f).toArray,
+        (0L until i % 4).map(j => i * 1000 + j).toArray)
+    }.toDF("id", "fv", "lv")
+    Fits.write(src.repartition(3), path)
+    val back = Fits.read(spark, path)
+    assert(back.schema("fv").dataType.typeName == "array")
+    assert(back.schema("lv").dataType.typeName == "array")
+    val got = back.orderBy("id")
+      .as[(Long, Array[Float], Array[Long])].collect()
+    val want = src.orderBy("id")
+      .as[(Long, Array[Float], Array[Long])].collect()
+    got.zip(want).foreach { case ((gi, gf, gl), (wi, wf, wl)) =>
+      assert(gi == wi)
+      assert(gf.toSeq == wf.toSeq, s"row $gi float VLA")
+      assert(gl.toSeq == wl.toSeq, s"row $gi long VLA")
+    }
+    // PCOUNT is the heap size: files stay block-aligned
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".fits"))
+    assert(parts.forall(_.length % 2880 == 0))
+  }
+
   test("plain (unscaled) files still read via the HDU walk") {
     // regression: read() now walks HDUs instead of assuming HDU 2
     val path = Files.createTempDirectory("graft_fits8").toString + "/t"
