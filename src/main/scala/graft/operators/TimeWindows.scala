@@ -156,6 +156,50 @@ object TimeWindows {
     s.table(name).orderBy("wstart")
   }
 
+  /** S5 under the ORACLE — batch-replay of the stateful streaming
+    * dedup: the events file read as TWO streams, unioned (every event
+    * arrives twice — the at-least-once delivery a real ingest fights),
+    * then `dropDuplicatesWithinWatermark(event_id)` with a 1 h
+    * watermark collapses the duplicates in state. The oracle is the
+    * distinct event set — hash-checked, so the stateful dedup
+    * operator's semantics (not just its spec) are gated.
+    *
+    * Determinism: duplicate copies are IDENTICAL rows, so whichever
+    * copy the state keeps, the emitted columns are the same; one
+    * micro-batch per source → no cross-batch watermark interaction;
+    * no agg, so append mode emits everything. 100-TB shape: state is
+    * O(keys within the watermark horizon) — the point of the
+    * watermark-scoped variant vs plain dropDuplicates, whose state
+    * never expires on a stream. */
+  val qStreamDedup: QuerySpec = QuerySpec(
+    "q_stream_dedup",
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val tsCol = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    def src() = s.readStream.schema(batchSchema)
+      .parquet(s"$dir/{events.parquet}")
+      .select(col("event_id"), col("user_id"), tsCol.as("ts"),
+        col("value"))
+    val deduped = src().union(src())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_stream_dedup_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("event_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowTumbling, qWindowSliding,
-    qWindowSession, qStreamReplay)
+    qWindowSession, qStreamReplay, qStreamDedup)
 }

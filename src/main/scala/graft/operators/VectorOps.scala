@@ -406,6 +406,103 @@ object VectorOps {
       .orderBy("probe_id")
   }
 
+  /** X1g — MRR + AVERAGE PRECISION@10 of the IVF search: the other
+    * two standard retrieval-eval numbers beside recall (q_ann_recall)
+    * and graded NDCG (q_ndcg_graded). Relevant = brute-force cosine
+    * ≥ 0.22 (q_ndcg_graded's grade-2 band). MRR grades "how high is
+    * the FIRST relevant hit"; AP@10 grades the whole precision
+    * profile: AP = Σ_{r relevant} precision@r / min(n_relevant, 10).
+    *
+    * 100-TB shape: identical to q_ndcg_graded (IVF candidates via the
+    * equi-join; the brute-force relevance arm is the audit price).
+    * Determinism: relevance is a comparison of bit-identical cosines;
+    * precision@r terms are ratios of small exact integers, d6-snapped
+    * and decimal-summed; rr = d6(1/rank) of an exact integer. */
+  val qMrr: QuerySpec = QuerySpec(
+    "q_mrr",
+    s"""$vvCte,
+       |$ivfSqlCtes,
+       |ivf10 AS (SELECT probe_id, vec_id, rn FROM (
+       |  SELECT probe_id, vec_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 10),
+       |rel AS (SELECT p.vec_id AS probe_id, c.vec_id,
+       |    CASE WHEN ${cosineSql("p", "c")} >= 0.22 THEN 1 ELSE 0 END
+       |      AS rel
+       |  FROM probe p CROSS JOIN corp c),
+       |hits AS (SELECT i.probe_id, i.rn, r.rel,
+       |    CAST(sum(r.rel) OVER (PARTITION BY i.probe_id ORDER BY i.rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cumhits
+       |  FROM ivf10 i JOIN rel r
+       |    ON r.probe_id = i.probe_id AND r.vec_id = i.vec_id),
+       |firstrel AS (SELECT probe_id,
+       |    CAST(min(CASE WHEN rel = 1 THEN rn END) AS BIGINT) AS frank
+       |  FROM hits GROUP BY probe_id),
+       |ap AS (SELECT probe_id,
+       |    CAST(sum(CASE WHEN rel = 1 THEN CAST(
+       |      ${D.d6("CAST(cumhits AS DOUBLE) / rn")} AS DECIMAL(18,8))
+       |      ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE) AS ap_num
+       |  FROM hits GROUP BY probe_id),
+       |nrel AS (SELECT probe_id, CAST(sum(rel) AS BIGINT) AS n_rel
+       |  FROM rel GROUP BY probe_id)
+       |SELECT p.vec_id AS probe_id,
+       |  coalesce(f.frank, CAST(0 AS BIGINT)) AS first_rel_rank,
+       |  CASE WHEN f.frank IS NULL THEN 0.0
+       |    ELSE ${D.d6("1.0 / f.frank")} END AS rr,
+       |  CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+       |  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+       |    ELSE ${D.d6("coalesce(a.ap_num, 0.0)" +
+           " / least(n.n_rel, CAST(10 AS BIGINT))")} END AS ap
+       |FROM probe p
+       |LEFT JOIN firstrel f ON f.probe_id = p.vec_id
+       |LEFT JOIN ap a ON a.probe_id = p.vec_id
+       |LEFT JOIN nrel n ON n.probe_id = p.vec_id
+       |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ivf10 = ivfScored(s, dir)
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "vec_id", "rn")
+    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    val probes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val rel = broadcast(probes)
+      .crossJoin(emb.filter(col("vec_id") >= 18)
+        .select(col("vec_id"), col("v"), col("nrm")))
+      .select(col("probe_id"), col("vec_id"),
+        when(cosine(col("pv"), col("v"), col("pn"), col("nrm")) >= 0.22,
+          1L).otherwise(0L).as("rel"))
+    val cw = Window.partitionBy("probe_id").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hits = ivf10.join(rel, Seq("probe_id", "vec_id"))
+      .select(col("probe_id"), col("rn"), col("rel"),
+        sum(col("rel")).over(cw).as("cumhits"))
+    val firstrel = hits.groupBy("probe_id")
+      .agg(min(when(col("rel") === 1, col("rn"))).as("frank"))
+    val ap = hits.groupBy("probe_id")
+      .agg(sum(when(col("rel") === 1,
+        Det.d6(col("cumhits").cast(DoubleType) / col("rn")).cast(Det.M))
+        .otherwise(lit(0).cast(Det.M))).cast(DoubleType).as("ap_num"))
+    val nrel = rel.groupBy("probe_id").agg(sum(col("rel")).as("n_rel"))
+    probes.select(col("probe_id"))
+      .join(firstrel, Seq("probe_id"), "left")
+      .join(ap, Seq("probe_id"), "left")
+      .join(nrel, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("frank"), lit(0L)).as("first_rel_rank"),
+        when(col("frank").isNull, 0.0)
+          .otherwise(Det.d6(lit(1.0) / col("frank"))).as("rr"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0, 0.0)
+          .otherwise(Det.d6(coalesce(col("ap_num"), lit(0.0)) /
+            least(col("n_rel"), lit(10L)))).as("ap"))
+      .orderBy("probe_id")
+  }
+
   /** X1c — int8 scalar-quantized similarity search: per-vector scale
     * = max|x|/127, code = floor(x/scale + 0.5) ∈ [-127, 127], search
     * runs on the dequantized (code·scale) vectors — 4× memory
@@ -1587,6 +1684,6 @@ object VectorOps {
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopk, qDedupEmbcos, qUdfHaversine, qAnnIvf, qQuantizeEmbed,
       qDedupLshCos, qAnnDisk, qEmbedGram, qAnnPq, qSemdedup, qClusterKmeans,
-      qAnnRecall, qNdcgGraded, qLabelConfusion, qSplitLeakage,
+      qAnnRecall, qNdcgGraded, qMrr, qLabelConfusion, qSplitLeakage,
       qDiverseSample, qPqRecall, qSilhouette, qPcaPower)
 }

@@ -370,6 +370,41 @@ class PlanQualitySpec extends SpecBase {
       s"expected directory-level cell pruning:\n$plan")
   }
 
+  test("q_ndcg_graded: candidate arm reads only probed cell= dirs") {
+    // the rank-sensitive eval must inherit q_ann_disk's physics: the
+    // IVF candidates come off the pruned materialized layout, not a
+    // full corpus scan
+    val df = VectorOps.qNdcgGraded.fn(spark, sfDir)
+    df.collect()
+    val layoutFiles = df.inputFiles.filter(_.contains("/vectors/"))
+    assert(layoutFiles.nonEmpty, "candidates must read the layout")
+    assert(layoutFiles.forall(_.contains("cell=")),
+      s"layout reads must be cell-pruned:\n${layoutFiles.mkString("\n")}")
+    assert(!planOf(df).contains("CartesianProduct"),
+      "grading arm is broadcast×corpus, never a cartesian")
+  }
+
+  test("q_mrr: probe side broadcasts in both arms, no cartesian") {
+    val df = VectorOps.qMrr.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast against the corpus:\n$plan")
+  }
+
+  test("q_isotonic: one corpus scan; minimax runs on the cell relation") {
+    val df = PipelineOps.qIsotonic.fn(spark, sfDir)
+    val plan = planOf(df)
+    // the corpus feeds exactly one parquet scan (into the O(bins)
+    // groupBy, then localCheckpointed); every join in the plan is
+    // over the <=10-row cell relation (ExistingRDD), never parquet
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") <= 1, s"at most one corpus scan:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      "minimax must run off the checkpointed cell relation")
+  }
+
   test("q_dedup_lshcos: banded equi-join, never a cartesian") {
     val df = VectorOps.qDedupLshCos.fn(spark, sfDir)
     val plan = planOf(df)
