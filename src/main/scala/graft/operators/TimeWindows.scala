@@ -200,6 +200,68 @@ object TimeWindows {
     s.table(name).orderBy("event_id")
   }
 
+  /** S6 under the ORACLE — batch-replay of a STREAM-STREAM inner
+    * join: the events file as two streams (split by event_id parity
+    * — a detections/alerts pairing shape), both watermarked 1 h,
+    * joined on user_id within ±30 min. The time-range conjunct is
+    * what makes the join RUNNABLE on unbounded streams (it bounds
+    * each side's state to the watermark + range horizon — without it
+    * Spark rejects the plan); in a single AvailableNow micro-batch
+    * every match is emitted, so the oracle is the plain interval
+    * self-join. The streaming JOIN OPERATOR's semantics (state
+    * build + symmetric probe) are what get hash-checked.
+    *
+    * Determinism: matches are key+interval set semantics (no
+    * first-wins), integer-second dt; one file → one batch. */
+  val qStreamJoin: QuerySpec = QuerySpec(
+    "q_stream_join",
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu,
+      |    value FROM events),
+      |a AS (SELECT * FROM e WHERE event_id % 2 = 0),
+      |b AS (SELECT * FROM e WHERE event_id % 2 = 1)
+      |SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+      |  abs(CAST(floor(epoch(b.tsu)) AS BIGINT)
+      |    - CAST(floor(epoch(a.tsu)) AS BIGINT)) AS dt_s
+      |FROM a JOIN b ON a.user_id = b.user_id
+      |  AND b.tsu >= a.tsu - INTERVAL 30 MINUTE
+      |  AND b.tsu <= a.tsu + INTERVAL 30 MINUTE
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val tsCol = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    def src() = s.readStream.schema(batchSchema)
+      .parquet(s"$dir/{events.parquet}")
+      .select(col("event_id"), col("user_id"), tsCol.as("ts"))
+    val a = src().filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("id_a"), col("user_id").as("u_a"),
+        col("ts").as("ts_a"))
+      .withWatermark("ts_a", "1 hour")
+    val b = src().filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("id_b"), col("user_id").as("u_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", "1 hour")
+    val joined = a.join(b,
+      col("u_a") === col("u_b") &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 30 MINUTES") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"))
+      .select(col("id_a"), col("id_b"), col("u_a").as("user_id"),
+        abs(unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a")))
+          .as("dt_s"))
+    val name = s"graft_stream_join_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("id_a", "id_b")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowTumbling, qWindowSliding,
-    qWindowSession, qStreamReplay, qStreamDedup)
+    qWindowSession, qStreamReplay, qStreamDedup, qStreamJoin)
 }

@@ -261,6 +261,18 @@ class PlanQualitySpec extends SpecBase {
       s"incremental read must touch only the delta:\n${files.mkString("\n")}")
   }
 
+  test("q_incremental_agg refresh cost is O(delta)+O(state): no history scan") {
+    val df = Core.qIncrementalAgg.fn(spark, sfDir)
+    df.collect()
+    val files = df.inputFiles
+    assert(files.exists(_.contains("graft_agg_state")),
+      s"must read the materialized state:\n${files.mkString("\n")}")
+    assert(files.exists(_.contains("snap=3")),
+      s"must read the delta commit:\n${files.mkString("\n")}")
+    assert(!files.exists(f => f.contains("snap=1/") || f.contains("snap=2/")),
+      s"history snaps must NOT be rescanned:\n${files.mkString("\n")}")
+  }
+
   test("q_snapshot_prune drops the low-range snap dirs via the zone map") {
     val df = Core.qSnapshotPrune.fn(spark, sfDir)
     val files = df.inputFiles
