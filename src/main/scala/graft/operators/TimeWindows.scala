@@ -262,6 +262,73 @@ object TimeWindows {
     s.table(name).orderBy("id_a", "id_b")
   }
 
+  /** S3 (streaming form) under the ORACLE — batch-replay of the
+    * SESSION-WINDOW aggregation: per-user 30-min-gap sessions with a
+    * 1 h watermark, append sink. The stateful session operator does
+    * real work here (merge-on-arrival of overlapping windows), and
+    * append mode emits only sessions the final watermark has CLOSED
+    * (session_end ≤ max(ts) − 1 h); the oracle is the
+    * gaps-and-islands rewrite of q_window_session plus exactly that
+    * finalization filter — so the session-state semantics are
+    * hash-gated end to end.
+    *
+    * Determinism: one file → one batch (no cross-batch merge order);
+    * session membership is exact timestamp arithmetic; sums are
+    * decimal-exact. */
+  val qStreamSession: QuerySpec = QuerySpec(
+    "q_stream_session",
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value
+       |  FROM events),
+       |wm AS (SELECT max(tsu) - INTERVAL 1 HOUR AS watermark FROM e),
+       |flagged AS (
+       |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+       |                   OR tsu - lag(tsu) OVER w >= INTERVAL 30 MINUTE
+       |            THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+       |sessions AS (
+       |  SELECT *, sum(new_session)
+       |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged),
+       |agg AS (
+       |  SELECT user_id, min(tsu) AS session_start,
+       |    max(tsu) + INTERVAL 30 MINUTE AS session_end,
+       |    count(*) AS cnt, ${D.dsum("value")} AS sum_value
+       |  FROM sessions GROUP BY user_id, sid)
+       |SELECT a.user_id, a.session_start, a.session_end, a.cnt,
+       |  a.sum_value
+       |FROM agg a, wm WHERE a.session_end <= wm.watermark
+       |ORDER BY a.user_id, a.session_start""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val tsCol = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    val stream = s.readStream.schema(batchSchema)
+      .parquet(s"$dir/{events.parquet}")
+      .select(col("user_id"), tsCol.as("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("cnt"), col("sum_value"))
+    val name = s"graft_stream_session_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "session_start")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowTumbling, qWindowSliding,
-    qWindowSession, qStreamReplay, qStreamDedup, qStreamJoin)
+    qWindowSession, qStreamReplay, qStreamDedup, qStreamJoin,
+    qStreamSession)
 }

@@ -1143,6 +1143,44 @@ object ScaleSmoke {
       f"21 replicates, weight-mass ratios ${ratios.min}%.4f..${ratios.max}%.4f"
     }
 
+    // streaming replay at 10M events over MULTIPLE micro-batches:
+    // the oracle-gated replays run single-batch (determinism); this
+    // smoke drives the same pipeline through 4+ batches so watermark
+    // advancement, state carry-over and cross-batch late-drop all
+    // actually execute at scale. State stays O(open windows).
+    {
+      val sdir = java.nio.file.Files
+        .createTempDirectory("smoke_stream").toString + "/ev"
+      lazy val setup = {
+        spark.range(10000000L).select(
+          col("id").as("event_id"),
+          (col("id") % 100000L).as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            (col("id") % 5000000L) * 1000000L).as("ts"),
+          rand(seed = 8).as("value"))
+          .repartition(8).write.mode("overwrite").parquet(sdir)
+        sdir
+      }
+      t("streaming tumbling replay, 10M events, 4 micro-batches") {
+        val d = setup
+        val stream = spark.readStream
+          .schema(spark.read.parquet(d).schema)
+          .option("maxFilesPerTrigger", "2") // force multi-batch
+          .parquet(d)
+          .select(col("ts"), col("value"))
+        val out = graft.streaming.StreamOps
+          .tumblingAggExact(stream, "1 hour", "1 hour")
+        val q = out.writeStream.format("memory")
+          .queryName("smoke_stream_replay").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val n = spark.table("smoke_stream_replay").count()
+        assert(n > 0, "no windows finalized")
+        s"$n closed windows"
+      }
+    }
+
     spark.stop()
   }
 }
