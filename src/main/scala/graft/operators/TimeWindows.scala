@@ -3,6 +3,7 @@ package graft.operators
 import graft.{LsdDb, QuerySpec}
 import graft.functions.Det
 import graft.functions.Det.{sql => D}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2G — time-window aggregation, verified in batch mode.
@@ -93,6 +94,49 @@ object TimeWindows {
       .orderBy("user_id", "session_start")
   }
 
+  /** The events file as a STREAM, with the LsdDb nanosecond-timestamp
+    * discipline (int64 nanos → DIV 1000; Spark 4's native
+    * TIMESTAMP_NTZ read casts value-preserving under the UTC session —
+    * both match DuckDB's CAST(ts AS TIMESTAMP)). The file source
+    * requires a DIRECTORY basePath; the glob keeps the base at $dir
+    * while matching exactly the single events file. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val tsCol = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    s.readStream.schema(batchSchema).parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", tsCol)
+  }
+
+  /** Run a replay stream into an append-mode memory sink
+    * (Trigger.AvailableNow) and return the sunk table. State-store
+    * partitions are sized to the REPLAY (8): a stateful op commits
+    * per-partition state stores every micro-batch — a stream-stream
+    * join four of them — and at replay data sizes the 32-partition
+    * setup/commit fixed cost dominates wall time (q_stream_join A/B:
+    * 6.5 s → 2.6 s warm at 8). Partition count is a data-size knob,
+    * not a semantics knob (DetCheck pins result invariance);
+    * production sizes it to the stream. Restored after the run. */
+  private def runReplay(s: SparkSession, out: DataFrame,
+                        prefix: String): DataFrame = {
+    val name = s"${prefix}_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
+  }
+
   /** S4 under the ORACLE — batch-replay of the REAL streaming
     * pipeline: `readStream(parquet) → withWatermark(1h) → 1h tumbling
     * window → append-mode memory sink`, Trigger.AvailableNow. This is
@@ -127,33 +171,10 @@ object TimeWindows {
        |SELECT w.wstart, w.wend, w.cnt, w.sum_value
        |FROM w, wm WHERE w.wend <= wm.watermark
        |ORDER BY w.wstart""".stripMargin) { (s, dir) =>
-    val path = s"$dir/events.parquet"
-    // the LsdDb nanosecond-timestamp discipline, streaming form:
-    // int64 nanos truncate via DIV 1000; TIMESTAMP_NTZ (Spark 4's
-    // native read of ns parquet, µs-truncated) casts value-preserving
-    // under the UTC session — both match DuckDB's CAST(ts AS TIMESTAMP)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = s.read.parquet(path).schema
-    val tsCol = batchSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts").cast("timestamp")
-    }
-    // the file source requires a DIRECTORY basePath; a glob keeps the
-    // base at $dir while matching exactly the single events file
-    val stream = s.readStream.schema(batchSchema)
-      .parquet(s"$dir/{events.parquet}")
-      .select(tsCol.as("ts"), col("value"))
     val out = graft.streaming.StreamOps.tumblingAggExact(
-      stream, "1 hour", "1 hour")
-    val name = s"graft_stream_replay_${java.util.UUID.randomUUID()
-      .toString.replace("-", "")}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy("wstart")
+      eventsStream(s, dir).select(col("ts"), col("value")),
+      "1 hour", "1 hour")
+    runReplay(s, out, "graft_stream_replay").orderBy("wstart")
   }
 
   /** S5 under the ORACLE — batch-replay of the stateful streaming
@@ -175,29 +196,12 @@ object TimeWindows {
     "q_stream_dedup",
     """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val batchSchema = s.read.parquet(path).schema
-    val tsCol = batchSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts").cast("timestamp")
-    }
-    def src() = s.readStream.schema(batchSchema)
-      .parquet(s"$dir/{events.parquet}")
-      .select(col("event_id"), col("user_id"), tsCol.as("ts"),
-        col("value"))
+    def src() = eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val deduped = src().union(src())
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    val name = s"graft_stream_dedup_${java.util.UUID.randomUUID()
-      .toString.replace("-", "")}"
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy("event_id")
+    runReplay(s, deduped, "graft_stream_dedup").orderBy("event_id")
   }
 
   /** S6 under the ORACLE — batch-replay of a STREAM-STREAM inner
@@ -226,17 +230,8 @@ object TimeWindows {
       |  AND b.tsu >= a.tsu - INTERVAL 30 MINUTE
       |  AND b.tsu <= a.tsu + INTERVAL 30 MINUTE
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val batchSchema = s.read.parquet(path).schema
-    val tsCol = batchSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts").cast("timestamp")
-    }
-    def src() = s.readStream.schema(batchSchema)
-      .parquet(s"$dir/{events.parquet}")
-      .select(col("event_id"), col("user_id"), tsCol.as("ts"))
+    def src() = eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
     val a = src().filter(col("event_id") % 2 === 0)
       .select(col("event_id").as("id_a"), col("user_id").as("u_a"),
         col("ts").as("ts_a"))
@@ -252,14 +247,7 @@ object TimeWindows {
       .select(col("id_a"), col("id_b"), col("u_a").as("user_id"),
         abs(unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a")))
           .as("dt_s"))
-    val name = s"graft_stream_join_${java.util.UUID.randomUUID()
-      .toString.replace("-", "")}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy("id_a", "id_b")
+    runReplay(s, joined, "graft_stream_join").orderBy("id_a", "id_b")
   }
 
   /** S3 (streaming form) under the ORACLE — batch-replay of the
@@ -300,17 +288,8 @@ object TimeWindows {
        |  a.sum_value
        |FROM agg a, wm WHERE a.session_end <= wm.watermark
        |ORDER BY a.user_id, a.session_start""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val batchSchema = s.read.parquet(path).schema
-    val tsCol = batchSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts").cast("timestamp")
-    }
-    val stream = s.readStream.schema(batchSchema)
-      .parquet(s"$dir/{events.parquet}")
-      .select(col("user_id"), tsCol.as("ts"), col("value"))
+    val stream = eventsStream(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
@@ -318,14 +297,8 @@ object TimeWindows {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("cnt"), col("sum_value"))
-    val name = s"graft_stream_session_${java.util.UUID.randomUUID()
-      .toString.replace("-", "")}"
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy("user_id", "session_start")
+    runReplay(s, stream, "graft_stream_session")
+      .orderBy("user_id", "session_start")
   }
 
   def specs: Seq[QuerySpec] = Seq(qWindowTumbling, qWindowSliding,
