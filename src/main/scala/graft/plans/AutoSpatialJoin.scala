@@ -246,14 +246,39 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
   /** If `cond` carries a `sky_dist(...) <= r` conjunct with sides
     * split across the join, return the blocked rewrite (full `cond`
     * re-applied above the union — semantics-preserving superset +
-    * exact refine). */
+    * exact refine).
+    *
+    * IDEMPOTENCE GUARD (load-bearing for SparkSessionExtensions):
+    * `injectOptimizerRule` places this rule in the main FIXED-POINT
+    * operator-optimization batch together with
+    * PushPredicateThroughJoin, which pushes the re-applied sky_dist
+    * refine INTO the generated joins — without the guard the rule
+    * re-matches its own output every iteration and the plan doubles
+    * until the iteration cap (observed as a spin in ExtensionsSmoke).
+    * Both generated channels carry a CROSS-SIDE EQUALITY (cell = cell;
+    * signum(lat) = signum(lat)), and a genuine cartesian never does —
+    * a join that already has an equality key is hash-joinable and not
+    * this rule's target anyway, so skipping them is both the
+    * idempotence fix and the correct scope. */
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
-                      cond: Expression): Option[LogicalPlan] =
-    splitConjunctivePredicates(cond).collectFirst {
+                      cond: Expression): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val hasCrossEquality = conjuncts.exists {
+      case EqualTo(l, r) =>
+        val lr = l.references
+        val rr = r.references
+        lr.nonEmpty && rr.nonEmpty &&
+          ((lr.subsetOf(left.outputSet) && rr.subsetOf(right.outputSet)) ||
+            (lr.subsetOf(right.outputSet) && rr.subsetOf(left.outputSet)))
+      case _ => false
+    }
+    if (hasCrossEquality) None
+    else conjuncts.collectFirst {
       case LessThanOrEqual(sd: SkyDist, Literal(r: Double, DoubleType))
           if r > 0 && r <= 1.0 && sidesSplit(left, right, sd) =>
         Filter(cond, blocked(left, right, sd, r))
     }
+  }
 
   /** lon1/lat1 must come entirely from one side and lon2/lat2 from
     * the other (either orientation). */
@@ -301,9 +326,11 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
       BitwiseOr(bx, by)
     }.foldLeft(L(0L): Expression)(BitwiseOr(_, _))
 
-  /** Packed cell id — raw form of SkyPix.cell. */
-  private def cellExpr(lon: Expression, lat: Expression,
-                       level: Int): Expression = {
+  /** Packed cell id — raw form of SkyPix.cell. `private[graft]` so
+    * [[graft.GraftExtensions]] can expose it as the SQL function
+    * `sky_cell(lon, lat, level)`. */
+  private[graft] def cellExpr(lon: Expression, lat: Expression,
+                              level: Int): Expression = {
     val (ix, iy) = ixy(lon, lat, level)
     BitwiseOr(morton(ix, iy, level), L(level.toLong << 58))
   }
