@@ -39,25 +39,30 @@ import org.apache.spark.sql.types.IntegerType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def foldableInt(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other if other.foldable =>
-      other.eval() match {
-        case i: Int => i
-        case v => throw new IllegalArgumentException(
-          s"$what must be an INT literal, got $v")
-      }
-    case _ => throw new IllegalArgumentException(
-      s"$what must be a foldable INT literal")
-  }
+  // SQL literal spellings are forgiving: `4` parses as INT but `4L`
+  // as BIGINT, and `0.1` as DECIMAL(1,1) — accept every exact-integer
+  // / numeric foldable form rather than forcing the `0.1D` spelling.
+  private def foldableInt(e: Expression, what: String): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case v => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $v")
+    } else throw new IllegalArgumentException(
+      s"$what must be a foldable integer literal")
   private def foldableDouble(e: Expression, what: String): Double =
     if (e.foldable) e.eval() match {
       case d: Double => d
+      case f: Float => f.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
       case i: Int => i.toDouble
+      case l: Long => l.toDouble
       case v => throw new IllegalArgumentException(
-        s"$what must be a DOUBLE literal, got $v")
+        s"$what must be a numeric literal, got $v")
     } else throw new IllegalArgumentException(
-      s"$what must be a foldable DOUBLE literal")
+      s"$what must be a foldable numeric literal")
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "",

@@ -134,7 +134,13 @@ object TimeWindows {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    // the analyzed DataFrame pins the sink's plan; dropping the temp
+    // view immediately lets the sink data GC with the DataFrame —
+    // otherwise every replay run pins its full result set in driver
+    // memory for the session's lifetime (bench runs each query twice)
+    val df = s.table(name)
+    s.catalog.dropTempView(name)
+    df
   }
 
   /** S4 under the ORACLE — batch-replay of the REAL streaming
@@ -150,10 +156,14 @@ object TimeWindows {
     *
     * Determinism: the events table is ONE file → one micro-batch, so
     * no intra-run late-drop ordering exists; the final watermark is
-    * max(ts) − 1 h exactly; emission is `wend ≤ watermark`
-    * (StateStoreSaveExec's append-mode eviction — pinned empirically
-    * at all three SFs); sums go through the decimal-exact Det path
-    * inside the streaming agg itself.
+    * ms_floor(max(ts)) − 1 h — Spark tracks max event time in
+    * MILLISECONDS (EventTimeStatsAccum), so the oracle floors max(tsu)
+    * to the millisecond before subtracting the delay (a µs-precision
+    * watermark would disagree on windows ending in the sub-ms gap —
+    * the testdata's max ts genuinely carries sub-ms digits); emission
+    * is `wend ≤ watermark` (StateStoreSaveExec's append-mode eviction
+    * — pinned empirically at all three SFs); sums go through the
+    * decimal-exact Det path inside the streaming agg itself.
     *
     * 100-TB shape: the identical plan fragments run on a real
     * unbounded source; state is O(open windows), the memory sink here
@@ -163,7 +173,8 @@ object TimeWindows {
   val qStreamReplay: QuerySpec = QuerySpec(
     "q_stream_replay",
     s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
-       |wm AS (SELECT max(tsu) - INTERVAL 1 HOUR AS watermark FROM e),
+       |wm AS (SELECT make_timestamp(epoch_ms(max(tsu)) * 1000)
+       |    - INTERVAL 1 HOUR AS watermark FROM e),
        |w AS (SELECT date_trunc('hour', tsu) AS wstart,
        |    date_trunc('hour', tsu) + INTERVAL 1 HOUR AS wend,
        |    count(*) AS cnt, ${D.dsum("value")} AS sum_value
@@ -262,13 +273,15 @@ object TimeWindows {
     *
     * Determinism: one file → one batch (no cross-batch merge order);
     * session membership is exact timestamp arithmetic; sums are
-    * decimal-exact. */
+    * decimal-exact; the watermark is ms-floored (see qStreamReplay —
+    * Spark tracks max event time in milliseconds). */
   val qStreamSession: QuerySpec = QuerySpec(
     "q_stream_session",
     s"""WITH e AS (
        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value
        |  FROM events),
-       |wm AS (SELECT max(tsu) - INTERVAL 1 HOUR AS watermark FROM e),
+       |wm AS (SELECT make_timestamp(epoch_ms(max(tsu)) * 1000)
+       |    - INTERVAL 1 HOUR AS watermark FROM e),
        |flagged AS (
        |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
        |                   OR tsu - lag(tsu) OVER w >= INTERVAL 30 MINUTE

@@ -337,34 +337,15 @@ object VectorOps {
          |LEFT JOIN idcg x ON x.probe_id = p.vec_id
          |ORDER BY probe_id""".stripMargin
     }) { (s, dir) =>
-    val path = ensureAnnLayout(s, dir)
     val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
-    val cent = broadcast(emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cn")))
-    val pw = Window.partitionBy("probe_id")
-      .orderBy(col("pcos").desc, col("cent_id").asc)
     val probes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pn"))
-    val pbuckets = probes.crossJoin(cent)
-      .withColumn("pcos", cosine(col("cv"), col("pv"), col("cn"), col("pn")))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= 2)
-      .select("probe_id", "pv", "pn", "cent_id")
-    // the q_ann_disk physics: probed cell ids (O(k) driver list)
-    // prune the corpus scan to its cell= directories
-    val probedCells = pbuckets.select("cent_id").distinct()
-      .collect().map(_.getLong(0).toInt).sorted.toIndexedSeq
-    val vectors = s.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probedCells: _*))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("cell").cast("long").as("cent_id"))
     val fw = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val ivf10 = broadcast(pbuckets).join(vectors, "cent_id")
-      .select(col("probe_id"), col("vec_id"),
-        cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
+    // candidates off the pruned disk layout — the shared q_ann_disk
+    // physics ([[ivfDiskScored]], one definition)
+    val ivf10 = ivfDiskScored(s, dir)
       .withColumn("rn", row_number().over(fw))
       .filter(col("rn") <= 10)
       .select("probe_id", "vec_id", "rn")
@@ -722,6 +703,23 @@ object VectorOps {
     * changes the physics and not the answer. */
   val qAnnDisk: QuerySpec = QuerySpec(
     "q_ann_disk", qAnnIvf.oracle.get) { (s, dir) =>
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    ivfDiskScored(s, dir)
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= 3)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** IVF candidates (probe_id, vec_id, cos) answered from the
+    * MATERIALIZED layout ([[ensureAnnLayout]]): probes route through
+    * the broadcast centroids, the probed cell-id union (an O(k)
+    * driver list) prunes the corpus scan to its `cell=` directories,
+    * and the equi-join scores on the pruned scan — the disk twin of
+    * [[ivfScored]], ONE definition shared by q_ann_disk and
+    * q_ndcg_graded so the pinned "search touches ~nprobe/k of the
+    * corpus ON DISK" physics cannot drift between them. */
+  private def ivfDiskScored(s: SparkSession, dir: String): DataFrame = {
     val path = ensureAnnLayout(s, dir)
     val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
     val cent = broadcast(emb.filter(col("vec_id") < 8)
@@ -743,14 +741,9 @@ object VectorOps {
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("cell").cast("long").as("cent_id"))
-    val fw = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(pbuckets).join(vectors, "cent_id")
       .select(col("probe_id"), col("vec_id"),
         cosine(col("pv"), col("v"), col("pn"), col("nrm")).as("cos"))
-      .withColumn("rn", row_number().over(fw))
-      .filter(col("rn") <= 3)
-      .orderBy("probe_id", "rn")
   }
 
   /** X1e/X4 — distributed GRAM MATRIX of the embedding corpus

@@ -23,11 +23,13 @@ object ExtensionsSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // 1) SQL functions resolve and agree with the library twins
+    // 1) SQL functions resolve and agree with the library twins —
+    // using the NATURAL literal spellings (0.1 parses as DECIMAL,
+    // 4 as INT): the builders must widen, not demand 0.1D
     val r = spark.sql(
       "SELECT sky_dist(10.0D, 0.0D, 10.0D, 1.0D) AS d, " +
         "sky_cell(10.0D, 0.0D, 4) AS c, " +
-        "sky_neighbor_cells(10.0D, 0.0D, 4, 0.1D) AS nb, " +
+        "sky_neighbor_cells(10.0D, 0.0D, 4, 0.1) AS nb, " +
         "snap6(0.1234567D) AS s").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-9, s"sky_dist ${r.getDouble(0)}")
     assert(r.getDouble(3) == 0.123457, s"snap6 ${r.getDouble(3)}")
@@ -47,6 +49,17 @@ object ExtensionsSmoke {
     val plan = j.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"AutoSpatialJoin must fire via extensions:\n$plan")
+    // absence of CartesianProduct alone is vacuous at this input size
+    // (a tiny non-equi join plans as BroadcastNestedLoopJoin either
+    // way) — the neighbor-cell explode discriminates the rewritten
+    // shape from the naive plan. (The two-channel Union does NOT
+    // survive here: on a LocalRelation fixture the optimizer folds
+    // the polar-cap filters at plan time, PropagateEmptyRelation
+    // kills the empty cap channel, and the Union collapses.)
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"rewritten plan must carry the neighbor-cell explode:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rewritten plan must join on the cell key, not nested-loop:\n$plan")
     val got = j.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(got == Set((1L, 9L)), s"join result $got")
     println("optimizer rule OK: cartesian rewritten, result exact")
