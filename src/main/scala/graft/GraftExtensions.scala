@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case l: Long if l.isValidInt => l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
+      // DECIMAL spellings like `4.0` — accept when the value is an
+      // exact int (mirrors foldableDouble's Decimal widening)
+      case dec: org.apache.spark.sql.types.Decimal
+          if dec.toBigDecimal.isValidInt => dec.toBigDecimal.toIntExact
       case v => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $v")
     } else throw new IllegalArgumentException(

@@ -120,7 +120,14 @@ object TimeWindows {
     * setup/commit fixed cost dominates wall time (q_stream_join A/B:
     * 6.5 s → 2.6 s warm at 8). Partition count is a data-size knob,
     * not a semantics knob (DetCheck pins result invariance);
-    * production sizes it to the stream. Restored after the run. */
+    * production sizes it to the stream. Restored after the run.
+    *
+    * CONCURRENCY CONTRACT: the conf mutation is session-global for
+    * the run's duration — a query planned concurrently in the same
+    * session would silently get 8 shuffle partitions. All callers
+    * today (Verify, Bench) are strictly sequential; a future
+    * concurrent caller must isolate the replay in `s.newSession()`
+    * (shared context, private conf) instead of this set/restore. */
   private def runReplay(s: SparkSession, out: DataFrame,
                         prefix: String): DataFrame = {
     val name = s"${prefix}_${java.util.UUID.randomUUID()

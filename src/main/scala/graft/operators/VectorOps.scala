@@ -394,8 +394,12 @@ object VectorOps {
     * the FIRST relevant hit"; AP@10 grades the whole precision
     * profile: AP = Σ_{r relevant} precision@r / min(n_relevant, 10).
     *
-    * 100-TB shape: identical to q_ndcg_graded (IVF candidates via the
-    * equi-join; the brute-force relevance arm is the audit price).
+    * 100-TB shape: identical to q_ndcg_graded — candidates come from
+    * [[ivfDiskScored]], i.e. the MATERIALIZED cell-pruned disk layout,
+    * so the "search touches ~nprobe/k of the corpus on disk" physics
+    * is exercised here too (the brute-force relevance arm is the
+    * audit price; results match ivfScored since q_ann_disk ==
+    * q_ann_ivf is pinned).
     * Determinism: relevance is a comparison of bit-identical cosines;
     * precision@r terms are ratios of small exact integers, d6-snapped
     * and decimal-summed; rr = d6(1/rank) of an exact integer. */
@@ -443,7 +447,7 @@ object VectorOps {
        |ORDER BY probe_id""".stripMargin) { (s, dir) =>
     val fw = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val ivf10 = ivfScored(s, dir)
+    val ivf10 = ivfDiskScored(s, dir)
       .withColumn("rn", row_number().over(fw))
       .filter(col("rn") <= 10)
       .select("probe_id", "vec_id", "rn")

@@ -230,6 +230,12 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private val CapLat = CrossMatch.CapLat
 
+  // Generated cell-key column names — the idempotence-guard signature
+  // in [[rewrite]] and the key names emitted by [[blocked]] must stay
+  // in lockstep, so both read from here.
+  private val GenCellA = "_graft_ca"
+  private val GenCellB = "_graft_cb"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // post-pushdown shape: extraOptimizations run AFTER the main
     // batches, so PushPredicateThroughJoin has already folded the
@@ -255,24 +261,30 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
     * refine INTO the generated joins — without the guard the rule
     * re-matches its own output every iteration and the plan doubles
     * until the iteration cap (observed as a spin in ExtensionsSmoke).
-    * Both generated channels carry a CROSS-SIDE EQUALITY (cell = cell;
-    * signum(lat) = signum(lat)), and a genuine cartesian never does —
-    * a join that already has an equality key is hash-joinable and not
-    * this rule's target anyway, so skipping them is both the
-    * idempotence fix and the correct scope. */
+    * The guard recognizes the rule's OWN output by its generated
+    * signature — the cell-channel key `_graft_ca = _graft_cb` or the
+    * cap channel's `signum(lat) = signum(lat)` — rather than by the
+    * presence of any cross-side equality: a user join that carries an
+    * incidental low-cardinality equality (e.g. `a.source = b.source`)
+    * alongside `sky_dist <= r` still deserves the blocked rewrite
+    * (the hash join on such a key is near-cartesian), and the full
+    * original condition, equality included, is re-applied above the
+    * union so semantics are preserved. A TreeNodeTag would not
+    * survive here: PushPredicateThroughJoin constructs FRESH Join
+    * nodes when folding filters in, and `transformDown` copies tags
+    * from the matched Filter, not the replaced Join — the condition
+    * conjuncts are the only signature guaranteed to persist. */
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
                       cond: Expression): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    val hasCrossEquality = conjuncts.exists {
-      case EqualTo(l, r) =>
-        val lr = l.references
-        val rr = r.references
-        lr.nonEmpty && rr.nonEmpty &&
-          ((lr.subsetOf(left.outputSet) && rr.subsetOf(right.outputSet)) ||
-            (lr.subsetOf(right.outputSet) && rr.subsetOf(left.outputSet)))
+    val isOwnOutput = conjuncts.exists {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (a.name == GenCellA && b.name == GenCellB) ||
+          (a.name == GenCellB && b.name == GenCellA)
+      case EqualTo(Signum(_), Signum(_)) => true
       case _ => false
     }
-    if (hasCrossEquality) None
+    if (isOwnOutput) None
     else conjuncts.collectFirst {
       case LessThanOrEqual(sd: SkyDist, Literal(r: Double, DoubleType))
           if r > 0 && r <= 1.0 && sidesSplit(left, right, sd) =>
@@ -359,13 +371,13 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
 
     // --- cell channel (both sides below the cap) ---
     val aBelow = Filter(LessThanOrEqual(Abs(aLat), D(CapLat)), left)
-    val cellA = Alias(cellExpr(aLon, aLat, level), "_graft_ca")()
+    val cellA = Alias(cellExpr(aLon, aLat, level), GenCellA)()
     val aKeyed = Project(left.output :+ cellA, aBelow)
 
     val bBelow = Filter(LessThanOrEqual(Abs(bLat), D(CapLat)), right)
     val explode = Explode(NeighborCells(bLon, bLat, level, radius))
     val elemField = explode.elementSchema.fields.head
-    val cellB = AttributeReference("_graft_cb", elemField.dataType,
+    val cellB = AttributeReference(GenCellB, elemField.dataType,
       elemField.nullable)()
     val bKeyed = Generate(explode, unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(cellB), child = bBelow)

@@ -282,15 +282,23 @@ object Fits {
               // VLA cell = (count, heap byte offset), elements → heap
               val off = heap.position()
               val name = fields(i)._1
+              // null ELEMENTS would otherwise surface as a bare NPE
+              // from unboxing — check explicitly so the error names
+              // the column, same contract as the null-cell check above
+              val elems = row.getSeq[Any](i)
+              if (elems.exists(_ == null))
+                throw new IllegalArgumentException(
+                  s"FITS export: null element in VLA column $name " +
+                    "(dense only)")
               forms(i)._1.charAt(1) match {
-                case 'E' => row.getSeq[Float](i).foreach { v =>
-                  heap.putFloat(v) }
-                case 'D' => row.getSeq[Double](i).foreach { v =>
-                  heap.putDouble(v) }
-                case 'J' => row.getSeq[Int](i).foreach { v =>
-                  heap.putInt(v) }
-                case _ => row.getSeq[Long](i).foreach { v =>
-                  heap.putLong(v) }
+                case 'E' => elems.foreach { v =>
+                  heap.putFloat(v.asInstanceOf[Float]) }
+                case 'D' => elems.foreach { v =>
+                  heap.putDouble(v.asInstanceOf[Double]) }
+                case 'J' => elems.foreach { v =>
+                  heap.putInt(v.asInstanceOf[Int]) }
+                case _ => elems.foreach { v =>
+                  heap.putLong(v.asInstanceOf[Long]) }
               }
               val n = (heap.position() - off) / vlaElemBytes(forms(i)._1.charAt(1))
               require(n <= vlaMax(i), s"FITS export: $name VLA grew")

@@ -79,6 +79,24 @@ class AutoSpatialJoinSpec extends SpecBase {
       val got = extra.select("a_id", "b_id").collect()
         .map(row => (row.getLong(0), row.getLong(1))).toSet
       assert(got == brute(0.5).filter(_._1 % 2 == 0))
+      // an INCIDENTAL cross-side equality must not suppress the
+      // rewrite (the r16-advice case: a low-cardinality key like
+      // source=source makes the hash join near-cartesian, so the
+      // blocked plan is still the right one; the guard only skips
+      // the rule's OWN generated signature)
+      val aP = aDf.withColumn("a_par", col("a_id") % 2)
+      val bP = bDf.withColumn("b_par", col("b_id") % 2)
+      val withEq = aP.crossJoin(bP)
+        .where(skyDist(col("a_lon"), col("a_lat"),
+          col("b_lon"), col("b_lat")) <= 0.5 &&
+          col("a_par") === col("b_par"))
+      val eqPlan = withEq.queryExecution.executedPlan.toString
+      assert(eqPlan.contains("Generate explode") || eqPlan.contains("Explode"),
+        "incidental equality must still get the blocked rewrite:\n" +
+          eqPlan.take(2000))
+      val gotEq = withEq.select("a_id", "b_id").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      assert(gotEq == brute(0.5).filter(p => p._1 % 2 == p._2 % 2))
       // out-of-scope shapes are left alone (radius > 1 degree)
       val big = naive(5.0)
       assert(big.queryExecution.optimizedPlan.toString.contains("Join Cross") ||
