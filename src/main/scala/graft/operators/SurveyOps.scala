@@ -1656,8 +1656,66 @@ object SurveyOps {
       .orderBy("object_id")
   }
 
+  /** P8 — the `_ID` pseudo-column under the ORACLE: the packed object
+    * id `(level << 58) | (morton << rowBits) | row-within-cell`
+    * ([[graft.spatial.SkyPix.packId]]; the reference packed object
+    * ids as cell bits ‖ row, ref `lsd/table.py`, UNVERIFIED) built
+    * under the DECLARED UNIQUE-KEY ordering (row_number per cell
+    * ordered by c_custkey — the determinism contract that lets the
+    * oracle construct the identical BIGINT with its own row_number).
+    * Cell ids use the d6-snapped grid (same reasoning as
+    * [[qSkymap]]); everything after the snap is integer bit
+    * arithmetic, exact in both engines. Closes the last §2 row that
+    * could move from spec-only to oracle-gated (A4/HLL legitimately
+    * cannot). 100-TB: one shuffle on cell — the same key the catalog
+    * is stored under, so in a stored-table pipeline the window is
+    * partition-local; ids are assigned without any global sort or
+    * driver sequence ([[org.apache.spark.sql.functions
+    * .monotonically_increasing_id]] is scheduling-dependent and never
+    * used). */
+  val qRowid: QuerySpec = {
+    val lv = 6
+    val rowBits = 24
+    val mask58 = (1L << 58) - 1
+    QuerySpec(
+      "q_rowid",
+      s"""WITH c AS (SELECT c_custkey,
+         |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+         |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+         |  FROM customer),
+         |i AS (SELECT c_custkey,
+         |    ${graft.spatial.SkyPix.sql.ixSnapped("lon", lv)} AS ix,
+         |    ${graft.spatial.SkyPix.sql.iySnapped("lat", lv)} AS iy
+         |  FROM c),
+         |g AS (SELECT c_custkey,
+         |    ${graft.spatial.SkyPix.sql.mortonCell("ix", "iy", lv)} AS cell
+         |  FROM i)
+         |SELECT c_custkey, cell,
+         |  (((cell >> 58) << 58)
+         |    | ((cell & $mask58) << $rowBits)
+         |    | (row_number() OVER (PARTITION BY cell ORDER BY c_custkey)
+         |       - 1)) AS "_ID"
+         |FROM g ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import graft.spatial.SkyPix
+      val w = Window.partitionBy("cell").orderBy("c_custkey")
+      LsdDb.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          ((col("c_custkey") * 13) % 3600).cast(DoubleType)./(10.0).as("lon"),
+          (((col("c_custkey") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+            .as("lat"))
+        .withColumn("cell", SkyPix.mortonCell(
+          SkyPix.ixSnapped(col("lon"), lv),
+          SkyPix.iySnapped(col("lat"), lv), lv))
+        .withColumn("_ID", SkyPix.packId(col("cell"),
+          (row_number().over(w) - 1).cast(LongType), rowBits))
+        .select("c_custkey", "cell", "_ID")
+        .orderBy("c_custkey")
+    }
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
     qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth,
-    qStetson, qStructureFn, qTwoPoint, qPeriodogram, qCadence, qCpmPairs)
+    qStetson, qStructureFn, qTwoPoint, qPeriodogram, qCadence, qCpmPairs,
+    qRowid)
 }

@@ -178,6 +178,41 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** W1-W3 through the QL surface — the same OVER clauses users write
+    * in [[graft.ql.LsdQL]] queries, proving the QL window path
+    * (SQL-over-temp-view, exact SQL evaluation order) end-to-end
+    * under the oracle, not just in specs. The QL text IS SQL-shaped,
+    * so the oracle is near-verbatim; the thing under test is that the
+    * QL evaluator routes it through Catalyst identically. Decimal
+    * frame sum per the file-level determinism note. Plan: identical
+    * to the DataFrame twins — one shuffle on o_custkey serves both
+    * window specs (same partition key), no extra exchange from QL. */
+  val qQlWindow: QuerySpec = QuerySpec(
+    "q_ql_window",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS running_total
+      |FROM orders
+      |WHERE o_totalprice > 50000
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val ql = graft.ql.LsdQL.forDb(graft.LsdDb(s, dir))
+    ql.query(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_total
+        |FROM orders
+        |WHERE o_totalprice > 50000
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowRank, qWindowLag, qWindowFrame,
-    qWindowNtile, qWindowRange, qRollingMedian)
+    qWindowNtile, qWindowRange, qRollingMedian, qQlWindow)
 }

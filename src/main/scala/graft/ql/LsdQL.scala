@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions.{col, row_number}
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
   *   query {UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL]} query ...
   *
+  * Select expressions may carry window clauses — `rank() OVER
+  * (PARTITION BY … ORDER BY … [ROWS|RANGE frame])` — evaluated with
+  * exact SQL semantics (after WHERE/GROUP BY/HAVING, before
+  * DISTINCT/ORDER BY) through the same Catalyst SQL path as GROUP BY.
+  *
   * WHERE may embed subqueries — `x IN (SELECT …)`, [NOT] EXISTS
   * (SELECT …), scalar `(SELECT max(…) …)`. An UNCORRELATED inner is
   * a full QL query (CTE scope visible, spatial joins and all); a
@@ -527,7 +532,23 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         }
       }
     }
-    if (groupOpt.isDefined || havingOpt.isDefined || orderOpt.isDefined) {
+    // Window functions — `expr OVER (PARTITION BY … ORDER BY …
+    // [ROWS|RANGE frame])` in the select list (the parser leaves the
+    // whole OVER(...) opaque: clause keywords only count at paren
+    // depth 0). Routed through the same SQL-over-temp-view path as
+    // GROUP BY, so the full Spark SQL window surface — ranking,
+    // lag/lead, frame aggregates, windows OVER grouped output — comes
+    // with exact SQL evaluation order (windows after WHERE/GROUP
+    // BY/HAVING, before DISTINCT/ORDER BY). LSD itself had no window
+    // clause (SURVEY §2 W1-W3 are DataFrame-side) — this is the QL
+    // parity-plus surface the round-16 verdict called the widest
+    // remaining QL gap.
+    val hasWindow = selectList.exists { e =>
+      val q = quotedSpans(e)
+      "(?i)\\bOVER\\s*\\(".r.findAllMatchIn(e).exists(m => !q(m.start))
+    }
+    if (groupOpt.isDefined || havingOpt.isDefined || orderOpt.isDefined ||
+      hasWindow) {
       // Aggregation surface: hand the joined+filtered relation to
       // Catalyst as SQL over a temp view — the reference routed
       // aggregation through kernel chains because its executor had no

@@ -894,4 +894,67 @@ class LsdQLSpec extends SpecBase {
       plan.contains("EqualTo(c_custkey,7"),
       s"filter must push through the CTE boundary:\n$plan")
   }
+
+  test("window functions: ranking QL round-trips the Windows twin") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = ql.query(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY year(o_orderdate)) AS INT) AS rnk
+        |FROM orders WHERE o_totalprice > 100000""".stripMargin)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val w2 = Window.partitionBy("o_custkey").orderBy(year(col("o_orderdate")))
+    val twin = db.table("orders").filter("o_totalprice > 100000")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("int").as("rn"),
+        rank().over(w2).cast("int").as("rnk"))
+    assert(df.collect().toSet == twin.collect().toSet)
+    // the WHERE evaluates BEFORE the window (SQL order): every rn
+    // sequence per customer is gap-free over the filtered rows
+    val maxRn = df.groupBy("o_custkey")
+      .agg(max("rn").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") =!= col("n")).count()
+    assert(maxRn == 0, "row_number must be dense over the FILTERED rows")
+  }
+
+  test("window functions: lag and frame aggregate through QL") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = ql.query(
+      """SELECT event_id, user_id, value,
+        |  value - lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS delta,
+        |  CAST(sum(CAST(value AS DECIMAL(28,8))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS run
+        |FROM events""".stripMargin)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val twin = db.table("events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        sum(col("value").cast("decimal(28,8)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run"))
+    assert(df.collect().toSet == twin.collect().toSet)
+  }
+
+  test("window over grouped output (OVER after GROUP BY)") {
+    val df = ql.query(
+      """SELECT o_custkey, count(*) AS cnt,
+        |  CAST(rank() OVER (ORDER BY count(*) DESC, o_custkey) AS INT)
+        |    AS busy_rank
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY busy_rank LIMIT 5""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5 && rows.head.getInt(2) == 1)
+    // ranks ascend and counts are non-increasing in rank order
+    assert(rows.map(_.getInt(2)).toSeq == (1 to 5).toSeq)
+    val cnts = rows.map(_.getLong(1)).toSeq
+    assert(cnts == cnts.sorted.reverse)
+  }
 }
