@@ -30,6 +30,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   FS / HDFS atomic-create semantics; object stores need an
   *   external lock service — documented limitation, same as the
   *   reference's flock-based locking).
+  * - MULTI-writer is available through the optimistic API
+  *   ([[appendOptimistic]]/[[deleteOptimistic]]): heavy data writes
+  *   stage unlocked into `_staging/`, commits serialize through a
+  *   briefly-held retried lock, appends always commute, and stale
+  *   overlapping deletes abort loudly ([[ConflictException]]) —
+  *   see the "optimistic concurrency" section below.
   *
   * Scale: snapshots are the unit of append, not of parallelism — each
   * `snap=N` holds an arbitrary number of part files written by a full
@@ -40,6 +46,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Snapshots {
   private val CommitLog = "_COMMITS"
   private val Lock = "_LOCK"
+  private val OcStats = "_OC_STATS"
+  private val Staging = "_staging"
+
+  /** A concurrent-commit conflict the protocol cannot serialize:
+    * another writer tombstoned keys this delete also tombstones,
+    * AFTER the snapshot this delete's decision was based on — the
+    * write-write conflict snapshot isolation aborts loudly rather
+    * than silently last-writer-wins through stale reads. */
+  final class ConflictException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Outcome of an optimistic commit: the committed snapshot id plus
+    * how many lock-acquisition retries the writer ate (the contention
+    * signal [[ocStats]] accumulates table-wide). */
+  final case class OptimisticCommit(id: Long, retries: Int)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path),
@@ -156,19 +177,22 @@ object Snapshots {
   def head(spark: SparkSession, path: String): Option[Long] =
     committed(spark, path).lastOption
 
+  /** Atomic lock acquisition attempt (create-exclusive — the same
+    * local-FS/HDFS atomic-create primitive [[withLock]] documents;
+    * object stores need an external lock service). */
+  private def tryAcquire(f: FileSystem, path: String): Boolean =
+    try { f.create(new Path(path, Lock), false).close(); true }
+    catch { case _: java.io.IOException => false }
+
   private def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val f = fs(spark, path)
     f.mkdirs(new Path(path))
-    val lock = new Path(path, Lock)
     // single-writer: atomic create fails if another writer holds it
-    val out = try f.create(lock, false) catch {
-      case _: java.io.IOException => throw new IllegalStateException(
-        s"snapshot table $path is locked by another writer ($Lock " +
-          "exists); the reference is single-writer multi-reader, " +
-          "and so is this layout")
-    }
-    out.close()
-    try body finally f.delete(lock, false)
+    if (!tryAcquire(f, path)) throw new IllegalStateException(
+      s"snapshot table $path is locked by another writer ($Lock " +
+        "exists); the reference is single-writer multi-reader, " +
+        "and so is this layout")
+    try body finally f.delete(new Path(path, Lock), false)
   }
 
   private def commit(spark: SparkSession, path: String,
@@ -605,6 +629,207 @@ object Snapshots {
   def delete(keys: DataFrame, path: String): Long =
     append(keys.withColumn(Tombstone, org.apache.spark.sql.functions.lit(true)),
       path)
+
+  // ---- optimistic concurrency: multi-writer commits ----------------
+  //
+  // The reference (and this layout until now) was single-writer: a
+  // held _LOCK makes a second writer FAIL, even though its work
+  // doesn't overlap. Optimistic form (closes SURVEY §1.1's last
+  // data-model gap): the expensive distributed data write stages
+  // OUTSIDE any lock into _staging/<uuid>; the commit critical
+  // section — log read, conflict check, staging→snap=N rename (a
+  // metadata op), log swap — is tiny and serialized by the same
+  // atomic-create _LOCK, acquired with bounded retry instead of
+  // fail-fast. Writers therefore interleave their heavy writes freely
+  // and only queue for milliseconds at commit.
+  //
+  // Serializability argument, per operation class:
+  //  - blind APPENDS commute (no append reads table state), so any
+  //    interleaving is equivalent to the commit-order serial history —
+  //    always committable, the Delta/Iceberg append rule;
+  //  - DELETES (tombstone batches) read state: a delete decided
+  //    against snapshot `basedOn` conflicts with any tombstone on the
+  //    SAME key committed after `basedOn` (two writers both "deleted"
+  //    a key each thought live — last-writer-wins would silently
+  //    launder the stale read). Overlap ⇒ loud ConflictException
+  //    (abort; staging cleaned); disjoint keys commute ⇒ commit.
+  //
+  // Readers are untouched: they trust only the log, so staging dirs
+  // and aborted writes are invisible by construction. A crashed
+  // writer leaks only an unreferenced _staging/<uuid> dir (reclaim
+  // with cleanStaging when no writers are active).
+  //
+  // Retry/abort counters accumulate in _OC_STATS (updated under the
+  // lock), so operators can SEE contention: `AdminCli snapshots`
+  // prints them.
+
+  /** Table-lifetime optimistic-commit counters: (lock retries,
+    * conflict aborts). (0,0) when no optimistic writer ever ran. */
+  def ocStats(spark: SparkSession, path: String): (Long, Long) = {
+    val f = fs(spark, path)
+    val p = new Path(path, OcStats)
+    if (!f.exists(p)) (0L, 0L)
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      def n(k: String) = s"$k:(\\d+)".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(0L)
+      (n("retries"), n("aborts"))
+    }
+  }
+
+  /** Accumulate counters; caller MUST hold the writer lock (the
+    * read-modify-write below is only safe serialized). */
+  private def bumpOcStats(f: FileSystem, path: String,
+                          retries: Long, aborts: Long): Unit = {
+    val p = new Path(path, OcStats)
+    val (r0, a0) =
+      if (!f.exists(p)) (0L, 0L)
+      else {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        def n(k: String) = s"$k:(\\d+)".r.findFirstMatchIn(text)
+          .map(_.group(1).toLong).getOrElse(0L)
+        (n("retries"), n("aborts"))
+      }
+    val tmp = new Path(path, s"$OcStats.tmp")
+    val o = f.create(tmp, true)
+    try o.write(s"retries:${r0 + retries}\naborts:${a0 + aborts}\n"
+      .getBytes("UTF-8"))
+    finally o.close()
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), "_OC_STATS rename failed")
+  }
+
+  /** Acquire the writer lock with bounded retry (the optimistic
+    * writers' acquisition mode — their critical sections are
+    * milliseconds, so contention resolves by waiting, not failing).
+    * Returns the number of retries eaten. */
+  private def acquireRetrying(f: FileSystem, path: String,
+                              maxRetries: Int, backoffMs: Long): Int = {
+    var waits = 0
+    while (!tryAcquire(f, path)) {
+      waits += 1
+      if (waits > maxRetries) throw new IllegalStateException(
+        s"could not acquire writer lock at $path after $maxRetries " +
+          "retries — a writer crashed mid-commit (delete _LOCK after " +
+          "confirming no writer is alive) or commit sections are " +
+          "contended beyond the retry budget")
+      Thread.sleep(backoffMs)
+    }
+    waits
+  }
+
+  /** Optimistic append: stages the data write outside any lock, then
+    * commits under a briefly-held, retried lock. Blind appends
+    * commute, so this never aborts — concurrent appenders serialize
+    * in commit order with sequential ids. Returns id + retry count. */
+  def appendOptimistic(df: DataFrame, path: String,
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil,
+                       maxRetries: Int = 300,
+                       backoffMs: Long = 10): OptimisticCommit = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    val stage = s"$path/$Staging/${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    df.write.mode("overwrite").parquet(stage) // heavy write: UNLOCKED
+    val st = dirStats(spark, stage, statsCols) // same bytes after rename
+    val bl = dirBlooms(spark, stage, bloomCols)
+    val waits = acquireRetrying(f, path, maxRetries, backoffMs)
+    try {
+      val prior = entries(spark, path)
+      val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
+      require(f.rename(new Path(stage), new Path(path, s"snap=$id")),
+        s"staging rename failed: $stage -> snap=$id")
+      commit(spark, path, prior :+
+        Entry(id, isBase = false, stats = st, blooms = bl))
+      bumpOcStats(f, path, retries = waits.toLong, aborts = 0L)
+      OptimisticCommit(id, waits)
+    } finally f.delete(new Path(path, Lock), false)
+  }
+
+  /** Optimistic tombstone delete: `keys` (just the key column) read
+    * against head snapshot `basedOn`. Commits unless another writer
+    * tombstoned ANY of the same keys in a snapshot AFTER `basedOn` —
+    * that overlap is the write-write conflict snapshot isolation must
+    * refuse (both writers decided from reads that are now stale for
+    * those keys), and it aborts with [[ConflictException]] (staging
+    * cleaned, abort counted in [[ocStats]]). Disjoint concurrent
+    * deletes and any number of concurrent appends commute and commit.
+    *
+    * The overlap check joins the staged keys against the later
+    * tombstone batches' keys under the lock — delete batches are key
+    * lists (small by contract), so the held-lock Spark job is
+    * milliseconds; appends never pay it. */
+  def deleteOptimistic(keys: DataFrame, path: String, key: String,
+                       basedOn: Long,
+                       maxRetries: Int = 300,
+                       backoffMs: Long = 10): OptimisticCommit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = keys.sparkSession
+    val f = fs(spark, path)
+    val stage = s"$path/$Staging/${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    keys.withColumn(Tombstone, lit(true))
+      .write.mode("overwrite").parquet(stage)
+    val waits = acquireRetrying(f, path, maxRetries, backoffMs)
+    try {
+      val prior = entries(spark, path)
+      require(prior.exists(_.id == basedOn),
+        s"basedOn snapshot $basedOn was never committed " +
+          s"(committed: ${prior.map(_.id).mkString(",")})")
+      val later = prior.filter(_.id > basedOn)
+      val laterTombs = later.flatMap { e =>
+        val d = spark.read.parquet(s"$path/snap=${e.id}")
+        if (d.columns.contains(Tombstone) && d.columns.contains(key))
+          Some(d.filter(col(Tombstone)).select(col(key).cast("string")
+            .as("__k")))
+        else None
+      }
+      if (laterTombs.nonEmpty) {
+        val staged = spark.read.parquet(stage)
+          .select(col(key).cast("string").as("__k")).distinct()
+        val overlap = laterTombs.reduce(_ union _).distinct()
+          .join(staged, "__k").limit(5)
+          .collect().map(_.getString(0))
+        if (overlap.nonEmpty) {
+          bumpOcStats(f, path, retries = waits.toLong, aborts = 1L)
+          f.delete(new Path(stage), true)
+          throw new ConflictException(
+            s"delete based on snapshot $basedOn conflicts with a " +
+              s"newer tombstone on key(s) ${overlap.mkString(", ")} " +
+              s"(committed after $basedOn at $path); re-read the " +
+              "table and re-decide the delete")
+        }
+      }
+      val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
+      require(f.rename(new Path(stage), new Path(path, s"snap=$id")),
+        s"staging rename failed: $stage -> snap=$id")
+      commit(spark, path, prior :+ Entry(id, isBase = false))
+      bumpOcStats(f, path, retries = waits.toLong, aborts = 0L)
+      OptimisticCommit(id, waits)
+    } finally f.delete(new Path(path, Lock), false)
+  }
+
+  /** Reclaim staging dirs leaked by crashed optimistic writers. Only
+    * safe when no writer is actively staging — enforced loosely by
+    * requiring the writer lock to be free and taking it for the
+    * sweep. Returns deleted staging dir names. */
+  def cleanStaging(spark: SparkSession, path: String): Seq[String] =
+    withLock(spark, path) {
+      val f = fs(spark, path)
+      val st = new Path(path, Staging)
+      if (!f.exists(st)) Seq.empty
+      else {
+        val kids = f.listStatus(st).map(_.getPath).toSeq
+        kids.foreach(p => f.delete(p, true))
+        kids.map(_.getName)
+      }
+    }
 
   /** Merged (upsert-resolved) state as of `asOf` (default head): per
     * key, the newest visible version wins; tombstoned keys vanish.

@@ -168,6 +168,11 @@ object FootprintCli {
   *   AdminCli vacuum <tablePath>      — drop pre-base history
   *   AdminCli compact-merged <tablePath> <keyCol> — fold upsert/delete
   *     deltas into a live-rows base (merge-on-read maintenance)
+  *   AdminCli clean-staging <tablePath> — reclaim staging dirs leaked
+  *     by crashed optimistic writers (only with no writer active)
+  *
+  * `snapshots` also prints the table's optimistic-commit counters
+  * (lock retries / conflict aborts) when any optimistic writer ran.
   */
 object AdminCli {
   import graft.sources.Snapshots
@@ -198,7 +203,7 @@ object AdminCli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: AdminCli list|snapshots|compact|" +
-      "vacuum|compact-merged ...")
+      "vacuum|compact-merged|clean-staging ...")
     args(0) match {
       case "list" =>
         describe(args(1)).foreach { case (name, kind, files, bytes) =>
@@ -217,6 +222,15 @@ object AdminCli {
             e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
               s" $c=bloom(${b.m}b/${b.k}h)"
             }.mkString))
+        val (retries, aborts) = Snapshots.ocStats(spark, args(1))
+        if (retries > 0 || aborts > 0)
+          println(s"optimistic commits: $retries lock retries, " +
+            s"$aborts conflict aborts")
+      case "clean-staging" =>
+        val removed = Snapshots.cleanStaging(Cli.session(), args(1))
+        println(if (removed.isEmpty) s"${args(1)}: no staging dirs"
+          else s"removed ${removed.size} staging dir(s): " +
+            removed.mkString(", "))
       case "compact" =>
         val id = Snapshots.compact(Cli.session(), args(1))
         println(s"compacted ${args(1)} -> base snap=$id")
