@@ -277,11 +277,25 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
                       cond: Expression): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    // NormalizeFloatingNumbers (a late optimizer batch) wraps float
+    // join keys as KnownFloatingPointNormalized(NormalizeNaNAndZero(
+    // signum(...))) — a SECOND optimizer execute (cached-plan re-
+    // optimization, a test's explicit re-run) presents the cap
+    // channel's signum equality in that dress, so the signature match
+    // must strip the wrappers or the cap join gets re-rewritten.
+    def stripNorm(e: Expression): Expression = e match {
+      case KnownFloatingPointNormalized(x) => stripNorm(x)
+      case org.apache.spark.sql.catalyst.optimizer
+        .NormalizeNaNAndZero(x) => stripNorm(x)
+      case x => x
+    }
     val isOwnOutput = conjuncts.exists {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         (a.name == GenCellA && b.name == GenCellB) ||
           (a.name == GenCellB && b.name == GenCellA)
-      case EqualTo(Signum(_), Signum(_)) => true
+      case EqualTo(l, r)
+          if stripNorm(l).isInstanceOf[Signum] &&
+            stripNorm(r).isInstanceOf[Signum] => true
       case _ => false
     }
     if (isOwnOutput) None

@@ -2,12 +2,20 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev smoke for [[graft.GraftExtensions]]: extensions only apply at
-  * session CREATION, so this runs in its own JVM (runMain) where it
-  * owns the session. Exercises the full registration path end to end:
-  * SQL functions resolve from plain `spark.sql`, the AutoSpatialJoin
-  * rule rewrites a naive cross join, and the TopKPerGroup strategy
-  * plans the custom physical operator.
+/** Smoke for [[graft.GraftExtensions]]: extensions only apply at
+  * session CREATION, so this runs in its own JVM where it owns the
+  * session — manually via runMain, and in CI through
+  * [[graft.ExtensionsForkSpec]], which forks this exact main from
+  * `sbt test`. Exercises the full registration path end to end
+  * through the USER-FACING config string (`spark.sql.extensions=
+  * graft.GraftExtensions` — the one-line zero-code integration, NOT
+  * the programmatic withExtensions shortcut): SQL functions resolve
+  * from plain `spark.sql`, the AutoSpatialJoin rule rewrites a naive
+  * cross join, the TopKPerGroup strategy is installed, and the
+  * optimizer is a FIXED POINT over generated spatial-join shapes
+  * (the injected rule runs in the fixed-point operator batch with
+  * PushPredicateThroughJoin — a non-idempotent rewrite would double
+  * the plan every iteration; see AutoSpatialJoin's guard).
   *
   * Usage: runMain graft.tools.ExtensionsSmoke
   */
@@ -15,10 +23,10 @@ object ExtensionsSmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -73,6 +81,28 @@ object ExtensionsSmoke {
         .exists(_.getClass.getName.contains("TopKPerGroup")),
       "TopKPerGroupStrategy must be installed")
     println("planner strategy OK")
+
+    // 4) idempotence property: optimize(optimize(p)) == optimize(p)
+    // over generated spatial-join shapes — radius sweep, incidental
+    // cross-side equality on/off, extra local conjunct on/off, both
+    // FROM orientations. The injected rule lives in the fixed-point
+    // batch, so a re-match of its own output would show up here as a
+    // non-fixed-point (plan doubles on the second execute).
+    val rnd = new scala.util.Random(7)
+    for (i <- 0 until 16) {
+      val radius = f"${0.01 + rnd.nextDouble() * 0.9}%.4f"
+      val eq = if (i % 3 == 0) " AND ida % 2 = idb % 2" else ""
+      val extra = if (i % 4 == 0) " AND ida > 0" else ""
+      val (t1, t2) = if (i % 2 == 0) ("exta", "extb") else ("extb", "exta")
+      val q = spark.sql(s"SELECT * FROM $t1, $t2 " +
+        s"WHERE sky_dist(la, ba, lb, bb) <= $radius$eq$extra")
+      val opt = q.queryExecution.optimizedPlan
+      val re = spark.sessionState.optimizer.execute(opt)
+      assert(re.canonicalized == opt.canonicalized,
+        s"optimizer not a fixed point (radius=$radius eq='$eq'):\n" +
+          s"second pass:\n$re\nfirst pass:\n$opt")
+    }
+    println("idempotence property OK (16 shapes)")
     println("EXTENSIONS SMOKE PASSED")
     spark.stop()
   }

@@ -109,4 +109,47 @@ class AutoSpatialJoinSpec extends SpecBase {
         spark.experimental.extraOptimizations.filterNot(_ == AutoSpatialJoin)
     }
   }
+
+  test("property: repeated optimization stabilizes, never re-rewrites") {
+    // The guard in AutoSpatialJoin.rewrite must prevent the rule from
+    // re-matching its own output on LATER optimizer executes (cached
+    // plan re-optimization; and within the injected fixed-point batch,
+    // property-checked the same way in tools.ExtensionsSmoke, forked
+    // by ExtensionsForkSpec). Via extraOptimizations the rewrite lands
+    // AFTER the main batches, so a second execute legitimately pushes
+    // the refine filter into the generated joins (a real plan change);
+    // the property is therefore:
+    //  (a) the rewrite count (neighbor-cell Generates) never grows —
+    //      a re-match would double it; and
+    //  (b) a third execute is an exact fixed point of the second.
+    // Shapes sweep radius, an incidental cross-side equality, an
+    // extra local conjunct, and both join orientations.
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AutoSpatialJoin
+    try {
+      val rnd = new Random(23)
+      for (i <- 0 until 20) {
+        val r = 0.01 + rnd.nextDouble() * 0.9
+        val base = if (i % 2 == 0) aDf.crossJoin(bDf) else bDf.crossJoin(aDf)
+        var cond = skyDist(col("a_lon"), col("a_lat"),
+          col("b_lon"), col("b_lat")) <= r
+        if (i % 3 == 0) cond = cond && (col("a_id") % 2 === col("b_id") % 2)
+        if (i % 4 == 0) cond = cond && col("a_id") > 0
+        def generates(p: org.apache.spark.sql.catalyst.plans.logical
+            .LogicalPlan): Int = p.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+        }.size
+        val p1 = base.where(cond).queryExecution.optimizedPlan
+        val p2 = spark.sessionState.optimizer.execute(p1)
+        val p3 = spark.sessionState.optimizer.execute(p2)
+        assert(generates(p1) == 1,
+          s"i=$i r=$r: expected exactly one rewrite, got:\n$p1")
+        assert(generates(p2) == 1 && generates(p3) == 1,
+          s"i=$i r=$r: re-rewrite detected (Generate count grew):\n$p2")
+        assert(p3.canonicalized == p2.canonicalized,
+          s"i=$i r=$r: not a fixed point after pushdown:\n$p3\nvs\n$p2")
+      }
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == AutoSpatialJoin)
+  }
 }
