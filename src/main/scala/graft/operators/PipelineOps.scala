@@ -3489,7 +3489,110 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Ext — END-TO-END pipeline composition, ONE plan under the
+    * oracle: Gopher quality gate → exact-dedup keep-best → split
+    * assignment → sequence packing — the stage chain a real curation
+    * run executes before writing training shards. Every stage is
+    * oracle-gated individually (q_quality_gopher, q_dedup_keep_best,
+    * q_split_assign, q_pack_sequences); the NEW claim is that their
+    * COMPOSITION preserves determinism and plan quality at
+    * integration level — no materialization boundaries, no
+    * re-scans.
+    *
+    * Plan shape (pinned in PlanQualitySpec): exactly ONE corpus
+    * FileScan; the gate and its signals are map-only projections on
+    * the scan; the dedup is one shuffle on the content signature
+    * (max_by carries the kept member's attributes, so no join-back
+    * re-scan); the split column is integer arithmetic on the kept
+    * id (map-only); the packing window is one shuffle on
+    * (source, split) — 2 shuffles total for a 4-stage pipeline, each
+    * on a key the stage semantically requires. At 100 TB the corpus
+    * is read once and everything between the two shuffles is
+    * codegen'd projection.
+    *
+    * Determinism: gate booleans compare bit-identical small-integer
+    * ratios (q_quality_gopher's rule); the keep-best argmax score
+    * n_chars·1e9 − doc_id is unique (q_dedup_keep_best's rule); the
+    * split LCG is overflow-free integer arithmetic (q_split_assign's
+    * rule); packing offsets are integer cumsums under a unique order
+    * (q_pack_sequences' rule). No floats cross a stage boundary. */
+  val qPipelineE2e: QuerySpec = QuerySpec(
+    "q_pipeline_e2e",
+    s"""WITH t AS (SELECT doc_id, source, n_chars, $wordsSql AS w
+       |  FROM documents),
+       |sig AS (SELECT doc_id, source, n_chars,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+       |      / len(w) AS dup_frac,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS DOUBLE) / len(w) AS alpha_frac,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(w, x -> CAST(length(x) AS BIGINT))),
+       |      (a, x) -> a + x) AS DOUBLE) / len(w) AS mean_len,
+       |    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS sig
+       |  FROM t),
+       |gated AS (SELECT * FROM sig
+       |  WHERE n_tokens >= 5 AND dup_frac <= 0.3 AND alpha_frac >= 0.8
+       |    AND mean_len BETWEEN 2 AND 12),
+       |best AS (SELECT sig,
+       |    max_by(doc_id, n_chars * 1000000000 - doc_id) AS doc_id,
+       |    max_by(source, n_chars * 1000000000 - doc_id) AS source,
+       |    max_by(n_tokens, n_chars * 1000000000 - doc_id) AS n_tokens,
+       |    count(*) AS n_members
+       |  FROM gated GROUP BY sig),
+       |sp AS (SELECT doc_id, source, n_tokens, n_members,
+       |    CASE WHEN ((doc_id % 2147483647) * 1103515245 + 12345) % 100
+       |           < 90 THEN 'train'
+       |         WHEN ((doc_id % 2147483647) * 1103515245 + 12345) % 100
+       |           < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM best),
+       |packed AS (SELECT doc_id, source, split, n_tokens, n_members,
+       |    sum(n_tokens) OVER (PARTITION BY source, split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS start_tok
+       |  FROM sp)
+       |SELECT doc_id, source, split, n_members, n_tokens,
+       |  CAST(floor(start_tok / 2048) AS BIGINT) AS seq_id,
+       |  CAST(start_tok % 2048 AS BIGINT) AS seq_offset
+       |FROM packed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = words(col("text"))
+    val nTok = size(w).cast(LongType)
+    val dupFrac = (size(w) - size(array_distinct(w))).cast(DoubleType) /
+      size(w)
+    val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]")))
+      .cast(DoubleType) / size(w)
+    val meanLen = aggregate(transform(w, x => length(x).cast(LongType)),
+      lit(0L), (a, x) => a + x).cast(DoubleType) / size(w)
+    val gated = LsdDb.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        nTok.as("n_tokens"), dupFrac.as("dup_frac"),
+        alphaFrac.as("alpha_frac"), meanLen.as("mean_len"),
+        md5(array_join(array_sort(array_distinct(w)), " ")).as("sig"))
+      .filter(col("n_tokens") >= 5 && col("dup_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 && col("mean_len").between(2, 12))
+    val sc = col("n_chars") * 1000000000L - col("doc_id")
+    val best = gated.groupBy("sig")
+      .agg(max_by(col("doc_id"), sc).as("doc_id"),
+        max_by(col("source"), sc).as("source"),
+        max_by(col("n_tokens"), sc).as("n_tokens"),
+        count(lit(1)).as("n_members"))
+    val bucket = ((col("doc_id") % 2147483647L) * 1103515245L + 12345L) % 100
+    val sp = best.withColumn("split",
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test"))
+    val pw = Window.partitionBy("source", "split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sp.withColumn("start_tok", sum("n_tokens").over(pw) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("split"), col("n_members"),
+        col("n_tokens"),
+        floor(col("start_tok") / 2048).as("seq_id"),
+        (col("start_tok") % 2048).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    qPipelineE2e,
     qLogreg, qLinreg, qAuc, qCalibration, qIsotonic, qConfusion,
     qFeatureAuc, qNdcg,
     qPrCurve, qMutualInfo, qCvAuc, qStumpSplit, qBootstrapMean,

@@ -142,6 +142,23 @@ class PlanQualitySpec extends SpecBase {
       planOf(df))
   }
 
+  test("q_pipeline_e2e: one corpus FileScan, 2 semantic shuffles, no joins") {
+    // 4 composed stages (gate → keep-best dedup → split → packing)
+    // must not introduce re-scans or join-backs: the corpus is read
+    // ONCE, the dedup groupBy and the packing window are the only
+    // shuffles (plus the presentation sort), and no join operator
+    // appears anywhere (max_by carries the kept member's attributes).
+    val df = PipelineOps.qPipelineE2e.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"composition must read the corpus exactly once:\n${plan.take(3000)}")
+    assert(countShuffles(df) <= 3, // dedup agg + packing window + sort
+      s"stage composition added shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"),
+      s"no stage needs a join; a join means a re-scan sneaked in:\n" +
+        plan.take(3000))
+  }
+
   test("q_dedup_clusters plans no cartesian products") {
     val plan = planOf(TextOps.qDedupClusters.fn(spark, sfDir))
     assert(!plan.contains("CartesianProduct"),
