@@ -213,6 +213,34 @@ object Windows {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** QL QUALIFY under the oracle — top-2 orders per customer through
+    * the named-WINDOW + QUALIFY surface (the top-k-per-group idiom a
+    * survey user writes daily). The QL evaluator lowers QUALIFY to a
+    * projection + filter (Spark has no native clause); the oracle is
+    * DuckDB's NATIVE QUALIFY, so the lowering is hash-checked against
+    * a reference implementation of the clause, not against itself.
+    * Plan: one shuffle on o_custkey, filter on the window column —
+    * the same shape as the DataFrame top-k-per-group twin (O3). */
+  val qQlTopk: QuerySpec = QuerySpec(
+    "q_ql_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER w AS INT) AS rn
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey)
+      |QUALIFY rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val ql = graft.ql.LsdQL.forDb(graft.LsdDb(s, dir))
+    ql.query(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin)
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowRank, qWindowLag, qWindowFrame,
-    qWindowNtile, qWindowRange, qRollingMedian, qQlWindow)
+    qWindowNtile, qWindowRange, qRollingMedian, qQlWindow, qQlTopk)
 }

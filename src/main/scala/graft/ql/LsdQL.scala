@@ -11,13 +11,19 @@ import org.apache.spark.sql.functions.{col, row_number}
   *   [WITH name AS (query), ...]
   *   SELECT [DISTINCT] expr [AS name], ... FROM t1[@snap], t2[(outer)], ...
   *     [WHERE expr] [GROUP BY expr, ...] [HAVING expr]
+  *     [WINDOW name AS (spec), ...] [QUALIFY expr]
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
   *   query {UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL]} query ...
   *
   * Select expressions may carry window clauses — `rank() OVER
-  * (PARTITION BY … ORDER BY … [ROWS|RANGE frame])` — evaluated with
-  * exact SQL semantics (after WHERE/GROUP BY/HAVING, before
-  * DISTINCT/ORDER BY) through the same Catalyst SQL path as GROUP BY.
+  * (PARTITION BY … ORDER BY … [ROWS|RANGE frame])` or `OVER name`
+  * referencing a named `WINDOW` — evaluated with exact SQL semantics
+  * (after WHERE/GROUP BY/HAVING, before DISTINCT/ORDER BY) through
+  * the same Catalyst SQL path as GROUP BY. `QUALIFY expr` filters on
+  * window output (the top-k-per-group idiom) with Snowflake/DuckDB
+  * clause order — windows → QUALIFY → DISTINCT → ORDER BY; the
+  * predicate may reference select-list aliases or window expressions
+  * over projected columns.
   *
   * WHERE may embed subqueries — `x IN (SELECT …)`, [NOT] EXISTS
   * (SELECT …), scalar `(SELECT max(…) …)`. An UNCORRELATED inner is
@@ -403,7 +409,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       : (DataFrame,
          Option[(Option[String], Option[String], Option[String])]) = {
     val (distinctFlag, selectList, fromItems, whereOpt, groupOpt, havingOpt,
-      orderOpt0, limitOpt0, intoOpt0) = parse(q)
+      windowOpt, qualifyOpt, orderOpt0, limitOpt0, intoOpt0) = parse(q)
     val (orderOpt, limitOpt, intoOpt) =
       if (liftTail) (None, None, None)
       else (orderOpt0, limitOpt0, intoOpt0)
@@ -548,29 +554,59 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       "(?i)\\bOVER\\s*\\(".r.findAllMatchIn(e).exists(m => !q(m.start))
     }
     if (groupOpt.isDefined || havingOpt.isDefined || orderOpt.isDefined ||
-      hasWindow) {
+      hasWindow || windowOpt.isDefined || qualifyOpt.isDefined) {
       // Aggregation surface: hand the joined+filtered relation to
       // Catalyst as SQL over a temp view — the reference routed
       // aggregation through kernel chains because its executor had no
-      // grouped operator; ours does, so GROUP BY/HAVING/ORDER BY are
-      // the real thing (partial aggregation, AQE, codegen for free).
+      // grouped operator; ours does, so GROUP BY/HAVING/ORDER BY and
+      // the named WINDOW clause are the real thing (partial
+      // aggregation, AQE, codegen for free).
       require(havingOpt.isEmpty || groupOpt.isDefined,
         "HAVING requires GROUP BY")
       val view = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
       try {
         val sql = new StringBuilder("SELECT ")
-        if (distinctFlag) sql ++= "DISTINCT "
+        // with QUALIFY, DISTINCT applies AFTER the qualify filter
+        // (Snowflake/DuckDB clause order: … WINDOW → QUALIFY →
+        // DISTINCT → ORDER BY), so it moves out of the inner select
+        if (distinctFlag && qualifyOpt.isEmpty) sql ++= "DISTINCT "
         sql ++= (if (selectList.isEmpty) Seq("*") else selectList)
           .mkString(", ")
         sql ++= s" FROM $view"
         groupOpt.foreach(g => sql ++= s" GROUP BY $g")
         havingOpt.foreach(h => sql ++= s" HAVING $h")
-        orderOpt.foreach(o => sql ++= s" ORDER BY $o")
+        windowOpt.foreach(w => sql ++= s" WINDOW $w")
+        if (qualifyOpt.isEmpty) orderOpt.foreach(o => sql ++= s" ORDER BY $o")
         df = df.sparkSession.sql(sql.toString)
       } finally {
         // analysis binds the plan eagerly at sql(); the view can go
         df.sparkSession.catalog.dropTempView(view)
+      }
+      qualifyOpt.foreach { qf =>
+        // QUALIFY — filter on window output (Spark SQL has no native
+        // clause). The predicate evaluates over the PROJECTED
+        // relation, where select-list aliases are real columns and
+        // window functions are legal because the predicate lands in a
+        // projection, never in WHERE (Spark rejects windows there):
+        // SELECT *, (pred) AS __q FROM (inner) → filter → drop.
+        // Same semantics as Snowflake/DuckDB QUALIFY whenever the
+        // columns the predicate's windows read survive the
+        // projection; a predicate over dropped pre-projection columns
+        // fails analysis loudly rather than silently rescanning.
+        val v2 = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(v2)
+        try df = df.sparkSession
+          .sql(s"SELECT *, ($qf) AS __graft_qualify FROM $v2")
+          .filter(col("__graft_qualify")).drop("__graft_qualify")
+        finally df.sparkSession.catalog.dropTempView(v2)
+        if (distinctFlag) df = df.distinct()
+        orderOpt.foreach { o =>
+          val v3 = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(v3)
+          try df = df.sparkSession.sql(s"SELECT * FROM $v3 ORDER BY $o")
+          finally df.sparkSession.catalog.dropTempView(v3)
+        }
       }
     } else {
       if (selectList.nonEmpty && selectList != Seq("*"))
@@ -674,7 +710,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
   private def parse(q: String)
       : (Boolean, Seq[String], Seq[FromItem], Option[String],
          Option[String], Option[String], Option[String], Option[String],
-         Option[String]) = {
+         Option[String], Option[String], Option[String]) = {
     val text = q.trim.stripSuffix(";")
     val quoted = quotedSpans(text)
     // clause keywords only count at paren depth 0 — an ORDER BY inside
@@ -692,9 +728,24 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       d
     }
     val kw =
-      "(?i)\\b(SELECT|FROM|WHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT|INTO)\\b".r
+      ("(?i)\\b(SELECT|FROM|WHERE|GROUP\\s+BY|HAVING|WINDOW|QUALIFY|" +
+        "ORDER\\s+BY|LIMIT|INTO)\\b").r
+    val windowHead = java.util.regex.Pattern.compile(
+      "\\s*[A-Za-z_]\\w*\\s+AS\\s*\\(",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
     val marks = kw.findAllMatchIn(text).toList
       .filterNot(m => quoted(m.start) || depth(m.start) > 0)
+      // `window` is a plausible COLUMN name (tumbling-window outputs);
+      // it only opens the named-window clause when followed by the
+      // clause's own `name AS (` head — anything else is an
+      // expression token and stays inside its section
+      .filterNot { m =>
+        m.matched.equalsIgnoreCase("WINDOW") && {
+          val h = windowHead.matcher(text)
+          h.region(m.end, text.length)
+          !h.lookingAt()
+        }
+      }
     require(marks.nonEmpty && marks.head.matched.equalsIgnoreCase("SELECT"),
       "query must start with SELECT")
     val sections = marks.zipWithIndex.map { case (m, i) =>
@@ -728,6 +779,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     }
     (distinctFlag, selectList, fromItems, sections.get("WHERE"),
       sections.get("GROUP BY"), sections.get("HAVING"),
+      sections.get("WINDOW"), sections.get("QUALIFY"),
       sections.get("ORDER BY"), sections.get("LIMIT"),
       sections.get("INTO"))
   }

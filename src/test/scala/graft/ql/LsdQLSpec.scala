@@ -943,6 +943,67 @@ class LsdQLSpec extends SpecBase {
     assert(df.collect().toSet == twin.collect().toSet)
   }
 
+  test("QUALIFY filters on window output (top-k per group)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = ql.query(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val twin = db.table("orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("int").as("rn"))
+      .filter(col("rn") <= 2)
+    assert(df.collect().toSet == twin.collect().toSet)
+    assert(df.columns.toSeq ==
+      Seq("o_custkey", "o_orderkey", "o_totalprice", "rn"),
+      "the hidden qualify column must not leak")
+    // QUALIFY may also hold a direct window expression (no alias),
+    // as long as the columns its window reads survive the projection
+    val direct = ql.query(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin)
+    assert(direct.count() == db.table("orders")
+      .select("o_custkey").distinct().count())
+    // …and over a DROPPED column it fails loudly at analysis, never
+    // silently rescanning the base table (the documented contract)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ql.query(
+        """SELECT o_custkey, o_orderkey FROM orders
+          |QUALIFY row_number() OVER (PARTITION BY o_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin)
+    }
+  }
+
+  test("named WINDOW clause resolves; `window` stays usable as a column") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = ql.query(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w AS INT) AS rnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val twin = db.table("orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("int").as("rn"),
+        rank().over(w).cast("int").as("rnk"))
+    assert(df.collect().toSet == twin.collect().toSet)
+    // a column ALIASED `window` must not be mistaken for the clause
+    val col2 = ql.query(
+      "SELECT o_orderkey, o_totalprice AS window FROM orders LIMIT 5")
+    assert(col2.columns.toSeq == Seq("o_orderkey", "window"))
+  }
+
   test("window over grouped output (OVER after GROUP BY)") {
     val df = ql.query(
       """SELECT o_custkey, count(*) AS cnt,
