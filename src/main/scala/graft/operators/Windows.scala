@@ -219,8 +219,11 @@ object Windows {
     * projection + filter (Spark has no native clause); the oracle is
     * DuckDB's NATIVE QUALIFY, so the lowering is hash-checked against
     * a reference implementation of the clause, not against itself.
-    * Plan: one shuffle on o_custkey, filter on the window column —
-    * the same shape as the DataFrame top-k-per-group twin (O3). */
+    * Plan (pinned in PlanQualitySpec): Spark's InferWindowGroupLimit
+    * recognizes the lowered Filter-over-row_number shape and inserts
+    * Partial+Final WindowGroupLimit — per-group top-k runs MAP-SIDE
+    * before the one o_custkey shuffle, so at 100 TB the exchange
+    * carries ≤ k rows per group per input partition, not the table. */
   val qQlTopk: QuerySpec = QuerySpec(
     "q_ql_topk",
     """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -142,6 +142,20 @@ class PlanQualitySpec extends SpecBase {
       planOf(df))
   }
 
+  test("q_ql_topk: QUALIFY lowering gets map-side WindowGroupLimit") {
+    // the QL QUALIFY rn <= k rewrite must stay recognizable to
+    // Spark's InferWindowGroupLimit: Partial WindowGroupLimit below
+    // the exchange caps what shuffles at <= k rows per group per
+    // input partition — the property that makes QL top-k-per-group
+    // scale. A lowering change that obscures the Filter-over-
+    // row_number shape would silently lose this.
+    val plan = planOf(Windows.qQlTopk.fn(spark, sfDir))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected Partial+Final WindowGroupLimit:\n${plan.take(3000)}")
+    assert(plan.contains("Partial"),
+      s"partial (map-side) group limit missing:\n${plan.take(3000)}")
+  }
+
   test("q_pipeline_e2e: one corpus FileScan, 2 semantic shuffles, no joins") {
     // 4 composed stages (gate → keep-best dedup → split → packing)
     // must not introduce re-scans or join-backs: the corpus is read
