@@ -30,20 +30,39 @@ BENCH = "bench_queries.json"
 FLOORS = "docs/BENCH_FLOORS.json"
 
 
-def gen():
+def gen(fresh=False):
+    """Floors are per-line historical MINIMUMS: a regen run that came
+    out slower (sibling load, unlucky scheduling) must not RAISE a
+    line's floor, or real regressions hide behind drifted baselines
+    (r17: q_dedup_prefix 5.40 -> 6.89 in one contended regen). Merge
+    with min() against the existing file; --fresh overwrites (use
+    after an intentional change of hardware or measurement method).
+    Queries no longer in the registry are dropped; new ones enter at
+    their first measurement."""
     bench = json.load(open(BENCH))
+    new = {q: round(v["best"], 3)
+           for q, v in sorted(bench["queries"].items())}
+    merged = dict(new)
+    try:
+        if not fresh:
+            old = json.load(open(FLOORS))["queries"]
+            merged = {q: min(v, old[q]) if q in old else v
+                      for q, v in new.items()}
+    except (FileNotFoundError, KeyError, ValueError):
+        pass  # no/corrupt prior floors: first measurement stands
     floors = {
         "sf": bench["sf"],
-        "best_total": bench["best_total"],
+        "best_total": round(sum(merged.values()), 3),
         "flag_ratio": FLAG_RATIO,
         "abs_slack_sec": ABS_SLACK,
-        "queries": {q: round(v["best"], 3)
-                    for q, v in sorted(bench["queries"].items())},
+        "queries": merged,
     }
     with open(FLOORS, "w") as f:
         json.dump(floors, f, indent=1, sort_keys=True)
-    print(f"wrote {FLOORS}: {len(floors['queries'])} query floors "
-          f"(total best {bench['best_total']:.1f} s at {bench['sf']})")
+    kept = sum(1 for q in new if merged[q] < new[q])
+    print(f"wrote {FLOORS}: {len(merged)} query floors "
+          f"(floor total {floors['best_total']:.1f} s at {bench['sf']}; "
+          f"{kept} lines kept their lower historical floor)")
     return 0
 
 
@@ -86,8 +105,11 @@ def check():
 
 
 if __name__ == "__main__":
-    mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    args = sys.argv[1:]
+    fresh = "--fresh" in args
+    args = [a for a in args if a != "--fresh"]
+    mode = args[0] if args else "check"
     if mode not in ("gen", "check"):
-        print(f"unknown mode {mode!r}: use 'gen' or 'check'")
+        print(f"unknown mode {mode!r}: use 'gen [--fresh]' or 'check'")
         sys.exit(2)
-    sys.exit(gen() if mode == "gen" else check())
+    sys.exit(gen(fresh) if mode == "gen" else check())
