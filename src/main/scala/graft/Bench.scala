@@ -145,8 +145,14 @@ object Bench {
           }
         }
       }
-    } catch { case _: Throwable => sweep } // floors unreadable/re-rep
-    // crash: ship the raw sweep rather than fail the whole bench
+    } catch { case _: Throwable =>
+      // floors unreadable / re-rep crash: ship the raw sweep rather
+      // than fail the whole bench — and DROP any partial heals, or
+      // the artifact's `rechecked` map would claim healed numbers the
+      // per-query columns don't contain
+      rechecked.clear()
+      sweep
+    }
     // The driver keeps only the LAST 2000 chars of stdout (measured
     // from BENCH_r06.json) and parses the final line. 131 quoted query
     // names alone exceed that window, so a name:value map can never

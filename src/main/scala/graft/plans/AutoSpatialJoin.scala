@@ -269,7 +269,16 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
     * alongside `sky_dist <= r` still deserves the blocked rewrite
     * (the hash join on such a key is near-cartesian), and the full
     * original condition, equality included, is re-applied above the
-    * union so semantics are preserved. A TreeNodeTag would not
+    * union so semantics are preserved. Cost bound for the converse
+    * case — a SELECTIVE (high-cardinality) user equality that alone
+    * would hash-join well: pushdown folds that equality into the
+    * generated cell join too, so the join stays keyed on
+    * (cell, user key); the rewrite's overhead is the 9-slot neighbor
+    * explode (≤9× one side's rows, map-side) plus the cap-channel
+    * arm — bounded linear work, never a blow-up. Cardinality-aware
+    * skipping would need reliable row-count stats the rule cannot
+    * assume; the sky_dist marker is treated as declared spatial
+    * intent. A TreeNodeTag would not
     * survive here: PushPredicateThroughJoin constructs FRESH Join
     * nodes when folding filters in, and `transformDown` copies tags
     * from the matched Filter, not the replaced Join — the condition

@@ -590,14 +590,17 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         // window functions are legal because the predicate lands in a
         // projection, never in WHERE (Spark rejects windows there):
         // SELECT *, (pred) AS __q FROM (inner) → filter → drop.
-        // Same semantics as Snowflake/DuckDB QUALIFY whenever the
-        // columns the predicate's windows read survive the
-        // projection; a predicate over dropped pre-projection columns
-        // fails analysis loudly rather than silently rescanning.
+        // The query's named WINDOW clause is re-emitted on the
+        // wrapper, so `QUALIFY rank() OVER w <= k` resolves. Same
+        // semantics as Snowflake/DuckDB QUALIFY whenever the columns
+        // the predicate's windows read survive the projection; a
+        // predicate over dropped pre-projection columns fails
+        // analysis loudly rather than silently rescanning.
         val v2 = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"
         df.createOrReplaceTempView(v2)
+        val wnd = windowOpt.map(w => s" WINDOW $w").getOrElse("")
         try df = df.sparkSession
-          .sql(s"SELECT *, ($qf) AS __graft_qualify FROM $v2")
+          .sql(s"SELECT *, ($qf) AS __graft_qualify FROM $v2$wnd")
           .filter(col("__graft_qualify")).drop("__graft_qualify")
         finally df.sparkSession.catalog.dropTempView(v2)
         if (distinctFlag) df = df.distinct()
@@ -733,7 +736,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     val windowHead = java.util.regex.Pattern.compile(
       "\\s*[A-Za-z_]\\w*\\s+AS\\s*\\(",
       java.util.regex.Pattern.CASE_INSENSITIVE)
-    val marks = kw.findAllMatchIn(text).toList
+    val marks0 = kw.findAllMatchIn(text).toList
       .filterNot(m => quoted(m.start) || depth(m.start) > 0)
       // `window` is a plausible COLUMN name (tumbling-window outputs);
       // it only opens the named-window clause when followed by the
@@ -746,6 +749,17 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           !h.lookingAt()
         }
       }
+    // `qualify` could likewise be a column name; QUALIFY is a window
+    // filter BY DEFINITION, so it only opens a clause when the query
+    // carries window context — a top-level OVER outside quotes, or a
+    // recognized WINDOW section. In a window-free query the token
+    // stays an ordinary identifier.
+    val hasWindowCtx =
+      marks0.exists(_.matched.equalsIgnoreCase("WINDOW")) ||
+        "(?i)\\bOVER\\s*[(A-Za-z_]".r.findAllMatchIn(text)
+          .exists(m => !quoted(m.start))
+    val marks = marks0.filterNot(m =>
+      m.matched.equalsIgnoreCase("QUALIFY") && !hasWindowCtx)
     require(marks.nonEmpty && marks.head.matched.equalsIgnoreCase("SELECT"),
       "query must start with SELECT")
     val sections = marks.zipWithIndex.map { case (m, i) =>

@@ -656,8 +656,11 @@ object Snapshots {
   //
   // Readers are untouched: they trust only the log, so staging dirs
   // and aborted writes are invisible by construction. A crashed
-  // writer leaks only an unreferenced _staging/<uuid> dir (reclaim
-  // with cleanStaging when no writers are active).
+  // writer leaks an unreferenced _staging/<uuid> dir (reclaim with
+  // cleanStaging when no writers are active) or, if it died between
+  // its rename and its log commit, an uncommitted snap=<id> orphan —
+  // which the next committer provably identifies (log is truth, lock
+  // is held) and reclaims before reusing the id (promoteStaging).
   //
   // Retry/abort counters accumulate in _OC_STATS (updated under the
   // lock), so operators can SEE contention: `AdminCli snapshots`
@@ -668,15 +671,22 @@ object Snapshots {
   def ocStats(spark: SparkSession, path: String): (Long, Long) = {
     val f = fs(spark, path)
     val p = new Path(path, OcStats)
-    if (!f.exists(p)) (0L, 0L)
-    else {
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      def n(k: String) = s"$k:(\\d+)".r.findFirstMatchIn(text)
-        .map(_.group(1).toLong).getOrElse(0L)
-      (n("retries"), n("aborts"))
+    // lock-free monitoring read racing bumpOcStats' delete+rename:
+    // exists() can pass and open() still miss the file — retry once
+    // (the swap is microseconds), then report zeros rather than crash
+    // a status command over a counter file
+    for (_ <- 0 until 2) {
+      try {
+        if (!f.exists(p)) return (0L, 0L)
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        def n(k: String) = s"$k:(\\d+)".r.findFirstMatchIn(text)
+          .map(_.group(1).toLong).getOrElse(0L)
+        return (n("retries"), n("aborts"))
+      } catch { case _: java.io.IOException => Thread.sleep(20) }
     }
+    (0L, 0L)
   }
 
   /** Accumulate counters; caller MUST hold the writer lock (the
@@ -714,9 +724,12 @@ object Snapshots {
       waits += 1
       if (waits > maxRetries) throw new IllegalStateException(
         s"could not acquire writer lock at $path after $maxRetries " +
-          "retries — a writer crashed mid-commit (delete _LOCK after " +
-          "confirming no writer is alive) or commit sections are " +
-          "contended beyond the retry budget")
+          s"retries (~${maxRetries * backoffMs / 1000}s) — either a " +
+          "writer crashed while holding _LOCK, or live commit " +
+          "sections (e.g. a delete's conflict check) outlast this " +
+          "writer's retry budget. Only delete _LOCK after confirming " +
+          "NO writer is alive — a live holder's critical section " +
+          "corrupts if the lock vanishes; prefer raising maxRetries")
       Thread.sleep(backoffMs)
     }
     waits
@@ -729,8 +742,8 @@ object Snapshots {
   def appendOptimistic(df: DataFrame, path: String,
                        statsCols: Seq[String] = Nil,
                        bloomCols: Seq[String] = Nil,
-                       maxRetries: Int = 300,
-                       backoffMs: Long = 10): OptimisticCommit = {
+                       maxRetries: Int = 1200,
+                       backoffMs: Long = 50): OptimisticCommit = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     f.mkdirs(new Path(path))
@@ -743,13 +756,30 @@ object Snapshots {
     try {
       val prior = entries(spark, path)
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
-      require(f.rename(new Path(stage), new Path(path, s"snap=$id")),
-        s"staging rename failed: $stage -> snap=$id")
+      promoteStaging(f, path, stage, id)
       commit(spark, path, prior :+
         Entry(id, isBase = false, stats = st, blooms = bl))
       bumpOcStats(f, path, retries = waits.toLong, aborts = 0L)
       OptimisticCommit(id, waits)
     } finally f.delete(new Path(path, Lock), false)
+  }
+
+  /** Promote a fully-staged dir to `snap=<id>` under the held lock.
+    * A writer that crashed AFTER its rename but BEFORE its log commit
+    * leaves an orphaned `snap=<id>` that the log never references —
+    * invisible to readers, but the NEXT committer computes the same
+    * id from the log, and a rename onto an existing directory nests
+    * the new data inside the orphan (Hadoop local-FS rename/copy-into
+    * semantics), committing an id whose directory holds the crashed
+    * writer's rows. Since the log is the sole source of truth and we
+    * hold the lock, an existing-but-uncommitted `snap=<id>` is
+    * provably garbage: delete it, then rename. */
+  private def promoteStaging(f: FileSystem, path: String,
+                             stage: String, id: Long): Unit = {
+    val dst = new Path(path, s"snap=$id")
+    if (f.exists(dst)) f.delete(dst, true) // orphan of a crashed commit
+    require(f.rename(new Path(stage), dst),
+      s"staging rename failed: $stage -> snap=$id")
   }
 
   /** Optimistic tombstone delete: `keys` (just the key column) read
@@ -763,12 +793,17 @@ object Snapshots {
     *
     * The overlap check joins the staged keys against the later
     * tombstone batches' keys under the lock — delete batches are key
-    * lists (small by contract), so the held-lock Spark job is
-    * milliseconds; appends never pay it. */
+    * lists (small by contract), but the check is still schema reads
+    * plus a Spark job, i.e. SECONDS on a loaded cluster, not
+    * microseconds. The default retry budgets (1200 × 50 ms = 60 s)
+    * are sized so a concurrent appender outwaits a slow conflict
+    * check instead of spuriously exhausting its retries; a pipeline
+    * with large delete batches should pre-shrink them (distinct keys)
+    * or raise the appenders' budgets. */
   def deleteOptimistic(keys: DataFrame, path: String, key: String,
                        basedOn: Long,
-                       maxRetries: Int = 300,
-                       backoffMs: Long = 10): OptimisticCommit = {
+                       maxRetries: Int = 1200,
+                       backoffMs: Long = 50): OptimisticCommit = {
     import org.apache.spark.sql.functions.{col, lit}
     val spark = keys.sparkSession
     val f = fs(spark, path)
@@ -807,8 +842,7 @@ object Snapshots {
         }
       }
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
-      require(f.rename(new Path(stage), new Path(path, s"snap=$id")),
-        s"staging rename failed: $stage -> snap=$id")
+      promoteStaging(f, path, stage, id)
       commit(spark, path, prior :+ Entry(id, isBase = false))
       bumpOcStats(f, path, retries = waits.toLong, aborts = 0L)
       OptimisticCommit(id, waits)

@@ -33,15 +33,27 @@ class ExtensionsForkSpec extends AnyFunSuite {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
-    val out = new StringBuilder
-    val rdr = new java.io.BufferedReader(
-      new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
-    var line = rdr.readLine()
-    while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
+    // drain on a separate thread: a hung fork that keeps stdout open
+    // would block readLine() forever and the timeout below could
+    // never fire — the drain must not gate the waitFor
+    val out = new java.lang.StringBuilder
+    val drain = new Thread(() => {
+      val rdr = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+      var line = rdr.readLine()
+      while (line != null) {
+        out.synchronized { out.append(line).append('\n') }
+        line = rdr.readLine()
+      }
+    })
+    drain.setDaemon(true)
+    drain.start()
     val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) p.destroyForcibly()
-    assert(finished, "forked extensions smoke timed out after 300s")
-    val text = out.toString
+    assert(finished, "forked extensions smoke timed out after 300s; " +
+      "tail:\n" + out.synchronized(out.toString).takeRight(4000))
+    drain.join(10000) // let the pipe flush after exit
+    val text = out.synchronized(out.toString)
     assert(p.exitValue() == 0 && text.contains("EXTENSIONS SMOKE PASSED"),
       s"forked smoke failed (rc=${p.exitValue()}); tail:\n" +
         text.takeRight(4000))

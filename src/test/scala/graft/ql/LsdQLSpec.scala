@@ -981,6 +981,28 @@ class LsdQLSpec extends SpecBase {
     }
   }
 
+  test("QUALIFY may reference a named WINDOW; `qualify` stays a column name") {
+    // the qualify wrapper must re-emit the WINDOW clause or `OVER w`
+    // in the predicate cannot resolve
+    val df = ql.query(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY row_number() OVER w = 1""".stripMargin)
+    assert(df.count() ==
+      db.table("orders").select("o_custkey").distinct().count())
+    // in a window-free query, `qualify` is an ordinary identifier —
+    // the clause keyword only opens with window context present
+    val colq = ql.query(
+      "SELECT o_orderkey, o_totalprice AS qualify FROM orders LIMIT 4")
+    assert(colq.columns.toSeq == Seq("o_orderkey", "qualify"))
+    val whereq = ql.query(
+      """WITH t AS (SELECT o_orderkey, o_totalprice AS qualify FROM orders)
+        |SELECT o_orderkey FROM t WHERE qualify > 400000""".stripMargin)
+    assert(whereq.count() ==
+      db.table("orders").filter("o_totalprice > 400000").count())
+  }
+
   test("named WINDOW clause resolves; `window` stays usable as a column") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

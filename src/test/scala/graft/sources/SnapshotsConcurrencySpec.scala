@@ -112,6 +112,24 @@ class SnapshotsConcurrencySpec extends SpecBase {
     assert(Snapshots.cleanStaging(spark, path).isEmpty)
   }
 
+  test("an orphaned snap dir from a crashed commit is reclaimed, not nested into") {
+    val path = freshPath()
+    Snapshots.append(Seq(1).toDF("x"), path)
+    // simulate a writer that died between its rename and its log
+    // commit: snap=2 exists on disk but the log never references it
+    Seq(999).toDF("x").write.parquet(s"$path/snap=2")
+    assert(Snapshots.read(spark, path).as[Int].collect().toSeq == Seq(1))
+    // the next committer reuses id 2 — it must REPLACE the orphan,
+    // not rename into it (which would commit the crashed writer's
+    // rows and hide this writer's)
+    val c = Snapshots.appendOptimistic(Seq(7, 8).toDF("x"), path)
+    assert(c.id == 2L)
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted.toSeq ==
+      Seq(1, 7, 8), "snap=2 must hold exactly the committed rows")
+    assert(Snapshots.read(spark, path, Some(2L)).as[Int].collect()
+      .sorted.toSeq == Seq(1, 7, 8))
+  }
+
   test("ocStats accumulates retries across contended commits") {
     val path = freshPath()
     Snapshots.append(Seq(0).toDF("x"), path)
