@@ -1181,6 +1181,37 @@ object ScaleSmoke {
       }
     }
 
+    // optimistic multi-writer: 8 concurrent appenders, 1M rows each —
+    // the heavy writes overlap freely (unlocked staging), commits
+    // queue for the milliseconds-long critical section. Asserts no
+    // lost commits, sequential ids, and the full row count.
+    t("optimistic commits: 8 writers x 1M rows") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scale_oc").resolve("t").toString
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val retries = new java.util.concurrent.atomic.AtomicLong(0)
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          try {
+            start.await()
+            val df = spark.range(i * 1000000L, (i + 1) * 1000000L)
+              .select(col("id"), (col("id") % 97).as("k"))
+            val c = graft.sources.Snapshots.appendOptimistic(df, dir)
+            retries.addAndGet(c.retries.toLong)
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); start.countDown()
+      threads.foreach(_.join(300000))
+      assert(errs.isEmpty, s"writer failures: ${errs.toArray.toSeq}")
+      val ids = graft.sources.Snapshots.committed(spark, dir)
+      assert(ids == (1L to 8L), s"ids $ids")
+      val n = graft.sources.Snapshots.read(spark, dir).count()
+      assert(n == 8000000L, s"lost rows: $n")
+      s"8 commits, $n rows, ${retries.get()} total lock retries"
+    }
+
     spark.stop()
   }
 }
