@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions.{col, row_number}
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
   *   query {UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL]} query ...
   *
+  * A FROM item may also be a derived table — `(SELECT …) [AS] name
+  * [(outer)]` — an inline full QL query under its alias (the WITH
+  * mechanism without the clause); it joins to base tables through
+  * JoinDefs naming the alias, like a CTE.
+  *
   * Select expressions may carry window clauses — `rank() OVER
   * (PARTITION BY … ORDER BY … [ROWS|RANGE frame])` or `OVER name`
   * referencing a named `WINDOW` — evaluated with exact SQL semantics
@@ -408,18 +413,56 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
                        scope: Map[String, DataFrame] = Map.empty)
       : (DataFrame,
          Option[(Option[String], Option[String], Option[String])]) = {
-    val (distinctFlag, selectList, fromItems, whereOpt, groupOpt, havingOpt,
+    val (distinctFlag, selectList, fromItems0, whereOpt, groupOpt, havingOpt,
       windowOpt, qualifyOpt, orderOpt0, limitOpt0, intoOpt0) = parse(q)
     val (orderOpt, limitOpt, intoOpt) =
       if (liftTail) (None, None, None)
       else (orderOpt0, limitOpt0, intoOpt0)
+    // `FROM (SELECT …) [AS] name [(outer)]` — derived table: the
+    // inner is a full QL query evaluated at the current CTE scope and
+    // spliced in as a scope entry under its alias (exactly the WITH
+    // mechanism, inline); a bare derived table gets a generated name.
+    // Joins to base tables resolve through JoinDefs naming the alias,
+    // same as CTEs.
+    var fullScope = scope
+    val fromItems = fromItems0.map { item =>
+      val t = item.table.trim
+      if (!t.startsWith("(")) item
+      else {
+        val qt = quotedSpans(t)
+        var j = 1
+        var depth = 1
+        while (depth > 0) {
+          require(j < t.length, s"unclosed derived table in FROM: $t")
+          if (!qt(j)) t.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        val inner = t.substring(1, j - 1).trim
+        val tailRe =
+          "(?i)^(?:AS\\s+)?([A-Za-z_]\\w*)?\\s*(\\(\\s*outer\\s*\\))?$".r
+        t.substring(j).trim match {
+          case tailRe(name, outer) =>
+            val alias = Option(name).getOrElse(
+              s"graft_ql_derived_${LsdQL.viewCounter.incrementAndGet()}")
+            fullScope += alias -> evalQuery(inner, scope)
+            FromItem(alias, outer = outer != null)
+          case other => throw new IllegalArgumentException(
+            s"malformed derived-table FROM item (expected `[AS] name " +
+              s"[(outer)]` after the closing paren, got `$other`): $t")
+        }
+      }
+    }
     // `t@N` time travel: FROM items may pin a snapshot-table read to
     // a committed snapshot id; tables pulled in implicitly as join-
     // path intermediates always read head.
     val asOfByTable = fromItems.flatMap(i => i.asOf.map(i.table -> _)).toMap
-    scope.keys.foreach(n => require(!asOfByTable.contains(n),
+    fullScope.keys.foreach(n => require(!asOfByTable.contains(n),
       s"@snapshot time travel does not apply to CTE '$n'"))
-    def load(name: String) = scope.getOrElse(name,
+    def load(name: String) = fullScope.getOrElse(name,
       db.table(name, asOfByTable.get(name)))
     // Metadata pruning for the DRIVING table: when it is a snapshot
     // table with recorded per-snapshot stats/blooms and the WHERE
@@ -430,7 +473,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // and the full WHERE still applies below, so this is purely a
     // scan-set optimization.
     val headTable = fromItems.head.table
-    var df = scope.get(headTable) match {
+    var df = fullScope.get(headTable) match {
       case Some(cte) => cte // logical alias: Catalyst pushes the WHERE
                             // into/through the CTE's own plan
       case None =>
@@ -526,7 +569,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       // either way the outer predicate runs through Spark SQL's real
       // subquery planner, which decorrelates into semi/anti joins
       // and broadcast one-row joins (the scale-right plans).
-      val (w, views, hadSubquery) = rewriteWhereSubqueries(w0, scope)
+      val (w, views, hadSubquery) = rewriteWhereSubqueries(w0, fullScope)
       if (!hadSubquery) df = df.filter(w0)
       else {
         val view = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"

@@ -981,6 +981,82 @@ class LsdQLSpec extends SpecBase {
     }
   }
 
+  test("property: random clause compositions agree with Spark SQL") {
+    // The QL clause splitter (keyword scan + WINDOW/QUALIFY guards +
+    // paren/quote awareness) must never change MEANING relative to
+    // handing the equivalent text to Spark SQL. 40 seeded random
+    // compositions over select lists (incl. keyword-shaped aliases),
+    // WHERE, GROUP BY/HAVING, ORDER BY/LIMIT.
+    db.table("orders").createOrReplaceTempView("orders_prop")
+    try {
+      val rnd = new scala.util.Random(41)
+      val selects = Seq(
+        "o_orderkey, o_custkey",
+        "o_orderkey, o_totalprice * 2 AS tp",
+        "o_orderkey, upper(o_orderstatus) AS st, o_totalprice AS qualify",
+        "o_orderkey, o_totalprice AS window")
+      val wheres = Seq(None, Some("o_totalprice > 100000"),
+        Some("o_custkey % 3 = 1 AND o_totalprice > 50000"),
+        Some("o_orderstatus IN ('F', 'O')"))
+      val tails = Seq("", " ORDER BY o_orderkey", " ORDER BY o_orderkey LIMIT 17")
+      for (_ <- 0 until 40) {
+        val (body, grouped) =
+          if (rnd.nextInt(3) == 0) // aggregation shape
+            (s"SELECT o_custkey, count(*) AS n, " +
+              "CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS s " +
+              "FROM orders" +
+              wheres(rnd.nextInt(wheres.length)).map(" WHERE " + _).getOrElse("") +
+              " GROUP BY o_custkey" +
+              (if (rnd.nextBoolean()) " HAVING count(*) > 2" else ""), true)
+          else
+            (s"SELECT ${selects(rnd.nextInt(selects.length))} FROM orders" +
+              wheres(rnd.nextInt(wheres.length)).map(" WHERE " + _).getOrElse(""),
+              false)
+        val tail0 = tails(rnd.nextInt(tails.length))
+        // grouped output has no o_orderkey — order by the group key
+        val tail = if (grouped) tail0.replace("o_orderkey", "o_custkey")
+                   else tail0
+        val qlText = body + tail
+        val sqlText = qlText.replace("FROM orders", "FROM orders_prop")
+        val got = ql.query(qlText).collect()
+        val want = spark.sql(sqlText).collect()
+        if (tail.contains("ORDER BY"))
+          assert(got.toSeq == want.toSeq, s"ordered mismatch for: $qlText")
+        else
+          assert(got.toSet == want.toSet, s"set mismatch for: $qlText")
+      }
+    } finally spark.catalog.dropTempView("orders_prop")
+  }
+
+  test("derived tables in FROM: inline subquery under an alias") {
+    val df = ql.query(
+      """SELECT o_orderkey, qualify FROM
+        |  (SELECT o_orderkey, o_totalprice AS qualify FROM orders) AS t
+        |WHERE qualify > 400000""".stripMargin)
+    assert(df.count() ==
+      db.table("orders").filter("o_totalprice > 400000").count())
+    // bare derived table (generated alias) + aggregation over it
+    val agg = ql.query(
+      """SELECT count(*) AS n FROM
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin)
+    assert(agg.collect().head.getLong(0) ==
+      db.table("orders").filter("o_totalprice > 400000").count())
+    // a derived table joins to base tables through a JoinDef naming
+    // its alias, exactly like a CTE
+    val q2 = LsdQL(db, LsdQL.standardJoins :+
+      JoinDef("big", "o_custkey", "customer", "c_custkey"))
+    val joined = q2.query(
+      """SELECT c_name, o_orderkey FROM
+        |  (SELECT o_orderkey, o_custkey FROM orders
+        |   WHERE o_totalprice > 400000) big, customer""".stripMargin)
+    assert(joined.count() ==
+      db.table("orders").filter("o_totalprice > 400000").count())
+    // malformed tail fails loudly
+    intercept[IllegalArgumentException] {
+      ql.query("SELECT 1 FROM (SELECT o_orderkey FROM orders) 2bad")
+    }
+  }
+
   test("QUALIFY may reference a named WINDOW; `qualify` stays a column name") {
     // the qualify wrapper must re-emit the WINDOW clause or `OVER w`
     // in the predicate cannot resolve
