@@ -265,17 +265,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       val start = m.start
       if (quoted(start) || start < pos) { from = m.end }
       else {
-        var j = start + 1
-        var depth = 1
-        while (depth > 0) {
-          require(j < w.length, s"unclosed subquery in WHERE: $w")
-          if (!quoted(j)) w.charAt(j) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _ =>
-          }
-          j += 1
-        }
+        val j = matchParen(w, quoted, start + 1,
+          s"unclosed subquery in WHERE: $w")
         val inner = w.substring(start + 1, j - 1)
         any = true
         out ++= w.substring(pos, start)
@@ -350,17 +341,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       require(m.lookingAt(),
         s"malformed WITH clause: expected `name AS (` at: " +
           text.substring(i).take(40))
-      var j = m.end // position just past '('
-      var depth = 1
-      while (depth > 0) {
-        require(j < text.length, "malformed WITH clause: unclosed (")
-        if (!quoted(j)) text.charAt(j) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case _ =>
-        }
-        j += 1
-      }
+      val j = matchParen(text, quoted, m.end, // m.end = just past '('
+        "malformed WITH clause: unclosed (")
       ctes += m.group(1) -> text.substring(m.end, j - 1)
       var k = j
       while (k < text.length && text.charAt(k).isWhitespace) k += 1
@@ -425,29 +407,28 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // Joins to base tables resolve through JoinDefs naming the alias,
     // same as CTEs.
     var fullScope = scope
+    val derivedDeclared = scala.collection.mutable.Set.empty[String]
     val fromItems = fromItems0.map { item =>
       val t = item.table.trim
       if (!t.startsWith("(")) item
       else {
         val qt = quotedSpans(t)
-        var j = 1
-        var depth = 1
-        while (depth > 0) {
-          require(j < t.length, s"unclosed derived table in FROM: $t")
-          if (!qt(j)) t.charAt(j) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _ =>
-          }
-          j += 1
-        }
+        val j = matchParen(t, qt, 1,
+          s"unclosed derived table in FROM: $t")
         val inner = t.substring(1, j - 1).trim
         val tailRe =
           "(?i)^(?:AS\\s+)?([A-Za-z_]\\w*)?\\s*(\\(\\s*outer\\s*\\))?$".r
         t.substring(j).trim match {
-          case tailRe(name, outer) =>
+          case tailRe(name, outer)
+              if name == null || !name.equalsIgnoreCase("AS") =>
             val alias = Option(name).getOrElse(
               s"graft_ql_derived_${LsdQL.viewCounter.incrementAndGet()}")
+            // duplicate aliases in ONE from list would silently drop
+            // the first subquery (map overwrite + vacuous join path)
+            // — same rule as WITH's duplicate-CTE check; shadowing an
+            // OUTER scope name stays legal
+            require(derivedDeclared.add(alias),
+              s"duplicate derived-table alias '$alias' in FROM")
             fullScope += alias -> evalQuery(inner, scope)
             FromItem(alias, outer = outer != null)
           case other => throw new IllegalArgumentException(
@@ -494,7 +475,13 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // key IS the id (sort-derived and deterministic — a dense global
     // rank would need a single-partition sort, which doesn't scale,
     // and the reference only packed spatial tables' ids).
-    if (referencesId(q)) {
+    // _ID detection must not scan derived-table BODIES: an inner
+    // `_ID` resolves inside its own evalQuery; matching it here would
+    // try to attach _ID to the derived ALIAS and throw. Scan only the
+    // sections where an outer _ID reference can live.
+    val idScanText = (selectList ++ whereOpt ++ groupOpt ++ havingOpt ++
+      windowOpt ++ qualifyOpt ++ orderOpt0).mkString(" ")
+    if (referencesId(idScanText)) {
       val base = fromItems.head.table
       df = idSpecs.get(base) match {
         case Some(spec) =>
@@ -739,6 +726,27 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     "(?i)\\b_ID\\b".r.findAllMatchIn(q).exists(m => !quoted(m.start))
   }
 
+  /** Walk from `afterOpen` (the index just past an opening paren,
+    * depth already 1) to the index just past its matching close,
+    * ignoring parens inside string literals — the ONE paren matcher
+    * shared by the WITH peeler, the WHERE-subquery scanner and the
+    * derived-table scanner (a quoting fix lands once). */
+  private def matchParen(text: String, quoted: Array[Boolean],
+                         afterOpen: Int, errMsg: => String): Int = {
+    var j = afterOpen
+    var depth = 1
+    while (depth > 0) {
+      require(j < text.length, errMsg)
+      if (!quoted(j)) text.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    j
+  }
+
   /** Positions inside single-quoted SQL string literals ('' escapes). */
   private def quotedSpans(s: String): Array[Boolean] = {
     val in = new Array[Boolean](s.length)
@@ -797,9 +805,17 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // carries window context — a top-level OVER outside quotes, or a
     // recognized WINDOW section. In a window-free query the token
     // stays an ordinary identifier.
+    // OVER must be a whole word (`\bOVER\b` — `overflow_ct` is not
+    // window context). Depth is deliberately NOT filtered: windows
+    // legitimately nest inside expression parens (`CAST(... OVER w
+    // AS INT)`), and a flat depth array cannot tell those from a
+    // derived-table body. The residual ambiguity (a bare `qualify`
+    // column in a query whose subquery carries a window) promotes the
+    // token to a clause and fails ANALYSIS loudly — never silently —
+    // while real QUALIFY clauses always parse.
     val hasWindowCtx =
       marks0.exists(_.matched.equalsIgnoreCase("WINDOW")) ||
-        "(?i)\\bOVER\\s*[(A-Za-z_]".r.findAllMatchIn(text)
+        "(?i)\\bOVER\\b\\s*[(A-Za-z_]".r.findAllMatchIn(text)
           .exists(m => !quoted(m.start))
     val marks = marks0.filterNot(m =>
       m.matched.equalsIgnoreCase("QUALIFY") && !hasWindowCtx)
@@ -831,7 +847,21 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           FromItem(name, outer = true, Option(asOf).map(_.toLong))
         case plain(name, asOf) =>
           FromItem(name, outer = false, Option(asOf).map(_.toLong))
-        case other => FromItem(other, outer = false)
+        case other if other.startsWith("(") =>
+          // derived table `(SELECT …) [AS] name [(outer)]` — resolved
+          // by queryOne's scanner, passed through verbatim here
+          FromItem(other, outer = false)
+        case other =>
+          // fail HERE with the item named, not later with a cryptic
+          // "no such table 't QUALIFY rn = 1'" from the catalog
+          val hint =
+            if ("(?i)\\bQUALIFY\\b".r.findFirstIn(other).isDefined)
+              " (hint: QUALIFY needs a window function in this query" +
+                " — like DuckDB/Snowflake, a window computed in a CTE" +
+                " or subquery does not qualify; filter with WHERE)"
+            else ""
+          throw new IllegalArgumentException(
+            s"malformed FROM item: '$other'$hint")
       }
     }
     (distinctFlag, selectList, fromItems, sections.get("WHERE"),

@@ -777,7 +777,12 @@ object Snapshots {
   private def promoteStaging(f: FileSystem, path: String,
                              stage: String, id: Long): Unit = {
     val dst = new Path(path, s"snap=$id")
-    if (f.exists(dst)) f.delete(dst, true) // orphan of a crashed commit
+    // orphan of a crashed commit — the delete MUST succeed: a false
+    // return followed by rename would move the staged dir INSIDE the
+    // orphan (Hadoop rename-into-existing semantics), the exact
+    // corruption this method exists to prevent
+    if (f.exists(dst)) require(f.delete(dst, true),
+      s"could not reclaim orphaned $dst before reusing its id")
     require(f.rename(new Path(stage), dst),
       s"staging rename failed: $stage -> snap=$id")
   }

@@ -1057,6 +1057,42 @@ class LsdQLSpec extends SpecBase {
     }
   }
 
+  test("QUALIFY/derived-table parser edges fail loudly or stay identifiers") {
+    // `overflow`-style identifiers are not window context (\bOVER\b)
+    val aliased = ql.query(
+      "SELECT o_totalprice AS overcount, o_orderkey AS qualify " +
+        "FROM orders LIMIT 3")
+    assert(aliased.columns.toSeq == Seq("overcount", "qualify"))
+    // window-free QUALIFY (e.g. over a CTE-computed rank) is rejected
+    // LOUDLY with the DuckDB/Snowflake-parity hint, not a cryptic
+    // no-such-table error
+    val e = intercept[IllegalArgumentException] {
+      ql.query(
+        """WITH t AS (SELECT o_custkey, row_number() OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          |  FROM orders)
+          |SELECT * FROM t QUALIFY rn = 1""".stripMargin)
+    }
+    assert(e.getMessage.contains("QUALIFY needs a window function"),
+      e.getMessage)
+    // dangling AS after a derived table is malformed, never an alias
+    val e2 = intercept[IllegalArgumentException] {
+      ql.query("SELECT 1 FROM (SELECT o_orderkey FROM orders) AS")
+    }
+    assert(e2.getMessage.contains("malformed derived-table"))
+    // duplicate derived aliases would silently drop a subquery
+    val e3 = intercept[IllegalArgumentException] {
+      ql.query("SELECT 1 FROM (SELECT o_orderkey FROM orders) x, " +
+        "(SELECT o_custkey FROM orders) x")
+    }
+    assert(e3.getMessage.contains("duplicate derived-table alias"))
+    // an inner _ID inside a derived table never leaks to the outer
+    // query's _ID resolution (the alias has no IdSpec)
+    val idDf = ql.query(
+      "SELECT x FROM (SELECT _ID AS x FROM orders) d ORDER BY x LIMIT 3")
+    assert(idDf.count() == 3)
+  }
+
   test("QUALIFY may reference a named WINDOW; `qualify` stays a column name") {
     // the qualify wrapper must re-emit the WINDOW clause or `OVER w`
     // in the predicate cannot resolve
