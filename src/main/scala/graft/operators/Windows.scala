@@ -244,6 +244,35 @@ object Windows {
         |ORDER BY o_custkey, rn""".stripMargin)
   }
 
+  /** QL derived tables under the oracle: an inline subquery joined to
+    * a base table through a JoinDef naming its alias, then aggregated
+    * — the FROM-subquery spelling a SQL user reaches for before
+    * learning WITH. The oracle is DuckDB's native derived-table join.
+    * Plan: the derived filter pushes into the orders scan
+    * (PushedFilters), the join broadcasts customer — identical
+    * physical shape to the CTE spelling. */
+  val qQlDerived: QuerySpec = QuerySpec(
+    "q_ql_derived",
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS tot
+      |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |      WHERE o_totalprice > 150000) big
+      |JOIN customer ON big.o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val db = graft.LsdDb(s, dir)
+    val ql = graft.ql.LsdQL(db, graft.ql.LsdQL.standardJoins :+
+      graft.ql.JoinDef("big", "o_custkey", "customer", "c_custkey"))
+    ql.query(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS tot
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |      WHERE o_totalprice > 150000) big, customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowRank, qWindowLag, qWindowFrame,
-    qWindowNtile, qWindowRange, qRollingMedian, qQlWindow, qQlTopk)
+    qWindowNtile, qWindowRange, qRollingMedian, qQlWindow, qQlTopk,
+    qQlDerived)
 }
