@@ -142,6 +142,19 @@ class PlanQualitySpec extends SpecBase {
       planOf(df))
   }
 
+  test("q_ql_derived: derived-table filter pushes to the scan, dim broadcasts") {
+    // the inline-subquery spelling must optimize exactly like the CTE
+    // spelling: Catalyst sees through the scope splice, so the
+    // subquery's WHERE reaches the orders parquet scan and customer
+    // stays on the broadcast side
+    val plan = planOf(Windows.qQlDerived.fn(spark, sfDir))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(o_totalprice,150000"),
+      s"derived-table filter must reach the scan:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer must broadcast:\n${plan.take(3000)}")
+  }
+
   test("q_ql_topk: QUALIFY lowering gets map-side WindowGroupLimit") {
     // the QL QUALIFY rn <= k rewrite must stay recognizable to
     // Spark's InferWindowGroupLimit: Partial WindowGroupLimit below
