@@ -184,6 +184,12 @@ object ExactQuantiles {
     var maxRangeRows = 0L
     var totalCollected = 0L
 
+    // KNOWN COST: refinement runs per valueCol sequentially — a
+    // multi-column request pays (1 + passes + 1) scans PER COLUMN.
+    // Folding all columns' active tasks into one (rid, colId, lo, hi)
+    // range relation would share each pass's scan across columns;
+    // worth doing if multi-column exact quantiles ever dominate a
+    // pipeline (today's callers ask for 1-2 columns).
     for (c <- valueCols) {
       // ranks needed for this column: floor/ceil of h = p(n-1)
       val needed = mutable.Map.empty[Int, mutable.Set[Long]]
@@ -225,9 +231,16 @@ object ExactQuantiles {
           (i, t.gi, t.lo, t.hi)
         }
         val width = (col("__rhi") - col("__rlo")) / bins
+        // clamp in LONG space BEFORE the Int cast: a subnormal-width
+        // range underflows `width` to 0.0, (v-lo)/0.0 → Inf, floor →
+        // Long.MaxValue — casting that to Int first would throw
+        // CAST_OVERFLOW under Spark 4's default ANSI mode. Clamped,
+        // the degenerate range just stops narrowing and lands in the
+        // maxPasses collect fallback (correct, bounded by the range
+        // count), instead of crashing the job.
         val bin = when(col("__rhi") === col("__rlo"), 0)
-          .otherwise(least(lit(bins - 1), greatest(lit(0),
-            floor((col("__v") - col("__rlo")) / width).cast(IntegerType))))
+          .otherwise(least(lit((bins - 1).toLong), greatest(lit(0L),
+            floor((col("__v") - col("__rlo")) / width))).cast(IntegerType))
         val hist = joined(c, ids)
           .groupBy(col("__rid"), bin.as("__bin"))
           .agg(count(lit(1)).as("__c"), min("__v").as("__bmin"),
@@ -236,8 +249,20 @@ object ExactQuantiles {
           .groupBy(_.getAs[Int]("__rid"))
         // narrow every wanted rank to its bin's observed [bmin, bmax]
         val children = mutable.Map.empty[(Int, Double, Double), Task]
+        // Every pass RE-SCANS the input; the rank bookkeeping is only
+        // valid when each range re-scans to the same rows. A
+        // nondeterministic input (rand()/uuid() columns, a source
+        // mutated mid-query) breaks that — fail with the diagnosis
+        // instead of silently returning a wrong quantile.
+        def scanDrift(what: String) = new IllegalStateException(
+          s"exact-quantile refinement saw $what between passes — the " +
+            "input is not scan-stable (nondeterministic columns or a " +
+            "concurrently-mutated source); cache() or materialize the " +
+            "input first")
         for ((t, i) <- active.zipWithIndex) {
-          val bs = hist(i).map(r => (r.getAs[Int]("__bin"),
+          val bs = hist.getOrElse(i, throw scanDrift(
+            s"a ${t.cnt}-row range re-scan to zero rows"))
+            .map(r => (r.getAs[Int]("__bin"),
             r.getAs[Long]("__c"), r.getAs[Double]("__bmin"),
             r.getAs[Double]("__bmax"))).sortBy(_._1)
           var cum = 0L
@@ -247,7 +272,9 @@ object ExactQuantiles {
             val ((_, bc, bmin, bmax), below) =
               cums.find { case ((_, c0, _, _), below0) =>
                 j < below0 + c0
-              }.getOrElse(cums.last)
+              }.getOrElse(throw scanDrift(
+                s"rank $k outside its range's histogram (range count " +
+                  s"${t.cnt}, re-scanned total $cum)"))
             val key = (t.gi, bmin, bmax)
             val child = children.get(key) match {
               case Some(prev) => prev.copy(ranks = prev.ranks + k)

@@ -30,10 +30,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
   * on the group key; the FINAL phase re-heaps per group. Shuffle
   * volume drops from |input| to k·|groups| — at 100 TB that is the
   * whole game, and it is exactly the partial/final contract hash
-  * aggregation uses (state: O(groups-per-partition × k) rows, the
-  * hash-agg regime; a group-cardinality ≈ row-cardinality input
-  * degenerates gracefully to ~|input| state, where the window form
-  * was no better).
+  * aggregation uses. Partial-phase state is HARD-BOUNDED: past 128k
+  * distinct groups in one partition the current survivors flush and
+  * the map restarts (partial output is advisory — the final phase
+  * re-heaps), so a near-unique group key degrades to less map-side
+  * reduction instead of an executor OOM — the moral twin of
+  * hash-agg's spill fallback.
   *
   * Rows are kept as copied UnsafeRows in a JDK PriorityQueue whose
   * head is the WORST kept row under the requested order (codegen'd
@@ -78,6 +80,15 @@ object TopKPerGroup {
   private def build(df: DataFrame, groupCols: Seq[String],
                     order: Seq[(String, Boolean)], k: Int,
                     kCol: Option[String]): DataFrame = {
+    // fail HERE, not as a ClusteredDistribution(Nil) require deep in
+    // EnsureRequirements (empty groups) or as silently partition-
+    // dependent survivors (empty order — every row compares equal)
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty — global top-k is orderBy().limit(k)" +
+        " (Spark's TakeOrderedAndProject), not this operator")
+    require(order.nonEmpty,
+      "order must be non-empty (and total within each group), or the" +
+        " kept rows would be arbitrary first arrivals per partition")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
@@ -177,9 +188,9 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
         java.util.PriorityQueue[UnsafeRow](
           math.max(1, math.min(bound, 64)), rev)
       val dropped = new Heap(0)
-      val heaps = new java.util.HashMap[UnsafeRow, Heap]()
-      while (it.hasNext) {
-        val row = toUnsafe(it.next())
+      var heaps = new java.util.HashMap[UnsafeRow, Heap]()
+      def insert(raw: InternalRow): Unit = {
+        val row = toUnsafe(raw)
         val key = grp(row)
         var h = heaps.get(key)
         if (h == null) {
@@ -202,9 +213,35 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
           }
         }
       }
-      heaps.values().iterator().asScala
-        .flatMap(_.iterator().asScala)
-        .map(_.asInstanceOf[InternalRow])
+      // PARTIAL phase: group state is BOUNDED. When distinct groups in
+      // this partition exceed flushGroups, the current survivors are
+      // emitted and the map restarts — correct because partial output
+      // is advisory (the final phase re-heaps after the shuffle); the
+      // only cost is less map-side reduction, the same graceful
+      // degradation hash aggregation gets from its spill fallback, so
+      // a near-unique group key cannot OOM the executor the way an
+      // unbounded map would. The FINAL phase never flushes: its input
+      // is co-located per group, and a mid-stream flush would emit
+      // more than k rows for a group.
+      val flushGroups = if (partial) 1 << 17 else Int.MaxValue
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!out.hasNext && (it.hasNext || !heaps.isEmpty)) {
+            while (it.hasNext && heaps.size <= flushGroups) insert(it.next())
+            val old = heaps
+            heaps = new java.util.HashMap[UnsafeRow, Heap]()
+            out = old.values().iterator().asScala
+              .flatMap(_.iterator().asScala)
+              .map(_.asInstanceOf[InternalRow])
+          }
+          out.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          out.next()
+        }
+      }
     }
   }
 

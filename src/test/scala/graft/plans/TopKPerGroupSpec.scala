@@ -97,4 +97,43 @@ class TopKPerGroupSpec extends SpecBase {
       Seq("v" -> true, "id" -> false), 4))
     assert(a == b)
   }
+
+  test("empty groupCols / empty order are rejected at the API") {
+    val df = spark.range(10).select(col("id"), (col("id") % 3).as("g"),
+      col("id").cast("double").as("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      TopKPerGroup(df, Seq.empty, Seq("v" -> true), 3)
+    }
+    assert(e1.getMessage.contains("orderBy().limit"))
+    val e2 = intercept[IllegalArgumentException] {
+      TopKPerGroup(df, Seq("g"), Seq.empty, 3)
+    }
+    assert(e2.getMessage.contains("order must be non-empty"))
+  }
+
+  test("partial-phase flush: >128k groups in one partition stays correct") {
+    // 300k near-unique groups forced into ONE input partition crosses
+    // the 1<<17 flush bound twice; each group has 2 rows so the flush
+    // can split a group across emissions — the final phase must still
+    // re-heap them into one correct survivor per group
+    val n = 300000
+    val df = spark.range(2L * n).select(
+      (col("id") % n).as("g"),
+      col("id"),
+      (col("id") % 7).cast("double").as("v"))
+      .repartition(1)
+    val got = TopKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 1)
+    assert(got.count() == n.toLong, "one survivor per group")
+    // spot-check: group g keeps the row with max v (tie: lower id);
+    // rows of group g are id=g (v=g%7) and id=g+n (v=(g+n)%7)
+    val sample = got.filter(col("g") < 1000)
+      .select("g", "id").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    for (g <- 0L until 1000L) {
+      val v1 = g % 7
+      val v2 = (g + n) % 7
+      val expect = if (v1 > v2) g else if (v2 > v1) g + n else g
+      assert(sample(g) == expect, s"group $g kept ${sample(g)}")
+    }
+  }
 }
