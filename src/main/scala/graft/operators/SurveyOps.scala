@@ -1713,9 +1713,114 @@ object SurveyOps {
     }
   }
 
+  /** J7 capstone — FRIENDS-OF-FRIENDS OBJECT CATALOG under the oracle:
+    * the reference's `lsd-make-object-catalog` ([H], SURVEY §0 item 5;
+    * ref `lsd/join_ops.py` make_object_catalog, UNVERIFIED) — group
+    * multi-epoch detections into static-sky objects by single-linkage
+    * clustering at a match radius, emit per-detection object ids plus
+    * per-object spherical-mean positions and member counts.
+    *
+    * Detections are customer rows lifted onto a deterministic
+    * CLUSTERED sky: 120 lattice "sources" (0.5°-grid centers) each
+    * scattered by a 0.01°-grid jitter box of side 0.4° — so real FoF
+    * structure exists (members chain to one object through hops ≤ the
+    * 0.12° radius; the box diagonal 0.57° exceeds it, so transitive
+    * closure is genuinely exercised, not just pairwise matching), and
+    * distinct sources stay ≥ 0.6° apart (never accidentally merge).
+    *
+    * Spark plan = the real [[graft.spatial.ObjectCatalog]] engine:
+    * cell-blocked candidate pairs ([[graft.spatial.CrossMatch]] at a
+    * superset radius — level-8 SkyPix blocking, no cartesian), the
+    * shared min-label component engine, one groupBy for the spherical
+    * means. The oracle rebuilds the identical relation: brute-force
+    * pair cross join (O(n²) is fine at oracle SF; the Spark side is
+    * the shape that survives 100 TB) + recursive-CTE transitive
+    * closure (the q_dedup_clusters precedent).
+    *
+    * Determinism: edges cut on the d6-SNAPPED haversine (the q_xmatch
+    * rule — blocking at 0.15 raw keeps the prefilter lossless for the
+    * 0.12 snapped cut); component labels are integer min — exact; mean
+    * positions d6-snap each unit-vector term, sum in exact decimal
+    * ([[Det.davg]]), and d6-snap the final atan2 outputs (absorbs
+    * libm last-ulp + any mx²+my² FMA contraction divergence). */
+  val qObjectCatalog: QuerySpec = {
+    val distSql = D.sql.d6(
+      "degrees(2 * asin(sqrt(" +
+        "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)" +
+        " + cos(radians(a.lat)) * cos(radians(b.lat))" +
+        " * sin(radians(b.lon - a.lon) / 2)" +
+        " * sin(radians(b.lon - a.lon) / 2))))")
+    QuerySpec(
+      "q_object_catalog",
+      s"""WITH RECURSIVE dets AS MATERIALIZED (
+         |  SELECT c_custkey AS det_id,
+         |    CAST(c_custkey % 120 * 89 % 360 AS DOUBLE)
+         |      + CAST(c_custkey * 31 % 41 AS DOUBLE) / 100.0 + 0.1 AS lon,
+         |    CAST(c_custkey % 120 * 53 % 100 AS DOUBLE) / 2.0 - 25.0
+         |      + CAST(c_custkey * 17 % 41 AS DOUBLE) / 100.0 AS lat
+         |  FROM customer),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.det_id AS src, b.det_id AS dst
+         |  FROM dets a JOIN dets b ON a.det_id <> b.det_id
+         |  WHERE $distSql <= 0.12),
+         |comp(det_id, lbl) AS (
+         |  SELECT det_id, det_id FROM dets
+         |  UNION
+         |  SELECT p.dst, c.lbl FROM comp c JOIN pairs p ON p.src = c.det_id),
+         |lab AS MATERIALIZED (
+         |  SELECT det_id, min(lbl) AS obj_id FROM comp GROUP BY det_id),
+         |xyz AS MATERIALIZED (
+         |  SELECT l.obj_id,
+         |    ${D.sql.d6("cos(radians(d.lat)) * cos(radians(d.lon))")} AS x,
+         |    ${D.sql.d6("cos(radians(d.lat)) * sin(radians(d.lon))")} AS y,
+         |    ${D.sql.d6("sin(radians(d.lat))")} AS z
+         |  FROM lab l JOIN dets d ON d.det_id = l.det_id),
+         |obj AS MATERIALIZED (
+         |  SELECT obj_id, ${D.sql.davg("x")} AS mx, ${D.sql.davg("y")} AS my,
+         |    ${D.sql.davg("z")} AS mz, count(*) AS n_det
+         |  FROM xyz GROUP BY obj_id)
+         |SELECT l.det_id, l.obj_id, o.n_det,
+         |  ${D.sql.d6( // Spark pmod is r<0 ? r+n : r, NOT ((r+n)%n) — the
+            // +n then %n round-trip is lossy for r>0; mirror exactly
+            "CASE WHEN degrees(atan2(o.my, o.mx)) % 360.0 < 0.0" +
+              " THEN degrees(atan2(o.my, o.mx)) % 360.0 + 360.0" +
+              " ELSE degrees(atan2(o.my, o.mx)) % 360.0 END")}
+         |    AS obj_lon,
+         |  ${D.sql.d6(
+            "degrees(atan2(o.mz, sqrt(o.mx * o.mx + o.my * o.my)))")}
+         |    AS obj_lat
+         |FROM lab l JOIN obj o ON o.obj_id = l.obj_id
+         |ORDER BY det_id""".stripMargin) { (s, dir) =>
+      import graft.spatial.{CrossMatch, ObjectCatalog}
+      val d = LsdDb.table(s, dir, "customer")
+        .select(col("c_custkey").as("det_id"),
+          ((col("c_custkey") % 120 * 89 % 360).cast(DoubleType)
+            + (col("c_custkey") * 31 % 41).cast(DoubleType) / 100.0 + 0.1)
+            .as("lon"),
+          ((col("c_custkey") % 120 * 53 % 100).cast(DoubleType) / 2.0 - 25.0
+            + (col("c_custkey") * 17 % 41).cast(DoubleType) / 100.0)
+            .as("lat"))
+      // blocking at 0.15 raw ⊇ 0.12 snapped cut; data |lat| ≤ 25 →
+      // capLat 26 gives level-8 cells (fine blocking, no cap traffic)
+      val edges = CrossMatch.allPairs(d, d, "det_id", "lon", "lat",
+          "det_id", "lon", "lat", radiusDeg = 0.15, capLat = 26.0)
+        .filter(col("a_id") =!= col("b_id"))
+        .filter(Det.d6(col("dist_deg")) <= 0.12)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val lab = ObjectCatalog.assign(d, edges)
+      val objects = ObjectCatalog
+        .summarize(d, lab, snap = Det.d6, exactSum = true)
+        .select(col("obj_id"), col("n_det"),
+          col("lon").as("obj_lon"), col("lat").as("obj_lat"))
+      lab.join(objects, "obj_id")
+        .select("det_id", "obj_id", "n_det", "obj_lon", "obj_lat")
+        .orderBy("det_id")
+    }
+  }
+
   def specs: Seq[QuerySpec] = Seq(qSigmaClip, qEventRuns, qSkymap, qXmatchPm,
     qCoordGal, qCubeSkytime, qTrendFit, qNnHist, qEbvLookup, qCmd,
     qVariabilityCatalog, qTracklets, qTracks, qPmFit, qSkymapSmooth,
     qStetson, qStructureFn, qTwoPoint, qPeriodogram, qCadence, qCpmPairs,
-    qRowid)
+    qRowid, qObjectCatalog)
 }

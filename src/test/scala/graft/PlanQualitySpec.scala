@@ -186,6 +186,21 @@ class PlanQualitySpec extends SpecBase {
         plan.take(3000))
   }
 
+  test("q_object_catalog: cell-blocked FoF, no cartesian, broadcast labels") {
+    // the FoF pair generation must stay the blocked CrossMatch shape
+    // (equi-join on SkyPix cells) — a cartesian self-join of the
+    // detection table is the failure mode that cannot survey-scale —
+    // and at this SF the component labels must come back as a
+    // broadcast relation (Components small-graph fast path), so the
+    // only semantic shuffle is the per-object mean aggregation.
+    val df = operators.SurveyOps.qObjectCatalog.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"FoF pairs must be cell-blocked, not cartesian:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"labels must broadcast at this SF:\n${plan.take(3000)}")
+  }
+
   test("q_dedup_clusters plans no cartesian products") {
     val plan = planOf(TextOps.qDedupClusters.fn(spark, sfDir))
     assert(!plan.contains("CartesianProduct"),

@@ -54,6 +54,28 @@ class ObjectCatalogSpec extends SpecBase {
     }
   }
 
+  test("summarize snap/exactSum path agrees with the plain path") {
+    // the oracle-gated q_object_catalog uses summarize(snap=Det.d6,
+    // exactSum=true); the library default is plain double math. Both
+    // must land on the same positions to well within the snap grid's
+    // resolution (1e-6 per-term snaps perturb a mean of n terms by
+    // ≤ 5e-7, and the atan2 output by the same order).
+    val dets = truth.map { case (d, _, lo, la) => (d, lo, la) }
+      .toDF("det_id", "lon", "lat")
+    val (assign, plain) = ObjectCatalog.build(
+      dets, "det_id", "lon", "lat", radiusDeg = 0.05)
+    val snapped = ObjectCatalog.summarize(
+      dets.select(col("det_id"), col("lon"), col("lat")), assign,
+      snap = graft.functions.Det.d6, exactSum = true)
+    val p = plain.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    snapped.collect().foreach { r =>
+      val (lo, la) = p(r.getLong(0))
+      assert(math.abs(r.getDouble(1) - lo) < 1e-4, s"lon ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - la) < 1e-4, s"lat ${r.getLong(0)}")
+    }
+  }
+
   test("a detection chain links transitively (single linkage)") {
     // chain of 5 dets, each 0.04° apart — pairwise radius 0.05 links
     // neighbors only, the component must still be one object
