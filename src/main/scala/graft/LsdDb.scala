@@ -88,6 +88,30 @@ final case class LsdDb(spark: SparkSession, root: String) {
       case None => Snapshots.read(spark, path, asOf)
     })
 
+  /** (lonCol, latCol, level) when `name` is a SpatialWriter layout
+    * with the `_SPATIAL` sidecar — the metadata a footprint-bounded
+    * read resolves through ([[tableFootprint]], LsdQL bounds). */
+  def spatialMeta(name: String): Option[(String, String, Int)] =
+    graft.sources.SpatialWriter.spatialMeta(spark, s"$root/$name.parquet")
+
+  /** Footprint-bounded read of a SpatialWriter cell-partitioned
+    * table: only the `cells` directories are scanned (the isin on the
+    * partition column becomes directory-level PartitionFilters —
+    * LSD's bounds∩quadtree pruning), margin replicas are excluded,
+    * and the result gets the same layout-column strip + ts
+    * normalization as [[table]]. Advisory like the zone-map prunes:
+    * the caller's own exact predicate must still apply below. */
+  def tableFootprint(name: String, cells: Seq[Long]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$root/$name.parquet"
+    require(spatialMeta(name).isDefined,
+      s"table '$name' is not a SpatialWriter layout (no _SPATIAL " +
+        "sidecar); footprint-bounded reads need the cell directories")
+    // postProcess supplies the !is_margin filter and the layout strip
+    postProcess(spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("cell").isin(cells: _*)))
+  }
+
   /** Shared table resolution: snapshot tables go through `snapRead`
     * (the commit log is the truth — a raw recursive parquet read
     * would double-count bases plus the appends they fold and see
@@ -107,6 +131,13 @@ final case class LsdDb(spark: SparkSession, root: String) {
     val raw =
       if (isSnapshotTable) snapRead(path)
       else spark.read.parquet(path)
+    postProcess(raw)
+  }
+
+  /** The TABLE view of a raw dataset: margin replicas and layout
+    * columns off (so `SELECT *` round-trips the logical schema) and
+    * ns→µs ts normalization. */
+  private def postProcess(raw: DataFrame): DataFrame = {
     // A SpatialWriter cell-partitioned layout (e.g. a spatial INTO
     // result) carries two layout-only columns: `cell` (the directory
     // partition key) and `is_margin` (replica flag). The TABLE view

@@ -583,6 +583,63 @@ object Joins {
       .orderBy("id")
   }
 
+  /** Write-once DB ROOT holding the customer sky layout under a TABLE
+    * name (`<root>/customer_sky.parquet`) — the directory shape
+    * LsdQL's table resolution expects, so bounded QL queries exercise
+    * the real `query(text, bounds)` path end-to-end (sidecar lookup →
+    * cell enumeration → PartitionFilters). Content-fingerprint keyed
+    * like the other write-once layouts. */
+  def ensureQlBoundsDb(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String = synchronized {
+    val root = graft.sources.CacheKeys.path(
+      s"graft_ql_bounds_db_l$skyLayoutLevel", s"$dir/customer.parquet")
+    val path = s"$root/customer_sky.parquet"
+    if (!graft.sources.CacheKeys.isComplete(path)) {
+      val c = skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey",
+        "id", "lon", "lat")
+      graft.sources.SpatialWriter.write(c, "lon", "lat", skyLayoutLevel, path)
+    }
+    root
+  }
+
+  /** Off-grid center/radius for the bounded-QL cone, distinct from
+    * q_footprint_cone's so the two lines cannot mask each other. */
+  private val (qlbLon, qlbLat, qlbR) = (42.1234, 7.6543, 8.1234)
+
+  /** SC2f/QL — QUERY-TIME BOUNDS AT THE QL SURFACE: the reference's
+    * `db.query(q, bounds=beam(...))` ([H] — the documented query API
+    * took a bounds argument; ref `lsd/bounds.py`, UNVERIFIED). The
+    * QL text itself carries NO spatial predicate — the cone arrives
+    * as a [[graft.spatial.Bounds.Cone]] ARGUMENT, and the evaluator
+    * (a) prunes the layout's `cell=` directories through the
+    * footprint enumeration (PartitionFilters, pinned in
+    * PlanQualitySpec) and (b) refines with the d6-snapped exact
+    * predicate built into the bound. The oracle recomputes cone
+    * membership from the raw positions — so what is hash-checked is
+    * the bound's SEMANTICS (pruning is invisible), same discipline as
+    * q_footprint_cells. */
+  val qQlBounds: QuerySpec = QuerySpec(
+    "q_ql_bounds",
+    s"""WITH c AS (SELECT c_custkey AS id,
+       |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+       |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+       |  FROM customer),
+       |d AS (SELECT id, lon, lat,
+       |    ${D.d6(
+          s"degrees(2 * asin(sqrt(" +
+            s"sin(radians(lat - ($qlbLat)) / 2) * sin(radians(lat - ($qlbLat)) / 2)" +
+            s" + cos(radians($qlbLat)) * cos(radians(lat))" +
+            s" * sin(radians(lon - $qlbLon) / 2)" +
+            s" * sin(radians(lon - $qlbLon) / 2))))")} AS dist_deg
+       |  FROM c)
+       |SELECT id, lon, lat FROM d
+       |WHERE dist_deg <= $qlbR ORDER BY id""".stripMargin) { (s, dir) =>
+    val root = ensureQlBoundsDb(s, dir)
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil)
+    ql.query("SELECT id, lon, lat FROM customer_sky ORDER BY id",
+      graft.spatial.Bounds.Cone(qlbLon, qlbLat, qlbR))
+  }
+
   /** SC2e — rectangle footprint WRAPPING through lon=0 (the case that
     * breaks naive BETWEEN filters): pure comparisons on exact doubles,
     * wraparound handled by Footprint.rect's disjunction; bounds use
@@ -1090,5 +1147,6 @@ object Joins {
     qAsofNearest, qAsofJoin, qJoinSelf,
     qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchOuter,
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
-    qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect)
+    qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
+    qQlBounds)
 }

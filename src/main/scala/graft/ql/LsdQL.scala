@@ -139,11 +139,52 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * also SQL's rule for set expressions). */
   def query(q: String): DataFrame = evalQuery(q, Map.empty)
 
+  /** [[query]] with a QUERY-TIME SPATIAL BOUND — the engine's form of
+    * the reference's `db.query(q, bounds=beam(...))` argument (ref
+    * `lsd/bounds.py` + `lsd/query.py`, UNVERIFIED): the footprint is
+    * a query ARGUMENT, not something the user hand-compiles into
+    * WHERE text. The bound applies to the DRIVING table of every
+    * SELECT the evaluator visits (set-expression operands, CTE
+    * bodies, derived tables, uncorrelated WHERE subqueries) when that
+    * table is spatial-capable:
+    *
+    *  - a SpatialWriter cell layout (the `_SPATIAL` sidecar): the
+    *    read is swapped for [[LsdDb.tableFootprint]] — the bound's
+    *    cell enumeration prunes `cell=` DIRECTORIES via
+    *    PartitionFilters (LSD's bounds∩quadtree trick) — and the
+    *    exact predicate refines the survivors;
+    *  - a table with a registered [[IdSpec]]: exact predicate only
+    *    (no physical layout to prune).
+    *
+    * Non-spatial driving tables are left unbounded (a joined dim
+    * table has no footprint); if NOTHING in the whole query was
+    * boundable the call fails loudly — a bounded query that binds
+    * nowhere is a caller bug, not an all-sky scan.
+    *
+    * `_ID` stability: cell pruning drops whole cells, so per-cell
+    * row_numbers — and therefore packed `_ID`s — are identical to the
+    * unbounded query's for every surviving row (the exact predicate
+    * is applied after `_ID` attachment for the same reason). */
+  def query(q: String, bounds: graft.spatial.Bounds): DataFrame = {
+    val ctx = new BoundCtx(bounds)
+    val df = evalQuery(q, Map.empty, Some(ctx))
+    require(ctx.applied.get > 0,
+      "bounds did not apply: no SELECT in the query drives from a " +
+        "spatial table (SpatialWriter layout with a _SPATIAL sidecar, " +
+        "or a table with a registered IdSpec)")
+    df
+  }
+
+  /** Threaded bound + how many SELECTs it actually restricted. */
+  private final class BoundCtx(val b: graft.spatial.Bounds) {
+    val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
   /** One query at a given CTE scope: peel the WITH prefix (each body
     * evaluated recursively, seeing earlier CTEs), then the set-op /
     * single-select machinery below. */
-  private def evalQuery(q: String,
-                        scope0: Map[String, DataFrame]): DataFrame = {
+  private def evalQuery(q: String, scope0: Map[String, DataFrame],
+                        bctx: Option[BoundCtx] = None): DataFrame = {
     val text0 = q.trim.stripSuffix(";")
     val (ctes, text) = parseWith(text0)
     var scope = scope0
@@ -153,11 +194,11 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     val declared = scala.collection.mutable.Set.empty[String]
     for ((name, sub) <- ctes) {
       require(declared.add(name), s"duplicate CTE name '$name'")
-      scope += name -> evalQuery(sub, scope)
+      scope += name -> evalQuery(sub, scope, bctx)
     }
     val parts = splitSetOps(text)
     if (parts.lengthIs == 1)
-      return queryOne(parts.head._2, liftTail = false, scope)._1
+      return queryOne(parts.head._2, liftTail = false, scope, bctx)._1
     // Evaluate operands left to right, then fold with SQL precedence:
     // INTERSECT [ALL] binds TIGHTER than UNION/EXCEPT (SQL standard,
     // also Spark SQL's rule) — `A UNION B INTERSECT C` is
@@ -168,7 +209,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       None
     val evaluated = parts.zipWithIndex.map { case ((op, ptext), i) =>
       val last = i == parts.length - 1
-      val (pdf, tail) = queryOne(ptext, liftTail = true, scope)
+      val (pdf, tail) = queryOne(ptext, liftTail = true, scope, bctx)
       if (!last)
         require(tail.isEmpty,
           "ORDER BY / LIMIT / INTO are only allowed on the last " +
@@ -250,7 +291,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * @return (rewritten WHERE, temp views to drop after analysis,
     *   whether any subquery span — replaced or in-place — was seen) */
   private def rewriteWhereSubqueries(w: String,
-                                     scope: Map[String, DataFrame])
+                                     scope: Map[String, DataFrame],
+                                     bctx: Option[BoundCtx] = None)
       : (String, Seq[String], Boolean) = {
     val quoted = quotedSpans(w)
     val open = java.util.regex.Pattern
@@ -271,7 +313,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         any = true
         out ++= w.substring(pos, start)
         try {
-          val sub = evalQuery(inner, scope)
+          val sub = evalQuery(inner, scope, bctx)
           val view = s"graft_ql_subq_${LsdQL.viewCounter.incrementAndGet()}"
           sub.createOrReplaceTempView(view)
           views += view
@@ -392,7 +434,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * LIMIT / INTO are NOT applied; they return in the second slot for
     * the caller to apply to a combined set expression. */
   private def queryOne(q: String, liftTail: Boolean,
-                       scope: Map[String, DataFrame] = Map.empty)
+                       scope: Map[String, DataFrame] = Map.empty,
+                       bctx: Option[BoundCtx] = None)
       : (DataFrame,
          Option[(Option[String], Option[String], Option[String])]) = {
     val (distinctFlag, selectList, fromItems0, whereOpt, groupOpt, havingOpt,
@@ -429,7 +472,7 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             // OUTER scope name stays legal
             require(derivedDeclared.add(alias),
               s"duplicate derived-table alias '$alias' in FROM")
-            fullScope += alias -> evalQuery(inner, scope)
+            fullScope += alias -> evalQuery(inner, scope, bctx)
             FromItem(alias, outer = outer != null)
           case other => throw new IllegalArgumentException(
             s"malformed derived-table FROM item (expected `[AS] name " +
@@ -468,6 +511,30 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             db.table(headTable, asOfByTable.get(headTable), headPrune)
         }
     }
+    // Query-time bounds: when this SELECT drives from a spatial-
+    // capable base table, (a) a SpatialWriter layout is swapped for
+    // the cell-directory-pruned read (bounds∩quadtree as
+    // PartitionFilters) and (b) the exact predicate refines. (b) is
+    // DEFERRED until after the `_ID` attachment below: cell pruning
+    // drops whole cells, so per-cell row_numbers (hence `_ID`) match
+    // the unbounded query's; a pre-_ID row filter would renumber.
+    var boundPred: Option[org.apache.spark.sql.Column] = None
+    for (bc <- bctx if fullScope.get(headTable).isEmpty) {
+      db.spatialMeta(headTable) match {
+        case Some((lonC, latC, level))
+            if asOfByTable.get(headTable).isEmpty =>
+          df = db.tableFootprint(headTable, bc.b.cells(level))
+          boundPred = Some(bc.b.predicate(col(lonC), col(latC)))
+          bc.applied.incrementAndGet()
+        case _ => idSpecs.get(headTable) match {
+          case Some(spec) =>
+            boundPred =
+              Some(bc.b.predicate(col(spec.lonCol), col(spec.latCol)))
+            bc.applied.incrementAndGet()
+          case None => () // not spatial-capable — this SELECT unbounded
+        }
+      }
+    }
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
     // reference's per-table ids): packed SkyPix id for tables with a
@@ -498,6 +565,9 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           df.withColumn("_ID", col(key).cast("long"))
       }
     }
+    // exact bound refinement (deferred past _ID — see above), applied
+    // BEFORE joins so the bounded driving set is what shuffles
+    boundPred.foreach(p => df = df.filter(p))
     for (item <- fromItems.tail) {
       // multi-hop path resolution through declared relations (the
       // reference resolved join paths through its JoinRelation graph
@@ -556,7 +626,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       // either way the outer predicate runs through Spark SQL's real
       // subquery planner, which decorrelates into semi/anti joins
       // and broadcast one-row joins (the scale-right plans).
-      val (w, views, hadSubquery) = rewriteWhereSubqueries(w0, fullScope)
+      val (w, views, hadSubquery) =
+        rewriteWhereSubqueries(w0, fullScope, bctx)
       if (!hadSubquery) df = df.filter(w0)
       else {
         val view = s"graft_ql_rel_${LsdQL.viewCounter.incrementAndGet()}"

@@ -36,6 +36,47 @@ object SpatialWriter {
     finally out.close()
   }
 
+  /** Sidecar recording a layout's coordinate columns + cell level —
+    * what a BOUNDED read needs to enumerate prunable cells and build
+    * the exact predicate without the caller re-supplying schema
+    * knowledge (LsdQL's `query(text, bounds)` resolves through it).
+    * Written by every [[write]]/[[writeClustered]]; an underscore
+    * name, so Spark's file index ignores it like _SUCCESS. */
+  private val SpatialMetaFile = "_SPATIAL"
+
+  private def writeSpatialMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, lonCol: String, latCol: String,
+                               level: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, SpatialMetaFile), true)
+    try out.write(
+      s"""{"lonCol":"$lonCol","latCol":"$latCol","level":$level}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (lonCol, latCol, level) of the layout at `path`, when it was
+    * written by a sidecar-aware SpatialWriter. */
+  def spatialMeta(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Option[(String, String, Int)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path, SpatialMetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lon = """"lonCol":"([^"]+)"""".r.findFirstMatchIn(text)
+      val lat = """"latCol":"([^"]+)"""".r.findFirstMatchIn(text)
+      val lvl = """"level":([0-9]+)""".r.findFirstMatchIn(text)
+      for (lo <- lon; la <- lat; lv <- lvl)
+        yield (lo.group(1), la.group(1), lv.group(1).toInt)
+    }
+  }
+
   /** (marginDeg, level) the layout at `path` was written with, if it
     * carries margin replicas. */
   def marginMeta(spark: org.apache.spark.sql.SparkSession,
@@ -118,6 +159,7 @@ object SpatialWriter {
       .write.mode(mode)
       .partitionBy("cell")
       .parquet(path)
+    writeSpatialMeta(df.sparkSession, path, lonCol, latCol, level)
     margin.foreach(m => writeMarginMeta(df.sparkSession, path, m, level))
   }
 
@@ -139,6 +181,7 @@ object SpatialWriter {
       .sortWithinPartitions(col("cell"), col(latCol), col(lonCol))
       .write.mode(mode)
       .parquet(path)
+    writeSpatialMeta(df.sparkSession, path, lonCol, latCol, level)
     margin.foreach(m => writeMarginMeta(df.sparkSession, path, m, level))
   }
 

@@ -371,3 +371,57 @@ object Footprint {
     m | (level.toLong << 58)
   }
 }
+
+/** A query-time spatial bound — the value a caller hands to
+  * `LsdQL.query(text, bounds)`, the engine's form of the reference's
+  * `db.query(q, bounds=beam(...)/rectangle(...))` argument
+  * (ref `lsd/bounds.py`, UNVERIFIED). Each bound is the PAIR of
+  * [[Footprint]] layers: a driver-side cell enumeration (directory
+  * pruning against a SpatialWriter layout) plus the exact row
+  * predicate that refines inside the surviving cells.
+  *
+  * Determinism note: [[Bounds.Cone]]'s predicate snaps the great-
+  * circle distance to the 1e-6-degree grid before the radius cut
+  * (graft.functions.Det.d6), so membership at the boundary is
+  * engine-exact — the q_xmatch discipline, built into the bound so
+  * every bounded query inherits it. Rect/Polygon predicates are
+  * already plain IEEE comparisons.
+  */
+sealed trait Bounds {
+  /** Conservative superset of the cells at `level` the bound touches. */
+  def cells(level: Int): Seq[Long]
+  /** Exact membership predicate over coordinate columns (degrees). */
+  def predicate(lon: Column, lat: Column): Column
+}
+
+object Bounds {
+  /** Beam/cone: all sky within `radiusDeg` of (lon0, lat0). */
+  final case class Cone(lon0: Double, lat0: Double, radiusDeg: Double)
+      extends Bounds {
+    require(radiusDeg > 0, "cone radius must be positive")
+    def cells(level: Int): Seq[Long] =
+      Footprint.coneCells(lon0, lat0, radiusDeg, level)
+    def predicate(lon: Column, lat: Column): Column =
+      graft.functions.Det.d6(
+        CrossMatch.distDeg(lon, lat, lit(lon0), lit(lat0))) <= radiusDeg
+  }
+
+  /** Lon/lat rectangle, wraparound-aware in lon. */
+  final case class Rect(lonMin: Double, lonMax: Double,
+                        latMin: Double, latMax: Double) extends Bounds {
+    require(latMin <= latMax, "latMin > latMax")
+    def cells(level: Int): Seq[Long] =
+      Footprint.rectCells(lonMin, lonMax, latMin, latMax, level)
+    def predicate(lon: Column, lat: Column): Column =
+      Footprint.rect(lon, lat, lonMin, lonMax, latMin, latMax)
+  }
+
+  /** Spherical polygon (great-circle edges, hemisphere-contained —
+    * [[Footprint.polygon]]'s contract). */
+  final case class Polygon(vertices: Seq[(Double, Double)]) extends Bounds {
+    def cells(level: Int): Seq[Long] =
+      Footprint.polygonCells(vertices, level)
+    def predicate(lon: Column, lat: Column): Column =
+      Footprint.polygon(lon, lat, vertices)
+  }
+}

@@ -102,6 +102,18 @@ class PlanQualitySpec extends SpecBase {
       s"polygonCells must prune sky directories:\n$pf")
   }
 
+  test("q_ql_bounds: the QL bound prunes cell directories") {
+    // the bounds argument must surface as PartitionFilters on the
+    // layout scan — the whole point of query-time bounds is that
+    // untouched sky is never opened, at the QL surface too
+    val df = Joins.qQlBounds.fn(spark, sfDir)
+    val pf = planOf(df).linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cell"),
+      s"bounded QL read must prune cell= directories:\n$pf")
+  }
+
   test("q_xmatch_margin scans the cache as flat files (no cell= dirs)") {
     val (path, _) = Joins.ensureXmatchMarginCache(spark, sfDir)
     val entries = new java.io.File(path).listFiles()

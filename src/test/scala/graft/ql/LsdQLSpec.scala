@@ -79,6 +79,37 @@ class LsdQLSpec extends SpecBase {
     assert(layout.columns.contains("cell"))
   }
 
+  test("spatial INTO result is boundable: INTO then query(_, bounds) prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.spatial.Bounds
+    // the full reference loop: query INTO a derived catalog (lands as
+    // a cell layout with the _SPATIAL sidecar), then a BOUNDED query
+    // against the derived table prunes its directories — write side
+    // and read side of bounds∩quadtree meeting over one table
+    val tmp = Files.createTempDirectory("graft_ql_binto").toString
+    val rnd = new scala.util.Random(7)
+    val cat = (0L until 500L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1)),
+      rnd.nextDouble() * 25))
+      .toDF("obj_id", "lon", "lat", "mag")
+    cat.write.parquet(s"$tmp/cat.parquet")
+    val sdb = LsdDb(spark, tmp)
+    val q = LsdQL(sdb, Seq.empty, intoRoot = Some(tmp),
+      idSpecs = Map("cat" -> IdSpec("lon", "lat", "obj_id", level = 4)))
+    q.query("SELECT obj_id, lon, lat, mag FROM cat WHERE mag < 20 INTO brt")
+    val b = Bounds.Rect(30.0, 150.0, -45.0, 45.0)
+    val got = q.query("SELECT obj_id, lon, lat FROM brt ORDER BY obj_id", b)
+    val twin = sdb.table("brt")
+      .filter(b.predicate(col("lon"), col("lat")))
+      .orderBy("obj_id").select("obj_id", "lon", "lat")
+    assert(got.collect().toSeq == twin.collect().toSeq)
+    assert(got.count() > 0)
+    assert(got.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [cell"),
+      "bounded read of the INTO result must prune cell= directories")
+  }
+
   test("keywords and commas inside string literals don't break parsing") {
     val df = ql.query(
       """SELECT concat(o_orderpriority, ' from, where ') AS tagged, o_orderkey
@@ -1136,6 +1167,81 @@ class LsdQLSpec extends SpecBase {
     val col2 = ql.query(
       "SELECT o_orderkey, o_totalprice AS window FROM orders LIMIT 5")
     assert(col2.columns.toSeq == Seq("o_orderkey", "window"))
+  }
+
+  test("query(text, bounds): cone bound round-trips the DataFrame twin") {
+    import graft.spatial.Bounds
+    import org.apache.spark.sql.functions.col
+    val root = graft.operators.Joins.ensureQlBoundsDb(spark, sfDir)
+    val db2 = LsdDb(spark, root)
+    // wide test cone: the spec runs at sf0.001 (150 rows), where the
+    // bench query's 8-deg cone can legitimately select nothing
+    val b = Bounds.Cone(180.1234, 0.6543, 25.4321)
+    val got = LsdQL(db2, Nil)
+      .query("SELECT id, lon, lat FROM customer_sky ORDER BY id", b)
+    // twin: the DataFrame-API footprint recipe over the same layout
+    val meta = db2.spatialMeta("customer_sky").get
+    val twin = db2.table("customer_sky")
+      .filter(b.predicate(col("lon"), col("lat")))
+      .orderBy("id").select("id", "lon", "lat")
+    assert(got.collect().toSeq == twin.collect().toSeq)
+    assert(got.count() > 0, "cone must select something at this SF")
+    // and the bounded plan pruned directories (cell PartitionFilters)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"bounded read must prune cell= directories:\n${plan.take(2000)}")
+    assert(meta._3 == 4)
+  }
+
+  test("query(text, bounds): rect bound via IdSpec (predicate-only path)") {
+    import graft.spatial.Bounds
+    import org.apache.spark.sql.functions.col
+    // a FLAT parquet table (no SpatialWriter sidecar): bounding must
+    // fall back to the exact predicate over the registered IdSpec's
+    // coordinate columns — no directories to prune, still bounded
+    val root = Files.createTempDirectory("graft_ql_bounds_flat").toString
+    val sky = graft.operators.Joins.ensureQlBoundsDb(spark, sfDir)
+    LsdDb(spark, sky).table("customer_sky")
+      .write.mode("overwrite").parquet(s"$root/sky_flat.parquet")
+    val db2 = LsdDb(spark, root)
+    val ql2 = LsdQL(db2, Nil,
+      idSpecs = Map("sky_flat" -> IdSpec("lon", "lat", "id")))
+    val b = Bounds.Rect(10.5, 50.5, -5.25, 5.25)
+    val got = ql2.query(
+      "SELECT id, lon, lat FROM sky_flat ORDER BY id", b)
+    val twin = db2.table("sky_flat")
+      .filter(b.predicate(col("lon"), col("lat")))
+      .orderBy("id").select("id", "lon", "lat")
+    assert(got.collect().toSeq == twin.collect().toSeq)
+    assert(got.count() > 0)
+  }
+
+  test("query(text, bounds) errors loudly when nothing is boundable") {
+    import graft.spatial.Bounds
+    val e = intercept[IllegalArgumentException] {
+      ql.query("SELECT o_orderkey FROM orders LIMIT 5",
+        Bounds.Cone(0.0, 0.0, 1.0))
+    }
+    assert(e.getMessage.contains("bounds did not apply"))
+  }
+
+  test("bounds + _ID: packed ids unchanged by the bound") {
+    import graft.spatial.Bounds
+    val root = graft.operators.Joins.ensureQlBoundsDb(spark, sfDir)
+    val db2 = LsdDb(spark, root)
+    val ql2 = LsdQL(db2, Nil,
+      idSpecs = Map("customer_sky" -> IdSpec("lon", "lat", "id")))
+    val unbounded = ql2
+      .query("SELECT id, _ID FROM customer_sky ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bounded = ql2.query(
+      "SELECT id, _ID FROM customer_sky ORDER BY id",
+      Bounds.Cone(180.1234, 0.6543, 25.4321))
+    val rows = bounded.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(unbounded(r.getLong(0)) == r.getLong(1),
+        s"_ID drifted under bounds for id ${r.getLong(0)}"))
   }
 
   test("window over grouped output (OVER after GROUP BY)") {
