@@ -263,8 +263,11 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
     * until the iteration cap (observed as a spin in ExtensionsSmoke).
     * The guard recognizes the rule's OWN output by its generated
     * signature — the cell-channel key `_graft_ca = _graft_cb` or the
-    * cap channel's `signum(lat) = signum(lat)` — rather than by the
-    * presence of any cross-side equality: a user join that carries an
+    * cap channel's `signum(lat1) = signum(lat2)` over EXACTLY the lat
+    * expressions of the sky_dist conjunct (semanticEquals, either
+    * orientation — a user's incidental signum equality on other
+    * columns is not rule output and must not suppress the rewrite) —
+    * rather than by the presence of any cross-side equality: a user join that carries an
     * incidental low-cardinality equality (e.g. `a.source = b.source`)
     * alongside `sky_dist <= r` still deserves the blocked rewrite
     * (the hash join on such a key is near-cartesian), and the full
@@ -298,20 +301,31 @@ object AutoSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
         .NormalizeNaNAndZero(x) => stripNorm(x)
       case x => x
     }
-    val isOwnOutput = conjuncts.exists {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (a.name == GenCellA && b.name == GenCellB) ||
-          (a.name == GenCellB && b.name == GenCellA)
-      case EqualTo(l, r)
-          if stripNorm(l).isInstanceOf[Signum] &&
-            stripNorm(r).isInstanceOf[Signum] => true
-      case _ => false
-    }
-    if (isOwnOutput) None
-    else conjuncts.collectFirst {
+    conjuncts.collectFirst {
       case LessThanOrEqual(sd: SkyDist, Literal(r: Double, DoubleType))
-          if r > 0 && r <= 1.0 && sidesSplit(left, right, sd) =>
-        Filter(cond, blocked(left, right, sd, r))
+          if r > 0 && r <= 1.0 && sidesSplit(left, right, sd) => (sd, r)
+    }.flatMap { case (sd, r) =>
+      val isOwnOutput = conjuncts.exists {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          (a.name == GenCellA && b.name == GenCellB) ||
+            (a.name == GenCellB && b.name == GenCellA)
+        case EqualTo(l, rr) =>
+          // the cap channel's EXACT generated signature: signum over
+          // the SAME lat expressions the sky_dist conjunct matches on,
+          // one per side (either orientation). A user join carrying an
+          // incidental signum(x)=signum(y) on OTHER columns must NOT
+          // be mistaken for rule output — that would silently skip the
+          // blocked rewrite and execute the cartesian (r17 advice).
+          (stripNorm(l), stripNorm(rr)) match {
+            case (Signum(x), Signum(y)) =>
+              (x.semanticEquals(sd.lat1) && y.semanticEquals(sd.lat2)) ||
+                (x.semanticEquals(sd.lat2) && y.semanticEquals(sd.lat1))
+            case _ => false
+          }
+        case _ => false
+      }
+      if (isOwnOutput) None
+      else Some(Filter(cond, blocked(left, right, sd, r)))
     }
   }
 

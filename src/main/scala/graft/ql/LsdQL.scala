@@ -872,24 +872,45 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         }
       }
     // `qualify` could likewise be a column name; QUALIFY is a window
-    // filter BY DEFINITION, so it only opens a clause when the query
-    // carries window context — a top-level OVER outside quotes, or a
-    // recognized WINDOW section. In a window-free query the token
-    // stays an ordinary identifier.
+    // filter BY DEFINITION, so it only opens a clause when ALL hold:
+    //  (1) the query carries window context — a top-level OVER
+    //      outside quotes, or a recognized WINDOW section;
+    //  (2) the token sits AFTER the FROM keyword — the clause is
+    //      post-FROM by grammar, so a select-list alias `AS qualify`
+    //      (which precedes FROM) can never be one (r17 advice: it
+    //      used to be promoted and die with a confusing analysis
+    //      error whenever the query also had a window);
+    //  (3) a non-empty predicate follows before the next clause
+    //      keyword (an empty body is an identifier at a clause
+    //      boundary, not a filter).
+    // In any other position the token stays an ordinary identifier.
     // OVER must be a whole word (`\bOVER\b` — `overflow_ct` is not
     // window context). Depth is deliberately NOT filtered: windows
     // legitimately nest inside expression parens (`CAST(... OVER w
     // AS INT)`), and a flat depth array cannot tell those from a
     // derived-table body. The residual ambiguity (a bare `qualify`
-    // column in a query whose subquery carries a window) promotes the
-    // token to a clause and fails ANALYSIS loudly — never silently —
-    // while real QUALIFY clauses always parse.
+    // column used post-FROM in a query whose subquery carries a
+    // window) promotes the token to a clause and fails ANALYSIS
+    // loudly — never silently — while real QUALIFY clauses always
+    // parse.
     val hasWindowCtx =
       marks0.exists(_.matched.equalsIgnoreCase("WINDOW")) ||
         "(?i)\\bOVER\\b\\s*[(A-Za-z_]".r.findAllMatchIn(text)
           .exists(m => !quoted(m.start))
-    val marks = marks0.filterNot(m =>
-      m.matched.equalsIgnoreCase("QUALIFY") && !hasWindowCtx)
+    val fromStart = marks0.find(_.matched.equalsIgnoreCase("FROM"))
+      .map(_.start).getOrElse(Int.MaxValue)
+    val marks = {
+      val kept = marks0.filterNot(m =>
+        m.matched.equalsIgnoreCase("QUALIFY") &&
+          (!hasWindowCtx || m.start < fromStart))
+      kept.zipWithIndex.filterNot { case (m, i) =>
+        m.matched.equalsIgnoreCase("QUALIFY") && {
+          val end = if (i + 1 < kept.length) kept(i + 1).start
+                    else text.length
+          text.substring(m.end, end).trim.isEmpty
+        }
+      }.map(_._1)
+    }
     require(marks.nonEmpty && marks.head.matched.equalsIgnoreCase("SELECT"),
       "query must start with SELECT")
     val sections = marks.zipWithIndex.map { case (m, i) =>

@@ -648,10 +648,12 @@ object Snapshots {
   //    interleaving is equivalent to the commit-order serial history —
   //    always committable, the Delta/Iceberg append rule;
   //  - DELETES (tombstone batches) read state: a delete decided
-  //    against snapshot `basedOn` conflicts with any tombstone on the
-  //    SAME key committed after `basedOn` (two writers both "deleted"
-  //    a key each thought live — last-writer-wins would silently
-  //    launder the stale read). Overlap ⇒ loud ConflictException
+  //    against snapshot `basedOn` conflicts with ANY write to the
+  //    same key committed after `basedOn` — a tombstone (two writers
+  //    both "deleted" a key each thought live) or a live row (an
+  //    upsert this delete never saw, which its younger tombstone
+  //    would silently erase). Either way last-writer-wins would
+  //    launder the stale read. Overlap ⇒ loud ConflictException
   //    (abort; staging cleaned); disjoint keys commute ⇒ commit.
   //
   // Readers are untouched: they trust only the log, so staging dirs
@@ -759,7 +761,7 @@ object Snapshots {
       promoteStaging(f, path, stage, id)
       commit(spark, path, prior :+
         Entry(id, isBase = false, stats = st, blooms = bl))
-      bumpOcStats(f, path, retries = waits.toLong, aborts = 0L)
+      bumpStatsAfterCommit(f, path, waits)
       OptimisticCommit(id, waits)
     } finally f.delete(new Path(path, Lock), false)
   }
@@ -789,22 +791,24 @@ object Snapshots {
 
   /** Optimistic tombstone delete: `keys` (just the key column) read
     * against head snapshot `basedOn`. Commits unless another writer
-    * tombstoned ANY of the same keys in a snapshot AFTER `basedOn` —
-    * that overlap is the write-write conflict snapshot isolation must
-    * refuse (both writers decided from reads that are now stale for
-    * those keys), and it aborts with [[ConflictException]] (staging
-    * cleaned, abort counted in [[ocStats]]). Disjoint concurrent
-    * deletes and any number of concurrent appends commute and commit.
+    * WROTE any of the same keys in a snapshot after `basedOn` —
+    * tombstone OR live row: a concurrent re-delete and a concurrent
+    * upsert/re-insert are equally write-write conflicts (this delete
+    * decided from a read that is now stale for those keys; committing
+    * it would make the younger tombstone silently erase the newer
+    * row, violating the snapshot-isolation claim). Overlap aborts
+    * with [[ConflictException]] (staging cleaned, abort counted in
+    * [[ocStats]]). Disjoint concurrent deletes and appends of OTHER
+    * keys commute and commit.
     *
-    * The overlap check joins the staged keys against the later
-    * tombstone batches' keys under the lock — delete batches are key
-    * lists (small by contract), but the check is still schema reads
-    * plus a Spark job, i.e. SECONDS on a loaded cluster, not
-    * microseconds. The default retry budgets (1200 × 50 ms = 60 s)
-    * are sized so a concurrent appender outwaits a slow conflict
-    * check instead of spuriously exhausting its retries; a pipeline
-    * with large delete batches should pre-shrink them (distinct keys)
-    * or raise the appenders' budgets. */
+    * Locking economics: the overlap check is schema reads plus a
+    * Spark join — SECONDS on a loaded cluster, not microseconds — so
+    * it runs in two phases. The bulk check runs UNLOCKED against the
+    * snapshots visible before acquisition; under the lock only
+    * commits that appeared since that pre-check are re-validated, so
+    * the critical section is O(new commits) (usually zero), and
+    * concurrent appenders' retry budgets (1200 × 50 ms = 60 s) are
+    * never eaten by a large delete batch. */
   def deleteOptimistic(keys: DataFrame, path: String, key: String,
                        basedOn: Long,
                        maxRetries: Int = 1200,
@@ -816,43 +820,78 @@ object Snapshots {
       .toString.replace("-", "")}"
     keys.withColumn(Tombstone, lit(true))
       .write.mode("overwrite").parquet(stage)
+    // keys written after basedOn in `es` (live rows AND tombstones)
+    // that overlap the staged delete batch — the write-write set
+    def overlapIn(es: Seq[Entry]): Array[String] = {
+      val laterKeys = es.flatMap { e =>
+        val d = spark.read.parquet(s"$path/snap=${e.id}")
+        if (d.columns.contains(key))
+          Some(d.select(col(key).cast("string").as("__k")))
+        else None
+      }
+      if (laterKeys.isEmpty) Array.empty
+      else {
+        val staged = spark.read.parquet(stage)
+          .select(col(key).cast("string").as("__k")).distinct()
+        laterKeys.reduce(_ union _).distinct()
+          .join(staged, "__k").limit(5)
+          .collect().map(_.getString(0))
+      }
+    }
+    def conflict(overlap: Array[String]): Nothing = {
+      f.delete(new Path(stage), true)
+      throw new ConflictException(
+        s"delete based on snapshot $basedOn conflicts with a newer " +
+          s"write (tombstone or upsert) on key(s) " +
+          s"${overlap.mkString(", ")} (committed after $basedOn at " +
+          s"$path); re-read the table and re-decide the delete")
+    }
+    // phase 1, UNLOCKED: validate against everything committed so far
+    val pre = entries(spark, path)
+    require(pre.exists(_.id == basedOn),
+      s"basedOn snapshot $basedOn was never committed " +
+        s"(committed: ${pre.map(_.id).mkString(",")})")
+    val preOverlap = overlapIn(pre.filter(_.id > basedOn))
+    if (preOverlap.nonEmpty) {
+      // abort without queueing for the commit lock beyond the stats
+      // bump (bumpOcStats' read-modify-write must stay serialized)
+      val w = acquireRetrying(f, path, maxRetries, backoffMs)
+      try bumpOcStats(f, path, retries = w.toLong, aborts = 1L)
+      finally f.delete(new Path(path, Lock), false)
+      conflict(preOverlap)
+    }
+    val preChecked = pre.map(_.id).toSet
+    // phase 2, LOCKED: only commits that landed since the pre-check
     val waits = acquireRetrying(f, path, maxRetries, backoffMs)
     try {
       val prior = entries(spark, path)
-      require(prior.exists(_.id == basedOn),
-        s"basedOn snapshot $basedOn was never committed " +
-          s"(committed: ${prior.map(_.id).mkString(",")})")
-      val later = prior.filter(_.id > basedOn)
-      val laterTombs = later.flatMap { e =>
-        val d = spark.read.parquet(s"$path/snap=${e.id}")
-        if (d.columns.contains(Tombstone) && d.columns.contains(key))
-          Some(d.filter(col(Tombstone)).select(col(key).cast("string")
-            .as("__k")))
-        else None
-      }
-      if (laterTombs.nonEmpty) {
-        val staged = spark.read.parquet(stage)
-          .select(col(key).cast("string").as("__k")).distinct()
-        val overlap = laterTombs.reduce(_ union _).distinct()
-          .join(staged, "__k").limit(5)
-          .collect().map(_.getString(0))
-        if (overlap.nonEmpty) {
-          bumpOcStats(f, path, retries = waits.toLong, aborts = 1L)
-          f.delete(new Path(stage), true)
-          throw new ConflictException(
-            s"delete based on snapshot $basedOn conflicts with a " +
-              s"newer tombstone on key(s) ${overlap.mkString(", ")} " +
-              s"(committed after $basedOn at $path); re-read the " +
-              "table and re-decide the delete")
-        }
+      val fresh = prior.filter(e => e.id > basedOn &&
+        !preChecked.contains(e.id))
+      val overlap = overlapIn(fresh)
+      if (overlap.nonEmpty) {
+        bumpOcStats(f, path, retries = waits.toLong, aborts = 1L)
+        conflict(overlap)
       }
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       promoteStaging(f, path, stage, id)
       commit(spark, path, prior :+ Entry(id, isBase = false))
-      bumpOcStats(f, path, retries = waits.toLong, aborts = 0L)
+      bumpStatsAfterCommit(f, path, waits)
       OptimisticCommit(id, waits)
     } finally f.delete(new Path(path, Lock), false)
   }
+
+  /** Post-commit counter bump: the commit has already succeeded, so a
+    * counter IO failure must NEVER surface as a commit error (the
+    * caller would retry and double-append). Log and swallow. */
+  private def bumpStatsAfterCommit(f: FileSystem, path: String,
+                                   waits: Int): Unit =
+    try bumpOcStats(f, path, retries = waits.toLong, aborts = 0L)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[snapshots] WARN: _OC_STATS update failed after a " +
+            s"successful commit at $path (counters undercount): $e")
+    }
 
   /** Reclaim staging dirs leaked by crashed optimistic writers. Only
     * safe when no writer is actively staging — enforced loosely by

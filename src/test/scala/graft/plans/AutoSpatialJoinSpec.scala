@@ -110,6 +110,39 @@ class AutoSpatialJoinSpec extends SpecBase {
     }
   }
 
+  test("incidental signum()=signum() equality still gets the rewrite") {
+    // the r17-advice false positive: the old guard treated ANY
+    // signum=signum conjunct as the rule's own cap-channel signature,
+    // so a user spatial join carrying an unrelated signum equality
+    // silently lost the blocked rewrite and ran as a cartesian. The
+    // precise guard matches signum over the sky_dist conjunct's OWN
+    // lat expressions only.
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AutoSpatialJoin
+    try {
+      val aP = aDf.withColumn("a_src", col("a_id") % 3 - 1)
+      val bP = bDf.withColumn("b_src", col("b_id") % 3 - 1)
+      val df = aP.crossJoin(bP).where(
+        skyDist(col("a_lon"), col("a_lat"),
+          col("b_lon"), col("b_lat")) <= 0.5 &&
+          signum(col("a_src")) === signum(col("b_src")))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"user signum equality suppressed the rewrite:\n${plan.take(2000)}")
+      assert(plan.contains("Generate explode") || plan.contains("Explode"))
+      val got = df.select("a_id", "b_id").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      val want = brute(0.5).filter { case (ai, bi) =>
+        math.signum((ai % 3 - 1).toDouble) ==
+          math.signum((bi % 3 - 1).toDouble)
+      }
+      assert(got == want, s"row mismatch (${got.size} vs ${want.size})")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == AutoSpatialJoin)
+    }
+  }
+
   test("property: repeated optimization stabilizes, never re-rewrites") {
     // The guard in AutoSpatialJoin.rewrite must prevent the rule from
     // re-matching its own output on LATER optimizer executes (cached

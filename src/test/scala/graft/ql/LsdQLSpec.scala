@@ -1244,6 +1244,37 @@ class LsdQLSpec extends SpecBase {
         s"_ID drifted under bounds for id ${r.getLong(0)}"))
   }
 
+  test("a select alias named `qualify` is not promoted to a clause") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // r17 advice: with window context present, `AS qualify` in the
+    // select list used to be promoted to a QUALIFY clause and fail
+    // analysis confusingly; the clause is post-FROM by grammar
+    val df = ql.query(
+      """SELECT o_orderkey, o_totalprice AS qualify,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin)
+    assert(df.columns.toSeq == Seq("o_orderkey", "qualify", "rn"))
+    assert(df.count() == 10)
+    // and a REAL QUALIFY clause in the same shape still works
+    val topk = ql.query(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 1
+        |ORDER BY o_custkey""".stripMargin)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val twin = db.table("orders")
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 1)
+      .select("o_custkey", "o_orderkey", "rn").orderBy("o_custkey")
+    assert(topk.collect().toSeq == twin.collect().toSeq)
+  }
+
   test("window over grouped output (OVER after GROUP BY)") {
     val df = ql.query(
       """SELECT o_custkey, count(*) AS cnt,

@@ -96,6 +96,83 @@ class SnapshotsConcurrencySpec extends SpecBase {
     assert(live == Seq(2L, 3L))
   }
 
+  test("stale delete vs concurrent UPSERT of the same key aborts") {
+    // the delete-vs-upsert write-write conflict: a key re-written
+    // after basedOn must not be silently erased by a younger
+    // tombstone whose writer never saw the new row (the round-17
+    // advice finding — conflict checks used to see only tombstones)
+    val path = freshPath()
+    Snapshots.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    val basedOn = Snapshots.head(spark, path).get
+    // concurrent writer re-upserts k=1 (new value) after basedOn
+    Snapshots.appendOptimistic(Seq((1L, "a2")).toDF("k", "v"), path)
+    val e = intercept[Snapshots.ConflictException] {
+      Snapshots.deleteOptimistic(Seq(1L).toDF("k"), path, "k", basedOn)
+    }
+    assert(e.getMessage.contains("tombstone or upsert"))
+    // the upserted row survived; the abort counted; log unchanged
+    val live = Snapshots.readMerged(spark, path, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(live.toSeq == Seq((1L, "a2"), (2L, "b")))
+    assert(Snapshots.ocStats(spark, path)._2 == 1L)
+    assert(Snapshots.committed(spark, path) == Seq(1L, 2L))
+    // re-decided against the new head, the delete commits
+    val head2 = Snapshots.head(spark, path).get
+    Snapshots.deleteOptimistic(Seq(1L).toDF("k"), path, "k", head2)
+    assert(Snapshots.readMerged(spark, path, "k")
+      .select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("large delete batch: conflict check pre-runs unlocked, appenders interleave") {
+    // the round-17 advice: the overlap check (a Spark join) must not
+    // sit inside the commit lock for the whole batch — phase 1 runs
+    // unlocked, the locked phase re-validates only commits that
+    // appeared since. Proof by interleaving: a LARGE delete and four
+    // tight-budget appenders all succeed concurrently; under the old
+    // single-phase layout the appenders' 3 s budgets would be eaten
+    // whenever the big check held the lock.
+    val path = freshPath()
+    Snapshots.upsert((1L to 200000L).map(k => (k, s"v$k"))
+      .toDF("k", "v"), path)
+    val basedOn = Snapshots.head(spark, path).get
+    // one earlier disjoint tombstone so the delete's phase-1 check
+    // has real later-snapshot work to do outside the lock
+    Snapshots.deleteOptimistic(Seq(200000L).toDF("k"), path, "k", basedOn)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val del = new Thread(() => {
+      try {
+        start.await()
+        Snapshots.deleteOptimistic(
+          (1L to 100000L).toDF("k"), path, "k", basedOn)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val appenders = (1 to 4).map { i =>
+      new Thread(() => {
+        try {
+          start.await()
+          Snapshots.appendOptimistic(
+            Seq((300000L + i, s"n$i")).toDF("k", "v"), path,
+            maxRetries = 200, backoffMs = 50) // 10 s budget: covers
+          // the locked RE-validation of the few fresh commits (tiny),
+          // nowhere near the full-batch check a single-phase layout
+          // would hold the lock for (tens of seconds at this size)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    (del +: appenders).foreach(_.start()); start.countDown()
+    (del +: appenders).foreach(_.join(180000))
+    assert(errs.isEmpty,
+      s"all writers must commit: ${errs.toArray(Array.empty[Throwable])
+        .map(_.getMessage).toSeq}")
+    // 1 base + 1 small delete + 1 big delete + 4 appends
+    assert(Snapshots.committed(spark, path).size == 7)
+    val n = Snapshots.readMerged(spark, path, "k").count()
+    // 200k - 1 (small delete) - 100k (big delete; includes no appended
+    // keys) + 4 appends
+    assert(n == 200000L - 1 - 100000 + 4, s"merged count $n")
+  }
+
   test("staging dirs are invisible to readers and reclaimable") {
     val path = freshPath()
     Snapshots.append(Seq(1).toDF("x"), path)
