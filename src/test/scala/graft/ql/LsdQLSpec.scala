@@ -1059,6 +1059,74 @@ class LsdQLSpec extends SpecBase {
     } finally spark.catalog.dropTempView("orders_prop")
   }
 
+  test("property: composed new grammar (derived/WINDOW/QUALIFY/_ID) agrees with Spark SQL") {
+    // round-17 grammar growth (derived tables in FROM, named WINDOW,
+    // QUALIFY, oracle-gated _ID) joins the clause-composition
+    // property: 40 seeded compositions, each checked against the
+    // equivalent Spark SQL text (QUALIFY — which Spark lacks —
+    // lowered to a wrapping WHERE in the twin; _ID to the declared
+    // key cast). This keeps the three quote-aware walkers honest as
+    // the surface grows.
+    db.table("orders").createOrReplaceTempView("orders_prop2")
+    try {
+      val rnd = new scala.util.Random(43)
+      val wheres = Seq(None, Some("o_totalprice > 120000"),
+        Some("o_custkey % 2 = 0"))
+      val winSpec =
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+      for (i <- 0 until 40) {
+        val w = wheres(rnd.nextInt(wheres.length))
+        val whereQl = w.map(" WHERE " + _).getOrElse("")
+        val shape = rnd.nextInt(4)
+        val (qlText, sqlText, ordered) = shape match {
+          case 0 => // derived table in FROM (+ optional outer WHERE)
+            val alias = if (rnd.nextBoolean()) "AS d" else "d"
+            (s"SELECT o_orderkey, tp FROM (SELECT o_orderkey, " +
+              s"o_totalprice * 2 AS tp FROM orders$whereQl) $alias " +
+              "WHERE tp > 100000 ORDER BY o_orderkey",
+              s"SELECT o_orderkey, tp FROM (SELECT o_orderkey, " +
+                s"o_totalprice * 2 AS tp FROM orders_prop2$whereQl) d " +
+                "WHERE tp > 100000 ORDER BY o_orderkey",
+              true)
+          case 1 => // named WINDOW, no QUALIFY
+            (s"SELECT o_custkey, o_orderkey, " +
+              "CAST(row_number() OVER w AS INT) AS rn FROM orders" +
+              s"$whereQl WINDOW w AS ($winSpec) ORDER BY o_custkey, rn",
+              s"SELECT o_custkey, o_orderkey, " +
+                "CAST(row_number() OVER w AS INT) AS rn FROM orders_prop2" +
+                s"$whereQl WINDOW w AS ($winSpec) ORDER BY o_custkey, rn",
+              true)
+          case 2 => // named WINDOW + QUALIFY (twin: wrapping WHERE)
+            val k = 1 + rnd.nextInt(3)
+            (s"SELECT o_custkey, o_orderkey, " +
+              "CAST(row_number() OVER w AS INT) AS rn FROM orders" +
+              s"$whereQl WINDOW w AS ($winSpec) QUALIFY rn <= $k " +
+              "ORDER BY o_custkey, rn",
+              s"SELECT * FROM (SELECT o_custkey, o_orderkey, " +
+                "CAST(row_number() OVER w AS INT) AS rn FROM orders_prop2" +
+                s"$whereQl WINDOW w AS ($winSpec)) " +
+                s"WHERE rn <= $k ORDER BY o_custkey, rn",
+              true)
+          case _ => // _ID mixed into select + predicate clauses
+            (s"SELECT o_orderkey, _ID FROM orders$whereQl" +
+              (if (w.isDefined) " AND" else " WHERE") +
+              " _ID % 5 = 0 ORDER BY _ID LIMIT 50",
+              s"SELECT o_orderkey, CAST(o_orderkey AS BIGINT) AS `_ID` " +
+                s"FROM orders_prop2$whereQl" +
+                (if (w.isDefined) " AND" else " WHERE") +
+                " o_orderkey % 5 = 0 ORDER BY `_ID` LIMIT 50",
+              true)
+        }
+        val got = ql.query(qlText).collect()
+        val want = spark.sql(sqlText).collect()
+        if (ordered)
+          assert(got.toSeq == want.toSeq, s"seed $i mismatch for: $qlText")
+        else
+          assert(got.toSet == want.toSet, s"seed $i mismatch for: $qlText")
+      }
+    } finally spark.catalog.dropTempView("orders_prop2")
+  }
+
   test("derived tables in FROM: inline subquery under an alias") {
     val df = ql.query(
       """SELECT o_orderkey, qualify FROM
