@@ -220,7 +220,10 @@ class PlanQualitySpec extends SpecBase {
   }
 
   test("q_bpe_train: corpus read once, rounds reuse the pair-agg exchange, top-1 is TakeOrdered") {
-    val df = PipelineOps.qBpeTrain.fn(spark, sfDir)
+    // the pin targets the TRAINING plan (what ensureBpeArtifact's
+    // build executes); qBpeTrain.fn itself now reads the materialized
+    // rule table — see the q_bpe_encode pin for the serve-side shape
+    val df = PipelineOps.bpeTrainFrame(spark, sfDir)
     df.collect() // finalize AQE: ReusedExchange only exists at runtime
     val plan = planOf(df)
     // the corpus parquet never appears: the word-frequency table is
@@ -254,12 +257,17 @@ class PlanQualitySpec extends SpecBase {
       "the 1-row rule joins must broadcast")
   }
 
-  test("q_bpe_vocab: no corpus re-read at all, top-50 is TakeOrdered") {
+  test("q_bpe_vocab: reads the trained artifact, never the corpus; top-50 is TakeOrdered") {
     val df = PipelineOps.qBpeVocab.fn(spark, sfDir)
     df.collect()
     val plan = planOf(df)
-    assert(!plan.contains("FileScan"),
-      "vocab runs entirely off the checkpointed word table")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // exactly one scan and it is the vocab artifact — the corpus
+    // parquet never appears (training amortized into ensureBpeArtifact)
+    assert("FileScan".r.findAllIn(finalPlan).size == 1 &&
+      finalPlan.contains("vocab.parquet") &&
+      !finalPlan.contains("documents.parquet"),
+      s"vocab must run off the trained artifact only:\n${finalPlan.take(3000)}")
     assert(plan.contains("TakeOrderedAndProject"),
       "top-50 must be TakeOrdered, not a full sort")
   }
