@@ -513,8 +513,15 @@ object Joins {
     * like the other write-once layouts. */
   def ensureSkyPartitionedCustomer(s: org.apache.spark.sql.SparkSession,
                                    dir: String): (String, Int) = synchronized {
-    val path = graft.sources.CacheKeys.path(
+    // the layout lives at `<cache-root>/customer_sky.parquet` — the
+    // `<dbRoot>/<table>.parquet` shape LsdDb resolves — so ONE
+    // write-once layout serves both the DataFrame footprint queries
+    // (path consumers) and the bounded-QL db root (ensureQlBoundsDb
+    // returns the parent); review r18 removed the byte-identical
+    // second copy the QL path used to build.
+    val root = graft.sources.CacheKeys.path(
       s"graft_customer_sky_l$skyLayoutLevel", s"$dir/customer.parquet")
+    val path = s"$root/customer_sky.parquet"
     if (!graft.sources.CacheKeys.isComplete(path)) {
       val c = skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey",
         "id", "lon", "lat")
@@ -583,23 +590,16 @@ object Joins {
       .orderBy("id")
   }
 
-  /** Write-once DB ROOT holding the customer sky layout under a TABLE
-    * name (`<root>/customer_sky.parquet`) — the directory shape
-    * LsdQL's table resolution expects, so bounded QL queries exercise
-    * the real `query(text, bounds)` path end-to-end (sidecar lookup →
-    * cell enumeration → PartitionFilters). Content-fingerprint keyed
-    * like the other write-once layouts. */
+  /** DB ROOT holding the shared customer sky layout under a TABLE
+    * name — the directory shape LsdQL's table resolution expects, so
+    * bounded QL queries exercise the real `query(text, bounds)` path
+    * end-to-end (sidecar lookup → cell enumeration →
+    * PartitionFilters). Reuses [[ensureSkyPartitionedCustomer]]'s
+    * write-once layout (its parent IS the db root) — no second copy. */
   def ensureQlBoundsDb(s: org.apache.spark.sql.SparkSession,
-                       dir: String): String = synchronized {
-    val root = graft.sources.CacheKeys.path(
-      s"graft_ql_bounds_db_l$skyLayoutLevel", s"$dir/customer.parquet")
-    val path = s"$root/customer_sky.parquet"
-    if (!graft.sources.CacheKeys.isComplete(path)) {
-      val c = skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey",
-        "id", "lon", "lat")
-      graft.sources.SpatialWriter.write(c, "lon", "lat", skyLayoutLevel, path)
-    }
-    root
+                       dir: String): String = {
+    val (path, _) = ensureSkyPartitionedCustomer(s, dir)
+    new java.io.File(path).getParent
   }
 
   /** Off-grid center/radius for the bounded-QL cone, distinct from

@@ -1879,13 +1879,17 @@ object PipelineOps {
     * PlanQualitySpec pins (corpus read once via the checkpoint,
     * top-1 TakeOrdered per round, pair-agg exchanges reused between
     * the rules branch and the w-chain). */
-  private[graft] def bpeTrainFrame(s: SparkSession, dir: String): DataFrame = {
-    val (rules, _) = bpeChain(s, dir)
+  /** (merge_round, lhs, rhs, pair_count) from [[bpeChain]]'s per-round
+    * rule frames — the ONE projection both the spec-pinned training
+    * plan and the artifact build share. */
+  private def rulesFrame(rules: Seq[DataFrame]): DataFrame =
     rules.zipWithIndex.map { case (best, i) =>
       best.select(lit(i + 1).as("merge_round"), col("l").as("lhs"),
         col("r").as("rhs"), col("c").as("pair_count"))
     }.reduce(_.unionAll(_)).orderBy("merge_round")
-  }
+
+  private[graft] def bpeTrainFrame(s: SparkSession, dir: String): DataFrame =
+    rulesFrame(bpeChain(s, dir)._1)
 
   /** Write-once TRAINED-TOKENIZER artifact — the AnnIndex pattern
     * applied to the BPE family: the merge-rule table (8 rows) and the
@@ -1911,10 +1915,7 @@ object PipelineOps {
         // one bpeChain evaluation feeds both writes (the rules frames
         // and the vocab chain hang off the same checkpointed w0)
         val (rules, vocab) = bpeChain(s, dir)
-        rules.zipWithIndex.map { case (best, i) =>
-          best.select(lit(i + 1).as("merge_round"), col("l").as("lhs"),
-            col("r").as("rhs"), col("c").as("pair_count"))
-        }.reduce(_.unionAll(_)).orderBy("merge_round")
+        rulesFrame(rules)
           .coalesce(1).write.mode("overwrite").parquet(rulesPath)
         vocab.coalesce(1).write.mode("overwrite").parquet(vocabPath)
       }

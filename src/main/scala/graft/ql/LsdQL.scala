@@ -497,9 +497,41 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // and the full WHERE still applies below, so this is purely a
     // scan-set optimization.
     val headTable = fromItems.head.table
+    // _ID detection text (also needed by the bounds gate below): see
+    // the _ID attachment comment for why derived BODIES are excluded
+    val idScanText = (selectList ++ whereOpt ++ groupOpt ++ havingOpt ++
+      windowOpt ++ qualifyOpt ++ orderOpt0).mkString(" ")
+    // Query-time bounds: when this SELECT drives from a spatial-
+    // capable base table, (a) a SpatialWriter layout is swapped for
+    // the cell-directory-pruned read (bounds∩quadtree as
+    // PartitionFilters) and (b) the exact predicate refines. (b) is
+    // DEFERRED until after the `_ID` attachment below: cell pruning
+    // drops whole cells, so per-cell row_numbers (hence `_ID`) match
+    // the unbounded query's; a pre-_ID row filter would renumber.
+    //
+    // _ID-level guard: whole-LAYOUT-cell pruning only preserves
+    // packed ids when every IdSpec-level _ID cell is entirely kept or
+    // dropped — i.e. idSpec.level >= layout level (finer id cells
+    // nest inside layout cells). A COARSER IdSpec with `_ID` in the
+    // query falls back to the predicate-only path (no directory
+    // pruning) instead of silently renumbering (review r18).
+    val boundLayout: Option[(String, String, Int)] =
+      if (bctx.isEmpty || fullScope.contains(headTable) ||
+          asOfByTable.contains(headTable)) None
+      else db.spatialMeta(headTable).filter { case (_, _, lvl) =>
+        !referencesId(idScanText) ||
+          idSpecs.get(headTable).forall(_.level >= lvl)
+      }
+    var boundPred: Option[org.apache.spark.sql.Column] = None
     var df = fullScope.get(headTable) match {
       case Some(cte) => cte // logical alias: Catalyst pushes the WHERE
                             // into/through the CTE's own plan
+      case None if boundLayout.isDefined =>
+        val (lonC, latC, level) = boundLayout.get
+        val bc = bctx.get
+        boundPred = Some(bc.b.predicate(col(lonC), col(latC)))
+        bc.applied.incrementAndGet()
+        db.tableFootprint(headTable, bc.b.cells(level))
       case None =>
         val headCols = db.prunableCols(headTable)
         val headIn = whereOpt.flatMap(w => LsdQL.extractInList(w, headCols))
@@ -511,30 +543,13 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             db.table(headTable, asOfByTable.get(headTable), headPrune)
         }
     }
-    // Query-time bounds: when this SELECT drives from a spatial-
-    // capable base table, (a) a SpatialWriter layout is swapped for
-    // the cell-directory-pruned read (bounds∩quadtree as
-    // PartitionFilters) and (b) the exact predicate refines. (b) is
-    // DEFERRED until after the `_ID` attachment below: cell pruning
-    // drops whole cells, so per-cell row_numbers (hence `_ID`) match
-    // the unbounded query's; a pre-_ID row filter would renumber.
-    var boundPred: Option[org.apache.spark.sql.Column] = None
-    for (bc <- bctx if fullScope.get(headTable).isEmpty) {
-      db.spatialMeta(headTable) match {
-        case Some((lonC, latC, level))
-            if asOfByTable.get(headTable).isEmpty =>
-          df = db.tableFootprint(headTable, bc.b.cells(level))
-          boundPred = Some(bc.b.predicate(col(lonC), col(latC)))
-          bc.applied.incrementAndGet()
-        case _ => idSpecs.get(headTable) match {
-          case Some(spec) =>
-            boundPred =
-              Some(bc.b.predicate(col(spec.lonCol), col(spec.latCol)))
-            bc.applied.incrementAndGet()
-          case None => () // not spatial-capable — this SELECT unbounded
-        }
+    // predicate-only bound for spatial tables without a (usable)
+    // layout: IdSpec names the coordinate columns
+    for (bc <- bctx if boundPred.isEmpty && fullScope.get(headTable).isEmpty)
+      idSpecs.get(headTable).foreach { spec =>
+        boundPred = Some(bc.b.predicate(col(spec.lonCol), col(spec.latCol)))
+        bc.applied.incrementAndGet()
       }
-    }
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
     // reference's per-table ids): packed SkyPix id for tables with a
@@ -545,9 +560,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // _ID detection must not scan derived-table BODIES: an inner
     // `_ID` resolves inside its own evalQuery; matching it here would
     // try to attach _ID to the derived ALIAS and throw. Scan only the
-    // sections where an outer _ID reference can live.
-    val idScanText = (selectList ++ whereOpt ++ groupOpt ++ havingOpt ++
-      windowOpt ++ qualifyOpt ++ orderOpt0).mkString(" ")
+    // sections where an outer _ID reference can live (idScanText is
+    // hoisted above the bounds gate, which also consults it).
     if (referencesId(idScanText)) {
       val base = fromItems.head.table
       df = idSpecs.get(base) match {

@@ -214,10 +214,27 @@ object Snapshots {
         }.mkString
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally o.close()
-    if (f.exists(new Path(path, CommitLog)))
-      f.delete(new Path(path, CommitLog), false)
-    require(f.rename(tmp, new Path(path, CommitLog)),
-      "commit-log rename failed")
+    // ATOMIC replace, not delete-then-rename: the log is read
+    // UNLOCKED by every reader and by deleteOptimistic's phase-1
+    // validation, so a window where _COMMITS does not exist would
+    // make a concurrent entries() see an empty table mid-commit
+    // (review r18: a valid delete could spuriously fail 'basedOn was
+    // never committed'). Local paths go through POSIX rename(2)
+    // (java.nio ATOMIC_MOVE — Hadoop's local FileSystem/FileContext
+    // refuse to overwrite); remote filesystems through FileContext's
+    // OVERWRITE rename (HDFS implements it atomically).
+    val dst = new Path(path, CommitLog)
+    if (dst.toUri.getScheme == null || dst.toUri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Per-column [min, max] of the WRITTEN snapshot directory — the
@@ -853,11 +870,18 @@ object Snapshots {
         s"(committed: ${pre.map(_.id).mkString(",")})")
     val preOverlap = overlapIn(pre.filter(_.id > basedOn))
     if (preOverlap.nonEmpty) {
-      // abort without queueing for the commit lock beyond the stats
-      // bump (bumpOcStats' read-modify-write must stay serialized)
-      val w = acquireRetrying(f, path, maxRetries, backoffMs)
-      try bumpOcStats(f, path, retries = w.toLong, aborts = 1L)
-      finally f.delete(new Path(path, Lock), false)
+      // BEST-EFFORT stats bump: the retryable ConflictException is the
+      // caller contract and must never be masked by lock contention or
+      // counter IO (review r18) — a short lock budget, everything
+      // swallowed (counters are monitoring, undercounting is fine)
+      try {
+        val w = acquireRetrying(f, path, maxRetries = 100, backoffMs)
+        try bumpOcStats(f, path, retries = w.toLong, aborts = 1L)
+        finally f.delete(new Path(path, Lock), false)
+      } catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[snapshots] WARN: abort-counter bump skipped at $path: $e")
+      }
       conflict(preOverlap)
     }
     val preChecked = pre.map(_.id).toSet
@@ -869,7 +893,12 @@ object Snapshots {
         !preChecked.contains(e.id))
       val overlap = overlapIn(fresh)
       if (overlap.nonEmpty) {
-        bumpOcStats(f, path, retries = waits.toLong, aborts = 1L)
+        // same masking rule: counter IO must not replace the abort
+        try bumpOcStats(f, path, retries = waits.toLong, aborts = 1L)
+        catch {
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[snapshots] WARN: abort-counter bump skipped at $path: $e")
+        }
         conflict(overlap)
       }
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1

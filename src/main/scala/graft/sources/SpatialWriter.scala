@@ -44,6 +44,23 @@ object SpatialWriter {
     * name, so Spark's file index ignores it like _SUCCESS. */
   private val SpatialMetaFile = "_SPATIAL"
 
+  /** An APPEND with different spatial metadata would leave mixed cell
+    * levels on disk behind a sidecar recording only the last — a
+    * later bounded read would enumerate cells at the wrong level and
+    * silently drop the other rows. Refuse BEFORE any data lands, like
+    * requireMargin. */
+  private def requireAppendCompatible(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      lonCol: String, latCol: String, level: Int, mode: SaveMode): Unit =
+    if (mode == SaveMode.Append) spatialMeta(spark, path).foreach {
+      case (lo, la, lv) => require(
+        lo == lonCol && la == latCol && lv == level,
+        s"appending to $path with spatial layout ($lonCol, $latCol, " +
+          s"level=$level) but it was written with ($lo, $la, " +
+          s"level=$lv) — mixed cell keys would make bounded reads " +
+          "silently drop rows; rewrite the layout instead")
+    }
+
   private def writeSpatialMeta(spark: org.apache.spark.sql.SparkSession,
                                path: String, lonCol: String, latCol: String,
                                level: Int): Unit = {
@@ -153,6 +170,8 @@ object SpatialWriter {
   def write(df: DataFrame, lonCol: String, latCol: String, level: Int,
             path: String, margin: Option[Double] = None,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
+    requireAppendCompatible(df.sparkSession, path, lonCol, latCol, level,
+      mode)
     withCellColumns(df, lonCol, latCol, level, margin)
       .repartition(col("cell"))
       .sortWithinPartitions(latCol, lonCol)
@@ -176,6 +195,8 @@ object SpatialWriter {
                      level: Int, path: String,
                      margin: Option[Double] = None, numFiles: Int = 32,
                      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    requireAppendCompatible(df.sparkSession, path, lonCol, latCol, level,
+      mode)
     withCellColumns(df, lonCol, latCol, level, margin)
       .repartitionByRange(numFiles, col("cell"))
       .sortWithinPartitions(col("cell"), col(latCol), col(lonCol))

@@ -240,21 +240,23 @@ class PlanQualitySpec extends SpecBase {
       "the 1-row rule join must broadcast")
   }
 
-  test("q_bpe_encode: corpus side is map-only — one FileScan, rules broadcast, partial agg") {
+  test("q_bpe_encode: corpus side is join-free map-only — one FileScan, partial agg") {
     val df = PipelineOps.qBpeEncode.fn(spark, sfDir)
     df.collect()
     val plan = planOf(df)
-    // exactly one corpus read: the encode stream (the vocab chain runs
-    // off the checkpoint and must not re-read parquet); count in the
-    // FINAL plan only — AQE's toString repeats the tree as
-    // "== Initial Plan ==" below it
+    // exactly one corpus read: the encode stream (rules fold in as
+    // LITERALS off the trained artifact); count in the FINAL plan
+    // only — AQE's toString repeats the tree as "== Initial Plan =="
     val finalPlan = plan.split("== Initial Plan ==")(0)
     assert("FileScan".r.findAllIn(finalPlan).size == 1,
       s"expected exactly 1 FileScan:\n${finalPlan.take(3000)}")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       "per-doc counts must partial-aggregate map-side")
-    assert(!plan.contains("CartesianProduct"),
-      "the 1-row rule joins must broadcast")
+    // the serve side must stay JOIN-FREE: a regression reintroducing
+    // per-round rule joins (broadcast or otherwise) re-couples every
+    // corpus pass to training
+    assert(!finalPlan.contains("Join"),
+      s"literal-rule encode must plan no joins:\n${finalPlan.take(3000)}")
   }
 
   test("q_bpe_vocab: reads the trained artifact, never the corpus; top-50 is TakeOrdered") {

@@ -1312,6 +1312,47 @@ class LsdQLSpec extends SpecBase {
         s"_ID drifted under bounds for id ${r.getLong(0)}"))
   }
 
+  test("bounds + COARSE IdSpec: directory pruning skipped, _ID stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.spatial.Bounds
+    // layout cells FINER than the IdSpec's _ID cells: whole-layout-
+    // cell pruning would split an _ID cell and renumber its rows —
+    // the guard must fall back to the predicate-only path (review
+    // r18; the safe direction idLevel >= layoutLevel is covered by
+    // the other bounds+_ID test)
+    val tmp = Files.createTempDirectory("graft_ql_coarse").toString
+    val rnd = new scala.util.Random(13)
+    val cat = (0L until 600L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))))
+      .toDF("obj_id", "lon", "lat")
+    graft.sources.SpatialWriter.write(
+      cat, "lon", "lat", level = 6, s"$tmp/sky.parquet")
+    val ql2 = LsdQL(LsdDb(spark, tmp), Nil,
+      idSpecs = Map("sky" -> IdSpec("lon", "lat", "obj_id", level = 4)))
+    val unbounded = ql2.query("SELECT obj_id, _ID FROM sky ORDER BY obj_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bounded = ql2.query(
+      "SELECT obj_id, _ID FROM sky ORDER BY obj_id",
+      Bounds.Rect(0.0, 90.0, -60.0, 60.0))
+    val rows = bounded.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(unbounded(r.getLong(0)) == r.getLong(1),
+      s"_ID drifted under bounds for obj ${r.getLong(0)}"))
+    // and the fallback really skipped directory pruning (no cell
+    // PartitionFilters — the whole table is scanned, then filtered)
+    assert(!bounded.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [cell"),
+      "coarse-IdSpec bound must not prune cells")
+    // a bounded query WITHOUT _ID on the same table still prunes
+    val pruned = ql2.query("SELECT obj_id FROM sky ORDER BY obj_id",
+      Bounds.Rect(0.0, 90.0, -60.0, 60.0))
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [cell"))
+    assert(pruned.collect().map(_.getLong(0)).toSeq ==
+      rows.map(_.getLong(0)).toSeq)
+  }
+
   test("a select alias named `qualify` is not promoted to a clause") {
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window

@@ -74,6 +74,32 @@ class SpatialWriterSpec extends SpecBase {
     assert(inStrip == replicas)
   }
 
+  test("append with mismatched spatial metadata refuses before writing") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sw_append").toString + "/t.parquet"
+    val cat = (0L until 100L).map(i => (i, i * 3.6 % 360, 0.0))
+      .toDF("id", "lon", "lat")
+    SpatialWriter.write(cat, "lon", "lat", level = 4, path)
+    // same metadata appends fine
+    SpatialWriter.write(cat, "lon", "lat", level = 4, path,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(SpatialWriter.readPrimary(spark, path).count() == 200)
+    // a DIFFERENT level must refuse (mixed cell keys would make
+    // bounded reads silently drop rows) — and refuse BEFORE any data
+    // lands, so the row count is unchanged
+    val e = intercept[IllegalArgumentException] {
+      SpatialWriter.write(cat, "lon", "lat", level = 6, path,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e.getMessage.contains("level=6") &&
+      e.getMessage.contains("level=4"))
+    assert(SpatialWriter.readPrimary(spark, path).count() == 200)
+    // sidecar still records the original level
+    assert(SpatialWriter.spatialMeta(spark, path)
+      .contains(("lon", "lat", 4)))
+  }
+
   test("clustered write: plain parquet, no cell dirs, bounded file count") {
     val path = Files.createTempDirectory("graft_swc").toString + "/cat"
     SpatialWriter.writeClustered(cat, "lon", "lat", level = 6, path = path,
