@@ -112,6 +112,37 @@ final case class LsdDb(spark: SparkSession, root: String) {
       .filter(org.apache.spark.sql.functions.col("cell").isin(cells: _*)))
   }
 
+  /** (tsCol, granularity) when `name` is a TimeWriter layout with the
+    * `_TEMPORAL` sidecar — what a time-bounded read resolves through
+    * ([[tableTimeFootprint]], LsdQL time bounds). */
+  def temporalMeta(name: String): Option[(String, String)] =
+    graft.sources.TimeWriter.temporalMeta(spark, s"$root/$name.parquet")
+
+  /** Time-bounded read of a TimeWriter bucket-partitioned table: only
+    * the `t_bucket=` directories that can hold [fromIncl, toExcl) are
+    * scanned (PartitionFilters — the temporal half of bounds pruning),
+    * then the same layout-column strip + ts normalization as
+    * [[table]]. Advisory: the caller's exact ts predicate must still
+    * apply below (the directory bound is bucket-granular). */
+  def tableTimeFootprint(name: String, fromIncl: String,
+                         toExcl: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, date_trunc, lit,
+      to_timestamp}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$root/$name.parquet"
+    val (_, gran) = temporalMeta(name).getOrElse(throw
+      new IllegalArgumentException(s"table '$name' is not a TimeWriter " +
+        "layout (no _TEMPORAL sidecar); time-bounded reads need the " +
+        "bucket directories"))
+    val from = to_timestamp(lit(fromIncl))
+    val to = to_timestamp(lit(toExcl))
+    // upper bound INCLUSIVE of toExcl's own bucket (a non-aligned
+    // toExcl still has rows in it); the caller's exact filter refines
+    postProcess(spark.read.parquet(path)
+      .filter(col("t_bucket") >= date_trunc(gran, from).cast("date") &&
+        col("t_bucket") <= date_trunc(gran, to).cast("date")))
+  }
+
   /** Shared table resolution: snapshot tables go through `snapRead`
     * (the commit log is the truth — a raw recursive parquet read
     * would double-count bases plus the appends they fold and see
@@ -145,11 +176,15 @@ final case class LsdDb(spark: SparkSession, root: String) {
     // layout columns off — so `SELECT *` round-trips the original
     // result schema. Footprint-pruned access goes through
     // SpatialWriter.readPrimary/readWithMargins, which keep them.
-    val df =
+    val df0 =
       if (raw.columns.contains("is_margin") && raw.columns.contains("cell"))
         raw.filter(!org.apache.spark.sql.functions.col("is_margin"))
           .drop("is_margin", "cell")
       else raw
+    // t_bucket is TimeWriter's layout-only partition column (a
+    // reserved name, like cell/is_margin): the TABLE view hides it
+    val df =
+      if (df0.columns.contains("t_bucket")) df0.drop("t_bucket") else df0
     val withTs =
       df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
         case Some(_) =>

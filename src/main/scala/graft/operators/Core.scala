@@ -50,8 +50,12 @@ object Core {
     * one materialization serves every Verify/Bench run in a JVM. */
   def ensureTimePartitionedEvents(s: org.apache.spark.sql.SparkSession,
                                   dir: String): String = synchronized {
-    val path = graft.sources.CacheKeys.path(
+    // leaf named `<root>/events_daily.parquet` — the db-root/table
+    // shape LsdDb resolves, so time-BOUNDED QL queries share this one
+    // write-once layout (the ensureQlBoundsDb pattern)
+    val root = graft.sources.CacheKeys.path(
       "graft_events_daily", s"$dir/events.parquet")
+    val path = s"$root/events_daily.parquet"
     if (!graft.sources.CacheKeys.isComplete(path))
       graft.sources.TimeWriter.write(LsdDb.table(s, dir, "events"), "ts",
         "day", path)
@@ -76,6 +80,35 @@ object Core {
       "2024-01-10 00:00:00", "2024-01-15 00:00:00")
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
+  }
+
+  /** SC2g/QL — TIME-INTERVAL BOUNDS AT THE QL SURFACE: the temporal
+    * half of the reference's (space, time) bounds pairs as a query
+    * ARGUMENT (`db.query(q, bounds=(..., interval))`; ref
+    * `lsd/bounds.py`, UNVERIFIED). The QL text carries NO time
+    * predicate — the half-open interval arrives as a
+    * [[graft.spatial.TimeInterval]], the evaluator prunes the
+    * layout's `t_bucket=` directories (PartitionFilters, pinned in
+    * PlanQualitySpec) and refines with the exact predicate. Interval
+    * edges are deliberately NON-midnight-aligned, so the
+    * bucket-inclusive upper directory bound is exercised. Oracle
+    * recomputes membership from the raw events table — the bound's
+    * semantics are hash-checked; pruning is invisible. */
+  val qQlBoundsTime: QuerySpec = QuerySpec(
+    "q_ql_bounds_time",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-06 09:30:00'
+      |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-21 18:15:00'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val path = ensureTimePartitionedEvents(s, dir)
+    val root = new java.io.File(path).getParent
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil)
+    ql.query(
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events_daily ORDER BY event_id""".stripMargin,
+      graft.spatial.TimeInterval("2024-01-06 09:30:00",
+        "2024-01-21 18:15:00"))
   }
 
   /** Write-once Z-order clustered lineitem layout on (l_orderkey,
@@ -854,7 +887,7 @@ object Core {
   }
 
   def specs: Seq[QuerySpec] = Seq(qScan, qPrunedScan, qPartitionPrune,
-    qZorderBox,
+    qQlBoundsTime, qZorderBox,
     qImportCsv, qImportFits, qImportFitsScaled, qImportFitsVla,
     qImportOrc, qImportJson, qTimeTravel,
     qSnapshotDelta, qIncrementalAgg, qSnapshotMerge, qSnapshotPrune,

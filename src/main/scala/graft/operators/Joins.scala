@@ -640,6 +640,26 @@ object Joins {
       graft.spatial.Bounds.Cone(qlbLon, qlbLat, qlbR))
   }
 
+  /** SC2f2/QL — RECT bound at the QL surface, WRAPPING through lon=0:
+    * the Bounds.Rect lowering (wraparound-aware cell enumeration +
+    * exact disjunction predicate) under the oracle, next to the cone
+    * form. Off-grid edges per the footprint-family discipline. */
+  val qQlBoundsRect: QuerySpec = QuerySpec(
+    "q_ql_bounds_rect",
+    """WITH c AS (SELECT c_custkey AS id,
+      |    CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+      |    CAST(c_custkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+      |  FROM customer)
+      |SELECT id, lon, lat FROM c
+      |WHERE (lon >= 355.0011 OR lon <= 15.0022)
+      |  AND lat >= -10.0033 AND lat <= 20.0044
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val root = ensureQlBoundsDb(s, dir)
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil)
+    ql.query("SELECT id, lon, lat FROM customer_sky ORDER BY id",
+      graft.spatial.Bounds.Rect(355.0011, 15.0022, -10.0033, 20.0044))
+  }
+
   /** SC2e — rectangle footprint WRAPPING through lon=0 (the case that
     * breaks naive BETWEEN filters): pure comparisons on exact doubles,
     * wraparound handled by Footprint.rect's disjunction; bounds use
@@ -1148,5 +1168,5 @@ object Joins {
     qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchOuter,
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
-    qQlBounds)
+    qQlBounds, qQlBoundsRect)
 }

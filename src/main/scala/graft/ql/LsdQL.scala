@@ -120,7 +120,9 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
                        intoRoot: Option[String] = None,
                        idSpecs: Map[String, IdSpec] = Map.empty,
                        idKeys: Map[String, String] = LsdQL.standardIdKeys,
-                       spatialJoins: Seq[SpatialJoinDef] = Nil) {
+                       spatialJoins: Seq[SpatialJoinDef] = Nil,
+                       timeKeys: Map[String, String] =
+                         LsdQL.standardTimeKeys) {
 
   private case class FromItem(table: String, outer: Boolean,
                               asOf: Option[Long] = None)
@@ -165,19 +167,49 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * row_numbers — and therefore packed `_ID`s — are identical to the
     * unbounded query's for every surviving row (the exact predicate
     * is applied after `_ID` attachment for the same reason). */
-  def query(q: String, bounds: graft.spatial.Bounds): DataFrame = {
-    val ctx = new BoundCtx(bounds)
+  def query(q: String, bounds: graft.spatial.Bounds): DataFrame =
+    boundedQuery(q, Some(bounds), None)
+
+  /** [[query]] with a TIME-INTERVAL bound — the temporal half of the
+    * reference's (space, time) bounds pairs: against a TimeWriter
+    * layout the bucket range prunes `t_bucket=` directories
+    * (PartitionFilters) and the exact half-open predicate refines;
+    * a plain table with a declared time column (`timeKeys`) gets the
+    * predicate only. Same `_ID` discipline as spatial bounds: for
+    * IdSpec tables referencing `_ID`, bucket pruning is skipped
+    * (buckets split sky cells) and only the deferred predicate
+    * applies, so packed ids never renumber. */
+  def query(q: String, time: graft.spatial.TimeInterval): DataFrame =
+    boundedQuery(q, None, Some(time))
+
+  /** Space AND time bound together — the reference's full bounds
+    * pair. Each aspect lowers independently (at most one layout read
+    * path drives the scan; the other refines as a predicate). */
+  def query(q: String, bounds: graft.spatial.Bounds,
+            time: graft.spatial.TimeInterval): DataFrame =
+    boundedQuery(q, Some(bounds), Some(time))
+
+  private def boundedQuery(q: String, space: Option[graft.spatial.Bounds],
+                           time: Option[graft.spatial.TimeInterval])
+      : DataFrame = {
+    val ctx = new BoundCtx(space, time)
     val df = evalQuery(q, Map.empty, Some(ctx))
-    require(ctx.applied.get > 0,
+    space.foreach(_ => require(ctx.spaceApplied.get > 0,
       "bounds did not apply: no SELECT in the query drives from a " +
         "spatial table (SpatialWriter layout with a _SPATIAL sidecar, " +
-        "or a table with a registered IdSpec)")
+        "or a table with a registered IdSpec)"))
+    time.foreach(_ => require(ctx.timeApplied.get > 0,
+      "time bound did not apply: no SELECT in the query drives from a " +
+        "table with a TimeWriter layout (_TEMPORAL sidecar) or a " +
+        "declared time column (timeKeys)"))
     df
   }
 
-  /** Threaded bound + how many SELECTs it actually restricted. */
-  private final class BoundCtx(val b: graft.spatial.Bounds) {
-    val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Threaded bounds + how many SELECTs each aspect restricted. */
+  private final class BoundCtx(val space: Option[graft.spatial.Bounds],
+                               val time: Option[graft.spatial.TimeInterval]) {
+    val spaceApplied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val timeApplied = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
   /** One query at a given CTE scope: peel the WITH prefix (each body
@@ -515,23 +547,42 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     // nest inside layout cells). A COARSER IdSpec with `_ID` in the
     // query falls back to the predicate-only path (no directory
     // pruning) instead of silently renumbering (review r18).
+    val headIsCte = fullScope.contains(headTable)
+    val spaceB = bctx.flatMap(_.space)
+    val timeB = bctx.flatMap(_.time)
     val boundLayout: Option[(String, String, Int)] =
-      if (bctx.isEmpty || fullScope.contains(headTable) ||
+      if (spaceB.isEmpty || headIsCte ||
           asOfByTable.contains(headTable)) None
       else db.spatialMeta(headTable).filter { case (_, _, lvl) =>
         !referencesId(idScanText) ||
           idSpecs.get(headTable).forall(_.level >= lvl)
       }
+    val tMeta: Option[(String, String)] =
+      if (timeB.isEmpty || headIsCte || asOfByTable.contains(headTable))
+        None
+      else db.temporalMeta(headTable)
+    // time-bucket pruning drops rows mid-sky-cell, so it is unusable
+    // whenever a packed `_ID` could renumber; and only ONE layout
+    // read path drives the scan (spatial wins; time refines by
+    // predicate then)
+    val timeLayoutUsable = tMeta.isDefined && boundLayout.isEmpty &&
+      !(referencesId(idScanText) && idSpecs.contains(headTable))
     var boundPred: Option[org.apache.spark.sql.Column] = None
+    def addPred(p: org.apache.spark.sql.Column): Unit =
+      boundPred = Some(boundPred.map(_ && p).getOrElse(p))
     var df = fullScope.get(headTable) match {
       case Some(cte) => cte // logical alias: Catalyst pushes the WHERE
                             // into/through the CTE's own plan
       case None if boundLayout.isDefined =>
         val (lonC, latC, level) = boundLayout.get
-        val bc = bctx.get
-        boundPred = Some(bc.b.predicate(col(lonC), col(latC)))
-        bc.applied.incrementAndGet()
-        db.tableFootprint(headTable, bc.b.cells(level))
+        addPred(spaceB.get.predicate(col(lonC), col(latC)))
+        bctx.get.spaceApplied.incrementAndGet()
+        db.tableFootprint(headTable, spaceB.get.cells(level))
+      case None if timeLayoutUsable =>
+        addPred(timeB.get.predicate(col(tMeta.get._1)))
+        bctx.get.timeApplied.incrementAndGet()
+        db.tableTimeFootprint(headTable, timeB.get.fromIncl,
+          timeB.get.toExcl)
       case None =>
         val headCols = db.prunableCols(headTable)
         val headIn = whereOpt.flatMap(w => LsdQL.extractInList(w, headCols))
@@ -543,13 +594,22 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             db.table(headTable, asOfByTable.get(headTable), headPrune)
         }
     }
-    // predicate-only bound for spatial tables without a (usable)
-    // layout: IdSpec names the coordinate columns
-    for (bc <- bctx if boundPred.isEmpty && fullScope.get(headTable).isEmpty)
-      idSpecs.get(headTable).foreach { spec =>
-        boundPred = Some(bc.b.predicate(col(spec.lonCol), col(spec.latCol)))
-        bc.applied.incrementAndGet()
-      }
+    // predicate-only fallbacks for aspects without a (usable) layout:
+    // IdSpec names the coordinate columns; the _TEMPORAL sidecar or
+    // the declared timeKeys entry names the time column
+    for (bc <- bctx if !headIsCte) {
+      if (bc.space.isDefined && boundLayout.isEmpty)
+        idSpecs.get(headTable).foreach { spec =>
+          addPred(bc.space.get.predicate(
+            col(spec.lonCol), col(spec.latCol)))
+          bc.spaceApplied.incrementAndGet()
+        }
+      if (bc.time.isDefined && !timeLayoutUsable)
+        tMeta.map(_._1).orElse(timeKeys.get(headTable)).foreach { c =>
+          addPred(bc.time.get.predicate(col(c)))
+          bc.timeApplied.incrementAndGet()
+        }
+    }
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
     // reference's per-table ids): packed SkyPix id for tables with a
@@ -1018,6 +1078,12 @@ object LsdQL {
     "part" -> "p_partkey", "orders" -> "o_orderkey",
     "events" -> "event_id", "documents" -> "doc_id",
     "embeddings" -> "vec_id")
+
+  /** Declared time columns for the standard test schema — what a
+    * TIME-bounded query filters on when the table has no TimeWriter
+    * layout (the analog of [[standardIdKeys]] for the temporal
+    * bounds half). */
+  val standardTimeKeys: Map[String, String] = Map("events" -> "ts")
 
   def forDb(db: LsdDb): LsdQL = LsdQL(db, standardJoins)
 

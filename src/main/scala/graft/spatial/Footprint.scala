@@ -394,6 +394,19 @@ sealed trait Bounds {
   def predicate(lon: Column, lat: Column): Column
 }
 
+/** Time-interval bound, half-open [fromIncl, toExcl) — the TEMPORAL
+  * half of the reference's (space, time) bounds pairs (`lsd/bounds.py`
+  * paired a footprint with an MJD interval set, UNVERIFIED). Passed to
+  * `LsdQL.query(text, …)` alongside (or instead of) a spatial
+  * [[Bounds]]; against a TimeWriter layout the bucket enumeration
+  * prunes `t_bucket=` directories and this exact predicate refines.
+  * Timestamps are `to_timestamp`-parseable strings, evaluated in the
+  * session timezone (UTC everywhere in this engine). */
+final case class TimeInterval(fromIncl: String, toExcl: String) {
+  def predicate(ts: Column): Column =
+    ts >= to_timestamp(lit(fromIncl)) && ts < to_timestamp(lit(toExcl))
+}
+
 object Bounds {
   /** Beam/cone: all sky within `radiusDeg` of (lon0, lat0). */
   final case class Cone(lon0: Double, lat0: Double, radiusDeg: Double)

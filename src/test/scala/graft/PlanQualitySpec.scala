@@ -114,6 +114,15 @@ class PlanQualitySpec extends SpecBase {
       s"bounded QL read must prune cell= directories:\n$pf")
   }
 
+  test("q_ql_bounds_time: the QL time bound prunes t_bucket directories") {
+    val df = Core.qQlBoundsTime.fn(spark, sfDir)
+    val pf = planOf(df).linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("t_bucket"),
+      s"time-bounded QL read must prune t_bucket= directories:\n$pf")
+  }
+
   test("q_xmatch_margin scans the cache as flat files (no cell= dirs)") {
     val (path, _) = Joins.ensureXmatchMarginCache(spark, sfDir)
     val entries = new java.io.File(path).listFiles()

@@ -1284,6 +1284,68 @@ class LsdQLSpec extends SpecBase {
     assert(got.count() > 0)
   }
 
+  test("query(text, time): interval bound round-trips; timeKeys fallback") {
+    import graft.spatial.TimeInterval
+    import org.apache.spark.sql.functions.col
+    val t = TimeInterval("2024-01-08 06:00:00", "2024-01-12 20:00:00")
+    // layout path: t_bucket directory pruning + exact refine
+    val path = graft.operators.Core.ensureTimePartitionedEvents(spark, sfDir)
+    val root = new java.io.File(path).getParent
+    val db2 = LsdDb(spark, root)
+    val got = LsdQL(db2, Nil)
+      .query("SELECT event_id, ts FROM events_daily ORDER BY event_id", t)
+    val twin = db.table("events")
+      .filter(t.predicate(col("ts")))
+      .select("event_id", "ts").orderBy("event_id")
+    assert(got.collect().toSeq == twin.collect().toSeq)
+    assert(got.count() > 0)
+    assert(got.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "bucket dirs must prune")
+    // predicate-only fallback: the RAW events table has no layout but
+    // a declared time column (standardTimeKeys)
+    val got2 = ql.query(
+      "SELECT event_id, ts FROM events ORDER BY event_id", t)
+    assert(got2.collect().toSeq == twin.collect().toSeq)
+    // and a query with no time-capable table errors loudly
+    val e = intercept[IllegalArgumentException] {
+      ql.query("SELECT o_orderkey FROM orders LIMIT 3", t)
+    }
+    assert(e.getMessage.contains("time bound did not apply"))
+  }
+
+  test("query(text, bounds, time): the full (space, time) bounds pair") {
+    import graft.spatial.{Bounds, TimeInterval}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a synthetic detection table with BOTH sky coords and a ts:
+    // spatial lowers through the layout, time through the predicate
+    val tmp = Files.createTempDirectory("graft_ql_st").toString
+    val rnd = new scala.util.Random(17)
+    val dets = (0L until 800L).map { i =>
+      (i, rnd.nextDouble() * 360,
+        math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1)),
+        java.sql.Timestamp.valueOf(
+          f"2024-01-${1 + rnd.nextInt(28)}%02d 12:00:00"))
+    }.toDF("det_id", "lon", "lat", "ts")
+    graft.sources.SpatialWriter.write(
+      dets, "lon", "lat", level = 4, s"$tmp/dets.parquet")
+    val ql2 = LsdQL(LsdDb(spark, tmp), Nil,
+      timeKeys = Map("dets" -> "ts"))
+    val b = Bounds.Rect(20.0, 200.0, -50.0, 50.0)
+    val t = TimeInterval("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    val got = ql2.query(
+      "SELECT det_id, lon, lat, ts FROM dets ORDER BY det_id", b, t)
+    val twin = LsdDb(spark, tmp).table("dets")
+      .filter(b.predicate(col("lon"), col("lat")) &&
+        t.predicate(col("ts")))
+      .orderBy("det_id").select("det_id", "lon", "lat", "ts")
+    assert(got.collect().toSeq == twin.collect().toSeq)
+    assert(got.count() > 0)
+    // spatial directory pruning still fired with the time predicate on
+    assert(got.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [cell"))
+  }
+
   test("query(text, bounds) errors loudly when nothing is boundable") {
     import graft.spatial.Bounds
     val e = intercept[IllegalArgumentException] {
