@@ -660,6 +660,137 @@ object Joins {
       graft.spatial.Bounds.Rect(355.0011, 15.0022, -10.0033, 20.0044))
   }
 
+  /** Non-convex L-shape for the POLYGON bound at the QL surface —
+    * deliberately a different sky region than q_footprint_polygon's
+    * `polyVerts` so the two lines cannot mask each other; same
+    * off-grid-decimal discipline (every great-circle edge sits far
+    * from the 0.1-deg synthetic lattice). */
+  private val qlPolyVerts = Seq(
+    (60.0023, -20.0017), (95.0041, -20.0073), (95.0011, 5.0061),
+    (80.0057, 5.0013), (80.0019, 25.0087), (60.0049, 25.0031))
+
+  /** SC2f3/QL — POLYGON bound at the QL surface, completing the
+    * reference's footprint-shape set as query ARGUMENTS (all-sky =
+    * no bound, beam = q_ql_bounds, rect = q_ql_bounds_rect, polygon =
+    * here; ref `lsd/bounds.py`, UNVERIFIED). Bounds.Polygon pairs
+    * `Footprint.polygonCells` directory pruning with the exact
+    * even-odd gnomonic predicate; the oracle replays the identical
+    * parity chain term for term (polygonOracleSql), so membership is
+    * engine-exact without any snap. */
+  val qQlBoundsPoly: QuerySpec = QuerySpec(
+    "q_ql_bounds_poly",
+    polygonOracleSql(qlPolyVerts)) { (s, dir) =>
+    val root = ensureQlBoundsDb(s, dir)
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil)
+    ql.query("SELECT id, lon, lat FROM customer_sky ORDER BY id",
+      graft.spatial.Bounds.Polygon(qlPolyVerts))
+  }
+
+  /** Write-once db root holding the orders/supplier sky projections
+    * as STORED tables (`oid/olon/olat`, `sid/slon/slat`) — the
+    * substrate for the QL xmatch-join lines, shaped like a real LSD
+    * database directory (catalogs are tables, not inline SELECTs).
+    * Keyed on the orders source fingerprint; the driver's sf dirs are
+    * immutable, so one key covers both projections. */
+  private def ensureQlXmatchDb(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String = synchronized {
+    val root = graft.sources.CacheKeys.path(
+      "graft_ql_xmatch_db", s"$dir/orders.parquet")
+    val op = s"$root/orders_sky.parquet"
+    val sp = s"$root/supplier_sky.parquet"
+    if (!graft.sources.CacheKeys.isComplete(op))
+      skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+        "oid", "olon", "olat").write.mode("overwrite").parquet(op)
+    if (!graft.sources.CacheKeys.isComplete(sp))
+      skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+        "sid", "slon", "slat").write.mode("overwrite").parquet(sp)
+    root
+  }
+
+  /** Shared DuckDB relation for the QL xmatch oracles: every pair's
+    * d6-snapped haversine on the oid/sid sky projections. Cut radius
+    * 0.87 (distinct from q_xmatch's 0.95 so the lines cannot mask
+    * each other); the engine side blocks at a superset and decides
+    * membership/rank on the snapped value (CrossMatch.applySnapped),
+    * so both engines evaluate the identical relation. */
+  private val qlXmatchPairsSql: String =
+    s"""WITH a AS (SELECT o_orderkey AS a_id,
+       |    CAST(o_orderkey * 13 % 3600 AS DOUBLE) / 10.0 AS a_lon,
+       |    CAST(o_orderkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS a_lat
+       |  FROM orders),
+       |b AS (SELECT s_suppkey AS b_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS b_lon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS b_lat
+       |  FROM supplier),
+       |p AS (SELECT a_id, b_id,
+       |    ${D.d6(
+        "degrees(2 * asin(sqrt(" +
+          "sin(radians(b_lat - a_lat) / 2) * sin(radians(b_lat - a_lat) / 2)" +
+          " + cos(radians(a_lat)) * cos(radians(b_lat))" +
+          " * sin(radians(b_lon - a_lon) / 2)" +
+          " * sin(radians(b_lon - a_lon) / 2))))")} AS dist_deg
+       |  FROM a CROSS JOIN b)""".stripMargin
+
+  /** J6/QL — THE REFERENCE'S SIGNATURE QUERY SHAPE, oracle-gated at
+    * the QL surface: `SELECT … FROM obj, cat` where the comma-join
+    * resolves through a DECLARED radius relation (no pre-materialized
+    * pair table), attaching the matched rows plus the `_DIST`/`_NR`
+    * pseudo-columns — LSD's `FROM ps1_obj, sdss` UX (ref
+    * `lsd/join_ops.py` xmatch joins, UNVERIFIED). The relation is
+    * declared `snapD6`, so the boundary cut and the nearest-2 ranking
+    * are engine-exact against the oracle's recomputed distances. The
+    * plan underneath is the cell-blocked CrossMatch (one shuffle on
+    * the blocking key + one rank window — no cartesian), the same
+    * shape q_xmatch pins. */
+  val qQlXmatch: QuerySpec = QuerySpec(
+    "q_ql_xmatch",
+    s"""$qlXmatchPairsSql
+       |SELECT a_id, b_id, dist_deg, CAST(rn AS INT) AS match_rank FROM (
+       |  SELECT a_id, b_id, dist_deg,
+       |    row_number() OVER (PARTITION BY a_id
+       |                       ORDER BY dist_deg, b_id) AS rn
+       |  FROM p WHERE dist_deg <= 0.87)
+       |WHERE rn <= 2 ORDER BY a_id, match_rank""".stripMargin) { (s, dir) =>
+    val root = ensureQlXmatchDb(s, dir)
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil, spatialJoins = Seq(
+      graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
+        "supplier_sky", "sid", "slon", "slat",
+        radiusDeg = 0.87, nmax = 2, snapD6 = true)))
+    ql.query(
+      """SELECT oid AS a_id, sid AS b_id, _DIST AS dist_deg,
+        |  _NR AS match_rank
+        |FROM orders_sky, supplier_sky
+        |ORDER BY a_id, match_rank""".stripMargin)
+  }
+
+  /** J6/QL(outer) — the `(outer)` FROM item over the spatial relation:
+    * unmatched driving rows survive with NULL match columns — LSD's
+    * `FROM obj, sdss(outer)` (the form every "which sources have no
+    * counterpart" screen used). nmax=1 keeps the result keyed by a_id;
+    * the oracle is the LEFT JOIN against the rank-1 snapped relation. */
+  val qQlXmatchOuter: QuerySpec = QuerySpec(
+    "q_ql_xmatch_outer",
+    s"""$qlXmatchPairsSql,
+       |m AS (SELECT a_id, b_id, dist_deg FROM (
+       |    SELECT a_id, b_id, dist_deg,
+       |      row_number() OVER (PARTITION BY a_id
+       |                         ORDER BY dist_deg, b_id) AS rn
+       |    FROM p WHERE dist_deg <= 0.87)
+       |  WHERE rn = 1)
+       |SELECT a.a_id, m.b_id, m.dist_deg
+       |FROM a LEFT JOIN m ON a.a_id = m.a_id ORDER BY a.a_id""".stripMargin) {
+    (s, dir) =>
+    val root = ensureQlXmatchDb(s, dir)
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil, spatialJoins = Seq(
+      graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
+        "supplier_sky", "sid", "slon", "slat",
+        radiusDeg = 0.87, nmax = 1, snapD6 = true)))
+    ql.query(
+      """SELECT oid AS a_id, sid AS b_id, _DIST AS dist_deg
+        |FROM orders_sky, supplier_sky(outer)
+        |ORDER BY a_id""".stripMargin)
+  }
+
   /** SC2e — rectangle footprint WRAPPING through lon=0 (the case that
     * breaks naive BETWEEN filters): pure comparisons on exact doubles,
     * wraparound handled by Footprint.rect's disjunction; bounds use
@@ -1168,5 +1299,5 @@ object Joins {
     qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchOuter,
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
-    qQlBounds, qQlBoundsRect)
+    qQlBounds, qQlBoundsRect, qQlBoundsPoly, qQlXmatch, qQlXmatchOuter)
 }

@@ -1,0 +1,144 @@
+package graft.ql
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Per-database join registry — the reference stored its join
+  * definitions IN the database directory (the `.join` files
+  * `lsd-xmatch` created, so that a later `lsd-query` could write
+  * `FROM obj, det` with no per-query declaration; ref
+  * `lsd/join_ops.py` JoinRelation + `.join` files, UNVERIFIED).
+  *
+  * Spark-native form: a `_JOINS` sidecar at the db root, one JSON
+  * object per line (`kind: equi | spatial`), read by [[LsdQL.forDb]]
+  * so every QL entry point — library, [[graft.tools.QueryCli]], a
+  * notebook — resolves the same declared relations. Declarations are
+  * UPSERTS keyed by the (left, right) table pair: re-running an
+  * xmatch with a new radius replaces the relation instead of
+  * shadowing it.
+  *
+  * Concurrency: the swap is the commit-log idiom (write `.tmp`, then
+  * POSIX/FileContext ATOMIC rename-with-overwrite), so a reader never
+  * sees a torn file. Declarations are rare admin operations; two
+  * concurrent declares are last-writer-wins, documented — this is a
+  * registry, not a transaction log.
+  */
+object JoinRegistry {
+  private val RegistryFile = "_JOINS"
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def requireName(s: String): String = {
+    require(s.nonEmpty && !s.exists(c => c == '"' || c == '\\' ||
+      c == '\n' || c == '\r'),
+      s"registry names must be plain identifiers, got '$s'")
+    s
+  }
+
+  private def equiLine(j: JoinDef): String =
+    s"""{"kind":"equi","left":"${requireName(j.left)}"""" +
+      s""","leftKey":"${requireName(j.leftKey)}"""" +
+      s""","right":"${requireName(j.right)}"""" +
+      s""","rightKey":"${requireName(j.rightKey)}"}"""
+
+  private def spatialLine(j: SpatialJoinDef): String =
+    s"""{"kind":"spatial","left":"${requireName(j.left)}"""" +
+      s""","leftKey":"${requireName(j.leftKey)}"""" +
+      s""","lonL":"${requireName(j.lonL)}","latL":"${requireName(j.latL)}"""" +
+      s""","right":"${requireName(j.right)}"""" +
+      s""","rightKey":"${requireName(j.rightKey)}"""" +
+      s""","lonR":"${requireName(j.lonR)}","latR":"${requireName(j.latR)}"""" +
+      s""","radiusDeg":${j.radiusDeg},"nmax":${j.nmax}""" +
+      j.hotThreshold.map(h => s""","hotThreshold":$h""").getOrElse("") +
+      s""","salts":${j.salts},"snapD6":${j.snapD6}}"""
+
+  private def str(field: String, line: String): Option[String] =
+    (s""""$field":"([^"]+)"""").r.findFirstMatchIn(line).map(_.group(1))
+  private def num(field: String, line: String): Option[String] =
+    (s""""$field":([-0-9.eE]+)""").r.findFirstMatchIn(line).map(_.group(1))
+
+  private def parse(line: String): Option[Either[JoinDef, SpatialJoinDef]] =
+    str("kind", line) match {
+      case Some("equi") =>
+        for (l <- str("left", line); lk <- str("leftKey", line);
+             r <- str("right", line); rk <- str("rightKey", line))
+          yield Left(JoinDef(l, lk, r, rk))
+      case Some("spatial") =>
+        for (l <- str("left", line); lk <- str("leftKey", line);
+             lo <- str("lonL", line); la <- str("latL", line);
+             r <- str("right", line); rk <- str("rightKey", line);
+             ro <- str("lonR", line); ra <- str("latR", line);
+             rad <- num("radiusDeg", line))
+          yield Right(SpatialJoinDef(l, lk, lo, la, r, rk, ro, ra,
+            rad.toDouble,
+            nmax = num("nmax", line).map(_.toInt).getOrElse(1),
+            hotThreshold = num("hotThreshold", line).map(_.toLong),
+            salts = num("salts", line).map(_.toInt).getOrElse(16),
+            snapD6 = line.contains(""""snapD6":true""")))
+      case _ => None // unknown kind: forward-compatible skip
+    }
+
+  /** All declared relations at `root` (empty when no `_JOINS` file). */
+  def load(spark: SparkSession,
+           root: String): (Seq[JoinDef], Seq[SpatialJoinDef]) = {
+    val f = fs(spark, root)
+    val p = new Path(root, RegistryFile)
+    if (!f.exists(p)) (Nil, Nil)
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val defs = text.linesIterator.filter(_.trim.nonEmpty)
+        .flatMap(parse).toSeq
+      (defs.collect { case Left(j) => j },
+        defs.collect { case Right(j) => j })
+    }
+  }
+
+  /** Replace the full registry (atomic swap — readers never see a
+    * torn file). */
+  def save(spark: SparkSession, root: String, joins: Seq[JoinDef],
+           spatialJoins: Seq[SpatialJoinDef]): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val tmp = new Path(root, s"$RegistryFile.tmp")
+    val o = f.create(tmp, true)
+    try o.write((joins.map(equiLine) ++ spatialJoins.map(spatialLine))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally o.close()
+    val dst = new Path(root, RegistryFile)
+    if (dst.toUri.getScheme == null || dst.toUri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Upsert an equi relation (keyed by the unordered table pair —
+    * redeclaring customer↔orders replaces the old keys). */
+  def declare(spark: SparkSession, root: String, jd: JoinDef): Unit = {
+    val (js, sjs) = load(spark, root)
+    def pair(l: String, r: String) = Set(l, r)
+    save(spark, root,
+      js.filterNot(j => pair(j.left, j.right) == pair(jd.left, jd.right))
+        :+ jd, sjs)
+  }
+
+  /** Upsert a spatial relation (keyed by the DIRECTED pair — left
+    * drives, so a↷b and b↷a are distinct relations). */
+  def declareSpatial(spark: SparkSession, root: String,
+                     sjd: SpatialJoinDef): Unit = {
+    val (js, sjs) = load(spark, root)
+    save(spark, root,
+      js, sjs.filterNot(j => j.left == sjd.left && j.right == sjd.right)
+        :+ sjd)
+  }
+}

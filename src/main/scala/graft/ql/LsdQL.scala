@@ -107,14 +107,24 @@ final case class IdSpec(lonCol: String, latCol: String, keyCol: String,
   * hot cells salted into `salts` even tasks, cold cells on the plain
   * plan, row-identical results either way. A survey user whose first
   * query hits the deep field turns this on per-relation; the default
-  * (None) is the unsalted plan. */
+  * (None) is the unsalted plan.
+  *
+  * `snapD6 = true` switches the relation to SNAPPED semantics
+  * ([[graft.spatial.CrossMatch.applySnapped]]): boundary membership
+  * and the `_NR` ordering are decided on the 1e-6-degree-snapped
+  * distance, so the relation is engine-exact at the radius boundary —
+  * the same determinism discipline [[graft.spatial.Bounds.Cone]]
+  * builds into bounded queries, and the form a hash-checked oracle
+  * needs. `_DIST` is then the snapped value. Default (false) keeps
+  * the raw IEEE distance. Composes with `hotThreshold`. */
 final case class SpatialJoinDef(left: String, leftKey: String,
                                 lonL: String, latL: String,
                                 right: String, rightKey: String,
                                 lonR: String, latR: String,
                                 radiusDeg: Double, nmax: Int = 1,
                                 hotThreshold: Option[Long] = None,
-                                salts: Int = 16)
+                                salts: Int = 16,
+                                snapD6: Boolean = false)
 
 final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
                        intoRoot: Option[String] = None,
@@ -672,15 +682,20 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           // cell-blocked nearest-k pairs over the RUNNING relation (so
           // upstream WHERE-able columns survive), then attach the
           // matched right rows; _DIST/_NR become ordinary columns
-          val rawPairs = sjd.hotThreshold match {
-            case Some(ht) => graft.spatial.CrossMatch.skewSafe(df, right,
+          val rawPairs =
+            if (sjd.snapD6) graft.spatial.CrossMatch.applySnapped(df, right,
               sjd.leftKey, sjd.lonL, sjd.latL,
               sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,
-              ht, sjd.salts)
-            case None => graft.spatial.CrossMatch(df, right,
-              sjd.leftKey, sjd.lonL, sjd.latL,
-              sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax)
-          }
+              hotThreshold = sjd.hotThreshold, salts = sjd.salts)
+            else sjd.hotThreshold match {
+              case Some(ht) => graft.spatial.CrossMatch.skewSafe(df, right,
+                sjd.leftKey, sjd.lonL, sjd.latL,
+                sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,
+                ht, sjd.salts)
+              case None => graft.spatial.CrossMatch(df, right,
+                sjd.leftKey, sjd.lonL, sjd.latL,
+                sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax)
+            }
           val pairs = rawPairs
             .withColumnRenamed("dist_deg", "_DIST")
             .withColumnRenamed("match_rank", "_NR")
@@ -1085,7 +1100,17 @@ object LsdQL {
     * bounds half). */
   val standardTimeKeys: Map[String, String] = Map("events" -> "ts")
 
-  def forDb(db: LsdDb): LsdQL = LsdQL(db, standardJoins)
+  /** Session entry point: the standard test-schema relations PLUS
+    * whatever the database itself declares in its `_JOINS` registry
+    * ([[JoinRegistry]] — the reference's per-DB `.join` files). Db
+    * declarations come first, so a db-local redefinition of a
+    * standard relation wins path resolution; spatial relations come
+    * exclusively from the registry here (the standard schema has
+    * none). */
+  def forDb(db: LsdDb): LsdQL = {
+    val (js, sjs) = JoinRegistry.load(db.spark, db.root)
+    LsdQL(db, js ++ standardJoins, spatialJoins = sjs)
+  }
 
   /** Extract a SOUND zone-map range from a WHERE clause: a single
     * stats column's [lo, hi] implied by top-level AND conjuncts of

@@ -91,6 +91,48 @@ object CrossMatch {
       .select("a_id", "b_id", "dist_deg", "match_rank")
   }
 
+  /** [[apply]] with boundary membership and nearest-k ordering decided
+    * on the d6-SNAPPED distance — the q_xmatch oracle-determinism
+    * discipline built into the relation itself, so a QL spatial join
+    * declared with it is hash-checkable against an engine that computes
+    * its own haversine. Candidates are blocked and raw-refined at a
+    * 0.1% superset radius (a pair whose raw distance sits within libm
+    * ulps of `radiusDeg` is never lost to one engine's rounding), then
+    * membership (`snapped <= radiusDeg`) and the ranking (snapped dist,
+    * then b_id) are computed on the snapped value. The snap is
+    * monotone, so every superset candidate that outranks a survivor
+    * survives too — the re-rank is exact, not approximate.
+    * `hotThreshold` routes the superset candidate generation through
+    * [[skewSafe]] (rank-all, then the same snap/cut/re-rank): deep-
+    * field skew handling composes with snapped semantics at the cost
+    * of skewSafe's internal (discarded) ranking pass. */
+  def applySnapped(a: DataFrame, b: DataFrame,
+                   aId: String, aLon: String, aLat: String,
+                   bId: String, bLon: String, bLat: String,
+                   radiusDeg: Double, nmax: Int,
+                   capLat: Double = CapLat,
+                   hotThreshold: Option[Long] = None,
+                   salts: Int = 16): DataFrame = {
+    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
+    require(radiusDeg > 0 && radiusDeg <= 1.0,
+      s"radiusDeg must be in (0, 1], got $radiusDeg")
+    val sup = math.min(1.0, radiusDeg * 1.001)
+    val cand = hotThreshold match {
+      case Some(ht) =>
+        skewSafe(a, b, aId, aLon, aLat, bId, bLon, bLat, sup,
+          Int.MaxValue, ht, salts, capLat).drop("match_rank")
+      case None =>
+        allPairs(a, b, aId, aLon, aLat, bId, bLon, bLat, sup, capLat)
+    }
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    cand.withColumn("dist_deg", graft.functions.Det.d6(col("dist_deg")))
+      .filter(col("dist_deg") <= radiusDeg)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= nmax)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+  }
+
   /** All pairs within `radiusDeg` (no nmax ranking — the raw match
     * relation; columns a_id, b_id, dist_deg). */
   def allPairs(a: DataFrame, b: DataFrame,

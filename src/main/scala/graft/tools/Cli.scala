@@ -27,14 +27,68 @@ private[tools] object Cli {
 /** lsd-query analog: run an LsdQL string against a database directory.
   *
   * Usage: QueryCli <dbRoot> <query> [maxRows]
-  * `INTO t` inside the query materializes t under dbRoot.
+  *                 [--bounds cone:lon,lat,r | rect:lonMin,lonMax,latMin,latMax
+  *                  | poly:lon1,lat1,lon2,lat2,...]
+  *                 [--time fromIncl,toExcl]
+  *
+  * `INTO t` inside the query materializes t under dbRoot. `--bounds`
+  * and `--time` are the reference CLI's query-time footprint flags
+  * (`lsd-query --bounds=beam(...)`, ref `lsd/bounds.py`, UNVERIFIED):
+  * they reach [[graft.ql.LsdQL]] as bound ARGUMENTS, so a layout-
+  * backed table is directory-pruned, not post-filtered. Join
+  * relations resolve through the db's `_JOINS` registry
+  * ([[graft.ql.JoinRegistry]]) via `LsdQL.forDb` — an xmatch relation
+  * declared by [[XmatchCli]] makes `FROM a, b` just work here.
   */
 object QueryCli {
+  private[tools] def parseBounds(spec: String): graft.spatial.Bounds = {
+    val (kind, rest) = spec.span(_ != ':')
+    val nums = rest.drop(1).split(",").map(_.trim.toDouble)
+    kind match {
+      case "cone" =>
+        require(nums.length == 3, "cone:lon,lat,radiusDeg")
+        graft.spatial.Bounds.Cone(nums(0), nums(1), nums(2))
+      case "rect" =>
+        require(nums.length == 4, "rect:lonMin,lonMax,latMin,latMax")
+        graft.spatial.Bounds.Rect(nums(0), nums(1), nums(2), nums(3))
+      case "poly" =>
+        require(nums.length >= 6 && nums.length % 2 == 0,
+          "poly:lon1,lat1,lon2,lat2,... (>= 3 vertices)")
+        graft.spatial.Bounds.Polygon(
+          nums.grouped(2).map(p => (p(0), p(1))).toSeq)
+      case other => throw new IllegalArgumentException(
+        s"unknown bounds kind '$other' (cone | rect | poly)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: QueryCli <dbRoot> <query> [maxRows]")
+    val flags = scala.collection.mutable.Map.empty[String, String]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i).startsWith("--")) {
+        require(i + 1 < args.length, s"${args(i)} needs a value")
+        flags(args(i).drop(2)) = args(i + 1); i += 2
+      } else { pos += args(i); i += 1 }
+    }
+    require(pos.length >= 2,
+      "usage: QueryCli <dbRoot> <query> [maxRows] [--bounds <spec>] " +
+        "[--time from,to]")
     val spark = Cli.session()
-    val df = LsdQL.forDb(LsdDb(spark, args(0))).query(args(1))
-    df.show(if (args.length > 2) args(2).toInt else 20, truncate = false)
+    val ql = LsdQL.forDb(LsdDb(spark, pos(0)))
+    val bounds = flags.get("bounds").map(parseBounds)
+    val time = flags.get("time").map { t =>
+      val parts = t.split(",", 2)
+      require(parts.length == 2, "--time fromIncl,toExcl")
+      graft.spatial.TimeInterval(parts(0).trim, parts(1).trim)
+    }
+    val df = (bounds, time) match {
+      case (Some(b), Some(ti)) => ql.query(pos(1), b, ti)
+      case (Some(b), None)     => ql.query(pos(1), b)
+      case (None, Some(ti))    => ql.query(pos(1), ti)
+      case (None, None)        => ql.query(pos(1))
+    }
+    df.show(if (pos.length > 2) pos(2).toInt else 20, truncate = false)
   }
 }
 
@@ -203,7 +257,7 @@ object AdminCli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: AdminCli list|snapshots|compact|" +
-      "vacuum|compact-merged|clean-staging ...")
+      "vacuum|compact-merged|clean-staging|declare-join|joins ...")
     args(0) match {
       case "list" =>
         describe(args(1)).foreach { case (name, kind, files, bytes) =>
@@ -241,6 +295,25 @@ object AdminCli {
       case "compact-merged" =>
         val id = Snapshots.compactMerged(Cli.session(), args(1), args(2))
         println(s"compacted merge-on-read ${args(1)} -> base snap=$id")
+      case "declare-join" =>
+        // equi relation into the db's _JOINS registry (the spatial
+        // form is declared by XmatchCli, the tool that computes it)
+        require(args.length == 6, "usage: AdminCli declare-join " +
+          "<dbRoot> <left> <leftKey> <right> <rightKey>")
+        graft.ql.JoinRegistry.declare(Cli.session(), args(1),
+          graft.ql.JoinDef(args(2), args(3), args(4), args(5)))
+        println(s"declared ${args(2)}.${args(3)} = ${args(4)}.${args(5)} " +
+          s"in ${args(1)}/_JOINS")
+      case "joins" =>
+        val (js, sjs) = graft.ql.JoinRegistry.load(Cli.session(), args(1))
+        if (js.isEmpty && sjs.isEmpty) println(s"${args(1)}: no _JOINS")
+        js.foreach(j => println(
+          s"equi    ${j.left}.${j.leftKey} = ${j.right}.${j.rightKey}"))
+        sjs.foreach(j => println(
+          s"spatial ${j.left}(${j.lonL},${j.latL}) -> " +
+            s"${j.right}(${j.lonR},${j.latR}) r=${j.radiusDeg} " +
+            s"nmax=${j.nmax}${if (j.snapD6) " snapD6" else ""}" +
+            j.hotThreshold.fold("")(h => s" hot=$h salts=${j.salts}")))
       case other => throw new IllegalArgumentException(
         s"unknown subcommand '$other'")
     }
@@ -248,9 +321,14 @@ object AdminCli {
 }
 
 /** lsd-xmatch analog: materialize a cross-match pair table between two
-  * catalogs — the artifact the reference stored as a join definition.
-  * Register the result as a JoinDef through its id columns to use it
-  * from LsdQL.
+  * catalogs AND declare the relation in the db's `_JOINS` registry —
+  * the reference's flow, where running `lsd-xmatch` created the
+  * `.join` definition so every later `lsd-query` could just write
+  * `FROM a, b` (ref `lsd/join_ops.py`, UNVERIFIED). Here the declared
+  * relation is the QUERY-TIME radius join (snapD6 semantics, so QL
+  * results are engine-deterministic at the boundary); the materialized
+  * pair table is the bulk artifact for pipelines that want the pairs
+  * themselves.
   *
   * Usage: XmatchCli <dbRoot> <tableA> <aId,aLon,aLat>
   *                  <tableB> <bId,bLon,bLat> <radiusDeg> <nmax> <outName>
@@ -259,7 +337,8 @@ object AdminCli {
   * The optional trailing args turn on deep-field skew mitigation
   * (CrossMatch.skewSafe): cells with more than hotThreshold left-side
   * rows are salted into `salts` (default 16) even tasks; results are
-  * row-identical to the plain plan.
+  * row-identical to the plain plan. The mitigation is recorded on the
+  * declared relation too.
   */
 object XmatchCli {
   def main(args: Array[String]): Unit = {
@@ -280,7 +359,14 @@ object XmatchCli {
       else CrossMatch(db.table(args(1)), db.table(args(3)),
         aId, aLon, aLat, bId, bLon, bLat, args(5).toDouble, args(6).toInt)
     pairs.write.mode("overwrite").parquet(s"${args(0)}/${args(7)}.parquet")
+    graft.ql.JoinRegistry.declareSpatial(spark, args(0),
+      graft.ql.SpatialJoinDef(args(1), aId, aLon, aLat,
+        args(3), bId, bLon, bLat, args(5).toDouble, args(6).toInt,
+        hotThreshold = if (args.length >= 9) Some(args(8).toLong) else None,
+        salts = if (args.length == 10) args(9).toInt else 16,
+        snapD6 = true))
     println(s"xmatch ${args(1)}x${args(3)} -> ${args(7)} " +
-      s"(${pairs.count()} pairs)")
+      s"(${pairs.count()} pairs); relation ${args(1)} -> ${args(3)} " +
+      "declared in _JOINS")
   }
 }

@@ -114,6 +114,27 @@ class PlanQualitySpec extends SpecBase {
       s"bounded QL read must prune cell= directories:\n$pf")
   }
 
+  test("q_ql_bounds_poly: the polygon bound prunes cell directories") {
+    val df = Joins.qQlBoundsPoly.fn(spark, sfDir)
+    val pf = planOf(df).linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cell"),
+      s"polygon-bounded QL read must prune cell= directories:\n$pf")
+  }
+
+  test("q_ql_xmatch: the QL spatial join is cell-blocked, no cartesian") {
+    // the declared radius relation must lower to the blocked
+    // CrossMatch shape — an equi-join on the blocking cell plus the
+    // rank window, never a cartesian of the two catalogs
+    for (q <- Seq(Joins.qQlXmatch, Joins.qQlXmatchOuter)) {
+      val plan = planOf(q.fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} lowered to a cartesian:\n${plan.take(2000)}")
+      assert(plan.contains("Window"), s"${q.name} lost the rank window")
+    }
+  }
+
   test("q_ql_bounds_time: the QL time bound prunes t_bucket directories") {
     val df = Core.qQlBoundsTime.fn(spark, sfDir)
     val pf = planOf(df).linesIterator

@@ -1,0 +1,80 @@
+package graft.ql
+
+import graft.SpecBase
+import java.nio.file.Files
+
+/** The `_JOINS` per-db registry: save/load fidelity, upsert keys, and
+  * the forDb auto-load that makes `FROM a, b` work with no per-query
+  * declaration (the reference's stored `.join` definitions). */
+class JoinRegistrySpec extends SpecBase {
+  import spark.implicits._
+
+  test("save/load round-trips every field of both relation kinds") {
+    val root = Files.createTempDirectory("graft_jreg").toString
+    val js = Seq(JoinDef("dets", "det_id", "objs", "obj_id"))
+    val sjs = Seq(
+      SpatialJoinDef("dets", "det_id", "det_lon", "det_lat",
+        "objs", "obj_id", "obj_lon", "obj_lat", 0.05),
+      SpatialJoinDef("a", "id", "lon", "lat", "b", "id2", "lon2", "lat2",
+        0.87, nmax = 3, hotThreshold = Some(1000L), salts = 8,
+        snapD6 = true))
+    JoinRegistry.save(spark, root, js, sjs)
+    val (gotJ, gotS) = JoinRegistry.load(spark, root)
+    assert(gotJ == js && gotS == sjs)
+  }
+
+  test("missing registry loads empty; unknown kinds are skipped") {
+    val root = Files.createTempDirectory("graft_jreg_none").toString
+    assert(JoinRegistry.load(spark, root) == ((Nil, Nil)))
+    // forward compat: a future kind must not break old readers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_JOINS"),
+      """{"kind":"graph","left":"x"}""".getBytes("UTF-8"))
+    assert(JoinRegistry.load(spark, root) == ((Nil, Nil)))
+  }
+
+  test("declare upserts by table pair; declareSpatial by directed pair") {
+    val root = Files.createTempDirectory("graft_jreg_up").toString
+    JoinRegistry.declare(spark, root, JoinDef("a", "k1", "b", "k1"))
+    JoinRegistry.declare(spark, root, JoinDef("b", "k2", "a", "k2"))
+    val (js, _) = JoinRegistry.load(spark, root)
+    assert(js == Seq(JoinDef("b", "k2", "a", "k2")),
+      "redeclaring the unordered pair must replace, not shadow")
+    val s1 = SpatialJoinDef("a", "id", "lo", "la", "b", "id", "lo", "la", 0.1)
+    JoinRegistry.declareSpatial(spark, root, s1)
+    JoinRegistry.declareSpatial(spark, root, s1.copy(radiusDeg = 0.2))
+    JoinRegistry.declareSpatial(spark, root,
+      SpatialJoinDef("b", "id", "lo", "la", "a", "id", "lo", "la", 0.3))
+    val (_, sjs) = JoinRegistry.load(spark, root)
+    assert(sjs.map(_.radiusDeg) == Seq(0.2, 0.3),
+      "directed a->b replaced; b->a is a distinct relation")
+  }
+
+  test("names with JSON-hostile characters are refused loudly") {
+    val root = Files.createTempDirectory("graft_jreg_bad").toString
+    intercept[IllegalArgumentException] {
+      JoinRegistry.declare(spark, root,
+        JoinDef("""ta"ble""", "k", "b", "k"))
+    }
+  }
+
+  test("forDb resolves a registry spatial relation with no declaration") {
+    val root = Files.createTempDirectory("graft_jreg_fordb").toString
+    val rnd = new scala.util.Random(11)
+    val objs = (0L until 80L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))))
+      .toDF("obj_id", "obj_lon", "obj_lat")
+    val dets = objs.selectExpr("obj_id * 10 AS det_id",
+      "obj_lon + 0.001 AS det_lon", "obj_lat + 0.001 AS det_lat")
+    objs.write.parquet(s"$root/objs.parquet")
+    dets.write.parquet(s"$root/dets.parquet")
+    JoinRegistry.declareSpatial(spark, root,
+      SpatialJoinDef("dets", "det_id", "det_lon", "det_lat",
+        "objs", "obj_id", "obj_lon", "obj_lat", 0.05))
+    val df = LsdQL.forDb(graft.LsdDb(spark, root)).query(
+      "SELECT det_id, obj_id FROM dets, objs WHERE _NR = 1")
+    val rows = df.collect()
+    assert(rows.length == 80 &&
+      rows.forall(r => r.getLong(0) == r.getLong(1) * 10))
+  }
+}

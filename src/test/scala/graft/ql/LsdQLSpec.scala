@@ -1446,6 +1446,67 @@ class LsdQLSpec extends SpecBase {
     assert(topk.collect().toSeq == twin.collect().toSeq)
   }
 
+  test("query(text, bounds): polygon bound round-trips the DataFrame twin") {
+    import graft.spatial.Bounds
+    import org.apache.spark.sql.functions.col
+    val root = graft.operators.Joins.ensureQlBoundsDb(spark, sfDir)
+    val db2 = LsdDb(spark, root)
+    // wide non-convex polygon (~ a quarter of the synthetic band) so
+    // sf0.001's 150 rows select something
+    val b = Bounds.Polygon(Seq(
+      (20.0023, -25.0017), (170.0041, -25.0073), (170.0011, 5.0061),
+      (100.0057, 5.0013), (100.0019, 28.0087), (20.0049, 28.0031)))
+    val got = LsdQL(db2, Nil)
+      .query("SELECT id, lon, lat FROM customer_sky ORDER BY id", b)
+    val twin = db2.table("customer_sky")
+      .filter(b.predicate(col("lon"), col("lat")))
+      .orderBy("id").select("id", "lon", "lat")
+    assert(got.collect().toSeq == twin.collect().toSeq)
+    assert(got.count() > 0, "polygon must select something at this SF")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"bounded read must prune cell= directories:\n${plan.take(2000)}")
+  }
+
+  test("snapD6 spatial relation: QL matches the applySnapped twin") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ql_snap").toString
+    // one driving source; candidates at controlled lat offsets so the
+    // snapped semantics are visible at the QL surface: the raw-boundary
+    // candidate (0.1000004 > r) is IN because it snaps to the radius,
+    // and the snapped tie (ids 5/7 both at 0.050000) orders by id
+    Seq((1L, 10.0, 0.0)).toDF("oid", "olon", "olat")
+      .write.parquet(s"$tmp/obj.parquet")
+    Seq((5L, 10.0, 0.0500004), (7L, 10.0, 0.0500002),
+      (11L, 10.0, 0.1000004), (12L, 10.0, 0.1000006))
+      .toDF("cid", "clon", "clat").write.parquet(s"$tmp/cand.parquet")
+    val db2 = LsdDb(spark, tmp)
+    val q = LsdQL(db2, joins = Nil, spatialJoins = Seq(
+      SpatialJoinDef("obj", "oid", "olon", "olat",
+        "cand", "cid", "clon", "clat", radiusDeg = 0.1, nmax = 4,
+        snapD6 = true)))
+    val got = q.query(
+      "SELECT cid, _DIST, _NR FROM obj, cand ORDER BY _NR")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.toSeq == Seq((5L, 0.05, 1), (7L, 0.05, 2), (11L, 0.1, 3)),
+      s"got ${got.toSeq}")
+    // parity with the direct applySnapped call
+    val twin = graft.spatial.CrossMatch.applySnapped(
+      db2.table("obj"), db2.table("cand"), "oid", "olon", "olat",
+      "cid", "clon", "clat", 0.1, 4)
+      .orderBy("match_rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == twin.toSeq)
+    // the raw relation on the same tables differs exactly as designed:
+    // id 11 out, ids 5/7 in raw-distance order
+    val raw = LsdQL(db2, joins = Nil, spatialJoins = Seq(
+      SpatialJoinDef("obj", "oid", "olon", "olat",
+        "cand", "cid", "clon", "clat", radiusDeg = 0.1, nmax = 4)))
+      .query("SELECT cid FROM obj, cand ORDER BY _NR")
+      .collect().map(_.getLong(0))
+    assert(raw.toSeq == Seq(7L, 5L))
+  }
+
   test("window over grouped output (OVER after GROUP BY)") {
     val df = ql.query(
       """SELECT o_custkey, count(*) AS cnt,

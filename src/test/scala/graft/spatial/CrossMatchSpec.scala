@@ -146,4 +146,46 @@ class CrossMatchSpec extends SpecBase {
         "obj_id", "lon", "lat", 2.0, 1)
     }
   }
+
+  test("applySnapped: membership and rank decided on the snapped distance") {
+    // one driving source at (10, 0); candidates at controlled lat
+    // offsets so dist == Δlat up to ~1e-16 relative fp error
+    val a = Seq((1L, 10.0, 0.0)).toDF("oid", "olon", "olat")
+    val b = Seq(
+      (5L, 10.0, 0.0500004), // snaps to 0.050000 — ties with id 7
+      (7L, 10.0, 0.0500002), // raw-closer than id 5, same snapped value
+      (11L, 10.0, 0.1000004), // raw > r, snaps to 0.100000 → member
+      (12L, 10.0, 0.1000006)) // snaps to 0.100001 → out
+      .toDF("cid", "clon", "clat")
+    val snapped = CrossMatch.applySnapped(a, b, "oid", "olon", "olat",
+      "cid", "clon", "clat", radiusDeg = 0.1, nmax = 4)
+      .orderBy("match_rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // snapped ties (ids 5 and 7 both at 0.050000) order by b_id; the
+    // raw-boundary row (id 11) is IN because its snapped value equals
+    // the radius; id 12 is OUT one 1e-6 step above
+    assert(snapped.toSeq == Seq((5L, 0.05, 1), (7L, 0.05, 2),
+      (11L, 0.1, 3)), s"got ${snapped.toSeq}")
+    // contrast: the raw relation drops id 11 and ranks id 7 first
+    val raw = CrossMatch(a, b, "oid", "olon", "olat",
+      "cid", "clon", "clat", 0.1, 4)
+      .orderBy("match_rank").collect().map(_.getLong(1))
+    assert(raw.toSeq == Seq(7L, 5L))
+  }
+
+  test("applySnapped: skew-composed path is row-identical") {
+    def run(ht: Option[Long]) =
+      CrossMatch.applySnapped(detDf, objDf, "det_id", "lon", "lat",
+        "obj_id", "lon", "lat", 0.2, 2, hotThreshold = ht, salts = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val plain = run(None)
+    // threshold 1 forces every populated cell hot — the whole catalog
+    // takes the skewSafe rank-all + re-snap path
+    val viaSkew = run(Some(1L))
+    assert(plain.nonEmpty && viaSkew == plain,
+      s"diverged: ${(viaSkew diff plain).take(3)} / ${
+        (plain diff viaSkew).take(3)}")
+  }
 }

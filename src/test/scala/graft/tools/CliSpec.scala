@@ -67,6 +67,62 @@ class CliSpec extends SpecBase {
     assert(graft.sources.Snapshots.read(spark, s"$root/snaps").count() == 2)
   }
 
+  test("XmatchCli declares the relation; QueryCli resolves FROM a, b") {
+    import graft.ql.{JoinRegistry, LsdQL}
+    import graft.LsdDb
+    val root = Files.createTempDirectory("graft_cli_joins").toString
+    val rnd = new scala.util.Random(29)
+    val objs = (0L until 120L).map(i => (i, rnd.nextDouble() * 360,
+      math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))))
+      .toDF("obj_id", "lon", "lat")
+    val dets = objs.selectExpr("obj_id * 10 AS det_id",
+      "lon + 0.001 AS det_lon", "lat + 0.001 AS det_lat")
+    objs.write.parquet(s"$root/objs.parquet")
+    dets.write.parquet(s"$root/dets.parquet")
+    XmatchCli.main(Array(root, "dets", "det_id,det_lon,det_lat",
+      "objs", "obj_id,lon,lat", "0.05", "1", "dets_x_objs"))
+    // the CLI run left a usable _JOINS registry behind
+    val (js, sjs) = JoinRegistry.load(spark, root)
+    assert(js.isEmpty && sjs.length == 1 && sjs.head.snapD6 &&
+      sjs.head.left == "dets" && sjs.head.right == "objs")
+    // ...so FROM dets, objs needs NO declaration anywhere
+    val df = LsdQL.forDb(LsdDb(spark, root)).query(
+      "SELECT det_id, obj_id FROM dets, objs WHERE _NR = 1")
+    assert(df.count() == 120)
+    QueryCli.main(Array(root,
+      "SELECT det_id, obj_id, _DIST FROM dets, objs WHERE _NR = 1", "3"))
+    // AdminCli: equi declaration + listing
+    AdminCli.main(Array("declare-join", root, "dets", "det_id",
+      "dets_x_objs", "a_id"))
+    val (js2, sjs2) = JoinRegistry.load(spark, root)
+    assert(js2.length == 1 && sjs2.length == 1)
+    AdminCli.main(Array("joins", root))
+  }
+
+  test("QueryCli --bounds and --time flags") {
+    val root = Files.createTempDirectory("graft_cli_bounds").toString
+    val pts = (0L until 300L).map { i =>
+      (i, (i * 13 % 3600) / 10.0, (i * 7 % 600) / 10.0 - 30.0)
+    }.toDF("id", "lon", "lat")
+    graft.sources.SpatialWriter.write(pts, "lon", "lat", 4,
+      s"$root/sky.parquet")
+    // parse coverage for the three bound kinds
+    assert(QueryCli.parseBounds("cone:10,20,5") ==
+      graft.spatial.Bounds.Cone(10, 20, 5))
+    assert(QueryCli.parseBounds("rect:350,10,-20,5") ==
+      graft.spatial.Bounds.Rect(350, 10, -20, 5))
+    assert(QueryCli.parseBounds("poly:10,10,40,10,40,35") ==
+      graft.spatial.Bounds.Polygon(Seq((10.0, 10.0), (40.0, 10.0),
+        (40.0, 35.0))))
+    intercept[IllegalArgumentException](QueryCli.parseBounds("beam:1,2,3"))
+    // end to end: the flag reaches the bounded-query path (a layout
+    // table, so the bound both prunes and refines)
+    QueryCli.main(Array(root, "SELECT id, lon, lat FROM sky ORDER BY id",
+      "5", "--bounds", "cone:123.4,-12.3,9.0"))
+    QueryCli.main(Array(root, "SELECT id FROM sky", "3",
+      "--bounds", "rect:100.5,200.5,-10.5,10.5"))
+  }
+
   test("ImportCli + XmatchCli round trip") {
     val root = Files.createTempDirectory("graft_cli").toString
     val csv = s"$root/objs.csv"
