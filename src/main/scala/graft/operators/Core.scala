@@ -56,7 +56,11 @@ object Core {
     val root = graft.sources.CacheKeys.path(
       "graft_events_daily", s"$dir/events.parquet")
     val path = s"$root/events_daily.parquet"
-    if (!graft.sources.CacheKeys.isComplete(path))
+    // sidecar check too: _TEMPORAL lands AFTER Spark's _SUCCESS, and a
+    // crash in that window would otherwise leave a permanently
+    // "complete" layout every time-bounded read rejects (review r18)
+    if (!graft.sources.CacheKeys.isComplete(path) ||
+        graft.sources.TimeWriter.temporalMeta(s, path).isEmpty)
       graft.sources.TimeWriter.write(LsdDb.table(s, dir, "events"), "ts",
         "day", path)
     path

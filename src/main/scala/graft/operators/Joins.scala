@@ -522,7 +522,12 @@ object Joins {
     val root = graft.sources.CacheKeys.path(
       s"graft_customer_sky_l$skyLayoutLevel", s"$dir/customer.parquet")
     val path = s"$root/customer_sky.parquet"
-    if (!graft.sources.CacheKeys.isComplete(path)) {
+    // sidecar check too: _SPATIAL lands AFTER Spark's _SUCCESS (an
+    // Overwrite write deletes the dir, so the sidecar can't go first),
+    // and a crash in that window would otherwise leave a permanently
+    // "complete" layout every bounded read rejects (review r18)
+    if (!graft.sources.CacheKeys.isComplete(path) ||
+        graft.sources.SpatialWriter.spatialMeta(s, path).isEmpty) {
       val c = skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey",
         "id", "lon", "lat")
       graft.sources.SpatialWriter.write(c, "lon", "lat", skyLayoutLevel, path)

@@ -62,22 +62,34 @@ object JoinRegistry {
   private def parse(line: String): Option[Either[JoinDef, SpatialJoinDef]] =
     str("kind", line) match {
       case Some("equi") =>
-        for (l <- str("left", line); lk <- str("leftKey", line);
-             r <- str("right", line); rk <- str("rightKey", line))
-          yield Left(JoinDef(l, lk, r, rk))
+        val parsed =
+          for (l <- str("left", line); lk <- str("leftKey", line);
+               r <- str("right", line); rk <- str("rightKey", line))
+            yield Left(JoinDef(l, lk, r, rk))
+        // a KNOWN kind failing to parse is corruption, not forward
+        // compat — dropping it silently would make the relation vanish
+        // (next query resolves through a DIFFERENT declared path, or
+        // errors with a misleading "no relation declared")
+        if (parsed.isEmpty) throw new IllegalArgumentException(
+          s"malformed equi entry in _JOINS: $line")
+        parsed
       case Some("spatial") =>
-        for (l <- str("left", line); lk <- str("leftKey", line);
-             lo <- str("lonL", line); la <- str("latL", line);
-             r <- str("right", line); rk <- str("rightKey", line);
-             ro <- str("lonR", line); ra <- str("latR", line);
-             rad <- num("radiusDeg", line))
-          yield Right(SpatialJoinDef(l, lk, lo, la, r, rk, ro, ra,
-            rad.toDouble,
-            nmax = num("nmax", line).map(_.toInt).getOrElse(1),
-            hotThreshold = num("hotThreshold", line).map(_.toLong),
-            salts = num("salts", line).map(_.toInt).getOrElse(16),
-            snapD6 = line.contains(""""snapD6":true""")))
-      case _ => None // unknown kind: forward-compatible skip
+        val parsed =
+          for (l <- str("left", line); lk <- str("leftKey", line);
+               lo <- str("lonL", line); la <- str("latL", line);
+               r <- str("right", line); rk <- str("rightKey", line);
+               ro <- str("lonR", line); ra <- str("latR", line);
+               rad <- num("radiusDeg", line))
+            yield Right(SpatialJoinDef(l, lk, lo, la, r, rk, ro, ra,
+              rad.toDouble,
+              nmax = num("nmax", line).map(_.toInt).getOrElse(1),
+              hotThreshold = num("hotThreshold", line).map(_.toLong),
+              salts = num("salts", line).map(_.toInt).getOrElse(16),
+              snapD6 = line.contains(""""snapD6":true""")))
+        if (parsed.isEmpty) throw new IllegalArgumentException(
+          s"malformed spatial entry in _JOINS: $line")
+        parsed
+      case _ => None // UNKNOWN kind: forward-compatible skip
     }
 
   /** All declared relations at `root` (empty when no `_JOINS` file). */
@@ -109,15 +121,18 @@ object JoinRegistry {
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally o.close()
     val dst = new Path(root, RegistryFile)
-    if (dst.toUri.getScheme == null || dst.toUri.getScheme == "file")
+    // branch on the RESOLVED filesystem, not the raw URI: a schemeless
+    // root resolves to fs.defaultFS, which on a cluster is NOT the
+    // local filesystem a java.nio move could reach (review r18)
+    if (f.getScheme == "file")
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, spark.sparkContext.hadoopConfiguration)
+        f.getUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }

@@ -224,15 +224,18 @@ object Snapshots {
     // refuse to overwrite); remote filesystems through FileContext's
     // OVERWRITE rename (HDFS implements it atomically).
     val dst = new Path(path, CommitLog)
-    if (dst.toUri.getScheme == null || dst.toUri.getScheme == "file")
+    // branch on the RESOLVED filesystem, not the raw URI: a schemeless
+    // path resolves to fs.defaultFS, which on a cluster is NOT the
+    // local filesystem a java.nio move could reach (review r18)
+    if (f.getScheme == "file")
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, spark.sparkContext.hadoopConfiguration)
+        f.getUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }

@@ -96,8 +96,10 @@ object CrossMatch {
     * discipline built into the relation itself, so a QL spatial join
     * declared with it is hash-checkable against an engine that computes
     * its own haversine. Candidates are blocked and raw-refined at a
-    * 0.1% superset radius (a pair whose raw distance sits within libm
-    * ulps of `radiusDeg` is never lost to one engine's rounding), then
+    * superset radius — 0.1% relative, floored at the 1e-6-degree snap
+    * step — so a pair whose raw distance sits within libm ulps OR one
+    * snap half-step of `radiusDeg` is never lost to one engine's
+    * rounding; then
     * membership (`snapped <= radiusDeg`) and the ranking (snapped dist,
     * then b_id) are computed on the snapped value. The snap is
     * monotone, so every superset candidate that outranks a survivor
@@ -114,9 +116,17 @@ object CrossMatch {
                    hotThreshold: Option[Long] = None,
                    salts: Int = 16): DataFrame = {
     require(nmax >= 1, s"nmax must be >= 1, got $nmax")
-    require(radiusDeg > 0 && radiusDeg <= 1.0,
-      s"radiusDeg must be in (0, 1], got $radiusDeg")
-    val sup = math.min(1.0, radiusDeg * 1.001)
+    // the superset margin must dominate BOTH libm ulps (relative) and
+    // the d6 snap half-step (absolute: a raw distance up to r + 5e-7
+    // still snaps to <= r, so a purely relative margin would lose
+    // legitimate members at arcsecond-scale radii — review r18); the
+    // blocking layer caps at 1.0°, hence the radius headroom require
+    val margin = math.max(radiusDeg * 1e-3, 1e-6)
+    require(radiusDeg > 0 && radiusDeg + margin <= 1.0,
+      s"snapped-semantics radius must leave superset headroom under " +
+        s"the 1-degree blocking cap: radiusDeg in (0, ~0.999], got " +
+        s"$radiusDeg")
+    val sup = radiusDeg + margin
     val cand = hotThreshold match {
       case Some(ht) =>
         skewSafe(a, b, aId, aLon, aLat, bId, bLon, bLat, sup,

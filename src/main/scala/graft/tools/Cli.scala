@@ -74,6 +74,12 @@ object QueryCli {
     require(pos.length >= 2,
       "usage: QueryCli <dbRoot> <query> [maxRows] [--bounds <spec>] " +
         "[--time from,to]")
+    // a misspelled flag must not silently run the query UNBOUNDED —
+    // the superset result is exactly what the flag was meant to cut
+    val unknown = flags.keySet -- Set("bounds", "time")
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.map("--" + _).mkString(", ")} " +
+        "(supported: --bounds, --time)")
     val spark = Cli.session()
     val ql = LsdQL.forDb(LsdDb(spark, pos(0)))
     val bounds = flags.get("bounds").map(parseBounds)
@@ -350,14 +356,14 @@ object XmatchCli {
     val db = LsdDb(spark, args(0))
     val Array(aId, aLon, aLat) = args(2).split(",").map(_.trim)
     val Array(bId, bLon, bLat) = args(4).split(",").map(_.trim)
-    val pairs =
-      if (args.length >= 9)
-        CrossMatch.skewSafe(db.table(args(1)), db.table(args(3)),
-          aId, aLon, aLat, bId, bLon, bLat, args(5).toDouble, args(6).toInt,
-          hotThreshold = args(8).toLong,
-          salts = if (args.length == 10) args(9).toInt else 16)
-      else CrossMatch(db.table(args(1)), db.table(args(3)),
-        aId, aLon, aLat, bId, bLon, bLat, args(5).toDouble, args(6).toInt)
+    // snapped semantics on BOTH artifacts: the materialized pair table
+    // and the declared QL relation must agree on boundary membership
+    // and rank order, or a pipeline cross-checking them sees phantom
+    // diffs (review r18)
+    val pairs = CrossMatch.applySnapped(db.table(args(1)), db.table(args(3)),
+      aId, aLon, aLat, bId, bLon, bLat, args(5).toDouble, args(6).toInt,
+      hotThreshold = if (args.length >= 9) Some(args(8).toLong) else None,
+      salts = if (args.length == 10) args(9).toInt else 16)
     pairs.write.mode("overwrite").parquet(s"${args(0)}/${args(7)}.parquet")
     graft.ql.JoinRegistry.declareSpatial(spark, args(0),
       graft.ql.SpatialJoinDef(args(1), aId, aLon, aLat,

@@ -33,6 +33,20 @@ class JoinRegistrySpec extends SpecBase {
     assert(JoinRegistry.load(spark, root) == ((Nil, Nil)))
   }
 
+  test("a malformed KNOWN kind fails loudly instead of vanishing") {
+    // review r18: silently dropping a corrupt spatial entry would make
+    // the next FROM a, b resolve through a DIFFERENT relation
+    val root = Files.createTempDirectory("graft_jreg_corrupt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_JOINS"),
+      """{"kind":"spatial","left":"dets","leftKey":"id"}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      JoinRegistry.load(spark, root)
+    }
+    assert(e.getMessage.contains("malformed spatial entry"))
+  }
+
   test("declare upserts by table pair; declareSpatial by directed pair") {
     val root = Files.createTempDirectory("graft_jreg_up").toString
     JoinRegistry.declare(spark, root, JoinDef("a", "k1", "b", "k1"))

@@ -37,4 +37,32 @@ class TimeWriterSpec extends SpecBase {
     val want = events.filter(col("ts") >= "2024-01-15" && col("ts") < "2024-02-01")
     assert(got.count() == want.count() && got.count() > 0)
   }
+
+  test("ensure-site rebuild heals a layout that lost its sidecar") {
+    // review r18: _TEMPORAL lands after Spark's _SUCCESS; a crash in
+    // that window must not leave a permanently "complete" cache that
+    // every time-bounded read rejects. The ensure site re-checks the
+    // sidecar, so deleting it (the crash's observable state) heals.
+    val path = graft.operators.Core.ensureTimePartitionedEvents(spark, sfDir)
+    assert(TimeWriter.temporalMeta(spark, path).isDefined)
+    new java.io.File(path, "_TEMPORAL").delete()
+    assert(TimeWriter.temporalMeta(spark, path).isEmpty)
+    val again = graft.operators.Core.ensureTimePartitionedEvents(spark, sfDir)
+    assert(again == path &&
+      TimeWriter.temporalMeta(spark, path).isDefined,
+      "ensure site must rebuild when the sidecar is missing")
+  }
+
+  test("inverted TimeInterval fails at construction") {
+    intercept[IllegalArgumentException] {
+      graft.spatial.TimeInterval("2024-02-01 00:00:00",
+        "2024-01-01 00:00:00")
+    }
+    intercept[IllegalArgumentException] { // date-only spelling too
+      graft.spatial.TimeInterval("2024-02-01", "2024-02-01")
+    }
+    // valid forms construct; exotic forms defer to the engine
+    graft.spatial.TimeInterval("2024-01-01", "2024-02-01")
+    graft.spatial.TimeInterval("jan 1", "feb 1")
+  }
 }

@@ -173,6 +173,24 @@ class CrossMatchSpec extends SpecBase {
     assert(raw.toSeq == Seq(7L, 5L))
   }
 
+  test("applySnapped: arcsecond-scale radius keeps snap-boundary members") {
+    // regression (review r18): a purely RELATIVE superset margin is
+    // smaller than the d6 half-step at tiny radii — a pair whose raw
+    // distance snaps down to the radius was cut before snapping
+    val a = Seq((1L, 10.0, 0.0)).toDF("oid", "olon", "olat")
+    val b = Seq((5L, 10.0, 0.00010004)) // raw ~1.0004e-4 > r, snaps to r
+      .toDF("cid", "clon", "clat")
+    val got = CrossMatch.applySnapped(a, b, "oid", "olon", "olat",
+      "cid", "clon", "clat", radiusDeg = 0.0001, nmax = 1).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 0.0001,
+      s"snap-boundary member lost at small radius: ${got.toSeq}")
+    // and the blocking-cap headroom is a loud require, not silent loss
+    intercept[IllegalArgumentException] {
+      CrossMatch.applySnapped(a, b, "oid", "olon", "olat",
+        "cid", "clon", "clat", radiusDeg = 1.0, nmax = 1)
+    }
+  }
+
   test("applySnapped: skew-composed path is row-identical") {
     def run(ht: Option[Long]) =
       CrossMatch.applySnapped(detDf, objDf, "det_id", "lon", "lat",

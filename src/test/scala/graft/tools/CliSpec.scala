@@ -115,6 +115,16 @@ class CliSpec extends SpecBase {
       graft.spatial.Bounds.Polygon(Seq((10.0, 10.0), (40.0, 10.0),
         (40.0, 35.0))))
     intercept[IllegalArgumentException](QueryCli.parseBounds("beam:1,2,3"))
+    // a misspelled flag must fail loudly, never run unbounded
+    intercept[IllegalArgumentException] {
+      QueryCli.main(Array(root, "SELECT id FROM sky", "3",
+        "--bound", "cone:123.4,-12.3,9.0"))
+    }
+    // an inverted --time interval fails at construction
+    intercept[IllegalArgumentException] {
+      QueryCli.main(Array(root, "SELECT id FROM sky", "3",
+        "--time", "2024-02-01 00:00:00,2024-01-01 00:00:00"))
+    }
     // end to end: the flag reaches the bounded-query path (a layout
     // table, so the bound both prunes and refines)
     QueryCli.main(Array(root, "SELECT id, lon, lat FROM sky ORDER BY id",
