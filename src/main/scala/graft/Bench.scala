@@ -65,6 +65,10 @@ object Bench {
     catch { case _: Throwable => () }
     try { operators.PipelineOps.ensureBpeArtifact(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { operators.Joins.ensureQlXmatchDb(spark, sfDir) }
+    catch { case _: Throwable => () }
+    try { operators.Joins.ensureQlDetectionsDb(spark, sfDir) }
+    catch { case _: Throwable => () }
     // Time FULL materialization of every output column, not count():
     // under count() Catalyst prunes the projection, so map-only
     // queries (q_project, q_string, …) were timing the scan rather

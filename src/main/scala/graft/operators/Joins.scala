@@ -691,14 +691,81 @@ object Joins {
       graft.spatial.Bounds.Polygon(qlPolyVerts))
   }
 
+  /** Write-once db root holding a DETECTION table — events lifted
+    * onto the synthetic sky lattice, stored as a SpatialWriter layout
+    * that KEEPS its timestamp column. The substrate for the combined
+    * (space, time) bounds pair: sky cells prune directories, the time
+    * interval refines by predicate (a layout partitions one way; the
+    * reference's full sky×time grid is the `partitionBy(cell,
+    * t_bucket)` composition, exercised at the writer level). */
+  private[graft] def ensureQlDetectionsDb(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val root = graft.sources.CacheKeys.path(
+        "graft_ql_det_db", s"$dir/events.parquet")
+      val path = s"$root/detections.parquet"
+      if (!graft.sources.CacheKeys.isComplete(path) ||
+          graft.sources.SpatialWriter.spatialMeta(s, path).isEmpty) {
+        val d = LsdDb.table(s, dir, "events").select(
+          col("event_id").as("id"),
+          ((col("event_id") * 13) % 3600).cast(DoubleType)./(10.0)
+            .as("lon"),
+          (((col("event_id") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+            .as("lat"),
+          col("ts"))
+        graft.sources.SpatialWriter.write(d, "lon", "lat",
+          skyLayoutLevel, path)
+      }
+      root
+    }
+
+  /** SC2f4/QL — the (SPACE, TIME) bounds PAIR on a detection table:
+    * the reference's bread-and-butter multi-epoch query ("this patch
+    * of sky, these nights") as two query ARGUMENTS — `query(text,
+    * bounds, time)`. The cone prunes the layout's cell directories
+    * and refines d6-exact; the half-open interval refines on the
+    * declared time column (timeKeys registration, the IdSpec-style
+    * fallback for a table whose one physical partitioning is spatial).
+    * Off-grid cone constants and non-midnight-aligned endpoints per
+    * the family discipline. */
+  val qQlBoundsPair: QuerySpec = QuerySpec(
+    "q_ql_bounds_pair",
+    s"""WITH d AS (SELECT event_id AS id,
+       |    CAST(event_id * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+       |    CAST(event_id * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat,
+       |    CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events),
+       |p AS (SELECT id, lon, lat, ts,
+       |    ${D.d6(
+        s"degrees(2 * asin(sqrt(" +
+          s"sin(radians(lat - (-3.2109)) / 2) * sin(radians(lat - (-3.2109)) / 2)" +
+          s" + cos(radians(-3.2109)) * cos(radians(lat))" +
+          s" * sin(radians(lon - 120.4321) / 2)" +
+          s" * sin(radians(lon - 120.4321) / 2))))")} AS dist_deg
+       |  FROM d)
+       |SELECT id, lon, lat, ts FROM p
+       |WHERE dist_deg <= 24.1234
+       |  AND ts >= TIMESTAMP '2024-01-08 06:30:00'
+       |  AND ts < TIMESTAMP '2024-01-21 18:45:00'
+       |ORDER BY id""".stripMargin) { (s, dir) =>
+    val root = ensureQlDetectionsDb(s, dir)
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil,
+      timeKeys = Map("detections" -> "ts"))
+    ql.query("SELECT id, lon, lat, ts FROM detections ORDER BY id",
+      graft.spatial.Bounds.Cone(120.4321, -3.2109, 24.1234),
+      graft.spatial.TimeInterval("2024-01-08 06:30:00",
+        "2024-01-21 18:45:00"))
+  }
+
   /** Write-once db root holding the orders/supplier sky projections
     * as STORED tables (`oid/olon/olat`, `sid/slon/slat`) — the
     * substrate for the QL xmatch-join lines, shaped like a real LSD
     * database directory (catalogs are tables, not inline SELECTs).
     * Keyed on the orders source fingerprint; the driver's sf dirs are
     * immutable, so one key covers both projections. */
-  private def ensureQlXmatchDb(s: org.apache.spark.sql.SparkSession,
-                               dir: String): String = synchronized {
+  private[graft] def ensureQlXmatchDb(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
     val root = graft.sources.CacheKeys.path(
       "graft_ql_xmatch_db", s"$dir/orders.parquet")
     val op = s"$root/orders_sky.parquet"
@@ -1304,5 +1371,6 @@ object Joins {
     qScalarSubq, qJoinBucketed, qXmatch, qXmatchAnti, qXmatchOuter,
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
-    qQlBounds, qQlBoundsRect, qQlBoundsPoly, qQlXmatch, qQlXmatchOuter)
+    qQlBounds, qQlBoundsRect, qQlBoundsPoly, qQlBoundsPair,
+    qQlXmatch, qQlXmatchOuter)
 }

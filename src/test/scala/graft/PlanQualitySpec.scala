@@ -123,6 +123,20 @@ class PlanQualitySpec extends SpecBase {
       s"polygon-bounded QL read must prune cell= directories:\n$pf")
   }
 
+  test("q_ql_bounds_pair: cone prunes cells AND the interval pushes to the scan") {
+    val df = Joins.qQlBoundsPair.fn(spark, sfDir)
+    val plan = planOf(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cell"),
+      s"space half must prune cell= directories:\n$pf")
+    // the time half reaches the scan as a pushed data filter (row-group
+    // min/max pruning on the sorted ts), not a post-scan Filter only
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("ts")),
+      s"time half must push to the scan:\n${plan.take(3000)}")
+  }
+
   test("q_ql_xmatch: the QL spatial join is cell-blocked, no cartesian") {
     // the declared radius relation must lower to the blocked
     // CrossMatch shape — an equi-join on the blocking cell plus the
