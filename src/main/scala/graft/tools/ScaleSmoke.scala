@@ -1281,6 +1281,52 @@ object ScaleSmoke {
       s"$kept packed docs, $scans scan, $shuffles shuffles"
     }
 
+    // bounded QL read over a stored layout: the round-18 bounds
+    // surface at 5M detections — the claim is PHYSICAL (untouched sky
+    // is never opened), so assert on the files the executed scan
+    // actually read, plus row identity against the raw predicate twin
+    val qlbDir = s"${sys.props("java.io.tmpdir")}/graft_smoke_qlbounds"
+    t("bounded QL (cone+time) over a 5M-det layout: prune + identity") {
+      import graft.spatial.{Bounds, TimeInterval}
+      val dets5 = spark.range(5000000).select(
+        col("id"),
+        (rand(seed = 31) * 360).as("lon"),
+        degrees(asin(rand(seed = 32) * 2 - 1)).as("lat"),
+        timestamp_seconds(lit(1704067200L) + (col("id") % 2592000L))
+          .as("ts")) // one month of seconds
+      if (!graft.sources.CacheKeys.isComplete(s"$qlbDir/dets.parquet"))
+        graft.sources.SpatialWriter.write(dets5, "lon", "lat", 4,
+          s"$qlbDir/dets.parquet")
+      val ql = graft.ql.LsdQL(graft.LsdDb(spark, qlbDir), Nil,
+        timeKeys = Map("dets" -> "ts"))
+      val cone = Bounds.Cone(210.1234, 12.6543, 9.8765)
+      val ti = TimeInterval("2024-01-05 06:30:00", "2024-01-19 18:45:00")
+      val bounded = ql.query("SELECT id, lon, lat, ts FROM dets", cone, ti)
+      val got = bounded.count()
+      // raw twin: same predicates over the unpruned frame
+      val want = dets5.filter(cone.predicate(col("lon"), col("lat")))
+        .filter(ti.predicate(col("ts"))).count()
+      assert(got == want, s"bounded read dropped/added rows: $got != $want")
+      // physical pruning: the bound must surface as directory-level
+      // PartitionFilters (the plan's promise), and the candidate∩
+      // present set — what such a scan opens — must be a strict
+      // subset of the stored cells (the filesystem's answer; the
+      // FootprintCli measurement)
+      val plan = bounded.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cell") ||
+        plan.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("cell")),
+        s"bound did not prune directories:\n${plan.take(2000)}")
+      val candidate = cone.cells(4).toSet
+      val stored = new java.io.File(s"$qlbDir/dets.parquet")
+        .listFiles().map(_.getName).filter(_.startsWith("cell="))
+        .map(_.stripPrefix("cell=").toLong).toSet
+      val opened = candidate & stored
+      assert(opened.size < stored.size,
+        s"no directory pruning: ${opened.size} of ${stored.size}")
+      s"$got rows, scan ${opened.size}/${stored.size} cell dirs"
+    }
+
     spark.stop()
   }
 }
