@@ -757,6 +757,85 @@ object Joins {
         "2024-01-21 18:45:00"))
   }
 
+  /** [[ensureQlDetectionsDb]] plus an OBJECTS catalog (supplier on
+    * the same sky lattice) in the same db root — the two-table survey
+    * database the flagship bounded-xmatch-aggregate query drives.
+    * The root is keyed on the events fingerprint; the objects table
+    * derives from supplier (same immutable driver-generated sf dir —
+    * the ensureQlXmatchDb one-key-covers-both precedent). */
+  private[graft] def ensureQlSurveyDb(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val root = ensureQlDetectionsDb(s, dir)
+      val op = s"$root/objects.parquet"
+      if (!graft.sources.CacheKeys.isComplete(op))
+        skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+          "obj_id", "olon", "olat").write.mode("overwrite").parquet(op)
+      root
+    }
+
+  /** J6g/QL — THE FLAGSHIP COMPOSITION: query-time bounds + the
+    * declared xmatch relation + aggregation in ONE QL query — the
+    * reference's headline use ("summarize the matched detections on
+    * this patch of sky": `db.query("SELECT … FROM dets, objs …",
+    * bounds=beam(…))`, ref `lsd/join_ops.py` + `lsd/bounds.py`,
+    * UNVERIFIED). Lowering composes the round's pieces: the cone
+    * prunes the detection layout's cell directories and refines
+    * d6-exact BEFORE the join (the bounded driving set is what
+    * shuffles), the snapD6 relation nearest-matches cell-blocked (no
+    * cartesian), and the per-object aggregate uses the decimal-exact
+    * mean over the already-snapped distances (snap before
+    * aggregation; the quotient emits raw — the Det.davg rule). */
+  val qQlSurvey: QuerySpec = QuerySpec(
+    "q_ql_survey",
+    s"""WITH d AS (SELECT event_id AS id,
+       |    CAST(event_id * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+       |    CAST(event_id * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+       |  FROM events),
+       |bd AS (SELECT id, lon, lat FROM d
+       |  WHERE ${D.d6(
+        s"degrees(2 * asin(sqrt(" +
+          s"sin(radians(lat - (-26.2109)) / 2) * sin(radians(lat - (-26.2109)) / 2)" +
+          s" + cos(radians(-26.2109)) * cos(radians(lat))" +
+          s" * sin(radians(lon - 7.4321) / 2)" +
+          s" * sin(radians(lon - 7.4321) / 2))))")} <= 9.8765),
+       |o AS (SELECT s_suppkey AS obj_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS olon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS olat
+       |  FROM supplier),
+       |p AS (SELECT bd.id, o.obj_id, ${D.d6(
+        "degrees(2 * asin(sqrt(" +
+          "sin(radians(olat - lat) / 2) * sin(radians(olat - lat) / 2)" +
+          " + cos(radians(lat)) * cos(radians(olat))" +
+          " * sin(radians(olon - lon) / 2)" +
+          " * sin(radians(olon - lon) / 2))))")} AS dist_deg
+       |  FROM bd CROSS JOIN o),
+       |m AS (SELECT id, obj_id, dist_deg FROM (
+       |    SELECT id, obj_id, dist_deg,
+       |      row_number() OVER (PARTITION BY id
+       |                         ORDER BY dist_deg, obj_id) AS rn
+       |    FROM p WHERE dist_deg <= 0.3456)
+       |  WHERE rn = 1)
+       |SELECT obj_id, count(*) AS n_det,
+       |  ${D.davg("dist_deg")} AS mean_dist,
+       |  min(dist_deg) AS best_dist
+       |FROM m GROUP BY obj_id ORDER BY obj_id""".stripMargin) { (s, dir) =>
+    val root = ensureQlSurveyDb(s, dir)
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil,
+      spatialJoins = Seq(graft.ql.SpatialJoinDef(
+        "detections", "id", "lon", "lat",
+        "objects", "obj_id", "olon", "olat",
+        radiusDeg = 0.3456, nmax = 1, snapD6 = true)),
+      timeKeys = Map("detections" -> "ts"))
+    ql.query(
+      s"""SELECT obj_id, count(*) AS n_det,
+         |  ${D.davg("_DIST")} AS mean_dist,
+         |  min(_DIST) AS best_dist
+         |FROM detections, objects
+         |GROUP BY obj_id ORDER BY obj_id""".stripMargin,
+      graft.spatial.Bounds.Cone(7.4321, -26.2109, 9.8765))
+  }
+
   /** Write-once db root holding the orders/supplier sky projections
     * as STORED tables (`oid/olon/olat`, `sid/slon/slat`) — the
     * substrate for the QL xmatch-join lines, shaped like a real LSD
@@ -1372,5 +1451,5 @@ object Joins {
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
     qQlBounds, qQlBoundsRect, qQlBoundsPoly, qQlBoundsPair,
-    qQlXmatch, qQlXmatchOuter)
+    qQlXmatch, qQlXmatchOuter, qQlSurvey)
 }

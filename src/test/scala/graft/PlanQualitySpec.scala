@@ -137,6 +137,22 @@ class PlanQualitySpec extends SpecBase {
       s"time half must push to the scan:\n${plan.take(3000)}")
   }
 
+  test("q_ql_survey: bounded + xmatch + agg composition keeps every shape") {
+    // the flagship composition must inherit all three pins at once:
+    // the cone prunes the layout's cell directories, the declared
+    // relation stays cell-blocked (no cartesian), and the per-object
+    // aggregate is partial+final (map-side combine before the shuffle)
+    val df = Joins.qQlSurvey.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")),
+      s"bound lost directory pruning:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"relation lowered to a cartesian:\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"aggregate lost the partial phase:\n${plan.take(2000)}")
+  }
+
   test("q_ql_xmatch: the QL spatial join is cell-blocked, no cartesian") {
     // the declared radius relation must lower to the blocked
     // CrossMatch shape — an equi-join on the blocking cell plus the
