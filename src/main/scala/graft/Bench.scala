@@ -67,7 +67,7 @@ object Bench {
     catch { case _: Throwable => () }
     try { operators.Joins.ensureQlXmatchDb(spark, sfDir) }
     catch { case _: Throwable => () }
-    try { operators.Joins.ensureQlDetectionsDb(spark, sfDir) }
+    try { operators.Joins.ensureQlSurveyDb(spark, sfDir) } // ⊇ detections
     catch { case _: Throwable => () }
     // Time FULL materialization of every output column, not count():
     // under count() Catalyst prunes the projection, so map-only

@@ -665,6 +665,29 @@ object Joins {
       graft.spatial.Bounds.Rect(355.0011, 15.0022, -10.0033, 20.0044))
   }
 
+  /** DuckDB/Spark-portable haversine text (degrees) between two
+    * (lon, lat) expression pairs — ONE source for the round's oracle
+    * distance strings (a transposed term in a hand-inlined copy would
+    * produce a subtly wrong oracle that only fails at a boundary
+    * row). Same term order as the historical inline copies, so the
+    * IEEE evaluation tree is unchanged. */
+  private def havSqlAB(lonA: String, latA: String,
+                       lonB: String, latB: String): String =
+    "degrees(2 * asin(sqrt(" +
+      s"sin(radians(($latB) - ($latA)) / 2) * " +
+      s"sin(radians(($latB) - ($latA)) / 2)" +
+      s" + cos(radians($latA)) * cos(radians($latB))" +
+      s" * sin(radians(($lonB) - ($lonA)) / 2)" +
+      s" * sin(radians(($lonB) - ($lonA)) / 2))))"
+
+  /** SQL twin of [[skyFrom]]: the deterministic sky-lattice
+    * projection of an integer key, as a SELECT-list fragment. */
+  private def skySqlCols(key: String, id: String, lon: String,
+                         lat: String): String =
+    s"$key AS $id,\n" +
+      s"    CAST($key * 13 % 3600 AS DOUBLE) / 10.0 AS $lon,\n" +
+      s"    CAST($key * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS $lat"
+
   /** Non-convex L-shape for the POLYGON bound at the QL surface —
     * deliberately a different sky region than q_footprint_polygon's
     * `polyVerts` so the two lines cannot mask each other; same
@@ -730,18 +753,12 @@ object Joins {
     * the family discipline. */
   val qQlBoundsPair: QuerySpec = QuerySpec(
     "q_ql_bounds_pair",
-    s"""WITH d AS (SELECT event_id AS id,
-       |    CAST(event_id * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
-       |    CAST(event_id * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat,
+    s"""WITH d AS (SELECT ${skySqlCols("event_id", "id", "lon", "lat")},
        |    CAST(ts AS TIMESTAMP) AS ts
        |  FROM events),
        |p AS (SELECT id, lon, lat, ts,
-       |    ${D.d6(
-        s"degrees(2 * asin(sqrt(" +
-          s"sin(radians(lat - (-3.2109)) / 2) * sin(radians(lat - (-3.2109)) / 2)" +
-          s" + cos(radians(-3.2109)) * cos(radians(lat))" +
-          s" * sin(radians(lon - 120.4321) / 2)" +
-          s" * sin(radians(lon - 120.4321) / 2))))")} AS dist_deg
+       |    ${D.d6(havSqlAB("120.4321", "(-3.2109)", "lon", "lat"))}
+       |      AS dist_deg
        |  FROM d)
        |SELECT id, lon, lat, ts FROM p
        |WHERE dist_deg <= 24.1234
@@ -757,16 +774,31 @@ object Joins {
         "2024-01-21 18:45:00"))
   }
 
-  /** [[ensureQlDetectionsDb]] plus an OBJECTS catalog (supplier on
-    * the same sky lattice) in the same db root — the two-table survey
-    * database the flagship bounded-xmatch-aggregate query drives.
-    * The root is keyed on the events fingerprint; the objects table
-    * derives from supplier (same immutable driver-generated sf dir —
-    * the ensureQlXmatchDb one-key-covers-both precedent). */
+  /** Self-contained two-table survey database — a detections layout
+    * (events on the sky lattice, keeping ts) plus an OBJECTS catalog
+    * (supplier on the same lattice) — for the flagship bounded-
+    * xmatch-aggregate query. Keyed on the WHOLE sf dir fingerprint:
+    * the two tables derive from two different sources, so a
+    * single-source key would silently serve stale data when the
+    * other source regenerates (review r18); over-keying on sibling
+    * tables merely rebuilds a small cache. */
   private[graft] def ensureQlSurveyDb(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
-      val root = ensureQlDetectionsDb(s, dir)
+      val root = graft.sources.CacheKeys.path("graft_ql_survey_db", dir)
+      val dp = s"$root/detections.parquet"
+      if (!graft.sources.CacheKeys.isComplete(dp) ||
+          graft.sources.SpatialWriter.spatialMeta(s, dp).isEmpty) {
+        val d = LsdDb.table(s, dir, "events").select(
+          col("event_id").as("id"),
+          ((col("event_id") * 13) % 3600).cast(DoubleType)./(10.0)
+            .as("lon"),
+          (((col("event_id") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+            .as("lat"),
+          col("ts"))
+        graft.sources.SpatialWriter.write(d, "lon", "lat",
+          skyLayoutLevel, dp)
+      }
       val op = s"$root/objects.parquet"
       if (!graft.sources.CacheKeys.isComplete(op))
         skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
@@ -788,27 +820,15 @@ object Joins {
     * aggregation; the quotient emits raw — the Det.davg rule). */
   val qQlSurvey: QuerySpec = QuerySpec(
     "q_ql_survey",
-    s"""WITH d AS (SELECT event_id AS id,
-       |    CAST(event_id * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
-       |    CAST(event_id * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+    s"""WITH d AS (SELECT ${skySqlCols("event_id", "id", "lon", "lat")}
        |  FROM events),
        |bd AS (SELECT id, lon, lat FROM d
-       |  WHERE ${D.d6(
-        s"degrees(2 * asin(sqrt(" +
-          s"sin(radians(lat - (-26.2109)) / 2) * sin(radians(lat - (-26.2109)) / 2)" +
-          s" + cos(radians(-26.2109)) * cos(radians(lat))" +
-          s" * sin(radians(lon - 7.4321) / 2)" +
-          s" * sin(radians(lon - 7.4321) / 2))))")} <= 9.8765),
-       |o AS (SELECT s_suppkey AS obj_id,
-       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS olon,
-       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS olat
+       |  WHERE ${D.d6(havSqlAB("7.4321", "(-26.2109)", "lon", "lat"))}
+       |    <= 9.8765),
+       |o AS (SELECT ${skySqlCols("s_suppkey", "obj_id", "olon", "olat")}
        |  FROM supplier),
-       |p AS (SELECT bd.id, o.obj_id, ${D.d6(
-        "degrees(2 * asin(sqrt(" +
-          "sin(radians(olat - lat) / 2) * sin(radians(olat - lat) / 2)" +
-          " + cos(radians(lat)) * cos(radians(olat))" +
-          " * sin(radians(olon - lon) / 2)" +
-          " * sin(radians(olon - lon) / 2))))")} AS dist_deg
+       |p AS (SELECT bd.id, o.obj_id,
+       |    ${D.d6(havSqlAB("lon", "lat", "olon", "olat"))} AS dist_deg
        |  FROM bd CROSS JOIN o),
        |m AS (SELECT id, obj_id, dist_deg FROM (
        |    SELECT id, obj_id, dist_deg,
@@ -825,8 +845,7 @@ object Joins {
       spatialJoins = Seq(graft.ql.SpatialJoinDef(
         "detections", "id", "lon", "lat",
         "objects", "obj_id", "olon", "olat",
-        radiusDeg = 0.3456, nmax = 1, snapD6 = true)),
-      timeKeys = Map("detections" -> "ts"))
+        radiusDeg = 0.3456, nmax = 1, snapD6 = true)))
     ql.query(
       s"""SELECT obj_id, count(*) AS n_det,
          |  ${D.davg("_DIST")} AS mean_dist,
@@ -865,21 +884,14 @@ object Joins {
     * membership/rank on the snapped value (CrossMatch.applySnapped),
     * so both engines evaluate the identical relation. */
   private val qlXmatchPairsSql: String =
-    s"""WITH a AS (SELECT o_orderkey AS a_id,
-       |    CAST(o_orderkey * 13 % 3600 AS DOUBLE) / 10.0 AS a_lon,
-       |    CAST(o_orderkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS a_lat
+    s"""WITH a AS (SELECT ${skySqlCols("o_orderkey", "a_id", "a_lon",
+        "a_lat")}
        |  FROM orders),
-       |b AS (SELECT s_suppkey AS b_id,
-       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS b_lon,
-       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS b_lat
+       |b AS (SELECT ${skySqlCols("s_suppkey", "b_id", "b_lon", "b_lat")}
        |  FROM supplier),
        |p AS (SELECT a_id, b_id,
-       |    ${D.d6(
-        "degrees(2 * asin(sqrt(" +
-          "sin(radians(b_lat - a_lat) / 2) * sin(radians(b_lat - a_lat) / 2)" +
-          " + cos(radians(a_lat)) * cos(radians(b_lat))" +
-          " * sin(radians(b_lon - a_lon) / 2)" +
-          " * sin(radians(b_lon - a_lon) / 2))))")} AS dist_deg
+       |    ${D.d6(havSqlAB("a_lon", "a_lat", "b_lon", "b_lat"))}
+       |      AS dist_deg
        |  FROM a CROSS JOIN b)""".stripMargin
 
   /** J6/QL — THE REFERENCE'S SIGNATURE QUERY SHAPE, oracle-gated at

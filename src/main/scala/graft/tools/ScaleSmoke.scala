@@ -1294,7 +1294,9 @@ object ScaleSmoke {
         degrees(asin(rand(seed = 32) * 2 - 1)).as("lat"),
         timestamp_seconds(lit(1704067200L) + (col("id") % 2592000L))
           .as("ts")) // one month of seconds
-      if (!graft.sources.CacheKeys.isComplete(s"$qlbDir/dets.parquet"))
+      if (!graft.sources.CacheKeys.isComplete(s"$qlbDir/dets.parquet") ||
+          graft.sources.SpatialWriter
+            .spatialMeta(spark, s"$qlbDir/dets.parquet").isEmpty)
         graft.sources.SpatialWriter.write(dets5, "lon", "lat", 4,
           s"$qlbDir/dets.parquet")
       val ql = graft.ql.LsdQL(graft.LsdDb(spark, qlbDir), Nil,
@@ -1312,10 +1314,11 @@ object ScaleSmoke {
       // present set — what such a scan opens — must be a strict
       // subset of the stored cells (the filesystem's answer; the
       // FootprintCli measurement)
+      // the DISCRIMINATING prefix form: a no-pruning plan still prints
+      // "PartitionFilters: []" with cell in the output list, so a
+      // contains(cell) && contains(PartitionFilters) check is vacuous
       val plan = bounded.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters: [cell") ||
-        plan.linesIterator.exists(l =>
-          l.contains("PartitionFilters") && l.contains("cell")),
+      assert(plan.contains("PartitionFilters: [cell"),
         s"bound did not prune directories:\n${plan.take(2000)}")
       val candidate = cone.cells(4).toSet
       val stored = new java.io.File(s"$qlbDir/dets.parquet")
