@@ -806,6 +806,34 @@ object Joins {
       root
     }
 
+  /** J6/QL(overrides) — PER-QUERY MATCH PARAMETERS: the FROM item's
+    * `(nmax=…, dmax=…)` override the declared relation's defaults for
+    * this query only — the reference's FROM-item match arguments
+    * (`FROM obj, det(nmax=…, dmax=…)`, ref `lsd/join_ops.py` query
+    * args, UNVERIFIED). Same declared relation as q_ql_xmatch
+    * (radius 0.87, nmax 2, snapD6); the query narrows it to the
+    * single nearest neighbor within 0.5432 — the oracle recomputes
+    * THAT relation, so a silently-ignored override cannot pass. */
+  val qQlXmatchDmax: QuerySpec = QuerySpec(
+    "q_ql_xmatch_dmax",
+    s"""$qlXmatchPairsSql
+       |SELECT a_id, b_id, dist_deg FROM (
+       |  SELECT a_id, b_id, dist_deg,
+       |    row_number() OVER (PARTITION BY a_id
+       |                       ORDER BY dist_deg, b_id) AS rn
+       |  FROM p WHERE dist_deg <= 0.5432)
+       |WHERE rn = 1 ORDER BY a_id""".stripMargin) { (s, dir) =>
+    val root = ensureQlXmatchDb(s, dir)
+    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil, spatialJoins = Seq(
+      graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
+        "supplier_sky", "sid", "slon", "slat",
+        radiusDeg = 0.87, nmax = 2, snapD6 = true)))
+    ql.query(
+      """SELECT oid AS a_id, sid AS b_id, _DIST AS dist_deg
+        |FROM orders_sky, supplier_sky(nmax=1, dmax=0.5432)
+        |ORDER BY a_id""".stripMargin)
+  }
+
   /** J6g/QL — THE FLAGSHIP COMPOSITION: query-time bounds + the
     * declared xmatch relation + aggregation in ONE QL query — the
     * reference's headline use ("summarize the matched detections on
@@ -883,7 +911,9 @@ object Joins {
     * each other); the engine side blocks at a superset and decides
     * membership/rank on the snapped value (CrossMatch.applySnapped),
     * so both engines evaluate the identical relation. */
-  private val qlXmatchPairsSql: String =
+  // lazy: referenced by QuerySpec vals that precede it in declaration
+  // order (object init would capture null otherwise)
+  private lazy val qlXmatchPairsSql: String =
     s"""WITH a AS (SELECT ${skySqlCols("o_orderkey", "a_id", "a_lon",
         "a_lat")}
        |  FROM orders),
@@ -1463,5 +1493,5 @@ object Joins {
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
     qQlBounds, qQlBoundsRect, qQlBoundsPoly, qQlBoundsPair,
-    qQlXmatch, qQlXmatchOuter, qQlSurvey)
+    qQlXmatch, qQlXmatchOuter, qQlXmatchDmax, qQlSurvey)
 }

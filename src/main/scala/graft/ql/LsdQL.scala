@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions.{col, row_number}
 /** The reference's SQL-ish query language, re-hosted on Catalyst:
   *
   *   [WITH name AS (query), ...]
-  *   SELECT [DISTINCT] expr [AS name], ... FROM t1[@snap], t2[(outer)], ...
+  *   SELECT [DISTINCT] expr [AS name], ...
+  *   FROM t1[@snap], t2[(outer [, nmax=<n>] [, dmax=<deg>])], ...
   *     [WHERE expr] [GROUP BY expr, ...] [HAVING expr]
   *     [WINDOW name AS (spec), ...] [QUALIFY expr]
   *     [ORDER BY expr, ...] [LIMIT n] [INTO newtable]
@@ -134,8 +135,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
                        timeKeys: Map[String, String] =
                          LsdQL.standardTimeKeys) {
 
+  /** `nmax`/`dmax` are PER-QUERY overrides of a spatial relation's
+    * declared match count / radius — the reference's FROM-item match
+    * parameters (`FROM obj, det(nmax=…, dmax=…)`, ref
+    * `lsd/join_ops.py` query args, UNVERIFIED). Only legal on a
+    * FROM item that resolves through a [[SpatialJoinDef]]; an equi
+    * item carrying them errors loudly. */
   private case class FromItem(table: String, outer: Boolean,
-                              asOf: Option[Long] = None)
+                              asOf: Option[Long] = None,
+                              nmax: Option[Int] = None,
+                              dmax: Option[Double] = None)
 
   /** Run a QL string → DataFrame (and materialize if INTO given).
     *
@@ -620,6 +629,9 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           bc.timeApplied.incrementAndGet()
         }
     }
+    require(fromItems.head.nmax.isEmpty && fromItems.head.dmax.isEmpty,
+      s"nmax/dmax apply to a MATCHED table, not the driving FROM " +
+        s"item '${fromItems.head.table}'")
     var joined = Set(fromItems.head.table)
     // `_ID` pseudo-column (resolved for the DRIVING table, like the
     // reference's per-table ids): packed SkyPix id for tables with a
@@ -662,6 +674,10 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       val how = if (item.outer) "left_outer" else "inner"
       path match {
         case Some(hops) =>
+          require(item.nmax.isEmpty && item.dmax.isEmpty,
+            s"nmax/dmax on FROM item '${item.table}' need a declared " +
+              "SPATIAL relation; this item resolves through equi " +
+              "join definitions")
           for (jd <- hops) {
             val (lk, rk, tbl) =
               if (joined.contains(jd.left)) (jd.leftKey, jd.rightKey, jd.right)
@@ -673,11 +689,17 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             joined += tbl
           }
         case None =>
-          val sjd = spatialJoins.find(j =>
+          val sjd0 = spatialJoins.find(j =>
             joined.contains(j.left) && j.right == item.table)
             .getOrElse(throw new IllegalArgumentException(
               s"no join relation (equi or spatial) declared between " +
                 s"{${joined.mkString(",")}} and ${item.table}"))
+          // per-query overrides: the FROM item's nmax/dmax replace
+          // the relation's declared defaults for THIS query only
+          // (snapD6/skew settings stay the relation's)
+          val sjd = sjd0.copy(
+            nmax = item.nmax.getOrElse(sjd0.nmax),
+            radiusDeg = item.dmax.getOrElse(sjd0.radiusDeg))
           val right = load(item.table)
           // cell-blocked nearest-k pairs over the RUNNING relation (so
           // upstream WHERE-able columns survive), then attach the
@@ -1020,14 +1042,30 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     val selectList = splitTopLevel(selectBody).map(_.trim)
     val fromItems = splitTopLevel(sections("FROM")).map(_.trim).map { t =>
       // `t@N` pins a snapshot table to committed snapshot N (time
-      // travel); composes with the (outer) suffix: `t@3(outer)`.
-      val outer = "(?i)^(\\w+)(?:@(\\d+))?\\s*\\(\\s*outer\\s*\\)$".r
+      // travel); composes with the options suffix: `t@3(outer)`.
+      // The paren options are a comma list of `outer` and the
+      // per-query spatial match overrides `nmax=<n>` / `dmax=<deg>`
+      // (the reference's FROM-item match parameters).
+      val withOpts = "^(\\w+)(?:@(\\d+))?\\s*\\(([^()]*)\\)$".r
       val plain = "^(\\w+)(?:@(\\d+))?$".r
+      val nmaxRe = "(?i)^nmax\\s*=\\s*(\\d+)$".r
+      val dmaxRe = "(?i)^dmax\\s*=\\s*([0-9]*\\.?[0-9]+(?:[eE][+-]?[0-9]+)?)$".r
       t match {
-        case outer(name, asOf) =>
-          FromItem(name, outer = true, Option(asOf).map(_.toLong))
         case plain(name, asOf) =>
           FromItem(name, outer = false, Option(asOf).map(_.toLong))
+        case withOpts(name, asOf, opts) =>
+          var outer = false
+          var nmax: Option[Int] = None
+          var dmax: Option[Double] = None
+          opts.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+            case o if o.equalsIgnoreCase("outer") => outer = true
+            case nmaxRe(v) => nmax = Some(v.toInt)
+            case dmaxRe(v) => dmax = Some(v.toDouble)
+            case other => throw new IllegalArgumentException(
+              s"unknown FROM-item option '$other' in '$t' " +
+                "(supported: outer, nmax=<n>, dmax=<deg>)")
+          }
+          FromItem(name, outer, Option(asOf).map(_.toLong), nmax, dmax)
         case other if other.startsWith("(") =>
           // derived table `(SELECT …) [AS] name [(outer)]` — resolved
           // by queryOne's scanner, passed through verbatim here

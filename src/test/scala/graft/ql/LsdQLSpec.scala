@@ -1507,6 +1507,44 @@ class LsdQLSpec extends SpecBase {
     assert(raw.toSeq == Seq(7L, 5L))
   }
 
+  test("FROM-item match overrides: nmax/dmax narrow the declared relation") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ql_ovr").toString
+    // one driving source; candidates at 0.05, 0.10, 0.20 deg
+    Seq((1L, 10.0, 0.0)).toDF("oid", "olon", "olat")
+      .write.parquet(s"$tmp/obj.parquet")
+    Seq((5L, 10.0, 0.05), (7L, 10.0, 0.10), (9L, 10.0, 0.20))
+      .toDF("cid", "clon", "clat").write.parquet(s"$tmp/cand.parquet")
+    val db2 = LsdDb(spark, tmp)
+    val ql = LsdQL(db2, joins = Nil, spatialJoins = Seq(
+      SpatialJoinDef("obj", "oid", "olon", "olat",
+        "cand", "cid", "clon", "clat", radiusDeg = 0.25, nmax = 3,
+        snapD6 = true)))
+    // declared relation: all three candidates
+    assert(ql.query("SELECT cid FROM obj, cand").count() == 3)
+    // dmax narrows the radius for THIS query; nmax the match count
+    val narrowed = ql.query(
+      "SELECT cid, _NR FROM obj, cand(dmax=0.12) ORDER BY _NR")
+      .collect().map(_.getLong(0))
+    assert(narrowed.toSeq == Seq(5L, 7L))
+    assert(ql.query("SELECT cid FROM obj, cand(nmax=1)")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // composes with (outer) and is order/case-insensitive
+    assert(ql.query(
+      "SELECT cid FROM obj, cand(outer, NMAX=2, dmax=0.12)").count() == 2)
+    // loud failures: unknown option, equi-path item, driving item
+    intercept[IllegalArgumentException] {
+      ql.query("SELECT cid FROM obj, cand(dmin=0.1)")
+    }
+    intercept[IllegalArgumentException] {
+      LsdQL.forDb(db).query(
+        "SELECT o_orderkey FROM orders, customer(nmax=2)")
+    }
+    intercept[IllegalArgumentException] {
+      ql.query("SELECT oid FROM obj(nmax=1), cand")
+    }
+  }
+
   test("window over grouped output (OVER after GROUP BY)") {
     val df = ql.query(
       """SELECT o_custkey, count(*) AS cnt,
