@@ -1054,6 +1054,9 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         case plain(name, asOf) =>
           FromItem(name, outer = false, Option(asOf).map(_.toLong))
         case withOpts(name, asOf, opts) =>
+          require(opts.trim.nonEmpty,
+            s"empty FROM-item option list in '$t' " +
+              "(supported: outer, nmax=<n>, dmax=<deg>)")
           var outer = false
           var nmax: Option[Int] = None
           var dmax: Option[Double] = None

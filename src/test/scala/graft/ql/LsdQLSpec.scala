@@ -1536,6 +1536,9 @@ class LsdQLSpec extends SpecBase {
     intercept[IllegalArgumentException] {
       ql.query("SELECT cid FROM obj, cand(dmin=0.1)")
     }
+    intercept[IllegalArgumentException] { // empty option list
+      ql.query("SELECT cid FROM obj, cand()")
+    }
     intercept[IllegalArgumentException] {
       LsdQL.forDb(db).query(
         "SELECT o_orderkey FROM orders, customer(nmax=2)")
