@@ -823,12 +823,7 @@ object Joins {
        |                       ORDER BY dist_deg, b_id) AS rn
        |  FROM p WHERE dist_deg <= 0.5432)
        |WHERE rn = 1 ORDER BY a_id""".stripMargin) { (s, dir) =>
-    val root = ensureQlXmatchDb(s, dir)
-    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil, spatialJoins = Seq(
-      graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
-        "supplier_sky", "sid", "slon", "slat",
-        radiusDeg = 0.87, nmax = 2, snapD6 = true)))
-    ql.query(
+    qlXmatchSession(s, dir).query(
       """SELECT oid AS a_id, sid AS b_id, _DIST AS dist_deg
         |FROM orders_sky, supplier_sky(nmax=1, dmax=0.5432)
         |ORDER BY a_id""".stripMargin)
@@ -911,6 +906,21 @@ object Joins {
     * each other); the engine side blocks at a superset and decides
     * membership/rank on the snapped value (CrossMatch.applySnapped),
     * so both engines evaluate the identical relation. */
+  /** The ONE declared QL xmatch relation (orders_sky ↷ supplier_sky,
+    * radius 0.87, nmax 2, snapD6) as a ready session over the
+    * write-once db — shared by every q_ql_xmatch* spec so the
+    * relation can never desynchronize between them. `nmax`/`radius`
+    * variations happen at the QUERY surface (FROM-item overrides),
+    * exactly like the reference. */
+  private def qlXmatchSession(s: org.apache.spark.sql.SparkSession,
+                              dir: String): graft.ql.LsdQL = {
+    val root = ensureQlXmatchDb(s, dir)
+    graft.ql.LsdQL(graft.LsdDb(s, root), Nil, spatialJoins = Seq(
+      graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
+        "supplier_sky", "sid", "slon", "slat",
+        radiusDeg = 0.87, nmax = 2, snapD6 = true)))
+  }
+
   // lazy: referenced by QuerySpec vals that precede it in declaration
   // order (object init would capture null otherwise)
   private lazy val qlXmatchPairsSql: String =
@@ -944,12 +954,7 @@ object Joins {
        |                       ORDER BY dist_deg, b_id) AS rn
        |  FROM p WHERE dist_deg <= 0.87)
        |WHERE rn <= 2 ORDER BY a_id, match_rank""".stripMargin) { (s, dir) =>
-    val root = ensureQlXmatchDb(s, dir)
-    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil, spatialJoins = Seq(
-      graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
-        "supplier_sky", "sid", "slon", "slat",
-        radiusDeg = 0.87, nmax = 2, snapD6 = true)))
-    ql.query(
+    qlXmatchSession(s, dir).query(
       """SELECT oid AS a_id, sid AS b_id, _DIST AS dist_deg,
         |  _NR AS match_rank
         |FROM orders_sky, supplier_sky
@@ -973,14 +978,11 @@ object Joins {
        |SELECT a.a_id, m.b_id, m.dist_deg
        |FROM a LEFT JOIN m ON a.a_id = m.a_id ORDER BY a.a_id""".stripMargin) {
     (s, dir) =>
-    val root = ensureQlXmatchDb(s, dir)
-    val ql = graft.ql.LsdQL(graft.LsdDb(s, root), Nil, spatialJoins = Seq(
-      graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
-        "supplier_sky", "sid", "slon", "slat",
-        radiusDeg = 0.87, nmax = 1, snapD6 = true)))
-    ql.query(
+    // the shared nmax=2 relation narrowed to nearest-1 AT THE QUERY
+    // (FROM-item override) — one declared relation, per-query modes
+    qlXmatchSession(s, dir).query(
       """SELECT oid AS a_id, sid AS b_id, _DIST AS dist_deg
-        |FROM orders_sky, supplier_sky(outer)
+        |FROM orders_sky, supplier_sky(outer, nmax=1)
         |ORDER BY a_id""".stripMargin)
   }
 

@@ -1060,10 +1060,20 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           var outer = false
           var nmax: Option[Int] = None
           var dmax: Option[Double] = None
-          opts.split(",").map(_.trim).filter(_.nonEmpty).foreach {
-            case o if o.equalsIgnoreCase("outer") => outer = true
-            case nmaxRe(v) => nmax = Some(v.toInt)
-            case dmaxRe(v) => dmax = Some(v.toDouble)
+          // strict list: a stray comma or duplicated key is a typo to
+          // raise, not swallow (same contract as unknown options)
+          opts.split(",", -1).map(_.trim).foreach {
+            case "" => throw new IllegalArgumentException(
+              s"stray comma in FROM-item option list: '$t'")
+            case o if o.equalsIgnoreCase("outer") =>
+              require(!outer, s"duplicate option 'outer' in '$t'")
+              outer = true
+            case nmaxRe(v) =>
+              require(nmax.isEmpty, s"duplicate option 'nmax' in '$t'")
+              nmax = Some(v.toInt)
+            case dmaxRe(v) =>
+              require(dmax.isEmpty, s"duplicate option 'dmax' in '$t'")
+              dmax = Some(v.toDouble)
             case other => throw new IllegalArgumentException(
               s"unknown FROM-item option '$other' in '$t' " +
                 "(supported: outer, nmax=<n>, dmax=<deg>)")

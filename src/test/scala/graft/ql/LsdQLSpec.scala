@@ -1539,6 +1539,12 @@ class LsdQLSpec extends SpecBase {
     intercept[IllegalArgumentException] { // empty option list
       ql.query("SELECT cid FROM obj, cand()")
     }
+    intercept[IllegalArgumentException] { // stray comma
+      ql.query("SELECT cid FROM obj, cand(outer,)")
+    }
+    intercept[IllegalArgumentException] { // duplicate key
+      ql.query("SELECT cid FROM obj, cand(dmax=0.1, dmax=0.2)")
+    }
     intercept[IllegalArgumentException] {
       LsdQL.forDb(db).query(
         "SELECT o_orderkey FROM orders, customer(nmax=2)")
