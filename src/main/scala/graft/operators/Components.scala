@@ -40,13 +40,15 @@ object Components {
 
   /** Edge-count ceiling for the driver union-find fast path — the
     * broadcast-join-threshold pattern applied to CC: below it the
-    * symmetrized edge list is ≤ ~8 MB of id pairs, a single collect +
-    * union-find replaces 2-20 shuffle-round jobs, and the labels go
-    * back as a broadcast relation (the corpus-scale node table never
-    * shuffles). Above it the delta-iterated/pointer-jumped loop runs
-    * unchanged — the cap is what makes the shortcut 100-TB-safe, the
-    * same way a broadcast join degrades to shuffle past its
-    * threshold. */
+    * RAW edge relation (as supplied, pre-dedup/pre-symmetrization —
+    * gated by a limit-capped collect, so the pipeline is evaluated
+    * exactly once and never shuffled) is ≤ ~8 MB of id pairs, a
+    * single collect + union-find replaces 2-20 shuffle-round jobs,
+    * and the labels go back as a broadcast relation (the corpus-scale
+    * node table never shuffles). Above it the delta-iterated/
+    * pointer-jumped loop runs unchanged — the cap is what makes the
+    * shortcut 100-TB-safe, the same way a broadcast join degrades to
+    * shuffle past its threshold. */
   val defaultSmallGraphEdges: Long = 500000L
 
   /** @param nodes one row per node
@@ -78,22 +80,36 @@ object Components {
     // edge-count gate)
     val e1 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+
+    // Small-graph fast path: ONE limit-capped collect of the RAW edge
+    // relation (the ExactQuantiles bounded-collect pattern), zero
+    // shuffles, zero re-evaluation — union-find is direction- and
+    // duplicate-insensitive, so it needs neither the symmetrizing
+    // union (which evaluates the edge pipeline TWICE as two union
+    // branches) nor the distinct (a 2|E| shuffle). The cap therefore
+    // gates RAW rows, pre-dedup: a caller with heavily duplicated
+    // edge rows crosses to the iterative path earlier — a routing
+    // change only, both paths reach the same min-label fixpoint
+    // (measured on q_object_catalog: assign 3.0 s -> 1.3 s warm at
+    // sf0.1, 273k edges). Only for integral ids — both current
+    // callers (FoF det_id, dedup doc_id) are LongType.
+    val integralIds = e1.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && smallGraphEdges < Int.MaxValue) {
+      val spark0 = nodes.sparkSession
+      import spark0.implicits._
+      val raw = e1.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(smallGraphEdges.toInt + 1).as[(Long, Long)].collect()
+      if (raw.length <= smallGraphEdges)
+        return (smallGraphLabels(n, raw, idCol), 0)
+      // over the cap: fall through to the iterative path (the capped
+      // collect is discarded; the limit stopped it at cap+1 rows)
+    }
     val sym = e1.unionByName(
       e1.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .persist()
-
-    // Small-graph fast path: one count (materializes the persist the
-    // first round would have paid anyway), one bounded collect, zero
-    // iterative rounds. Only for integral ids — both current callers
-    // (FoF det_id, dedup doc_id) are LongType.
-    val integralIds = sym.schema.fields.forall(f =>
-      f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (integralIds && sym.count() <= smallGraphEdges) {
-      val out = smallGraphLabels(n, sym, idCol)
-      sym.unpersist()
-      return (out, 0)
-    }
+    sym.count() // materialize the persist (first round pays it anyway)
 
     // only nodes with at least one edge iterate; every other node is
     // trivially its own component and unions back in at the end. In a
@@ -300,14 +316,12 @@ object Components {
     * broadcasts; the node table itself never shuffles), mirroring how
     * the iterative path's `active` semi-join touches nodes exactly
     * once. */
-  private def smallGraphLabels(n: DataFrame, sym: DataFrame,
+  private def smallGraphLabels(n: DataFrame, raw: Array[(Long, Long)],
                                idCol: String): DataFrame = {
     val spark = n.sparkSession
     import spark.implicits._
     val idType = n.schema("__cc_id").dataType
 
-    val raw = sym.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
     val touched = raw.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
       .distinct.sorted
     // which touched ids are real nodes — broadcast semi-join, bounded
