@@ -19,12 +19,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Concurrency: the swap is the commit-log idiom (write `.tmp`, then
   * POSIX/FileContext ATOMIC rename-with-overwrite), so a reader never
-  * sees a torn file. Declarations are rare admin operations; two
-  * concurrent declares are last-writer-wins, documented — this is a
-  * registry, not a transaction log.
+  * sees a torn file. Declares SERIALIZE through a briefly-held
+  * create-exclusive lock file (`_JOINS.lock`, the [[graft.sources
+  * .Snapshots]] writer-lock primitive) so two concurrent declares of
+  * DIFFERENT relations both land — without the lock the unsynchronized
+  * load-modify-save cycle could drop an unrelated relation entirely,
+  * which is stronger breakage than the documented last-writer-wins on
+  * the SAME key (review r19, ADVICE). Stale locks from a crashed
+  * declarer are broken after [[LockStaleMs]].
   */
 object JoinRegistry {
   private val RegistryFile = "_JOINS"
+  private val LockFile = "_JOINS.lock"
+  /** A declare is one small-file read + write — sub-second. A lock
+    * older than this belongs to a crashed process and is broken. */
+  private val LockStaleMs = 30000L
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new java.net.URI(root),
@@ -74,18 +83,29 @@ object JoinRegistry {
           s"malformed equi entry in _JOINS: $line")
         parsed
       case Some("spatial") =>
+        // the numeric conversions (toInt/toLong/toDouble on the regex
+        // capture) go through the SAME malformed-entry error path as a
+        // missing field: a hand-edited "nmax":2.5 or exponent form
+        // must report the offending line, not surface as a bare
+        // NumberFormatException that loses the diagnostic (review r19,
+        // ADVICE)
         val parsed =
-          for (l <- str("left", line); lk <- str("leftKey", line);
-               lo <- str("lonL", line); la <- str("latL", line);
-               r <- str("right", line); rk <- str("rightKey", line);
-               ro <- str("lonR", line); ra <- str("latR", line);
-               rad <- num("radiusDeg", line))
+          try for (l <- str("left", line); lk <- str("leftKey", line);
+                   lo <- str("lonL", line); la <- str("latL", line);
+                   r <- str("right", line); rk <- str("rightKey", line);
+                   ro <- str("lonR", line); ra <- str("latR", line);
+                   rad <- num("radiusDeg", line))
             yield Right(SpatialJoinDef(l, lk, lo, la, r, rk, ro, ra,
               rad.toDouble,
               nmax = num("nmax", line).map(_.toInt).getOrElse(1),
               hotThreshold = num("hotThreshold", line).map(_.toLong),
               salts = num("salts", line).map(_.toInt).getOrElse(16),
               snapD6 = line.contains(""""snapD6":true""")))
+          catch { case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"malformed spatial entry in _JOINS " +
+                s"(bad numeric field: ${e.getMessage}): $line")
+          }
         if (parsed.isEmpty) throw new IllegalArgumentException(
           s"malformed spatial entry in _JOINS: $line")
         parsed
@@ -137,23 +157,68 @@ object JoinRegistry {
     }
   }
 
-  /** Upsert an equi relation (keyed by the unordered table pair —
-    * redeclaring customer↔orders replaces the old keys). */
-  def declare(spark: SparkSession, root: String, jd: JoinDef): Unit = {
-    val (js, sjs) = load(spark, root)
-    def pair(l: String, r: String) = Set(l, r)
-    save(spark, root,
-      js.filterNot(j => pair(j.left, j.right) == pair(jd.left, jd.right))
-        :+ jd, sjs)
+  /** Serialize a load-modify-save cycle: create-exclusive lock file
+    * (atomic on local FS and HDFS; object stores need an external
+    * lock service, same documented limitation as Snapshots), bounded
+    * retry with backoff, stale-lock break after [[LockStaleMs]]. */
+  private def withDeclareLock[T](spark: SparkSession, root: String)
+                                (body: => T): T = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val lock = new Path(root, LockFile)
+    // scheme branch mirrors save()'s rename: Hadoop's LOCAL filesystem
+    // create(overwrite=false) is exists-check-then-create (NOT atomic
+    // — two same-ms declarers both pass the check; seen in the
+    // concurrency spec), so local goes through java.nio createFile
+    // (O_CREAT|O_EXCL). HDFS create(false) IS atomic at the namenode.
+    def tryAcquire(): Boolean =
+      if (f.getScheme == "file")
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(
+            f.makeQualified(lock).toUri.getPath))
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try { f.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    var attempts = 0
+    while (!tryAcquire()) {
+      attempts += 1
+      // a crashed declarer's lock must not brick the registry forever
+      val stale = try f.getFileStatus(lock).getModificationTime <
+        System.currentTimeMillis() - LockStaleMs
+      catch { case _: java.io.FileNotFoundException => false }
+      if (stale) f.delete(lock, false)
+      else if (attempts > 100) throw new IllegalStateException(
+        s"could not acquire $root/$LockFile after $attempts attempts; " +
+          "another declare is stuck (or delete the lock file manually)")
+      else Thread.sleep(50)
+    }
+    try body finally f.delete(lock, false)
   }
 
+  /** Upsert an equi relation (keyed by the unordered table pair —
+    * redeclaring customer↔orders replaces the old keys). The
+    * load-modify-save runs under the declare lock so a concurrent
+    * declare of a DIFFERENT relation cannot be lost. */
+  def declare(spark: SparkSession, root: String, jd: JoinDef): Unit =
+    withDeclareLock(spark, root) {
+      val (js, sjs) = load(spark, root)
+      def pair(l: String, r: String) = Set(l, r)
+      save(spark, root,
+        js.filterNot(j => pair(j.left, j.right) == pair(jd.left, jd.right))
+          :+ jd, sjs)
+    }
+
   /** Upsert a spatial relation (keyed by the DIRECTED pair — left
-    * drives, so a↷b and b↷a are distinct relations). */
+    * drives, so a↷b and b↷a are distinct relations). Locked like
+    * [[declare]]. */
   def declareSpatial(spark: SparkSession, root: String,
-                     sjd: SpatialJoinDef): Unit = {
-    val (js, sjs) = load(spark, root)
-    save(spark, root,
-      js, sjs.filterNot(j => j.left == sjd.left && j.right == sjd.right)
-        :+ sjd)
-  }
+                     sjd: SpatialJoinDef): Unit =
+    withDeclareLock(spark, root) {
+      val (js, sjs) = load(spark, root)
+      save(spark, root,
+        js, sjs.filterNot(j => j.left == sjd.left && j.right == sjd.right)
+          :+ sjd)
+    }
 }

@@ -177,12 +177,25 @@ object Snapshots {
   def head(spark: SparkSession, path: String): Option[Long] =
     committed(spark, path).lastOption
 
-  /** Atomic lock acquisition attempt (create-exclusive — the same
-    * local-FS/HDFS atomic-create primitive [[withLock]] documents;
-    * object stores need an external lock service). */
-  private def tryAcquire(f: FileSystem, path: String): Boolean =
-    try { f.create(new Path(path, Lock), false).close(); true }
-    catch { case _: java.io.IOException => false }
+  /** Atomic lock acquisition attempt (create-exclusive). Hadoop's
+    * LOCAL filesystem create(overwrite=false) is exists-check-then-
+    * create — NOT atomic (two same-ms writers both pass the check;
+    * caught by JoinRegistry's concurrency spec, review r19) — so the
+    * `file` scheme goes through java.nio createFile (O_CREAT|O_EXCL).
+    * HDFS create(false) IS atomic at the namenode. Object stores need
+    * an external lock service, as [[withLock]] documents. */
+  private def tryAcquire(f: FileSystem, path: String): Boolean = {
+    val lock = new Path(path, Lock)
+    if (f.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(
+          f.makeQualified(lock).toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false }
+    else
+      try { f.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
 
   private def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val f = fs(spark, path)

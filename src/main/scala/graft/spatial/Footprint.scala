@@ -403,21 +403,26 @@ sealed trait Bounds {
   * Timestamps are `to_timestamp`-parseable strings, evaluated in the
   * session timezone (UTC everywhere in this engine). */
 final case class TimeInterval(fromIncl: String, toExcl: String) {
-  // loud-fail on an inverted/empty interval — the `--time from,to` CLI
-  // slip would otherwise return zero rows with no diagnostic, where
-  // the spatial siblings (Rect latMin>latMax, Cone radius<=0) throw at
-  // construction. Both standard endpoint spellings parse here; an
-  // exotic-but-valid form skips the check and is decided (or rejected,
-  // ANSI mode) by the engine's own to_timestamp.
+  // loud-fail on an INVERTED interval — the `--time to,from` CLI slip
+  // would otherwise return zero rows with no diagnostic, where the
+  // spatial siblings (Rect latMin>latMax, Cone radius<=0) throw at
+  // construction. A zero-width half-open interval (from == to) is a
+  // LEGITIMATE empty query for programmatic callers — an incremental
+  // "since last run" window with no elapsed time — so only inversion
+  // is rejected here; the CLI's own --time parsing adds the strict
+  // check where a typed-equal-endpoints query really is a slip
+  // (review r19, ADVICE). Both standard endpoint spellings parse
+  // here; an exotic-but-valid form skips the check and is decided (or
+  // rejected, ANSI mode) by the engine's own to_timestamp.
   private def parsed(s: String): Option[java.time.LocalDateTime] =
     scala.util.Try(java.time.LocalDateTime.parse(s.trim.replace(' ', 'T')))
       .orElse(scala.util.Try(
         java.time.LocalDate.parse(s.trim).atStartOfDay))
       .toOption
   for (a <- parsed(fromIncl); b <- parsed(toExcl))
-    require(a.isBefore(b),
-      s"empty time interval: [$fromIncl, $toExcl) — fromIncl must " +
-        "precede toExcl")
+    require(!a.isAfter(b),
+      s"inverted time interval: [$fromIncl, $toExcl) — fromIncl must " +
+        "not be after toExcl")
 
   def predicate(ts: Column): Column =
     ts >= to_timestamp(lit(fromIncl)) && ts < to_timestamp(lit(toExcl))

@@ -86,6 +86,14 @@ object QueryCli {
     val time = flags.get("time").map { t =>
       val parts = t.split(",", 2)
       require(parts.length == 2, "--time fromIncl,toExcl")
+      // the CLI adds the STRICT check the core type deliberately does
+      // not have: a typed from==to is a copy-paste slip here (it can
+      // only return zero rows), while programmatic zero-width windows
+      // ("since last run", nothing elapsed) are legitimate and must
+      // construct (review r19, ADVICE)
+      require(parts(0).trim != parts(1).trim,
+        s"--time endpoints are equal ('${parts(0).trim}'): a " +
+          "zero-width interval returns no rows — check the flag value")
       graft.spatial.TimeInterval(parts(0).trim, parts(1).trim)
     }
     val df = (bounds, time) match {
@@ -345,6 +353,17 @@ object AdminCli {
   * rows are salted into `salts` (default 16) even tasks; results are
   * row-identical to the plain plan. The mitigation is recorded on the
   * declared relation too.
+  *
+  * SEMANTICS NOTE (changed r18, ADVICE): the materialized pair table's
+  * `dist_deg` is d6-SNAPPED and boundary membership + match_rank are
+  * decided on the snapped value — matching the declared QL relation
+  * exactly, so the two artifacts can never disagree at the boundary.
+  * Consequences for pipelines re-running an xmatch over a pre-r18
+  * output: (a) row-level diffs at the radius boundary and in rank
+  * ties are EXPECTED (they reflect the old raw-distance semantics,
+  * not data change); (b) radiusDeg must leave snap headroom under the
+  * 1° blocking cap — values above ~0.999 that the old raw path
+  * accepted up to 1.0 are now rejected at construction.
   */
 object XmatchCli {
   def main(args: Array[String]): Unit = {

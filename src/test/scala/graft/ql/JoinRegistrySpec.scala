@@ -64,6 +64,55 @@ class JoinRegistrySpec extends SpecBase {
       "directed a->b replaced; b->a is a distinct relation")
   }
 
+  test("a bad NUMERIC field reports the offending line, not a bare NFE") {
+    // review r19 (ADVICE): "nmax":2.5 used to surface as a raw
+    // NumberFormatException with no pointer to the corrupt line
+    val root = Files.createTempDirectory("graft_jreg_num").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_JOINS"),
+      ("""{"kind":"spatial","left":"a","leftKey":"id","lonL":"lo",""" +
+        """"latL":"la","right":"b","rightKey":"id","lonR":"lo",""" +
+        """"latR":"la","radiusDeg":0.1,"nmax":2.5,"salts":16,""" +
+        """"snapD6":false}""").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      JoinRegistry.load(spark, root)
+    }
+    assert(e.getMessage.contains("malformed spatial entry") &&
+      e.getMessage.contains("nmax"), e.getMessage)
+  }
+
+  test("concurrent declares of DIFFERENT relations both land") {
+    // review r19 (ADVICE): the unsynchronized load-modify-save could
+    // drop an unrelated relation — stronger than the documented
+    // last-writer-wins on the same key. Declares now serialize
+    // through the _JOINS.lock create-exclusive file.
+    val root = Files.createTempDirectory("graft_jreg_conc").toString
+    val defs = (0 until 8).map(i => JoinDef(s"t$i", "k", s"u$i", "k"))
+    val threads = defs.map { d =>
+      new Thread(() => JoinRegistry.declare(spark, root, d))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (js, _) = JoinRegistry.load(spark, root)
+    assert(js.toSet == defs.toSet,
+      s"every concurrently declared relation must survive, got $js")
+    // the lock file is released
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_JOINS.lock")))
+  }
+
+  test("a stale declare lock is broken, not a permanent brick") {
+    val root = Files.createTempDirectory("graft_jreg_stale").toString
+    val lock = java.nio.file.Paths.get(root, "_JOINS.lock")
+    java.nio.file.Files.createFile(lock)
+    // backdate past the stale threshold (30s)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    JoinRegistry.declare(spark, root, JoinDef("a", "k", "b", "k"))
+    val (js, _) = JoinRegistry.load(spark, root)
+    assert(js == Seq(JoinDef("a", "k", "b", "k")))
+  }
+
   test("names with JSON-hostile characters are refused loudly") {
     val root = Files.createTempDirectory("graft_jreg_bad").toString
     intercept[IllegalArgumentException] {

@@ -59,8 +59,15 @@ class TimeWriterSpec extends SpecBase {
         "2024-01-01 00:00:00")
     }
     intercept[IllegalArgumentException] { // date-only spelling too
-      graft.spatial.TimeInterval("2024-02-01", "2024-02-01")
+      graft.spatial.TimeInterval("2024-02-02", "2024-02-01")
     }
+    // a ZERO-WIDTH half-open interval is a legitimate empty query for
+    // programmatic callers (incremental "since last run" with no
+    // elapsed time) — it must CONSTRUCT; only inversion is rejected
+    // (review r19, ADVICE). The CLI layer adds the strict check.
+    graft.spatial.TimeInterval("2024-02-01", "2024-02-01")
+    graft.spatial.TimeInterval("2024-02-01 00:00:00",
+      "2024-02-01 00:00:00")
     // valid forms construct; exotic forms defer to the engine
     graft.spatial.TimeInterval("2024-01-01", "2024-02-01")
     graft.spatial.TimeInterval("jan 1", "feb 1")
