@@ -112,6 +112,27 @@ final case class LsdDb(spark: SparkSession, root: String) {
       .filter(org.apache.spark.sql.functions.col("cell").isin(cells: _*)))
   }
 
+  /** (marginDeg, level) when `name` is a SpatialWriter layout written
+    * WITH margin replicas (the `_MARGIN` sidecar) — the metadata a
+    * margin-cache cross-match routes through ([[tableMargined]],
+    * LsdQL declared-xmatch lowering). */
+  def marginMeta(name: String): Option[(Double, Int)] =
+    graft.sources.SpatialWriter.marginMeta(spark, s"$root/$name.parquet")
+
+  /** The PROBE view of a margin-cache layout: primaries AND margin
+    * replicas, `cell`/`is_margin` kept (they are the join key and the
+    * replica flag), ts normalization as [[table]]. This is the B side
+    * of [[graft.spatial.CrossMatch.applyPreMargined]] — the write-time
+    * neighbor replication means a cross-match against it is a plain
+    * cell equi-join with NO query-time explode of the stored catalog
+    * (LSD's neighbor-cache economics). */
+  def tableMargined(name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(marginMeta(name).isDefined,
+      s"table '$name' is not a margin-cache layout (no margin sidecar)")
+    normalizeTs(spark.read.parquet(s"$root/$name.parquet"))
+  }
+
   /** (tsCol, granularity) when `name` is a TimeWriter layout with the
     * `_TEMPORAL` sidecar — what a time-bounded read resolves through
     * ([[tableTimeFootprint]], LsdQL time bounds). */
@@ -185,6 +206,12 @@ final case class LsdDb(spark: SparkSession, root: String) {
     // reserved name, like cell/is_margin): the TABLE view hides it
     val df =
       if (df0.columns.contains("t_bucket")) df0.drop("t_bucket") else df0
+    normalizeTs(df)
+  }
+
+  /** The ts-normalization half of [[postProcess]], reused by the
+    * margined probe view (which keeps the layout columns). */
+  private def normalizeTs(df: DataFrame): DataFrame = {
     val withTs =
       df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
         case Some(_) =>

@@ -986,6 +986,74 @@ object Joins {
         |ORDER BY a_id""".stripMargin)
   }
 
+  /** Write-once db whose matched catalog is a STORED MARGIN LAYOUT —
+    * the substrate for q_ql_xmatch_margin: supplier_sky written via
+    * `SpatialWriter.writeClustered(margin = Some(1.0))` (primaries +
+    * write-time neighbor replicas, `_MARGIN` sidecar), orders_sky a
+    * plain catalog, and the radius relation DECLARED in the db's
+    * `_JOINS` registry — so the query surface is exactly the
+    * reference's stored-database flow: run lsd-xmatch once, then
+    * every `FROM a, b` just works, and works SHUFFLE-FREE on the
+    * stored catalog. Level is the coarse skyLayoutLevel (4): well
+    * under levelFor's bound for this radius, and clustered-plain
+    * parquet (cell as a data column) because the join consumes cell
+    * as an equi key — the directory-per-cell form pays listing
+    * overhead for pruning this query never does. */
+  private[graft] def ensureQlMarginDb(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val root = graft.sources.CacheKeys.path(
+        "graft_ql_margin_db", s"$dir/supplier.parquet")
+      val op = s"$root/orders_sky.parquet"
+      if (!graft.sources.CacheKeys.isComplete(op))
+        skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+          "oid", "olon", "olat").write.mode("overwrite").parquet(op)
+      val sp = s"$root/supplier_sky.parquet"
+      if (!graft.sources.CacheKeys.isComplete(sp) ||
+          graft.sources.SpatialWriter.marginMeta(s, sp).isEmpty) {
+        val b = skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+          "sid", "slon", "slat")
+        graft.sources.SpatialWriter.writeClustered(b, "slon", "slat",
+          skyLayoutLevel, sp, margin = Some(1.0))
+      }
+      graft.ql.JoinRegistry.declareSpatial(s, root,
+        graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
+          "supplier_sky", "sid", "slon", "slat",
+          radiusDeg = 0.7939, nmax = 2, snapD6 = true))
+      root
+    }
+
+  /** J6/QL(margin) — the DECLARED QL xmatch routed through the STORED
+    * margin cache: `FROM orders_sky, supplier_sky` where supplier_sky
+    * is a `SpatialWriter(margin=…)` layout, so the lowering
+    * (LsdQL margin route) joins the driving rows straight against the
+    * stored primaries+replicas — NO query-time neighbor explode and
+    * NO shuffle of the stored catalog (the write-time replication IS
+    * the shuffle, paid once; LSD's signature economics, SURVEY §1.1
+    * neighbor cache, UNVERIFIED). The oracle recomputes the full
+    * snapped relation from the raw tables, so a silent fallback to
+    * the blocking path would still be correct — the PLAN is pinned in
+    * PlanQualitySpec (margin scan present, no Generate/explode, no
+    * exchange under the corpus scan) so the route itself is tested. */
+  val qQlXmatchMargin: QuerySpec = QuerySpec(
+    "q_ql_xmatch_margin",
+    s"""$qlXmatchPairsSql
+       |SELECT a_id, b_id, dist_deg, CAST(rn AS INT) AS match_rank FROM (
+       |  SELECT a_id, b_id, dist_deg,
+       |    row_number() OVER (PARTITION BY a_id
+       |                       ORDER BY dist_deg, b_id) AS rn
+       |  FROM p WHERE dist_deg <= 0.7939)
+       |WHERE rn <= 2 ORDER BY a_id, match_rank""".stripMargin) { (s, dir) =>
+    val root = ensureQlMarginDb(s, dir)
+    // registry-declared relation: forDb loads _JOINS, so the query
+    // text carries no join declaration at all — the stored-db UX
+    graft.ql.LsdQL.forDb(graft.LsdDb(s, root)).query(
+      """SELECT oid AS a_id, sid AS b_id, _DIST AS dist_deg,
+        |  _NR AS match_rank
+        |FROM orders_sky, supplier_sky
+        |ORDER BY a_id, match_rank""".stripMargin)
+  }
+
   /** SC2e — rectangle footprint WRAPPING through lon=0 (the case that
     * breaks naive BETWEEN filters): pure comparisons on exact doubles,
     * wraparound handled by Footprint.rect's disjunction; bounds use
@@ -1495,5 +1563,5 @@ object Joins {
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
     qQlBounds, qQlBoundsRect, qQlBoundsPoly, qQlBoundsPair,
-    qQlXmatch, qQlXmatchOuter, qQlXmatchDmax, qQlSurvey)
+    qQlXmatch, qQlXmatchOuter, qQlXmatchDmax, qQlXmatchMargin, qQlSurvey)
 }

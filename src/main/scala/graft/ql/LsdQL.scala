@@ -701,23 +701,66 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             nmax = item.nmax.getOrElse(sjd0.nmax),
             radiusDeg = item.dmax.getOrElse(sjd0.radiusDeg))
           val right = load(item.table)
+          // MARGIN-CACHE ROUTE (LSD's signature write-once economics,
+          // SURVEY §1.1 neighbor cache): when the matched table is a
+          // STORED SpatialWriter layout written with margin replicas
+          // covering this query's blocking radius, the pair relation
+          // is a plain cell equi-join of the driving rows against the
+          // stored (primary + replica) rows — the 9× neighbor explode
+          // of the catalog already happened ONCE at write time, so no
+          // query-time explode and no shuffle of the stored catalog
+          // (the bounded driving set broadcasts or exchanges; the
+          // catalog scan feeds the join directly). Falls back to the
+          // on-the-fly blocking join when: the table is a CTE/@snap
+          // read (no stored layout), coordinates differ from the
+          // written layout's, the written margin doesn't cover the
+          // EFFECTIVE radius (per-query dmax can exceed it), the
+          // written level is too fine for the radius, or skew
+          // mitigation is declared (hot cells need the salting path).
+          val snapHeadroom =
+            if (sjd.snapD6) math.max(sjd.radiusDeg * 1e-3, 1e-6) else 0.0
+          val needMargin = sjd.radiusDeg + snapHeadroom
+          val marginRoute: Option[(org.apache.spark.sql.DataFrame, Int)] =
+            if (fullScope.contains(item.table) ||
+                asOfByTable.contains(item.table) ||
+                sjd.hotThreshold.isDefined) None
+            else for {
+              (written, lvl) <- db.marginMeta(item.table)
+              (lonC, latC, _) <- db.spatialMeta(item.table)
+              if written >= needMargin && lonC == sjd.lonR &&
+                latC == sjd.latR &&
+                lvl <= graft.spatial.CrossMatch.levelFor(needMargin)
+            } yield (db.tableMargined(item.table), lvl)
           // cell-blocked nearest-k pairs over the RUNNING relation (so
           // upstream WHERE-able columns survive), then attach the
           // matched right rows; _DIST/_NR become ordinary columns
-          val rawPairs =
-            if (sjd.snapD6) graft.spatial.CrossMatch.applySnapped(df, right,
-              sjd.leftKey, sjd.lonL, sjd.latL,
-              sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,
-              hotThreshold = sjd.hotThreshold, salts = sjd.salts)
-            else sjd.hotThreshold match {
-              case Some(ht) => graft.spatial.CrossMatch.skewSafe(df, right,
+          val rawPairs = marginRoute match {
+            case Some((bm, lvl)) =>
+              if (sjd.snapD6)
+                graft.spatial.CrossMatch.applyPreMarginedSnapped(df, bm,
+                  sjd.leftKey, sjd.lonL, sjd.latL,
+                  sjd.rightKey, sjd.lonR, sjd.latR,
+                  sjd.radiusDeg, sjd.nmax, lvl)
+              else
+                graft.spatial.CrossMatch.applyPreMargined(df, bm,
+                  sjd.leftKey, sjd.lonL, sjd.latL,
+                  sjd.rightKey, sjd.lonR, sjd.latR,
+                  sjd.radiusDeg, sjd.nmax, lvl)
+            case None =>
+              if (sjd.snapD6) graft.spatial.CrossMatch.applySnapped(df, right,
                 sjd.leftKey, sjd.lonL, sjd.latL,
                 sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,
-                ht, sjd.salts)
-              case None => graft.spatial.CrossMatch(df, right,
-                sjd.leftKey, sjd.lonL, sjd.latL,
-                sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax)
-            }
+                hotThreshold = sjd.hotThreshold, salts = sjd.salts)
+              else sjd.hotThreshold match {
+                case Some(ht) => graft.spatial.CrossMatch.skewSafe(df, right,
+                  sjd.leftKey, sjd.lonL, sjd.latL,
+                  sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,
+                  ht, sjd.salts)
+                case None => graft.spatial.CrossMatch(df, right,
+                  sjd.leftKey, sjd.lonL, sjd.latL,
+                  sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax)
+              }
+          }
           val pairs = rawPairs
             .withColumnRenamed("dist_deg", "_DIST")
             .withColumnRenamed("match_rank", "_NR")

@@ -241,6 +241,36 @@ object CrossMatch {
       .select("a_id", "b_id", "dist_deg", "match_rank")
   }
 
+  /** [[applyPreMargined]] with [[applySnapped]]'s d6 semantics —
+    * boundary membership and nearest-k order decided on the SNAPPED
+    * distance, candidates blocked at the same superset radius — so a
+    * QL relation declared `snapD6` produces IDENTICAL rows whether it
+    * routes through the on-the-fly blocking join or the stored margin
+    * cache. The cache must have been written with marginDeg >= the
+    * superset radius (radiusDeg + max(1e-3·r, 1e-6)); callers verify
+    * via `SpatialWriter.requireMargin` at that superset value. */
+  def applyPreMarginedSnapped(a: DataFrame, bMargined: DataFrame,
+                              aId: String, aLon: String, aLat: String,
+                              bId: String, bLon: String, bLat: String,
+                              radiusDeg: Double, nmax: Int, level: Int,
+                              capLat: Double = CapLat): DataFrame = {
+    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
+    val margin = math.max(radiusDeg * 1e-3, 1e-6)
+    require(radiusDeg > 0 && radiusDeg + margin <= 1.0,
+      s"snapped-semantics radius must leave superset headroom under " +
+        s"the 1-degree blocking cap: radiusDeg in (0, ~0.999], got " +
+        s"$radiusDeg")
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    allPairsPreMargined(a, bMargined, aId, aLon, aLat, bId, bLon, bLat,
+      radiusDeg + margin, level, capLat)
+      .withColumn("dist_deg", graft.functions.Det.d6(col("dist_deg")))
+      .filter(col("dist_deg") <= radiusDeg)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= nmax)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+  }
+
   /** All-pairs form of [[applyPreMargined]] (columns a_id, b_id,
     * dist_deg). */
   def allPairsPreMargined(a: DataFrame, bMargined: DataFrame,

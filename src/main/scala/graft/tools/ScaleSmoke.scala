@@ -43,6 +43,68 @@ object ScaleSmoke {
         "obj_id", "lon", "lat", 0.01, 1).count().toString + " matches"
     }
 
+    // QL declared-xmatch path at the same 4M x 2M scale — the query
+    // surface the reference's users actually hit (`FROM dets, objs`
+    // through a declared relation), A/B'd: (a) on-the-fly blocking
+    // join (plain stored catalog), (b) margin-routed (catalog stored
+    // via SpatialWriter.writeClustered(margin=...), so the neighbor
+    // replication was paid at write time and the query never
+    // explodes or shuffles the stored catalog). Counts must agree
+    // with each other and with the library CrossMatch; the margin
+    // plan must show the route fired (no Generate).
+    val qlRootPlain = s"${sys.props("java.io.tmpdir")}/graft_smoke_ql_plain"
+    val qlRootMargin = s"${sys.props("java.io.tmpdir")}/graft_smoke_ql_margin"
+    val qlRadius = 0.01
+    val qlNeed = qlRadius + math.max(qlRadius * 1e-3, 1e-6)
+    val qlLevel = CrossMatch.levelFor(qlNeed)
+    val qlRel = graft.ql.SpatialJoinDef(
+      "dets", "det_id", "lon", "lat",
+      "objects_sky", "obj_id", "olon", "olat",
+      radiusDeg = qlRadius, nmax = 1, snapD6 = true)
+    t("ql xmatch setup: write 4M dets + 2M objs (plain + margin layouts)") {
+      val objsNamed = objects.select(col("obj_id"), col("lon").as("olon"),
+        col("lat").as("olat"))
+      dets.write.mode("overwrite").parquet(s"$qlRootPlain/dets.parquet")
+      objsNamed.write.mode("overwrite")
+        .parquet(s"$qlRootPlain/objects_sky.parquet")
+      dets.write.mode("overwrite").parquet(s"$qlRootMargin/dets.parquet")
+      graft.sources.SpatialWriter.writeClustered(objsNamed, "olon", "olat",
+        qlLevel, s"$qlRootMargin/objects_sky.parquet",
+        margin = Some(qlNeed), numFiles = 64)
+      graft.ql.JoinRegistry.declareSpatial(spark, qlRootPlain, qlRel)
+      graft.ql.JoinRegistry.declareSpatial(spark, qlRootMargin, qlRel)
+      s"level=$qlLevel margin=$qlNeed"
+    }
+    val qlText = "SELECT det_id, obj_id, _DIST FROM dets, objects_sky"
+    var qlCounts = Seq.empty[Long]
+    t("ql xmatch 4M x 2M BLOCKING route (plain stored catalog)") {
+      val df = graft.ql.LsdQL.forDb(graft.LsdDb(spark, qlRootPlain))
+        .query(qlText)
+      val plan = df.queryExecution.executedPlan.toString
+      // same shape as the library CrossMatch: query-time neighbor
+      // explode + cell equi-join + rank window, never a cartesian
+      require(plan.contains("Generate") && !plan.contains("CartesianProduct"),
+        "blocking route must explode neighbors, not cartesian")
+      qlCounts :+= df.count(); s"${qlCounts.last} matches"
+    }
+    t("ql xmatch 4M x 2M MARGIN route (stored neighbor cache)") {
+      val df = graft.ql.LsdQL.forDb(graft.LsdDb(spark, qlRootMargin))
+        .query(qlText)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Generate") && !plan.contains("CartesianProduct"),
+        "margin route must not explode the stored catalog at query time")
+      qlCounts :+= df.count(); s"${qlCounts.last} matches"
+    }
+    t("ql xmatch A/B agreement + library cross-check") {
+      require(qlCounts.distinct.size == 1,
+        s"blocking vs margin disagree: $qlCounts")
+      val lib = CrossMatch.applySnapped(dets, objects, "det_id", "lon",
+        "lat", "obj_id", "lon", "lat", qlRadius, 1).count()
+      require(lib == qlCounts.head,
+        s"library CrossMatch $lib != QL ${qlCounts.head}")
+      s"all three agree at ${qlCounts.head}"
+    }
+
     // 50M-row decimal aggregation (the oracle-exact sum path)
     val big = spark.range(50000000).select(
       (col("id") % 97).as("k"),

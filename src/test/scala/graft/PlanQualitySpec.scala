@@ -176,6 +176,35 @@ class PlanQualitySpec extends SpecBase {
       s"time-bounded QL read must prune t_bucket= directories:\n$pf")
   }
 
+  test("q_ql_xmatch_margin routes through the stored margin cache: " +
+    "no explode, no exchange under the corpus scan") {
+    val df = Joins.qQlXmatchMargin.fn(spark, sfDir)
+    val plan = planOf(df)
+    // the margin layout is actually in the plan (route fired, not a
+    // silent fallback — rows would be identical either way)
+    assert(plan.contains("supplier_sky"),
+      s"stored margin layout missing from the scan set:\n${plan.take(2000)}")
+    // no query-time neighbor explode: the on-the-fly blocking path
+    // shows Generate(explode(neighbor_cells_within(...))); the margin
+    // route must not (the replication happened at write time)
+    assert(!plan.contains("Generate"),
+      s"margin route must not explode the catalog at query time:\n" +
+        plan.linesIterator.filter(_.contains("Generate"))
+          .mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+    // LSD's economics: the STORED catalog is never shuffled — every
+    // ShuffleExchange in the plan sits above a join (pair-table rank
+    // window, attach joins), never directly over the corpus scan
+    val rawCorpusShuffles = initialPlan(df).collect {
+      case e: ShuffleExchangeExec
+        if e.toString.contains("supplier_sky") &&
+          !e.toString.contains("Join") => e
+    }
+    assert(rawCorpusShuffles.isEmpty,
+      s"stored catalog rows were shuffled pre-join:\n" +
+        rawCorpusShuffles.map(_.toString.take(800)).mkString("\n---\n"))
+  }
+
   test("q_xmatch_margin scans the cache as flat files (no cell= dirs)") {
     val (path, _) = Joins.ensureXmatchMarginCache(spark, sfDir)
     val entries = new java.io.File(path).listFiles()

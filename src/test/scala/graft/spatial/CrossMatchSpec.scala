@@ -140,6 +140,33 @@ class CrossMatchSpec extends SpecBase {
     }
   }
 
+  test("applyPreMarginedSnapped is row-identical to applySnapped") {
+    // the QL margin route swaps the pair engine underneath a declared
+    // snapD6 relation — the swap must be invisible in the ROWS (the
+    // plan is what changes); margin must cover the SUPERSET blocking
+    // radius (radius + snap headroom), like the route requires
+    val radius = 0.05
+    val headroom = math.max(radius * 1e-3, 1e-6)
+    val level = CrossMatch.levelFor(radius + headroom)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_test_margin_snap_$level"
+    graft.sources.SpatialWriter.write(objDf, "lon", "lat", level, path,
+      margin = Some(radius + headroom))
+    val bM = graft.sources.SpatialWriter.readWithMargins(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "dist_deg", "match_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val viaMargin = rows(CrossMatch.applyPreMarginedSnapped(detDf, bM,
+      "det_id", "lon", "lat", "obj_id", "lon", "lat", radius, 3, level))
+    val viaBlocking = rows(CrossMatch.applySnapped(detDf, objDf,
+      "det_id", "lon", "lat", "obj_id", "lon", "lat", radius, 3))
+    assert(viaMargin == viaBlocking,
+      s"margin-routed snapped relation diverged: " +
+        s"only-margin=${(viaMargin -- viaBlocking).take(5)} " +
+        s"only-blocking=${(viaBlocking -- viaMargin).take(5)}")
+  }
+
   test("radius validation") {
     intercept[IllegalArgumentException] {
       CrossMatch(detDf, objDf, "det_id", "lon", "lat",
