@@ -884,11 +884,20 @@ object VectorOps {
     var v: DataFrame = s.range(gramD)
       .select(col("id").cast("int").as("j"), lit(1.0).as("x"))
     for (_ <- 1 to pcaIters) {
+      // truncate the per-iteration lineage: u is referenced TWICE (by
+      // the norm and by the normalized v), and v feeds the next
+      // round's join — without an eager cut the final collect
+      // re-evaluates a DAG that doubles per round (2^iters tiny
+      // shuffle stages; profiled at 4.4 s isolated, r19). u is d=64
+      // rows, so the localCheckpoint is a constant-size job per round
+      // — the pagerank non-compounding-checkpoint idiom one level
+      // deeper.
       val u = g.join(broadcast(v), "j")
         .groupBy(col("i"))
         .agg(sum((col("gram") * col("x")).cast(Det.M38))
           .cast(DoubleType).as("x"))
         .select(col("i").as("j"), col("x"))
+        .localCheckpoint()
       val nm = u.agg(sqrt(sum((col("x") * col("x")).cast(Det.M38))
         .cast(DoubleType)).as("nm"))
       v = u.crossJoin(broadcast(nm))
