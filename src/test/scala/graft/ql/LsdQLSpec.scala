@@ -1127,6 +1127,132 @@ class LsdQLSpec extends SpecBase {
     } finally spark.catalog.dropTempView("orders_prop2")
   }
 
+  test("property: r18 grammar — bounds args, FROM-item overrides, " +
+    "@snap, set ops over spatial items") {
+    // round-18 grammar growth joins the composition property: query-
+    // time bounds (cone/rect/polygon × with/without time) against the
+    // DataFrame predicate twin, FROM-item (outer, nmax=, dmax=)
+    // overrides against the LIBRARY CrossMatch (independent of the
+    // lowering), t@N reads against Snapshots.read(asOf), and set
+    // operators composed over a BOUNDED spatial item. 40 seeded
+    // compositions keep the parser's quote-aware walkers and the
+    // bounds plumbing honest as the surface grows (r19, verdict #5).
+    import graft.spatial.{Bounds, TimeInterval}
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = graft.operators.Joins.ensureQlSurveyDb(spark, sfDir)
+    val db2 = LsdDb(spark, root)
+    val rel = SpatialJoinDef("detections", "id", "lon", "lat",
+      "objects", "obj_id", "olon", "olat",
+      radiusDeg = 0.5, nmax = 2, snapD6 = true)
+    val ql2 = LsdQL(db2, Nil, spatialJoins = Seq(rel),
+      timeKeys = Map("detections" -> "ts"))
+    val det = db2.table("detections")
+    val obj = db2.table("objects")
+    // snapshot fixture: 3 commits, so @1/@2/@3 are all distinct views
+    val snapRoot = Files.createTempDirectory("graft_ql_prop_snap").toString
+    val sp = s"$snapRoot/snaps.parquet"
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), sp)
+    Snapshots.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v"), sp)
+    Snapshots.append(Seq((5L, "e")).toDF("k", "v"), sp)
+    val sdb = LsdDb(spark, snapRoot)
+    val sql3 = LsdQL(sdb, Nil)
+    val rnd = new scala.util.Random(47)
+    for (i <- 0 until 40) {
+      rnd.nextInt(4) match {
+        case 0 => // bounds arguments: cone/rect/poly × optional time
+          val clon = rnd.nextDouble() * 360
+          val clat = rnd.nextDouble() * 40 - 20
+          val b: Bounds = rnd.nextInt(3) match {
+            case 0 => Bounds.Cone(clon, clat, 5 + rnd.nextDouble() * 15)
+            case 1 => // wraparound rects included (min > max in lon)
+              Bounds.Rect((clon + 340) % 360, (clon + 20) % 360,
+                clat - 8, clat + 8)
+            case _ => // simple (non-self-intersecting) triangle
+              val r1 = 5 + rnd.nextDouble() * 8
+              val r2 = 5 + rnd.nextDouble() * 8
+              val r3 = 5 + rnd.nextDouble() * 8
+              Bounds.Polygon(Seq(
+                (clon, clat + r1), (clon - r2, clat - r2 * 0.6),
+                (clon + r3, clat - r3 * 0.6)))
+          }
+          val ti = if (rnd.nextBoolean()) None
+            else Some(TimeInterval(
+              f"2024-01-${2 + rnd.nextInt(10)}%02d 00:00:00",
+              f"2024-01-${14 + rnd.nextInt(10)}%02d 00:00:00"))
+          val whereQl = if (rnd.nextBoolean()) " WHERE id % 2 = 0" else ""
+          val text = s"SELECT id, lon, lat FROM detections$whereQl " +
+            "ORDER BY id"
+          val got = ti match {
+            case Some(t) => ql2.query(text, b, t)
+            case None => ql2.query(text, b)
+          }
+          var twin = det.filter(b.predicate(col("lon"), col("lat")))
+          ti.foreach(t => twin = twin.filter(t.predicate(col("ts"))))
+          if (whereQl.nonEmpty) twin = twin.filter(col("id") % 2 === 0)
+          assert(got.collect().toSeq ==
+            twin.select("id", "lon", "lat").orderBy("id").collect().toSeq,
+            s"seed $i bounds mismatch: $b time=$ti where='$whereQl'")
+        case 1 => // FROM-item overrides vs the LIBRARY CrossMatch
+          val n = 1 + rnd.nextInt(2)
+          val r = 0.1 + rnd.nextDouble() * 0.7
+          val outer = rnd.nextBoolean() && n == 1
+          val opts = (if (outer) Seq("outer") else Nil) ++
+            Seq(s"nmax=$n", s"dmax=$r")
+          val text = s"SELECT id, obj_id AS m, _DIST AS d " +
+            s"FROM detections, objects(${opts.mkString(", ")})"
+          val got = ql2.query(text).collect()
+            .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2))))
+            .toSet
+          val pairs = graft.spatial.CrossMatch.applySnapped(det, obj,
+            "id", "lon", "lat", "obj_id", "olon", "olat", r, n)
+          val twin =
+            if (!outer) pairs.select(col("a_id").as("id"),
+              col("b_id").as("m"), col("dist_deg").as("d"))
+            else det.select(col("id")).join(
+              pairs.select(col("a_id"), col("b_id").as("m"),
+                col("dist_deg").as("d")),
+              col("id") === col("a_id"), "left_outer").drop("a_id")
+          val want = twin.collect()
+            .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2))))
+            .toSet
+          assert(got == want,
+            s"seed $i override mismatch (nmax=$n dmax=$r outer=$outer): " +
+              s"only-ql=${(got -- want).take(3)} " +
+              s"only-lib=${(want -- got).take(3)}")
+        case 2 => // @snap composed with WHERE/ORDER BY/LIMIT
+          val at = 1 + rnd.nextInt(3)
+          val m = 1 + rnd.nextInt(2)
+          val text = s"SELECT k, v FROM snaps@$at WHERE k % 2 = " +
+            s"${at % 2} ORDER BY k LIMIT $m"
+          val got = sql3.query(text).collect().toSeq
+          val want = sdb.table("snaps", Some(at.toLong))
+            .filter(col("k") % 2 === at % 2)
+            .orderBy("k").limit(m).collect().toSeq
+          assert(got == want, s"seed $i @snap mismatch at=$at")
+        case _ => // set operators over a BOUNDED spatial item
+          val b = Bounds.Cone(rnd.nextDouble() * 360,
+            rnd.nextDouble() * 30 - 15, 10 + rnd.nextDouble() * 15)
+          val op = Seq("UNION", "INTERSECT", "EXCEPT")(rnd.nextInt(3))
+          val text = "SELECT id FROM detections WHERE id % 2 = 0 " +
+            s"$op SELECT id FROM detections WHERE id % 3 = 0 ORDER BY id"
+          val got = ql2.query(text, b).as[Long].collect().toSeq
+          val bd = det.filter(b.predicate(col("lon"), col("lat")))
+            .select("id")
+          val a2 = bd.filter(col("id") % 2 === 0)
+          val a3 = bd.filter(col("id") % 3 === 0)
+          val twin = (op match {
+            case "UNION" => a2.union(a3).distinct()
+            case "INTERSECT" => a2.intersect(a3)
+            case _ => a2.except(a3)
+          }).orderBy("id")
+          assert(got == twin.as[Long].collect().toSeq,
+            s"seed $i set-op mismatch ($op, $b)")
+      }
+    }
+  }
+
   test("derived tables in FROM: inline subquery under an alias") {
     val df = ql.query(
       """SELECT o_orderkey, qualify FROM
