@@ -271,7 +271,8 @@ object AdminCli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: AdminCli list|snapshots|compact|" +
-      "vacuum|compact-merged|clean-staging|declare-join|joins ...")
+      "vacuum|compact-merged|clean-staging|declare-join|joins|" +
+      "make-cache ...")
     args(0) match {
       case "list" =>
         describe(args(1)).foreach { case (name, kind, files, bytes) =>
@@ -318,6 +319,54 @@ object AdminCli {
           graft.ql.JoinDef(args(2), args(3), args(4), args(5)))
         println(s"declared ${args(2)}.${args(3)} = ${args(4)}.${args(5)} " +
           s"in ${args(1)}/_JOINS")
+      case "make-cache" =>
+        // lsd-style neighbor-cache materialization for an EXISTING
+        // stored table: rewrite it as a SpatialWriter margin layout
+        // (primaries + write-time neighbor replicas + _MARGIN
+        // sidecar). After this, every declared QL xmatch whose
+        // matched side is this table routes through the margin cache
+        // automatically (LsdQL margin route) — pay the replication
+        // shuffle ONCE here, every later `FROM a, b` is cell-local.
+        // The reference built this cache at import/xmatch time; this
+        // command retrofits it onto any already-imported catalog.
+        require(args.length == 7 || args.length == 8,
+          "usage: AdminCli make-cache <dbRoot> <table> <lonCol> " +
+            "<latCol> <level> <marginDeg> [--clustered]")
+        val (root, table) = (args(1), args(2))
+        require(table.nonEmpty && table.forall(c => c.isLetterOrDigit ||
+          c == '_' || c == '-'), s"table must be a plain name: '$table'")
+        val clustered = args.lift(7) match {
+          case None => false
+          case Some("--clustered") => true
+          case Some(other) => throw new IllegalArgumentException(
+            s"unknown flag '$other' (supported: --clustered)")
+        }
+        val spark = Cli.session()
+        val path = s"$root/$table.parquet"
+        val f = fsFor(path)
+        require(!f.exists(new Path(path, "_COMMITS")),
+          s"$table is a snapshot table; make-cache would flatten its " +
+            "commit log — compact + export it to a plain table first")
+        // materialize the new layout BESIDE the table, then swap:
+        // reading lazily while overwriting the source would corrupt it
+        val tmp = s"$root/$table.parquet.__cache_tmp"
+        val old = s"$root/$table.parquet.__cache_old"
+        val df = LsdDb(spark, root).table(table)
+        val (level, margin) = (args(5).toInt, args(6).toDouble)
+        if (clustered)
+          SpatialWriter.writeClustered(df, args(3), args(4), level, tmp,
+            margin = Some(margin))
+        else
+          SpatialWriter.write(df, args(3), args(4), level, tmp,
+            margin = Some(margin))
+        require(f.rename(new Path(path), new Path(old)),
+          s"could not move $path aside")
+        require(f.rename(new Path(tmp), new Path(path)),
+          s"could not swap in the new layout (original preserved at $old)")
+        f.delete(new Path(old), true)
+        println(s"margin cache built: $table (level=$level " +
+          s"margin=$margin${if (clustered) " clustered" else ""}) — " +
+          "declared xmatches against it now route shuffle-free")
       case "joins" =>
         val (js, sjs) = graft.ql.JoinRegistry.load(Cli.session(), args(1))
         if (js.isEmpty && sjs.isEmpty) println(s"${args(1)}: no _JOINS")

@@ -99,6 +99,51 @@ class CliSpec extends SpecBase {
     AdminCli.main(Array("joins", root))
   }
 
+  test("AdminCli make-cache: stored table becomes a margin layout and " +
+    "declared xmatches route through it") {
+    import graft.ql.{JoinRegistry, LsdQL, SpatialJoinDef}
+    import graft.LsdDb
+    val root = Files.createTempDirectory("graft_cli_cache").toString
+    val rnd = new scala.util.Random(31)
+    val objs = (0L until 150L).map(i => (i, rnd.nextDouble() * 360,
+      rnd.nextDouble() * 50 - 25)).toDF("obj_id", "olon", "olat")
+    val dets = objs.selectExpr("obj_id * 10 AS det_id",
+      "olon + 0.003 AS det_lon", "olat + 0.003 AS det_lat")
+    objs.write.parquet(s"$root/objs.parquet")
+    dets.write.parquet(s"$root/dets.parquet")
+    JoinRegistry.declareSpatial(spark, root, SpatialJoinDef(
+      "dets", "det_id", "det_lon", "det_lat",
+      "objs", "obj_id", "olon", "olat",
+      radiusDeg = 0.05, nmax = 1, snapD6 = true))
+    val text = "SELECT det_id, obj_id, _DIST FROM dets, objs ORDER BY det_id"
+    def run() = LsdQL.forDb(LsdDb(spark, root)).query(text)
+    val before = run()
+    assert(before.queryExecution.executedPlan.toString.contains("Generate"),
+      "pre-cache query must take the blocking (explode) path")
+    val beforeRows = before.collect().toSeq
+    // snapshot tables are refused (flattening the log would be silent
+    // data loss); --clustered flag typos are refused
+    intercept[IllegalArgumentException] {
+      AdminCli.main(Array("make-cache", root, "objs", "olon", "olat",
+        "6", "0.06", "--wrong"))
+    }
+    AdminCli.main(Array("make-cache", root, "objs", "olon", "olat",
+      "6", "0.06", "--clustered"))
+    // the sidecar is there, the swap left no debris, and the TABLE
+    // view still round-trips the logical schema
+    assert(graft.sources.SpatialWriter
+      .marginMeta(spark, s"$root/objs.parquet").contains((0.06, 6)))
+    assert(!new java.io.File(s"$root/objs.parquet.__cache_tmp").exists &&
+      !new java.io.File(s"$root/objs.parquet.__cache_old").exists)
+    assert(LsdDb(spark, root).table("objs").columns.toSeq ==
+      Seq("obj_id", "olon", "olat"))
+    val after = run()
+    assert(!after.queryExecution.executedPlan.toString.contains("Generate"),
+      "post-cache query must route through the stored margin cache")
+    assert(after.collect().toSeq == beforeRows,
+      "the cache is a physical layout choice — rows must be identical")
+  }
+
   test("QueryCli --bounds and --time flags") {
     val root = Files.createTempDirectory("graft_cli_bounds").toString
     val pts = (0L until 300L).map { i =>
