@@ -128,9 +128,19 @@ final case class LsdDb(spark: SparkSession, root: String) {
     * (LSD's neighbor-cache economics). */
   def tableMargined(name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$root/$name.parquet"
     require(marginMeta(name).isDefined,
       s"table '$name' is not a margin-cache layout (no margin sidecar)")
-    normalizeTs(spark.read.parquet(s"$root/$name.parquet"))
+    // defensive: a snapshot table read raw would double-count bases
+    // plus the appends they fold; margin layouts are SpatialWriter
+    // products, never commit logs — if both sidecars ever coexist the
+    // dataset is corrupt and must not be silently joined against
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_COMMITS")),
+      s"table '$name' carries BOTH a margin sidecar and a snapshot " +
+        "commit log — refusing the raw margined read")
+    normalizeTs(spark.read.parquet(path))
   }
 
   /** (tsCol, granularity) when `name` is a TimeWriter layout with the

@@ -182,17 +182,44 @@ object JoinRegistry {
         try { f.create(lock, false).close(); true }
         catch { case _: java.io.IOException => false }
     var attempts = 0
+    // retry budget exceeds the stale window: a crashed holder's lock
+    // ages past LockStaleMs DURING the wait and self-heals, instead of
+    // failing spuriously at 5 s against a 30 s threshold (review r19)
+    val maxAttempts = (LockStaleMs / 200 + 50).toInt
     while (!tryAcquire()) {
       attempts += 1
-      // a crashed declarer's lock must not brick the registry forever
+      // a crashed declarer's lock must not brick the registry forever.
+      // Break protocol (review r19): judge staleness on the path,
+      // then CLAIM via rename to a unique name — atomic, so exactly
+      // one breaker wins (a plain delete lets the slower of two
+      // breakers remove the faster one's FRESH lock). The winner
+      // re-inspects the mtime ON THE CLAIMED FILE: if it really is
+      // stale, delete and race for acquisition; if it turned fresh
+      // (the path was re-locked between judge and claim), rename it
+      // straight back. Residual window: if a third waiter acquires
+      // during that claim-and-restore beat, the restore fails and the
+      // stolen holder runs unprotected — accepted and documented for
+      // a registry whose declares are rare admin operations; a full
+      // owner-epoch protocol is not worth the machinery here.
       val stale = try f.getFileStatus(lock).getModificationTime <
         System.currentTimeMillis() - LockStaleMs
       catch { case _: java.io.FileNotFoundException => false }
-      if (stale) f.delete(lock, false)
-      else if (attempts > 100) throw new IllegalStateException(
+      if (stale) {
+        val broken = new Path(root,
+          s"$LockFile.broken.${java.util.UUID.randomUUID()}")
+        if (f.rename(lock, broken)) {
+          val reallyStale =
+            try f.getFileStatus(broken).getModificationTime <
+              System.currentTimeMillis() - LockStaleMs
+            catch { case _: java.io.FileNotFoundException => true }
+          if (reallyStale) f.delete(broken, false)
+          else if (!f.rename(broken, lock)) f.delete(broken, false)
+        }
+      }
+      else if (attempts > maxAttempts) throw new IllegalStateException(
         s"could not acquire $root/$LockFile after $attempts attempts; " +
           "another declare is stuck (or delete the lock file manually)")
-      else Thread.sleep(50)
+      else Thread.sleep(200)
     }
     try body finally f.delete(lock, false)
   }

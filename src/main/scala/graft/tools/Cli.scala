@@ -348,9 +348,15 @@ object AdminCli {
           s"$table is a snapshot table; make-cache would flatten its " +
             "commit log — compact + export it to a plain table first")
         // materialize the new layout BESIDE the table, then swap:
-        // reading lazily while overwriting the source would corrupt it
+        // reading lazily while overwriting the source would corrupt it.
+        // Debris from a CRASHED earlier run is cleared first — a
+        // leftover __cache_old would make the swap rename fail forever
+        // (review r19); the original table path itself is only touched
+        // by the two renames below, so clearing debris is always safe.
         val tmp = s"$root/$table.parquet.__cache_tmp"
         val old = s"$root/$table.parquet.__cache_old"
+        f.delete(new Path(tmp), true)
+        f.delete(new Path(old), true)
         val df = LsdDb(spark, root).table(table)
         val (level, margin) = (args(5).toInt, args(6).toDouble)
         if (clustered)

@@ -96,6 +96,9 @@ object ScaleSmoke {
       qlCounts :+= df.count(); s"${qlCounts.last} matches"
     }
     t("ql xmatch A/B agreement + library cross-check") {
+      require(qlCounts.size == 2,
+        "run the full 'ql xmatch' block set (an arg filter skipped " +
+          "one of the A/B routes)")
       require(qlCounts.distinct.size == 1,
         s"blocking vs margin disagree: $qlCounts")
       val lib = CrossMatch.applySnapped(dets, objects, "det_id", "lon",
