@@ -1002,8 +1002,12 @@ object Joins {
   private[graft] def ensureQlMarginDb(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
-      val root = graft.sources.CacheKeys.path(
-        "graft_ql_margin_db", s"$dir/supplier.parquet")
+      // keyed on the WHOLE sf dir fingerprint, not one source table:
+      // orders_sky derives from orders and supplier_sky from supplier,
+      // so a single-source key would serve a stale sibling when the
+      // other source regenerates (the ensureQlSurveyDb rule, review
+      // r18; re-caught here in the r19 wave)
+      val root = graft.sources.CacheKeys.path("graft_ql_margin_db", dir)
       val op = s"$root/orders_sky.parquet"
       if (!graft.sources.CacheKeys.isComplete(op))
         skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",

@@ -1253,6 +1253,52 @@ class LsdQLSpec extends SpecBase {
     }
   }
 
+  test("bounds compose with the margin-routed xmatch: bounded driving " +
+    "set, stored catalog never exploded") {
+    import graft.spatial.Bounds
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // detections: directory layout (boundable); objects: CLUSTERED
+    // margin layout (routable) — the two write-time layouts LSD's
+    // survey db kept, composed in one query
+    val root = Files.createTempDirectory("graft_ql_bm").toString
+    val rnd = new scala.util.Random(53)
+    val obj = (0L until 200L).map(i => (i, rnd.nextDouble() * 360,
+      rnd.nextDouble() * 50 - 25)).toDF("obj_id", "olon", "olat")
+    val det = obj.selectExpr("obj_id * 10 AS id",
+      "olon + 0.002 AS lon", "olat + 0.002 AS lat")
+    graft.sources.SpatialWriter.write(det, "lon", "lat", 3,
+      s"$root/dets.parquet")
+    graft.sources.SpatialWriter.writeClustered(obj, "olon", "olat", 5,
+      s"$root/objs.parquet", margin = Some(0.1))
+    val db2 = LsdDb(spark, root)
+    val rel = SpatialJoinDef("dets", "id", "lon", "lat",
+      "objs", "obj_id", "olon", "olat",
+      radiusDeg = 0.05, nmax = 1, snapD6 = true)
+    val ql2 = LsdQL(db2, Nil, spatialJoins = Seq(rel))
+    val b = Bounds.Cone(123.4567, 0.7654, 60.4321)
+    val got = ql2.query(
+      "SELECT id, obj_id, _DIST FROM dets, objs ORDER BY id", b)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"bound lost directory pruning:\n${plan.take(1500)}")
+    assert(!plan.contains("Generate"),
+      "margin route must fire under a bound too (no query-time explode)")
+    // twin: bounded driving set through the LIBRARY snapped relation
+    val bdet = db2.table("dets")
+      .filter(b.predicate(col("lon"), col("lat")))
+    val twin = graft.spatial.CrossMatch.applySnapped(bdet,
+      db2.table("objs"), "id", "lon", "lat",
+      "obj_id", "olon", "olat", 0.05, 1)
+      .select(col("a_id"), col("b_id"), col("dist_deg")).orderBy("a_id")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq ==
+      twin.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq)
+    assert(got.count() > 0 && got.count() < 200,
+      "the bound must cut some but not all matches for a real test")
+  }
+
   test("derived tables in FROM: inline subquery under an alias") {
     val df = ql.query(
       """SELECT o_orderkey, qualify FROM
