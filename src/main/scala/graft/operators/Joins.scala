@@ -671,8 +671,8 @@ object Joins {
     * produce a subtly wrong oracle that only fails at a boundary
     * row). Same term order as the historical inline copies, so the
     * IEEE evaluation tree is unchanged. */
-  private def havSqlAB(lonA: String, latA: String,
-                       lonB: String, latB: String): String =
+  private[operators] def havSqlAB(lonA: String, latA: String,
+                                  lonB: String, latB: String): String =
     "degrees(2 * asin(sqrt(" +
       s"sin(radians(($latB) - ($latA)) / 2) * " +
       s"sin(radians(($latB) - ($latA)) / 2)" +

@@ -321,7 +321,66 @@ object TimeWindows {
       .orderBy("user_id", "session_start")
   }
 
+  /** S9 under the ORACLE — batch-replay of the STREAMING spatial
+    * cross-match against a STORED MARGIN LAYOUT: the LSD-era realtime
+    * shape (a transient-alert stream matched to the reference
+    * catalog), composing this round's two pieces — the write-once
+    * neighbor cache and Structured Streaming. `readStream(events)` →
+    * in-stream sky projection → stateless stream-static cell join
+    * against the `writeClustered(margin=…)` supplier catalog
+    * (StreamOps.xmatchStreamMargined: NO per-batch explode of the
+    * catalog, no watermark, no state store) → append memory sink.
+    *
+    * Oracle determinism is the applySnapped discipline: the stream
+    * operator blocks at a SUPERSET radius, then membership is decided
+    * on the d6-snapped distance — so a raw distance within one snap
+    * half-step of the boundary can never be kept by one engine and
+    * dropped by the other. The oracle recomputes the full snapped
+    * relation from the raw tables.
+    *
+    * 100-TB shape: per micro-batch the work is (batch rows) × (cell
+    * occupancy) — the catalog is never rescanned into an explode and
+    * never shuffled; a night's alert stream joins a 100 TB reference
+    * catalog at the cost of the batch's own cells. */
+  val qStreamXmatch: QuerySpec = QuerySpec(
+    "q_stream_xmatch",
+    s"""WITH d AS (SELECT event_id AS det_id,
+       |    CAST(event_id * 13 % 3600 AS DOUBLE) / 10.0 AS lon,
+       |    CAST(event_id * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS lat
+       |  FROM events),
+       |o AS (SELECT s_suppkey AS obj_id,
+       |    CAST(s_suppkey * 13 % 3600 AS DOUBLE) / 10.0 AS olon,
+       |    CAST(s_suppkey * 7 % 600 AS DOUBLE) / 10.0 - 30.0 AS olat
+       |  FROM supplier),
+       |p AS (SELECT det_id, obj_id, ${D.d6(
+          graft.operators.Joins.havSqlAB("lon", "lat", "olon", "olat"))}
+       |    AS dist_deg
+       |  FROM d CROSS JOIN o)
+       |SELECT det_id, obj_id, dist_deg FROM p WHERE dist_deg <= 0.6171
+       |ORDER BY det_id, obj_id""".stripMargin) { (s, dir) =>
+    val radius = 0.6171
+    val sup = radius + math.max(radius * 1e-3, 1e-6)
+    val root = graft.operators.Joins.ensureQlMarginDb(s, dir)
+    val path = s"$root/supplier_sky.parquet"
+    // contract check at the SUPERSET blocking radius, not the cut
+    graft.sources.SpatialWriter.requireMargin(s, path, sup)
+    val (_, level) = graft.sources.SpatialWriter.marginMeta(s, path).get
+    val bM = graft.LsdDb(s, root).tableMargined("supplier_sky")
+    val dets = eventsStream(s, dir).select(
+      col("event_id").as("det_id"),
+      ((col("event_id") * 13) % 3600).cast("double")./(10.0).as("lon"),
+      (((col("event_id") * 7) % 600).cast("double") / 10.0 - 30.0)
+        .as("lat"))
+    val matched = graft.streaming.StreamOps.xmatchStreamMargined(
+        dets, bM, "lon", "lat", "sid", "slon", "slat", sup, level)
+      .select(col("det_id"), col("obj_id"),
+        Det.d6(col("dist_deg")).as("dist_deg"))
+      .filter(col("dist_deg") <= radius)
+    runReplay(s, matched, "graft_stream_xmatch")
+      .orderBy("det_id", "obj_id")
+  }
+
   def specs: Seq[QuerySpec] = Seq(qWindowTumbling, qWindowSliding,
     qWindowSession, qStreamReplay, qStreamDedup, qStreamJoin,
-    qStreamSession)
+    qStreamSession, qStreamXmatch)
 }

@@ -149,6 +149,62 @@ object StreamOps {
       .drop("cell", "obj_lon", "obj_lat")
   }
 
+  /** [[xmatchStream]] against a STORED MARGIN LAYOUT — the streaming
+    * twin of the LsdQL margin route, and the LSD-era realtime shape:
+    * a transient-alert stream cross-matched against the reference
+    * catalog. The catalog's neighbor replication happened ONCE at
+    * write time (`SpatialWriter.write/writeClustered(margin=…)`), so
+    * each micro-batch is a STATELESS stream-static equi-join on the
+    * home cell — no explode of the catalog per batch, no watermark,
+    * no state store; the catalog scan feeds the join directly and the
+    * stream side (small per batch) broadcasts or exchanges.
+    *
+    * Channel decomposition mirrors CrossMatch.allPairsPreMargined
+    * exactly: cell-local pairs below `capLat`, plus a broadcast
+    * polar-cap channel over PRIMARY catalog rows (strictly-above-cap
+    * disjointness, same-hemisphere signum filter) — so results equal
+    * the batch operator's for any sky, poles included.
+    *
+    * The written margin must cover `radiusDeg` (callers verify via
+    * `SpatialWriter.requireMargin`); `level` is the layout's written
+    * level (from `SpatialWriter.marginMeta`). Emits one row per
+    * (stream row, catalog row) pair within radius: stream columns +
+    * `obj_id` + `dist_deg` (raw — callers snapping for oracle
+    * determinism block at a superset radius and cut on the snap,
+    * the applySnapped discipline). */
+  def xmatchStreamMargined(dets: DataFrame, catalogMargined: DataFrame,
+                           lonCol: String, latCol: String,
+                           objIdCol: String, objLonCol: String,
+                           objLatCol: String,
+                           radiusDeg: Double, level: Int,
+                           capLat: Double = graft.spatial.CrossMatch.CapLat)
+      : DataFrame = {
+    import graft.spatial.{CrossMatch, SkyPix}
+    require(radiusDeg > 0 && radiusDeg <= 1.0 && capLat >= radiusDeg,
+      s"radiusDeg in (0,1] and capLat >= radiusDeg required, got " +
+        s"radius=$radiusDeg capLat=$capLat")
+    val cat = catalogMargined.select(
+      col(objIdCol).as("obj_id"), col(objLonCol).as("obj_lon"),
+      col(objLatCol).as("obj_lat"), col("cell"), col("is_margin"))
+    val ch1 = dets.filter(abs(col(latCol)) <= capLat)
+      .withColumn("cell", SkyPix.cell(col(lonCol), col(latCol), level))
+      .join(cat.filter(abs(col("obj_lat")) <= capLat)
+        .drop("is_margin"), "cell")
+      .drop("cell")
+    val capEdge = capLat - radiusDeg
+    val prim = cat.filter(!col("is_margin")).drop("cell", "is_margin")
+    val cap = dets.filter(abs(col(latCol)) > capEdge)
+      .crossJoin(broadcast(prim.filter(abs(col("obj_lat")) > capEdge)))
+      .filter(abs(col(latCol)) > capLat || abs(col("obj_lat")) > capLat)
+      .filter(signum(col(latCol)) === signum(col("obj_lat")))
+    ch1.unionByName(cap)
+      .filter(abs(col(latCol) - col("obj_lat")) <= radiusDeg)
+      .withColumn("dist_deg", CrossMatch.distDeg(
+        col(lonCol), col(latCol), col("obj_lon"), col("obj_lat")))
+      .filter(col("dist_deg") <= radiusDeg)
+      .drop("obj_lon", "obj_lat")
+  }
+
   /** S8 — streaming ingestion into a snapshot table: every micro-batch
     * lands as one committed snapshot, tagged with its batchId so a
     * REPLAYED batch (Structured Streaming re-runs the last batch after

@@ -225,6 +225,52 @@ class StreamOpsSpec extends SpecBase {
     } finally q.stop()
   }
 
+  test("margin-layout streaming xmatch equals the batch pre-margined " +
+    "operator, poles included") {
+    implicit val sqlCtx = spark.sqlContext
+    // catalog with equatorial, wraparound AND polar members — the cap
+    // channel must carry the >85° rows the cell channel excludes
+    val rnd = new scala.util.Random(59)
+    val catalog = ((0L until 120L).map(i => (i, rnd.nextDouble() * 360,
+      rnd.nextDouble() * 50 - 25)) ++ Seq(
+      (200L, 10.0, 89.5), (201L, 200.0, -89.3), (202L, 359.99, 0.0)))
+      .toDF("obj_id", "olon", "olat")
+    val radius = 0.1
+    val level = graft.spatial.CrossMatch.levelFor(radius)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stream_margin_$level"
+    graft.sources.SpatialWriter.writeClustered(catalog, "olon", "olat",
+      level, path, margin = Some(radius))
+    val bM = graft.sources.SpatialWriter.readWithMargins(spark, path)
+    val input = MemoryStream[Det]
+    val out = StreamOps.xmatchStreamMargined(input.toDF(), bM,
+      "lon", "lat", "obj_id", "olon", "olat", radius, level)
+    val q = out.writeStream.format("memory").queryName("xmatch_margin_st")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches: near-equator hits, a wraparound hit, a
+      // polar hit (cap channel), and a miss
+      val dets = Seq(Det(1, catalog.head().getDouble(1) + 0.01,
+          catalog.head().getDouble(2) + 0.01),
+        Det(2, 0.005, 0.0), Det(3, 10.05, 89.52), Det(4, 90.0, 50.0))
+      input.addData(dets.take(2)); q.processAllAvailable()
+      input.addData(dets.drop(2)); q.processAllAvailable()
+      val got = spark.table("xmatch_margin_st").select("det_id", "obj_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = graft.spatial.CrossMatch.allPairsPreMargined(
+        dets.map(d => (d.det_id, d.lon, d.lat)).toDF("det_id", "lon", "lat"),
+        bM, "det_id", "lon", "lat", "obj_id", "olon", "olat",
+        radius, level)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"only-stream=${got -- want} only-batch=${want -- got}")
+      assert(got.contains((2L, 202L)), "lon wraparound must match")
+      assert(got.contains((3L, 200L)),
+        "polar detection must match via the cap channel")
+      assert(!got.exists(_._1 == 4L), "far detection must not match")
+    } finally q.stop()
+  }
+
   case class TsDet(ts: Timestamp, det_id: Long, lon: Double, lat: Double)
 
   test("stream-stream coincidence join pairs detections close in sky AND time") {
