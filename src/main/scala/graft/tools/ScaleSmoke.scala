@@ -108,6 +108,41 @@ object ScaleSmoke {
       s"all three agree at ${qlCounts.head}"
     }
 
+    // STREAMING margin xmatch at the same scale: the alert-stream
+    // shape — 4M detections replayed as 4 micro-batches
+    // (maxFilesPerTrigger) through the STATELESS stream-static cell
+    // join against the stored 2M-object margin catalog. Total matched
+    // pairs must equal the batch pre-margined operator's; per batch
+    // the catalog is scanned, never exploded, and no state store
+    // exists (stateless inner join).
+    t("ql xmatch STREAMING route: 4M dets in 4 micro-batches vs 2M cache") {
+      val detDir = s"${sys.props("java.io.tmpdir")}/graft_smoke_stream_dets"
+      dets.repartition(8).write.mode("overwrite").parquet(detDir)
+      val bM = graft.sources.SpatialWriter.readWithMargins(spark,
+        s"$qlRootMargin/objects_sky.parquet")
+      val streamDets = spark.readStream
+        .schema(spark.read.parquet(detDir).schema)
+        .option("maxFilesPerTrigger", 2).parquet(detDir)
+      val out = graft.streaming.StreamOps.xmatchStreamMargined(
+        streamDets, bM, "lon", "lat", "obj_id", "olon", "olat",
+        qlRadius, qlLevel)
+      val name = "graft_smoke_stream_xmatch"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      val got = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      val want = CrossMatch.allPairsPreMargined(
+        spark.read.parquet(detDir), bM, "det_id", "lon", "lat",
+        "obj_id", "olon", "olat", qlRadius, qlLevel).count()
+      require(got == want, s"stream total $got != batch $want")
+      require(batches >= 2, s"expected multiple micro-batches, got $batches")
+      s"$got pairs across $batches micro-batches == batch operator"
+    }
+
     // 50M-row decimal aggregation (the oracle-exact sum path)
     val big = spark.range(50000000).select(
       (col("id") % 97).as("k"),
