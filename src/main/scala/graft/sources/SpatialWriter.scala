@@ -51,14 +51,30 @@ object SpatialWriter {
     * requireMargin. */
   private def requireAppendCompatible(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      lonCol: String, latCol: String, level: Int, mode: SaveMode): Unit =
-    if (mode == SaveMode.Append) spatialMeta(spark, path).foreach {
-      case (lo, la, lv) => require(
-        lo == lonCol && la == latCol && lv == level,
-        s"appending to $path with spatial layout ($lonCol, $latCol, " +
-          s"level=$level) but it was written with ($lo, $la, " +
-          s"level=$lv) — mixed cell keys would make bounded reads " +
-          "silently drop rows; rewrite the layout instead")
+      lonCol: String, latCol: String, level: Int, mode: SaveMode,
+      margin: Option[Double]): Unit =
+    if (mode == SaveMode.Append) {
+      spatialMeta(spark, path).foreach {
+        case (lo, la, lv) => require(
+          lo == lonCol && la == latCol && lv == level,
+          s"appending to $path with spatial layout ($lonCol, $latCol, " +
+            s"level=$level) but it was written with ($lo, $la, " +
+            s"level=$lv) — mixed cell keys would make bounded reads " +
+            "silently drop rows; rewrite the layout instead")
+      }
+      // The MARGIN contract is append-invariant too (review r19, now
+      // load-bearing: the QL margin route and the streaming xmatch
+      // trust the sidecar for the WHOLE layout): appending margin-less
+      // rows to a margin layout — or with a different marginDeg —
+      // would leave the sidecar claiming closure the appended rows
+      // don't have, and a margin-routed join would silently drop
+      // their cross-cell pairs.
+      val written = marginMeta(spark, path).map(_._1)
+      if (spatialMeta(spark, path).isDefined) require(
+        written == margin,
+        s"appending to $path with margin=$margin but the layout was " +
+          s"written with margin=$written — the sidecar must describe " +
+          "every row; rewrite the layout instead")
     }
 
   private def writeSpatialMeta(spark: org.apache.spark.sql.SparkSession,
@@ -171,7 +187,7 @@ object SpatialWriter {
             path: String, margin: Option[Double] = None,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     requireAppendCompatible(df.sparkSession, path, lonCol, latCol, level,
-      mode)
+      mode, margin)
     withCellColumns(df, lonCol, latCol, level, margin)
       .repartition(col("cell"))
       .sortWithinPartitions(latCol, lonCol)
@@ -196,7 +212,7 @@ object SpatialWriter {
                      margin: Option[Double] = None, numFiles: Int = 32,
                      mode: SaveMode = SaveMode.Overwrite): Unit = {
     requireAppendCompatible(df.sparkSession, path, lonCol, latCol, level,
-      mode)
+      mode, margin)
     withCellColumns(df, lonCol, latCol, level, margin)
       .repartitionByRange(numFiles, col("cell"))
       .sortWithinPartitions(col("cell"), col(latCol), col(lonCol))

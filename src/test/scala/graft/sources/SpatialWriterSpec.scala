@@ -100,6 +100,46 @@ class SpatialWriterSpec extends SpecBase {
       .contains(("lon", "lat", 4)))
   }
 
+  test("append with mismatched MARGIN refuses before writing") {
+    // the margin sidecar must describe EVERY row (the QL margin route
+    // and the streaming xmatch trust it for the whole layout, r19):
+    // appending margin-less rows to a margin layout — or with a
+    // different marginDeg — would leave cross-cell pairs of the
+    // appended rows silently dropped by a margin-routed join
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sw_mappend").toString + "/t.parquet"
+    val cat = (0L until 100L).map(i => (i, i * 3.6 % 360, 0.0))
+      .toDF("id", "lon", "lat")
+    SpatialWriter.write(cat, "lon", "lat", level = 4, path,
+      margin = Some(0.1))
+    // same margin appends fine
+    SpatialWriter.write(cat, "lon", "lat", level = 4, path,
+      margin = Some(0.1), mode = org.apache.spark.sql.SaveMode.Append)
+    assert(SpatialWriter.readPrimary(spark, path).count() == 200)
+    // margin-less append to a margin layout refuses
+    val e1 = intercept[IllegalArgumentException] {
+      SpatialWriter.write(cat, "lon", "lat", level = 4, path,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e1.getMessage.contains("margin"))
+    // different-margin append refuses too
+    val e2 = intercept[IllegalArgumentException] {
+      SpatialWriter.write(cat, "lon", "lat", level = 4, path,
+        margin = Some(0.2), mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e2.getMessage.contains("0.2") && e2.getMessage.contains("0.1"))
+    assert(SpatialWriter.readPrimary(spark, path).count() == 200)
+    // the inverse: margined append to a MARGIN-LESS layout refuses
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft_sw_mappend2").toString + "/t.parquet"
+    SpatialWriter.write(cat, "lon", "lat", level = 4, plain)
+    intercept[IllegalArgumentException] {
+      SpatialWriter.write(cat, "lon", "lat", level = 4, plain,
+        margin = Some(0.1), mode = org.apache.spark.sql.SaveMode.Append)
+    }
+  }
+
   test("clustered write: plain parquet, no cell dirs, bounded file count") {
     val path = Files.createTempDirectory("graft_swc").toString + "/cat"
     SpatialWriter.writeClustered(cat, "lon", "lat", level = 6, path = path,
