@@ -761,13 +761,23 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
                   sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax)
               }
           }
+          // internal pair keys get RESERVED names before the attach
+          // joins: a user table with its own `a_id`/`b_id` column
+          // would otherwise lose it silently (drop(name) removes ALL
+          // matching columns) or hit an ambiguity error on the second
+          // join (review r19). _DIST/_NR stay — they are the
+          // documented pseudo-columns.
           val pairs = rawPairs
             .withColumnRenamed("dist_deg", "_DIST")
             .withColumnRenamed("match_rank", "_NR")
-          df = df.join(pairs, df(sjd.leftKey) === pairs("a_id"), how)
-            .drop("a_id")
-          df = df.join(right, df("b_id") === right(sjd.rightKey), how)
-            .drop("b_id")
+            .withColumnRenamed("a_id", "__graft_xm_a")
+            .withColumnRenamed("b_id", "__graft_xm_b")
+          df = df.join(pairs, df(sjd.leftKey) === pairs("__graft_xm_a"),
+              how)
+            .drop("__graft_xm_a")
+          df = df.join(right,
+              df("__graft_xm_b") === right(sjd.rightKey), how)
+            .drop("__graft_xm_b")
       }
       joined += item.table
     }

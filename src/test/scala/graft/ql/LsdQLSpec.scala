@@ -1253,6 +1253,32 @@ class LsdQLSpec extends SpecBase {
     }
   }
 
+  test("a user column named a_id/b_id survives the declared xmatch") {
+    // the pair relation's internal keys are renamed to reserved names
+    // before the attach joins (review r19): a driving table carrying
+    // its OWN a_id/b_id must keep it — previously drop(\"a_id\")
+    // removed the user's column along with the join key
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ql_aid").toString
+    val dets = (0L until 50L).map(i => (i, i * 7.2 % 360,
+      (i % 50) - 25.0, s"batch_${i % 3}"))
+      .toDF("id", "lon", "lat", "a_id") // a_id is USER data here
+    val objs = (0L until 50L).map(i => (i + 500, i * 7.2 % 360,
+      (i % 50) - 25.0)).toDF("oid", "olon", "olat")
+    dets.write.parquet(s"$root/dets.parquet")
+    objs.write.parquet(s"$root/objs.parquet")
+    val ql2 = LsdQL(LsdDb(spark, root), Nil, spatialJoins = Seq(
+      SpatialJoinDef("dets", "id", "lon", "lat",
+        "objs", "oid", "olon", "olat", radiusDeg = 0.01, nmax = 1)))
+    val got = ql2.query(
+      "SELECT id, a_id, oid, _NR FROM dets, objs ORDER BY id")
+    assert(got.columns.toSeq == Seq("id", "a_id", "oid", "_NR"))
+    val rows = got.collect()
+    assert(rows.length == 50 &&
+      rows.forall(r => r.getString(1).startsWith("batch_")),
+      "the user's a_id column must survive with its own values")
+  }
+
   test("bounds compose with the margin-routed xmatch: bounded driving " +
     "set, stored catalog never exploded") {
     import graft.spatial.Bounds
