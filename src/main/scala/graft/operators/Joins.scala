@@ -986,6 +986,85 @@ object Joins {
         |ORDER BY a_id""".stripMargin)
   }
 
+  /** Write-once survey db in FULL LSD shape: detections as a
+    * DIRECTORY cell layout (bounds prune `cell=` dirs) and objects as
+    * a CLUSTERED MARGIN layout (declared xmatches route shuffle-free)
+    * — the two write-time layouts an LSD database kept, plus the
+    * relation declared in `_JOINS`. Keyed on the whole sf dir
+    * fingerprint (two source tables — the ensureQlSurveyDb rule). */
+  private[graft] def ensureQlSurveyMarginDb(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val root = graft.sources.CacheKeys.path("graft_ql_survey_mdb", dir)
+      val dp = s"$root/detections.parquet"
+      if (!graft.sources.CacheKeys.isComplete(dp) ||
+          graft.sources.SpatialWriter.spatialMeta(s, dp).isEmpty) {
+        val d = LsdDb.table(s, dir, "events").select(
+          col("event_id").as("id"),
+          ((col("event_id") * 13) % 3600).cast(DoubleType)./(10.0)
+            .as("lon"),
+          (((col("event_id") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
+            .as("lat"))
+        graft.sources.SpatialWriter.write(d, "lon", "lat",
+          skyLayoutLevel, dp)
+      }
+      val op = s"$root/objects.parquet"
+      if (!graft.sources.CacheKeys.isComplete(op) ||
+          graft.sources.SpatialWriter.marginMeta(s, op).isEmpty)
+        graft.sources.SpatialWriter.writeClustered(
+          skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+            "obj_id", "olon", "olat"),
+          "olon", "olat", skyLayoutLevel, op, margin = Some(1.0))
+      graft.ql.JoinRegistry.declareSpatial(s, root,
+        graft.ql.SpatialJoinDef("detections", "id", "lon", "lat",
+          "objects", "obj_id", "olon", "olat",
+          radiusDeg = 0.2468, nmax = 1, snapD6 = true))
+      root
+    }
+
+  /** J6h/QL — THE FULL LSD UX IN ONE ORACLE-GATED QUERY: a cone-
+    * bounded survey aggregation over a STORED database whose
+    * detection table is a directory cell layout (the bound prunes
+    * `cell=` dirs) and whose object catalog carries the WRITE-TIME
+    * neighbor cache (the declared xmatch routes through the margin
+    * cache — no query-time explode, no shuffle of the catalog). This
+    * is q_ql_survey's composition upgraded to the stored-margin-db
+    * substrate: `db.query("SELECT … FROM dets, objs …", bounds=…)`
+    * where BOTH of LSD's write-time tricks are live in one plan.
+    * Constants differ from every sibling (cone, radius) so the lines
+    * cannot mask each other. */
+  val qQlSurveyMargin: QuerySpec = QuerySpec(
+    "q_ql_survey_margin",
+    s"""WITH d AS (SELECT ${skySqlCols("event_id", "id", "lon", "lat")}
+       |  FROM events),
+       |bd AS (SELECT id, lon, lat FROM d
+       |  WHERE ${D.d6(havSqlAB("8.7654", "(-25.4321)", "lon", "lat"))}
+       |    <= 9.3456),
+       |o AS (SELECT ${skySqlCols("s_suppkey", "obj_id", "olon", "olat")}
+       |  FROM supplier),
+       |p AS (SELECT bd.id, o.obj_id,
+       |    ${D.d6(havSqlAB("lon", "lat", "olon", "olat"))} AS dist_deg
+       |  FROM bd CROSS JOIN o),
+       |m AS (SELECT id, obj_id, dist_deg FROM (
+       |    SELECT id, obj_id, dist_deg,
+       |      row_number() OVER (PARTITION BY id
+       |                         ORDER BY dist_deg, obj_id) AS rn
+       |    FROM p WHERE dist_deg <= 0.2468)
+       |  WHERE rn = 1)
+       |SELECT obj_id, count(*) AS n_det,
+       |  ${D.davg("dist_deg")} AS mean_dist,
+       |  min(dist_deg) AS best_dist
+       |FROM m GROUP BY obj_id ORDER BY obj_id""".stripMargin) { (s, dir) =>
+    val root = ensureQlSurveyMarginDb(s, dir)
+    graft.ql.LsdQL.forDb(graft.LsdDb(s, root)).query(
+      s"""SELECT obj_id, count(*) AS n_det,
+         |  ${D.davg("_DIST")} AS mean_dist,
+         |  min(_DIST) AS best_dist
+         |FROM detections, objects
+         |GROUP BY obj_id ORDER BY obj_id""".stripMargin,
+      graft.spatial.Bounds.Cone(8.7654, -25.4321, 9.3456))
+  }
+
   /** Write-once db whose matched catalog is a STORED MARGIN LAYOUT —
     * the substrate for q_ql_xmatch_margin: supplier_sky written via
     * `SpatialWriter.writeClustered(margin = Some(1.0))` (primaries +
@@ -1567,5 +1646,6 @@ object Joins {
     qXmatch3way, qXmatchMargin, qXmatchAuto, qXmatchTemporal,
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
     qQlBounds, qQlBoundsRect, qQlBoundsPoly, qQlBoundsPair,
-    qQlXmatch, qQlXmatchOuter, qQlXmatchDmax, qQlXmatchMargin, qQlSurvey)
+    qQlXmatch, qQlXmatchOuter, qQlXmatchDmax, qQlXmatchMargin, qQlSurvey,
+    qQlSurveyMargin)
 }

@@ -205,6 +205,19 @@ class PlanQualitySpec extends SpecBase {
         rawCorpusShuffles.map(_.toString.take(800)).mkString("\n---\n"))
   }
 
+  test("q_ql_survey_margin: BOTH write-time tricks live in one plan — " +
+    "cell-dir pruning AND margin routing") {
+    val df = Joins.qQlSurveyMargin.fn(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"the cone bound lost directory pruning:\n${plan.take(2000)}")
+    assert(!plan.contains("Generate"),
+      "the declared xmatch must route through the stored margin cache")
+    assert(!plan.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "the survey aggregate lost its partial phase")
+  }
+
   test("q_xmatch_margin scans the cache as flat files (no cell= dirs)") {
     val (path, _) = Joins.ensureXmatchMarginCache(spark, sfDir)
     val entries = new java.io.File(path).listFiles()
