@@ -71,6 +71,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { operators.Joins.ensureQlMarginDb(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { operators.Joins.ensureQlSurveyMarginDb(spark, sfDir) }
+    catch { case _: Throwable => () }
     // Time FULL materialization of every output column, not count():
     // under count() Catalyst prunes the projection, so map-only
     // queries (q_project, q_string, …) were timing the scan rather
