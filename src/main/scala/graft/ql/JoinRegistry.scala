@@ -32,8 +32,13 @@ object JoinRegistry {
   private val RegistryFile = "_JOINS"
   private val LockFile = "_JOINS.lock"
   /** A declare is one small-file read + write — sub-second. A lock
-    * older than this belongs to a crashed process and is broken. */
-  private val LockStaleMs = 30000L
+    * older than this belongs to a crashed process and is broken.
+    * A LIVE holder refreshes its lock's mtime every third of this
+    * window (heartbeat in [[withDeclareLock]]), so even a save that
+    * legitimately outlives the threshold — a slow object-store PUT —
+    * never LOOKS stale to a waiter (review r19, ADVICE). Var only so
+    * the concurrency spec can shrink the window. */
+  @volatile private[ql] var LockStaleMs = 30000L
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new java.net.URI(root),
@@ -161,8 +166,8 @@ object JoinRegistry {
     * (atomic on local FS and HDFS; object stores need an external
     * lock service, same documented limitation as Snapshots), bounded
     * retry with backoff, stale-lock break after [[LockStaleMs]]. */
-  private def withDeclareLock[T](spark: SparkSession, root: String)
-                                (body: => T): T = {
+  private[ql] def withDeclareLock[T](spark: SparkSession, root: String)
+                                    (body: => T): T = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
     val lock = new Path(root, LockFile)
@@ -216,12 +221,36 @@ object JoinRegistry {
           else if (!f.rename(broken, lock)) f.delete(broken, false)
         }
       }
-      else if (attempts > maxAttempts) throw new IllegalStateException(
+      // the stale branch shares the bounded-retry guarantee: a lock
+      // that STAYS stale while the break rename keeps failing
+      // (permission/FS quirk) must not spin hot forever (review r19,
+      // ADVICE) — every iteration counts toward the budget and sleeps
+      if (attempts > maxAttempts) throw new IllegalStateException(
         s"could not acquire $root/$LockFile after $attempts attempts; " +
           "another declare is stuck (or delete the lock file manually)")
-      else Thread.sleep(200)
+      Thread.sleep(200)
     }
-    try body finally f.delete(lock, false)
+    // Holder heartbeat: a declare that legitimately outlives
+    // LockStaleMs (a slow object-store save) would otherwise have its
+    // lock broken by a waiter, and the two load-modify-save cycles
+    // could interleave — the exact lost update the lock prevents
+    // (review r19, ADVICE). Refreshing the mtime at a third of the
+    // window keeps a LIVE holder's lock fresh; touch failures are
+    // benign (the path was claimed by a breaker inside the residual
+    // window documented above).
+    val beat = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(math.max(LockStaleMs / 3, 50L))
+        try f.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }, "graft-joins-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      f.delete(lock, false)
+    }
   }
 
   /** Upsert an equi relation (keyed by the unordered table pair —

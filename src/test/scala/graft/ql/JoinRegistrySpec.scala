@@ -113,6 +113,35 @@ class JoinRegistrySpec extends SpecBase {
     assert(js == Seq(JoinDef("a", "k", "b", "k")))
   }
 
+  test("heartbeat: a holder outliving the stale window is not broken") {
+    // review r19 (ADVICE): a declare legitimately holding the lock
+    // longer than LockStaleMs (slow object-store save) used to have
+    // its lock broken by a waiter — reopening the lost-update window.
+    // The holder now touches the lock's mtime every third of the
+    // window, so a LIVE hold never looks stale.
+    val root = Files.createTempDirectory("graft_jreg_beat").toString
+    val saved = JoinRegistry.LockStaleMs
+    JoinRegistry.LockStaleMs = 500L
+    try {
+      val inLock = new java.util.concurrent.CountDownLatch(1)
+      val released = new java.util.concurrent.atomic.AtomicLong(0L)
+      val holder = new Thread(() =>
+        JoinRegistry.withDeclareLock(spark, root) {
+          inLock.countDown()
+          Thread.sleep(1600) // > 3x the (shrunken) stale window
+          released.set(System.nanoTime())
+        })
+      holder.start()
+      inLock.await()
+      JoinRegistry.declare(spark, root, JoinDef("a", "k", "b", "k"))
+      val declared = System.nanoTime()
+      holder.join()
+      assert(released.get != 0L && declared > released.get,
+        "the waiter must block until the live holder releases — a " +
+          "broken lock would let the declare land mid-hold")
+    } finally JoinRegistry.LockStaleMs = saved
+  }
+
   test("names with JSON-hostile characters are refused loudly") {
     val root = Files.createTempDirectory("graft_jreg_bad").toString
     intercept[IllegalArgumentException] {
