@@ -371,10 +371,12 @@ object Joins {
     * q_xmatch_margin (exact integer modular arithmetic → identical in
     * both engines). */
   private def skyFrom(df: org.apache.spark.sql.DataFrame, key: String,
-                      id: String, lon: String, lat: String) =
-    df.select(col(key).as(id),
-      ((col(key) * 13) % 3600).cast(DoubleType)./(10.0).as(lon),
-      (((col(key) * 7) % 600).cast(DoubleType) / 10.0 - 30.0).as(lat))
+                      id: String, lon: String, lat: String,
+                      keep: String*) =
+    df.select(col(key).as(id) +:
+      ((col(key) * 13) % 3600).cast(DoubleType)./(10.0).as(lon) +:
+      (((col(key) * 7) % 600).cast(DoubleType) / 10.0 - 30.0).as(lat) +:
+      keep.map(col): _*)
 
   private val xmatchCapLat = 31.0 // data lies in |lat| ≤ 30
 
@@ -714,6 +716,39 @@ object Joins {
       graft.spatial.Bounds.Polygon(qlPolyVerts))
   }
 
+  /** Write-once QL database builder — the ONE shape behind every
+    * ensureQl*Db (4 copies before the r19 verdict asked for the
+    * factoring): a fingerprint-keyed root (CacheKeys — keyed on the
+    * WHOLE sf dir when more than one source table feeds the db, the
+    * ensureQlSurveyDb rule: a single-source key would serve a stale
+    * sibling when the other source regenerates), ONE `synchronized`
+    * build section (bench and verify share the process — correct
+    * under their single-process contract), per-table completeness =
+    * `_SUCCESS` AND the layout sidecar when one is expected (sidecars
+    * land after Spark's commit), and relations re-declared
+    * idempotently on every call (JoinRegistry upserts). */
+  private def ensureDb(tag: String, key: String)
+                      (tables: (String, String => Boolean,
+                        String => Unit)*)
+                      (declare: String => Unit): String = synchronized {
+    val root = graft.sources.CacheKeys.path(tag, key)
+    for ((name, sidecarComplete, build) <- tables) {
+      val p = s"$root/$name.parquet"
+      if (!graft.sources.CacheKeys.isComplete(p) || !sidecarComplete(p))
+        build(p)
+    }
+    declare(root)
+    root
+  }
+
+  /** Events lifted onto the synthetic sky lattice — the detection
+    * table every QL survey db stores (optionally keeping `ts` for the
+    * time-bound substrates). */
+  private def skyDetections(s: org.apache.spark.sql.SparkSession,
+                            dir: String, keep: String*) =
+    skyFrom(LsdDb.table(s, dir, "events"), "event_id",
+      "id", "lon", "lat", keep: _*)
+
   /** Write-once db root holding a DETECTION table — events lifted
     * onto the synthetic sky lattice, stored as a SpatialWriter layout
     * that KEEPS its timestamp column. The substrate for the combined
@@ -723,24 +758,12 @@ object Joins {
     * t_bucket)` composition, exercised at the writer level). */
   private[graft] def ensureQlDetectionsDb(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    synchronized {
-      val root = graft.sources.CacheKeys.path(
-        "graft_ql_det_db", s"$dir/events.parquet")
-      val path = s"$root/detections.parquet"
-      if (!graft.sources.CacheKeys.isComplete(path) ||
-          graft.sources.SpatialWriter.spatialMeta(s, path).isEmpty) {
-        val d = LsdDb.table(s, dir, "events").select(
-          col("event_id").as("id"),
-          ((col("event_id") * 13) % 3600).cast(DoubleType)./(10.0)
-            .as("lon"),
-          (((col("event_id") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
-            .as("lat"),
-          col("ts"))
-        graft.sources.SpatialWriter.write(d, "lon", "lat",
-          skyLayoutLevel, path)
-      }
-      root
-    }
+    ensureDb("graft_ql_det_db", s"$dir/events.parquet")(
+      ("detections",
+        p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined,
+        p => graft.sources.SpatialWriter.write(
+          skyDetections(s, dir, "ts"), "lon", "lat", skyLayoutLevel, p))
+    )(_ => ())
 
   /** SC2f4/QL — the (SPACE, TIME) bounds PAIR on a detection table:
     * the reference's bread-and-butter multi-epoch query ("this patch
@@ -784,27 +807,15 @@ object Joins {
     * tables merely rebuilds a small cache. */
   private[graft] def ensureQlSurveyDb(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    synchronized {
-      val root = graft.sources.CacheKeys.path("graft_ql_survey_db", dir)
-      val dp = s"$root/detections.parquet"
-      if (!graft.sources.CacheKeys.isComplete(dp) ||
-          graft.sources.SpatialWriter.spatialMeta(s, dp).isEmpty) {
-        val d = LsdDb.table(s, dir, "events").select(
-          col("event_id").as("id"),
-          ((col("event_id") * 13) % 3600).cast(DoubleType)./(10.0)
-            .as("lon"),
-          (((col("event_id") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
-            .as("lat"),
-          col("ts"))
-        graft.sources.SpatialWriter.write(d, "lon", "lat",
-          skyLayoutLevel, dp)
-      }
-      val op = s"$root/objects.parquet"
-      if (!graft.sources.CacheKeys.isComplete(op))
-        skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
-          "obj_id", "olon", "olat").write.mode("overwrite").parquet(op)
-      root
-    }
+    ensureDb("graft_ql_survey_db", dir)(
+      ("detections",
+        p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined,
+        p => graft.sources.SpatialWriter.write(
+          skyDetections(s, dir, "ts"), "lon", "lat", skyLayoutLevel, p)),
+      ("objects", _ => true,
+        p => skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+          "obj_id", "olon", "olat").write.mode("overwrite").parquet(p))
+    )(_ => ())
 
   /** J6/QL(overrides) — PER-QUERY MATCH PARAMETERS: the FROM item's
     * `(nmax=…, dmax=…)` override the declared relation's defaults for
@@ -886,19 +897,15 @@ object Joins {
     * immutable, so one key covers both projections. */
   private[graft] def ensureQlXmatchDb(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): String = synchronized {
-    val root = graft.sources.CacheKeys.path(
-      "graft_ql_xmatch_db", s"$dir/orders.parquet")
-    val op = s"$root/orders_sky.parquet"
-    val sp = s"$root/supplier_sky.parquet"
-    if (!graft.sources.CacheKeys.isComplete(op))
-      skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
-        "oid", "olon", "olat").write.mode("overwrite").parquet(op)
-    if (!graft.sources.CacheKeys.isComplete(sp))
-      skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
-        "sid", "slon", "slat").write.mode("overwrite").parquet(sp)
-    root
-  }
+      dir: String): String =
+    ensureDb("graft_ql_xmatch_db", s"$dir/orders.parquet")(
+      ("orders_sky", _ => true,
+        p => skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+          "oid", "olon", "olat").write.mode("overwrite").parquet(p)),
+      ("supplier_sky", _ => true,
+        p => skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+          "sid", "slon", "slat").write.mode("overwrite").parquet(p))
+    )(_ => ())
 
   /** Shared DuckDB relation for the QL xmatch oracles: every pair's
     * d6-snapped haversine on the oid/sid sky projections. Cut radius
@@ -994,33 +1001,21 @@ object Joins {
     * fingerprint (two source tables — the ensureQlSurveyDb rule). */
   private[graft] def ensureQlSurveyMarginDb(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    synchronized {
-      val root = graft.sources.CacheKeys.path("graft_ql_survey_mdb", dir)
-      val dp = s"$root/detections.parquet"
-      if (!graft.sources.CacheKeys.isComplete(dp) ||
-          graft.sources.SpatialWriter.spatialMeta(s, dp).isEmpty) {
-        val d = LsdDb.table(s, dir, "events").select(
-          col("event_id").as("id"),
-          ((col("event_id") * 13) % 3600).cast(DoubleType)./(10.0)
-            .as("lon"),
-          (((col("event_id") * 7) % 600).cast(DoubleType) / 10.0 - 30.0)
-            .as("lat"))
-        graft.sources.SpatialWriter.write(d, "lon", "lat",
-          skyLayoutLevel, dp)
-      }
-      val op = s"$root/objects.parquet"
-      if (!graft.sources.CacheKeys.isComplete(op) ||
-          graft.sources.SpatialWriter.marginMeta(s, op).isEmpty)
-        graft.sources.SpatialWriter.writeClustered(
+    ensureDb("graft_ql_survey_mdb", dir)(
+      ("detections",
+        p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined,
+        p => graft.sources.SpatialWriter.write(
+          skyDetections(s, dir), "lon", "lat", skyLayoutLevel, p)),
+      ("objects",
+        p => graft.sources.SpatialWriter.marginMeta(s, p).isDefined,
+        p => graft.sources.SpatialWriter.writeClustered(
           skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
             "obj_id", "olon", "olat"),
-          "olon", "olat", skyLayoutLevel, op, margin = Some(1.0))
-      graft.ql.JoinRegistry.declareSpatial(s, root,
-        graft.ql.SpatialJoinDef("detections", "id", "lon", "lat",
-          "objects", "obj_id", "olon", "olat",
-          radiusDeg = 0.2468, nmax = 1, snapD6 = true))
-      root
-    }
+          "olon", "olat", skyLayoutLevel, p, margin = Some(1.0)))
+    )(root => graft.ql.JoinRegistry.declareSpatial(s, root,
+      graft.ql.SpatialJoinDef("detections", "id", "lon", "lat",
+        "objects", "obj_id", "olon", "olat",
+        radiusDeg = 0.2468, nmax = 1, snapD6 = true)))
 
   /** J6h/QL — THE FULL LSD UX IN ONE ORACLE-GATED QUERY: a cone-
     * bounded survey aggregation over a STORED database whose
@@ -1080,31 +1075,20 @@ object Joins {
     * overhead for pruning this query never does. */
   private[graft] def ensureQlMarginDb(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    synchronized {
-      // keyed on the WHOLE sf dir fingerprint, not one source table:
-      // orders_sky derives from orders and supplier_sky from supplier,
-      // so a single-source key would serve a stale sibling when the
-      // other source regenerates (the ensureQlSurveyDb rule, review
-      // r18; re-caught here in the r19 wave)
-      val root = graft.sources.CacheKeys.path("graft_ql_margin_db", dir)
-      val op = s"$root/orders_sky.parquet"
-      if (!graft.sources.CacheKeys.isComplete(op))
-        skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
-          "oid", "olon", "olat").write.mode("overwrite").parquet(op)
-      val sp = s"$root/supplier_sky.parquet"
-      if (!graft.sources.CacheKeys.isComplete(sp) ||
-          graft.sources.SpatialWriter.marginMeta(s, sp).isEmpty) {
-        val b = skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
-          "sid", "slon", "slat")
-        graft.sources.SpatialWriter.writeClustered(b, "slon", "slat",
-          skyLayoutLevel, sp, margin = Some(1.0))
-      }
-      graft.ql.JoinRegistry.declareSpatial(s, root,
-        graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
-          "supplier_sky", "sid", "slon", "slat",
-          radiusDeg = 0.7939, nmax = 2, snapD6 = true))
-      root
-    }
+    ensureDb("graft_ql_margin_db", dir)(
+      ("orders_sky", _ => true,
+        p => skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
+          "oid", "olon", "olat").write.mode("overwrite").parquet(p)),
+      ("supplier_sky",
+        p => graft.sources.SpatialWriter.marginMeta(s, p).isDefined,
+        p => graft.sources.SpatialWriter.writeClustered(
+          skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
+            "sid", "slon", "slat"),
+          "slon", "slat", skyLayoutLevel, p, margin = Some(1.0)))
+    )(root => graft.ql.JoinRegistry.declareSpatial(s, root,
+      graft.ql.SpatialJoinDef("orders_sky", "oid", "olon", "olat",
+        "supplier_sky", "sid", "slon", "slat",
+        radiusDeg = 0.7939, nmax = 2, snapD6 = true)))
 
   /** J6/QL(margin) — the DECLARED QL xmatch routed through the STORED
     * margin cache: `FROM orders_sky, supplier_sky` where supplier_sky
