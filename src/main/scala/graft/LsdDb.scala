@@ -119,6 +119,81 @@ final case class LsdDb(spark: SparkSession, root: String) {
   def marginMeta(name: String): Option[(Double, Int)] =
     graft.sources.SpatialWriter.marginMeta(spark, s"$root/$name.parquet")
 
+  /** Margin-cache resolution for a declared-xmatch route: Right(ref)
+    * when a usable write-time neighbor cache exists for the read THIS
+    * query does, Left(reason) otherwise — every branch is a complete
+    * sentence, because the reasons feed [[graft.ql.LsdQL.explain]]'s
+    * route report.
+    *
+    * For a PLAIN SpatialWriter margin layout the table itself is the
+    * cache. For a SNAPSHOT (live) table the cache is the
+    * point-in-time `_margincache/` sibling built by `AdminCli
+    * make-cache --from-snapshot`; it must carry a source-snapshot
+    * stamp EQUAL to the snapshot this query reads (the head for a
+    * plain read, the pinned id for a `t@N` read) — a STALE cache
+    * falls back loudly (slf4j warn + the explain reason) rather than
+    * silently answering from pre-upsert rows. Compaction also moves
+    * the head, so a cache reads stale after compact too: conservative
+    * (the rows may be identical), but snapshot-id equality is the
+    * only check that never lies. */
+  def marginCacheFor(name: String, asOf: Option[Long] = None)
+      : Either[String, MarginCacheRef] = {
+    val path = s"$root/$name.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val isSnapshot =
+      fs.exists(new org.apache.hadoop.fs.Path(path, "_COMMITS"))
+    def spatialOf(p: String, what: String)
+        : Either[String, (String, String)] =
+      graft.sources.SpatialWriter.spatialMeta(spark, p) match {
+        case Some((lo, la, _)) => Right((lo, la))
+        case None => Left(s"$what lacks the _SPATIAL sidecar — " +
+          "rebuild it with SpatialWriter (which records it)")
+      }
+    if (!isSnapshot)
+      marginMeta(name) match {
+        case None => Left(s"table '$name' has no margin layout " +
+          "(_MARGIN sidecar) — build one with AdminCli make-cache")
+        case Some((m, lvl)) => spatialOf(path, s"margin layout '$name'")
+          .map { case (lo, la) =>
+            MarginCacheRef(path, lo, la, lvl, m, sourceSnap = None) }
+      }
+    else {
+      val cp = graft.sources.MarginCache.cachePath(root, name)
+      graft.sources.SpatialWriter.marginMeta(spark, cp) match {
+        case None => Left(s"snapshot table '$name' has no margin " +
+          "cache — build one with AdminCli make-cache --from-snapshot")
+        case Some((m, lvl)) =>
+          graft.sources.SpatialWriter.marginSourceSnap(spark, cp) match {
+            case None => Left(s"margin cache for '$name' carries no " +
+              "source-snapshot stamp — rebuild it with AdminCli " +
+              "make-cache --from-snapshot")
+            case Some(stamp) =>
+              val target = asOf.orElse(
+                Snapshots.head(spark, path)).getOrElse(-1L)
+              if (stamp != target) {
+                val why = s"margin cache for '$name' is STALE: built " +
+                  s"at snap=$stamp, query reads snap=$target — " +
+                  "re-run AdminCli make-cache --from-snapshot"
+                LsdDb.log.warn(
+                  s"$why (falling back to the blocking join)")
+                Left(why)
+              } else spatialOf(cp, s"margin cache for '$name'")
+                .map { case (lo, la) =>
+                  MarginCacheRef(cp, lo, la, lvl, m, Some(stamp)) }
+          }
+      }
+    }
+  }
+
+  /** The PROBE view of a RESOLVED margin cache ([[marginCacheFor]]):
+    * primaries AND margin replicas with `cell`/`is_margin` kept — the
+    * B side of [[graft.spatial.CrossMatch.applyPreMargined]]. */
+  def tableMarginedRef(ref: MarginCacheRef): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(ref.path))
+  }
+
   /** The PROBE view of a margin-cache layout: primaries AND margin
     * replicas, `cell`/`is_margin` kept (they are the join key and the
     * replica flag), ts normalization as [[table]]. This is the B side
@@ -246,7 +321,18 @@ final case class LsdDb(spark: SparkSession, root: String) {
     names.foreach(n => table(n).createOrReplaceTempView(n))
 }
 
+/** A resolved, USABLE margin cache ([[LsdDb.marginCacheFor]]): the
+  * dataset path plus the written-contract fields the QL lowering
+  * still checks per-relation (coordinates, margin coverage, level
+  * closure). `sourceSnap` is set for snapshot-table caches. */
+final case class MarginCacheRef(path: String, lonCol: String,
+                                latCol: String, level: Int,
+                                marginDeg: Double,
+                                sourceSnap: Option[Long])
+
 object LsdDb {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.LsdDb")
+
   val standardTables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -213,22 +213,67 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       : DataFrame = {
     val ctx = new BoundCtx(space, time)
     val df = evalQuery(q, Map.empty, Some(ctx))
-    space.foreach(_ => require(ctx.spaceApplied.get > 0,
-      "bounds did not apply: no SELECT in the query drives from a " +
-        "spatial table (SpatialWriter layout with a _SPATIAL sidecar, " +
-        "or a table with a registered IdSpec)"))
-    time.foreach(_ => require(ctx.timeApplied.get > 0,
-      "time bound did not apply: no SELECT in the query drives from a " +
-        "table with a TimeWriter layout (_TEMPORAL sidecar) or a " +
-        "declared time column (timeKeys)"))
+    requireBoundsApplied(ctx)
     df
   }
 
-  /** Threaded bounds + how many SELECTs each aspect restricted. */
+  private def requireBoundsApplied(ctx: BoundCtx): Unit = {
+    ctx.space.foreach(_ => require(ctx.spaceApplied.get > 0,
+      "bounds did not apply: no SELECT in the query drives from a " +
+        "spatial table (SpatialWriter layout with a _SPATIAL sidecar, " +
+        "or a table with a registered IdSpec)"))
+    ctx.time.foreach(_ => require(ctx.timeApplied.get > 0,
+      "time bound did not apply: no SELECT in the query drives from a " +
+        "table with a TimeWriter layout (_TEMPORAL sidecar) or a " +
+        "declared time column (timeKeys)"))
+  }
+
+  /** EXPLAIN for the LOWERING's route decisions — the operational
+    * surface the reference's verbose query output provided (SURVEY
+    * §1.1, UNVERIFIED) and the r19 verdict asked for: the
+    * margin-vs-blocking choice is deliberately silent in [[query]]
+    * (correctness is route-independent), but a 100-TB user whose
+    * per-query `dmax=` quietly exceeds the written margin gets a 10×
+    * plan change with no signal. One line per declared xmatch
+    * ("margin cache (level=…)" or "blocking join — <reason>", a
+    * distinct reason for every fallback condition), plus a line per
+    * bound application and per suppressed INTO. Builds the FULL plan
+    * — every decision is the one [[query]] would take, including the
+    * bounds-binding validation — but runs NO job and writes nothing
+    * (INTO is reported, not executed). */
+  def explain(q: String): Seq[String] = explainWith(q, None, None)
+  def explain(q: String, bounds: graft.spatial.Bounds): Seq[String] =
+    explainWith(q, Some(bounds), None)
+  def explain(q: String, time: graft.spatial.TimeInterval): Seq[String] =
+    explainWith(q, None, Some(time))
+  def explain(q: String, bounds: graft.spatial.Bounds,
+              time: graft.spatial.TimeInterval): Seq[String] =
+    explainWith(q, Some(bounds), Some(time))
+
+  private def explainWith(q: String, space: Option[graft.spatial.Bounds],
+                          time: Option[graft.spatial.TimeInterval])
+      : Seq[String] = {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = new BoundCtx(space, time, routeLog = Some(log))
+    evalQuery(q, Map.empty, Some(ctx))
+    requireBoundsApplied(ctx)
+    import scala.jdk.CollectionConverters._
+    log.asScala.toSeq
+  }
+
+  /** Threaded bounds + how many SELECTs each aspect restricted; with
+    * `routeLog`, also the [[explain]] collector (insertion-ordered)
+    * and the write-suppression flag (an explain must not materialize
+    * INTO targets). */
   private final class BoundCtx(val space: Option[graft.spatial.Bounds],
-                               val time: Option[graft.spatial.TimeInterval]) {
+                               val time: Option[graft.spatial.TimeInterval],
+                               val routeLog: Option[
+                                 java.util.concurrent.ConcurrentLinkedQueue[
+                                   String]] = None) {
     val spaceApplied = new java.util.concurrent.atomic.AtomicInteger(0)
     val timeApplied = new java.util.concurrent.atomic.AtomicInteger(0)
+    def explaining: Boolean = routeLog.isDefined
+    def route(line: String): Unit = routeLog.foreach(_.add(line))
   }
 
   /** One query at a given CTE scope: peel the WITH prefix (each body
@@ -303,7 +348,11 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           df = df.sparkSession.sql(sql.toString)
         } finally df.sparkSession.catalog.dropTempView(view)
       }
-      intoOpt.foreach(name => df = writeInto(df, name, None))
+      intoOpt.foreach { name =>
+        if (bctx.exists(_.explaining))
+          bctx.get.route(s"INTO $name: not executed (explain)")
+        else df = writeInto(df, name, None)
+      }
     }
     df
   }
@@ -596,10 +645,16 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
         val (lonC, latC, level) = boundLayout.get
         addPred(spaceB.get.predicate(col(lonC), col(latC)))
         bctx.get.spaceApplied.incrementAndGet()
-        db.tableFootprint(headTable, spaceB.get.cells(level))
+        val cells = spaceB.get.cells(level)
+        bctx.get.route(s"bounds $headTable: footprint prunes to " +
+          s"${cells.length} cell directories (level $level) + exact " +
+          "predicate refine")
+        db.tableFootprint(headTable, cells)
       case None if timeLayoutUsable =>
         addPred(timeB.get.predicate(col(tMeta.get._1)))
         bctx.get.timeApplied.incrementAndGet()
+        bctx.get.route(s"time bound $headTable: t_bucket directory " +
+          "pruning + exact predicate refine")
         db.tableTimeFootprint(headTable, timeB.get.fromIncl,
           timeB.get.toExcl)
       case None =>
@@ -622,11 +677,15 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           addPred(bc.space.get.predicate(
             col(spec.lonCol), col(spec.latCol)))
           bc.spaceApplied.incrementAndGet()
+          bc.route(s"bounds $headTable: exact predicate only " +
+            "(no spatial layout to prune)")
         }
       if (bc.time.isDefined && !timeLayoutUsable)
         tMeta.map(_._1).orElse(timeKeys.get(headTable)).foreach { c =>
           addPred(bc.time.get.predicate(col(c)))
           bc.timeApplied.incrementAndGet()
+          bc.route(s"time bound $headTable: exact predicate only on " +
+            s"'$c' (no usable time layout)")
         }
     }
     require(fromItems.head.nmax.isEmpty && fromItems.head.dmax.isEmpty,
@@ -678,6 +737,9 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             s"nmax/dmax on FROM item '${item.table}' need a declared " +
               "SPATIAL relation; this item resolves through equi " +
               "join definitions")
+          bctx.foreach(_.route(s"join ${item.table}: declared equi " +
+            s"path ${hops.map(h => s"${h.left}=${h.right}")
+              .mkString(" -> ")}"))
           for (jd <- hops) {
             val (lk, rk, tbl) =
               if (joined.contains(jd.left)) (jd.leftKey, jd.rightKey, jd.right)
@@ -702,51 +764,91 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
             radiusDeg = item.dmax.getOrElse(sjd0.radiusDeg))
           val right = load(item.table)
           // MARGIN-CACHE ROUTE (LSD's signature write-once economics,
-          // SURVEY §1.1 neighbor cache): when the matched table is a
-          // STORED SpatialWriter layout written with margin replicas
-          // covering this query's blocking radius, the pair relation
-          // is a plain cell equi-join of the driving rows against the
-          // stored (primary + replica) rows — the 9× neighbor explode
-          // of the catalog already happened ONCE at write time, so no
+          // SURVEY §1.1 neighbor cache): when the matched table has a
+          // STORED margin layout covering this query's blocking radius
+          // — the table itself for plain SpatialWriter(margin=…)
+          // layouts, the stamped point-in-time `_margincache/` sibling
+          // for snapshot tables — the pair relation is a plain cell
+          // equi-join of the driving rows against the stored
+          // (primary + replica) rows: the 9× neighbor explode of the
+          // catalog already happened ONCE at write time, so no
           // query-time explode and no shuffle of the stored catalog
           // (the bounded driving set broadcasts or exchanges; the
-          // catalog scan feeds the join directly). Falls back to the
-          // on-the-fly blocking join when: the table is a CTE/@snap
-          // read (no stored layout), coordinates differ from the
-          // written layout's, the written margin doesn't cover the
-          // EFFECTIVE radius (per-query dmax can exceed it), the
-          // written level is too fine for the radius, or skew
-          // mitigation is declared (hot cells need the salting path).
+          // catalog scan feeds the join directly). Declared skew
+          // mitigation COMPOSES with the route (the hot driving cells
+          // salt against the stored replicas — CrossMatch
+          // applyPreMargined*Skew). Falls back to the on-the-fly
+          // blocking join — with the REASON surfaced through
+          // [[explain]] — when: the table is a CTE/derived relation,
+          // no (fresh) margin layout exists (stale snapshot caches
+          // included), coordinates differ from the written layout's,
+          // the written margin doesn't cover the EFFECTIVE radius
+          // (per-query dmax can exceed it), or the written level is
+          // too fine for the radius.
           val snapHeadroom =
             if (sjd.snapD6) math.max(sjd.radiusDeg * 1e-3, 1e-6) else 0.0
           val needMargin = sjd.radiusDeg + snapHeadroom
-          val marginRoute: Option[(org.apache.spark.sql.DataFrame, Int)] =
-            if (fullScope.contains(item.table) ||
-                asOfByTable.contains(item.table) ||
-                sjd.hotThreshold.isDefined) None
-            else for {
-              (written, lvl) <- db.marginMeta(item.table)
-              (lonC, latC, _) <- db.spatialMeta(item.table)
-              if written >= needMargin && lonC == sjd.lonR &&
-                latC == sjd.latR &&
-                lvl <= graft.spatial.CrossMatch.levelFor(needMargin)
-            } yield (db.tableMargined(item.table), lvl)
+          val routeDecision
+              : Either[String, (org.apache.spark.sql.DataFrame, Int)] =
+            if (fullScope.contains(item.table))
+              Left("matched table is a CTE/derived relation — " +
+                "no stored layout to route through")
+            else db.marginCacheFor(item.table, asOfByTable.get(item.table))
+              .flatMap { ref =>
+                if (ref.lonCol != sjd.lonR || ref.latCol != sjd.latR)
+                  Left(s"layout coordinates (${ref.lonCol}, " +
+                    s"${ref.latCol}) differ from the declared " +
+                    s"relation's (${sjd.lonR}, ${sjd.latR})")
+                else if (ref.marginDeg < needMargin)
+                  Left(s"written margin ${ref.marginDeg} deg does not " +
+                    s"cover the effective radius $needMargin deg " +
+                    "(radius + snap headroom) — rewrite the cache " +
+                    "with a larger margin or lower dmax")
+                else if (ref.level >
+                    graft.spatial.CrossMatch.levelFor(needMargin))
+                  Left(s"written level ${ref.level} is too fine for " +
+                    s"radius $needMargin deg (max " +
+                    s"${graft.spatial.CrossMatch.levelFor(needMargin)})" +
+                    " — 3x3 neighbor closure would drop pairs")
+                else Right((db.tableMarginedRef(ref), ref.level))
+              }
+          bctx.foreach(bc => bc.route(routeDecision match {
+            case Right((_, lvl)) =>
+              s"xmatch ${item.table}: margin cache (level=$lvl, " +
+                s"radius=$needMargin deg" +
+                sjd.hotThreshold.fold("")(h =>
+                  s", hot cells > $h salted x${sjd.salts}") + ")"
+            case Left(reason) =>
+              s"xmatch ${item.table}: blocking join — $reason"
+          }))
           // cell-blocked nearest-k pairs over the RUNNING relation (so
           // upstream WHERE-able columns survive), then attach the
           // matched right rows; _DIST/_NR become ordinary columns
-          val rawPairs = marginRoute match {
-            case Some((bm, lvl)) =>
-              if (sjd.snapD6)
-                graft.spatial.CrossMatch.applyPreMarginedSnapped(df, bm,
-                  sjd.leftKey, sjd.lonL, sjd.latL,
-                  sjd.rightKey, sjd.lonR, sjd.latR,
-                  sjd.radiusDeg, sjd.nmax, lvl)
-              else
-                graft.spatial.CrossMatch.applyPreMargined(df, bm,
-                  sjd.leftKey, sjd.lonL, sjd.latL,
-                  sjd.rightKey, sjd.lonR, sjd.latR,
-                  sjd.radiusDeg, sjd.nmax, lvl)
-            case None =>
+          val rawPairs = routeDecision match {
+            case Right((bm, lvl)) =>
+              (sjd.snapD6, sjd.hotThreshold) match {
+                case (true, None) =>
+                  graft.spatial.CrossMatch.applyPreMarginedSnapped(df, bm,
+                    sjd.leftKey, sjd.lonL, sjd.latL,
+                    sjd.rightKey, sjd.lonR, sjd.latR,
+                    sjd.radiusDeg, sjd.nmax, lvl)
+                case (false, None) =>
+                  graft.spatial.CrossMatch.applyPreMargined(df, bm,
+                    sjd.leftKey, sjd.lonL, sjd.latL,
+                    sjd.rightKey, sjd.lonR, sjd.latR,
+                    sjd.radiusDeg, sjd.nmax, lvl)
+                case (true, Some(ht)) =>
+                  graft.spatial.CrossMatch.applyPreMarginedSnappedSkew(
+                    df, bm, sjd.leftKey, sjd.lonL, sjd.latL,
+                    sjd.rightKey, sjd.lonR, sjd.latR,
+                    sjd.radiusDeg, sjd.nmax, lvl, ht, sjd.salts)
+                case (false, Some(ht)) =>
+                  graft.spatial.CrossMatch.applyPreMarginedSkew(df, bm,
+                    sjd.leftKey, sjd.lonL, sjd.latL,
+                    sjd.rightKey, sjd.lonR, sjd.latR,
+                    sjd.radiusDeg, sjd.nmax, lvl, ht, sjd.salts)
+              }
+            case Left(_) =>
               if (sjd.snapD6) graft.spatial.CrossMatch.applySnapped(df, right,
                 sjd.leftKey, sjd.lonL, sjd.latL,
                 sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,
@@ -891,7 +993,9 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
       df = df.limit(parseLimit(n))
     }
     intoOpt.foreach { name =>
-      df = writeInto(df, name, Some(fromItems.head.table))
+      if (bctx.exists(_.explaining))
+        bctx.get.route(s"INTO $name: not executed (explain)")
+      else df = writeInto(df, name, Some(fromItems.head.table))
     }
     val tail =
       if (!liftTail) None

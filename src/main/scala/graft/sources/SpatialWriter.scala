@@ -128,6 +128,46 @@ object SpatialWriter {
     }
   }
 
+  /** Re-write the `_MARGIN` sidecar at `path` with the SOURCE SNAPSHOT
+    * id the cache was built from (`AdminCli make-cache
+    * --from-snapshot`): a margin cache of a LIVE snapshot table is a
+    * point-in-time materialization, and readers compare this stamp
+    * against the table's head (or the query's @id) to detect
+    * staleness instead of silently answering from old rows. */
+  def stampMarginSource(spark: org.apache.spark.sql.SparkSession,
+                        path: String, snapId: Long): Unit = {
+    val (m, l) = marginMeta(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no $MarginMetaFile sidecar at $path to stamp — the margin " +
+          "layout write must complete first"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, MarginMetaFile), true)
+    try out.write(
+      s"""{"marginDeg":$m,"level":$l,"sourceSnap":$snapId}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The source snapshot id stamped into the `_MARGIN` sidecar, when
+    * the layout is a `--from-snapshot` cache (None for plain-table
+    * margin layouts, which are the table itself). */
+  def marginSourceSnap(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path, MarginMetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"sourceSnap":([0-9]+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong)
+    }
+  }
+
   /** Assert the margin layout at `path` is closure-complete for a
     * radius-`radiusDeg` join: strip replication only copies rows whose
     * home-cell boundary is within the WRITTEN margin, so querying a

@@ -307,6 +307,133 @@ object CrossMatch {
       .transform(refine(radiusDeg))
   }
 
+  /** [[applyPreMargined]] with [[skewSafe]]'s deep-field mitigation —
+    * the composition the r19 verdict flagged as missing: a declared
+    * `hotThreshold` used to force the blocking path even over a
+    * cached catalog, paying BOTH the query-time explode and the
+    * salting. Here the hot DRIVING cells salt against the STORED
+    * replicas: cold rows take [[applyPreMargined]]'s plan untouched;
+    * hot rows split into `salts` sub-buckets on a hash of the A id
+    * while the hot cells' stored slice (primaries + margins — the
+    * neighbor replication already happened at write time, so no
+    * explode here either) replicates per salt — broadcast when small,
+    * shuffled (cell, salt) equi-join past `maxBroadcastRows`. The
+    * polar-cap channel re-attaches for the hot rows over PRIMARY
+    * stored rows, so the channel decomposition — and therefore the
+    * answer, nmax ranking included — is EXACTLY applyPreMargined's
+    * (the A-row partition is disjoint, ranking is per A row). */
+  def applyPreMarginedSkew(a: DataFrame, bMargined: DataFrame,
+                           aId: String, aLon: String, aLat: String,
+                           bId: String, bLon: String, bLat: String,
+                           radiusDeg: Double, nmax: Int, level: Int,
+                           hotThreshold: Long, salts: Int,
+                           capLat: Double = CapLat,
+                           maxBroadcastRows: Long = 4L << 20): DataFrame = {
+    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    allPairsPreMarginedSkew(a, bMargined, aId, aLon, aLat, bId, bLon, bLat,
+      radiusDeg, level, hotThreshold, salts, capLat, maxBroadcastRows)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= nmax)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+  }
+
+  /** [[applyPreMarginedSkew]] with [[applySnapped]]'s d6 semantics —
+    * so a QL relation declared `snapD6` WITH skew mitigation produces
+    * identical rows on every route (blocking, blocking+salt, margin,
+    * margin+salt); the route-agnosticism property in LsdQLSpec
+    * exercises exactly this square. */
+  def applyPreMarginedSnappedSkew(a: DataFrame, bMargined: DataFrame,
+                                  aId: String, aLon: String, aLat: String,
+                                  bId: String, bLon: String, bLat: String,
+                                  radiusDeg: Double, nmax: Int, level: Int,
+                                  hotThreshold: Long, salts: Int,
+                                  capLat: Double = CapLat,
+                                  maxBroadcastRows: Long = 4L << 20)
+      : DataFrame = {
+    require(nmax >= 1, s"nmax must be >= 1, got $nmax")
+    val margin = math.max(radiusDeg * 1e-3, 1e-6)
+    require(radiusDeg > 0 && radiusDeg + margin <= 1.0,
+      s"snapped-semantics radius must leave superset headroom under " +
+        s"the 1-degree blocking cap: radiusDeg in (0, ~0.999], got " +
+        s"$radiusDeg")
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    allPairsPreMarginedSkew(a, bMargined, aId, aLon, aLat, bId, bLon, bLat,
+      radiusDeg + margin, level, hotThreshold, salts, capLat,
+      maxBroadcastRows)
+      .withColumn("dist_deg", graft.functions.Det.d6(col("dist_deg")))
+      .filter(col("dist_deg") <= radiusDeg)
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= nmax)
+      .select("a_id", "b_id", "dist_deg", "match_rank")
+  }
+
+  /** All-pairs engine of the two skew-composed forms above (columns
+    * a_id, b_id, dist_deg). One cheap count aggregation finds the hot
+    * DRIVING cells (driver-sized by construction — a deep field is a
+    * handful of cells); everything else is [[allPairsPreMargined]]'s
+    * decomposition with the hot slice salted. */
+  def allPairsPreMarginedSkew(a: DataFrame, bMargined: DataFrame,
+                              aId: String, aLon: String, aLat: String,
+                              bId: String, bLon: String, bLat: String,
+                              radiusDeg: Double, level: Int,
+                              hotThreshold: Long, salts: Int,
+                              capLat: Double = CapLat,
+                              maxBroadcastRows: Long = 4L << 20)
+      : DataFrame = {
+    require(radiusDeg > 0 && radiusDeg <= 1.0,
+      s"radiusDeg must be in (0, 1], got $radiusDeg")
+    require(capLat >= radiusDeg && capLat <= CapLat,
+      s"capLat must be in [$radiusDeg (radiusDeg), $CapLat], got $capLat")
+    require(level <= levelFor(radiusDeg, capLat),
+      s"margin cache written at level $level is too fine for radius " +
+        s"$radiusDeg below lat $capLat (max ${levelFor(radiusDeg, capLat)})")
+    require(salts >= 1 && hotThreshold >= 1, "salts, hotThreshold >= 1")
+    val aSel = a.select(col(aId).as("a_id"), col(aLon).as("a_lon"),
+      col(aLat).as("a_lat"))
+    val aCelled = aSel.withColumn("cell",
+      SkyPix.cell(col("a_lon"), col("a_lat"), level))
+    val hot = aCelled.filter(abs(col("a_lat")) <= capLat)
+      .groupBy("cell").count().filter(col("count") > hotThreshold)
+      .select("cell").collect().map(_.getLong(0)).toSeq
+    if (hot.isEmpty)
+      return allPairsPreMargined(a, bMargined, aId, aLon, aLat,
+        bId, bLon, bLat, radiusDeg, level, capLat)
+    val isHot = col("cell").isin(hot: _*) && abs(col("a_lat")) <= capLat
+    val cold = allPairsPreMargined(aCelled.filter(!isHot), bMargined,
+      "a_id", "a_lon", "a_lat", bId, bLon, bLat, radiusDeg, level, capLat)
+    val aHot = aCelled.filter(isHot)
+      .withColumn("_salt", pmod(xxhash64(col("a_id")), lit(salts.toLong)))
+    // the probe slice is the hot cells' STORED rows (primaries +
+    // write-time replicas) — spatially bounded, and no query-time
+    // explode: the 3x3 replication is already on disk
+    val bProbeBase = bMargined
+      .select(col(bId).as("b_id"), col(bLon).as("b_lon"),
+        col(bLat).as("b_lat"), col("cell"))
+      .filter(abs(col("b_lat")) <= capLat && col("cell").isin(hot: _*))
+    // same broadcast guard as skewSafe: when B is ALSO dense at the
+    // deep field, keep the salted split but let the (cell, _salt)
+    // equi-join shuffle instead of broadcasting past memory
+    val probeRows = bProbeBase.count()
+    val bProbe = bProbeBase
+      .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    val probeSide =
+      if (probeRows * salts <= maxBroadcastRows) broadcast(bProbe)
+      else bProbe.hint("shuffle_hash")
+    val hotCellPairs = aHot.join(probeSide, Seq("cell", "_salt"))
+      .drop("cell", "_salt")
+    val bPrim = bMargined.filter(!col("is_margin"))
+      .select(col(bId).as("b_id"), col(bLon).as("b_lon"),
+        col(bLat).as("b_lat"))
+    val hotPairs = hotCellPairs
+      .unionByName(capChannel(aHot.select("a_id", "a_lon", "a_lat"),
+        bPrim, radiusDeg, capLat))
+      .transform(refine(radiusDeg))
+    cold.unionByName(hotPairs)
+  }
+
   /** [[apply]] with deep-field skew mitigation — the survey reality
     * where one pointing is observed 100× more than the rest of the
     * sky, so one blocking cell funnels |A_cell| × |B_neighborhood|

@@ -66,20 +66,21 @@ object QueryCli {
     val pos = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
-      if (args(i).startsWith("--")) {
+      if (args(i) == "--explain") { flags("explain") = "true"; i += 1 }
+      else if (args(i).startsWith("--")) {
         require(i + 1 < args.length, s"${args(i)} needs a value")
         flags(args(i).drop(2)) = args(i + 1); i += 2
       } else { pos += args(i); i += 1 }
     }
     require(pos.length >= 2,
       "usage: QueryCli <dbRoot> <query> [maxRows] [--bounds <spec>] " +
-        "[--time from,to]")
+        "[--time from,to] [--explain]")
     // a misspelled flag must not silently run the query UNBOUNDED —
     // the superset result is exactly what the flag was meant to cut
-    val unknown = flags.keySet -- Set("bounds", "time")
+    val unknown = flags.keySet -- Set("bounds", "time", "explain")
     require(unknown.isEmpty,
       s"unknown flag(s): ${unknown.map("--" + _).mkString(", ")} " +
-        "(supported: --bounds, --time)")
+        "(supported: --bounds, --time, --explain)")
     val spark = Cli.session()
     val ql = LsdQL.forDb(LsdDb(spark, pos(0)))
     val bounds = flags.get("bounds").map(parseBounds)
@@ -96,13 +97,29 @@ object QueryCli {
           "zero-width interval returns no rows — check the flag value")
       graft.spatial.TimeInterval(parts(0).trim, parts(1).trim)
     }
-    val df = (bounds, time) match {
-      case (Some(b), Some(ti)) => ql.query(pos(1), b, ti)
-      case (Some(b), None)     => ql.query(pos(1), b)
-      case (None, Some(ti))    => ql.query(pos(1), ti)
-      case (None, None)        => ql.query(pos(1))
+    if (flags.contains("explain")) {
+      // route report INSTEAD of execution (SQL EXPLAIN semantics):
+      // margin-vs-blocking per declared xmatch, bounds lowering per
+      // driving table, suppressed INTOs — the operational visibility
+      // the silent route fallback otherwise lacks
+      val report = (bounds, time) match {
+        case (Some(b), Some(ti)) => ql.explain(pos(1), b, ti)
+        case (Some(b), None)     => ql.explain(pos(1), b)
+        case (None, Some(ti))    => ql.explain(pos(1), ti)
+        case (None, None)        => ql.explain(pos(1))
+      }
+      (if (report.isEmpty)
+        Seq("no route decisions (single-table scan, no bounds)")
+      else report).foreach(l => println(s"explain: $l"))
+    } else {
+      val df = (bounds, time) match {
+        case (Some(b), Some(ti)) => ql.query(pos(1), b, ti)
+        case (Some(b), None)     => ql.query(pos(1), b)
+        case (None, Some(ti))    => ql.query(pos(1), ti)
+        case (None, None)        => ql.query(pos(1))
+      }
+      df.show(if (pos.length > 2) pos(2).toInt else 20, truncate = false)
     }
-    df.show(if (pos.length > 2) pos(2).toInt else 20, truncate = false)
   }
 }
 
@@ -321,58 +338,47 @@ object AdminCli {
           s"in ${args(1)}/_JOINS")
       case "make-cache" =>
         // lsd-style neighbor-cache materialization for an EXISTING
-        // stored table: rewrite it as a SpatialWriter margin layout
-        // (primaries + write-time neighbor replicas + _MARGIN
-        // sidecar). After this, every declared QL xmatch whose
-        // matched side is this table routes through the margin cache
-        // automatically (LsdQL margin route) — pay the replication
-        // shuffle ONCE here, every later `FROM a, b` is cell-local.
-        // The reference built this cache at import/xmatch time; this
-        // command retrofits it onto any already-imported catalog.
-        require(args.length == 7 || args.length == 8,
+        // stored table (graft.sources.MarginCache is the engine):
+        // plain tables are rewritten in place as a SpatialWriter
+        // margin layout; SNAPSHOT (live) tables get a point-in-time
+        // cache at _margincache/<table>.parquet stamped with the
+        // source snapshot id, so a nightly-upserted catalog can take
+        // the shuffle-free margin route between refreshes and readers
+        // detect staleness after every new commit. Pay the
+        // replication shuffle ONCE here; every later `FROM a, b` is
+        // cell-local.
+        require(args.length >= 7,
           "usage: AdminCli make-cache <dbRoot> <table> <lonCol> " +
-            "<latCol> <level> <marginDeg> [--clustered]")
-        val (root, table) = (args(1), args(2))
-        require(table.nonEmpty && table.forall(c => c.isLetterOrDigit ||
-          c == '_' || c == '-'), s"table must be a plain name: '$table'")
-        val clustered = args.lift(7) match {
-          case None => false
-          case Some("--clustered") => true
-          case Some(other) => throw new IllegalArgumentException(
-            s"unknown flag '$other' (supported: --clustered)")
+            "<latCol> <level> <marginDeg> [--clustered] " +
+            "[--from-snapshot <id|latest>]")
+        var clustered = false
+        var fromSnapshot: Option[Option[Long]] = None
+        var i = 7
+        while (i < args.length) {
+          args(i) match {
+            case "--clustered" => clustered = true; i += 1
+            case "--from-snapshot" =>
+              require(i + 1 < args.length,
+                "--from-snapshot needs a value (<id> or latest)")
+              fromSnapshot = Some(args(i + 1) match {
+                case "latest" => None
+                case id => Some(id.toLong)
+              })
+              i += 2
+            case other => throw new IllegalArgumentException(
+              s"unknown flag '$other' (supported: --clustered, " +
+                "--from-snapshot)")
+          }
         }
-        val spark = Cli.session()
-        val path = s"$root/$table.parquet"
-        val f = fsFor(path)
-        require(!f.exists(new Path(path, "_COMMITS")),
-          s"$table is a snapshot table; make-cache would flatten its " +
-            "commit log — compact + export it to a plain table first")
-        // materialize the new layout BESIDE the table, then swap:
-        // reading lazily while overwriting the source would corrupt it.
-        // Debris from a CRASHED earlier run is cleared first — a
-        // leftover __cache_old would make the swap rename fail forever
-        // (review r19); the original table path itself is only touched
-        // by the two renames below, so clearing debris is always safe.
-        val tmp = s"$root/$table.parquet.__cache_tmp"
-        val old = s"$root/$table.parquet.__cache_old"
-        f.delete(new Path(tmp), true)
-        f.delete(new Path(old), true)
-        val df = LsdDb(spark, root).table(table)
-        val (level, margin) = (args(5).toInt, args(6).toDouble)
-        if (clustered)
-          SpatialWriter.writeClustered(df, args(3), args(4), level, tmp,
-            margin = Some(margin))
-        else
-          SpatialWriter.write(df, args(3), args(4), level, tmp,
-            margin = Some(margin))
-        require(f.rename(new Path(path), new Path(old)),
-          s"could not move $path aside")
-        require(f.rename(new Path(tmp), new Path(path)),
-          s"could not swap in the new layout (original preserved at $old)")
-        f.delete(new Path(old), true)
-        println(s"margin cache built: $table (level=$level " +
-          s"margin=$margin${if (clustered) " clustered" else ""}) — " +
-          "declared xmatches against it now route shuffle-free")
+        val stamped = graft.sources.MarginCache.build(Cli.session(),
+          args(1), args(2), args(3), args(4), args(5).toInt,
+          args(6).toDouble, clustered, fromSnapshot)
+        println(s"margin cache built: ${args(2)} (level=${args(5)} " +
+          s"margin=${args(6)}${if (clustered) " clustered" else ""}" +
+          stamped.fold("")(id => s" from snap=$id") + ") — declared " +
+          "xmatches against it now route shuffle-free" +
+          (if (stamped.isDefined)
+            " until the table commits past the stamp" else ""))
       case "joins" =>
         val (js, sjs) = graft.ql.JoinRegistry.load(Cli.session(), args(1))
         if (js.isEmpty && sjs.isEmpty) println(s"${args(1)}: no _JOINS")
