@@ -732,14 +732,21 @@ object Joins {
                         String => Unit)*)
                       (declare: String => Unit): String = synchronized {
     val root = graft.sources.CacheKeys.path(tag, key)
-    for ((name, sidecarComplete, build) <- tables) {
+    for ((name, complete, build) <- tables) {
       val p = s"$root/$name.parquet"
-      if (!graft.sources.CacheKeys.isComplete(p) || !sidecarComplete(p))
-        build(p)
+      if (!complete(p)) build(p)
     }
     declare(root)
     root
   }
+
+  /** Standard completeness of a parquet dataset under [[ensureDb]]:
+    * Spark's `_SUCCESS` marker AND the expected layout sidecar
+    * (sidecars land after the commit). Snapshot tables use their
+    * commit log instead — the log IS the completion protocol. */
+  private def pq(extra: String => Boolean = _ => true)
+               (p: String): Boolean =
+    graft.sources.CacheKeys.isComplete(p) && extra(p)
 
   /** Events lifted onto the synthetic sky lattice — the detection
     * table every QL survey db stores (optionally keeping `ts` for the
@@ -760,7 +767,7 @@ object Joins {
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     ensureDb("graft_ql_det_db", s"$dir/events.parquet")(
       ("detections",
-        p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined,
+        pq(p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined),
         p => graft.sources.SpatialWriter.write(
           skyDetections(s, dir, "ts"), "lon", "lat", skyLayoutLevel, p))
     )(_ => ())
@@ -809,10 +816,10 @@ object Joins {
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     ensureDb("graft_ql_survey_db", dir)(
       ("detections",
-        p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined,
+        pq(p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined),
         p => graft.sources.SpatialWriter.write(
           skyDetections(s, dir, "ts"), "lon", "lat", skyLayoutLevel, p)),
-      ("objects", _ => true,
+      ("objects", pq(),
         p => skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
           "obj_id", "olon", "olat").write.mode("overwrite").parquet(p))
     )(_ => ())
@@ -899,10 +906,10 @@ object Joins {
       s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     ensureDb("graft_ql_xmatch_db", s"$dir/orders.parquet")(
-      ("orders_sky", _ => true,
+      ("orders_sky", pq(),
         p => skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
           "oid", "olon", "olat").write.mode("overwrite").parquet(p)),
-      ("supplier_sky", _ => true,
+      ("supplier_sky", pq(),
         p => skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
           "sid", "slon", "slat").write.mode("overwrite").parquet(p))
     )(_ => ())
@@ -1003,11 +1010,11 @@ object Joins {
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     ensureDb("graft_ql_survey_mdb", dir)(
       ("detections",
-        p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined,
+        pq(p => graft.sources.SpatialWriter.spatialMeta(s, p).isDefined),
         p => graft.sources.SpatialWriter.write(
           skyDetections(s, dir), "lon", "lat", skyLayoutLevel, p)),
       ("objects",
-        p => graft.sources.SpatialWriter.marginMeta(s, p).isDefined,
+        pq(p => graft.sources.SpatialWriter.marginMeta(s, p).isDefined),
         p => graft.sources.SpatialWriter.writeClustered(
           skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
             "obj_id", "olon", "olat"),
@@ -1076,11 +1083,11 @@ object Joins {
   private[graft] def ensureQlMarginDb(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     ensureDb("graft_ql_margin_db", dir)(
-      ("orders_sky", _ => true,
+      ("orders_sky", pq(),
         p => skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
           "oid", "olon", "olat").write.mode("overwrite").parquet(p)),
       ("supplier_sky",
-        p => graft.sources.SpatialWriter.marginMeta(s, p).isDefined,
+        pq(p => graft.sources.SpatialWriter.marginMeta(s, p).isDefined),
         p => graft.sources.SpatialWriter.writeClustered(
           skyFrom(LsdDb.table(s, dir, "supplier"), "s_suppkey",
             "sid", "slon", "slat"),
@@ -1119,6 +1126,84 @@ object Joins {
         |  _NR AS match_rank
         |FROM orders_sky, supplier_sky
         |ORDER BY a_id, match_rank""".stripMargin)
+  }
+
+  /** Write-once db whose OBJECT catalog is a LIVE snapshot table (two
+    * committed appends — the nightly-ingest shape) carrying a
+    * point-in-time margin cache stamped at its head
+    * (`MarginCache.build --from-snapshot`, the r19 verdict's top
+    * item): the continuously-updated table the reference built
+    * neighbor caches for, taking the shuffle-free route between
+    * refreshes. The driving table is the customer sky projection
+    * (distinct from every sibling's orders/events driving sets). */
+  private[graft] def ensureQlSnapMarginDb(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ensureDb("graft_ql_snapmdb", dir)(
+      ("dets", pq(),
+        p => skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey",
+          "cid", "clon", "clat").write.mode("overwrite").parquet(p)),
+      ("objects",
+        // a snapshot table's commit log IS its completion protocol
+        // (torn writes are invisible); exactly 2 committed appends
+        p => graft.sources.Snapshots.entries(s, p).length == 2,
+        p => {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(p), s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)
+          val objs = skyFrom(LsdDb.table(s, dir, "supplier"),
+            "s_suppkey", "obj_id", "olon", "olat")
+          graft.sources.Snapshots.append(
+            objs.filter(col("obj_id") % 3 === 0), p)
+          graft.sources.Snapshots.append(
+            objs.filter(col("obj_id") % 3 =!= 0), p)
+        }),
+      ("_margincache/objects",
+        p => graft.sources.CacheKeys.isComplete(p) &&
+          graft.sources.SpatialWriter.marginSourceSnap(s, p)
+            .contains(2L),
+        _ => graft.sources.MarginCache.build(s,
+          graft.sources.CacheKeys.path("graft_ql_snapmdb", dir),
+          "objects", "olon", "olat", skyLayoutLevel, 1.0,
+          clustered = true, fromSnapshot = Some(None)))
+    )(root => graft.ql.JoinRegistry.declareSpatial(s, root,
+      graft.ql.SpatialJoinDef("dets", "cid", "clon", "clat",
+        "objects", "obj_id", "olon", "olat",
+        radiusDeg = 0.6827, nmax = 1, snapD6 = true)))
+
+  /** J6s/QL — THE LIVE-CATALOG MARGIN ROUTE, oracle-gated: the object
+    * catalog is a SNAPSHOT table (two committed appends), its margin
+    * cache a point-in-time materialization stamped snap=2, and the
+    * declared `FROM dets, objects` routes through the cache — the
+    * reference's workflow for a nightly-updated object catalog (build
+    * the cache once per refresh, every query between refreshes is
+    * shuffle-free; SURVEY §1.1, UNVERIFIED). The oracle recomputes the
+    * snapped relation from the RAW customer/supplier tables — equal to
+    * the snapshot head because the two appends partition the supplier
+    * rows — so a silent fallback would still be correct; the ROUTE is
+    * pinned in PlanQualitySpec, and staleness behavior is spec'd in
+    * CliSpec (commit past the stamp → loud blocking fallback). */
+  val qQlSnapshotMargin: QuerySpec = QuerySpec(
+    "q_ql_snapshot_margin",
+    s"""WITH a AS (SELECT ${skySqlCols("c_custkey", "a_id", "a_lon",
+          "a_lat")}
+       |  FROM customer),
+       |b AS (SELECT ${skySqlCols("s_suppkey", "b_id", "b_lon", "b_lat")}
+       |  FROM supplier),
+       |p AS (SELECT a_id, b_id,
+       |    ${D.d6(havSqlAB("a_lon", "a_lat", "b_lon", "b_lat"))}
+       |      AS dist_deg
+       |  FROM a CROSS JOIN b)
+       |SELECT a_id, b_id, dist_deg FROM (
+       |  SELECT a_id, b_id, dist_deg,
+       |    row_number() OVER (PARTITION BY a_id
+       |                       ORDER BY dist_deg, b_id) AS rn
+       |  FROM p WHERE dist_deg <= 0.6827)
+       |WHERE rn = 1 ORDER BY a_id""".stripMargin) { (s, dir) =>
+    val root = ensureQlSnapMarginDb(s, dir)
+    graft.ql.LsdQL.forDb(graft.LsdDb(s, root)).query(
+      """SELECT cid AS a_id, obj_id AS b_id, _DIST AS dist_deg
+        |FROM dets, objects
+        |ORDER BY a_id""".stripMargin)
   }
 
   /** SC2e — rectangle footprint WRAPPING through lon=0 (the case that
@@ -1631,5 +1716,5 @@ object Joins {
     qFootprintPolygon, qFootprintCells, qFootprintCone, qFootprintRect,
     qQlBounds, qQlBoundsRect, qQlBoundsPoly, qQlBoundsPair,
     qQlXmatch, qQlXmatchOuter, qQlXmatchDmax, qQlXmatchMargin, qQlSurvey,
-    qQlSurveyMargin)
+    qQlSurveyMargin, qQlSnapshotMargin)
 }

@@ -205,6 +205,22 @@ class PlanQualitySpec extends SpecBase {
         rawCorpusShuffles.map(_.toString.take(800)).mkString("\n---\n"))
   }
 
+  test("q_ql_snapshot_margin routes through the LIVE catalog's " +
+    "point-in-time cache: _margincache scan, no explode") {
+    val df = Joins.qQlSnapshotMargin.fn(spark, sfDir)
+    val plan = planOf(df)
+    // the stamped point-in-time cache is the scan set (route fired —
+    // a silent fallback to blocking over the commit-log read would
+    // still hash-match, so the PLAN is the test)
+    assert(plan.contains("_margincache"),
+      s"point-in-time margin cache missing from the scan set:\n" +
+        plan.take(2000))
+    assert(!plan.contains("Generate"),
+      "the declared xmatch must not explode the snapshot catalog at " +
+        "query time")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_ql_survey_margin: BOTH write-time tricks live in one plan — " +
     "cell-dir pruning AND margin routing") {
     val df = Joins.qQlSurveyMargin.fn(spark, sfDir)

@@ -1766,4 +1766,200 @@ class LsdQLSpec extends SpecBase {
     val cnts = rows.map(_.getLong(1)).toSeq
     assert(cnts == cnts.sorted.reverse)
   }
+
+  /** Shared fixture for the explain/route tests: a db whose objects
+    * catalog exists as a margin layout (objs_m, with duplicate alt_*
+    * coordinate columns for the mismatch case), a plain copy (objs_p),
+    * and a too-fine margin layout (objs_f); detections stored as a
+    * DIRECTORY cell layout so bounds lines appear too. */
+  private lazy val explainRoot: String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_ql_explain").toString
+    val rnd = new scala.util.Random(53)
+    val objs = (0L until 200L).map(i => (i, rnd.nextDouble() * 360,
+      rnd.nextDouble() * 50 - 25)).toDF("obj_id", "obj_lon", "obj_lat")
+    val dets = objs.select((col("obj_id") * 10).as("det_id"),
+      (col("obj_lon") + 0.003).as("det_lon"),
+      (col("obj_lat") + 0.003).as("det_lat"))
+    graft.sources.SpatialWriter.write(dets, "det_lon", "det_lat", 4,
+      s"$root/dets.parquet")
+    graft.sources.SpatialWriter.writeClustered(
+      objs.withColumn("alt_lon", col("obj_lon"))
+        .withColumn("alt_lat", col("obj_lat")),
+      "obj_lon", "obj_lat", 6, s"$root/objs_m.parquet",
+      margin = Some(0.06))
+    objs.write.parquet(s"$root/objs_p.parquet")
+    graft.sources.SpatialWriter.writeClustered(objs, "obj_lon",
+      "obj_lat", 6, s"$root/objs_f.parquet", margin = Some(0.95))
+    root
+  }
+
+  private def explainQl(sjs: SpatialJoinDef*): LsdQL =
+    LsdQL(LsdDb(spark, explainRoot), Nil, spatialJoins = sjs.toSeq)
+
+  private def explainRel(right: String, radius: Double,
+                         snap: Boolean = true,
+                         lonR: String = "obj_lon", latR: String = "obj_lat",
+                         ht: Option[Long] = None) =
+    SpatialJoinDef("dets", "det_id", "det_lon", "det_lat",
+      right, "obj_id", lonR, latR, radiusDeg = radius, nmax = 1,
+      snapD6 = snap, hotThreshold = ht, salts = 4)
+
+  test("explain: the margin-vs-blocking decision surfaces with a " +
+    "distinct reason per fallback condition") {
+    def text(t: String, over: String = "") =
+      s"SELECT det_id, obj_id, _DIST FROM dets, $t$over"
+    def one(ql: LsdQL, t: String, over: String = "") = {
+      val lines = ql.explain(text(t, over)).filter(_.startsWith("xmatch"))
+      assert(lines.length == 1, lines.mkString("\n"))
+      lines.head
+    }
+    // route taken: level + effective radius + no hedging
+    val taken = one(explainQl(explainRel("objs_m", 0.05)), "objs_m")
+    assert(taken.contains("margin cache (level=6"), taken)
+    // 1. per-query dmax beyond the written margin
+    val dmax = one(explainQl(explainRel("objs_m", 0.05)), "objs_m",
+      "(dmax=0.07)")
+    assert(dmax.contains("blocking join") &&
+      dmax.contains("written margin"), dmax)
+    // 2. no margin layout at all
+    val plainT = one(explainQl(explainRel("objs_p", 0.05)), "objs_p")
+    assert(plainT.contains("no margin layout"), plainT)
+    // 3. CTE shadowing the stored table
+    val cteLines = explainQl(explainRel("objs_m", 0.05)).explain(
+      "WITH objs_m AS (SELECT * FROM objs_m) " + text("objs_m"))
+      .filter(_.startsWith("xmatch"))
+    assert(cteLines.exists(_.contains("CTE/derived")),
+      cteLines.mkString("\n"))
+    // 4. relation declared on coordinates the layout was not written on
+    val alt = one(explainQl(explainRel("objs_m", 0.05,
+      lonR = "alt_lon", latR = "alt_lat")), "objs_m")
+    assert(alt.contains("layout coordinates"), alt)
+    // 5. written level too fine for the radius (closure violation)
+    val fine = one(explainQl(explainRel("objs_f", 0.9, snap = false)),
+      "objs_f")
+    assert(fine.contains("too fine"), fine)
+    // 6. skew mitigation now COMPOSES: the route fires and says so
+    val hot = one(explainQl(explainRel("objs_m", 0.05,
+      ht = Some(5L))), "objs_m")
+    assert(hot.contains("margin cache") &&
+      hot.contains("hot cells > 5"), hot)
+    // explain never executes INTO
+    val qlM = explainQl(explainRel("objs_m", 0.05))
+    val intoLines = qlM.explain(text("objs_m") + " INTO xnew")
+    assert(intoLines.exists(_.contains("INTO xnew: not executed")))
+    assert(!new java.io.File(s"$explainRoot/xnew.parquet").exists,
+      "explain must not materialize INTO targets")
+    // bounds lowering surfaces too (directory-pruned driving layout)
+    val bounded = qlM.explain(text("objs_m"),
+      graft.spatial.Bounds.Cone(123.4, -12.3, 9.0))
+    assert(bounded.exists(l => l.startsWith("bounds dets") &&
+      l.contains("cell directories")), bounded.mkString("\n"))
+  }
+
+  test("margin+salt at the QL surface: hotThreshold no longer forces " +
+    "the blocking path, rows identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a deep DRIVING field (100 detections crammed into ~0.1° — one
+    // hot blocking cell) over a stored margin catalog: the relation
+    // with skew mitigation must still route through the cache, same
+    // rows as without
+    val root = Files.createTempDirectory("graft_ql_msalt").toString
+    val rnd = new scala.util.Random(59)
+    val objs = ((0L until 150L).map(i => (i, rnd.nextDouble() * 360,
+      rnd.nextDouble() * 50 - 25)) ++
+      (150L until 250L).map(i => (i, 180.0 + rnd.nextDouble() * 0.1,
+        rnd.nextDouble() * 0.1)))
+      .toDF("obj_id", "obj_lon", "obj_lat")
+    val dets = objs.select((col("obj_id") * 10).as("det_id"),
+      (col("obj_lon") + 0.003).as("det_lon"),
+      (col("obj_lat") + 0.003).as("det_lat"))
+    dets.write.parquet(s"$root/dets.parquet")
+    graft.sources.SpatialWriter.writeClustered(objs, "obj_lon",
+      "obj_lat", 6, s"$root/objs_m.parquet", margin = Some(0.06))
+    val text = "SELECT det_id, obj_id, _DIST FROM dets, objs_m " +
+      "ORDER BY det_id"
+    def run(ht: Option[Long]) =
+      LsdQL(LsdDb(spark, root), Nil, spatialJoins = Seq(
+        explainRel("objs_m", 0.05, ht = ht))).query(text)
+    val noHt = run(None)
+    val withHt = run(Some(50L)) // the deep field (100 rows/cell) is hot
+    // the salt replication is itself a Generate (bounded: x salts over
+    // the hot slice, output column `_salt`) — the route marker is that
+    // EVERY Generate in the plan emits `_salt`; the blocking path's
+    // neighbor explode emits the blocking `cell` instead
+    val genLines = withHt.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Generate")).toSeq
+    assert(genLines.nonEmpty && genLines.forall(_.contains("[_salt#")),
+      s"margin+salt must not explode the catalog at query time:\n" +
+        genLines.mkString("\n"))
+    assert(noHt.collect().toSeq == withHt.collect().toSeq,
+      "skew mitigation is a physical choice — rows must be identical")
+    assert(withHt.select(col("det_id")).distinct().count() == 250)
+  }
+
+  test("property: route agnosticism — margined and plain layouts " +
+    "answer identically under random dmax/nmax/skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the r19 verdict's asked-for generalization of the bounds x margin
+    // composition test: the SAME declared relation over a margined and
+    // an unmargined copy of the catalog, driven with random per-query
+    // overrides (dmax above/below the written margin, random nmax,
+    // skew mitigation on/off) must produce identical answers on
+    // whichever route each side takes.
+    val rnd0 = new scala.util.Random(61)
+    val objs = ((0L until 250L).map(i => (i, rnd0.nextDouble() * 360,
+      rnd0.nextDouble() * 120 - 60)) ++
+      (250L until 370L).map(i => (i, 180.0 + rnd0.nextDouble() * 0.2,
+        rnd0.nextDouble() * 0.2)))
+      .toDF("obj_id", "obj_lon", "obj_lat")
+    val dets = objs.select((col("obj_id") * 10).as("det_id"),
+      (col("obj_lon") + 0.003).as("det_lon"),
+      (col("obj_lat") + 0.003).as("det_lat"))
+    val roots = Seq("m", "p").map { kind =>
+      val r = Files.createTempDirectory(s"graft_ql_routeprop_$kind")
+        .toString
+      dets.write.parquet(s"$r/dets.parquet")
+      if (kind == "m")
+        graft.sources.SpatialWriter.writeClustered(objs, "obj_lon",
+          "obj_lat", 6, s"$r/objs.parquet", margin = Some(0.11))
+      else objs.write.parquet(s"$r/objs.parquet")
+      r
+    }
+    var routedMargin = 0
+    var routedBlocking = 0
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val radius = 0.02 + rnd.nextDouble() * 0.06
+      val ht = if (rnd.nextBoolean()) Some(40L) else None
+      val nm = 1 + rnd.nextInt(3)
+      val dm = 0.02 + rnd.nextDouble() * 0.11 // may exceed written 0.11
+      val text = f"SELECT det_id, obj_id, _DIST, _NR FROM dets, " +
+        f"objs(nmax=$nm%d, dmax=$dm%.4f) ORDER BY det_id, _NR"
+      val Seq(gotM, gotP) = roots.map { r =>
+        val ql = LsdQL(LsdDb(spark, r), Nil, spatialJoins = Seq(
+          SpatialJoinDef("dets", "det_id", "det_lon", "det_lat",
+            "objs", "obj_id", "obj_lon", "obj_lat",
+            radiusDeg = radius, nmax = 2, snapD6 = true,
+            hotThreshold = ht, salts = 4)))
+        if (r == roots.head) {
+          val line = ql.explain(text).find(_.startsWith("xmatch")).get
+          if (line.contains("margin cache")) routedMargin += 1
+          else routedBlocking += 1
+        }
+        ql.query(text).collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+            x.getInt(3))).toSeq
+      }
+      assert(gotM == gotP,
+        s"seed=$seed radius=$radius nmax=$nm dmax=$dm ht=$ht: " +
+          s"routes diverged (${gotM.length} vs ${gotP.length} rows)")
+    }
+    // the sweep must actually exercise BOTH routes on the margined db
+    assert(routedMargin > 0 && routedBlocking > 0,
+      s"sweep degenerate: margin=$routedMargin blocking=$routedBlocking")
+  }
 }

@@ -167,6 +167,71 @@ class CrossMatchSpec extends SpecBase {
         s"only-blocking=${(viaBlocking -- viaMargin).take(5)}")
   }
 
+  test("applyPreMarginedSkew: hot driving cells salt against the stored " +
+    "replicas; rows identical on broadcast AND shuffle arms") {
+    // the r19 verdict composition: a deep DRIVING field over a CACHED
+    // catalog previously fell all the way back to the blocking path,
+    // paying the query-time explode AND the salting. Now the hot cells
+    // salt against the stored slice; the answer must equal the plain
+    // plan's bit for bit, on both probe transports.
+    val radius = 0.05
+    val level = CrossMatch.levelFor(radius)
+    val clumped = detections ++ (0L until 500L).map { i =>
+      (5000L + i, 100.0 + (i % 25) * 0.0004, 20.0 + (i / 25) * 0.0004)
+    }
+    val d = clumped.toDF("det_id", "lon", "lat")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_margin_skew"
+    graft.sources.SpatialWriter.write(objDf, "lon", "lat", level, path,
+      margin = Some(radius))
+    val bM = graft.sources.SpatialWriter.readWithMargins(spark, path)
+    val plain = CrossMatch(d, objDf, "det_id", "lon", "lat",
+      "obj_id", "lon", "lat", radius, 2)
+    for (maxB <- Seq(4L << 20, 1L)) { // broadcast arm, then forced shuffle
+      val skew = CrossMatch.applyPreMarginedSkew(d, bM,
+        "det_id", "lon", "lat", "obj_id", "lon", "lat", radius, 2, level,
+        hotThreshold = 100L, salts = 5, maxBroadcastRows = maxB)
+      assert(plain.exceptAll(skew).count() == 0 &&
+        skew.exceptAll(plain).count() == 0, s"maxBroadcastRows=$maxB")
+      assert(skew.count() > 0)
+    }
+    // an all-cold threshold must degenerate to applyPreMargined exactly
+    val cold = CrossMatch.applyPreMarginedSkew(d, bM,
+      "det_id", "lon", "lat", "obj_id", "lon", "lat", radius, 2, level,
+      hotThreshold = 1000000L, salts = 5)
+    assert(plain.exceptAll(cold).count() == 0 &&
+      cold.exceptAll(plain).count() == 0)
+  }
+
+  test("applyPreMarginedSnappedSkew is row-identical to applySnapped") {
+    // the full QL square: snapD6 semantics x skew mitigation x the
+    // stored margin cache — every route must produce the same rows
+    val radius = 0.05
+    val headroom = math.max(radius * 1e-3, 1e-6)
+    val level = CrossMatch.levelFor(radius + headroom)
+    val clumped = detections ++ (0L until 500L).map { i =>
+      (5000L + i, 100.0 + (i % 25) * 0.0004, 20.0 + (i / 25) * 0.0004)
+    }
+    val d = clumped.toDF("det_id", "lon", "lat")
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_test_margin_snapskew"
+    graft.sources.SpatialWriter.write(objDf, "lon", "lat", level, path,
+      margin = Some(radius + headroom))
+    val bM = graft.sources.SpatialWriter.readWithMargins(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "dist_deg", "match_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val viaSkewMargin = rows(CrossMatch.applyPreMarginedSnappedSkew(d, bM,
+      "det_id", "lon", "lat", "obj_id", "lon", "lat", radius, 3, level,
+      hotThreshold = 100L, salts = 5))
+    val viaBlocking = rows(CrossMatch.applySnapped(d, objDf,
+      "det_id", "lon", "lat", "obj_id", "lon", "lat", radius, 3))
+    assert(viaSkewMargin == viaBlocking,
+      s"margin+salt snapped relation diverged: " +
+        s"only-skew=${(viaSkewMargin -- viaBlocking).take(5)} " +
+        s"only-blocking=${(viaBlocking -- viaSkewMargin).take(5)}")
+  }
+
   test("radius validation") {
     intercept[IllegalArgumentException] {
       CrossMatch(detDf, objDf, "det_id", "lon", "lat",

@@ -144,6 +144,92 @@ class CliSpec extends SpecBase {
       "the cache is a physical layout choice — rows must be identical")
   }
 
+  test("make-cache --from-snapshot: a LIVE snapshot catalog takes the " +
+    "margin route; a later commit reads as STALE, loudly") {
+    import graft.ql.{JoinRegistry, LsdQL, SpatialJoinDef}
+    import graft.LsdDb
+    val root = Files.createTempDirectory("graft_cli_snapcache").toString
+    val rnd = new scala.util.Random(37)
+    val objs = (0L until 150L).map(i => (i, rnd.nextDouble() * 360,
+      rnd.nextDouble() * 50 - 25)).toDF("obj_id", "olon", "olat")
+    val dets = objs.selectExpr("obj_id * 10 AS det_id",
+      "olon + 0.003 AS det_lon", "olat + 0.003 AS det_lat")
+    dets.write.parquet(s"$root/dets.parquet")
+    // the LIVE catalog: a nightly-upserted snapshot table (2 commits)
+    graft.sources.Snapshots.append(objs.limit(100), s"$root/objs.parquet")
+    graft.sources.Snapshots.append(
+      objs.orderBy("obj_id").offset(100), s"$root/objs.parquet")
+    JoinRegistry.declareSpatial(spark, root, SpatialJoinDef(
+      "dets", "det_id", "det_lon", "det_lat",
+      "objs", "obj_id", "olon", "olat",
+      radiusDeg = 0.05, nmax = 1, snapD6 = true))
+    val text = "SELECT det_id, obj_id, _DIST FROM dets, objs ORDER BY det_id"
+    def ql() = LsdQL.forDb(LsdDb(spark, root))
+    def run() = ql().query(text)
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      !df.queryExecution.executedPlan.toString.contains("Generate")
+    // no cache yet: blocking path, and explain says exactly why
+    val before = run()
+    assert(!routed(before), "pre-cache query must take the blocking path")
+    val beforeRows = before.collect().toSeq
+    assert(ql().explain(text).exists(l => l.contains("blocking join") &&
+      l.contains("no margin cache")), ql().explain(text).mkString("\n"))
+    // the legacy in-place rewrite REFUSES the live table; and
+    // --from-snapshot refuses a plain table
+    assert(intercept[IllegalArgumentException] {
+      AdminCli.main(Array("make-cache", root, "objs", "olon", "olat",
+        "6", "0.06", "--clustered"))
+    }.getMessage.contains("--from-snapshot"))
+    intercept[IllegalArgumentException] {
+      AdminCli.main(Array("make-cache", root, "dets", "det_lon",
+        "det_lat", "6", "0.06", "--from-snapshot", "latest"))
+    }
+    // build the point-in-time cache at the head (snap=2)
+    AdminCli.main(Array("make-cache", root, "objs", "olon", "olat",
+      "6", "0.06", "--clustered", "--from-snapshot", "latest"))
+    val cp = graft.sources.MarginCache.cachePath(root, "objs")
+    assert(graft.sources.SpatialWriter.marginMeta(spark, cp)
+      .contains((0.06, 6)))
+    assert(graft.sources.SpatialWriter.marginSourceSnap(spark, cp)
+      .contains(2L))
+    // the live table itself is untouched (commit log intact)
+    assert(graft.sources.Snapshots.entries(spark, s"$root/objs.parquet")
+      .map(_.id) == Seq(1L, 2L))
+    val cached = run()
+    assert(routed(cached), "fresh cache: the margin route must fire")
+    assert(cached.collect().toSeq == beforeRows,
+      "the cache is a physical layout choice — rows must be identical")
+    assert(ql().explain(text).exists(_.contains("margin cache")))
+    // a new nightly commit (far from every det, so ROWS stay equal
+    // while the ROUTE must change): staleness detected, loud fallback
+    graft.sources.Snapshots.append(
+      Seq((9000L, 10.0, 80.0)).toDF("obj_id", "olon", "olat"),
+      s"$root/objs.parquet")
+    val stale = run()
+    assert(!routed(stale),
+      "a commit past the stamp must force the blocking path")
+    assert(stale.collect().toSeq == beforeRows)
+    assert(ql().explain(text).exists(l => l.contains("STALE") &&
+      l.contains("snap=2") && l.contains("snap=3")),
+      ql().explain(text).mkString("\n"))
+    // a PINNED read at the stamped snapshot still takes the route
+    val pinnedText =
+      "SELECT det_id, obj_id, _DIST FROM dets, objs@2 ORDER BY det_id"
+    val pinned = ql().query(pinnedText)
+    assert(routed(pinned),
+      "objs@2 matches the stamp — the cache is exact for that view")
+    assert(pinned.collect().toSeq == beforeRows)
+    // refresh re-stamps and re-routes
+    AdminCli.main(Array("make-cache", root, "objs", "olon", "olat",
+      "6", "0.06", "--clustered", "--from-snapshot", "latest"))
+    assert(graft.sources.SpatialWriter.marginSourceSnap(spark, cp)
+      .contains(3L))
+    val refreshed = run()
+    assert(routed(refreshed))
+    assert(refreshed.collect().toSeq == beforeRows,
+      "the far-away object matches nothing — rows unchanged")
+  }
+
   test("QueryCli --bounds and --time flags") {
     val root = Files.createTempDirectory("graft_cli_bounds").toString
     val pts = (0L until 300L).map { i =>
