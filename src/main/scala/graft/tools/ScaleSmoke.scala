@@ -108,6 +108,61 @@ object ScaleSmoke {
       s"all three agree at ${qlCounts.head}"
     }
 
+    // MARGIN+SALT at scale (the r19-verdict composition): a deep field
+    // on BOTH sides — 100k extra dets and 5k extra objs crammed into
+    // ~0.2° — so the hot blocking cells carry real |A_cell| x |B_cell|
+    // candidate work. Three declared routes over the same rows:
+    // blocking+salt (the pre-r20 fallback), margin unsalted, and
+    // margin+salt (hot driving cells against the stored replicas).
+    // All three must count-agree; the margin+salt plan's only
+    // Generates are the bounded salt replications.
+    t("ql xmatch MARGIN+SALT: deep field (100k dets x 5k objs) A/B/C") {
+      val deepDets = spark.range(100000).select(
+        (col("id") + 10000000L).as("det_id"),
+        (lit(100.0) + rand(seed = 6) * 0.2).as("lon"),
+        (lit(20.0) + rand(seed = 7) * 0.2).as("lat"))
+      val deepObjs = spark.range(5000).select(
+        (col("id") + 5000000L).as("obj_id"),
+        (lit(100.0) + rand(seed = 8) * 0.2).as("olon"),
+        (lit(20.0) + rand(seed = 9) * 0.2).as("olat"))
+      val dets5 = dets.unionByName(deepDets)
+      val objs5 = objects.select(col("obj_id"), col("lon").as("olon"),
+        col("lat").as("olat")).unionByName(deepObjs)
+      for (r <- Seq(qlRootPlain, qlRootMargin))
+        dets5.write.mode("overwrite").parquet(s"$r/dets5.parquet")
+      objs5.write.mode("overwrite")
+        .parquet(s"$qlRootPlain/objects5_sky.parquet")
+      graft.sources.SpatialWriter.writeClustered(objs5, "olon", "olat",
+        qlLevel, s"$qlRootMargin/objects5_sky.parquet",
+        margin = Some(qlNeed), numFiles = 64)
+      val text5 = "SELECT det_id, obj_id, _DIST FROM dets5, objects5_sky"
+      // at level 11 (0.176° cells) the 0.2° field is ~4 cells of ~25k
+      // driving rows each; threshold 10k makes exactly those cells hot
+      def run(root: String, ht: Option[Long]): (Long, Double, String) = {
+        graft.ql.JoinRegistry.declareSpatial(spark, root, qlRel.copy(
+          left = "dets5", right = "objects5_sky",
+          hotThreshold = ht, salts = 16))
+        val df = graft.ql.LsdQL.forDb(graft.LsdDb(spark, root))
+          .query(text5)
+        val t0 = System.nanoTime()
+        val n = df.count()
+        (n, (System.nanoTime() - t0) / 1e9,
+          df.queryExecution.executedPlan.toString)
+      }
+      val (nBlockSalt, sBlockSalt, _) = run(qlRootPlain, Some(10000L))
+      val (nMargin, sMargin, _) = run(qlRootMargin, None)
+      val (nBoth, sBoth, planBoth) = run(qlRootMargin, Some(10000L))
+      val gens = planBoth.linesIterator.filter(_.contains("Generate"))
+        .toSeq
+      require(gens.nonEmpty && gens.forall(_.contains("[_salt#")),
+        s"margin+salt must not explode the catalog:\n${gens.mkString("\n")}")
+      require(Seq(nBlockSalt, nMargin, nBoth).distinct.size == 1,
+        s"routes disagree: blocking+salt=$nBlockSalt margin=$nMargin " +
+          s"margin+salt=$nBoth")
+      f"$nBoth matches; blocking+salt $sBlockSalt%.1f s, " +
+        f"margin $sMargin%.1f s, margin+salt $sBoth%.1f s"
+    }
+
     // STREAMING margin xmatch at the same scale: the alert-stream
     // shape — 4M detections replayed as 4 micro-batches
     // (maxFilesPerTrigger) through the STATELESS stream-static cell
