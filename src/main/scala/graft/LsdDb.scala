@@ -169,12 +169,26 @@ final case class LsdDb(spark: SparkSession, root: String) {
               "source-snapshot stamp — rebuild it with AdminCli " +
               "make-cache --from-snapshot")
             case Some(stamp) =>
-              val target = asOf.orElse(
-                Snapshots.head(spark, path)).getOrElse(-1L)
-              if (stamp != target) {
-                val why = s"margin cache for '$name' is STALE: built " +
-                  s"at snap=$stamp, query reads snap=$target — " +
-                  "re-run AdminCli make-cache --from-snapshot"
+              val target = asOf.orElse(Snapshots.head(spark, path))
+              if (!target.contains(stamp)) {
+                // tailor the remediation: re-running at head only
+                // helps when the query READS the head; a pinned @N
+                // older than the stamp needs the pinned rebuild, and
+                // an empty commit log is its own problem (review r20)
+                val why = target match {
+                  case None => s"snapshot table '$name' has no " +
+                    "committed snapshots — the margin cache (built at " +
+                    s"snap=$stamp) matches nothing"
+                  case Some(t) if asOf.isDefined =>
+                    s"margin cache for '$name' was built at " +
+                      s"snap=$stamp but the query is PINNED at " +
+                      s"snap=$t — rebuild with AdminCli make-cache " +
+                      s"--from-snapshot $t (or drop the @$t pin)"
+                  case Some(t) =>
+                    s"margin cache for '$name' is STALE: built at " +
+                      s"snap=$stamp, query reads snap=$t — re-run " +
+                      "AdminCli make-cache --from-snapshot latest"
+                }
                 LsdDb.log.warn(
                   s"$why (falling back to the blocking join)")
                 Left(why)

@@ -1161,8 +1161,13 @@ object Joins {
         p => graft.sources.CacheKeys.isComplete(p) &&
           graft.sources.SpatialWriter.marginSourceSnap(s, p)
             .contains(2L),
-        _ => graft.sources.MarginCache.build(s,
-          graft.sources.CacheKeys.path("graft_ql_snapmdb", dir),
+        // the db root is the path minus the cache suffix — re-deriving
+        // it via CacheKeys.path would re-digest the (mtime-sensitive)
+        // source dir and could diverge from the root whose
+        // completeness was just checked (review r20)
+        p => graft.sources.MarginCache.build(s,
+          p.stripSuffix(s"/${graft.sources.MarginCache.CacheDir}" +
+            "/objects.parquet"),
           "objects", "olon", "olat", skyLayoutLevel, 1.0,
           clustered = true, fromSnapshot = Some(None)))
     )(root => graft.ql.JoinRegistry.declareSpatial(s, root,

@@ -237,10 +237,12 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
     * plan change with no signal. One line per declared xmatch
     * ("margin cache (level=…)" or "blocking join — <reason>", a
     * distinct reason for every fallback condition), plus a line per
-    * bound application and per suppressed INTO. Builds the FULL plan
-    * — every decision is the one [[query]] would take, including the
-    * bounds-binding validation — but runs NO job and writes nothing
-    * (INTO is reported, not executed). */
+    * bound application and per suppressed INTO. Builds the plan —
+    * every ROUTE decision is the one [[query]] would take, including
+    * the bounds-binding validation — but runs NO job and writes
+    * nothing: INTO is reported instead of executed, and declared skew
+    * mitigation is reported but not PLANNED (its hot-cell census is
+    * an eager aggregation job — review r20). */
   def explain(q: String): Seq[String] = explainWith(q, None, None)
   def explain(q: String, bounds: graft.spatial.Bounds): Seq[String] =
     explainWith(q, Some(bounds), None)
@@ -823,10 +825,17 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
           }))
           // cell-blocked nearest-k pairs over the RUNNING relation (so
           // upstream WHERE-able columns survive), then attach the
-          // matched right rows; _DIST/_NR become ordinary columns
+          // matched right rows; _DIST/_NR become ordinary columns.
+          // Under EXPLAIN the skew machinery is bypassed (hot-cell
+          // census and probe sizing are eager collect/count jobs —
+          // "builds the plan, runs NO job" must hold for exactly the
+          // deep-field user the report targets; the route line above
+          // already names the declared mitigation — review r20).
+          val effHot =
+            if (bctx.exists(_.explaining)) None else sjd.hotThreshold
           val rawPairs = routeDecision match {
             case Right((bm, lvl)) =>
-              (sjd.snapD6, sjd.hotThreshold) match {
+              (sjd.snapD6, effHot) match {
                 case (true, None) =>
                   graft.spatial.CrossMatch.applyPreMarginedSnapped(df, bm,
                     sjd.leftKey, sjd.lonL, sjd.latL,
@@ -852,8 +861,8 @@ final case class LsdQL(db: LsdDb, joins: Seq[JoinDef],
               if (sjd.snapD6) graft.spatial.CrossMatch.applySnapped(df, right,
                 sjd.leftKey, sjd.lonL, sjd.latL,
                 sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,
-                hotThreshold = sjd.hotThreshold, salts = sjd.salts)
-              else sjd.hotThreshold match {
+                hotThreshold = effHot, salts = sjd.salts)
+              else effHot match {
                 case Some(ht) => graft.spatial.CrossMatch.skewSafe(df, right,
                   sjd.leftKey, sjd.lonL, sjd.latL,
                   sjd.rightKey, sjd.lonR, sjd.latR, sjd.radiusDeg, sjd.nmax,

@@ -88,6 +88,15 @@ object MarginCache {
     def buildAndSwap(dst: String, produce: String => Unit): Unit = {
       val tmp = s"$dst.__cache_tmp"
       val old = s"$dst.__cache_old"
+      // Crash recovery BEFORE debris clearing: a death between the two
+      // swap renames leaves dst ABSENT with __cache_old holding the
+      // ONLY copy of a plain table — deleting old here would turn the
+      // crashed retry into permanent data loss (review r20). Restore
+      // first; the retry then rebuilds from the restored original.
+      if (!f.exists(new Path(dst)) && f.exists(new Path(old)))
+        require(f.rename(new Path(old), new Path(dst)),
+          s"crash recovery: could not restore $old to $dst — restore " +
+            "it manually before retrying")
       f.delete(new Path(tmp), true)
       f.delete(new Path(old), true)
       produce(tmp)

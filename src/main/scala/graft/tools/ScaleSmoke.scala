@@ -142,9 +142,13 @@ object ScaleSmoke {
         graft.ql.JoinRegistry.declareSpatial(spark, root, qlRel.copy(
           left = "dets5", right = "objects5_sky",
           hotThreshold = ht, salts = 16))
+        // clock the WHOLE query including plan construction: the
+        // salted routes run their hot-cell census and probe sizing
+        // eagerly at build time, and excluding those would bias the
+        // recorded A/B toward them (review r20)
+        val t0 = System.nanoTime()
         val df = graft.ql.LsdQL.forDb(graft.LsdDb(spark, root))
           .query(text5)
-        val t0 = System.nanoTime()
         val n = df.count()
         (n, (System.nanoTime() - t0) / 1e9,
           df.queryExecution.executedPlan.toString)

@@ -121,14 +121,17 @@ class JoinRegistrySpec extends SpecBase {
     // window, so a LIVE hold never looks stale.
     val root = Files.createTempDirectory("graft_jreg_beat").toString
     val saved = JoinRegistry.LockStaleMs
-    JoinRegistry.LockStaleMs = 500L
+    // window/heartbeat = 3x leaves ~1.3s of slack for a GC pause or
+    // scheduler delay between touches — a 500ms window raced the
+    // test JVM's own pauses (review r20)
+    JoinRegistry.LockStaleMs = 2000L
     try {
       val inLock = new java.util.concurrent.CountDownLatch(1)
       val released = new java.util.concurrent.atomic.AtomicLong(0L)
       val holder = new Thread(() =>
         JoinRegistry.withDeclareLock(spark, root) {
           inLock.countDown()
-          Thread.sleep(1600) // > 3x the (shrunken) stale window
+          Thread.sleep(5000) // > 2x the (shrunken) stale window
           released.set(System.nanoTime())
         })
       holder.start()

@@ -144,6 +144,31 @@ class CliSpec extends SpecBase {
       "the cache is a physical layout choice — rows must be identical")
   }
 
+  test("make-cache crash recovery: a retry after a death between the " +
+    "swap renames restores the parked original, never deletes it") {
+    // review r20: the debris-clearing used to delete __cache_old
+    // unconditionally — after a crash between the two renames that
+    // directory holds the ONLY copy of a plain table
+    val root = Files.createTempDirectory("graft_cli_crash").toString
+    val objs = (0L until 80L).map(i =>
+      (i, (i * 13 % 3600) / 10.0, (i * 7 % 600) / 10.0 - 30.0))
+      .toDF("obj_id", "olon", "olat")
+    objs.write.parquet(s"$root/objs.parquet")
+    // simulate the crash window: table moved aside, the second rename
+    // never ran, half-built tmp debris left behind
+    assert(new java.io.File(s"$root/objs.parquet").renameTo(
+      new java.io.File(s"$root/objs.parquet.__cache_old")))
+    new java.io.File(s"$root/objs.parquet.__cache_tmp").mkdirs()
+    graft.sources.MarginCache.build(spark, root, "objs", "olon", "olat",
+      6, 0.06, clustered = true)
+    assert(graft.sources.SpatialWriter
+      .marginMeta(spark, s"$root/objs.parquet").contains((0.06, 6)))
+    assert(graft.LsdDb(spark, root).table("objs").count() == 80,
+      "every original row must survive the crashed-retry rebuild")
+    assert(!new java.io.File(s"$root/objs.parquet.__cache_old").exists &&
+      !new java.io.File(s"$root/objs.parquet.__cache_tmp").exists)
+  }
+
   test("make-cache --from-snapshot: a LIVE snapshot catalog takes the " +
     "margin route; a later commit reads as STALE, loudly") {
     import graft.ql.{JoinRegistry, LsdQL, SpatialJoinDef}
