@@ -1922,7 +1922,10 @@ class LsdQLSpec extends SpecBase {
     val roots = Seq("m", "p").map { kind =>
       val r = Files.createTempDirectory(s"graft_ql_routeprop_$kind")
         .toString
-      dets.write.parquet(s"$r/dets.parquet")
+      // dets as a DIRECTORY cell layout, so the bounded variant below
+      // exercises bounds pruning x route on both dbs
+      graft.sources.SpatialWriter.write(dets, "det_lon", "det_lat", 4,
+        s"$r/dets.parquet")
       if (kind == "m")
         graft.sources.SpatialWriter.writeClustered(objs, "obj_lon",
           "obj_lat", 6, s"$r/objs.parquet", margin = Some(0.11))
@@ -1937,9 +1940,18 @@ class LsdQLSpec extends SpecBase {
       val ht = if (rnd.nextBoolean()) Some(40L) else None
       val nm = 1 + rnd.nextInt(3)
       val dm = 0.02 + rnd.nextDouble() * 0.11 // may exceed written 0.11
+      // a random cone over the data region — composed with the route
+      // square, the bounded answers must agree too (bounds prune the
+      // DRIVING layout; the route concerns the matched side)
+      val cone = graft.spatial.Bounds.Cone(
+        rnd.nextDouble() * 360, rnd.nextDouble() * 100 - 50,
+        5.0 + rnd.nextDouble() * 25)
       val text = f"SELECT det_id, obj_id, _DIST, _NR FROM dets, " +
         f"objs(nmax=$nm%d, dmax=$dm%.4f) ORDER BY det_id, _NR"
-      val Seq(gotM, gotP) = roots.map { r =>
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(x => (x.getLong(0), x.getLong(1),
+          x.getDouble(2), x.getInt(3))).toSeq
+      val Seq((gotM, boundM), (gotP, boundP)) = roots.map { r =>
         val ql = LsdQL(LsdDb(spark, r), Nil, spatialJoins = Seq(
           SpatialJoinDef("dets", "det_id", "det_lon", "det_lat",
             "objs", "obj_id", "obj_lon", "obj_lat",
@@ -1950,13 +1962,16 @@ class LsdQLSpec extends SpecBase {
           if (line.contains("margin cache")) routedMargin += 1
           else routedBlocking += 1
         }
-        ql.query(text).collect()
-          .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
-            x.getInt(3))).toSeq
+        (collect(ql.query(text)), collect(ql.query(text, cone)))
       }
       assert(gotM == gotP,
         s"seed=$seed radius=$radius nmax=$nm dmax=$dm ht=$ht: " +
           s"routes diverged (${gotM.length} vs ${gotP.length} rows)")
+      assert(boundM == boundP,
+        s"seed=$seed $cone: BOUNDED routes diverged " +
+          s"(${boundM.length} vs ${boundP.length} rows)")
+      // the bound restricts the unbounded relation, never invents rows
+      assert(boundM.toSet.subsetOf(gotM.toSet))
     }
     // the sweep must actually exercise BOTH routes on the margined db
     assert(routedMargin > 0 && routedBlocking > 0,

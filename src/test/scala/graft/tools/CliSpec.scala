@@ -255,6 +255,78 @@ class CliSpec extends SpecBase {
       "the far-away object matches nothing — rows unchanged")
   }
 
+  test("QueryCli --explain prints the route report instead of executing") {
+    import graft.ql.{JoinRegistry, SpatialJoinDef}
+    val root = Files.createTempDirectory("graft_cli_explain").toString
+    val rnd = new scala.util.Random(41)
+    val objs = (0L until 100L).map(i => (i, rnd.nextDouble() * 360,
+      rnd.nextDouble() * 50 - 25)).toDF("obj_id", "olon", "olat")
+    val dets = objs.selectExpr("obj_id * 10 AS det_id",
+      "olon + 0.002 AS det_lon", "olat + 0.002 AS det_lat")
+    dets.write.parquet(s"$root/dets.parquet")
+    graft.sources.SpatialWriter.writeClustered(objs, "olon", "olat", 6,
+      s"$root/objs.parquet", margin = Some(0.06))
+    JoinRegistry.declareSpatial(spark, root, SpatialJoinDef(
+      "dets", "det_id", "det_lon", "det_lat",
+      "objs", "obj_id", "olon", "olat",
+      radiusDeg = 0.05, nmax = 1, snapD6 = true))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      QueryCli.main(Array(root,
+        "SELECT det_id, obj_id, _DIST FROM dets, objs INTO xout",
+        "--explain"))
+    }
+    val out = buf.toString("UTF-8")
+    assert(out.contains("explain: xmatch objs: margin cache"), out)
+    assert(out.contains("explain: INTO xout: not executed"), out)
+    assert(!new java.io.File(s"$root/xout.parquet").exists,
+      "--explain must not materialize INTO targets")
+    // execution-mode rendering is unaffected (the table shows)
+    QueryCli.main(Array(root,
+      "SELECT det_id, obj_id, _DIST FROM dets, objs", "3"))
+  }
+
+  test("make-cache --from-snapshot after compact-merged: the " +
+    "documented merge-on-read flow") {
+    import graft.ql.{JoinRegistry, LsdQL, SpatialJoinDef}
+    import graft.LsdDb
+    import graft.sources.Snapshots
+    val root = Files.createTempDirectory("graft_cli_mor").toString
+    val rnd = new scala.util.Random(43)
+    val objs = (0L until 120L).map(i => (i, rnd.nextDouble() * 360,
+      rnd.nextDouble() * 50 - 25)).toDF("obj_id", "olon", "olat")
+    val dets = objs.selectExpr("obj_id * 10 AS det_id",
+      "olon + 0.002 AS det_lon", "olat + 0.002 AS det_lat")
+    dets.write.parquet(s"$root/dets.parquet")
+    val op = s"$root/objs.parquet"
+    // merge-on-read history: base rows, a position-correcting upsert
+    // for 20 keys, a tombstone delete for 10 others
+    Snapshots.upsert(objs, op)
+    Snapshots.upsert(objs.filter("obj_id < 20")
+      .selectExpr("obj_id", "olon + 0.001 AS olon", "olat"), op)
+    Snapshots.delete(objs.filter("obj_id >= 110").select("obj_id"), op)
+    val merged = Snapshots.readMerged(spark, op, "obj_id")
+    assert(merged.count() == 110)
+    // the documented flow: compact-merged FIRST (the plain read then
+    // IS the merged state), then the point-in-time cache
+    Snapshots.compactMerged(spark, op, "obj_id")
+    AdminCli.main(Array("make-cache", root, "objs", "olon", "olat",
+      "6", "0.06", "--clustered", "--from-snapshot", "latest"))
+    JoinRegistry.declareSpatial(spark, root, SpatialJoinDef(
+      "dets", "det_id", "det_lon", "det_lat",
+      "objs", "obj_id", "olon", "olat",
+      radiusDeg = 0.05, nmax = 1, snapD6 = true))
+    val df = LsdQL.forDb(LsdDb(spark, root)).query(
+      "SELECT det_id, obj_id, _DIST FROM dets, objs ORDER BY det_id")
+    assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
+      "the compacted merge-on-read catalog must take the margin route")
+    val rows = df.collect()
+    // deleted objects matched by nothing; every surviving det matches
+    // its (possibly position-corrected) object
+    assert(rows.forall(_.getLong(1) < 110))
+    assert(rows.map(_.getLong(0)).distinct.length == 110)
+  }
+
   test("QueryCli --bounds and --time flags") {
     val root = Files.createTempDirectory("graft_cli_bounds").toString
     val pts = (0L until 300L).map { i =>
