@@ -150,14 +150,21 @@ final case class LsdDb(spark: SparkSession, root: String) {
         case None => Left(s"$what lacks the _SPATIAL sidecar — " +
           "rebuild it with SpatialWriter (which records it)")
       }
-    if (!isSnapshot)
-      marginMeta(name) match {
+    if (!isSnapshot) {
+      // a pinned read on a plain table does not exist (the table API
+      // refuses it); returning a "usable" cache for it would attribute
+      // current rows to a snapshot view (review r20)
+      if (asOf.isDefined)
+        Left(s"'$name' is not a snapshot table — a pinned @${asOf.get} " +
+          "read cannot resolve")
+      else marginMeta(name) match {
         case None => Left(s"table '$name' has no margin layout " +
           "(_MARGIN sidecar) — build one with AdminCli make-cache")
         case Some((m, lvl)) => spatialOf(path, s"margin layout '$name'")
           .map { case (lo, la) =>
             MarginCacheRef(path, lo, la, lvl, m, sourceSnap = None) }
       }
+    }
     else {
       val cp = graft.sources.MarginCache.cachePath(root, name)
       graft.sources.SpatialWriter.marginMeta(spark, cp) match {
@@ -215,22 +222,16 @@ final case class LsdDb(spark: SparkSession, root: String) {
     * neighbor replication means a cross-match against it is a plain
     * cell equi-join with NO query-time explode of the stored catalog
     * (LSD's neighbor-cache economics). */
-  def tableMargined(name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$root/$name.parquet"
-    require(marginMeta(name).isDefined,
-      s"table '$name' is not a margin-cache layout (no margin sidecar)")
-    // defensive: a snapshot table read raw would double-count bases
-    // plus the appends they fold; margin layouts are SpatialWriter
-    // products, never commit logs — if both sidecars ever coexist the
-    // dataset is corrupt and must not be silently joined against
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_COMMITS")),
-      s"table '$name' carries BOTH a margin sidecar and a snapshot " +
-        "commit log — refusing the raw margined read")
-    normalizeTs(spark.read.parquet(path))
-  }
+  def tableMargined(name: String): DataFrame =
+    // ONE read path with [[marginCacheFor]] (review r20): plain margin
+    // layouts read the table itself; snapshot tables resolve their
+    // fresh stamped cache (a raw read of a commit-log dataset would
+    // double-count bases plus the appends they fold); anything else —
+    // no layout, stale stamp — refuses with the same sentence explain
+    // reports
+    marginCacheFor(name).fold(
+      reason => throw new IllegalArgumentException(reason),
+      tableMarginedRef)
 
   /** (tsCol, granularity) when `name` is a TimeWriter layout with the
     * `_TEMPORAL` sidecar — what a time-bounded read resolves through

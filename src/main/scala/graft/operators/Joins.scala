@@ -900,12 +900,14 @@ object Joins {
     * as STORED tables (`oid/olon/olat`, `sid/slon/slat`) — the
     * substrate for the QL xmatch-join lines, shaped like a real LSD
     * database directory (catalogs are tables, not inline SELECTs).
-    * Keyed on the orders source fingerprint; the driver's sf dirs are
-    * immutable, so one key covers both projections. */
+    * Keyed on the WHOLE sf dir: the two projections derive from two
+    * source tables, and a single-source key would serve a stale
+    * supplier_sky when only supplier regenerates (review r20 — the
+    * r18 rule, applied here too). */
   private[graft] def ensureQlXmatchDb(
       s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    ensureDb("graft_ql_xmatch_db", s"$dir/orders.parquet")(
+    ensureDb("graft_ql_xmatch_db", dir)(
       ("orders_sky", pq(),
         p => skyFrom(LsdDb.table(s, dir, "orders"), "o_orderkey",
           "oid", "olon", "olat").write.mode("overwrite").parquet(p)),

@@ -36,9 +36,10 @@ object JoinRegistry {
     * A LIVE holder refreshes its lock's mtime every third of this
     * window (heartbeat in [[withDeclareLock]]), so even a save that
     * legitimately outlives the threshold — a slow object-store PUT —
-    * never LOOKS stale to a waiter (review r19, ADVICE). Var only so
-    * the concurrency spec can shrink the window. */
-  @volatile private[ql] var LockStaleMs = 30000L
+    * never LOOKS stale to a waiter (review r19, ADVICE). The spec
+    * shrinks the window per-call via withDeclareLock's parameter —
+    * never via shared mutable state (review r20). */
+  private val LockStaleMs = 30000L
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new java.net.URI(root),
@@ -166,7 +167,8 @@ object JoinRegistry {
     * (atomic on local FS and HDFS; object stores need an external
     * lock service, same documented limitation as Snapshots), bounded
     * retry with backoff, stale-lock break after [[LockStaleMs]]. */
-  private[ql] def withDeclareLock[T](spark: SparkSession, root: String)
+  private[ql] def withDeclareLock[T](spark: SparkSession, root: String,
+                                     staleMs: Long = LockStaleMs)
                                     (body: => T): T = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
@@ -190,7 +192,7 @@ object JoinRegistry {
     // retry budget exceeds the stale window: a crashed holder's lock
     // ages past LockStaleMs DURING the wait and self-heals, instead of
     // failing spuriously at 5 s against a 30 s threshold (review r19)
-    val maxAttempts = (LockStaleMs / 200 + 50).toInt
+    val maxAttempts = (staleMs / 200 + 50).toInt
     while (!tryAcquire()) {
       attempts += 1
       // a crashed declarer's lock must not brick the registry forever.
@@ -207,7 +209,7 @@ object JoinRegistry {
       // a registry whose declares are rare admin operations; a full
       // owner-epoch protocol is not worth the machinery here.
       val stale = try f.getFileStatus(lock).getModificationTime <
-        System.currentTimeMillis() - LockStaleMs
+        System.currentTimeMillis() - staleMs
       catch { case _: java.io.FileNotFoundException => false }
       if (stale) {
         val broken = new Path(root,
@@ -215,7 +217,7 @@ object JoinRegistry {
         if (f.rename(lock, broken)) {
           val reallyStale =
             try f.getFileStatus(broken).getModificationTime <
-              System.currentTimeMillis() - LockStaleMs
+              System.currentTimeMillis() - staleMs
             catch { case _: java.io.FileNotFoundException => true }
           if (reallyStale) f.delete(broken, false)
           else if (!f.rename(broken, lock)) f.delete(broken, false)
@@ -240,7 +242,7 @@ object JoinRegistry {
     // window documented above).
     val beat = new Thread(() => {
       try while (!Thread.currentThread().isInterrupted) {
-        Thread.sleep(math.max(LockStaleMs / 3, 50L))
+        Thread.sleep(math.max(staleMs / 3, 50L))
         try f.setTimes(lock, System.currentTimeMillis(), -1)
         catch { case _: java.io.IOException => () }
       } catch { case _: InterruptedException => () }

@@ -120,29 +120,28 @@ class JoinRegistrySpec extends SpecBase {
     // The holder now touches the lock's mtime every third of the
     // window, so a LIVE hold never looks stale.
     val root = Files.createTempDirectory("graft_jreg_beat").toString
-    val saved = JoinRegistry.LockStaleMs
-    // window/heartbeat = 3x leaves ~1.3s of slack for a GC pause or
-    // scheduler delay between touches — a 500ms window raced the
-    // test JVM's own pauses (review r20)
-    JoinRegistry.LockStaleMs = 2000L
-    try {
-      val inLock = new java.util.concurrent.CountDownLatch(1)
-      val released = new java.util.concurrent.atomic.AtomicLong(0L)
-      val holder = new Thread(() =>
-        JoinRegistry.withDeclareLock(spark, root) {
-          inLock.countDown()
-          Thread.sleep(5000) // > 2x the (shrunken) stale window
-          released.set(System.nanoTime())
-        })
-      holder.start()
-      inLock.await()
-      JoinRegistry.declare(spark, root, JoinDef("a", "k", "b", "k"))
-      val declared = System.nanoTime()
-      holder.join()
-      assert(released.get != 0L && declared > released.get,
-        "the waiter must block until the live holder releases — a " +
-          "broken lock would let the declare land mid-hold")
-    } finally JoinRegistry.LockStaleMs = saved
+    // both sides take the shrunken window as a CALL parameter (no
+    // shared mutable threshold — review r20); window/heartbeat = 3x
+    // leaves ~1.3s of slack for a GC pause between touches
+    val staleMs = 2000L
+    val inLock = new java.util.concurrent.CountDownLatch(1)
+    val released = new java.util.concurrent.atomic.AtomicLong(0L)
+    val acquired = new java.util.concurrent.atomic.AtomicLong(0L)
+    val holder = new Thread(() =>
+      JoinRegistry.withDeclareLock(spark, root, staleMs) {
+        inLock.countDown()
+        Thread.sleep(5000) // > 2x the (shrunken) stale window
+        released.set(System.nanoTime())
+      })
+    holder.start()
+    inLock.await()
+    JoinRegistry.withDeclareLock(spark, root, staleMs) {
+      acquired.set(System.nanoTime())
+    }
+    holder.join()
+    assert(released.get != 0L && acquired.get > released.get,
+      "the waiter must block until the live holder releases — a " +
+        "broken lock would let it acquire mid-hold")
   }
 
   test("names with JSON-hostile characters are refused loudly") {
