@@ -1961,6 +1961,16 @@ class LsdQLSpec extends SpecBase {
           val line = ql.explain(text).find(_.startsWith("xmatch")).get
           if (line.contains("margin cache")) routedMargin += 1
           else routedBlocking += 1
+          // explain <-> executed-plan parity: the reported route must
+          // be the one the query actually plans (margin <=> every
+          // Generate, if any, is the bounded salt explode)
+          val genLines = ql.query(text).queryExecution.executedPlan
+            .toString.linesIterator.filter(_.contains("Generate")).toSeq
+          val planMargin = genLines.forall(_.contains("[_salt#"))
+          assert(planMargin == line.contains("margin cache"),
+            s"seed=$seed: explain said '$line' but the plan " +
+              s"${if (planMargin) "took" else "did not take"} the " +
+              s"margin route:\n${genLines.mkString("\n")}")
         }
         (collect(ql.query(text)), collect(ql.query(text, cone)))
       }
