@@ -75,11 +75,19 @@ object Snapshots {
     * `<id>` for an append, `<id> B` for a base, with ` T:<tag>`
     * appended when tagged, ` S:<col>:<min>:<max>` per stats column,
     * and ` F:<col>:<m>:<k>:<hex>` per bloom column — unknown
-    * trailing fields are ignored by old readers. */
+    * trailing fields are ignored by old readers.
+    *
+    * `raw` is the exact log line the entry was parsed from: commits
+    * re-emit it VERBATIM for carried-over entries, so fields a newer
+    * writer recorded (and this parser ignores) survive an old
+    * writer's append instead of being erased by the lossy
+    * parse-then-rewrite cycle (review r20) — that is what makes the
+    * "ignored by old readers" claim honest for old WRITERS too. */
   final case class Entry(id: Long, isBase: Boolean,
                          tag: Option[String] = None,
                          stats: Map[String, (Double, Double)] = Map.empty,
-                         blooms: Map[String, Bloom] = Map.empty)
+                         blooms: Map[String, Bloom] = Map.empty,
+                         raw: Option[String] = None)
 
   /** A serialized Bloom filter over one column's value set: `m` bits
     * (hex-encoded, big-endian within each byte), `k` hash slices of
@@ -153,8 +161,14 @@ object Snapshots {
                       tg: Option[String]): Option[(String, Bloom)] =
               (scala.util.Try(m.toInt).toOption,
                 scala.util.Try(k.toInt).toOption) match {
+                // k bounded by the md5 digest (8 two-byte slices of 16
+                // bytes): a corrupt k=9 line used to crash EVERY
+                // bloom-pruned read with an index error instead of the
+                // documented conservative keep (review r20); k=0 would
+                // vacuously match (harmless but meaningless) — drop too
                 case (Some(mi), Some(ki))
-                    if hx.length == (mi + 7) / 8 * 2 =>
+                    if hx.length == (mi + 7) / 8 * 2 &&
+                      ki >= 1 && ki <= 8 =>
                   Some(c -> Bloom(mi, ki, hx, tg))
                 case _ => None // unparseable geometry: drop the field
               }
@@ -164,7 +178,8 @@ object Snapshots {
               case Array(c, m, k, hx) => bloom(c, m, k, hx, None)
               case _ => None // malformed field: ignore, stay conservative
             }
-          }.toMap)
+          }.toMap,
+          raw = Some(l))
       }.toSeq
     }
   }
@@ -213,18 +228,22 @@ object Snapshots {
     val f = fs(spark, path)
     val tmp = new Path(path, s"$CommitLog.tmp")
     val o = f.create(tmp, true)
+    // carried-over entries re-emit their ORIGINAL line verbatim:
+    // rendering from the parsed Entry would erase any field a newer
+    // writer recorded and this version ignores (review r20)
     try o.write(all.map { e =>
-      s"${e.id}" + (if (e.isBase) " B" else "") +
-        e.tag.map(t => s" T:$t").getOrElse("") +
-        e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-          s" S:$c:$mn:$mx"
-        }.mkString +
-        e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
-          // tagged form is a 5-field F: — old readers' 4-field match
-          // drops it (conservative keep), new readers parse both
-          val tg = b.tag.map(t => s"$t:").getOrElse("")
-          s" F:$c:${b.m}:${b.k}:$tg${b.hex}"
-        }.mkString
+      e.raw.getOrElse(
+        s"${e.id}" + (if (e.isBase) " B" else "") +
+          e.tag.map(t => s" T:$t").getOrElse("") +
+          e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+            s" S:$c:$mn:$mx"
+          }.mkString +
+          e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+            // tagged form is a 5-field F: — old readers' 4-field match
+            // drops it (conservative keep), new readers parse both
+            val tg = b.tag.map(t => s"$t:").getOrElse("")
+            s" F:$c:${b.m}:${b.k}:$tg${b.hex}"
+          }.mkString)
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally o.close()
     // ATOMIC replace, not delete-then-rename: the log is read
@@ -402,9 +421,13 @@ object Snapshots {
     * bound). History stays intact: `asOf` an id below the base still
     * resolves through the old directories, so compaction is purely a
     * physical operation — same rows, fewer directories. */
-  def compact(spark: SparkSession, path: String): Long = {
-    val current = read(spark, path) // resolve OUTSIDE the lock we take
+  def compact(spark: SparkSession, path: String): Long =
     withLock(spark, path) {
+      // resolve the head INSIDE the lock: read() pins the directory
+      // list eagerly, and a snapshot committed between an unlocked
+      // resolve and the lock would be silently shadowed by the new
+      // base — permanent data loss once vacuum runs (review r20)
+      val current = read(spark, path)
       val prior = entries(spark, path)
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       current.write.mode("overwrite").parquet(s"$path/snap=$id")
@@ -420,7 +443,6 @@ object Snapshots {
         Entry(id, isBase = true, stats = st, blooms = bl))
       id
     }
-  }
 
   /** Vacuum: physically delete snapshots OLDER than the last base and
     * drop them from the log — the retention step after [[compact]]
@@ -445,14 +467,13 @@ object Snapshots {
       }
     }
 
-  /** Read the table as of snapshot `asOf` (inclusive); default head.
-    * The result is the union of the LAST BASE snapshot <= asOf (a
-    * compaction product, which already folds in everything before it)
-    * plus every append after it — the reference's append-accumulate
-    * semantics with bounded directory fan-in. Uncommitted/torn
-    * snapshot directories are invisible by construction. */
-  def read(spark: SparkSession, path: String,
-           asOf: Option[Long] = None): DataFrame = {
+  /** Shared asOf-visibility resolution: committed entries up to
+    * `asOf` (head when None; loud when never committed), cut to the
+    * last BASE at or below it — the ONE visibility rule every read
+    * path applies, factored from five verbatim copies (review r20:
+    * a visibility-semantics fix must land once, not five times). */
+  private def visibleEntries(spark: SparkSession, path: String,
+                             asOf: Option[Long]): Seq[Entry] = {
     val all = entries(spark, path)
     require(all.nonEmpty, s"no committed snapshots at $path")
     val upTo = asOf match {
@@ -463,7 +484,18 @@ object Snapshots {
       case None => all
     }
     val lastBase = upTo.lastIndexWhere(_.isBase)
-    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    if (lastBase < 0) upTo else upTo.drop(lastBase)
+  }
+
+  /** Read the table as of snapshot `asOf` (inclusive); default head.
+    * The result is the union of the LAST BASE snapshot <= asOf (a
+    * compaction product, which already folds in everything before it)
+    * plus every append after it — the reference's append-accumulate
+    * semantics with bounded directory fan-in. Uncommitted/torn
+    * snapshot directories are invisible by construction. */
+  def read(spark: SparkSession, path: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val visible = visibleEntries(spark, path, asOf)
     spark.read.parquet(visible.map(e => s"$path/snap=${e.id}"): _*)
   }
 
@@ -488,17 +520,7 @@ object Snapshots {
   def readPruned(spark: SparkSession, path: String, statCol: String,
                  lo: Double, hi: Double,
                  asOf: Option[Long] = None): DataFrame = {
-    val all = entries(spark, path)
-    require(all.nonEmpty, s"no committed snapshots at $path")
-    val upTo = asOf match {
-      case Some(s) =>
-        require(all.exists(_.id == s), s"snapshot $s was never " +
-          s"committed (committed: ${all.map(_.id).mkString(",")})")
-        all.filter(_.id <= s)
-      case None => all
-    }
-    val lastBase = upTo.lastIndexWhere(_.isBase)
-    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    val visible = visibleEntries(spark, path, asOf)
     val kept = visible.filter { e =>
       e.stats.get(statCol) match {
         case Some((mn, mx)) => !(mx < lo || mn > hi) // NaN-safe: keep
@@ -529,17 +551,7 @@ object Snapshots {
     * `read(...).filter(col === value)` always. */
   def readPrunedKey(spark: SparkSession, path: String, keyCol: String,
                     value: Any, asOf: Option[Long] = None): DataFrame = {
-    val all = entries(spark, path)
-    require(all.nonEmpty, s"no committed snapshots at $path")
-    val upTo = asOf match {
-      case Some(s) =>
-        require(all.exists(_.id == s), s"snapshot $s was never " +
-          s"committed (committed: ${all.map(_.id).mkString(",")})")
-        all.filter(_.id <= s)
-      case None => all
-    }
-    val lastBase = upTo.lastIndexWhere(_.isBase)
-    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    val visible = visibleEntries(spark, path, asOf)
     // A tagged bloom only prunes when the probe's runtime class can
     // reproduce the writer's canonical: integral probes for "i"
     // columns, string probes for "s" columns. Tag/probe mismatches
@@ -614,17 +626,7 @@ object Snapshots {
   def readPrunedIn(spark: SparkSession, path: String, keyCol: String,
                    vs: Seq[Double], asOf: Option[Long] = None): DataFrame = {
     require(vs.nonEmpty, "IN-list probe needs at least one value")
-    val all = entries(spark, path)
-    require(all.nonEmpty, s"no committed snapshots at $path")
-    val upTo = asOf match {
-      case Some(s) =>
-        require(all.exists(_.id == s), s"snapshot $s was never " +
-          s"committed (committed: ${all.map(_.id).mkString(",")})")
-        all.filter(_.id <= s)
-      case None => all
-    }
-    val lastBase = upTo.lastIndexWhere(_.isBase)
-    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    val visible = visibleEntries(spark, path, asOf)
     val kept = visible.filter(e => vs.exists(v => mayHoldEq(e, keyCol, v)))
     if (kept.nonEmpty)
       spark.read.parquet(kept.map(e => s"$path/snap=${e.id}"): _*)
@@ -854,7 +856,14 @@ object Snapshots {
     keys.withColumn(Tombstone, lit(true))
       .write.mode("overwrite").parquet(stage)
     // keys written after basedOn in `es` (live rows AND tombstones)
-    // that overlap the staged delete batch — the write-write set
+    // that overlap the staged delete batch — the write-write set.
+    // Compaction BASES are excluded by the callers: a base contains
+    // ALL live rows (including every staged key, by definition), so
+    // key overlap against it is vacuous — it would flag every delete
+    // that merely races routine compact maintenance, breaking the
+    // documented disjoint-keys-commute guarantee (review r20). That
+    // exclusion is only sound while the REAL deltas after basedOn are
+    // still in the log, which requireHistoryComplete checks below.
     def overlapIn(es: Seq[Entry]): Array[String] = {
       val laterKeys = es.flatMap { e =>
         val d = spark.read.parquet(s"$path/snap=${e.id}")
@@ -871,20 +880,38 @@ object Snapshots {
           .collect().map(_.getString(0))
       }
     }
-    def conflict(overlap: Array[String]): Nothing = {
+    def conflict(overlap: Array[String]): Nothing = abort(
+      s"delete based on snapshot $basedOn conflicts with a newer " +
+        s"write (tombstone or upsert) on key(s) " +
+        s"${overlap.mkString(", ")} (committed after $basedOn at " +
+        s"$path); re-read the table and re-decide the delete")
+    def abort(msg: String): Nothing = {
       f.delete(new Path(stage), true)
-      throw new ConflictException(
-        s"delete based on snapshot $basedOn conflicts with a newer " +
-          s"write (tombstone or upsert) on key(s) " +
-          s"${overlap.mkString(", ")} (committed after $basedOn at " +
-          s"$path); re-read the table and re-decide the delete")
+      throw new ConflictException(msg)
+    }
+    // ids are strictly sequential, so vacuumed history after basedOn
+    // shows up as a GAP in (basedOn, head] — deltas we can no longer
+    // key-check. Abort honestly (retry on the new head) instead of
+    // either flagging the base (false conflict) or skipping the
+    // vacuumed deltas (missed conflict).
+    def requireHistoryComplete(es: Seq[Entry]): Unit = {
+      val upTo = es.lastOption.map(_.id).getOrElse(basedOn)
+      val present = es.map(_.id).toSet
+      val missing = ((basedOn + 1) to upTo).filterNot(present)
+      if (missing.nonEmpty) abort(
+        s"history after basedOn=$basedOn was compacted and vacuumed " +
+          s"(snapshots ${missing.mkString(",")} are gone) — the " +
+          "delete can no longer be validated against it; re-read the " +
+          s"table at $path and re-decide")
     }
     // phase 1, UNLOCKED: validate against everything committed so far
     val pre = entries(spark, path)
     require(pre.exists(_.id == basedOn),
       s"basedOn snapshot $basedOn was never committed " +
         s"(committed: ${pre.map(_.id).mkString(",")})")
-    val preOverlap = overlapIn(pre.filter(_.id > basedOn))
+    requireHistoryComplete(pre.filter(_.id > basedOn))
+    val preOverlap = overlapIn(
+      pre.filter(e => e.id > basedOn && !e.isBase))
     if (preOverlap.nonEmpty) {
       // BEST-EFFORT stats bump: the retryable ConflictException is the
       // caller contract and must never be masked by lock contention or
@@ -905,8 +932,11 @@ object Snapshots {
     val waits = acquireRetrying(f, path, maxRetries, backoffMs)
     try {
       val prior = entries(spark, path)
+      // the full-range completeness re-check matters here: a compact +
+      // vacuum may have run between the phases
+      requireHistoryComplete(prior.filter(_.id > basedOn))
       val fresh = prior.filter(e => e.id > basedOn &&
-        !preChecked.contains(e.id))
+        !preChecked.contains(e.id) && !e.isBase)
       val overlap = overlapIn(fresh)
       if (overlap.nonEmpty) {
         // same masking rule: counter IO must not replace the abort
@@ -962,17 +992,7 @@ object Snapshots {
                  asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val all = entries(spark, path)
-    require(all.nonEmpty, s"no committed snapshots at $path")
-    val upTo = asOf match {
-      case Some(s) =>
-        require(all.exists(_.id == s), s"snapshot $s was never " +
-          s"committed (committed: ${all.map(_.id).mkString(",")})")
-        all.filter(_.id <= s)
-      case None => all
-    }
-    val lastBase = upTo.lastIndexWhere(_.isBase)
-    val visible = if (lastBase < 0) upTo else upTo.drop(lastBase)
+    val visible = visibleEntries(spark, path, asOf)
     // per-directory reads so each row knows its snapshot id; delete
     // batches carry only (key, _tombstone) → union by name with
     // missing columns as NULL
@@ -993,18 +1013,25 @@ object Snapshots {
     * only — upserts resolved, tombstones applied and discarded) as a
     * new BASE snapshot. Post-base reads scan one directory + later
     * deltas; [[vacuum]] then reclaims pre-base history as usual. */
-  def compactMerged(spark: SparkSession, path: String, key: String): Long = {
-    val current = readMerged(spark, path, key) // resolve OUTSIDE the lock
+  def compactMerged(spark: SparkSession, path: String, key: String): Long =
     withLock(spark, path) {
+      // head resolved INSIDE the lock — same shadowed-commit data-loss
+      // race as [[compact]] (review r20)
+      val current = readMerged(spark, path, key)
       val prior = entries(spark, path)
       val id = prior.lastOption.map(_.id).getOrElse(0L) + 1
       current.write.mode("overwrite").parquet(s"$path/snap=$id")
       val st = dirStats(spark, s"$path/snap=$id",
         prior.flatMap(_.stats.keys).distinct)
-      commit(spark, path, prior :+ Entry(id, isBase = true, stats = st))
+      // blooms recompute like compact() — dropping them made keyed
+      // point-lookup pruning degrade permanently after a keyed
+      // compaction (review r20)
+      val bl = dirBlooms(spark, s"$path/snap=$id",
+        prior.flatMap(_.blooms.keys).distinct)
+      commit(spark, path, prior :+
+        Entry(id, isBase = true, stats = st, blooms = bl))
       id
     }
-  }
 
   /** Incremental (delta) read: ONLY the rows that landed in snapshots
     * `(after, asOf]` — the "process just the new data" primitive an

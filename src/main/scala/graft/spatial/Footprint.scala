@@ -93,9 +93,12 @@ object Footprint {
     val ixLo = math.min(math.floor(lo / 360.0 * n).toLong, n - 1)
     val ixHi = math.min(math.floor(hi / 360.0 * n).toLong, n - 1)
     val ixs: Seq[Long] =
-      if (lonMax - lonMin >= 360.0) 0L until n // full ring: every column
+      (if (lonMax - lonMin >= 360.0) 0L until n // full ring: every column
       else if (lo <= hi) ixLo to ixHi
-      else (ixLo until n) ++ (0L to ixHi) // wraps through lon=0
+      // wraps through lon=0 — the two arms can OVERLAP when both
+      // endpoints land in the same/adjacent columns (a nearly-full
+      // wrap), so dedup like the other enumerators (review r20)
+      else ((ixLo until n) ++ (0L to ixHi)).distinct)
     for (iy <- iyOf(latMin) to iyOf(latMax); ix <- ixs)
       yield pack(ix, iy, level)
   }
@@ -360,16 +363,10 @@ object Footprint {
     math.toDegrees(math.asin(math.max(-1, math.min(1, sinLat))))
   }
 
-  private def pack(ix: Long, iy: Long, level: Int): Long = {
-    var m = 0L
-    var b = 0
-    while (b < level) {
-      m |= ((ix >> b) & 1L) << (2 * b)
-      m |= ((iy >> b) & 1L) << (2 * b + 1)
-      b += 1
-    }
-    m | (level.toLong << 58)
-  }
+  // one source of truth for the packed-id layout (review r20: this
+  // was a byte-identical re-implementation)
+  private def pack(ix: Long, iy: Long, level: Int): Long =
+    SkyPix.mortonCellValue(ix, iy, level)
 }
 
 /** A query-time spatial bound — the value a caller hands to

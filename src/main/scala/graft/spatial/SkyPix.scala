@@ -28,15 +28,22 @@ import org.apache.spark.sql.types.LongType
 object SkyPix {
   val MaxLevel = 28
 
-  /** Grid coordinates at a level, as Columns (pure expressions). */
+  /** Grid coordinates at a level, as Columns (pure expressions).
+    * NULL coordinates propagate to NULL indices: Spark's
+    * least/greatest SKIP null arguments, so the bare clamp would turn
+    * a NULL lon/lat into grid index n-1 — silently filing every
+    * null-coordinate row into the top-corner cell (a spurious density
+    * hotspot in skymaps, a real directory in layouts; review r20). */
   private def ixy(lon: Column, lat: Column, level: Int): (Column, Column) = {
     val n = 1L << level
     // clamp into [0, n-1] so lon=360 / lat=±90 stay in range
     val fx = pmod(lon, lit(360.0)) / 360.0
     val fy = (sin(radians(lat)) + 1.0) / 2.0
+    val nulls = lon.isNull || lat.isNull
     val ix = least(floor(fx * n).cast(LongType), lit(n - 1))
     val iy = least(floor(fy * n).cast(LongType), lit(n - 1))
-    (greatest(ix, lit(0L)), greatest(iy, lit(0L)))
+    (when(!nulls, greatest(ix, lit(0L))),
+      when(!nulls, greatest(iy, lit(0L))))
   }
 
   /** Morton-interleave two level-bit coordinates (expression tree —

@@ -227,20 +227,37 @@ object StreamOps {
     * naturally-ranged appends — per-epoch event times, monotone ids —
     * that make historical range queries over the landed table skip
     * whole snapshot directories.
+    *
+    * Idempotency tags are scoped by QUERY IDENTITY, not the bare
+    * batchId (review r20 — the Delta txnAppId+txnVersion pattern):
+    * batchIds restart at 0 with a fresh checkpoint, and two streams
+    * into one table share the counter, so an unscoped "b0" would make
+    * appendTagged silently DROP real batches as replays. The default
+    * scope is a fingerprint of the checkpoint location — stable
+    * across restarts of the SAME checkpoint, which is exactly when
+    * batch replay dedup must fire; pass `appId` to scope explicitly.
+    * Wiping a checkpoint directory while reusing its path (or appId)
+    * restarts batchIds inside the same tag space — use a fresh
+    * path/appId for a logically new stream.
     * Returns the started query; callers own its lifecycle. */
   def snapshotSink(stream: DataFrame, path: String,
                    checkpoint: String, statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                   bloomCols: Seq[String] = Nil,
+                   appId: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = appId.getOrElse(java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint) &
+        0xffffffffL))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.Snapshots.appendTagged(batch, path, s"b$batchId",
-          statsCols, bloomCols)
+        graft.sources.Snapshots.appendTagged(batch, path,
+          s"$scope-b$batchId", statsCols, bloomCols)
         ()
       }
       .start()
+  }
 
   /** S10 input/state/output rows for [[runningObjectStats]]. */
   case class Det(ts: java.sql.Timestamp, obj: Long, flux: Double)

@@ -470,6 +470,89 @@ class SnapshotsSpec extends SpecBase {
       .filter(col("k") === 7L).count() == 1)
   }
 
+  test("an out-of-range bloom k degrades to conservative keep, not a crash") {
+    // review r20: k=9 indexes past the 16-byte md5 digest — it used to
+    // pass the geometry guard and crash EVERY bloom-pruned read
+    val path = freshPath()
+    Snapshots.append(Seq((1L, "a"), (7L, "b")).toDF("k", "v"), path,
+      bloomCols = Seq("k"))
+    val log = java.nio.file.Paths.get(path, "_COMMITS")
+    val line = new String(Files.readAllBytes(log), "UTF-8").trim
+    val corrupted = line.replaceAll("F:k:(\\d+):\\d+:", "F:k:$1:9:") + "\n"
+    assert(corrupted != line + "\n", "fixture must actually rewrite k")
+    Files.write(log, corrupted.getBytes("UTF-8"))
+    rewriteCrcSidecar(log)
+    val es = Snapshots.entries(spark, path)
+    assert(es.head.blooms.isEmpty, "k=9 bloom must drop, conservatively")
+    assert(Snapshots.readPrunedEq(spark, path, "k", 7.0)
+      .filter(col("k") === 7L).count() == 1)
+  }
+
+  test("commits preserve unknown fields of carried-over log entries") {
+    // review r20: the parse-then-rewrite cycle used to erase any field
+    // a newer writer recorded — 'ignored by old readers' must also
+    // mean 'survives old writers'
+    val path = freshPath()
+    Snapshots.append(Seq(1).toDF("x"), path)
+    val log = java.nio.file.Paths.get(path, "_COMMITS")
+    val line = new String(Files.readAllBytes(log), "UTF-8").trim
+    Files.write(log, (line + " X:futurefield\n").getBytes("UTF-8"))
+    rewriteCrcSidecar(log)
+    Snapshots.append(Seq(2).toDF("x"), path) // old-format writer
+    val after = new String(Files.readAllBytes(log), "UTF-8")
+    assert(after.linesIterator.next().endsWith(" X:futurefield"),
+      s"unknown field erased by the rewrite:\n$after")
+    assert(Snapshots.read(spark, path).count() == 2)
+  }
+
+  test("deleteOptimistic commutes with an interleaved compaction; " +
+    "vacuumed history aborts honestly") {
+    val path = freshPath()
+    Snapshots.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v"), path)                       // snap 1 (basedOn)
+    Snapshots.upsert(Seq((4L, "d")).toDF("k", "v"), path) // snap 2
+    Snapshots.compact(spark, path)                 // snap 3 = BASE
+    // the base contains k=2 (every live row does) — that must NOT
+    // read as a write-write conflict (review r20); the only real
+    // writes after snap 1 touched k=4
+    val oc = Snapshots.deleteOptimistic(
+      Seq(2L).toDF("k"), path, "k", basedOn = 1L)
+    assert(oc.id == 4L)
+    assert(Snapshots.readMerged(spark, path, "k")
+      .select("k").as[Long].collect().sorted.sameElements(
+        Array(1L, 3L, 4L)))
+    // a REAL conflict through the same window still aborts: snap 5
+    // re-upserts k=3, then a delete of k=3 based on snap 4
+    Snapshots.upsert(Seq((3L, "c2")).toDF("k", "v"), path) // snap 5
+    intercept[Snapshots.ConflictException] {
+      Snapshots.deleteOptimistic(Seq(3L).toDF("k"), path, "k",
+        basedOn = 4L)
+    }
+    // vacuum drops pre-base history: a delete based below the base
+    // can no longer be validated — honest abort, not silent commit
+    Snapshots.compact(spark, path)                 // snap 6 = BASE
+    Snapshots.vacuum(spark, path)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.deleteOptimistic(Seq(1L).toDF("k"), path, "k",
+        basedOn = 5L)
+    }
+    assert(e.getMessage.contains("never committed"), e.getMessage)
+  }
+
+  test("compactMerged recomputes blooms like compact (keyed point " +
+    "lookups keep pruning after keyed compaction)") {
+    val path = freshPath()
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      bloomCols = Seq("k"))
+    Snapshots.append(Seq((2L, "b2")).toDF("k", "v"), path,
+      bloomCols = Seq("k"))
+    Snapshots.compactMerged(spark, path, "k")
+    val base = Snapshots.entries(spark, path).last
+    assert(base.isBase && base.blooms.contains("k"),
+      s"keyed compaction dropped the bloom channel: $base")
+    assert(Snapshots.readMerged(spark, path, "k").count() == 2)
+  }
+
   test("legacy untagged bloom log lines parse and stay conservative in QL routing") {
     val path = freshPath()
     Snapshots.append(Seq(5L, 9L).toDF("k"), path, bloomCols = Seq("k"))

@@ -32,6 +32,16 @@ class FootprintSpec extends SpecBase {
     assert(wrapped.filter(col("lon") > 10 && col("lon") < 350).count() == 0)
   }
 
+  test("rectCells: a nearly-full wrap emits each cell once (a set)") {
+    // review r20: lonMin=10.1 > lonMax=9.9 at level 0 emitted column 0
+    // twice from the two wrap arms — harmless for isin pruning, wrong
+    // for anyone counting coverage
+    val cells = Footprint.rectCells(10.1, 9.9, -5.0, 5.0, 0)
+    assert(cells == cells.distinct, s"duplicate cells: $cells")
+    val lvl2 = Footprint.rectCells(10.1, 9.9, -5.0, 5.0, 2)
+    assert(lvl2 == lvl2.distinct && lvl2.nonEmpty)
+  }
+
   test("full-circle lon span means the whole ring, not an empty one") {
     // lonMin=0, lonMax=360 used to mod-collapse to a single cell
     // column / zero area; it must mean "all longitudes".

@@ -177,4 +177,24 @@ class SkyPixSpec extends SpecBase {
     val expected = n.toDouble / 64
     assert(counts.forall(c => c > expected * 0.8 && c < expected * 1.2))
   }
+
+  test("NULL coordinates map to NULL cells, not the top-corner cell") {
+    // review r20: Spark's least/greatest SKIP null arguments, so the
+    // bare clamp turned a NULL lon/lat into grid index n-1 — every
+    // null-coordinate row silently landed in the (n-1, n-1) cell
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Some(10.0), Some(20.0)),
+      (2L, None, Some(20.0)), (3L, Some(10.0), None))
+      .toDF("id", "lon", "lat")
+      .select(col("id"),
+        SkyPix.cell(col("lon"), col("lat"), 6).as("cell"),
+        SkyPix.neighborCells(col("lon"), col("lat"), 6).as("nbrs"))
+    val rows = df.orderBy("id").collect()
+    assert(!rows(0).isNullAt(1), "real coordinates must keep their cell")
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1),
+      "a NULL coordinate must yield a NULL cell")
+    assert(rows(1).getSeq[Long](2).isEmpty,
+      "a NULL coordinate must yield no neighbor cells")
+  }
 }

@@ -344,7 +344,13 @@ class StreamOpsSpec extends SpecBase {
       q.processAllAvailable()
       val entries = Snapshots.entries(spark, path)
       assert(entries.map(_.id) == Seq(1L, 2L))
-      assert(entries.forall(_.tag.exists(_.startsWith("b"))))
+      // tags are scoped by query identity (checkpoint fingerprint) so
+      // a fresh-checkpoint restart or a second stream into this table
+      // can never collide with these batchIds (review r20)
+      assert(entries.forall(_.tag.exists(_.matches("[0-9a-f]+-b\\d+"))))
+      // a DIFFERENT query identity writing batchId 0 into the same
+      // table is a new batch, not a replay of ours
+      assert(!entries.exists(_.tag.contains("otherapp-b0")))
       assert(Snapshots.read(spark, path).as[Long].collect().sorted
         .sameElements(Array(1L, 2L, 3L)))
       // the downstream increment: exactly the second micro-batch
