@@ -195,18 +195,32 @@ object SpatialWriter {
     * flat 9-cell copy: storage amplification is 1 + strip fraction
     * (~1.1–1.5× for margin ≪ cell) instead of 9×. */
   private def withCellColumns(df: DataFrame, lonCol: String, latCol: String,
-                              level: Int, margin: Option[Double]): DataFrame =
+                              level: Int, margin: Option[Double]): DataFrame = {
+    // NULL coordinates are refused LOUDLY at import (review r20): the
+    // raw grid math would file them into the top-corner cell (plain
+    // layouts) or mis-replicate them (margin layouts) — a catalog row
+    // needs a position. The guard is folded INTO the home-cell
+    // expression (load-bearing, so column pruning can't elide it) and
+    // costs one CASE on the WRITE path only; query-time cell math
+    // stays branch-free (see SkyPix.ixy's null-coordinate contract).
+    val guardedCell =
+      when(col(lonCol).isNotNull && col(latCol).isNotNull,
+        SkyPix.cell(col(lonCol), col(latCol), level))
+        .otherwise(raise_error(lit(
+          s"spatial layout write: NULL $lonCol/$latCol in a row — " +
+            "drop or fix null-coordinate rows before importing")))
     margin match {
       case None =>
-        df.withColumn("cell", SkyPix.cell(col(lonCol), col(latCol), level))
+        df.withColumn("cell", guardedCell)
           .withColumn("is_margin", lit(false))
       case Some(m) =>
-        df.withColumn("home_cell", SkyPix.cell(col(lonCol), col(latCol), level))
+        df.withColumn("home_cell", guardedCell)
           .withColumn("cell", explode(
             SkyPix.neighborCellsWithin(col(lonCol), col(latCol), level, m)))
           .withColumn("is_margin", col("cell") =!= col("home_cell"))
           .drop("home_cell")
     }
+  }
 
   /** Write `df` DIRECTORY-partitioned by SkyPix cell of (lonCol,
     * latCol) — one directory per cell, for footprint queries that

