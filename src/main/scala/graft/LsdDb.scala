@@ -354,4 +354,34 @@ object LsdDb {
 
   def table(spark: SparkSession, root: String, name: String): DataFrame =
     LsdDb(spark, root).table(name)
+
+  /** Redistribute a freshly-scanned relation when the SOURCE LAYOUT
+    * under-parallelizes it (guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read").
+    * Parquet can only split at row-group boundaries, so a table
+    * written as one row group scans as ONE task no matter how many
+    * cores the cluster has — and any CPU-heavy chain rooted on that
+    * scan (tokenize, explode, hash) single-threads with it (measured:
+    * the q_dedup_prefix shingle stage ran 3.4 s on 1 of 32 cores).
+    *
+    * The repartition is CONDITIONAL on the actual scan split count,
+    * so it is a no-op exactly when the layout already parallelizes —
+    * at production scale (thousands of row groups) this never fires
+    * and costs nothing; it fires only for degenerate layouts (one
+    * gzip/one-row-group file), where one extra exchange of the raw
+    * rows is strictly cheaper than a serial pass over them. Hash
+    * partitioning on caller-chosen keys keeps the placement
+    * deterministic under retries (guide §2.5's rand() caveat). */
+  def spread(df: DataFrame,
+             keys: org.apache.spark.sql.Column*): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // repartition(n, keys): the explicit count pins the exchange as
+    // REPARTITION_BY_NUM, which AQE's partition coalescing leaves
+    // alone — a bare repartition(keys) on these tiny-BYTE relations
+    // would be coalesced right back to one partition, re-serializing
+    // the CPU-heavy chain this exists to parallelize. n is the
+    // cluster's own parallelism, not a tuned constant.
+    if (df.rdd.getNumPartitions * 2 <= par) df.repartition(par, keys: _*)
+    else df
+  }
 }

@@ -43,21 +43,14 @@ object CurationOps {
 
   /** POSITIONAL word-5-gram spans (NOT distinct — multiplicity is the
     * point: a span repeated inside one doc still counts once per
-    * occurrence toward that doc's duplicated-span fraction). Built as
-    * the zip_with-over-aligned-slices chain — the shingles3 lesson
-    * (PipelineOps.scala): an index lambda reading the outer array
-    * re-tokenizes per element. */
-  private def spans5(c: Column): Column = {
-    val w = words(c)
-    val m = greatest(size(w) - 4, lit(0))
-    val z2 = zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
-      (a, b) => concat_ws("\u0001", a, b))
-    val z3 = zip_with(z2, slice(w, lit(3), m),
-      (ab, x) => concat_ws("\u0001", ab, x))
-    val z4 = zip_with(z3, slice(w, lit(4), m),
-      (ab, x) => concat_ws("\u0001", ab, x))
-    zip_with(z4, slice(w, lit(5), m), (ab, x) => concat_ws("\u0001", ab, x))
-  }
+    * occurrence toward that doc's duplicated-span fraction). */
+  // Served by the codegen'd graft.functions.WordNgrams kernel (r21):
+  // the old zip_with-over-aligned-slices ladder re-ran the regex
+  // split once per slice wherever the optimizer landed it inside an
+  // interpreted Generate -- see the shingles3 note in PipelineOps.
+  private def spans5(c: Column): Column =
+    graft.functions.WordNgrams.wordNgrams(c, 5, "\u0001",
+      distinct = false)
   private val spans5Sql = {
     val w = wordsSql
     s"""list_transform(range(1, len($w) - 3),

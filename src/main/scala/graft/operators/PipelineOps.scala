@@ -38,24 +38,21 @@ object PipelineOps {
   /** Word 3-gram shingles joined with '' — the
     * decontamination unit (a 3-token overlap window; production
     * pipelines use 8-13 tokens, the corpus here has short docs).
-    * Distinct per doc.
-    *
-    * Built as zip_with over aligned slices, NOT transform +
-    * element_at(w, i): a lambda body referencing the outer token
-    * array re-evaluates the whole tokenize subtree PER ELEMENT
-    * (subexpression elimination does not reach inside higher-order-
-    * function lambdas), turning one regex split per doc into n_words
-    * of them — measured 9.7 s vs ~1.3 s warm at sf0.1. Slices are plain
-    * project-level subexpressions, eliminated once per row. */
-  private def shingles3(c: Column): Column = {
-    val w = words(c)
-    val m = greatest(size(w) - 2, lit(0))
-    array_distinct(zip_with(
-      zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
-        (a, b) => concat_ws("\u0001", a, b)),
-      slice(w, lit(3), m),
-      (ab, cc) => concat_ws("\u0001", ab, cc)))
-  }
+    * Distinct per doc. */
+  // Served by the codegen'd graft.functions.WordNgrams kernel (r21).
+  // The previous zip_with-over-aligned-slices form relied on
+  // subexpression elimination to dedup its six copies of the regex
+  // split -- but the optimizer collapses this projection INTO the
+  // Generate that explodes it, and an interpreted Generate has no
+  // subexpression elimination, so every row paid six splits plus the
+  // interpreted HOF ladder (observed live in q_dedup_prefix's
+  // executed plan). The kernel is one byte scan per row inside
+  // whole-stage codegen; output byte-identical (WordNgramsSpec pins
+  // it against the old builtin form, unicode and whitespace edges
+  // included).
+  private def shingles3(c: Column): Column =
+    graft.functions.WordNgrams.wordNgrams(c, 3, "\u0001",
+      distinct = true)
   private val shingles3Sql = {
     val w = wordsSql
     s"""list_distinct(list_filter(
@@ -71,6 +68,13 @@ object PipelineOps {
     * PPJoin prefix bucket must also cover legitimate mid-frequency
     * shingles, not just 64-hex band collisions. */
   private val maxPrefixBucket = 100
+
+  /** Broadcast budget for the PPJoin-family verify phase's per-doc
+    * shingle-array relation (candidate docs only, ~1 KB/doc at this
+    * corpus's doc sizes ⇒ ≈0.5 GB at the cap — inside Spark's 8 GB
+    * broadcast ceiling with headroom). Past it, the same arrays
+    * attach by shuffle joins: identical answer, no broadcast cliff. */
+  private val maxVerifyBroadcastDocs = 512L << 10
 
   /** Ext — benchmark decontamination: flag training documents that
     * share any word-3-gram with the held-out eval set (docs with
@@ -952,8 +956,15 @@ object PipelineOps {
     // reject, never change the verified output.
     // sz (per-doc token count) is the shingle array's size, computed
     // MAP-SIDE before the explode — a window count over doc_id would
-    // re-derive it with an extra full-relation sort pass
-    val th = LsdDb.table(s, dir, "documents")
+    // re-derive it with an extra full-relation sort pass.
+    // spread BEFORE the tokenize: the corpus ships as one row group,
+    // so without it the whole shingle+hash+explode chain runs on the
+    // scan's single task (measured 3.4 s of the 6.2 s warm total on
+    // one of 32 cores); the conditional exchange moves the RAW rows
+    // (smaller than the token relation that shuffles next anyway) and
+    // is a no-op on any production layout
+    val th = LsdDb.spread(LsdDb.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(transform(col("sh"), t => xxhash64(t))).as("h"))
@@ -1032,21 +1043,56 @@ object PipelineOps {
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val toksCand = LsdDb.table(s, dir, "documents")
+    // VERIFY (r21 restructure): per-pair exact intersection as
+    // size(array_intersect) over per-doc shingle ARRAYS attached by
+    // broadcast — the guide-§8 rule applied in reverse: never shuffle
+    // per-PAIR token rows. The previous shape joined every candidate
+    // pair to both docs' exploded tokens (|pairs| × |tokens/doc| ≈
+    // 15 M intermediate rows here, evaluating the tokenize lineage
+    // once per join side); the array relation is CANDIDATE-DOC-sized
+    // (two orders smaller than the pair×token fan-out), the
+    // intersection runs map-side in the cand stage, and the STRING
+    // tokens keep the collision-immunity argument (hashes never
+    // decide output). Round-11's negative array_intersect A/B
+    // SHUFFLED the arrays on the pair relation — the broadcast is
+    // what removes exactly that cost. Guarded like decontaminate: at
+    // a scale where candidate docs outgrow the broadcast budget, the
+    // same arrays attach by two shuffle joins (correct, no cliff).
+    // spread: the array build is the verify phase's tokenize CPU,
+    // and the corpus ships as one row group (see th above)
+    val docToks = LsdDb.spread(LsdDb.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
-    val inter = cand
-      .join(toksCand.as("t1"), col("doc_a") === col("t1.doc_id"))
-      .join(toksCand.as("t2"),
-        col("doc_b") === col("t2.doc_id") && col("t1.s") === col("t2.s"))
-      .groupBy("doc_a", "doc_b", "sza", "szb")
-      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_id"), shingles3(col("text")).as("ts"))
+    val attach =
+      if (candDocs.count() <= maxVerifyBroadcastDocs)
+        (d: DataFrame) => broadcast(d)
+      else (d: DataFrame) => d
+    // the checkpointed cand carries the coalesced partition count of
+    // the distinct that built it (2 at sf0.1) — spread it so the
+    // intersection work runs cluster-wide, and so the final orderBy's
+    // range-sampling pass (which re-evaluates an exchange-free child)
+    // re-runs only a wide cheap stage. spread on a checkpoint is a
+    // plain LogicalRDD probe — no AQE re-execution.
+    val inter = LsdDb.spread(cand, col("doc_a"))
+      .join(attach(docToks.select(col("doc_id").as("doc_a"),
+        col("ts").as("ta"))), Seq("doc_a"))
+      .join(attach(docToks.select(col("doc_id").as("doc_b"),
+        col("ts").as("tb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sza"), col("szb"),
+        graft.functions.IntersectCount.intersectCount(
+          col("ta"), col("tb")).as("n_inter"))
     inter
       .filter(lit(10) * col("n_inter") >=
         lit(6) * (col("sza") + col("szb") - col("n_inter")))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast(DoubleType) /
           (col("sza") + col("szb") - col("n_inter"))).as("jaccard"))
+      // exchange barrier between verify and the output sort: the
+      // range partitioner SAMPLES its child, and without a shuffle in
+      // between that re-evaluates the whole verify join; the barrier
+      // holds only the verified pairs (output-sized)
+      .repartition(col("doc_a"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1154,18 +1200,34 @@ object PipelineOps {
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val toksCand = docs
+    // VERIFY (r21): size(array_intersect) over broadcast per-doc
+    // shingle arrays — same restructure and same guard as
+    // q_dedup_prefix's verify (see the note there); the pair×token
+    // join fan-out never forms
+    val docToks = LsdDb.spread(docs.select(col("doc_id"), col("text")),
+        col("doc_id"))
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
-    cand
-      .join(toksCand.as("t1"), col("doc_a") === col("t1.doc_id"))
-      .join(toksCand.as("t2"),
-        col("doc_b") === col("t2.doc_id") && col("t1.s") === col("t2.s"))
-      .groupBy("doc_a", "doc_b", "sza")
-      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_id"), shingles3(col("text")).as("ts"))
+    val attach =
+      if (candDocs.count() <= maxVerifyBroadcastDocs)
+        (d: DataFrame) => broadcast(d)
+      else (d: DataFrame) => d
+    // spread the checkpointed cand — same two reasons as
+    // q_dedup_prefix's verify (wide intersections; cheap re-eval under
+    // the final sort's range sampling)
+    LsdDb.spread(cand, col("doc_a"))
+      .join(attach(docToks.select(col("doc_id").as("doc_a"),
+        col("ts").as("ta"))), Seq("doc_a"))
+      .join(attach(docToks.select(col("doc_id").as("doc_b"),
+        col("ts").as("tb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sza"),
+        graft.functions.IntersectCount.intersectCount(
+          col("ta"), col("tb")).as("n_inter"))
       .filter(lit(5) * col("n_inter") >= lit(4) * col("sza"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast(DoubleType) / col("sza")).as("containment"))
+      // verify/sort barrier — same reason as q_dedup_prefix
+      .repartition(col("doc_a"))
       .orderBy("doc_a", "doc_b")
   }
 

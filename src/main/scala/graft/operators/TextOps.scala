@@ -526,13 +526,11 @@ object TextOps {
   /** Word-bigram shingle set (order-sensitive n-grams — the thing
     * "n-gram Jaccard" actually measures; unigram sets degenerate on a
     * small vocabulary where every doc overlaps every other). */
-  private def shingleSet(c: Column): Column = {
-    val w = words(c)
-    array_distinct(zip_with(
-      slice(w, lit(1), size(w) - 1),
-      slice(w, lit(2), size(w) - 1),
-      (x, y) => concat(x, lit(" "), y)))
-  }
+  // codegen'd kernel (r21) — the zip_with form re-ran the regex split
+  // per slice inside interpreted Generates (shingles3 note,
+  // PipelineOps); output byte-identical, WordNgramsSpec-pinned
+  private def shingleSet(c: Column): Column =
+    graft.functions.WordNgrams.wordNgrams(c, 2, " ", distinct = true)
   private val shingleSetSql =
     s"list_distinct(list_transform(list_zip(" +
       s"($wordsSql)[1:len($wordsSql)-1], ($wordsSql)[2:len($wordsSql)])," +
