@@ -109,8 +109,12 @@ object CurationOps {
     // form at sf0.1 — the second tokenize pass costs more than the
     // string bytes; both are linear at 100 TB, this one trades one
     // corpus re-read for ~5× checkpoint bytes)
-    val g = docs.select(col("doc_id"),
-      explode(spans5(col("text"))).as("sp"))
+    // spread (r21): parallelizes the span explode + hash off the
+    // one-row-group scan, and gives the checkpoint (consumed by both
+    // phases below) cluster-wide partitions instead of one
+    val g = LsdDb.spread(docs.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), explode(spans5(col("text"))).as("sp"))
       .withColumn("h", xxhash64(col("sp")))
       .localCheckpoint()
     // phase 1 — candidate gate on the 64-bit hash only (the span
@@ -345,8 +349,11 @@ object CurationOps {
   private[operators] def fuzzyPairs(names: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // deletion variants, hashed to 8 bytes: element 0 is the string
-    // itself, element i its copy with character i removed
-    val dv = names
+    // itself, element i its copy with character i removed.
+    // spread (r21): the variant explode + the bucket groupBy's partial
+    // aggregation fuse into the names scan stage (one task on a
+    // one-row-group layout); conditional, no-op when already parallel
+    val dv = LsdDb.spread(names, col("k"))
       .select(col("k"), explode(expr(
         "transform(sequence(0, length(name)), i -> CASE WHEN i = 0 " +
           "THEN name ELSE concat(substring(name, 1, i - 1), " +

@@ -176,9 +176,17 @@ object EventOps {
       |WHERE n_ab >= 2
       |ORDER BY n_ab DESC, part_a, part_b LIMIT 100""".stripMargin) {
     (s, dir) =>
-    val b = LsdDb.table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = b.select(col("l_orderkey")).distinct().count()
+    // spread (r21): the one-row-group lineitem scan ran the distinct's
+    // map-side partial aggregation on ≤3 tasks; conditional exchange
+    // parallelizes it (no-op on parallel layouts)
+    val b = LsdDb.spread(LsdDb.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")), col("l_orderkey"))
+      .distinct()
+    // n_orders folded into the plan as a broadcast scalar (r21): the
+    // eager count() was a second full scan+distinct JOB per run; as a
+    // cross-joined one-row aggregate it reuses b's distinct exchange
+    // and the lift arithmetic is unchanged (long × long, cast double)
+    val nn = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val pc = b.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
     val ok = b.groupBy("l_orderkey").agg(count(lit(1)).as("bn_"))
       .filter(col("bn_") <= maxBasket).select("l_orderkey")
@@ -195,8 +203,9 @@ object EventOps {
         col("n_part").as("na"))), "part_a")
       .join(broadcast(pc.select(col("l_partkey").as("part_b"),
         col("n_part").as("nb"))), "part_b")
+      .crossJoin(broadcast(nn))
       .select(col("part_a"), col("part_b"), col("n_ab"),
-        ((col("n_ab") * nOrders).cast("double") /
+        ((col("n_ab") * col("n_orders")).cast("double") /
           (col("na") * col("nb")).cast("double")).as("lift"))
       .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
       .limit(100)

@@ -177,7 +177,12 @@ object Joins {
       .withColumn("hi", col("lo") + bw)
       .withColumn("bucket",
         explode(sequence(floor(col("lo") / bw), floor(col("hi") / bw))))
-    val o = LsdDb.table(s, dir, "orders")
+    // spread (r21): the banded join + its partial aggregation fuse
+    // into the probe-side scan stage, which the one-row-group orders
+    // file pins to ONE task (StageProfile: a single 2.5 s stage was
+    // the whole query); conditional exchange, no-op on parallel
+    // layouts
+    val o = LsdDb.spread(LsdDb.table(s, dir, "orders"), col("o_orderkey"))
       .withColumn("bucket", floor(col("o_totalprice") / bw))
     c.join(o, c("bucket") === o("bucket") &&
         col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))

@@ -821,8 +821,13 @@ object PipelineOps {
     val periods = Seq(0.5, 1.0, 2.0, 3.0, 5.0)
     val td = unix_timestamp(col("ts")) / 86400.0
     val phase = col("td") / col("p") - floor(col("td") / col("p"))
-    val folded = LsdDb.table(s, dir, "events")
-      .select(col("user_id"), td.as("td"), col("value"))
+    // spread (r21): the 5-period fold explode + its partial agg fuse
+    // into the one-row-group scan's single task; the exchange key is
+    // the aggregation key, so the shuffle it adds replaces work the
+    // groupBy exchange was doing anyway
+    val folded = LsdDb.spread(LsdDb.table(s, dir, "events")
+        .select(col("user_id"), td.as("td"), col("value")),
+        col("user_id"))
       .withColumn("p", explode(typedLit(periods)))
       .select(col("user_id"), col("p"),
         least(floor(phase * 8), lit(7.0)).cast("int").as("bin"),

@@ -969,14 +969,17 @@ object SurveyOps {
        |  count(*) AS n_objects
        |FROM nn WHERE rn = 1
        |GROUP BY bin_01deg ORDER BY bin_01deg""".stripMargin) { (s, dir) =>
-    val c = LsdDb.table(s, dir, "orders")
+    // spread (r21): the one-row-group orders scan single-tasked both
+    // the neighbor-cells broadcast build (1.3 s on one core) and the
+    // window-limit stage; conditional, no-op on parallel layouts
+    val c = LsdDb.spread(LsdDb.table(s, dir, "orders")
       .filter(col("o_orderkey") <= 60000)
       .select(
       col("o_orderkey").as("id"),
       ((col("o_orderkey") * 2654435761L) % 36000).cast(DoubleType)./(100.0)
         .as("lon"),
       (((col("o_orderkey") * 40503) % 6000).cast(DoubleType) / 100.0 - 30.0)
-        .as("lat"))
+        .as("lat")), col("id"))
     val w = Window.partitionBy("a_id")
       .orderBy(col("dist_deg").asc, col("b_id").asc)
     graft.spatial.CrossMatch
@@ -1366,9 +1369,16 @@ object SurveyOps {
        |  ${D.sql.dsum("dv2")} / count(*) AS sf
        |FROM p GROUP BY lag_days ORDER BY lag_days""".stripMargin) {
     (s, dir) =>
-    val e = LsdDb.table(s, dir, "events")
-      .select(col("user_id"), col("value"),
-        expr("unix_micros(ts) DIV 86400000000").as("d"), col("event_id"))
+    // spread (r21): the one-row-group events scan runs as ONE task,
+    // and the planner fuses the broadcast self-join + pair compute +
+    // partial agg INTO that scan stage — StageProfile showed the whole
+    // query as a single-task 2.8 s stage. The conditional exchange on
+    // user_id re-parallelizes the Σ n_obj² pair work (and is the key
+    // both join sides need anyway); no-op on any parallel layout.
+    val e = LsdDb.spread(LsdDb.table(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          expr("unix_micros(ts) DIV 86400000000").as("d"),
+          col("event_id")), col("user_id"))
     val a = e.select(col("user_id"), col("value").as("v1"),
       col("d").as("d1"), col("event_id").as("id1"))
     val b = e.select(col("user_id"), col("value").as("v2"),
@@ -1462,9 +1472,13 @@ object SurveyOps {
       }
       // materialize the two 30k-row catalogs once: each feeds two
       // pair joins plus the normalizer count (4 re-derivations of the
-      // scan + scramble otherwise — the dedup-family lineage lever)
-      val d = cat(2654435761L).localCheckpoint()
-      val r = cat(7919L).localCheckpoint()
+      // scan + scramble otherwise — the dedup-family lineage lever).
+      // spread BEFORE the checkpoint (r21): the one-row-group scan
+      // pins the checkpoint to ONE partition, which single-tasked all
+      // three broadcast-build Generates downstream (StageProfile:
+      // 3 × ~0.8 s, 1 task each, of the 3.4 s total)
+      val d = LsdDb.spread(cat(2654435761L), col("id")).localCheckpoint()
+      val r = LsdDb.spread(cat(7919L), col("id")).localCheckpoint()
       def pairBins(a: org.apache.spark.sql.DataFrame,
                    b: org.apache.spark.sql.DataFrame,
                    dedup: Boolean, cnt: String) = {
@@ -1570,7 +1584,12 @@ object SurveyOps {
     val mu = (sum(col("value").cast(Det.M)).over(pw).cast(DoubleType)
       / count(lit(1)).over(pw))
     val omega = lit(2) * lit(math.Pi) * col("f") * col("td")
-    val t = LsdDb.table(s, dir, "events")
+    // spread (r21) on the WINDOW's own key: the pinned 32-partition
+    // exchange satisfies the mu-window's required distribution, so no
+    // extra shuffle appears and the 6-frequency trig stage runs
+    // cluster-wide instead of on the AQE-coalesced 2-task read
+    val t = LsdDb.spread(LsdDb.table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value")), col("user_id"))
       .select(col("user_id"),
         (unix_timestamp(col("ts")) / 86400.0).as("td"),
         col("value"), mu.as("mu"))

@@ -233,7 +233,12 @@ object TextOps {
     * signature builder and q_minhash_fidelity's exact Jaccard). */
   private def minhashWrds(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame =
-    LsdDb.table(s, dir, "documents")
+    // spread (r21): the 8 min(md5) signature aggregates run MAP-SIDE
+    // on this explode's stage — on the one-row-group corpus that was
+    // one task computing all 8×|tokens| hashes; conditional exchange,
+    // no-op on parallel layouts
+    LsdDb.spread(LsdDb.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
 
   /** Per-doc MinHash signatures (s0..s7 hex-string minima) from an
