@@ -1626,8 +1626,12 @@ object PipelineOps {
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = LsdDb.table(s, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(shingles3(col("text"))).as("s"))
+    // spread (r21): toks is consumed by BOTH branches below, each
+    // re-deriving the explode — off a one-row-group scan both ran
+    // single-task; the conditional exchange parallelizes both
+    val toks = LsdDb.spread(docs.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
     val firsts = toks.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
     val per = toks.join(firsts, "s")
       .groupBy("doc_id")

@@ -1811,14 +1811,18 @@ object SurveyOps {
          |FROM lab l JOIN obj o ON o.obj_id = l.obj_id
          |ORDER BY det_id""".stripMargin) { (s, dir) =>
       import graft.spatial.{CrossMatch, ObjectCatalog}
-      val d = LsdDb.table(s, dir, "customer")
+      // spread (r21): d feeds BOTH sides of the blocked self-match —
+      // off the one-row-group scan the neighbor-explode broadcast
+      // build ran 0.7 s on one task (StageProfile); conditional,
+      // no-op on parallel layouts
+      val d = LsdDb.spread(LsdDb.table(s, dir, "customer")
         .select(col("c_custkey").as("det_id"),
           ((col("c_custkey") % 120 * 89 % 360).cast(DoubleType)
             + (col("c_custkey") * 31 % 41).cast(DoubleType) / 100.0 + 0.1)
             .as("lon"),
           ((col("c_custkey") % 120 * 53 % 100).cast(DoubleType) / 2.0 - 25.0
             + (col("c_custkey") * 17 % 41).cast(DoubleType) / 100.0)
-            .as("lat"))
+            .as("lat")), col("det_id"))
       // blocking at 0.15 raw ⊇ 0.12 snapped cut; data |lat| ≤ 25 →
       // capLat 26 gives level-8 cells (fine blocking, no cap traffic)
       val edges = CrossMatch.allPairs(d, d, "det_id", "lon", "lat",

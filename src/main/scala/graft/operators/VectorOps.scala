@@ -1022,7 +1022,12 @@ object VectorOps {
     * twin of [[pqSqlCtes]]'s `rer` CTE; shared by q_ann_pq (top-k
     * serve) and q_pq_recall (audit). */
   private def pqReranked(s: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(LsdDb.table(s, dir, "embeddings"))
+    // spread (r21): every PQ phase (codebook, encode, LUT, rerank)
+    // roots at this scan — one row group means the interpreted
+    // vector-HOF math all ran single-task (StageProfile: two ~0.5 s
+    // 1-task stages); conditional, no-op on parallel layouts
+    val emb = LsdDb.spread(
+        withNorm(LsdDb.table(s, dir, "embeddings")), col("vec_id"))
       .withColumn("vv", transform(col("v"), x => x.cast(DoubleType)))
     val subs = explode(sequence(lit(0), lit(pqM - 1))).as("j")
     val slice = (v: Column, j: Column) =>
