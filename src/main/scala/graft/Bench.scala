@@ -163,19 +163,20 @@ object Bench {
       rechecked.clear()
       sweep
     }
-    // The driver keeps only the LAST 2000 chars of stdout (measured
-    // from BENCH_r06.json) and parses the final line. 131 quoted query
-    // names alone exceed that window, so a name:value map can never
-    // survive whole. Instead:
-    //   line 1  full name:value map + errors -> bench_queries.json on
-    //           disk (survives as a repo artifact; full precision);
-    //   line 2  per-query seconds as a positional JSON array in
-    //           sorted-name order — the SAME order as the registry and
-    //           the driver's CORRECTNESS file, so names are exactly
-    //           recoverable; ~900 B, fits the window with room;
-    //   line 3  the 20 slowest queries BY NAME (what regression
-    //           triage actually reads first);
-    //   line 4  the short always-parseable headline, LAST.
+    // Stdout layout (r22, per the r21 verdict's driver-contract fix):
+    //   line 1  per-query COLD seconds as a positional array in
+    //           sorted-name order (same order as the registry and the
+    //           driver's CORRECTNESS file);
+    //   line 2  the 20 slowest queries BY NAME (regression triage);
+    //   line 3  recheck map, only when floor-flagged lines re-repped;
+    //   line 4  per-query BEST as a full NAME→SECONDS map — the line
+    //           the driver's PERF per-query comparison parses — placed
+    //           LAST before the headline so the retained stdout tail
+    //           keeps it (r21 printed it first, as a positional array,
+    //           and PERF_r21.per_query came back empty);
+    //   line 5  the short always-parseable headline, LAST.
+    // The full-precision name:value map + errors also lands in
+    // bench_queries.json on disk (repo artifact).
     val errs = errors.sorted.map(e => s""""$e"""").mkString("[", ",", "]")
     val coldTotal = results.map(_._2).sum
     val bestTotal = results.map(_._3).sum
@@ -192,10 +193,7 @@ object Bench {
     } catch { case _: Throwable => () } // read-only cwd: stdout still has it
     val arrCold = results.map { case (_, c, _) => f"$c%.3f" }
       .mkString("[", ",", "]")
-    val arrBest = results.map { case (_, _, b) => f"$b%.3f" }
-      .mkString("[", ",", "]")
     println(s"""{"metric":"per_query_cold","unit":"sec","order":"sorted-name","n":${results.size},"sec":$arrCold}""")
-    println(s"""{"metric":"per_query_best","unit":"sec","order":"sorted-name","n":${results.size},"sec":$arrBest}""")
     val slow = results.sortBy(-_._3).take(20)
       .map { case (k, _, b) => f""""$k":$b%.2f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"slowest_best","unit":"sec","sec":$slow}""")
@@ -207,6 +205,18 @@ object Bench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"recheck","n":${rechecked.size},"sec":$rq}""")
     }
+    // Per-query best as a NAME→SECONDS map, the LAST line before the
+    // headline (r21 verdict item 1): the driver's round-over-round
+    // per-query comparison parses a {"metric":"per_query_best",
+    // "sec":{name:sec,…}} line, and r21's positional-array form (plus
+    // its placement before slowest_best/recheck) left PERF_r21's
+    // per_query EMPTY. The map is printed here, immediately above the
+    // total, so whatever stdout tail the driver retains holds the
+    // final-line headline plus as much of this map as fits; the full
+    // map also persists in bench_queries.json.
+    val mapBest = results.map { case (k, _, b) => f""""$k":$b%.3f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"per_query_best","unit":"sec","n":${results.size},"sec":$mapBest}""")
     // headline LAST (the driver json-parses the final stdout line):
     // `value` = best-of-2 total (the number BASELINE.md gates on from
     // r8), `cold_value` = sum of first runs (methodology-compatible

@@ -371,9 +371,30 @@ object LsdDb {
     * gzip/one-row-group file), where one extra exchange of the raw
     * rows is strictly cheaper than a serial pass over them. Hash
     * partitioning on caller-chosen keys keeps the placement
-    * deterministic under retries (guide §2.5's rand() caveat). */
+    * deterministic under retries (guide §2.5's rand() caveat).
+    *
+    * PRECONDITION (enforced): `df` must be EXCHANGE-FREE — a scan,
+    * localCheckpoint, or narrow projection/filter/generate over one.
+    * The split probe reads `df.rdd.getNumPartitions`, and under AQE
+    * Dataset.rdd on a plan that contains an exchange MATERIALIZES
+    * every upstream shuffle stage at plan-build time
+    * (AdaptiveSparkPlanExec.getFinalPhysicalPlan); the repartitioned
+    * result would then silently recompute them — a double-run of the
+    * whole upstream job. The guard rejects logical shapes that plan
+    * an exchange, loudly, before the probe can trigger one. */
   def spread(df: DataFrame,
              keys: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val exchanging = df.queryExecution.analyzed.collectFirst {
+      case p @ (_: Aggregate | _: Join | _: Window | _: Sort |
+                _: Distinct | _: Deduplicate | _: GlobalLimit |
+                _: RepartitionOperation | _: SetOperation) => p
+    }
+    require(exchanging.isEmpty,
+      s"spread() requires an exchange-free input (scan/checkpoint/" +
+        s"narrow ops): found ${exchanging.get.nodeName} — probing " +
+        "df.rdd here would materialize the upstream shuffle stages " +
+        "and the repartition would recompute them")
     val par = df.sparkSession.sparkContext.defaultParallelism
     // repartition(n, keys): the explicit count pins the exchange as
     // REPARTITION_BY_NUM, which AQE's partition coalescing leaves

@@ -17,16 +17,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * the caller reads. Set semantics on both sides (duplicates in
   * either input count once), byte-equality like Spark's string
   * comparisons, null arrays propagate null (IntersectCountSpec pins
-  * all of it against the builtin). Array ELEMENTS are non-null by
-  * construction at every call site (shingle arrays); a null element
-  * would throw here rather than silently diverge from
-  * array_intersect's null handling. */
+  * all of it against the builtin). Array ELEMENTS must be non-null:
+  * the type check REJECTS containsNull=true inputs at analysis time
+  * (r21 advisor: getUTF8String returns null for a null element and
+  * HashSet accepts it, so a nullable input would silently count null
+  * as a matching value instead of failing — the check makes the
+  * non-null contract structural; shingle arrays are built with
+  * containsNull=false, so it is free at every call site). */
 case class IntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      case (ArrayType(StringType, false), ArrayType(StringType, false)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "intersect_count requires non-null array elements " +
+            "(containsNull=false): a null element would be counted " +
+            "as a matching value instead of failing loud")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"intersect_count requires two array<string> inputs, got " +
           s"${l.sql} and ${r.sql}")

@@ -1605,34 +1605,36 @@ object Joins {
       "b_id", "b_lon", "b_lat")
     val c = skyFrom(LsdDb.table(s, dir, "customer"), "c_custkey",
       "c_id", "c_lon", "c_lat")
-    def nearest(left: org.apache.spark.sql.DataFrame, lKey: String,
-                lLon: String, lLat: String,
-                right: org.apache.spark.sql.DataFrame, rKey: String,
-                rLon: String, rLat: String, distName: String) = {
-      val w = Window.partitionBy("a_id")
-        .orderBy(col("dist_deg").asc, col("b_id").asc)
-      graft.spatial.CrossMatch
-        .allPairs(left, right, lKey, lLon, lLat, rKey, rLon, rLat,
-          1.0, capLat = xmatchCapLat)
-        .withColumn("dist_deg", Det.d6(col("dist_deg")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("dist_deg") <= 0.95)
-        .select(col("a_id").as(lKey), col("b_id").as(rKey),
-          col("dist_deg").as(distName))
-    }
-    val hop1 = nearest(a, "a_id", "a_lon", "a_lat",
-      b, "b_id", "b_lon", "b_lat", "dist_ab")
-    // second hop blocks the MATCHED relation (≤ |a| rows) against c;
-    // the b positions re-attach by key for the hop's geometry
-    val abPos = hop1.join(b, "b_id")
-      .select(col("a_id"), col("b_id"), col("dist_ab"),
-        col("b_lon"), col("b_lat"))
-    val hop2 = nearest(
-      abPos.select(col("a_id"), col("b_lon"), col("b_lat")),
-      "a_id", "b_lon", "b_lat", c, "c_id", "c_lon", "c_lat", "dist_bc")
-    abPos.join(hop2, "a_id")
-      .select(col("a_id"), col("b_id"), col("c_id"),
-        col("dist_ab"), col("dist_bc"))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("dist_deg").asc, col("b_id").asc)
+    // hop 1 KEEPS the matched b coordinates (allPairsCarry keepCoords)
+    // so hop 2's geometry needs no join-back onto b — and hop 2
+    // CARRIES (b_id, dist_ab) through its blocked join so the final
+    // output needs no join-back onto hop 1 (r22: both re-attach joins
+    // of the r21 shape eliminated; same candidate sets, same window
+    // rank keys ⇒ identical rows). Carried names are prefixed (hb_*)
+    // because allPairsCarry reserves a_*/b_* for the hop's own sides.
+    val hop1 = graft.spatial.CrossMatch
+      .allPairsCarry(a, b, "a_id", "a_lon", "a_lat",
+        "b_id", "b_lon", "b_lat", 1.0, capLat = xmatchCapLat,
+        carryA = Nil, carryB = Nil, keepCoords = true)
+      .withColumn("dist_deg", Det.d6(col("dist_deg")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("dist_deg") <= 0.95)
+      .select(col("a_id"), col("b_id").as("hb_id"),
+        col("dist_deg").as("hb_dist"), col("b_lon").as("hb_lon"),
+        col("b_lat").as("hb_lat"))
+    graft.spatial.CrossMatch
+      .allPairsCarry(hop1, c, "a_id", "hb_lon", "hb_lat",
+        "c_id", "c_lon", "c_lat", 1.0, capLat = xmatchCapLat,
+        carryA = Seq("hb_id", "hb_dist"), carryB = Nil,
+        keepCoords = false)
+      .withColumn("dist_deg", Det.d6(col("dist_deg")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("dist_deg") <= 0.95)
+      .select(col("a_id"), col("hb_id").as("b_id"),
+        col("b_id").as("c_id"), col("hb_dist").as("dist_ab"),
+        col("dist_deg").as("dist_bc"))
       .orderBy("a_id")
   }
 

@@ -70,11 +70,15 @@ object PipelineOps {
   private val maxPrefixBucket = 100
 
   /** Broadcast budget for the PPJoin-family verify phase's per-doc
-    * shingle-array relation (candidate docs only, ~1 KB/doc at this
-    * corpus's doc sizes ⇒ ≈0.5 GB at the cap — inside Spark's 8 GB
-    * broadcast ceiling with headroom). Past it, the same arrays
-    * attach by shuffle joins: identical answer, no broadcast cliff. */
-  private val maxVerifyBroadcastDocs = 512L << 10
+    * shingle-array relation (candidate docs only). Budgeted for the
+    * FULL cost, not the raw bytes (r21 advisor): the relation is
+    * broadcast TWICE (separate ta/tb attach joins), each build pays
+    * a several-× hash-relation overhead over the raw arrays, and the
+    * ~1 KB/doc estimate is corpus-specific — so 128 Ki docs ≈ 128 MB
+    * raw ⇒ ≈ 1 GB resident worst case, an order of magnitude under
+    * Spark's 8 GB broadcast ceiling. Past it, the same arrays attach
+    * by shuffle joins: identical answer, no broadcast cliff. */
+  private val maxVerifyBroadcastDocs = 128L << 10
 
   /** Ext — benchmark decontamination: flag training documents that
     * share any word-3-gram with the held-out eval set (docs with
@@ -1069,8 +1073,15 @@ object PipelineOps {
         .select(col("doc_id"), col("text")), col("doc_id"))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles3(col("text")).as("ts"))
+    // broadcast gate (r22): bound candidate docs from ABOVE by
+    // 2·|cand| — one cheap single-stage count over the checkpointed
+    // pair relation — instead of eagerly running the candDocs
+    // explode+distinct (a shuffle job per query run that the
+    // semi-join re-derives anyway; r21 verdict item 6). Strictly
+    // conservative: 2·|cand| ≥ |candDocs|, so the guard can only ever
+    // fall back to the (identical-answer) shuffle join earlier.
     val attach =
-      if (candDocs.count() <= maxVerifyBroadcastDocs)
+      if (2L * cand.count() <= maxVerifyBroadcastDocs)
         (d: DataFrame) => broadcast(d)
       else (d: DataFrame) => d
     // the checkpointed cand carries the coalesced partition count of
@@ -1213,8 +1224,10 @@ object PipelineOps {
         col("doc_id"))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles3(col("text")).as("ts"))
+    // broadcast gate via 2·|cand| — same one-stage bound as
+    // q_dedup_prefix's verify (see the note there)
     val attach =
-      if (candDocs.count() <= maxVerifyBroadcastDocs)
+      if (2L * cand.count() <= maxVerifyBroadcastDocs)
         (d: DataFrame) => broadcast(d)
       else (d: DataFrame) => d
     // spread the checkpointed cand — same two reasons as
@@ -2155,6 +2168,80 @@ object PipelineOps {
   private val lrEta = 2.0
   private val lrFeats = Seq("f1", "f2", "f3", "f4")
 
+  /** Driver cap for the fused-GD collect ([[fusedGdWeights]]): the
+    * VALUE-DOMAIN-compressed feature matrix (distinct (y, x⃗) rows +
+    * counts) must stay driver-sized. Features are d6/f6-snapped
+    * ratios, so the domain is grid-bounded, but joint diversity is
+    * corpus-dependent — past the cap the queries fall back to the
+    * per-round distributed loop (identical arithmetic, same weights).
+    * 64 Ki rows × ~7 numbers ≈ 4 MB collected; the 24-round replay
+    * over it is < 10 M BigDecimal ops. */
+  private val maxGdDriverGroups = 64 * 1024
+
+  /** Driver-side GD-round replay over the value-domain-compressed
+    * feature matrix — the r22 fusion of the 24 eager one-job-per-round
+    * aggregations (guide §1.2: remove passes; §5: the loop state is
+    * O(d), the matrix is grid-bounded — driver-sized by construction).
+    *
+    * BIT-IDENTICAL to the distributed loop it replaces, term by term:
+    * `pred` replays the per-row double chain (same left-associated
+    * IEEE ops, same [[graft.functions.SnapDecimal6]] snaps the codegen
+    * path runs); the per-row `(y − pred) · x_i` cast to DECIMAL(38,8)
+    * is `BigDecimal.valueOf(d).setScale(8, HALF_UP)` — exactly Spark's
+    * Cast(double → DECIMAL(38,8)) (Decimal.apply goes through
+    * Double.toString, then changePrecision rounds HALF_UP); identical
+    * rows contribute `term × count` (exact BigDecimal multiply, equal
+    * to count exact additions); the scale-8 sum is order-independent,
+    * so collect order cannot matter; the final decimal → double is
+    * BigDecimal.doubleValue on both sides. Pinned against the
+    * distributed loop in PipelineOpsSpec ("fused GD equals the
+    * per-round loop").
+    *
+    * @param groups rows (y, x_1..x_d, cnt) — doubles + a long count
+    * @param pred   w, x⃗ → the model's per-row prediction (z or p),
+    *               replaying the column expression's exact op order
+    * @return the weights after `iters` rounds (w_0 = 0⃗) */
+  private[operators] def fusedGdWeights(
+      groups: Array[org.apache.spark.sql.Row], d: Int, iters: Int,
+      eta: Double,
+      pred: (Array[Double], Array[Double]) => Double): Array[Double] = {
+    val m = groups.length
+    val ys = new Array[Double](m)
+    val xs = new Array[Array[Double]](m)
+    val cs = new Array[java.math.BigDecimal](m)
+    var n = 0L
+    var g = 0
+    while (g < m) {
+      val r = groups(g)
+      ys(g) = r.getDouble(0)
+      xs(g) = Array.tabulate(d)(j => r.getDouble(1 + j))
+      val c = r.getLong(1 + d)
+      cs(g) = java.math.BigDecimal.valueOf(c)
+      n += c
+      g += 1
+    }
+    var w = new Array[Double](d + 1)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(d + 1)(java.math.BigDecimal.ZERO)
+      g = 0
+      while (g < m) {
+        val resid = ys(g) - pred(w, xs(g))
+        var i = 0
+        while (i <= d) {
+          val term = if (i == 0) resid * 1.0 else resid * xs(g)(i - 1)
+          sums(i) = sums(i).add(java.math.BigDecimal.valueOf(term)
+            .setScale(8, java.math.RoundingMode.HALF_UP)
+            .multiply(cs(g)))
+          i += 1
+        }
+        g += 1
+      }
+      w = Array.tabulate(d + 1)(i => graft.functions.SnapDecimal6.snap(
+        w(i) + eta * sums(i).doubleValue / n))
+    }
+    w
+  }
+
   /** The four surface features of the trainable-classifier family —
     * ONE definition (SQL text + Column twins, the SyntheticUrls
     * discipline) shared by q_logreg / q_feature_auc. All
@@ -2270,24 +2357,47 @@ object PipelineOps {
         lit(ws(3)) * col("f3") + lit(ws(4)) * col("f4"))
     def pCol(ws: Seq[Double]): Column =
       Det.d6(lit(1.0) / (lit(1.0) + exp(-zCol(ws))))
-    // the GD rounds run eagerly: each is one O(d)-state agg over the
-    // checkpointed features, weights are bounded O(d) driver values
-    var ws: Seq[Double] = Seq.fill(5)(0.0)
-    for (_ <- 1 to lrIters) {
-      val gradTerms = lit(1.0) +: lrFeats.map(col)
-      val g = feat.withColumn("p", pCol(ws))
-        .agg(count(lit(1)).as("n"),
-          gradTerms.zipWithIndex.map { case (x, i) =>
-            sum(((col("y") - col("p")) * x).cast(Det.M38))
-              .cast(DoubleType).as(s"g$i") }: _*)
-        .head()
-      val n = g.getLong(0)
-      // driver twin of the oracle's d6(w + eta*g/n): identical IEEE
-      // mul/div/add chain (division blocks FMA contraction), then the
-      // exact SnapDecimal6 snap both engines share
-      ws = ws.zipWithIndex.map { case (wv, i) =>
-        graft.functions.SnapDecimal6.snap(wv + lrEta * g.getDouble(i + 1) / n) }
-    }
+    // GD rounds (r22 fusion): ONE value-domain-compressed collect
+    // (distinct (y, x⃗) + count — the features are d6/f6 grid values)
+    // replaces 24 eager one-job-per-round aggregations; the rounds
+    // replay driver-side with bit-identical arithmetic
+    // ([[fusedGdWeights]] — each round's p/z chain, the DECIMAL(38,8)
+    // term cast, and the d6 weight snap are exact twins of the column
+    // expressions). Past the driver cap (or on an empty relation) the
+    // original distributed per-round loop runs — same weights either
+    // way, so the plan choice can never change the output.
+    val gdGroups = feat
+      .groupBy(col("y") +: lrFeats.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .head(maxGdDriverGroups + 1)
+    val ws: Seq[Double] =
+      if (gdGroups.nonEmpty && gdGroups.length <= maxGdDriverGroups)
+        fusedGdWeights(gdGroups, lrFeats.length, lrIters, lrEta,
+          (w, x) => graft.functions.SnapDecimal6.snap(1.0 / (1.0 +
+            math.exp(-graft.functions.SnapDecimal6.snap(
+              w(0) + w(1) * x(0) + w(2) * x(1) + w(3) * x(2) +
+                w(4) * x(3))))))
+          .toSeq
+      else {
+        var w: Seq[Double] = Seq.fill(5)(0.0)
+        for (_ <- 1 to lrIters) {
+          val gradTerms = lit(1.0) +: lrFeats.map(col)
+          val g = feat.withColumn("p", pCol(w))
+            .agg(count(lit(1)).as("n"),
+              gradTerms.zipWithIndex.map { case (x, i) =>
+                sum(((col("y") - col("p")) * x).cast(Det.M38))
+                  .cast(DoubleType).as(s"g$i") }: _*)
+            .head()
+          val n = g.getLong(0)
+          // driver twin of the oracle's d6(w + eta*g/n): identical IEEE
+          // mul/div/add chain (division blocks FMA contraction), then
+          // the exact SnapDecimal6 snap both engines share
+          w = w.zipWithIndex.map { case (wv, i) =>
+            graft.functions.SnapDecimal6.snap(
+              wv + lrEta * g.getDouble(i + 1) / n) }
+        }
+        w
+      }
     feat.select(col("doc_id"), pCol(ws).as("score"),
       when(pCol(ws) >= 0.5, 1).otherwise(0).as("pred"),
       col("y").as("label"))
@@ -3597,20 +3707,36 @@ object PipelineOps {
     def zCol(ws: Seq[Double]): Column = Det.d6(
       lit(ws(0)) + lit(ws(1)) * col("f2") + lit(ws(2)) * col("f3") +
         lit(ws(3)) * col("f4"))
-    var ws: Seq[Double] = Seq.fill(4)(0.0)
-    for (_ <- 1 to linIters) {
-      val gradTerms = lit(1.0) +: linFeats.map(col)
-      val g = feat.withColumn("z", zCol(ws))
-        .agg(count(lit(1)).as("n"),
-          gradTerms.zipWithIndex.map { case (x, i) =>
-            sum(((col("y") - col("z")) * x).cast(Det.M38))
-              .cast(DoubleType).as(s"g$i") }: _*)
-        .head()
-      val n = g.getLong(0)
-      ws = ws.zipWithIndex.map { case (wv, i) =>
-        graft.functions.SnapDecimal6.snap(
-          wv + linEta * g.getDouble(i + 1) / n) }
-    }
+    // GD rounds (r22 fusion): same one-collect driver-side replay as
+    // qLogreg (see the note there) — pred here is z itself (linear
+    // link), replaying zCol's left-associated chain + d6 snap exactly
+    val gdGroups = feat
+      .groupBy(col("y") +: linFeats.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .head(maxGdDriverGroups + 1)
+    val ws: Seq[Double] =
+      if (gdGroups.nonEmpty && gdGroups.length <= maxGdDriverGroups)
+        fusedGdWeights(gdGroups, linFeats.length, linIters, linEta,
+          (w, x) => graft.functions.SnapDecimal6.snap(
+            w(0) + w(1) * x(0) + w(2) * x(1) + w(3) * x(2)))
+          .toSeq
+      else {
+        var w: Seq[Double] = Seq.fill(4)(0.0)
+        for (_ <- 1 to linIters) {
+          val gradTerms = lit(1.0) +: linFeats.map(col)
+          val g = feat.withColumn("z", zCol(w))
+            .agg(count(lit(1)).as("n"),
+              gradTerms.zipWithIndex.map { case (x, i) =>
+                sum(((col("y") - col("z")) * x).cast(Det.M38))
+                  .cast(DoubleType).as(s"g$i") }: _*)
+            .head()
+          val n = g.getLong(0)
+          w = w.zipWithIndex.map { case (wv, i) =>
+            graft.functions.SnapDecimal6.snap(
+              wv + linEta * g.getDouble(i + 1) / n) }
+        }
+        w
+      }
     feat.select(col("doc_id"), zCol(ws).as("pred"), col("y").as("label"),
       Det.d6(col("y") - zCol(ws)).as("resid"))
       .orderBy("doc_id")

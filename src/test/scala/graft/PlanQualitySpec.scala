@@ -912,4 +912,53 @@ class PlanQualitySpec extends SpecBase {
     // one range-partition exchange for the output sort, nothing else
     assert(countShuffles(df) <= 1, s"too many shuffles:\n$plan")
   }
+
+  test("LsdDb.spread: exchange added on a 1-row-group layout, NO-OP " +
+    "on an already-parallel one, exchange-bearing inputs rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("spread_spec")
+      .toString
+    val base = spark.range(0, 1000, 1, 4)
+      .selectExpr("id", "id % 7 AS k")
+    // 1-row-group file: scans as ONE task → spread must repartition
+    base.coalesce(1).write.parquet(s"$dir/one")
+    val one = spark.read.parquet(s"$dir/one")
+    assert(one.rdd.getNumPartitions == 1, "precondition: 1 scan split")
+    val spreadOne = LsdDb.spread(one,
+      org.apache.spark.sql.functions.col("k"))
+    assert(spreadOne.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      "spread must widen a 1-split scan to the cluster parallelism")
+    assert(countShuffles(spreadOne) == 1 &&
+      initialPlan(spreadOne).toString.contains("REPARTITION_BY_NUM"),
+      s"expected one AQE-pinned exchange:\n${planOf(spreadOne)}")
+    // multi-split layout (≥ parallelism/2 splits): spread must leave
+    // the plan alone — the production no-op contract. Eight files +
+    // zeroed open-cost packing give the scan 8 splits on 4 cores.
+    base.repartition(8).write.parquet(s"$dir/many")
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+      spark.conf.set("spark.sql.files.openCostInBytes", "1048576")
+      val many = spark.read.parquet(s"$dir/many")
+      assert(many.rdd.getNumPartitions >=
+        spark.sparkContext.defaultParallelism,
+        "precondition: already-parallel scan")
+      val spreadMany = LsdDb.spread(many,
+        org.apache.spark.sql.functions.col("k"))
+      assert(countShuffles(spreadMany) == 0,
+        s"spread must be a NO-OP on a parallel layout:\n" +
+          planOf(spreadMany))
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+    // exchange-bearing input: the split probe would materialize the
+    // upstream shuffle (Dataset.rdd under AQE) — must throw, loudly
+    val agged = one.groupBy("k").count()
+    val e = intercept[IllegalArgumentException] {
+      LsdDb.spread(agged, org.apache.spark.sql.functions.col("k"))
+    }
+    assert(e.getMessage.contains("exchange-free"), e.getMessage)
+  }
 }

@@ -851,4 +851,55 @@ class PipelineOpsSpec extends SpecBase {
       assert(math.abs(amp - (mx - mn)) < 1e-12)
     }
   }
+
+  test("fused GD equals the per-round distributed loop, bit for bit") {
+    // The r22 fusion claim (q_linreg/q_logreg): replaying the GD
+    // rounds driver-side over the value-domain-compressed matrix
+    // yields EXACTLY the weights of the per-round Spark aggregation —
+    // same p/z chain, same DECIMAL(38,8) term cast, same d6 snap.
+    // Checked on a synthetic feature relation whose values exercise
+    // the decimal rounding (many digits after the double ops), for
+    // both the logistic and the linear link.
+    val snap = graft.functions.SnapDecimal6.snap _
+    val feat = spark.range(0, 400).selectExpr(
+      "CAST(id % 2 AS DOUBLE) AS y",
+      "CAST(CAST(floor((id % 17) * 1000000.0 / 17) AS BIGINT) AS DOUBLE)" +
+        " / 1000000.0 AS f1",
+      "CAST(CAST(floor((id % 5) * 1000000.0 / 7) AS BIGINT) AS DOUBLE)" +
+        " / 1000000.0 AS f2")
+      .localCheckpoint()
+    val iters = 6
+    for ((eta, logistic) <- Seq((2.0, true), (1.0, false))) {
+      def zCol(w: Seq[Double]) = graft.functions.Det.d6(
+        lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2"))
+      def pCol(w: Seq[Double]) =
+        if (logistic)
+          graft.functions.Det.d6(lit(1.0) / (lit(1.0) + exp(-zCol(w))))
+        else zCol(w)
+      // reference: the per-round distributed loop (the pre-r22 shape)
+      var ref: Seq[Double] = Seq.fill(3)(0.0)
+      for (_ <- 1 to iters) {
+        val terms = Seq(lit(1.0), col("f1"), col("f2"))
+        val g = feat.withColumn("p", pCol(ref))
+          .agg(count(lit(1)).as("n"),
+            terms.zipWithIndex.map { case (x, i) =>
+              sum(((col("y") - col("p")) * x)
+                .cast(graft.functions.Det.M38))
+                .cast("double").as(s"g$i") }: _*)
+          .head()
+        val n = g.getLong(0)
+        ref = ref.zipWithIndex.map { case (wv, i) =>
+          snap(wv + eta * g.getDouble(i + 1) / n) }
+      }
+      val groups = feat.groupBy("y", "f1", "f2")
+        .agg(count(lit(1)).as("cnt")).collect()
+      val fused = PipelineOps.fusedGdWeights(groups, 2, iters, eta,
+        (w, x) => {
+          val z = snap(w(0) + w(1) * x(0) + w(2) * x(1))
+          if (logistic) snap(1.0 / (1.0 + math.exp(-z))) else z
+        })
+      assert(fused.toSeq == ref,
+        s"logistic=$logistic: fused=$fused ref=$ref")
+    }
+  }
 }
