@@ -350,10 +350,17 @@ object CurationOps {
       : org.apache.spark.sql.DataFrame = {
     // deletion variants, hashed to 8 bytes: element 0 is the string
     // itself, element i its copy with character i removed.
-    // spread (r21): the variant explode + the bucket groupBy's partial
-    // aggregation fuse into the names scan stage (one task on a
-    // one-row-group layout); conditional, no-op when already parallel
-    val dv = LsdDb.spread(names, col("k"))
+    // r22: the r21 spread(names, k) was REMOVED after an isolation A/B
+    // (3 interleaved QueryProfile reps per variant, quiet machine):
+    // unlike the other spread sites, the downstream exchange here is
+    // the bucket groupBy on h, so a spread on k does not replace an
+    // exchange the plan wanted — it adds one. Measured warm-best:
+    // q_clustering_coeff 3.24/3.49/4.32 with vs 3.08/3.43/3.49
+    // without; q_join_fuzzy 2.55/3.16 with vs 2.28/2.39 without;
+    // q_graph_triangles neutral. This also adjudicates the r21
+    // driver's q_clustering_coeff 2.77→3.30 read (verdict item 2):
+    // partially real, caused by this exchange, now removed.
+    val dv = names
       .select(col("k"), explode(expr(
         "transform(sequence(0, length(name)), i -> CASE WHEN i = 0 " +
           "THEN name ELSE concat(substring(name, 1, i - 1), " +
