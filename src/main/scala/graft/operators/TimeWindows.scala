@@ -134,13 +134,45 @@ object TimeWindows {
       .toString.replace("-", "")}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // Replay checkpoints are EPHEMERAL by design (AvailableNow into a
+    // memory sink — the audit-replay harness, not a production sink),
+    // but Spark's default temp checkpoint lands on java.io.tmpdir's
+    // DISK: every micro-batch then pays offset-WAL + per-partition
+    // state-delta + commit-log writes through ext4 (r22 StreamProfile:
+    // walCommit + state commitMs dominate the stateful replays). Put
+    // them on the RAM-backed /dev/shm when present — same files, same
+    // semantics, no durability loss for a throwaway checkpoint.
+    // Production streams pass a real (durable, fast) checkpoint via
+    // StreamOps and are unaffected.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        Some(s"/dev/shm/graft_ckpt_$name")
+      else None
     try {
-      val q = out.writeStream.format("memory").queryName(name)
+      val writer = out.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = ckpt.fold(writer)(c =>
+        writer.option("checkpointLocation", c)).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      // drop the throwaway checkpoint so replay runs don't accumulate
+      ckpt.foreach { c =>
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p,
+              java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+            val s = java.nio.file.Files.list(p)
+            try s.forEach(rm) finally s.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        try rm(java.nio.file.Paths.get(c))
+        catch { case _: Throwable => () }
+      }
+    }
     // the analyzed DataFrame pins the sink's plan; dropping the temp
     // view immediately lets the sink data GC with the DataFrame —
     // otherwise every replay run pins its full result set in driver
