@@ -370,6 +370,10 @@ object PipelineOps {
     * cosine, rn), rn unfiltered. */
   private def tfidfKnnRanked(s: SparkSession, dir: String): DataFrame = {
     val docs = LsdDb.table(s, dir, "documents")
+    // r22 negative A/B, not shipped: spreading tok (its explode fuses
+    // into the one-row-group scan, ~0.3 s single-task × 2 consumers)
+    // read as a wash across 3 interleaved order-controlled reps — the
+    // two consumer stages are too small for the added exchange to pay.
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("w")

@@ -491,7 +491,12 @@ object TextOps {
     // bits (hex char → nibble value is exact integer logic, identical
     // to the oracle's IN-list per bit), half the aggregate CPU.
     // ascii: '0'-'9' → 48-57, 'a'-'f' → 97-102 (Spark md5 is lowercase)
-    val wrds = LsdDb.table(s, dir, "documents")
+    // spread (r22, StageProfile): the explode + md5 + 64 partial aggs
+    // fused into the one-row-group scan's single task (0.8–2.8 s on 1
+    // of 32 cores); keyed on doc_id so the groupBy's own exchange is
+    // the one being replaced — the TextOps:minhash pattern
+    val wrds = LsdDb.spread(LsdDb.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .withColumn("h", md5(col("w").cast("binary")))
     val nibs = (0 until 16).map { p =>
