@@ -379,6 +379,13 @@ object CurationOps {
       .select(explode(col("ks")).as("ka"), col("ks"))
       .select(col("ka"), explode(col("ks")).as("kb"))
       .filter(col("ka") < col("kb"))
+      // r22 negative A/B, not shipped: pinning the distinct's
+      // parallelism with repartition(par, ka, kb) — AQE coalesces the
+      // pair exchange to ~2 tasks by BYTES while its dedup is
+      // CPU-heavy — measured WORSE and unstable (2.0–16.5 s vs
+      // 2.2–3.2 s across order-controlled reps): the explicit
+      // repartition defeats the map-side partial dedup, shipping the
+      // full in-bucket fan-out through the exchange.
       .distinct()
     // verify: attach names (AQE broadcasts the dim at test scale; at
     // 100 TB these are two shuffle joins on 8-byte keys), exact
